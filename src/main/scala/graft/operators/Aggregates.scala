@@ -1,0 +1,96 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.Tables
+
+/** Aggregation surface. The reference only ever runs `COUNT(*)`
+  * (SURVEY.md §2.4) — everything else here is the engine's own analytics
+  * surface (the queries downstream ClickHouse consumers run over the
+  * backfilled topics), built on Spark's hash aggregate.
+  *
+  * Oracle-parity discipline for doubles: floating-point SUM is
+  * order-dependent, and Spark's partial-aggregation order differs run to
+  * run — so every summed double is cast to an exact DECIMAL first, summed
+  * exactly, and only the final scalar is cast back to double. The DuckDB
+  * oracle does the same, so results hash-match bit-for-bit.
+  */
+object Aggregates {
+
+  /** Exact-decimal sum of a 2-dp double column, returned as double. */
+  private def dsum(c: Column): Column =
+    sum(c.cast("decimal(18,2)")).cast("double")
+
+  /** TPC-H Q1-shaped pricing summary over lineitem: grouped sums/avg/count
+    * with map-side partial aggregation (one shuffle, 4 groups out). */
+  def pricingSummary(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables.load(spark, dir, "lineitem")
+    val price = col("l_extendedprice").cast("decimal(18,2)")
+    val disc  = col("l_discount").cast("decimal(18,2)")
+    val tax   = col("l_tax").cast("decimal(18,2)")
+    li.filter(col("l_shipdate") <= lit("1998-09-02").cast("timestamp"))
+      .groupBy("l_returnflag", "l_linestatus")
+      .agg(
+        dsum(col("l_quantity")).as("sum_qty"),
+        sum(price).cast("double").as("sum_base_price"),
+        sum(price * (lit(1).cast("decimal(18,2)") - disc)).cast("double")
+          .as("sum_disc_price"),
+        sum(price * (lit(1).cast("decimal(18,2)") - disc) *
+          (lit(1).cast("decimal(18,2)") + tax)).cast("double")
+          .as("sum_charge"),
+        (sum(col("l_quantity").cast("decimal(18,2)")).cast("double") /
+          count(lit(1))).as("avg_qty"),
+        count(lit(1)).as("count_order"))
+      .orderBy("l_returnflag", "l_linestatus")
+  }
+
+  /** Exact distinct counts (the HLL variant lives in
+    * [[approxDistinct]] with a self-check instead of an oracle). */
+  def distinctCounts(spark: SparkSession, dir: String): DataFrame =
+    Tables.load(spark, dir, "orders").agg(
+      countDistinct(col("o_custkey")).as("n_merchants"),
+      countDistinct(col("o_orderstatus")).as("n_statuses"),
+      count(lit(1)).as("n_rows"))
+
+  /** E4: HLL++ `approx_count_distinct` — sketch-based cardinality at scale
+    * (no shuffle of distinct values, constant memory per group). Emitted
+    * next to the exact count so the driver's rows-only check still shows a
+    * sane row; the ±5% bound is asserted in ApproxSpec. */
+  def approxDistinct(spark: SparkSession, dir: String): DataFrame =
+    Tables.load(spark, dir, "lineitem").agg(
+      approx_count_distinct(col("l_orderkey")).as("approx_orders"),
+      countDistinct(col("l_orderkey")).as("exact_orders"))
+
+  /** Running (cumulative) per-merchant amount over event time — window
+    * frame `rowsBetween(unboundedPreceding, 0)`; decimal-exact running sum
+    * so the prefix sums hash-match the oracle. */
+  def windowRunning(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    Tables.load(spark, dir, "events")
+      .withColumn("running_value",
+        sum(col("value").cast("decimal(18,2)")).over(w).cast("double"))
+      .select("user_id", "event_id", "ts", "value", "running_value")
+      .orderBy("user_id", "event_id")
+  }
+
+  /** ROLLUP over (lang, source) on documents — grouping-set aggregation
+    * (absent from the reference, SURVEY.md §2.7; free via Spark). */
+  def rollupDocs(spark: SparkSession, dir: String): DataFrame =
+    Tables.load(spark, dir, "documents")
+      .rollup("lang", "source")
+      .agg(count(lit(1)).as("n_docs"), dsum(col("n_chars")).as("sum_chars"))
+      .orderBy(col("lang").asc_nulls_first, col("source").asc_nulls_first)
+
+  /** Tumbling event-time window aggregation in batch mode (`window()`),
+    * the batch twin of the Structured Streaming path (§2.9 E7). */
+  def eventsWindowAgg(spark: SparkSession, dir: String): DataFrame =
+    Tables.load(spark, dir, "events")
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("value").cast("decimal(18,2)")).cast("double").as("sum_value"))
+      .select(col("window.start").as("ws"), col("event_type"),
+        col("n"), col("sum_value"))
+      .orderBy("ws", "event_type")
+}

@@ -1,0 +1,126 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.Tables
+
+/** Core relational operators re-expressing the reference backfill's query
+  * surface (SURVEY.md §2.1–§2.5) Spark-first.
+  *
+  * The reference's one query shape —
+  * `SELECT * FROM entity WHERE merchant_id = :m AND created_at BETWEEN :s
+  * AND :e ORDER BY pk LIMIT n OFFSET k*n`
+  * (reference `src/data_transfer/payment_intent.rs:61-71`) — maps to a
+  * single partitioned scan with pushed-down predicates; pagination (O2)
+  * becomes a `row_number` window only where page semantics are genuinely
+  * wanted. The test star schema stands in for the payment tables:
+  * `customer` ~ `merchant_key_store`, `orders`/`lineitem` ~ entity tables.
+  *
+  * Scale notes (100 TB discipline):
+  *  - predicates and projections are plain Catalyst expressions → pushed to
+  *    the parquet/JDBC scan, no custom code;
+  *  - the key-store join (J1, `src/main.rs:190-313`) is a broadcast hash
+  *    join — the key store is ~#merchants rows, orders of magnitude smaller
+  *    than the entity tables;
+  *  - no driver-side loops, no OFFSET re-scans (the reference re-plans the
+  *    filtered scan once per page, O(pages²) server work — SURVEY.md §4).
+  */
+object Relational {
+
+  /** S1+P1+P2+P3+O1: the reference's core parameterized scan
+    * (`payment_intent.rs:62-71`): equality on merchant, inclusive
+    * created_at range, ordered full-row projection. */
+  def backfillScan(spark: SparkSession, dir: String): DataFrame =
+    Tables.load(spark, dir, "orders")
+      .filter(col("o_custkey") === lit(42L) &&
+        col("o_orderdate").between(lit("1995-01-01").cast("timestamp"),
+                                   lit("1999-12-31").cast("timestamp")))
+      .orderBy("o_orderkey")
+
+  /** A1: COUNT(*) of the key-store table (`src/main.rs:323-329`). */
+  def countKeystores(spark: SparkSession, dir: String): DataFrame =
+    Tables.load(spark, dir, "customer").agg(count(lit(1)).as("cnt"))
+
+  /** A2: per-merchant row counts — one shuffle replaces the reference's N
+    * point `COUNT(*)` queries (`payment_intent.rs:36-43`). Map-side partial
+    * aggregation keeps the shuffle to one row per (partition, merchant). */
+  def countPerMerchant(spark: SparkSession, dir: String): DataFrame =
+    Tables.load(spark, dir, "orders")
+      .filter(col("o_orderdate").between(
+        lit("1995-01-01").cast("timestamp"), lit("1999-12-31").cast("timestamp")))
+      .groupBy("o_custkey").agg(count(lit(1)).as("order_cnt"))
+      .orderBy("o_custkey")
+
+  /** P4: key stores for an explicit merchant id list
+    * (`src/main.rs:192-206`) — an IN-list filter, pushed to the scan. */
+  def keystoreInList(spark: SparkSession, dir: String): DataFrame =
+    Tables.load(spark, dir, "customer")
+      .filter(col("c_custkey").isin(1L, 7L, 42L, 99L, 101L))
+      .select("c_custkey", "c_name", "c_nationkey", "c_mktsegment")
+      .orderBy("c_custkey")
+
+  /** J1: entity ⋈ merchant_key_store on merchant_id
+    * (`src/main.rs:190-313` drives this as a driver-side nested loop; here
+    * a broadcast hash join — the key store is the small side). */
+  def backfillJoin(spark: SparkSession, dir: String): DataFrame = {
+    val orders = Tables.load(spark, dir, "orders")
+    val cust = Tables.load(spark, dir, "customer")
+    orders.join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+      .select(col("o_orderkey"), col("o_custkey"), col("c_name"),
+        col("c_nationkey"), col("o_totalprice"), col("o_orderdate"))
+      .orderBy("o_orderkey")
+  }
+
+  /** J1 (filter-only form): merchants that have entity rows — left-semi,
+    * the semantics of the reference's "skip merchants with 0 rows" count
+    * check (`payment_intent.rs:44` progress gate). */
+  def semiJoin(spark: SparkSession, dir: String): DataFrame = {
+    val cust = Tables.load(spark, dir, "customer")
+    val orders = Tables.load(spark, dir, "orders")
+    cust.join(orders, col("c_custkey") === col("o_custkey"), "left_semi")
+      .select("c_custkey", "c_name").orderBy("c_custkey")
+  }
+
+  /** Complement of [[semiJoin]]: merchants with no entity rows (anti). */
+  def antiJoin(spark: SparkSession, dir: String): DataFrame = {
+    val cust = Tables.load(spark, dir, "customer")
+    val orders = Tables.load(spark, dir, "orders")
+    cust.join(orders, col("c_custkey") === col("o_custkey"), "left_anti")
+      .select("c_custkey", "c_name").orderBy("c_custkey")
+  }
+
+  /** O2 as a window: the reference's LIMIT/OFFSET page k
+    * (`payment_intent.rs:61,65-66`) re-expressed as `row_number` over the
+    * page sort key — deterministic (the reference's pagination is not:
+    * SURVEY.md §2.5 correctness note). Page 3, page size 100. */
+  def paginationWindow(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.orderBy("o_orderkey")
+    Tables.load(spark, dir, "orders")
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn").between(201, 300))
+      .select("rn", "o_orderkey", "o_custkey", "o_orderstatus")
+  }
+
+  /** T5: tenant stamping (`src/main.rs:129,135`; `payment_intent.rs:103`)
+    * — a literal column, plus the entity tag used for topic routing. */
+  def tenantTag(spark: SparkSession, dir: String): DataFrame =
+    Tables.load(spark, dir, "events")
+      .withColumn("tenant", lit("public"))
+      .withColumn("entity", lit("payment_intent"))
+      .select("event_id", "tenant", "entity", "event_type", "user_id")
+      .orderBy("event_id")
+
+  /** Top-k per group (window): top 3 orders per merchant by amount —
+    * the canonical analytics query downstream ClickHouse consumers run on
+    * the backfilled topics (SURVEY.md §2.7: free via Spark built-ins). */
+  def topkPerGroup(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("o_custkey")
+      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+    Tables.load(spark, dir, "orders")
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= 3)
+      .select("o_custkey", "rk", "o_orderkey", "o_totalprice")
+      .orderBy("o_custkey", "rk")
+  }
+}
