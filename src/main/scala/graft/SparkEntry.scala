@@ -42,6 +42,30 @@ object SparkEntry {
     "window_running"     -> (Aggregates.windowRunning _),
     "rollup_docs"        -> (Aggregates.rollupDocs _),
     "events_window_agg"  -> (Aggregates.eventsWindowAgg _),
+    "events_sessionize"  -> (Aggregates.sessionize _),
+    // §2.9 E1/E2 dedup
+    "dedup_exact_key"    -> (Dedup.exactByKey _),
+    "dedup_content_hash" -> (Dedup.exactByContentHash _),
+    "minhash_signatures" -> (Dedup.minhashSignatures _),
+    "minhash_buckets"    -> (Dedup.minhashBuckets _),
+    "minhash_pairs"      -> ((s: SparkSession, d: String) => Dedup.minhashPairs(s, d)),
+    "simhash"            -> (Dedup.simhash _),
+    "simhash_pairs"      -> ((s: SparkSession, d: String) => Dedup.simhashPairs(s, d)),
+    "ngram_jaccard"      -> (Dedup.ngramJaccard _),
+    "embedding_buckets"  -> (Dedup.embeddingBuckets _),
+    "embedding_neardup"  -> ((s: SparkSession, d: String) => Dedup.embeddingNearDup(s, d)),
+    // §2.9 E3 similarity search
+    "sim_topk_brute"     -> ((s: SparkSession, d: String) => Similarity.bruteForceTopK(s, d)),
+    "sim_topk_ivf"       -> ((s: SparkSession, d: String) => Similarity.ivfTopK(s, d)),
+    // §2.9 E5 text analysis
+    "text_langid"        -> (TextAnalysis.langId _),
+    "text_quality"       -> (TextAnalysis.quality _),
+    "text_token_counts"  -> (TextAnalysis.tokenCounts _),
+    "text_term_freq"     -> (TextAnalysis.termFrequencies _),
+    "text_fingerprint"   -> (TextAnalysis.fingerprints _),
+    // §2.9 E6 multimodal
+    "media_features"     -> (Multimodal.mediaFeatures _),
+    "media_frame_sample" -> ((s: SparkSession, d: String) => Multimodal.frameSample(s, d)),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -172,5 +196,124 @@ object SparkEntry {
                 count(*) AS n,
                 CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
          FROM events GROUP BY 1, 2 ORDER BY ws, event_type""",
+    "events_sessionize" ->
+      """WITH flagged AS (
+           SELECT user_id, event_id, ts, value,
+                  CASE WHEN lag(ts) OVER w IS NULL
+                         OR ts - lag(ts) OVER w > INTERVAL '30 minutes'
+                       THEN 1 ELSE 0 END AS is_new
+           FROM events
+           WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+         sessions AS (
+           SELECT user_id, ts, value,
+                  SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+           FROM flagged)
+         SELECT user_id, session_id, count(*) AS n_events,
+                min(ts) AS session_start, max(ts) AS session_end,
+                CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS session_value
+         FROM sessions GROUP BY user_id, session_id
+         ORDER BY user_id, session_id""",
+    "dedup_exact_key" ->
+      """SELECT user_id, event_type, event_id, ts FROM (
+           SELECT user_id, event_type, event_id, ts,
+                  row_number() OVER (PARTITION BY user_id, event_type
+                    ORDER BY ts, event_id) AS rn
+           FROM events)
+         WHERE rn = 1 ORDER BY user_id, event_type""",
+    "dedup_content_hash" ->
+      """SELECT sha256(text || '|' || lang || '|' || source) AS content_sha,
+                min(doc_id) AS keep_doc_id, count(*) AS dup_count
+         FROM documents GROUP BY 1 ORDER BY keep_doc_id""",
+    "ngram_jaccard" ->
+      """WITH grams AS (
+           SELECT doc_id,
+                  list_distinct([substr(lower(text), i, 4)
+                    for i in range(1, greatest(len(lower(text)) - 2, 1))]) AS g
+           FROM documents WHERE doc_id < 60)
+         SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                round(CAST(len(list_intersect(a.g, b.g)) AS DOUBLE) /
+                      len(list_distinct(list_concat(a.g, b.g))), 6) AS jaccard
+         FROM grams a, grams b
+         WHERE a.doc_id < b.doc_id
+           AND round(CAST(len(list_intersect(a.g, b.g)) AS DOUBLE) /
+                     len(list_distinct(list_concat(a.g, b.g))), 6) >= 0.2
+         ORDER BY doc_a, doc_b""",
+    "sim_topk_brute" ->
+      """WITH emb AS (
+           SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+         scored AS (
+           SELECT q.vec_id AS q_id, e.vec_id,
+                  list_dot_product(q.v, e.v) /
+                    (sqrt(list_dot_product(q.v, q.v)) *
+                     sqrt(list_dot_product(e.v, e.v))) AS cos
+           FROM emb q, emb e
+           WHERE q.vec_id < 8 AND e.vec_id <> q.vec_id),
+         ranked AS (
+           SELECT q_id, vec_id, cos,
+                  row_number() OVER (PARTITION BY q_id
+                    ORDER BY cos DESC, vec_id) AS rk
+           FROM scored)
+         SELECT q_id, rk, vec_id, round(cos, 6) AS cos
+         FROM ranked WHERE rk <= 10 ORDER BY q_id, rk""",
+    "text_quality" ->
+      """WITH toks AS (
+           SELECT doc_id, text,
+                  list_filter(string_split_regex(lower(text), '\s+'),
+                    t -> len(t) > 0) AS ts
+           FROM documents)
+         SELECT doc_id, CAST(len(text) AS BIGINT) AS n_chars,
+                CAST(len(ts) AS BIGINT) AS n_tokens,
+                round(CASE WHEN len(ts) = 0 THEN 0.0
+                  ELSE CAST(list_sum(list_transform(ts, t -> len(t))) AS DOUBLE) / len(ts)
+                  END, 6) AS avg_token_len,
+                round(CASE WHEN len(text) = 0 THEN 0.0
+                  ELSE CAST(len(regexp_extract_all(text, '[.,;:!?]')) AS DOUBLE) / len(text)
+                  END, 6) AS punct_ratio,
+                round(CASE WHEN len(text) = 0 THEN 0.0
+                  ELSE CAST(len(regexp_extract_all(text, '[0-9]')) AS DOUBLE) / len(text)
+                  END, 6) AS digit_ratio,
+                round(CASE WHEN len(ts) = 0 THEN 0.0
+                  ELSE CAST(len(list_filter(ts, t -> list_contains(
+                    ['the','a','and','of','to','in','is','that','it','for'], t)))
+                    AS DOUBLE) / len(ts) END, 6) AS stopword_ratio
+         FROM toks ORDER BY doc_id""",
+    "text_token_counts" ->
+      """WITH toks AS (
+           SELECT doc_id, text,
+                  list_filter(string_split_regex(lower(text), '\s+'),
+                    t -> len(t) > 0) AS ts
+           FROM documents)
+         SELECT doc_id, CAST(len(ts) AS BIGINT) AS n_tokens,
+                CAST(len(list_distinct(ts)) AS BIGINT) AS n_distinct,
+                CAST(len(regexp_extract_all(text,
+                  '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) AS BIGINT) AS n_bpeish
+         FROM toks ORDER BY doc_id""",
+    "text_term_freq" ->
+      """SELECT token, count(*) AS freq FROM (
+           SELECT unnest(list_filter(string_split_regex(lower(text), '\s+'),
+             t -> len(t) > 0)) AS token
+           FROM documents)
+         GROUP BY token ORDER BY freq DESC, token LIMIT 50""",
+    "text_fingerprint" ->
+      """SELECT doc_id,
+                md5(array_to_string(list_sort(list_distinct(
+                  list_filter(string_split_regex(lower(text), '\s+'),
+                    t -> len(t) > 0))), ' ')) AS fp
+         FROM documents ORDER BY doc_id""",
+    "media_features" ->
+      """SELECT doc_id, 'txt' AS format,
+                CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+                sha256(text) AS sha256,
+                octet_length(encode(text)) % 640 AS width,
+                (octet_length(encode(text)) * 7) % 480 AS height,
+                octet_length(encode(text)) % 16 AS n_frames
+         FROM documents ORDER BY doc_id""",
+    "media_frame_sample" ->
+      """SELECT doc_id, CAST(f AS BIGINT) AS frame_idx,
+                CAST(octet_length(encode(text)) % 16 AS BIGINT) AS n_frames
+         FROM documents,
+              LATERAL unnest(range(0, octet_length(encode(text)) % 16, 4)) AS t(f)
+         ORDER BY doc_id, frame_idx""",
   )
 }

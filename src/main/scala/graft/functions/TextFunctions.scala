@@ -1,0 +1,111 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Text-analysis primitives for the training-data pipeline surface:
+  * tokenization, shingling, language-ID heuristics, quality scoring and
+  * document fingerprinting. All pure Catalyst expressions (split /
+  * regexp / higher-order functions) — no UDF, executor-side, codegen'd,
+  * so they scale as a narrow map over 100 TB of documents.
+  */
+object TextFunctions {
+
+  /** Lowercased whitespace tokens, empties dropped. */
+  def tokens(text: Column): Column =
+    filter(split(lower(text), "\\s+"), t => length(t) > 0)
+
+  /** Word n-shingles (n consecutive tokens joined by one space).
+    * Guarded: fewer than n tokens → empty array (`sequence` would
+    * otherwise produce a descending range). */
+  def wordShingles(text: Column, n: Int): Column = {
+    val ts = tokens(text)
+    when(size(ts) < n, array().cast("array<string>"))
+      .otherwise(transform(sequence(lit(1), size(ts) - (n - 1)),
+        i => concat_ws(" ", slice(ts, i, lit(n)))))
+  }
+
+  /** Character n-grams of the lowercased text. */
+  def charNgrams(text: Column, n: Int): Column = {
+    val t = lower(text)
+    when(length(t) < n, array().cast("array<string>"))
+      .otherwise(transform(sequence(lit(1), length(t) - (n - 1)),
+        i => substring(t, i, lit(n))))
+  }
+
+  /** Estimated sub-word token count: BPE-ish segmentation by regex —
+    * runs of letters, runs of digits, or single other non-space chars.
+    * A cheap, deterministic stand-in for a real tokenizer's count. */
+  def bpeishTokenCount(text: Column): Column =
+    size(regexp_extract_all(text, lit("[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]"), lit(0)))
+
+  private val stopwords: Map[String, Seq[String]] = Map(
+    "en" -> Seq("the", "a", "and", "of", "to", "in", "is", "that", "it", "for"),
+    "de" -> Seq("der", "die", "das", "und", "ist", "von", "zu", "mit", "den", "ein"),
+    "fr" -> Seq("le", "la", "les", "et", "de", "un", "une", "est", "que", "pour"),
+    "es" -> Seq("el", "la", "los", "las", "y", "de", "un", "una", "es", "que"))
+
+  /** Fraction of tokens that are stopwords of language `lang` —
+    * the classic cheap language-ID signal. */
+  def stopwordRatio(toks: Column, lang: String): Column = {
+    val sw = array(stopwords(lang).map(lit): _*)
+    when(size(toks) === 0, lit(0.0d))
+      .otherwise(size(filter(toks, t => array_contains(sw, t)))
+        .cast("double") / size(toks))
+  }
+
+  /** Fraction of characters in the CJK unified block (zh signal). */
+  def cjkRatio(text: Column): Column =
+    when(length(text) === 0, lit(0.0d))
+      .otherwise(size(regexp_extract_all(text, lit("[\\x{4e00}-\\x{9fff}]"), lit(0)))
+        .cast("double") / length(text))
+
+  /** N-gram-heuristic language ID: argmax of per-language stopword
+    * ratios, CJK char ratio for zh, 'und' (undetermined) below floor. */
+  def langId(text: Column): Column = {
+    val ts = tokens(text)
+    val scores = stopwords.keys.toSeq.sorted.map(l => (l, stopwordRatio(ts, l))) :+
+      (("zh", cjkRatio(text)))
+    val best = scores.map(_._2).reduce((a, b) => greatest(a, b))
+    scores.foldLeft(when(best < 0.05, lit("und"))) {
+      case (acc, (l, s)) => acc.when(s === best, lit(l))
+    }.otherwise(lit("und"))
+  }
+
+  /** Quality signals: length, token stats, punctuation/digit/upper
+    * ratios, English stopword ratio — composable into a filter score. */
+  def qualityStruct(text: Column): Column = {
+    val ts = tokens(text)
+    val len = length(text)
+    val nonEmpty = len > 0
+    struct(
+      len.cast("long").as("n_chars"),
+      size(ts).cast("long").as("n_tokens"),
+      when(size(ts) === 0, lit(0.0d))
+        .otherwise(aggregate(ts, lit(0L), (a, t) => a + length(t))
+          .cast("double") / size(ts)).as("avg_token_len"),
+      when(!nonEmpty, lit(0.0d))
+        .otherwise(size(regexp_extract_all(text, lit("[.,;:!?]"), lit(0)))
+          .cast("double") / len).as("punct_ratio"),
+      when(!nonEmpty, lit(0.0d))
+        .otherwise(size(regexp_extract_all(text, lit("[0-9]"), lit(0)))
+          .cast("double") / len).as("digit_ratio"),
+      when(!nonEmpty, lit(0.0d))
+        .otherwise(size(regexp_extract_all(text, lit("[A-Z]"), lit(0)))
+          .cast("double") / len).as("upper_ratio"),
+      stopwordRatio(ts, "en").as("stopword_ratio"))
+  }
+
+  /** Normalization fingerprint (OpenRefine-style): md5 of the sorted
+    * distinct token set — invariant to token order and duplication;
+    * the exact-near-dup key for "same content, shuffled" documents. */
+  def fingerprint(text: Column): Column =
+    md5(concat_ws(" ", array_sort(array_distinct(tokens(text)))))
+
+  /** Rabin-Karp-style rolling hash over the token stream (order-
+    * sensitive, mod 1e9+7 to stay clear of ANSI overflow). */
+  def rollingHash(text: Column): Column =
+    aggregate(tokens(text), lit(0L),
+      (acc, t) => pmod(acc * 31 + pmod(xxhash64(t), lit(1000000007L)),
+        lit(1000000007L)))
+}

@@ -83,6 +83,28 @@ object Aggregates {
       .agg(count(lit(1)).as("n_docs"), dsum(col("n_chars")).as("sum_chars"))
       .orderBy(col("lang").asc_nulls_first, col("source").asc_nulls_first)
 
+  /** Gap-based sessionization: a new session starts after >30 min of
+    * user inactivity — `lag` + cumulative flag sum + grouped rollup, the
+    * standard event-pipeline shape (two window passes over one
+    * user-partitioned shuffle, then one hash aggregate). */
+  def sessionize(spark: SparkSession, dir: String): DataFrame = {
+    val byUser = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    val run = byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    Tables.load(spark, dir, "events")
+      .withColumn("prev_ts", lag(col("ts"), 1).over(byUser))
+      .withColumn("is_new",
+        when(col("prev_ts").isNull ||
+          unix_micros(col("ts")) - unix_micros(col("prev_ts")) > 30L * 60 * 1000000,
+          1L).otherwise(0L))
+      .withColumn("session_id", sum(col("is_new")).over(run))
+      .groupBy("user_id", "session_id")
+      .agg(count(lit(1)).as("n_events"),
+        min(col("ts")).as("session_start"),
+        max(col("ts")).as("session_end"),
+        sum(col("value").cast("decimal(18,2)")).cast("double").as("session_value"))
+      .orderBy("user_id", "session_id")
+  }
+
   /** Tumbling event-time window aggregation in batch mode (`window()`),
     * the batch twin of the Structured Streaming path (§2.9 E7). */
   def eventsWindowAgg(spark: SparkSession, dir: String): DataFrame =

@@ -1,0 +1,252 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.Tables
+import graft.functions.{TextFunctions => T, Vectors => V}
+
+/** Deduplication operators for the training-data pipeline (SURVEY.md
+  * §2.9 E1/E2): exact, content-hash, MinHash+LSH, SimHash, n-gram
+  * Jaccard, and embedding-cosine near-dup.
+  *
+  * Scale design: every near-dup path is candidate-generation (O(n) via
+  * LSH banding / bit-banding — a groupable key, one shuffle) followed by
+  * exact verification only within candidate pairs. No all-pairs joins
+  * anywhere; bucket skew is observable via [[minhashBuckets]] and
+  * salt-able at the band key.
+  *
+  * Physical shape: signatures (MinHash mins, SimHash bit votes,
+  * hyperplane projections) are computed as ONE explode + ONE codegen'd
+  * hash aggregate with N parallel aggregate expressions — not nested
+  * higher-order functions. HOFs are interpreted and get re-evaluated per
+  * generator output row (measured 393 s vs 0.3 s at sf0.001 for the same
+  * signature); the aggregate form is whole-stage-codegen'd and
+  * materializes each signature exactly once at the shuffle boundary.
+  */
+object Dedup {
+
+  // ---------------------------------------------------------------- exact
+
+  /** E1a: exact dedup on a business key — keep the first row per
+    * (user_id, event_type) by event time; `row_number` + filter, the
+    * deterministic form of dropDuplicates. */
+  def exactByKey(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("user_id", "event_type")
+      .orderBy("ts", "event_id")
+    Tables.load(spark, dir, "events")
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select("user_id", "event_type", "event_id", "ts")
+      .orderBy("user_id", "event_type")
+  }
+
+  /** E1b: full-content hash dedup — sha256 over the '|'-canonicalized
+    * row; groupBy the digest, keep min id. One shuffle on the digest. */
+  def exactByContentHash(spark: SparkSession, dir: String): DataFrame =
+    Tables.load(spark, dir, "documents")
+      .withColumn("content_sha", sha2(concat_ws("|",
+        col("text"), col("lang"), col("source")), 256))
+      .groupBy("content_sha").agg(
+        min(col("doc_id")).as("keep_doc_id"),
+        count(lit(1)).as("dup_count"))
+      .orderBy("keep_doc_id")
+
+  // -------------------------------------------------------------- minhash
+
+  val MinhashPerms = 64
+  val MinhashBands = 16 // 16 bands × 4 rows
+  private val BandRows = MinhashPerms / MinhashBands
+  private val P = 2147483647L // 2^31 - 1, prime
+
+  /** Universal-hash permutation family over a 31-bit base hash:
+    * h_i(x) = (a_i·x + b_i) mod P. a·x ≤ 2^62 — no ANSI overflow. */
+  private def permApply(i: Int, h: Column): Column = {
+    val a = ((i.toLong * 2654435761L) % (P - 1)) + 1
+    val b = (i.toLong * 1013904223L) % P
+    pmod(h * lit(a) + lit(b), lit(P))
+  }
+
+  /** Signature table (doc_id, m0..m63): explode shingles once, hash each
+    * once, then 64 min-aggregates in a single codegen'd hash aggregate.
+    * Docs with < 3 tokens have no shingles and drop out (no signature —
+    * nothing to near-dup against). */
+  def minhashSigTable(spark: SparkSession, dir: String): DataFrame = {
+    val sh = Tables.load(spark, dir, "documents")
+      .select(col("doc_id"), explode(T.wordShingles(col("text"), 3)).as("s"))
+      .withColumn("h", pmod(xxhash64(col("s")), lit(P)))
+    val mins = (0 until MinhashPerms).map(i => min(permApply(i, col("h"))).as(s"m$i"))
+    sh.groupBy("doc_id").agg(mins.head, mins.tail: _*)
+  }
+
+  /** (doc_id, band_id, band_hash): band the 64 mins into 16 hashes.
+    * Inputs are materialized aggregate columns — the explode is cheap. */
+  def minhashBandTable(spark: SparkSession, dir: String): DataFrame = {
+    val sig = minhashSigTable(spark, dir)
+    val bands = (0 until MinhashBands).map { b =>
+      struct(lit(b).as("band_id"),
+        hash((0 until BandRows).map(r => col(s"m${b * BandRows + r}")): _*)
+          .as("band_hash"))
+    }
+    sig.select(col("doc_id"), explode(array(bands: _*)).as("bk"))
+      .select(col("doc_id"), col("bk.band_id").as("band_id"),
+        col("bk.band_hash").as("band_hash"))
+  }
+
+  /** E2 per-doc signature sample (deterministic face of the MinHash
+    * path for the harness; full table via [[minhashSigTable]]). */
+  def minhashSignatures(spark: SparkSession, dir: String): DataFrame =
+    minhashSigTable(spark, dir)
+      .select(col("doc_id"), col("m0").as("sig0"), col("m1").as("sig1"),
+        col("m62").as("sig62"), col("m63").as("sig63"))
+      .orderBy("doc_id")
+
+  /** LSH bucket occupancy — the skew observable (large buckets are the
+    * thing to salt at 100 TB). */
+  def minhashBuckets(spark: SparkSession, dir: String): DataFrame =
+    minhashBandTable(spark, dir)
+      .groupBy("band_id", "band_hash")
+      .agg(count(lit(1)).as("bucket_size"))
+      .filter(col("bucket_size") > 1)
+      .orderBy("band_id", "band_hash")
+
+  /** E2: MinHash/LSH near-dup pairs, exact-Jaccard-verified.
+    *
+    * band self-join (shuffle on (band_id, band_hash)) → distinct
+    * candidate pairs → join back shingle sets → exact Jaccard ≥
+    * `threshold`. Cost: O(n·bands) + Σ bucket². */
+  def minhashPairs(spark: SparkSession, dir: String,
+      threshold: Double = 0.5): DataFrame = {
+    val banded = minhashBandTable(spark, dir)
+    val pairs = banded.as("a")
+      .join(banded.as("b"), Seq("band_id", "band_hash"))
+      .filter(col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .distinct()
+    val shingles = Tables.load(spark, dir, "documents")
+      .select(col("doc_id"), T.wordShingles(col("text"), 3).as("shingles"))
+    pairs
+      .join(shingles.select(col("doc_id").as("doc_a"), col("shingles").as("sh_a")), "doc_a")
+      .join(shingles.select(col("doc_id").as("doc_b"), col("shingles").as("sh_b")), "doc_b")
+      .withColumn("jaccard",
+        size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
+          size(array_union(col("sh_a"), col("sh_b"))))
+      .filter(col("jaccard") >= threshold)
+      .select("doc_a", "doc_b", "jaccard")
+      .orderBy("doc_a", "doc_b")
+  }
+
+  // -------------------------------------------------------------- simhash
+
+  /** E2b: 64-bit SimHash per document. Tokens explode once; each bit is
+    * a signed vote summed in a single hash aggregate (64 conditional
+    * sums, codegen'd); bits pack back into one long. */
+  def simhash(spark: SparkSession, dir: String): DataFrame = {
+    val toks = Tables.load(spark, dir, "documents")
+      .select(col("doc_id"), explode(T.tokens(col("text"))).as("tok"))
+      .withColumn("h", xxhash64(col("tok")))
+    val votes = (0 until 64).map { i =>
+      sum(when(col("h").bitwiseAND(lit(1L << i)) =!= 0, 1).otherwise(-1))
+        .as(s"b$i")
+    }
+    val packed = (0 until 64).map { i =>
+      when(col(s"b$i") > 0, lit(1L << i)).otherwise(lit(0L))
+    }.reduce(_ + _)
+    toks.groupBy("doc_id").agg(votes.head, votes.tail: _*)
+      .select(col("doc_id"), packed.as("simhash"))
+      .orderBy("doc_id")
+  }
+
+  /** Near-dup pairs by SimHash: band the 64 bits into 4×16-bit chunks
+    * (pigeonhole: hamming ≤ 3 ⇒ some chunk equal), join per chunk,
+    * verify exact hamming distance via bit_count(xor). */
+  def simhashPairs(spark: SparkSession, dir: String,
+      maxHamming: Int = 3): DataFrame = {
+    val sh = simhash(spark, dir)
+    val chunked = sh.select(col("doc_id"), col("simhash"),
+        explode(array((0 until 4).map { c =>
+          struct(lit(c).as("chunk_id"),
+            shiftright(col("simhash"), c * 16).bitwiseAND(lit(0xffffL))
+              .as("chunk_val"))
+        }: _*)).as("ck"))
+      .select(col("doc_id"), col("simhash"),
+        col("ck.chunk_id").as("chunk_id"), col("ck.chunk_val").as("chunk_val"))
+    chunked.as("a").join(chunked.as("b"), Seq("chunk_id", "chunk_val"))
+      .filter(col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+        bit_count(col("a.simhash").bitwiseXOR(col("b.simhash"))).as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= maxHamming)
+      .orderBy("doc_a", "doc_b")
+  }
+
+  // -------------------------------------------------- n-gram Jaccard
+
+  /** E2c: exact char-4-gram Jaccard over a bounded pair set (all pairs
+    * within doc_id < 60 — a fixed-size probe irrespective of SF; the
+    * scalable path for full-corpus n-gram Jaccard is [[minhashPairs]],
+    * which this exact form verifies). */
+  def ngramJaccard(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.load(spark, dir, "documents")
+      .filter(col("doc_id") < 60)
+      .select(col("doc_id"),
+        array_distinct(T.charNgrams(col("text"), 4)).as("grams"))
+    docs.as("a").crossJoin(docs.as("b"))
+      .filter(col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+        round(size(array_intersect(col("a.grams"), col("b.grams"))).cast("double") /
+          size(array_union(col("a.grams"), col("b.grams"))), 6).as("jaccard"))
+      .filter(col("jaccard") >= 0.2)
+      .orderBy("doc_a", "doc_b")
+  }
+
+  // ------------------------------------------------ embedding near-dup
+
+  /** Random-hyperplane LSH bucket per vector, as posexplode + `bits`
+    * decimal-exact sums in one codegen'd aggregate (deterministic sign
+    * even under re-ordered partial aggregation). Plane coefficients are
+    * pseudo-random in [-1,1), derived from xxhash64(plane, dim) — no
+    * stored plane matrix to ship. `emb` must have (vec_id, v:
+    * array<double>). */
+  def hyperplaneBucketTable(emb: DataFrame, bits: Int): DataFrame = {
+    val pe = emb.select(col("vec_id"),
+      posexplode(col("v")).as(Seq("pos", "x")))
+    val projs = (0 until bits).map { p =>
+      val coef = (pmod(xxhash64(lit(p), col("pos")), lit(2000001L)) - 1000000L)
+        .cast("double") / 1e6
+      sum((col("x") * coef).cast("decimal(28,14)")).as(s"p$p")
+    }
+    val bucket = (0 until bits).map { p =>
+      when(col(s"p$p") >= 0, lit(1L << (bits - 1 - p))).otherwise(lit(0L))
+    }.reduce(_ + _)
+    pe.groupBy("vec_id").agg(projs.head, projs.tail: _*)
+      .select(col("vec_id"), bucket.as("bucket"))
+  }
+
+  private def embWithBuckets(spark: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.load(spark, dir, "embeddings")
+      .select(col("vec_id"), V.asDouble(col("embedding")).as("v"))
+    emb.join(hyperplaneBucketTable(emb, 16), "vec_id")
+  }
+
+  /** E2d: embedding-cosine near-dup via 16-bit hyperplane buckets
+    * (O(n) shuffle on the bucket id), exact cosine within buckets. */
+  def embeddingNearDup(spark: SparkSession, dir: String,
+      threshold: Double = 0.95): DataFrame = {
+    val emb = embWithBuckets(spark, dir)
+    emb.as("a").join(emb.as("b"), "bucket")
+      .filter(col("a.vec_id") < col("b.vec_id"))
+      .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"),
+        round(V.cosine(col("a.v"), col("b.v")), 6).as("cos"))
+      .filter(col("cos") >= threshold)
+      .orderBy("vec_a", "vec_b")
+  }
+
+  /** Deterministic face of the embedding-LSH path: per-vector bucket id
+    * (what the driver's rows-only check sees; pair content depends on
+    * whether the corpus actually contains near-dups). */
+  def embeddingBuckets(spark: SparkSession, dir: String): DataFrame =
+    embWithBuckets(spark, dir)
+      .select(col("vec_id"), col("bucket"))
+      .orderBy("vec_id")
+}

@@ -1,0 +1,72 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+
+/** Multimodal column plumbing (SURVEY.md §2.9 E6): media payloads as
+  * opaque `binary` columns with typed metadata, decoded/feature-
+  * extracted via a typed `mapPartitions` batch (the Scala analogue of a
+  * Pandas-UDF `mapInPandas` stage — per-partition batch iteration, a
+  * stable schema on both sides, executor-local libraries).
+  *
+  * The container has no image/audio codecs, so `decodeStub` is a
+  * clearly-marked deterministic fake; the Spark-side plumbing — binary
+  * schema, partition batching, typed encoders, metadata struct — is real
+  * and oracle-checked (every stub output is a pure function of the
+  * payload bytes, so DuckDB can recompute it).
+  */
+object Multimodal {
+
+  /** Input row for the decode stage: identity + payload + metadata. */
+  case class MediaRow(doc_id: Long, format: String, payload: Array[Byte])
+
+  /** Decode output: per-item features with the payload digest. */
+  case class MediaFeatures(doc_id: Long, format: String, n_bytes: Long,
+      sha256: String, width: Long, height: Long, n_frames: Long)
+
+  /** STUB — stands in for a real image/audio decode (libs absent in this
+    * container). Deterministic pure function of the bytes so the
+    * pipeline is testable end-to-end; swap the body for a real codec
+    * (e.g. javax.imageio / ffmpeg) in production. */
+  def decodeStub(r: MediaRow): MediaFeatures = {
+    val md = java.security.MessageDigest.getInstance("SHA-256")
+    val hex = md.digest(r.payload).map("%02x".format(_)).mkString
+    val n = r.payload.length.toLong
+    MediaFeatures(r.doc_id, r.format, n, hex,
+      width = n % 640, height = (n * 7) % 480, n_frames = n % 16)
+  }
+
+  /** Build the media table (text bytes as the stand-in payload), run the
+    * batched decode, return flat features. The decode is per-partition:
+    * `mapPartitions` keeps codec/library init once per batch, exactly
+    * like a Pandas UDF would. */
+  def mediaFeatures(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val media = Tables.load(spark, dir, "documents")
+      .select(col("doc_id"), lit("txt").as("format"),
+        encode(col("text"), "UTF-8").as("payload"))
+      .as[MediaRow]
+    media.mapPartitions { it => it.map(decodeStub) }
+      .toDF()
+      .orderBy("doc_id")
+  }
+
+  /** Frame-sampling plumbing: explode a deterministic per-item frame
+    * index sequence (every `stride`-th frame) — the partition/schema
+    * shape of video frame extraction, with stub frame ids. */
+  def frameSample(spark: SparkSession, dir: String, stride: Int = 4): DataFrame = {
+    import spark.implicits._
+    val media = Tables.load(spark, dir, "documents")
+      .select(col("doc_id"), lit("txt").as("format"),
+        encode(col("text"), "UTF-8").as("payload"))
+      .as[MediaRow]
+    media.mapPartitions { it =>
+      it.flatMap { r =>
+        val f = decodeStub(r)
+        (0L until f.n_frames by stride.toLong).map(i => (r.doc_id, i, f.n_frames))
+      }
+    }.toDF("doc_id", "frame_idx", "n_frames")
+      .orderBy("doc_id", "frame_idx")
+  }
+}

@@ -1,0 +1,97 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.Tables
+import graft.functions.{Vectors => V}
+
+/** Approximate-nearest-neighbor similarity search over the embedding
+  * column (SURVEY.md §2.9 E3).
+  *
+  * Two paths:
+  *  - [[bruteForceTopK]] — exact baseline: broadcast the (small) query
+  *    set against every vector; cost O(|Q|·n) codegen'd dot products
+  *    ([[graft.functions.DotProduct]]), embarrassingly parallel, then a
+  *    per-query top-k window. Correct at any n while |Q| is bounded.
+  *  - [[ivfTopK]] — the scale path: IVF-style coarse quantization with a
+  *    FIXED number of centroids (C=64 — independent of n, so assignment
+  *    stays O(n·C)). Vectors go to their nearest centroid's inverted
+  *    list (one shuffle); queries probe their `nprobe` nearest lists,
+  *    cutting the scanned fraction to ~nprobe/C. Recall vs the brute
+  *    baseline is asserted in SimilaritySpec.
+  *
+  * Norms are precomputed per side — each pair costs one dot product,
+  * not three.
+  */
+object Similarity {
+
+  private val NumQueries = 8
+  private val NumCentroids = 64
+
+  private def withNorm(df: DataFrame): DataFrame =
+    df.withColumn("nrm", V.norm(col("v")))
+
+  private def emb(spark: SparkSession, dir: String): DataFrame =
+    withNorm(Tables.load(spark, dir, "embeddings")
+      .select(col("vec_id"), V.asDouble(col("embedding")).as("v")))
+
+  /** Exact top-k cosine for query vectors (vec_id < NumQueries). */
+  def bruteForceTopK(spark: SparkSession, dir: String, k: Int = 10): DataFrame = {
+    val e = emb(spark, dir)
+    val queries = e.filter(col("vec_id") < NumQueries)
+      .select(col("vec_id").as("q_id"), col("v").as("q_v"), col("nrm").as("q_nrm"))
+    val w = Window.partitionBy("q_id").orderBy(col("cos").desc, col("vec_id"))
+    e.crossJoin(broadcast(queries))
+      .filter(col("vec_id") =!= col("q_id"))
+      .select(col("q_id"), col("vec_id"),
+        (V.dot(col("q_v"), col("v")) / (col("q_nrm") * col("nrm"))).as("cos"))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= k)
+      .select(col("q_id"), col("rk"), col("vec_id"), round(col("cos"), 6).as("cos"))
+      .orderBy("q_id", "rk")
+  }
+
+  /** IVF-style ANN. Centroids = vec_id < NumCentroids (deterministic
+    * coarse sample standing in for trained k-means — the plumbing,
+    * shuffle shape and probe logic are identical to the trained case). */
+  def ivfTopK(spark: SparkSession, dir: String, k: Int = 10,
+      nprobe: Int = 8): DataFrame = {
+    val e = emb(spark, dir)
+    val centroids = e.filter(col("vec_id") < NumCentroids)
+      .select(col("vec_id").as("c_id"), col("v").as("c_v"), col("nrm").as("c_nrm"))
+
+    // assignment: argmax cosine over the broadcast centroid set
+    val wAssign = Window.partitionBy("vec_id")
+      .orderBy(col("c_cos").desc, col("c_id"))
+    val assigned = e.crossJoin(broadcast(centroids))
+      .select(col("vec_id"), col("v"), col("nrm"), col("c_id"),
+        (V.dot(col("v"), col("c_v")) / (col("nrm") * col("c_nrm"))).as("c_cos"))
+      .withColumn("crk", row_number().over(wAssign))
+      .filter(col("crk") === 1)
+      .select(col("vec_id"), col("v"), col("nrm"), col("c_id"))
+
+    // queries probe their nprobe nearest centroids
+    val queries = e.filter(col("vec_id") < NumQueries)
+      .select(col("vec_id").as("q_id"), col("v").as("q_v"), col("nrm").as("q_nrm"))
+    val wProbe = Window.partitionBy("q_id")
+      .orderBy(col("c_cos").desc, col("c_id"))
+    val probes = queries.crossJoin(broadcast(centroids))
+      .select(col("q_id"), col("q_v"), col("q_nrm"), col("c_id"),
+        (V.dot(col("q_v"), col("c_v")) / (col("q_nrm") * col("c_nrm"))).as("c_cos"))
+      .withColumn("crk", row_number().over(wProbe))
+      .filter(col("crk") <= nprobe)
+      .select(col("q_id"), col("q_v"), col("q_nrm"), col("c_id"))
+
+    // scan only the probed inverted lists
+    val w = Window.partitionBy("q_id").orderBy(col("cos").desc, col("vec_id"))
+    assigned.join(broadcast(probes), "c_id")
+      .filter(col("vec_id") =!= col("q_id"))
+      .select(col("q_id"), col("vec_id"),
+        (V.dot(col("q_v"), col("v")) / (col("q_nrm") * col("nrm"))).as("cos"))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= k)
+      .select(col("q_id"), col("rk"), col("vec_id"), round(col("cos"), 6).as("cos"))
+      .orderBy("q_id", "rk")
+  }
+}
