@@ -66,6 +66,11 @@ object SparkEntry {
     // §2.9 E6 multimodal
     "media_features"     -> (Multimodal.mediaFeatures _),
     "media_frame_sample" -> ((s: SparkSession, d: String) => Multimodal.frameSample(s, d)),
+    // §7 M2: the full parameterized backfill pipeline (EP1 parity)
+    "backfill_pipeline"  -> ((s: SparkSession, d: String) =>
+      graft.pipeline.Backfill.run(s, d, graft.pipeline.Backfill.Config(
+        start = Some("1996-01-01"), end = Some("1997-12-31")))
+        .orderBy("entity", "key", "value")),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -315,5 +320,28 @@ object SparkEntry {
          FROM documents,
               LATERAL unnest(range(0, octet_length(encode(text)) % 16, 4)) AS t(f)
          ORDER BY doc_id, frame_idx""",
+    "backfill_pipeline" ->
+      """SELECT * FROM (
+           SELECT 'orders' AS entity, CAST(o_orderkey AS VARCHAR) AS key,
+                  'public' AS tenant,
+                  '{"o_orderkey":' || o_orderkey ||
+                  ',"o_custkey":' || o_custkey ||
+                  ',"o_orderstatus":"' || o_orderstatus ||
+                  '","o_totalprice":"' || printf('%.2f', o_totalprice) ||
+                  '","o_orderdate":"' || strftime(o_orderdate, '%Y-%m-%d %H:%M:%S') ||
+                  '","o_orderpriority":"' || o_orderpriority || '"}' AS value
+           FROM orders
+           WHERE o_orderdate BETWEEN TIMESTAMP '1996-01-01' AND TIMESTAMP '1997-12-31'
+           UNION ALL
+           SELECT 'lineitem', CAST(l_orderkey AS VARCHAR), 'public',
+                  '{"l_orderkey":' || l_orderkey ||
+                  ',"l_linenumber":' || l_linenumber ||
+                  ',"l_quantity":"' || printf('%.2f', l_quantity) ||
+                  '","l_returnflag":"' || l_returnflag ||
+                  '","l_linestatus":"' || l_linestatus ||
+                  '","l_shipdate":"' || strftime(l_shipdate, '%Y-%m-%d %H:%M:%S') || '"}'
+           FROM lineitem
+           WHERE l_shipdate BETWEEN TIMESTAMP '1996-01-01' AND TIMESTAMP '1997-12-31')
+         ORDER BY entity, key, value""",
   )
 }

@@ -59,7 +59,7 @@ object Aggregates {
     * sane row; the ±5% bound is asserted in ApproxSpec. */
   def approxDistinct(spark: SparkSession, dir: String): DataFrame =
     Tables.load(spark, dir, "lineitem").agg(
-      approx_count_distinct(col("l_orderkey")).as("approx_orders"),
+      approx_count_distinct(col("l_orderkey"), rsd = 0.02).as("approx_orders"),
       countDistinct(col("l_orderkey")).as("exact_orders"))
 
   /** Running (cumulative) per-merchant amount over event time — window

@@ -1,0 +1,103 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+
+/** The reference-parity deliverable (SURVEY.md §7 M2): the whole
+  * backfill run — reference `main()` EP1 (`src/main.rs:59-321`) — as one
+  * declarative pipeline, parameterized like its CLI (`main.rs:33-57`):
+  * merchant list (or all), date range, batch size, parallelism.
+  *
+  * Reference shape vs this pipeline:
+  *  - its 3-level driver loop (key-store pages → merchants × `parallel`
+  *    → LIMIT/OFFSET row pages) becomes ONE partitioned scan per entity
+  *    with pushed-down predicates — no driver orchestration, Spark's
+  *    scheduler is the concurrency;
+  *  - the per-merchant key-store lookup becomes a broadcast hash join;
+  *  - per-row `log_*` Kafka produces become a single columnar envelope
+  *    projection + a batched sink write;
+  *  - fail-fast-no-resume (X6) becomes task retry + atomic job.
+  *
+  * The harness binds `source` to parquet tables (offline container);
+  * production binds the same entity names to [[graft.sources.Jdbc]]
+  * configs and `sink` to `format("kafka")`.
+  */
+object Backfill {
+
+  /** CLI-equivalent parameters (reference `main.rs:33-57`). */
+  case class Config(
+      tenant: String = "public",
+      merchantIds: Option[Seq[Long]] = None, // None = all merchants
+      start: Option[String] = None,          // inclusive, like BETWEEN
+      end: Option[String] = None,
+      entities: Seq[Entity] = defaultEntities)
+
+  /** One backfill entity: table + identity/merchant/time columns and
+    * the envelope payload (mirrors the four dump_* modules). */
+  case class Entity(
+      name: String,
+      table: String,
+      keyCol: String,
+      merchantCol: String,
+      timeCol: String,
+      payload: Seq[String])
+
+  /** orders/lineitem stand in for payment_intent/payment_attempt
+    * (SURVEY.md §1: capability = full-row dump of wide typed tables). */
+  val defaultEntities: Seq[Entity] = Seq(
+    Entity("orders", "orders", "o_orderkey", "o_custkey", "o_orderdate",
+      Seq("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
+        "o_orderdate", "o_orderpriority")),
+    Entity("lineitem", "lineitem", "l_orderkey", "l_orderkey", "l_shipdate",
+      Seq("l_orderkey", "l_linenumber", "l_quantity", "l_returnflag",
+        "l_linestatus", "l_shipdate")))
+
+  /** P2/P3/P4 predicate block: merchant selection + inclusive range. */
+  private def predicates(e: Entity, cfg: Config): Column = {
+    val m = cfg.merchantIds
+      .map(ids => col(e.merchantCol).isin(ids: _*))
+      .getOrElse(lit(true))
+    val lo = cfg.start
+      .map(s => col(e.timeCol) >= lit(s).cast("timestamp")).getOrElse(lit(true))
+    val hi = cfg.end
+      .map(s => col(e.timeCol) <= lit(s).cast("timestamp")).getOrElse(lit(true))
+    m && lo && hi
+  }
+
+  /** One entity's event feed: filtered scan → envelope. Timestamps and
+    * doubles are pre-formatted so the JSON is engine-independent. */
+  def entityFeed(spark: SparkSession, dir: String, e: Entity,
+      cfg: Config): DataFrame = {
+    val src = Tables.load(spark, dir, e.table).filter(predicates(e, cfg))
+    val payloadCols = e.payload.map { c =>
+      val v = src.schema(c).dataType.typeName match {
+        case "double" => format_string("%.2f", col(c))
+        case t if t.startsWith("timestamp") =>
+          date_format(col(c), "yyyy-MM-dd HH:mm:ss")
+        case _ => col(c)
+      }
+      v.as(c)
+    }
+    src.select(
+      lit(e.name).as("entity"),
+      col(e.keyCol).cast("string").as("key"),
+      lit(cfg.tenant).as("tenant"),
+      to_json(struct(payloadCols: _*)).as("value"))
+  }
+
+  /** The consolidated feed: UNION ALL of every entity feed — the
+    * `consolidated_events_topic` twin. One job, entities scan in
+    * parallel (the reference serializes them per merchant, X3). */
+  def run(spark: SparkSession, dir: String, cfg: Config = Config()): DataFrame =
+    cfg.entities.map(entityFeed(spark, dir, _, cfg)).reduce(_ unionAll _)
+
+  /** Batch Kafka sink for the feed (production path; offline harness
+    * writes parquet instead — zero egress). */
+  def writeKafka(feed: DataFrame, brokers: String, topic: String): Unit =
+    feed.selectExpr("key", "value")
+      .write.format("kafka")
+      .option("kafka.bootstrap.servers", brokers)
+      .option("topic", topic)
+      .save()
+}

@@ -1,0 +1,94 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{DataStreamWriter, StreamingQuery, Trigger}
+import org.apache.spark.sql.types._
+import org.apache.spark.sql.Row
+
+/** E7 — incremental/streaming backfill (SURVEY.md §2.9): the Structured
+  * Streaming twin of the batch pipeline, giving the checkpointed
+  * exactly-once story the reference lacks (its X6 fail-fast re-run is
+  * at-least-once with no resume — `src/main.rs:309-312`).
+  *
+  * Shape: `readStream` (file source here; Kafka source in production) →
+  * event-time watermark → tumbling-window aggregation / envelope
+  * transform → `writeStream` with checkpointing. The harness drives it
+  * with the memory sink + `processAllAvailable()` (offline container:
+  * no broker), asserting stream ≡ batch on the same input.
+  */
+object StreamingBackfill {
+
+  /** events schema as stored (ts = TIMESTAMP(NANOS) read as long —
+    * see [[graft.Tables]]). */
+  private val eventsRawSchema = StructType(Seq(
+    StructField("event_id", LongType),
+    StructField("ts", LongType),
+    StructField("user_id", LongType),
+    StructField("event_type", StringType),
+    StructField("value", DoubleType),
+    StructField("props", StringType)))
+
+  /** File-source stream over the events table (one file per trigger =
+    * replay). ns→µs conversion matches the batch loader. */
+  def eventsStream(spark: SparkSession, dir: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.readStream
+      .schema(eventsRawSchema)
+      .option("pathGlobFilter", "events.parquet")
+      .option("maxFilesPerTrigger", "1")
+      .parquet(dir)
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+  }
+
+  /** Watermarked tumbling-window counts per event type — the streaming
+    * twin of [[graft.operators.Aggregates.eventsWindowAgg]]. */
+  def windowedCounts(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "10 minutes")
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("value").cast("decimal(18,2)")).cast("double").as("sum_value"))
+      .select(col("window.start").as("ws"), col("event_type"),
+        col("n"), col("sum_value"))
+
+  /** Streaming envelope feed (tenant-stamped JSON values keyed by event
+    * identity) — the incremental form of the batch Kafka feed; attach
+    * `.format("kafka").option("topic", …)` in production. */
+  def envelopeStream(events: DataFrame): DataFrame =
+    events.select(
+      lit("events").as("entity"),
+      col("event_id").cast("string").as("key"),
+      lit("public").as("tenant"),
+      to_json(struct(
+        col("event_id"), col("user_id"), col("event_type"),
+        format_string("%.2f", col("value")).as("value"),
+        date_format(col("ts"), "yyyy-MM-dd HH:mm:ss.SSSSSS").as("ts")
+      )).as("value"))
+
+  /** Run a streaming DataFrame to completion into an in-memory table;
+    * returns the result. Complete mode for aggregations (watermark
+    * semantics leave windows open in append mode on a finite replay). */
+  def runToMemory(spark: SparkSession, df: DataFrame, name: String,
+      outputMode: String = "complete"): DataFrame = {
+    val q = df.writeStream
+      .format("memory").queryName(name)
+      .outputMode(outputMode)
+      .trigger(Trigger.ProcessingTime(0))
+      .start()
+    q.processAllAvailable()
+    q.stop()
+    spark.table(name)
+  }
+
+  /** Production-shaped sink: checkpointed Kafka writer (not runnable in
+    * the offline harness — zero egress; exercised only as plan/config). */
+  def kafkaSink(df: DataFrame, brokers: String, topic: String,
+      checkpoint: String): DataStreamWriter[Row] =
+    df.writeStream
+      .format("kafka")
+      .option("kafka.bootstrap.servers", brokers)
+      .option("topic", topic)
+      .option("checkpointLocation", checkpoint)
+      .outputMode("append")
+}

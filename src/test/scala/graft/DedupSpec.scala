@@ -1,0 +1,103 @@
+package graft
+
+import java.nio.file.Files
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.operators.Dedup
+import graft.functions.{TextFunctions => T}
+
+/** Near-dup detection on planted fixtures: the correctness story for the
+  * non-oracle LSH paths (SURVEY.md §5 item 4 — golden-fixture tests). */
+class DedupSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+
+  /** Corpus with a planted exact dup (21/22), near-dup pair (0/1: one
+    * word changed out of 40), and unrelated filler docs. */
+  lazy val fixtureDir: String = {
+    import spark.implicits._
+    val base = ("alpha bravo charlie delta echo foxtrot golf hotel india " +
+      "juliett kilo lima mike november oscar papa quebec romeo sierra " +
+      "tango uniform victor whiskey xray yankee zulu one two three four " +
+      "five six seven eight nine ten eleven twelve thirteen fourteen").trim
+    val near = base.replace("oscar", "OSCAR-PRIME")
+    val docs = Seq(
+      (0L, base, "en", "src0"),
+      (1L, near, "en", "src1"),
+      (21L, "the same exact content twice over and over again now", "en", "srcA"),
+      (22L, "the same exact content twice over and over again now", "en", "srcB")
+    ) ++ (100L until 140L).map { i =>
+      (i, s"totally unrelated document number $i with words w${i}a w${i}b " +
+        s"w${i}c w${i}d w${i}e w${i}f w${i}g w${i}h w${i}i w${i}j", "en", "srcX")
+    }
+    val dir = Files.createTempDirectory("dedupfix").toString
+    docs.toDF("doc_id", "text", "lang", "source")
+      .withColumn("n_chars", length(col("text")))
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    dir
+  }
+
+  test("minhash pairs detect planted near-dup and exact dup, no false pairs") {
+    val pairs = Dedup.minhashPairs(spark, fixtureDir, threshold = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((0L, 1L)), "near-dup 0/1 missed")
+    assert(pairs.contains((21L, 22L)), "exact dup 21/22 missed")
+    assert(pairs.forall { case (a, b) => Set((0L, 1L), (21L, 22L))((a, b)) },
+      s"false positives: $pairs")
+  }
+
+  test("simhash: identical docs equal, near-dups close, unrelated far") {
+    val sh = Dedup.simhash(spark, fixtureDir).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(sh(21L) == sh(22L))
+    def ham(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
+    assert(ham(sh(0L), sh(1L)) <= 8)
+    assert(ham(sh(0L), sh(100L)) > 8)
+  }
+
+  test("content-hash dedup groups the exact dup only") {
+    val d = Dedup.exactByContentHash(spark, fixtureDir).collect()
+    // 21/22 differ in `source`, so full-row hash keeps them apart;
+    // text-only hash would group them — both semantics valid, here row-level
+    assert(d.forall(_.getAs[Long]("dup_count") == 1L))
+    val textOnly = Tables.load(spark, fixtureDir, "documents")
+      .groupBy(sha2(col("text"), 256)).count()
+      .filter(col("count") > 1).count()
+    assert(textOnly == 1L)
+  }
+
+  test("fingerprint is token-order and duplication invariant") {
+    import spark.implicits._
+    val df = Seq("the quick brown fox", "fox brown the quick the")
+      .toDF("text").select(T.fingerprint(col("text")).as("fp")).collect()
+    assert(df(0).getString(0) == df(1).getString(0))
+  }
+
+  test("rolling hash is token-order sensitive") {
+    import spark.implicits._
+    val df = Seq("the quick brown fox", "fox brown the quick")
+      .toDF("text").select(T.rollingHash(col("text")).as("h")).collect()
+    assert(df(0).getLong(0) != df(1).getLong(0))
+  }
+
+  test("exact key dedup keeps one row per key") {
+    val d = Dedup.exactByKey(spark, TestSpark.sf)
+    assert(d.groupBy("user_id", "event_type").count()
+      .filter(col("count") > 1).count() == 0)
+  }
+
+  test("embedding near-dup finds planted duplicate vector") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("embfix").toString
+    val rnd = new scala.util.Random(7)
+    def vec() = Array.fill(64)(rnd.nextFloat() * 2 - 1)
+    val v0 = vec()
+    val v0near = v0.map(x => x + 0.001f) // cosine ≈ 1
+    val rows = Seq((0L, v0, 0), (1L, v0near, 0)) ++
+      (10L until 60L).map(i => (i, vec(), 1))
+    rows.toDF("vec_id", "embedding", "label")
+      .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+    val pairs = Dedup.embeddingNearDup(spark, dir, threshold = 0.95)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((0L, 1L)))
+  }
+}

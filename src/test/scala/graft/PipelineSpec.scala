@@ -1,0 +1,50 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import graft.sources.Jdbc
+import graft.operators.Multimodal
+
+class PipelineSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  val sf = TestSpark.sf
+
+  test("jdbc options render partitioning + reference-parity defaults") {
+    val cfg = Jdbc.JdbcConfig(
+      url = "jdbc:postgresql://replica:5432/hyperswitch",
+      table = "payment_intent",
+      lowerBound = Some("2020-01-01 00:00:00"),
+      upperBound = Some("2026-01-01 00:00:00"))
+    val o = Jdbc.options(cfg)
+    assert(o("fetchsize") == "10000")        // reference batch size
+    assert(o("numPartitions") == "5")        // reference parallelism
+    assert(o("partitionColumn") == "created_at")
+    assert(o("pushDownPredicate") == "true")
+    // without bounds no partitioning keys leak in
+    val o2 = Jdbc.options(Jdbc.JdbcConfig(url = "u", table = "t"))
+    assert(!o2.contains("partitionColumn") && !o2.contains("numPartitions"))
+  }
+
+  test("media features: sha256 matches MessageDigest, stub dims consistent") {
+    val r = Multimodal.mediaFeatures(spark, sf).limit(5).collect()
+    val texts = Tables.load(spark, sf, "documents")
+      .select("doc_id", "text").limit(5).collect()
+      .map(x => x.getLong(0) -> x.getString(1)).toMap
+    r.foreach { row =>
+      val bytes = texts(row.getAs[Long]("doc_id")).getBytes("UTF-8")
+      val md = java.security.MessageDigest.getInstance("SHA-256")
+      val hex = md.digest(bytes).map("%02x".format(_)).mkString
+      assert(row.getAs[String]("sha256") == hex)
+      assert(row.getAs[Long]("n_bytes") == bytes.length.toLong)
+      assert(row.getAs[Long]("width") == bytes.length % 640)
+    }
+  }
+
+  test("frame sample strides every 4th frame") {
+    val rows = Multimodal.frameSample(spark, sf, stride = 4).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val idx = r.getAs[Long]("frame_idx")
+      assert(idx % 4 == 0 && idx < r.getAs[Long]("n_frames"))
+    }
+  }
+}

@@ -1,0 +1,34 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import graft.operators.Similarity
+
+class SimilaritySpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  val sf = TestSpark.sf
+
+  test("brute-force topk: k results per query, cosine in range, descending") {
+    val rows = Similarity.bruteForceTopK(spark, sf, k = 10).collect()
+    val byQ = rows.groupBy(_.getAs[Long]("q_id"))
+    assert(byQ.size == 8)
+    byQ.values.foreach { g =>
+      assert(g.length == 10)
+      val cs = g.sortBy(_.getAs[Int]("rk")).map(_.getAs[Double]("cos"))
+      assert(cs.forall(c => c >= -1.0000001 && c <= 1.0000001))
+      assert(cs.zip(cs.tail).forall { case (a, b) => a >= b })
+    }
+  }
+
+  test("IVF ANN recall@10 >= 0.5 vs brute force") {
+    def tops(df: org.apache.spark.sql.DataFrame) =
+      df.collect().groupBy(_.getAs[Long]("q_id"))
+        .map { case (q, g) => q -> g.map(_.getAs[Long]("vec_id")).toSet }
+    val brute = tops(Similarity.bruteForceTopK(spark, sf, k = 10))
+    val ivf = tops(Similarity.ivfTopK(spark, sf, k = 10, nprobe = 8))
+    val recalls = brute.map { case (q, b) =>
+      ivf.get(q).map(i => (b & i).size.toDouble / b.size).getOrElse(0.0)
+    }
+    val mean = recalls.sum / recalls.size
+    assert(mean >= 0.5, s"mean recall $mean")
+  }
+}

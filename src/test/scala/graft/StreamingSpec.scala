@@ -1,0 +1,33 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.streaming.StreamingBackfill
+import graft.operators.Aggregates
+
+/** E7: the streaming path must agree with its batch twin on a finite
+  * replay (SURVEY.md §7 M4). */
+class StreamingSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  val sf = TestSpark.sf
+
+  test("streaming windowed counts == batch windowed counts") {
+    val stream = StreamingBackfill.windowedCounts(
+      StreamingBackfill.eventsStream(spark, sf))
+    val got = StreamingBackfill.runToMemory(spark, stream, "wc_out")
+      .select("ws", "event_type", "n", "sum_value")
+    val want = Aggregates.eventsWindowAgg(spark, sf)
+    assert(got.count() > 0)
+    assert(got.exceptAll(want).count() == 0 && want.exceptAll(got).count() == 0)
+  }
+
+  test("streaming envelope emits one keyed JSON event per row") {
+    val env = StreamingBackfill.envelopeStream(
+      StreamingBackfill.eventsStream(spark, sf))
+    val got = StreamingBackfill.runToMemory(spark, env, "env_out", "append")
+    assert(got.count() == Tables.load(spark, sf, "events").count())
+    val r = got.limit(1).collect().head
+    assert(r.getAs[String]("value").startsWith("{\"event_id\":"))
+    assert(r.getAs[String]("tenant") == "public")
+  }
+}

@@ -1,0 +1,65 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.functions.{TextFunctions => T}
+
+class TextSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import org.apache.spark.sql.DataFrame
+
+  private def one(df: DataFrame): org.apache.spark.sql.Row = df.collect().head
+
+  test("langId identifies clear-cut languages and und") {
+    import spark.implicits._
+    val cases = Seq(
+      "the cat is on the table and it is happy for a while" -> "en",
+      "le chat est sur la table et les amis sont pour une fete" -> "fr",
+      "der hund ist mit den kindern und die katze ist ein tier" -> "de",
+      "el gato y la mesa es una de las cosas que un dia" -> "es",
+      "你好世界这是一个测试" -> "zh",
+      "zzz qqq www rrr ttt" -> "und")
+    val got = cases.map(_._1).toDF("text")
+      .select(T.langId(col("text")).as("l")).collect().map(_.getString(0))
+    assert(got.sameElements(cases.map(_._2)), got.mkString(","))
+  }
+
+  test("quality struct ratios on a known string") {
+    import spark.implicits._
+    val r = one(Seq("The cat, the DOG; 42 end.").toDF("text")
+      .select(T.qualityStruct(col("text")).as("q")).select("q.*"))
+    assert(r.getAs[Long]("n_chars") == 25)
+    assert(r.getAs[Long]("n_tokens") == 6)
+    assert(r.getAs[Double]("punct_ratio") == 3.0 / 25)  // , ; .
+    assert(r.getAs[Double]("digit_ratio") == 2.0 / 25)
+    assert(r.getAs[Double]("upper_ratio") == 4.0 / 25)  // T,D,O,G
+    assert(math.abs(r.getAs[Double]("stopword_ratio") - 2.0 / 6) < 1e-12)
+  }
+
+  test("bpe-ish token count segments letters/digits/punct") {
+    import spark.implicits._
+    val r = one(Seq("hello world-42!").toDF("text")
+      .select(T.bpeishTokenCount(col("text")).as("n")))
+    // hello | world | - | 42 | !
+    assert(r.getAs[Int]("n") == 5)
+  }
+
+  test("shingles and char ngrams handle short inputs") {
+    import spark.implicits._
+    val r = Seq("a b", "a b c d", "ab").toDF("text").select(
+      T.wordShingles(col("text"), 3).as("sh"),
+      T.charNgrams(col("text"), 4).as("ng")).collect()
+    assert(r(0).getSeq[String](0).isEmpty)             // 2 tokens < 3
+    assert(r(0).getSeq[String](1).isEmpty)             // 3 chars < 4
+    assert(r(1).getSeq[String](0) == Seq("a b c", "b c d"))
+    assert(r(1).getSeq[String](1).length == 7 - 3)
+    assert(r(2).getSeq[String](0).isEmpty && r(2).getSeq[String](1).isEmpty)
+  }
+
+  test("cjk ratio") {
+    import spark.implicits._
+    val r = one(Seq("ab世界").toDF("text")
+      .select(T.cjkRatio(col("text")).as("r")))
+    assert(r.getAs[Double]("r") == 0.5)
+  }
+}
