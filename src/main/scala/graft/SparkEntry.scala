@@ -66,6 +66,11 @@ object SparkEntry {
     // §2.9 E6 multimodal
     "media_features"     -> (Multimodal.mediaFeatures _),
     "media_frame_sample" -> ((s: SparkSession, d: String) => Multimodal.frameSample(s, d)),
+    // §2.7 categories absent from the reference, exposed via built-ins
+    "set_ops"            -> (SetOps.setOps _),
+    "cube_agg"           -> (SetOps.cubeAgg _),
+    "window_funcs"       -> (SetOps.windowFuncs _),
+    "id_validation"      -> (SetOps.idValidation _),
     // §7 M2: the full parameterized backfill pipeline (EP1 parity)
     "backfill_pipeline"  -> ((s: SparkSession, d: String) =>
       graft.pipeline.Backfill.run(s, d, graft.pipeline.Backfill.Config(
@@ -320,6 +325,42 @@ object SparkEntry {
          FROM documents,
               LATERAL unnest(range(0, octet_length(encode(text)) % 16, 4)) AS t(f)
          ORDER BY doc_id, frame_idx""",
+    "set_ops" ->
+      """SELECT * FROM (
+           SELECT o_custkey, 'both' AS set_op FROM (
+             SELECT o_custkey FROM orders WHERE year(o_orderdate) = 1996
+             INTERSECT
+             SELECT o_custkey FROM orders WHERE year(o_orderdate) = 1997)
+           UNION ALL
+           SELECT o_custkey, 'only_1996' FROM (
+             SELECT o_custkey FROM orders WHERE year(o_orderdate) = 1996
+             EXCEPT
+             SELECT o_custkey FROM orders WHERE year(o_orderdate) = 1997))
+         ORDER BY set_op, o_custkey""",
+    "cube_agg" ->
+      """SELECT o_orderstatus, o_orderpriority, count(*) AS n,
+                CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+         FROM orders
+         GROUP BY CUBE (o_orderstatus, o_orderpriority)
+         ORDER BY o_orderstatus ASC NULLS FIRST, o_orderpriority ASC NULLS FIRST""",
+    "window_funcs" ->
+      """SELECT user_id, event_id, value,
+                lag(event_type, 1) OVER w AS prev_type,
+                lead(event_type, 1) OVER w AS next_type,
+                rank() OVER wv AS value_rank,
+                dense_rank() OVER wv AS value_dense_rank,
+                ntile(4) OVER wv AS value_quartile
+         FROM events
+         WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id),
+                wv AS (PARTITION BY user_id ORDER BY value DESC, event_id)
+         ORDER BY user_id, event_id""",
+    "id_validation" ->
+      """SELECT c_custkey, c_name,
+                CASE WHEN c_custkey < 0 THEN 'negative_id'
+                     WHEN NOT regexp_matches(c_name, '^[A-Za-z0-9#_ -]+$')
+                       THEN 'bad_name_charset'
+                     ELSE 'ok' END AS validity
+         FROM customer ORDER BY c_custkey""",
     "backfill_pipeline" ->
       """SELECT * FROM (
            SELECT 'orders' AS entity, CAST(o_orderkey AS VARCHAR) AS key,

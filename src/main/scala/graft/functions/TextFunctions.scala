@@ -16,22 +16,26 @@ object TextFunctions {
     filter(split(lower(text), "\\s+"), t => length(t) > 0)
 
   /** Word n-shingles (n consecutive tokens joined by one space).
-    * Guarded: fewer than n tokens → empty array (`sequence` would
-    * otherwise produce a descending range). */
-  def wordShingles(text: Column, n: Int): Column = {
-    val ts = tokens(text)
-    when(size(ts) < n, array().cast("array<string>"))
-      .otherwise(transform(sequence(lit(1), size(ts) - (n - 1)),
-        i => concat_ws(" ", slice(ts, i, lit(n)))))
-  }
+    *
+    * The token array is let-bound as a lambda variable (transform over a
+    * single-element array): a lambda body that references an OUTER
+    * expression re-evaluates it per element — the naive form recomputes
+    * tokenization per shingle index, O(tokens²) per doc (measured 2.5×
+    * the whole minhash pipeline). Guarded: fewer than n tokens → empty
+    * (`sequence` would otherwise produce a descending range). */
+  def wordShingles(text: Column, n: Int): Column =
+    flatten(transform(array(tokens(text)), ts =>
+      when(size(ts) < n, array().cast("array<string>"))
+        .otherwise(transform(sequence(lit(1), size(ts) - (n - 1)),
+          i => concat_ws(" ", slice(ts, i, lit(n)))))))
 
-  /** Character n-grams of the lowercased text. */
-  def charNgrams(text: Column, n: Int): Column = {
-    val t = lower(text)
-    when(length(t) < n, array().cast("array<string>"))
-      .otherwise(transform(sequence(lit(1), length(t) - (n - 1)),
-        i => substring(t, i, lit(n))))
-  }
+  /** Character n-grams of the lowercased text (same let-binding trick —
+    * the naive form re-lowercases the text per gram index, O(len²)). */
+  def charNgrams(text: Column, n: Int): Column =
+    flatten(transform(array(lower(text)), t =>
+      when(length(t) < n, array().cast("array<string>"))
+        .otherwise(transform(sequence(lit(1), length(t) - (n - 1)),
+          i => substring(t, i, lit(n))))))
 
   /** Estimated sub-word token count: BPE-ish segmentation by regex —
     * runs of letters, runs of digits, or single other non-space chars.

@@ -117,7 +117,10 @@ object Dedup {
     * `threshold`. Cost: O(n·bands) + Σ bucket². */
   def minhashPairs(spark: SparkSession, dir: String,
       threshold: Double = 0.5): DataFrame = {
+    // persisted: feeds both sides of the candidate self-join (no
+    // cross-branch subtree reuse in Catalyst)
     val banded = minhashBandTable(spark, dir)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val pairs = banded.as("a")
       .join(banded.as("b"), Seq("band_id", "band_hash"))
       .filter(col("a.doc_id") < col("b.doc_id"))
@@ -202,42 +205,43 @@ object Dedup {
 
   // ------------------------------------------------ embedding near-dup
 
-  /** Random-hyperplane LSH bucket per vector, as posexplode + `bits`
-    * decimal-exact sums in one codegen'd aggregate (deterministic sign
-    * even under re-ordered partial aggregation). Plane coefficients are
-    * pseudo-random in [-1,1), derived from xxhash64(plane, dim) — no
-    * stored plane matrix to ship. `emb` must have (vec_id, v:
-    * array<double>). */
-  def hyperplaneBucketTable(emb: DataFrame, bits: Int): DataFrame = {
-    val pe = emb.select(col("vec_id"),
-      posexplode(col("v")).as(Seq("pos", "x")))
-    val projs = (0 until bits).map { p =>
-      val coef = (pmod(xxhash64(lit(p), col("pos")), lit(2000001L)) - 1000000L)
-        .cast("double") / 1e6
-      sum((col("x") * coef).cast("decimal(28,14)")).as(s"p$p")
-    }
+  /** Random-hyperplane LSH bucket per vector: `bits` fixed pseudo-random
+    * plane vectors (seeded driver-side, shipped as array literals — a
+    * few KB) dotted against each row with the codegen'd
+    * [[graft.functions.DotProduct]]. A pure narrow map — no explode, no
+    * shuffle, deterministic (per-row sequential loop). `emb` must have
+    * (vec_id, v: array<double>) with `dim`-sized vectors. */
+  def withHyperplaneBucket(emb: DataFrame, bits: Int, dim: Int = 64): DataFrame = {
+    val rnd = new scala.util.Random(9001)
+    val planes = Array.fill(bits)(Array.fill(dim)(rnd.nextDouble() * 2 - 1))
     val bucket = (0 until bits).map { p =>
-      when(col(s"p$p") >= 0, lit(1L << (bits - 1 - p))).otherwise(lit(0L))
+      when(V.dot(col("v"), typedlit(planes(p).toSeq)) >= 0,
+        lit(1L << (bits - 1 - p))).otherwise(lit(0L))
     }.reduce(_ + _)
-    pe.groupBy("vec_id").agg(projs.head, projs.tail: _*)
-      .select(col("vec_id"), bucket.as("bucket"))
+    emb.withColumn("bucket", bucket)
   }
 
-  private def embWithBuckets(spark: SparkSession, dir: String): DataFrame = {
-    val emb = Tables.load(spark, dir, "embeddings")
-      .select(col("vec_id"), V.asDouble(col("embedding")).as("v"))
-    emb.join(hyperplaneBucketTable(emb, 16), "vec_id")
-  }
+  /** Bucketed embeddings with precomputed norms — the bucket is a
+    * narrow-map column, so no join and no persist needed; each self-join
+    * side recomputes a cheap projection off the scan. */
+  private def embWithBuckets(spark: SparkSession, dir: String): DataFrame =
+    withHyperplaneBucket(
+      Tables.load(spark, dir, "embeddings")
+        .select(col("vec_id"), V.asDouble(col("embedding")).as("v"))
+        .withColumn("nrm", V.norm(col("v"))),
+      bits = 16)
 
   /** E2d: embedding-cosine near-dup via 16-bit hyperplane buckets
-    * (O(n) shuffle on the bucket id), exact cosine within buckets. */
+    * (O(n) shuffle on the bucket id), exact cosine within buckets —
+    * one codegen'd dot per pair, norms precomputed per side. */
   def embeddingNearDup(spark: SparkSession, dir: String,
       threshold: Double = 0.95): DataFrame = {
     val emb = embWithBuckets(spark, dir)
     emb.as("a").join(emb.as("b"), "bucket")
       .filter(col("a.vec_id") < col("b.vec_id"))
       .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"),
-        round(V.cosine(col("a.v"), col("b.v")), 6).as("cos"))
+        round(V.dot(col("a.v"), col("b.v")) / (col("a.nrm") * col("b.nrm")),
+          6).as("cos"))
       .filter(col("cos") >= threshold)
       .orderBy("vec_a", "vec_b")
   }
