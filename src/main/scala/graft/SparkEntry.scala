@@ -66,6 +66,10 @@ object SparkEntry {
     // §2.9 E6 multimodal
     "media_features"     -> (Multimodal.mediaFeatures _),
     "media_frame_sample" -> ((s: SparkSession, d: String) => Multimodal.frameSample(s, d)),
+    // semi-structured + reshaping
+    "json_extract"       -> (SemiStructured.jsonExtract _),
+    "pivot_lang_source"  -> (SemiStructured.pivotLangSource _),
+    "quantiles"          -> (SemiStructured.quantiles _),
     // §2.7 categories absent from the reference, exposed via built-ins
     "set_ops"            -> (SetOps.setOps _),
     "cube_agg"           -> (SetOps.cubeAgg _),
@@ -325,6 +329,33 @@ object SparkEntry {
          FROM documents,
               LATERAL unnest(range(0, octet_length(encode(text)) % 16, 4)) AS t(f)
          ORDER BY doc_id, frame_idx""",
+    "json_extract" ->
+      """SELECT event_id,
+                CAST(json_extract_string(props, '$.k') AS BIGINT) AS k_typed,
+                CAST(json_extract_string(props, '$.k') AS BIGINT) AS k_path
+         FROM events ORDER BY event_id""",
+    "pivot_lang_source" ->
+      """SELECT lang,
+                count(*) FILTER (source = 'src0') AS src0,
+                count(*) FILTER (source = 'src1') AS src1,
+                count(*) FILTER (source = 'src2') AS src2,
+                count(*) FILTER (source = 'src3') AS src3,
+                count(*) FILTER (source = 'src4') AS src4,
+                count(*) FILTER (source = 'src5') AS src5,
+                count(*) FILTER (source = 'src6') AS src6,
+                count(*) FILTER (source = 'src7') AS src7,
+                count(*) FILTER (source = 'src8') AS src8,
+                count(*) FILTER (source = 'src9') AS src9,
+                count(*) FILTER (source NOT IN ('src0','src1','src2','src3',
+                  'src4','src5','src6','src7','src8','src9')) AS other
+         FROM documents GROUP BY lang ORDER BY lang""",
+    "quantiles" ->
+      """SELECT o_orderstatus,
+                round(quantile_cont(o_totalprice, 0.5), 4) AS p50,
+                round(quantile_cont(o_totalprice, 0.9), 4) AS p90,
+                round(min(o_totalprice), 4) AS p_min,
+                round(max(o_totalprice), 4) AS p_max
+         FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""",
     "set_ops" ->
       """SELECT * FROM (
            SELECT o_custkey, 'both' AS set_op FROM (

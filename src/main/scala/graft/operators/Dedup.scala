@@ -116,11 +116,19 @@ object Dedup {
     * candidate pairs → join back shingle sets → exact Jaccard ≥
     * `threshold`. Cost: O(n·bands) + Σ bucket². */
   def minhashPairs(spark: SparkSession, dir: String,
-      threshold: Double = 0.5): DataFrame = {
+      threshold: Double = 0.5, maxBucket: Int = 200): DataFrame = {
     // persisted: feeds both sides of the candidate self-join (no
     // cross-branch subtree reuse in Catalyst)
-    val banded = minhashBandTable(spark, dir)
+    val allBanded = minhashBandTable(spark, dir)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // skew cap: drop degenerate mega-buckets (boilerplate clusters) —
+    // they would contribute O(bucket²) candidate pairs; the dropped-key
+    // set is tiny, so a broadcast anti-join prunes them without a shuffle
+    val big = allBanded.groupBy("band_id", "band_hash")
+      .agg(count(lit(1)).as("bs")).filter(col("bs") > maxBucket)
+      .select("band_id", "band_hash")
+    val banded = allBanded.join(broadcast(big),
+      Seq("band_id", "band_hash"), "left_anti")
     val pairs = banded.as("a")
       .join(banded.as("b"), Seq("band_id", "band_hash"))
       .filter(col("a.doc_id") < col("b.doc_id"))
