@@ -29,6 +29,7 @@ object SparkEntry {
     "anti_join"          -> (Relational.antiJoin _),
     "pagination_window"  -> (Relational.paginationWindow _),
     "topk_per_group"     -> (Relational.topkPerGroup _),
+    "asof_event_order"   -> (Relational.asofEventOrder _),
     "tenant_tag"         -> (Relational.tenantTag _),
     // §2.6 per-row transforms
     "multi_format_ts"    -> (Timestamps.multiFormatParse _),
@@ -119,6 +120,14 @@ object SparkEntry {
                     ORDER BY o_totalprice DESC, o_orderkey) AS rk
            FROM orders)
          WHERE rk <= 3 ORDER BY o_custkey, rk""",
+    "asof_event_order" ->
+      """WITH o AS (
+           SELECT o_custkey, o_orderdate, max(o_orderkey) AS o_orderkey
+           FROM orders GROUP BY 1, 2)
+         SELECT e.event_id, e.user_id, o.o_orderkey, o.o_orderdate
+         FROM events e ASOF LEFT JOIN o
+           ON e.user_id = o.o_custkey AND e.ts >= o.o_orderdate
+         ORDER BY e.event_id""",
     "tenant_tag" ->
       """SELECT event_id, 'public' AS tenant, 'payment_intent' AS entity,
                 event_type, user_id

@@ -111,6 +111,27 @@ object Relational {
       .select("event_id", "tenant", "entity", "event_type", "user_id")
       .orderBy("event_id")
 
+  /** Point-in-time enrichment via the custom AS-OF join operator
+    * ([[graft.plans.AsOf]]): each event picks up the latest order of the
+    * same merchant at-or-before the event time. The right side is
+    * pre-deduped to one row per (merchant, time) so the as-of pick is
+    * deterministic (ties on the time axis are otherwise arbitrary —
+    * SURVEY.md §2.5's non-unique-sort-key lesson). */
+  def asofEventOrder(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.load(spark, dir, "events")
+      .select(col("event_id"), col("user_id"), col("ts"))
+      .withColumn("t", unix_micros(col("ts")))
+    val ord = Tables.load(spark, dir, "orders")
+      .groupBy("o_custkey", "o_orderdate")
+      .agg(max(col("o_orderkey")).as("o_orderkey"))
+      .withColumn("ot", unix_micros(col("o_orderdate").cast("timestamp")))
+    graft.plans.AsOf.join(spark, ev, ord,
+      ev("user_id"), ord("o_custkey"), ev("t"), ord("ot"))
+      .select(col("event_id"), col("user_id"), col("o_orderkey"),
+        col("o_orderdate"))
+      .orderBy("event_id")
+  }
+
   /** Top-k per group (window): top 3 orders per merchant by amount —
     * the canonical analytics query downstream ClickHouse consumers run on
     * the backfilled topics (SURVEY.md §2.7: free via Spark built-ins). */
