@@ -64,6 +64,8 @@ object SparkEntry {
     "text_token_counts"  -> (TextAnalysis.tokenCounts _),
     "text_term_freq"     -> (TextAnalysis.termFrequencies _),
     "text_fingerprint"   -> (TextAnalysis.fingerprints _),
+    "tfidf_top_terms"    -> ((s: SparkSession, d: String) => TextAnalysis.tfidfTopTerms(s, d)),
+    "sample_per_lang"    -> (TextAnalysis.sampleKPerLang _),
     // §2.9 E6 multimodal
     "media_features"     -> (Multimodal.mediaFeatures _),
     "media_frame_sample" -> ((s: SparkSession, d: String) => Multimodal.frameSample(s, d)),
@@ -324,6 +326,32 @@ object SparkEntry {
                   list_filter(string_split_regex(lower(text), '\s+'),
                     t -> len(t) > 0))), ' ')) AS fp
          FROM documents ORDER BY doc_id""",
+    "tfidf_top_terms" ->
+      """WITH toks AS (
+           SELECT doc_id, unnest(list_filter(string_split_regex(lower(text), '\s+'),
+             t -> len(t) > 0)) AS term
+           FROM documents),
+         tf AS (SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY 1, 2),
+         dfreq AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+         n AS (SELECT count(*) AS n FROM documents),
+         scored AS (
+           SELECT doc_id, term,
+                  round(tf * ln((n + 1.0) / (df + 1.0)), 6) AS tfidf
+           FROM tf JOIN dfreq USING (term), n),
+         ranked AS (
+           SELECT doc_id, term, tfidf,
+                  row_number() OVER (PARTITION BY doc_id
+                    ORDER BY tfidf DESC, term) AS rk
+           FROM scored)
+         SELECT doc_id, rk, term, tfidf FROM ranked
+         WHERE rk <= 3 ORDER BY doc_id, rk""",
+    "sample_per_lang" ->
+      """SELECT lang, sort_key, doc_id FROM (
+           SELECT lang, md5(text) AS sort_key, doc_id,
+                  row_number() OVER (PARTITION BY lang
+                    ORDER BY md5(text), doc_id) AS rk
+           FROM documents)
+         WHERE rk <= 5 ORDER BY lang, sort_key""",
     "media_features" ->
       """SELECT doc_id, 'txt' AS format,
                 CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,

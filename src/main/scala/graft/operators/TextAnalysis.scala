@@ -2,8 +2,10 @@ package graft.operators
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
 import graft.Tables
 import graft.functions.{TextFunctions => T}
+import graft.functions.BottomK.bottom_k
 
 /** Document-corpus text analysis queries (SURVEY.md §2.9 E5): language
   * ID, quality scoring, token statistics, term frequencies and
@@ -50,6 +52,40 @@ object TextAnalysis {
       .groupBy("token").agg(count(lit(1)).as("freq"))
       .orderBy(col("freq").desc, col("token"))
       .limit(50)
+
+  /** TF-IDF top-3 terms per document: term frequencies and document
+    * frequencies in two hash aggregates, smoothed idf = ln((N+1)/(df+1)),
+    * per-doc top-k window. Ranking is on the ROUNDED score (ties broken
+    * by term) so cross-engine libm ulp differences can't flip ranks. */
+  def tfidfTopTerms(spark: SparkSession, dir: String, k: Int = 3): DataFrame = {
+    val docs = Tables.load(spark, dir, "documents")
+    val terms = docs.select(col("doc_id"), explode(T.tokens(col("text"))).as("term"))
+    val tf = terms.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+    val dfreq = tf.groupBy("term").agg(count(lit(1)).as("df"))
+    val total = docs.agg(count(lit(1)).as("n"))
+    val w = Window.partitionBy("doc_id").orderBy(col("tfidf").desc, col("term"))
+    tf.join(dfreq, "term")
+      .crossJoin(broadcast(total))
+      .withColumn("tfidf", round(col("tf") *
+        log((col("n") + 1.0) / (col("df") + 1.0)), 6))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= k)
+      .select("doc_id", "rk", "term", "tfidf")
+      .orderBy("doc_id", "rk")
+  }
+
+  /** Deterministic uniform sample of 5 docs per language via the custom
+    * [[graft.functions.BottomK]] aggregate over md5(content) — O(k)
+    * state per group, order-insensitive, mergeable. */
+  def sampleKPerLang(spark: SparkSession, dir: String): DataFrame =
+    Tables.load(spark, dir, "documents")
+      .groupBy("lang")
+      .agg(bottom_k(struct(md5(col("text")).as("sort_key"),
+        col("doc_id").as("id")), 5).as("sample"))
+      .select(col("lang"), explode(col("sample")).as("s"))
+      .select(col("lang"), col("s.sort_key").as("sort_key"),
+        col("s.id").as("doc_id"))
+      .orderBy("lang", "sort_key")
 
   /** Document fingerprints: order-invariant md5 fingerprint (detects
     * "same content, shuffled tokens" duplicates; oracle-checkable). The

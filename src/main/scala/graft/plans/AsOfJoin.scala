@@ -135,6 +135,10 @@ object AsOf {
       spark.experimental.extraStrategies =
         spark.experimental.extraStrategies :+ AsOfStrategy
     }
+    if (!spark.experimental.extraOptimizations.contains(PushFilterThroughAsOfJoin)) {
+      spark.experimental.extraOptimizations =
+        spark.experimental.extraOptimizations :+ PushFilterThroughAsOfJoin
+    }
     val lt = Shim.expression(leftTime)
     val rt = Shim.expression(rightTime)
     require(lt.dataType == LongType && rt.dataType == LongType,

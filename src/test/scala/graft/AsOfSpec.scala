@@ -50,6 +50,45 @@ class AsOfSpec extends AnyFunSuite {
       (3L, 10L, null)))
   }
 
+  test("left-only filters push through the as-of join into the scan") {
+    val (l, r) = fixture
+    val joined = AsOf.join(spark, l, r, l("k"), r("k"), l("t"), r("rt"))
+      .filter(col("t") > 100L)
+    val optimized = org.apache.spark.sql.graftshim.Shim.optimized(joined)
+    // the Filter must sit BELOW the AsOfJoin after optimization
+    val asof = optimized.collectFirst {
+      case j: graft.plans.AsOfJoin => j }.get
+    val filterBelow = asof.left.collectFirst {
+      case f: org.apache.spark.sql.catalyst.plans.logical.Filter => f }
+    assert(filterBelow.nonEmpty, s"filter not pushed:\n$optimized")
+    assert(optimized match {
+      case _: org.apache.spark.sql.catalyst.plans.logical.Filter => false
+      case _ => true
+    }, "filter left above the join")
+    // and results agree with filter-before-join semantics
+    val expect = AsOf.join(spark, l.filter(col("t") > 100L), r,
+      l("k"), r("k"), l("t"), r("rt")).collect().toSet
+    assert(joined.collect().toSet == expect)
+  }
+
+  test("bottom_k aggregate: deterministic k-smallest across partitions") {
+    import spark.implicits._
+    import graft.functions.BottomK.bottom_k
+    val df = (1L to 1000L).map(i => (i % 3, f"h$i%04d", i)).toDF("g", "h", "id")
+      .repartition(7) // force multi-partition partial aggregation + merge
+    val out = df.groupBy("g")
+      .agg(bottom_k(struct(col("h").as("sort_key"), col("id").as("id")), 4).as("s"))
+      .select(col("g"), explode(col("s")).as("e"))
+      .select(col("g"), col("e.sort_key"), col("e.id")).collect()
+      .groupBy(_.getLong(0))
+    (0L to 2L).foreach { g =>
+      val got = out(g).map(_.getString(1)).toList
+      val want = (1L to 1000L).filter(_ % 3 == g).map(i => f"h$i%04d")
+        .sorted.take(4).toList
+      assert(got == want, s"group $g")
+    }
+  }
+
   test("non-long time column is rejected up front") {
     val (l, r) = fixture
     val lBad = l.withColumn("t", col("t").cast("double"))
