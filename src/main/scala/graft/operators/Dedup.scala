@@ -172,9 +172,12 @@ object Dedup {
     * (pigeonhole: hamming ≤ 3 ⇒ some chunk equal), join per chunk,
     * verify exact hamming distance via bit_count(xor). */
   def simhashPairs(spark: SparkSession, dir: String,
-      maxHamming: Int = 3): DataFrame = {
+      maxHamming: Int = 3, maxBucket: Int = 200): DataFrame = {
+    // persisted: the 64-vote aggregate feeds both sides of the chunk
+    // self-join (no cross-branch subtree reuse in Catalyst)
     val sh = simhash(spark, dir)
-    val chunked = sh.select(col("doc_id"), col("simhash"),
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val allChunked = sh.select(col("doc_id"), col("simhash"),
         explode(array((0 until 4).map { c =>
           struct(lit(c).as("chunk_id"),
             shiftright(col("simhash"), c * 16).bitwiseAND(lit(0xffffL))
@@ -182,6 +185,13 @@ object Dedup {
         }: _*)).as("ck"))
       .select(col("doc_id"), col("simhash"),
         col("ck.chunk_id").as("chunk_id"), col("ck.chunk_val").as("chunk_val"))
+    // skew cap (same rationale as minhashPairs): near-uniform corpora
+    // collapse many docs into the same 16-bit chunk — O(bucket²) pairs
+    val big = allChunked.groupBy("chunk_id", "chunk_val")
+      .agg(count(lit(1)).as("bs")).filter(col("bs") > maxBucket)
+      .select("chunk_id", "chunk_val")
+    val chunked = allChunked.join(broadcast(big),
+      Seq("chunk_id", "chunk_val"), "left_anti")
     chunked.as("a").join(chunked.as("b"), Seq("chunk_id", "chunk_val"))
       .filter(col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),

@@ -52,6 +52,47 @@ object StreamingBackfill {
       .select(col("window.start").as("ws"), col("event_type"),
         col("n"), col("sum_value"))
 
+  /** Gap-based session windows on the stream (`session_window` — the
+    * built-in dynamic-gap sibling of the batch sessionization in
+    * Aggregates.sessionize): sessions close when the watermark passes
+    * the 30-minute gap. */
+  def sessionWindows(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "10 minutes")
+      .groupBy(session_window(col("ts"), "30 minutes"), col("user_id"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(col("value").cast("decimal(18,2)")).cast("double").as("session_value"))
+      .select(col("session_window.start").as("session_start"),
+        col("session_window.end").as("session_end"),
+        col("user_id"), col("n_events"), col("session_value"))
+
+  /** Arbitrary stateful processing (`flatMapGroupsWithState`): per-user
+    * running totals with explicit state — the KeyValueGroupedDataset
+    * path for logic windows can't express. Emits one update per input
+    * row: (user_id, event_id, events_so_far, value_so_far). */
+  def statefulRunningTotals(spark: SparkSession, events: DataFrame)
+      : DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    case class In(user_id: Long, event_id: Long, value: Double)
+    val typed = events.select(col("user_id"), col("event_id"), col("value"))
+      .as[(Long, Long, Double)]
+    typed.groupByKey(_._1)
+      .flatMapGroupsWithState[(Long, Double), (Long, Long, Long, Double)](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (user: Long, rows: Iterator[(Long, Long, Double)],
+         state: GroupState[(Long, Double)]) =>
+          var (n, tot) = state.getOption.getOrElse((0L, 0.0))
+          val out = rows.toSeq.sortBy(_._2).map { case (_, eid, v) =>
+            n += 1; tot += v
+            (user, eid, n, math.rint(tot * 100) / 100)
+          }
+          state.update((n, tot))
+          out.iterator
+      }
+      .toDF("user_id", "event_id", "events_so_far", "value_so_far")
+  }
+
   /** Streaming envelope feed (tenant-stamped JSON values keyed by event
     * identity) — the incremental form of the batch Kafka feed; attach
     * `.format("kafka").option("topic", …)` in production. */

@@ -7,6 +7,8 @@ object TestSpark {
   lazy val spark: SparkSession = {
     val s = SparkSession.builder()
       .master("local[8]")
+      .config("spark.sql.warehouse.dir",
+        java.nio.file.Files.createTempDirectory("graftwh").toString)
       .config("spark.sql.shuffle.partitions", "8")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
