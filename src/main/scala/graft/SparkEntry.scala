@@ -55,6 +55,8 @@ object SparkEntry {
     "ngram_jaccard"      -> (Dedup.ngramJaccard _),
     "embedding_buckets"  -> (Dedup.embeddingBuckets _),
     "embedding_neardup"  -> ((s: SparkSession, d: String) => Dedup.embeddingNearDup(s, d)),
+    "dedup_clusters"     -> (Components.dedupClusters _),
+    "int8_quantize"      -> (Quantize.int8Quantize _),
     // §2.9 E3 similarity search
     "sim_topk_brute"     -> ((s: SparkSession, d: String) => Similarity.bruteForceTopK(s, d)),
     "sim_topk_ivf"       -> ((s: SparkSession, d: String) => Similarity.ivfTopK(s, d)),
@@ -326,6 +328,18 @@ object SparkEntry {
                   list_filter(string_split_regex(lower(text), '\s+'),
                     t -> len(t) > 0))), ' ')) AS fp
          FROM documents ORDER BY doc_id""",
+    "int8_quantize" ->
+      """WITH e AS (
+           SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+                  127.0 / list_max([abs(x) for x in CAST(embedding AS DOUBLE[])]) AS scale
+           FROM embeddings)
+         SELECT vec_id, round(scale, 6) AS scale,
+                CAST(round(v[1] * scale) AS INT) AS q0,
+                CAST(round(v[2] * scale) AS INT) AS q1,
+                CAST(round(v[3] * scale) AS INT) AS q2,
+                round(list_max([abs(x - round(x * scale) / scale) for x in v]), 6)
+                  AS max_abs_err
+         FROM e ORDER BY vec_id""",
     "tfidf_top_terms" ->
       """WITH toks AS (
            SELECT doc_id, unnest(list_filter(string_split_regex(lower(text), '\s+'),

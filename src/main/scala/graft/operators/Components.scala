@@ -1,0 +1,64 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.storage.StorageLevel
+
+/** Connected components over a pair/edge table by iterative min-label
+  * propagation — the step that turns near-dup PAIRS into dedup CLUSTERS
+  * ("keep one doc per component", the actual training-data dedup
+  * output).
+  *
+  * Each iteration is one join + one aggregate (label = min over self and
+  * neighbors); iterations double the propagation radius is NOT true for
+  * plain propagation — radius grows by 1 per round, so `maxIter` bounds
+  * the handled component diameter (near-dup clusters are shallow; 10
+  * covers diameter-10 chains). Results persist per round to cut lineage;
+  * convergence is detected by a changed-label count and the loop
+  * early-exits. This is the DataFrame form of label propagation — no
+  * driver-side data, only the converged flag crosses to the driver.
+  */
+object Components {
+
+  /** `edges`: (src, dst) long pairs, undirected (either orientation).
+    * Returns (id, component) where component = min id reachable. */
+  def connectedComponents(edges: DataFrame, maxIter: Int = 10): DataFrame = {
+    val sym = edges.select(col("src"), col("dst"))
+      .unionAll(edges.select(col("dst").as("src"), col("src").as("dst")))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    var labels = sym.select(col("src").as("id")).distinct()
+      .withColumn("component", col("id"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    var iter = 0
+    var converged = false
+    while (!converged && iter < maxIter) {
+      val nbrMin = sym
+        .join(labels.select(col("id").as("src"), col("component").as("c_src")), "src")
+        .groupBy(col("dst").as("id")).agg(min("c_src").as("nbr_min"))
+      val next = labels.join(nbrMin, Seq("id"), "left")
+        .select(col("id"),
+          least(col("component"), coalesce(col("nbr_min"), col("component")))
+            .as("component"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+      val changed = labels.join(next.withColumnRenamed("component", "nc"), "id")
+        .filter(col("component") =!= col("nc")).count()
+      labels.unpersist()
+      labels = next
+      converged = changed == 0
+      iter += 1
+    }
+    sym.unpersist()
+    labels
+  }
+
+  /** Dedup clustering end-to-end: minhash near-dup pairs → components →
+    * per-doc cluster assignment with the keeper (min doc_id) marked. */
+  def dedupClusters(spark: SparkSession, dir: String): DataFrame = {
+    val pairs = Dedup.minhashPairs(spark, dir)
+      .select(col("doc_a").as("src"), col("doc_b").as("dst"))
+    connectedComponents(pairs)
+      .select(col("id").as("doc_id"), col("component").as("cluster_id"),
+        (col("id") === col("component")).as("is_keeper"))
+      .orderBy("cluster_id", "doc_id")
+  }
+}

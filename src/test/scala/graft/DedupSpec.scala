@@ -85,6 +85,27 @@ class DedupSpec extends AnyFunSuite {
       .filter(col("count") > 1).count() == 0)
   }
 
+  test("connected components: chains merge, islands stay separate") {
+    import spark.implicits._
+    import graft.operators.Components
+    // chain 1-2-3 (3 not directly linked to 1), island 4-5, singleton edge 9-9
+    val edges = Seq((1L, 2L), (2L, 3L), (4L, 5L), (9L, 9L)).toDF("src", "dst")
+    val got = Components.connectedComponents(edges).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 4L, 5L -> 4L, 9L -> 9L))
+  }
+
+  test("dedup clusters group the planted near-dups with min-id keeper") {
+    import graft.operators.Components
+    val rows = Components.dedupClusters(spark, fixtureDir).collect()
+    val byCluster = rows.groupBy(_.getAs[Long]("cluster_id"))
+      .view.mapValues(_.map(_.getAs[Long]("doc_id")).toSet).toMap
+    assert(byCluster(0L) == Set(0L, 1L))
+    assert(byCluster(21L) == Set(21L, 22L))
+    rows.filter(_.getAs[Boolean]("is_keeper"))
+      .foreach(r => assert(r.getAs[Long]("doc_id") == r.getAs[Long]("cluster_id")))
+  }
+
   test("embedding near-dup finds planted duplicate vector") {
     import spark.implicits._
     val dir = Files.createTempDirectory("embfix").toString
