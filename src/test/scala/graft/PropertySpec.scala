@@ -1,0 +1,96 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalacheck.Gen
+import org.scalatest.funsuite.AnyFunSuite
+import graft.functions.{TextFunctions => T, Vectors => V}
+
+/** Property-based coverage (SURVEY.md §5.3): pagination equivalence,
+  * dedup idempotence, cosine symmetry/range. */
+class PropertySpec extends AnyFunSuite {
+  /** Raw-scalacheck sampling (no scalatestplus bridge in the offline
+    * dependency set). */
+  private def forSamples[A](g: Gen[A], n: Int)(f: A => Unit): Unit = {
+    var done = 0
+    var tries = 0
+    while (done < n && tries < n * 20) {
+      g.sample.foreach { a => f(a); done += 1 }
+      tries += 1
+    }
+    assert(done == n, s"only generated $done/$n samples")
+  }
+  lazy val spark = TestSpark.spark
+
+  private val vecGen: Gen[List[Double]] =
+    Gen.listOfN(16, Gen.chooseNum(-10.0, 10.0))
+      .suchThat(v => v.exists(math.abs(_) > 1e-9))
+
+  test("cosine is symmetric, in [-1,1], and 1 on self") {
+    import spark.implicits._
+    forSamples(Gen.zip(vecGen, vecGen), 20) { case (a, b) =>
+      val r = Seq((a.toArray, b.toArray)).toDF("a", "b").select(
+        V.cosine(col("a"), col("b")).as("ab"),
+        V.cosine(col("b"), col("a")).as("ba"),
+        V.cosine(col("a"), col("a")).as("aa")).collect().head
+      assert(math.abs(r.getDouble(0) - r.getDouble(1)) < 1e-12)
+      assert(r.getDouble(0) >= -1.0 - 1e-9 && r.getDouble(0) <= 1.0 + 1e-9)
+      assert(math.abs(r.getDouble(2) - 1.0) < 1e-9)
+    }
+  }
+
+  test("fingerprint invariant under token permutation and duplication") {
+    import spark.implicits._
+    val tokensGen = Gen.nonEmptyListOf(Gen.oneOf(
+      "alpha", "beta", "gamma", "delta", "epsilon", "zeta"))
+    forSamples(tokensGen, 20) { toks =>
+      val shuffled = scala.util.Random.shuffle(toks ++ toks.take(2))
+      val fps = Seq(toks.mkString(" "), shuffled.mkString(" ")).toDF("text")
+        .select(T.fingerprint(col("text"))).collect().map(_.getString(0))
+      assert(fps(0) == fps(1))
+    }
+  }
+
+  test("exact dedup is idempotent") {
+    val d1 = graft.operators.Dedup.exactByKey(spark, TestSpark.sf)
+    val again = d1.dropDuplicates("user_id", "event_type")
+    assert(d1.count() == again.count())
+  }
+
+  test("window pagination pages concatenate to the full sorted table") {
+    import org.apache.spark.sql.expressions.Window
+    val orders = Tables.load(spark, TestSpark.sf, "orders")
+    val w = Window.orderBy("o_orderkey")
+    val rn = orders.withColumn("rn", row_number().over(w))
+    val pageSize = 137
+    val n = orders.count()
+    val pages = (0L to n / pageSize).map { p =>
+      rn.filter(col("rn") > p * pageSize && col("rn") <= (p + 1) * pageSize)
+        .select("o_orderkey").collect().map(_.getLong(0)).toSeq
+    }
+    val concat = pages.flatten
+    val full = orders.orderBy("o_orderkey")
+      .select("o_orderkey").collect().map(_.getLong(0)).toSeq
+    assert(concat == full)
+  }
+
+  test("minhash jaccard estimate tracks exact jaccard on controlled overlap") {
+    import spark.implicits._
+    // two token sets with known overlap ratio
+    val base = (1 to 40).map(i => s"tok$i")
+    forSamples(Gen.chooseNum(0, 40), 10) { keep =>
+      val a = base.mkString(" ")
+      val b = (base.take(keep) ++ (1 to (40 - keep)).map(i => s"other$i")).mkString(" ")
+      val df = Seq((0L, a), (1L, b)).toDF("doc_id", "text")
+      val sh = df.select(col("doc_id"),
+        array_distinct(T.wordShingles(col("text"), 3)).as("s"))
+      val row = sh.as("x").crossJoin(sh.as("y"))
+        .filter(col("x.doc_id") < col("y.doc_id"))
+        .select((size(array_intersect(col("x.s"), col("y.s"))).cast("double") /
+          size(array_union(col("x.s"), col("y.s")))).as("j")).collect().head
+      val j = row.getDouble(0)
+      assert(j >= 0.0 && j <= 1.0)
+      if (keep == 40) assert(j == 1.0)
+      if (keep == 0) assert(j == 0.0)
+    }
+  }
+}
