@@ -60,6 +60,7 @@ object SparkEntry {
     // §2.9 E3 similarity search
     "sim_topk_brute"     -> ((s: SparkSession, d: String) => Similarity.bruteForceTopK(s, d)),
     "sim_topk_ivf"       -> ((s: SparkSession, d: String) => Similarity.ivfTopK(s, d)),
+    "sim_topk_ivf_kmeans" -> ((s: SparkSession, d: String) => Similarity.ivfTopKTrained(s, d, iters = 2)),
     // §2.9 E5 text analysis
     "text_langid"        -> (TextAnalysis.langId _),
     "text_quality"       -> (TextAnalysis.quality _),
@@ -111,7 +112,9 @@ object SparkEntry {
          WHERE c_custkey IN (SELECT o_custkey FROM orders) ORDER BY c_custkey""",
     "anti_join" ->
       """SELECT c_custkey, c_name FROM customer
-         WHERE c_custkey NOT IN (SELECT o_custkey FROM orders) ORDER BY c_custkey""",
+         WHERE c_custkey NOT IN
+           (SELECT o_custkey FROM orders WHERE year(o_orderdate) = 1996)
+         ORDER BY c_custkey""",
     "pagination_window" ->
       """SELECT rn, o_orderkey, o_custkey, o_orderstatus FROM (
            SELECT row_number() OVER (ORDER BY o_orderkey) AS rn,

@@ -82,10 +82,13 @@ object Relational {
       .select("c_custkey", "c_name").orderBy("c_custkey")
   }
 
-  /** Complement of [[semiJoin]]: merchants with no entity rows (anti). */
+  /** Complement of [[semiJoin]]: merchants with no entity rows in the
+    * window (anti). Scoped to one year so the result is non-trivial —
+    * every merchant has SOME order across all history. */
   def antiJoin(spark: SparkSession, dir: String): DataFrame = {
     val cust = Tables.load(spark, dir, "customer")
     val orders = Tables.load(spark, dir, "orders")
+      .filter(year(col("o_orderdate")) === 1996)
     cust.join(orders, col("c_custkey") === col("o_custkey"), "left_anti")
       .select("c_custkey", "c_name").orderBy("c_custkey")
   }

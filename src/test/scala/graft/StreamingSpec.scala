@@ -21,6 +21,26 @@ class StreamingSpec extends AnyFunSuite {
     assert(got.exceptAll(want).count() == 0 && want.exceptAll(got).count() == 0)
   }
 
+  test("streaming dedup drops within-watermark duplicates") {
+    val out = StreamingBackfill.runToMemory(spark,
+      StreamingBackfill.dedupStream(StreamingBackfill.eventsStream(spark, sf)),
+      "dedup_out", "append")
+    assert(out.count() > 0)
+    assert(out.count() <= Tables.load(spark, sf, "events").count())
+  }
+
+  test("stream-stream join pairs purchases with prior signups") {
+    import org.apache.spark.sql.functions._
+    val out = StreamingBackfill.runToMemory(spark,
+      StreamingBackfill.purchaseAfterSignup(
+        StreamingBackfill.eventsStream(spark, sf)),
+      "ss_join_out", "append")
+    assert(out.count() > 0)
+    assert(out.filter(col("s_ts") > col("p_ts")).count() == 0)
+    assert(out.filter(col("s_ts") < col("p_ts") - expr("INTERVAL 24 HOURS"))
+      .count() == 0)
+  }
+
   test("streaming envelope emits one keyed JSON event per row") {
     val env = StreamingBackfill.envelopeStream(
       StreamingBackfill.eventsStream(spark, sf))
