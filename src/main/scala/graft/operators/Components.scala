@@ -35,15 +35,16 @@ object Components {
       val nbrMin = sym
         .join(labels.select(col("id").as("src"), col("component").as("c_src")), "src")
         .groupBy(col("dst").as("id")).agg(min("c_src").as("nbr_min"))
+      // carry the changed flag in the same materialization: one cached
+      // pass serves both the next labels and the convergence check
       val next = labels.join(nbrMin, Seq("id"), "left")
         .select(col("id"),
           least(col("component"), coalesce(col("nbr_min"), col("component")))
-            .as("component"))
+            .as("new_component"), col("component").as("old_component"))
         .persist(StorageLevel.MEMORY_AND_DISK)
-      val changed = labels.join(next.withColumnRenamed("component", "nc"), "id")
-        .filter(col("component") =!= col("nc")).count()
+      val changed = next.filter(col("new_component") =!= col("old_component")).count()
       labels.unpersist()
-      labels = next
+      labels = next.select(col("id"), col("new_component").as("component"))
       converged = changed == 0
       iter += 1
     }

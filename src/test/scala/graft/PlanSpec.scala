@@ -1,0 +1,57 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.graftshim.Shim
+
+/** Plan-shape regression guard: the scale properties (pushdown, pruning,
+  * broadcast, no stray cartesians) must survive refactors — these specs
+  * fail if a future change silently degrades the physical plan. */
+class PlanSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  val sf = TestSpark.sf
+
+  private def planOf(name: String): String =
+    Shim.executedPlan(SparkEntry.queries(name)(spark, sf)).toString
+
+  test("backfill_scan pushes both predicates into the parquet scan") {
+    val p = planOf("backfill_scan")
+    assert(p.contains("PushedFilters"), p)
+    assert(p.contains("EqualTo(o_custkey,42)"), p)
+    // plan toString truncates long filter lists; match the prefix
+    assert(p.contains("GreaterThanOrEqual(o_orderd"), p)
+  }
+
+  test("backfill_join broadcasts the key store") {
+    val p = planOf("backfill_join")
+    assert(p.contains("BroadcastHashJoin"), p)
+  }
+
+  test("scans prune columns to what the query needs") {
+    val p = planOf("count_per_merchant")
+    // count by custkey within a date window: only 2 columns read
+    assert(p.contains("ReadSchema: struct<o_custkey:bigint,o_orderdate"), p)
+    assert(!p.contains("o_totalprice"), p)
+  }
+
+  test("only the intentionally-bounded queries use cartesian products") {
+    val allowed = Set("ngram_jaccard", "sim_topk_brute", "sim_topk_ivf",
+      "sim_topk_ivf_kmeans", "tfidf_top_terms")
+    SparkEntry.queries.keys.filterNot(allowed).foreach { name =>
+      val p = try planOf(name) catch { case _: Throwable => "" }
+      assert(!p.contains("CartesianProduct"),
+        s"unexpected cartesian in $name")
+    }
+  }
+
+  test("whole-stage codegen covers the envelope projection") {
+    // AQE wraps the plan lazily and hides codegen spans until runtime;
+    // disable it for the shape assertion
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val p = Shim.executedPlan(
+        SparkEntry.queries("event_envelope")(spark, sf)).toString
+      // simple-string plans render WholeStageCodegen stages as "*(n)"
+      assert(p.contains("*(1)"), p)
+    } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
+  }
+}
