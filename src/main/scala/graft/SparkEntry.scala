@@ -69,6 +69,10 @@ object SparkEntry {
     "text_fingerprint"   -> (TextAnalysis.fingerprints _),
     "tfidf_top_terms"    -> ((s: SparkSession, d: String) => TextAnalysis.tfidfTopTerms(s, d)),
     "sample_per_lang"    -> (TextAnalysis.sampleKPerLang _),
+    "text_normalize"     -> (TextAnalysis.normalize _),
+    "text_repetition"    -> (TextAnalysis.repetition _),
+    "histogram_totals"   -> ((s: SparkSession, d: String) => SemiStructured.histogramTotals(s, d)),
+    "events_spine_fill"  -> (SemiStructured.eventsSpineFill _),
     // §2.9 E6 multimodal
     "media_features"     -> (Multimodal.mediaFeatures _),
     "media_frame_sample" -> ((s: SparkSession, d: String) => Multimodal.frameSample(s, d)),
@@ -369,6 +373,57 @@ object SparkEntry {
                     ORDER BY md5(text), doc_id) AS rk
            FROM documents)
          WHERE rk <= 5 ORDER BY lang, sort_key""",
+    "text_normalize" ->
+      """SELECT doc_id,
+                array_to_string(list_filter(
+                  string_split(trim(regexp_replace(regexp_replace(lower(text),
+                    '[^a-z0-9\s]', ' ', 'g'), '\s+', ' ', 'g')), ' '),
+                  t -> len(t) > 0 AND NOT list_contains(
+                    ['the','a','and','of','to','in','is','that','it','for'], t)),
+                  ' ') AS normalized
+         FROM documents ORDER BY doc_id""",
+    "text_repetition" ->
+      """WITH t AS (
+           SELECT doc_id,
+                  list_filter(string_split_regex(lower(text), '\s+'),
+                    x -> len(x) > 0) AS ts,
+                  list_filter(string_split(text, chr(10)),
+                    l -> len(trim(l)) > 0) AS ls
+           FROM documents),
+         g AS (
+           SELECT doc_id,
+                  CASE WHEN len(ts) < 2 THEN []
+                       ELSE [ts[i] || ' ' || ts[i+1] for i in range(1, len(ts))]
+                  END AS grams, ls
+           FROM t)
+         SELECT doc_id,
+                CASE WHEN len(grams) = 0 THEN 0.0
+                     ELSE round(1.0 - CAST(len(list_distinct(grams)) AS DOUBLE)
+                       / len(grams), 6) END AS dup_2gram_frac,
+                CASE WHEN len(ls) = 0 THEN 0.0
+                     ELSE round(1.0 - CAST(len(list_distinct(ls)) AS DOUBLE)
+                       / len(ls), 6) END AS dup_line_frac
+         FROM g ORDER BY doc_id""",
+    "histogram_totals" ->
+      """SELECT CAST(CASE WHEN o_totalprice < 0 THEN 0
+                          WHEN o_totalprice >= 600000 THEN 21
+                          ELSE floor(o_totalprice / 30000.0) + 1 END AS BIGINT)
+                  AS bucket,
+                count(*) AS n
+         FROM orders GROUP BY 1 ORDER BY bucket""",
+    "events_spine_fill" ->
+      """WITH b AS (
+           SELECT date_trunc('hour', min(ts)) AS lo,
+                  date_trunc('hour', max(ts)) AS hi
+           FROM events),
+         spine AS (
+           SELECT unnest(generate_series(lo, hi, INTERVAL 1 HOUR)) AS hour
+           FROM b),
+         h AS (
+           SELECT date_trunc('hour', ts) AS hour, count(*) AS n
+           FROM events GROUP BY 1)
+         SELECT spine.hour, coalesce(h.n, 0) AS n
+         FROM spine LEFT JOIN h USING (hour) ORDER BY hour""",
     "media_features" ->
       """SELECT doc_id, 'txt' AS format,
                 CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,

@@ -36,6 +36,34 @@ object SemiStructured {
       .orderBy("lang")
   }
 
+  /** Fixed-width histogram of order amounts: `width_bucket` binning +
+    * one hash aggregate — the scalable distribution profile (no sort,
+    * no collect; bin count is a constant). */
+  def histogramTotals(spark: SparkSession, dir: String, bins: Int = 20): DataFrame =
+    Tables.load(spark, dir, "orders")
+      .withColumn("bucket",
+        width_bucket(col("o_totalprice"), lit(0.0), lit(600000.0), lit(bins)))
+      .groupBy("bucket").agg(count(lit(1)).as("n"))
+      .orderBy("bucket")
+
+  /** Time-spine gap filling: generate the full hourly spine between the
+    * stream's min/max event time (sequence + explode — no driver loop),
+    * left-join hourly counts, zero-fill the gaps. The shape every
+    * time-series rollup needs so missing hours read as 0, not absent. */
+  def eventsSpineFill(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.load(spark, dir, "events")
+    val hourly = ev.groupBy(date_trunc("hour", col("ts")).as("hour"))
+      .agg(count(lit(1)).as("n"))
+    val bounds = ev.agg(
+      date_trunc("hour", min(col("ts"))).as("lo"),
+      date_trunc("hour", max(col("ts"))).as("hi"))
+    val spine = bounds.select(explode(sequence(col("lo"), col("hi"),
+      expr("INTERVAL 1 HOUR"))).as("hour"))
+    spine.join(hourly, Seq("hour"), "left")
+      .select(col("hour"), coalesce(col("n"), lit(0L)).as("n"))
+      .orderBy("hour")
+  }
+
   /** Exact percentiles (median/p90) of order amounts per status —
     * `percentile` with interpolation, matching DuckDB's quantile_cont. */
   def quantiles(spark: SparkSession, dir: String): DataFrame =

@@ -87,6 +87,41 @@ object TextAnalysis {
         col("s.id").as("doc_id"))
       .orderBy("lang", "sort_key")
 
+  /** Normalization pipeline: lowercase → strip punctuation → collapse
+    * whitespace → drop English stopwords — the canonical pre-tokenizer
+    * cleanup, all codegen'd string/array expressions. */
+  def normalize(spark: SparkSession, dir: String): DataFrame = {
+    val sw = array(Seq("the", "a", "and", "of", "to", "in", "is", "that",
+      "it", "for").map(lit): _*)
+    Tables.load(spark, dir, "documents")
+      .withColumn("cleaned",
+        trim(regexp_replace(regexp_replace(lower(col("text")),
+          "[^a-z0-9\\s]", " "), "\\s+", " ")))
+      .select(col("doc_id"),
+        concat_ws(" ", filter(split(col("cleaned"), " "),
+          t => length(t) > 0 && !array_contains(sw, t))).as("normalized"))
+      .orderBy("doc_id")
+  }
+
+  /** Gopher-style repetition signals: duplicate word-2gram fraction and
+    * duplicate-line fraction — high values mark boilerplate/spam docs
+    * that LLM corpora drop. */
+  def repetition(spark: SparkSession, dir: String): DataFrame = {
+    val grams = T.wordShingles(col("text"), 2)
+    val lines = filter(split(col("text"), "\\n"), l => length(trim(l)) > 0)
+    Tables.load(spark, dir, "documents")
+      .select(col("doc_id"),
+        when(size(grams) === 0, 0.0d)
+          .otherwise(round(lit(1.0) -
+            size(array_distinct(grams)).cast("double") / size(grams), 6))
+          .as("dup_2gram_frac"),
+        when(size(lines) === 0, 0.0d)
+          .otherwise(round(lit(1.0) -
+            size(array_distinct(lines)).cast("double") / size(lines), 6))
+          .as("dup_line_frac"))
+      .orderBy("doc_id")
+  }
+
   /** Document fingerprints: order-invariant md5 fingerprint (detects
     * "same content, shuffled tokens" duplicates; oracle-checkable). The
     * order-sensitive rolling hash is xxhash64-based (no DuckDB twin) and
