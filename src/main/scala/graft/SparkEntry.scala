@@ -76,6 +76,10 @@ object SparkEntry {
     // §2.9 E6 multimodal
     "media_features"     -> (Multimodal.mediaFeatures _),
     "media_frame_sample" -> ((s: SparkSession, d: String) => Multimodal.frameSample(s, d)),
+    // SQL front door + sketch quantiles
+    "sql_backfill_scan"  -> (SqlInterface.sqlBackfillScan _),
+    "sql_merchant_revenue" -> (SqlInterface.sqlMerchantRevenue _),
+    "approx_quantiles"   -> (SqlInterface.approxQuantiles _),
     // semi-structured + reshaping
     "json_extract"       -> (SemiStructured.jsonExtract _),
     "pivot_lang_source"  -> (SemiStructured.pivotLangSource _),
@@ -438,6 +442,21 @@ object SparkEntry {
          FROM documents,
               LATERAL unnest(range(0, octet_length(encode(text)) % 16, 4)) AS t(f)
          ORDER BY doc_id, frame_idx""",
+    "sql_backfill_scan" ->
+      """SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice, o_orderdate
+         FROM orders
+         WHERE o_custkey IN (7, 42, 99)
+           AND o_orderdate BETWEEN TIMESTAMP '1995-01-01' AND TIMESTAMP '1999-12-31'
+         ORDER BY o_custkey, o_orderkey""",
+    "sql_merchant_revenue" ->
+      """SELECT c.c_mktsegment AS segment,
+                count(*) AS n_orders,
+                CAST(SUM(CAST(o.o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+                  AS revenue
+         FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+         GROUP BY c.c_mktsegment
+         HAVING count(*) > 10
+         ORDER BY segment""",
     "json_extract" ->
       """SELECT event_id,
                 CAST(json_extract_string(props, '$.k') AS BIGINT) AS k_typed,

@@ -1,0 +1,57 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+
+/** The SQL front door: every harness table registered as a temp view,
+  * queries expressed as ANSI SQL strings through `spark.sql` — the same
+  * Catalyst plans as the DataFrame API (the reference has no SQL
+  * surface at all; here it's free, and the oracle is nearly the
+  * identical statement).
+  */
+object SqlInterface {
+
+  /** Register all harness tables as temp views (idempotent). */
+  def registerViews(spark: SparkSession, dir: String): Unit =
+    Tables.names.foreach { t =>
+      Tables.load(spark, dir, t).createOrReplaceTempView(t)
+    }
+
+  /** The reference's core query shape, as SQL text (EP2 —
+    * `payment_intent.rs:62-71`). */
+  def sqlBackfillScan(spark: SparkSession, dir: String): DataFrame = {
+    registerViews(spark, dir)
+    spark.sql("""
+      SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice, o_orderdate
+      FROM orders
+      WHERE o_custkey IN (7, 42, 99)
+        AND o_orderdate BETWEEN TIMESTAMP '1995-01-01' AND TIMESTAMP '1999-12-31'
+      ORDER BY o_custkey, o_orderkey""")
+  }
+
+  /** A SQL analytics rollup over the joined star (join + agg + having,
+    * all through the SQL parser). */
+  def sqlMerchantRevenue(spark: SparkSession, dir: String): DataFrame = {
+    registerViews(spark, dir)
+    spark.sql("""
+      SELECT c.c_mktsegment AS segment,
+             count(*) AS n_orders,
+             CAST(SUM(CAST(o.o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+               AS revenue
+      FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+      GROUP BY c.c_mktsegment
+      HAVING count(*) > 10
+      ORDER BY segment""")
+  }
+
+  /** Sketch-family quantiles: `approx_percentile` next to the exact
+    * value (rows-only for the driver; the tolerance is asserted in
+    * spec — at 100 TB the sketch is the only affordable path). */
+  def approxQuantiles(spark: SparkSession, dir: String): DataFrame =
+    Tables.load(spark, dir, "lineitem").agg(
+      expr("approx_percentile(l_extendedprice, 0.5, 1000)").as("approx_p50"),
+      expr("percentile(l_extendedprice, 0.5)").as("exact_p50"),
+      expr("approx_percentile(l_extendedprice, 0.99, 1000)").as("approx_p99"),
+      expr("percentile(l_extendedprice, 0.99)").as("exact_p99"))
+}

@@ -148,6 +148,23 @@ object StreamingBackfill {
     spark.table(name)
   }
 
+  /** foreachBatch sink with idempotent per-batch output: each microbatch
+    * writes to a batch-id-suffixed directory, so replays after failure
+    * overwrite rather than duplicate — the exactly-once file-sink
+    * pattern (upgrades the reference's at-least-once X6 story). */
+  def runForeachBatchParquet(spark: SparkSession, df: DataFrame,
+      outDir: String): Unit = {
+    val q = df.writeStream
+      .outputMode("append")
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[Row], id: Long) =>
+        batch.write.mode("overwrite").parquet(s"$outDir/batch_id=$id")
+      }
+      .trigger(Trigger.ProcessingTime(0))
+      .start()
+    q.processAllAvailable()
+    q.stop()
+  }
+
   /** Production-shaped sink: checkpointed Kafka writer (not runnable in
     * the offline harness — zero egress; exercised only as plan/config). */
   def kafkaSink(df: DataFrame, brokers: String, topic: String,

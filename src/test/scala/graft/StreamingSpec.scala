@@ -41,6 +41,24 @@ class StreamingSpec extends AnyFunSuite {
       .count() == 0)
   }
 
+  test("foreachBatch parquet sink writes idempotent per-batch dirs") {
+    val out = java.nio.file.Files.createTempDirectory("fb").toString
+    StreamingBackfill.runForeachBatchParquet(spark,
+      StreamingBackfill.envelopeStream(
+        StreamingBackfill.eventsStream(spark, sf)), out)
+    val back = spark.read.parquet(out)
+    assert(back.count() == Tables.load(spark, sf, "events").count())
+    assert(back.columns.contains("batch_id"))
+  }
+
+  test("approx quantiles within 2% of exact") {
+    val r = graft.operators.SqlInterface.approxQuantiles(spark, sf)
+      .collect().head
+    def close(a: Double, e: Double) = math.abs(a - e) / e < 0.02
+    assert(close(r.getDouble(0), r.getDouble(1)), s"$r p50")
+    assert(close(r.getDouble(2), r.getDouble(3)), s"$r p99")
+  }
+
   test("streaming envelope emits one keyed JSON event per row") {
     val env = StreamingBackfill.envelopeStream(
       StreamingBackfill.eventsStream(spark, sf))
