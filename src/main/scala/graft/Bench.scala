@@ -19,13 +19,15 @@ object Bench {
       // single run ±100%; the min is the reproducible warm cost
       val times = (0 until 2).map { _ =>
         val t0 = System.nanoTime()
-        try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-        // LSH queries persist signature tables for their self-joins; drop
-        // them so later queries aren't timed under cache/GC pressure
+        val ok = try { fn(spark, sfDir).count(); true }
+          catch { case _: Throwable => false }
+        val elapsed = (System.nanoTime() - t0) / 1e9
+        // cache cleanup OUTSIDE the timed window (LSH queries persist
+        // signature tables; later queries shouldn't inherit the pressure)
         spark.catalog.clearCache()
-        (System.nanoTime() - t0) / 1e9
+        if (ok) elapsed else -1.0 // visible failure marker, not a fast "win"
       }
-      name -> times.min
+      name -> (if (times.contains(-1.0)) -1.0 else times.min)
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")

@@ -260,7 +260,9 @@ object SparkEntry {
            FROM events)
          WHERE rn = 1 ORDER BY user_id, event_type""",
     "dedup_content_hash" ->
-      """SELECT sha256(text || '|' || lang || '|' || source) AS content_sha,
+      """SELECT sha256(len(text) || ':' || text || '|' ||
+                       len(lang) || ':' || lang || '|' ||
+                       len(source) || ':' || source || '|') AS content_sha,
                 min(doc_id) AS keep_doc_id, count(*) AS dup_count
          FROM documents GROUP BY 1 ORDER BY keep_doc_id""",
     "ngram_jaccard" ->

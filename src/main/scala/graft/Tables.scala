@@ -18,15 +18,29 @@ object Tables {
     if (name == "events") loadEvents(spark, dir) else
       spark.read.parquet(s"$dir/$name.parquet")
 
+  /** events schema as stored on disk (`ts` = TIMESTAMP(NANOS) read as
+    * long via nanosAsLong) — shared by the batch loader and the
+    * streaming reader so the two paths can't diverge. */
+  val eventsRawSchema: org.apache.spark.sql.types.StructType = {
+    import org.apache.spark.sql.types._
+    StructType(Seq(
+      StructField("event_id", LongType), StructField("ts", LongType),
+      StructField("user_id", LongType), StructField("event_type", StringType),
+      StructField("value", DoubleType), StructField("props", StringType)))
+  }
+
+  /** ns→µs conversion for the stored `ts` long. Integer `div`, not `/`:
+    * long/long promotes to double, which loses precision above 2^53
+    * (epoch-nanos ≈ 1.7e18) → off-by-1-µs errors. Matches DuckDB's
+    * µs-native truncation, so oracle results agree. */
+  def eventsNanosToTs(df: DataFrame): DataFrame =
+    df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+
   /** events.parquet stores `ts` as parquet TIMESTAMP(NANOS), which Spark's
     * reader rejects outright (PARQUET_TYPE_ILLEGAL). Read nanos as long
-    * and truncate to microseconds — the same ns→µs truncation DuckDB's
-    * µs-native timestamp applies, so oracle results agree. */
+    * and truncate to microseconds. */
   private def loadEvents(spark: SparkSession, dir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val raw = spark.read.parquet(s"$dir/events.parquet")
-    // integer `div`, not `/`: long/long promotes to double, which loses
-    // precision above 2^53 (epoch-nanos ≈ 1.7e18) → off-by-1-µs errors
-    raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    eventsNanosToTs(spark.read.parquet(s"$dir/events.parquet"))
   }
 }

@@ -21,7 +21,12 @@ import org.apache.spark.storage.StorageLevel
 object Components {
 
   /** `edges`: (src, dst) long pairs, undirected (either orientation).
-    * Returns (id, component) where component = min id reachable. */
+    * Returns (id, component) where component = min id reachable.
+    *
+    * The returned DataFrame is persisted (it was the loop's last
+    * materialization); callers that are done with it should
+    * `.unpersist()` — the harness mains clear the cache between
+    * queries. */
   def connectedComponents(edges: DataFrame, maxIter: Int = 10): DataFrame = {
     val sym = edges.select(col("src"), col("dst"))
       .unionAll(edges.select(col("dst").as("src"), col("src").as("dst")))

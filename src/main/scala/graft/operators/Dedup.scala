@@ -41,16 +41,21 @@ object Dedup {
       .orderBy("user_id", "event_type")
   }
 
-  /** E1b: full-content hash dedup — sha256 over the '|'-canonicalized
-    * row; groupBy the digest, keep min id. One shuffle on the digest. */
-  def exactByContentHash(spark: SparkSession, dir: String): DataFrame =
+  /** E1b: full-content hash dedup — sha256 over a length-prefixed
+    * canonicalization (`len:value|len:value|…`): separator-proof (a '|'
+    * inside a value can't collide with the delimiter) and null-strict
+    * (`concat` nulls the whole key, unlike concat_ws's silent skip).
+    * One shuffle on the digest; keep min id per group. */
+  def exactByContentHash(spark: SparkSession, dir: String): DataFrame = {
+    val canon = concat(Seq(col("text"), col("lang"), col("source")).map(c =>
+      concat(length(c).cast("string"), lit(":"), c, lit("|"))): _*)
     Tables.load(spark, dir, "documents")
-      .withColumn("content_sha", sha2(concat_ws("|",
-        col("text"), col("lang"), col("source")), 256))
+      .withColumn("content_sha", sha2(canon, 256))
       .groupBy("content_sha").agg(
         min(col("doc_id")).as("keep_doc_id"),
         count(lit(1)).as("dup_count"))
       .orderBy("keep_doc_id")
+  }
 
   // -------------------------------------------------------------- minhash
 

@@ -89,23 +89,35 @@ case class AsOfJoinExec(
       var candRow: InternalRow = null
       lIter.map { lRow =>
         val lKey = lKeyProj(lRow)
-        val lTime = lTimeProj(lRow).getLong(0)
-        // drop candidate from a previous key group
-        if (candRow != null && keyOrd.compare(candKey, lKey) != 0) { candRow = null }
-        // advance right side up to (lKey, lTime)
-        var advancing = true
-        while (advancing && rBuf.hasNext) {
-          val cmp = keyOrd.compare(rKeyProj(rBuf.head), lKey)
-          if (cmp < 0) { rBuf.next() } // behind our key: skip
-          else if (cmp == 0 && rTimeProj(rBuf.head).getLong(0) <= lTime) {
-            val r = rBuf.next()
-            candKey = lKey.copy(); candTime = rTimeProj(r).getLong(0)
-            candRow = r.copy()
-          } else { advancing = false }
+        val lTimeRow = lTimeProj(lRow)
+        // SQL semantics: NULL keys/times never match (null-extend) —
+        // without the guard the natural ordering treats NULL == NULL
+        if (lKey.anyNull || lTimeRow.isNullAt(0)) {
+          outProj(joined(lRow, nullRight))
+        } else {
+          val lTime = lTimeRow.getLong(0)
+          // drop candidate from a previous key group
+          if (candRow != null && keyOrd.compare(candKey, lKey) != 0) { candRow = null }
+          // advance right side up to (lKey, lTime); null right keys/times
+          // sort first (ascending nulls-first) and are skipped
+          var advancing = true
+          while (advancing && rBuf.hasNext) {
+            val rKey = rKeyProj(rBuf.head)
+            if (rKey.anyNull || rTimeProj(rBuf.head).isNullAt(0)) { rBuf.next() }
+            else {
+              val cmp = keyOrd.compare(rKey, lKey)
+              if (cmp < 0) { rBuf.next() } // behind our key: skip
+              else if (cmp == 0 && rTimeProj(rBuf.head).getLong(0) <= lTime) {
+                val r = rBuf.next()
+                candKey = lKey.copy(); candTime = rTimeProj(r).getLong(0)
+                candRow = r.copy()
+              } else { advancing = false }
+            }
+          }
+          val ok = candRow != null && keyOrd.compare(candKey, lKey) == 0 &&
+            tol.forall(t => lTime - candTime <= t)
+          outProj(joined(lRow, if (ok) candRow else nullRight))
         }
-        val ok = candRow != null && keyOrd.compare(candKey, lKey) == 0 &&
-          tol.forall(t => lTime - candTime <= t)
-        outProj(joined(lRow, if (ok) candRow else nullRight))
       }
     }
   }

@@ -19,26 +19,17 @@ import org.apache.spark.sql.Row
   */
 object StreamingBackfill {
 
-  /** events schema as stored (ts = TIMESTAMP(NANOS) read as long —
-    * see [[graft.Tables]]). */
-  private val eventsRawSchema = StructType(Seq(
-    StructField("event_id", LongType),
-    StructField("ts", LongType),
-    StructField("user_id", LongType),
-    StructField("event_type", StringType),
-    StructField("value", DoubleType),
-    StructField("props", StringType)))
-
   /** File-source stream over the events table (one file per trigger =
-    * replay). ns→µs conversion matches the batch loader. */
+    * replay). Schema and ns→µs conversion shared with the batch loader
+    * ([[graft.Tables]]) so the paths can't diverge. */
   def eventsStream(spark: SparkSession, dir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    spark.readStream
-      .schema(eventsRawSchema)
-      .option("pathGlobFilter", "events.parquet")
-      .option("maxFilesPerTrigger", "1")
-      .parquet(dir)
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    graft.Tables.eventsNanosToTs(
+      spark.readStream
+        .schema(graft.Tables.eventsRawSchema)
+        .option("pathGlobFilter", "events.parquet")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(dir))
   }
 
   /** Watermarked tumbling-window counts per event type — the streaming

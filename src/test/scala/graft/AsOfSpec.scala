@@ -89,6 +89,23 @@ class AsOfSpec extends AnyFunSuite {
     }
   }
 
+  test("null keys and null times never match (SQL semantics)") {
+    import spark.implicits._
+    val l = Seq((Some(1L), Some(100L)), (None, Some(100L)), (Some(1L), None))
+      .toDF("k", "t")
+    val r = Seq((Some(1L), Some(90L), "a"), (None, Some(1L), "n"),
+      (Some(1L), None, "tnull")).toDF("k", "rt", "tag")
+    val out = AsOf.join(spark, l, r, l("k"), r("k"), l("t"), r("rt"))
+      .select(l("k"), l("t"), col("tag")).collect()
+      .map(x => (if (x.isNullAt(0)) -1L else x.getLong(0),
+        if (x.isNullAt(1)) -1L else x.getLong(1),
+        x.getString(2))).toSet
+    assert(out == Set(
+      (1L, 100L, "a"),  // normal match; null-time right row skipped
+      (-1L, 100L, null), // null left key → null-extended
+      (1L, -1L, null)))  // null left time → null-extended
+  }
+
   test("non-long time column is rejected up front") {
     val (l, r) = fixture
     val lBad = l.withColumn("t", col("t").cast("double"))
