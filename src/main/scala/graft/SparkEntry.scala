@@ -94,6 +94,8 @@ object SparkEntry {
       graft.pipeline.Backfill.run(s, d, graft.pipeline.Backfill.Config(
         start = Some("1996-01-01"), end = Some("1997-12-31")))
         .orderBy("entity", "key", "value")),
+    "backfill_checksum"  -> ((s: SparkSession, d: String) =>
+      graft.pipeline.Backfill.feedChecksum(graft.pipeline.Backfill.run(s, d))),
   )
 
   def oracleSql: Map[String, String] = Map(

@@ -92,6 +92,20 @@ object Backfill {
   def run(spark: SparkSession, dir: String, cfg: Config = Config()): DataFrame =
     cfg.entities.map(entityFeed(spark, dir, _, cfg)).reduce(_ unionAll _)
 
+  /** Reconciliation checksums: per-entity row count + order-independent
+    * bit_xor of row hashes over the emitted feed. The reference relied
+    * on downstream ClickHouse/OpenSearch recounts for integrity
+    * (SURVEY.md §5); here the feed self-certifies — run the same
+    * aggregate over source and sink and compare (xor is commutative,
+    * so partition order is irrelevant; a single flipped byte flips the
+    * checksum). */
+  def feedChecksum(feed: DataFrame): DataFrame =
+    feed.groupBy("entity").agg(
+      count(lit(1)).as("n_rows"),
+      bit_xor(xxhash64(col("key"), col("tenant"), col("value")))
+        .as("checksum"))
+      .orderBy("entity")
+
   /** Batch Kafka sink for the feed (production path; offline harness
     * writes parquet instead — zero egress). */
   def writeKafka(feed: DataFrame, brokers: String, topic: String): Unit =

@@ -103,6 +103,24 @@ class CoreSpec extends AnyFunSuite {
     assert(s.filter(col("session_end") < col("session_start")).count() == 0)
   }
 
+  test("feed checksum certifies integrity and detects mutation") {
+    import graft.pipeline.Backfill
+    val feed = Backfill.run(spark, sf)
+    val a = Backfill.feedChecksum(feed).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    // identical recomputation → identical checksums (order-independent)
+    val b = Backfill.feedChecksum(Backfill.run(spark, sf).repartition(13))
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(a == b)
+    // a single mutated value flips the entity's checksum
+    val mutated = Backfill.feedChecksum(feed.withColumn("value",
+      when(col("key") === "1", concat(col("value"), lit("x")))
+        .otherwise(col("value")))).collect()
+      .map(r => r.getString(0) -> r.getLong(2)).toMap
+    assert(mutated("orders") != a("orders")._2)
+    assert(mutated("lineitem") != a("lineitem")._2)
+  }
+
   test("backfill pipeline honors merchant list and range") {
     import graft.pipeline.Backfill
     val cfg = Backfill.Config(merchantIds = Some(Seq(1L, 42L)),
