@@ -76,6 +76,7 @@ object SparkEntry {
     // §2.9 E6 multimodal
     "media_features"     -> (Multimodal.mediaFeatures _),
     "media_frame_sample" -> ((s: SparkSession, d: String) => Multimodal.frameSample(s, d)),
+    "audio_features"     -> (Multimodal.audioFeatures _),
     // SQL front door + sketch quantiles
     "sql_backfill_scan"  -> (SqlInterface.sqlBackfillScan _),
     "sql_merchant_revenue" -> (SqlInterface.sqlMerchantRevenue _),
@@ -439,6 +440,16 @@ object SparkEntry {
                 octet_length(encode(text)) % 640 AS width,
                 (octet_length(encode(text)) * 7) % 480 AS height,
                 octet_length(encode(text)) % 16 AS n_frames
+         FROM documents ORDER BY doc_id""",
+    "audio_features" ->
+      """SELECT doc_id,
+                CAST(octet_length(encode(text)) // 2 AS BIGINT) AS n_samples,
+                CAST((octet_length(encode(text)) // 2) * 1000 // 16000 AS BIGINT)
+                  AS duration_ms,
+                CAST(CASE WHEN (octet_length(encode(text)) // 2) * 1000 // 16000 < 25
+                          THEN 0
+                          ELSE ((octet_length(encode(text)) // 2) * 1000 // 16000 - 25)
+                               // 10 + 1 END AS BIGINT) AS n_audio_frames
          FROM documents ORDER BY doc_id""",
     "media_frame_sample" ->
       """SELECT doc_id, CAST(f AS BIGINT) AS frame_idx,

@@ -52,6 +52,39 @@ object Multimodal {
       .orderBy("doc_id")
   }
 
+  /** Audio feature extraction: samples + duration + 25 ms/10 ms-hop
+    * analysis-frame counts. */
+  case class AudioFeatures(doc_id: Long, n_samples: Long, duration_ms: Long,
+      n_audio_frames: Long)
+
+  /** STUB audio decode — payload bytes as 16-bit PCM at 16 kHz (no
+    * audio codecs in this container; swap for a real decoder in
+    * production). All-integer arithmetic so the frame math is
+    * oracle-checkable. */
+  def audioStub(r: MediaRow): AudioFeatures = {
+    val sampleRate = 16000L
+    val nSamples = r.payload.length.toLong / 2
+    val durationMs = nSamples * 1000 / sampleRate
+    // 25 ms analysis windows, 10 ms hop
+    val nFrames = if (durationMs < 25) 0L else (durationMs - 25) / 10 + 1
+    AudioFeatures(r.doc_id, nSamples, durationMs, nFrames)
+  }
+
+  /** Audio-analysis plumbing over the binary payload: the same typed
+    * per-partition batch shape as [[mediaFeatures]], with the windowing
+    * arithmetic a speech pipeline needs (frame counts from sample rate
+    * and hop). */
+  def audioFeatures(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.load(spark, dir, "documents")
+      .select(col("doc_id"), lit("pcm16").as("format"),
+        encode(col("text"), "UTF-8").as("payload"))
+      .as[MediaRow]
+      .mapPartitions(_.map(audioStub))
+      .toDF()
+      .orderBy("doc_id")
+  }
+
   /** Frame-sampling plumbing: explode a deterministic per-item frame
     * index sequence (every `stride`-th frame) — the partition/schema
     * shape of video frame extraction, with stub frame ids. */
