@@ -40,8 +40,11 @@ object Components {
       val nbrMin = sym
         .join(labels.select(col("id").as("src"), col("component").as("c_src")), "src")
         .groupBy(col("dst").as("id")).agg(min("c_src").as("nbr_min"))
-      // carry the changed flag in the same materialization: one cached
-      // pass serves both the next labels and the convergence check
+      // NOTE: pointer-doubling (adopting component-of-component per
+      // round) was measured SLOWER here — near-dup clusters are
+      // star-shaped (diameter ≈ 2), so the extra self-join per round
+      // costs more than the rounds it saves; it only pays on long
+      // chains. Keep the simple neighbor-min propagation.
       val next = labels.join(nbrMin, Seq("id"), "left")
         .select(col("id"),
           least(col("component"), coalesce(col("nbr_min"), col("component")))
