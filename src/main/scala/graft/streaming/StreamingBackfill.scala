@@ -139,6 +139,16 @@ object StreamingBackfill {
     spark.table(name)
   }
 
+  /** Stream-static enrichment: the event stream broadcast-joins the
+    * static key-store/dimension table — per-microbatch hash join, no
+    * streaming state at all (the streaming twin of the batch J1
+    * key-store join). */
+  def enrichWithDim(events: DataFrame, dim: DataFrame): DataFrame =
+    events.join(org.apache.spark.sql.functions.broadcast(dim),
+        events("user_id") === dim("c_custkey"), "left")
+      .select(events("event_id"), events("user_id"), events("event_type"),
+        dim("c_name"), dim("c_mktsegment"))
+
   /** foreachBatch sink with idempotent per-batch output: each microbatch
     * writes to a batch-id-suffixed directory, so replays after failure
     * overwrite rather than duplicate — the exactly-once file-sink

@@ -41,6 +41,20 @@ class StreamingSpec extends AnyFunSuite {
       .count() == 0)
   }
 
+  test("stream-static join enriches events with the dimension table") {
+    import org.apache.spark.sql.functions._
+    val out = StreamingBackfill.runToMemory(spark,
+      StreamingBackfill.enrichWithDim(
+        StreamingBackfill.eventsStream(spark, sf),
+        Tables.load(spark, sf, "customer")), "enrich_out", "append")
+    assert(out.count() == Tables.load(spark, sf, "events").count())
+    // users that exist as customers must carry a name
+    val custKeys = Tables.load(spark, sf, "customer")
+      .select("c_custkey").collect().map(_.getLong(0)).toSet
+    assert(out.filter(col("user_id").isin(custKeys.toSeq.map(_.asInstanceOf[Any]): _*)
+      && col("c_name").isNull).count() == 0)
+  }
+
   test("foreachBatch parquet sink writes idempotent per-batch dirs") {
     val out = java.nio.file.Files.createTempDirectory("fb").toString
     StreamingBackfill.runForeachBatchParquet(spark,
