@@ -100,7 +100,7 @@ object Relational {
   def paginationWindow(spark: SparkSession, dir: String): DataFrame = {
     val w = Window.orderBy("o_orderkey")
     Tables.load(spark, dir, "orders")
-      .withColumn("rn", row_number().over(w))
+      .withColumn("rn", row_number().over(w).cast("long"))
       .filter(col("rn").between(201, 300))
       .select("rn", "o_orderkey", "o_custkey", "o_orderstatus")
   }
@@ -142,7 +142,7 @@ object Relational {
     val w = Window.partitionBy("o_custkey")
       .orderBy(col("o_totalprice").desc, col("o_orderkey"))
     Tables.load(spark, dir, "orders")
-      .withColumn("rk", row_number().over(w))
+      .withColumn("rk", row_number().over(w).cast("long"))
       .filter(col("rk") <= 3)
       .select("o_custkey", "rk", "o_orderkey", "o_totalprice")
       .orderBy("o_custkey", "rk")

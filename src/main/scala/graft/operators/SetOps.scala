@@ -46,9 +46,9 @@ object SetOps {
       .select(col("user_id"), col("event_id"), col("value"),
         lag(col("event_type"), 1).over(w).as("prev_type"),
         lead(col("event_type"), 1).over(w).as("next_type"),
-        rank().over(wv).as("value_rank"),
-        dense_rank().over(wv).as("value_dense_rank"),
-        ntile(4).over(wv).as("value_quartile"))
+        rank().over(wv).cast("long").as("value_rank"),
+        dense_rank().over(wv).cast("long").as("value_dense_rank"),
+        ntile(4).over(wv).cast("long").as("value_quartile"))
       .orderBy("user_id", "event_id")
   }
 

@@ -78,7 +78,7 @@ object Similarity {
       .filter(col("vec_id") =!= col("q_id"))
       .select(col("q_id"), col("vec_id"),
         (V.dot(col("q_v"), col("v")) / (col("q_nrm") * col("nrm"))).as("cos"))
-      .withColumn("rk", row_number().over(w))
+      .withColumn("rk", row_number().over(w).cast("long"))
       .filter(col("rk") <= k)
       .select(col("q_id"), col("rk"), col("vec_id"), round(col("cos"), 6).as("cos"))
       .orderBy("q_id", "rk")
@@ -132,7 +132,7 @@ object Similarity {
       .filter(col("vec_id") =!= col("q_id"))
       .select(col("q_id"), col("vec_id"),
         (V.dot(col("q_v"), col("v")) / (col("q_nrm") * col("nrm"))).as("cos"))
-      .withColumn("rk", row_number().over(w))
+      .withColumn("rk", row_number().over(w).cast("long"))
       .filter(col("rk") <= k)
       .select(col("q_id"), col("rk"), col("vec_id"), round(col("cos"), 6).as("cos"))
       .orderBy("q_id", "rk")

@@ -68,7 +68,7 @@ object TextAnalysis {
       .crossJoin(broadcast(total))
       .withColumn("tfidf", round(col("tf") *
         log((col("n") + 1.0) / (col("df") + 1.0)), 6))
-      .withColumn("rk", row_number().over(w))
+      .withColumn("rk", row_number().over(w).cast("long"))
       .filter(col("rk") <= k)
       .select("doc_id", "rk", "term", "tfidf")
       .orderBy("doc_id", "rk")

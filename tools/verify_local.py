@@ -50,16 +50,24 @@ def main():
         if not os.path.isdir(pdir):
             print(f"FAIL {name}: no spark output"); n_fail += 1; continue
         try:
-            got = con.execute(f"SELECT * FROM '{pdir}/*.parquet'")
-            got_cols = [d[0] for d in got.description]
-            got_rows = got.fetchall()
-            exp = con.execute(sql)
-            exp_cols = [d[0] for d in exp.description]
-            exp_rows = exp.fetchall()
+            gotrel = con.sql(f"SELECT * FROM '{pdir}/*.parquet'")
+            got_cols, got_types = gotrel.columns, [str(t) for t in gotrel.types]
+            got_rows = gotrel.fetchall()
+            exprel = con.sql(sql)
+            exp_cols, exp_types = exprel.columns, [str(t) for t in exprel.types]
+            exp_rows = exprel.fetchall()
         except Exception as e:
             print(f"FAIL {name}: {e}"); n_fail += 1; continue
         if sorted(got_cols) != sorted(exp_cols):
             print(f"FAIL {name}: cols {sorted(got_cols)} vs {sorted(exp_cols)}")
+            n_fail += 1; continue
+        # Type parity: the driver's hasher is type-sensitive (HUGEINT vs
+        # BIGINT broke events_sessionize in round 1 despite value equality).
+        gt = dict(zip(got_cols, got_types))
+        et = dict(zip(exp_cols, exp_types))
+        tdiff = [(c, gt[c], et[c]) for c in got_cols if gt[c] != et[c]]
+        if tdiff:
+            print(f"FAIL {name}: type mismatch {tdiff}")
             n_fail += 1; continue
         g, e = canon(got_rows, got_cols), canon(exp_rows, exp_cols)
         if g == e:
