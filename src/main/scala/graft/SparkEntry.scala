@@ -99,6 +99,150 @@ object SparkEntry {
       graft.pipeline.Backfill.feedChecksum(graft.pipeline.Backfill.run(s, d))),
   )
 
+  // ================== oracle-SQL generators (cross-engine hash family) ==
+  // The minhash/simhash/LSH/cluster operators hash with
+  // Dedup.hash60 = int(md5[0:15 hex]) — computable bit-identically in
+  // DuckDB as ('0x'||substr(md5(s),1,15))::BIGINT — so the entire
+  // near-dup family is hash-checked end to end, not rows-only.
+
+  /** DuckDB twin of [[graft.operators.Dedup.hash60]]. */
+  private def dH60(e: String): String =
+    s"(('0x'||substr(md5($e),1,15))::BIGINT)"
+
+  private val dToks =
+    """list_filter(string_split_regex(lower(text), '\s+'), t -> len(t) > 0)"""
+
+  private val dShingles =
+    """CASE WHEN len(ts) < 3 THEN []
+            ELSE [ts[i]||' '||ts[i+1]||' '||ts[i+2]
+                  for i in range(1, len(ts)-1)] END"""
+
+  /** CTE chain ending in per-doc minhash mins m<i> for i in `perms`. */
+  private def minhashCtes(perms: Seq[Int]): String = {
+    val mins = perms.map { i =>
+      s"list_min(list_transform(hs, h -> (${Dedup.permA(i)}*h + ${Dedup.permB(i)}) % 2147483647)) AS m$i"
+    }.mkString(",\n           ")
+    s"""toks AS (SELECT doc_id, $dToks AS ts FROM documents),
+         shing AS (SELECT doc_id, $dShingles AS shingles FROM toks),
+         hs0 AS (SELECT doc_id, shingles,
+                   list_transform(shingles, s -> ${dH60("s")} % 2147483647) AS hs
+                 FROM shing WHERE len(shingles) > 0),
+         sig AS (SELECT doc_id, shingles,
+           $mins
+         FROM hs0)"""
+  }
+
+  /** 16 band keys per doc (parallel unnest zips the two lists). */
+  private val dBandsCte: String = {
+    val ids = (0 until Dedup.MinhashBands).mkString(", ")
+    val keys = (0 until Dedup.MinhashBands).map { b =>
+      (0 until 4).map(r => s"m${b * 4 + r}").mkString("||':'||")
+    }.mkString(",\n             ")
+    s"""bands AS (SELECT doc_id, unnest([$ids]) AS band_id,
+           unnest([$keys]) AS band_key FROM sig)"""
+  }
+
+  /** LSH candidate pairs + exact-Jaccard verification (minhash_pairs
+    * semantics: skew-capped buckets, threshold 0.5). */
+  private val dMinhashPairsCtes: String =
+    s"""${minhashCtes(0 until 64)},
+         $dBandsCte,
+         big AS (SELECT band_id, band_key FROM bands
+                 GROUP BY 1, 2 HAVING count(*) > 200),
+         bf AS (SELECT bands.* FROM bands ANTI JOIN big USING (band_id, band_key)),
+         grams AS (SELECT doc_id, list_distinct(shingles) AS g FROM hs0),
+         cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+                  FROM bf a JOIN bf b USING (band_id, band_key)
+                  WHERE a.doc_id < b.doc_id),
+         jac AS (SELECT doc_a, doc_b,
+                   CAST(len(list_intersect(ga.g, gb.g)) AS DOUBLE) /
+                     len(list_distinct(list_concat(ga.g, gb.g))) AS jaccard
+                 FROM cand JOIN grams ga ON ga.doc_id = cand.doc_a
+                           JOIN grams gb ON gb.doc_id = cand.doc_b),
+         mh_pairs AS (SELECT doc_a, doc_b, jaccard FROM jac
+                      WHERE jaccard >= 0.5)"""
+
+  /** Per-doc 60-bit simhash (nested bit-vote comprehension). */
+  private val dSimhashCtes: String =
+    s"""simtoks AS (SELECT doc_id, $dToks AS ts FROM documents),
+         simhs AS (SELECT doc_id, list_transform(ts, t -> ${dH60("t")}) AS hs
+                   FROM simtoks WHERE len(ts) > 0),
+         simsig AS (SELECT doc_id,
+             CAST(list_sum([CASE WHEN list_sum([CASE WHEN ((h >> i) & 1) = 1
+                 THEN 1 ELSE -1 END for h in hs]) > 0
+               THEN (1::BIGINT << i) ELSE 0 END
+               for i in range(0, ${Dedup.SimhashBits})]) AS BIGINT) AS simhash
+           FROM simhs)"""
+
+  /** md5-derived hyperplanes + per-vector 16-bit LSH bucket (twin of
+    * Dedup.withHyperplaneBucket/planeComponent). */
+  private val dEmbBucketCtes: String =
+    s"""planes AS (SELECT p,
+             [(${dH60("'plane:'||p||':'||d")} % ${Dedup.PlaneMod}) /
+                ${Dedup.PlaneMod}.0 * 2.0 - 1.0 for d in range(0, 64)] AS pv
+           FROM range(0, 16) t(p)),
+         emb0 AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+         bkt AS (SELECT emb0.vec_id,
+             CAST(SUM(CASE WHEN list_dot_product(emb0.v, planes.pv) >= 0
+               THEN (1::BIGINT << (15 - planes.p)) ELSE 0 END) AS BIGINT) AS bucket
+           FROM emb0 CROSS JOIN planes GROUP BY emb0.vec_id)"""
+
+  /** Argmax language CASE with the Spark fold's tie order (de,en,es,fr,zh). */
+  private val dLangIdSql: String = {
+    val langs = graft.functions.TextFunctions.stopwords.keys.toSeq.sorted
+    val scores = langs.map { l =>
+      val sw = graft.functions.TextFunctions.stopwords(l)
+        .map(w => s"'$w'").mkString(", ")
+      s"""CASE WHEN len(ts) = 0 THEN 0.0
+              ELSE CAST(len(list_filter(ts, t -> list_contains([$sw], t))) AS DOUBLE)
+                   / len(ts) END AS s_$l"""
+    }.mkString(",\n           ")
+    val all = (langs :+ "zh").map(l => s"s_$l").mkString(", ")
+    val cases = (langs :+ "zh")
+      .map(l => s"WHEN s_$l = greatest($all) THEN '$l'").mkString("\n              ")
+    s"""WITH toks AS (SELECT doc_id, lang AS labeled_lang, text, $dToks AS ts
+                      FROM documents),
+         sc AS (SELECT doc_id, labeled_lang,
+           $scores,
+           CASE WHEN len(text) = 0 THEN 0.0
+                ELSE CAST(len(regexp_extract_all(text, '[\\x{4e00}-\\x{9fff}]')) AS DOUBLE)
+                     / len(text) END AS s_zh
+         FROM toks)
+       SELECT doc_id, labeled_lang,
+              CASE WHEN greatest($all) < 0.05 THEN 'und'
+              $cases
+              ELSE 'und' END AS pred_lang
+       FROM sc ORDER BY doc_id"""
+  }
+
+  /** The consolidated feed (no date filter) + per-entity checksum. */
+  private val dChecksumSql: String = {
+    val canon = "len(key)||':'||key||'|'||len(tenant)||':'||tenant||'|'||" +
+      "len(value)||':'||value||'|'"
+    s"""WITH feed AS (
+           SELECT 'orders' AS entity, CAST(o_orderkey AS VARCHAR) AS key,
+                  'public' AS tenant,
+                  '{"o_orderkey":' || o_orderkey ||
+                  ',"o_custkey":' || o_custkey ||
+                  ',"o_orderstatus":"' || o_orderstatus ||
+                  '","o_totalprice":"' || printf('%.2f', o_totalprice) ||
+                  '","o_orderdate":"' || strftime(o_orderdate, '%Y-%m-%d %H:%M:%S') ||
+                  '","o_orderpriority":"' || o_orderpriority || '"}' AS value
+           FROM orders
+           UNION ALL
+           SELECT 'lineitem', CAST(l_orderkey AS VARCHAR), 'public',
+                  '{"l_orderkey":' || l_orderkey ||
+                  ',"l_linenumber":' || l_linenumber ||
+                  ',"l_quantity":"' || printf('%.2f', l_quantity) ||
+                  '","l_returnflag":"' || l_returnflag ||
+                  '","l_linestatus":"' || l_linestatus ||
+                  '","l_shipdate":"' || strftime(l_shipdate, '%Y-%m-%d %H:%M:%S') || '"}'
+           FROM lineitem)
+       SELECT entity, count(*) AS n_rows,
+              bit_xor(${dH60(s"($canon)")}) AS checksum
+       FROM feed GROUP BY entity ORDER BY entity"""
+  }
+
   def oracleSql: Map[String, String] = Map(
     "backfill_scan" ->
       """SELECT * FROM orders
@@ -340,11 +484,14 @@ object SparkEntry {
            FROM documents)
          GROUP BY token ORDER BY freq DESC, token LIMIT 50""",
     "text_fingerprint" ->
-      """SELECT doc_id,
-                md5(array_to_string(list_sort(list_distinct(
-                  list_filter(string_split_regex(lower(text), '\s+'),
-                    t -> len(t) > 0))), ' ')) AS fp
-         FROM documents ORDER BY doc_id""",
+      s"""WITH toks AS (SELECT doc_id, $dToks AS ts FROM documents)
+         SELECT doc_id,
+                md5(array_to_string(list_sort(list_distinct(ts)), ' ')) AS fp,
+                list_reduce(
+                  list_prepend(0::BIGINT,
+                    list_transform(ts, t -> ${dH60("t")} % 1000000007)),
+                  (acc, h) -> (acc * 31 + h) % 1000000007) AS rhash
+         FROM toks ORDER BY doc_id""",
     "int8_quantize" ->
       """WITH e AS (
            SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
@@ -559,5 +706,73 @@ object SparkEntry {
            FROM lineitem
            WHERE l_shipdate BETWEEN TIMESTAMP '1996-01-01' AND TIMESTAMP '1997-12-31')
          ORDER BY entity, key, value""",
+    "backfill_checksum" -> dChecksumSql,
+    "approx_distinct" ->
+      """SELECT count(DISTINCT l_orderkey) AS exact_orders,
+                true AS approx_ok
+         FROM lineitem""",
+    "approx_quantiles" ->
+      """SELECT round(quantile_cont(l_extendedprice, 0.5), 4) AS exact_p50,
+                round(quantile_cont(l_extendedprice, 0.99), 4) AS exact_p99,
+                true AS approx_p50_ok, true AS approx_p99_ok
+         FROM lineitem""",
+    "text_langid" -> dLangIdSql,
+    "minhash_signatures" ->
+      s"""WITH ${minhashCtes(Seq(0, 1, 62, 63))}
+         SELECT doc_id, m0 AS sig0, m1 AS sig1, m62 AS sig62, m63 AS sig63
+         FROM sig ORDER BY doc_id""",
+    "minhash_buckets" ->
+      s"""WITH ${minhashCtes(0 until 64)},
+         $dBandsCte
+         SELECT band_id, band_key, count(*) AS bucket_size
+         FROM bands GROUP BY 1, 2 HAVING count(*) > 1
+         ORDER BY band_id, band_key""",
+    "minhash_pairs" ->
+      s"""WITH $dMinhashPairsCtes
+         SELECT doc_a, doc_b, jaccard FROM mh_pairs ORDER BY doc_a, doc_b""",
+    "dedup_clusters" ->
+      s"""WITH RECURSIVE $dMinhashPairsCtes,
+         edges AS (SELECT doc_a AS s, doc_b AS d FROM mh_pairs
+                   UNION SELECT doc_b, doc_a FROM mh_pairs),
+         reach AS (SELECT s, d FROM edges
+                   UNION SELECT r.s, e.d FROM reach r JOIN edges e ON r.d = e.s)
+         SELECT s AS doc_id, least(s, min(d)) AS cluster_id,
+                s = least(s, min(d)) AS is_keeper
+         FROM reach GROUP BY s ORDER BY cluster_id, doc_id""",
+    "simhash" ->
+      s"""WITH $dSimhashCtes
+         SELECT doc_id, simhash FROM simsig ORDER BY doc_id""",
+    "simhash_pairs" ->
+      s"""WITH $dSimhashCtes,
+         chunks AS (SELECT doc_id, simhash,
+             unnest([0, 1, 2, 3]) AS chunk_id,
+             unnest([(simhash >> 0) & 32767, (simhash >> 15) & 32767,
+                     (simhash >> 30) & 32767, (simhash >> 45) & 32767])
+               AS chunk_val
+           FROM simsig),
+         sbig AS (SELECT chunk_id, chunk_val FROM chunks
+                  GROUP BY 1, 2 HAVING count(*) > 200),
+         cf AS (SELECT chunks.* FROM chunks
+                ANTI JOIN sbig USING (chunk_id, chunk_val)),
+         spairs AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+             CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT) AS hamming
+           FROM cf a JOIN cf b USING (chunk_id, chunk_val)
+           WHERE a.doc_id < b.doc_id)
+         SELECT doc_a, doc_b, hamming FROM spairs
+         WHERE hamming <= 3 ORDER BY doc_a, doc_b""",
+    "embedding_buckets" ->
+      s"""WITH $dEmbBucketCtes
+         SELECT vec_id, bucket FROM bkt ORDER BY vec_id""",
+    "embedding_neardup" ->
+      s"""WITH $dEmbBucketCtes,
+         nrm AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm
+                 FROM emb0),
+         nd AS (SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+             round(list_dot_product(na.v, nb.v) / (na.nrm * nb.nrm), 6) AS cos
+           FROM bkt a JOIN bkt b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+           JOIN nrm na ON na.vec_id = a.vec_id
+           JOIN nrm nb ON nb.vec_id = b.vec_id)
+         SELECT vec_a, vec_b, cos FROM nd
+         WHERE cos >= 0.95 ORDER BY vec_a, vec_b""",
   )
 }

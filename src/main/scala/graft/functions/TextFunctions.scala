@@ -43,7 +43,9 @@ object TextFunctions {
   def bpeishTokenCount(text: Column): Column =
     size(regexp_extract_all(text, lit("[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]"), lit(0)))
 
-  private val stopwords: Map[String, Seq[String]] = Map(
+  /** Per-language stopword lists (public: the oracle-SQL generator in
+    * [[graft.SparkEntry]] re-emits them verbatim). */
+  val stopwords: Map[String, Seq[String]] = Map(
     "en" -> Seq("the", "a", "and", "of", "to", "in", "is", "that", "it", "for"),
     "de" -> Seq("der", "die", "das", "und", "ist", "von", "zu", "mit", "den", "ein"),
     "fr" -> Seq("le", "la", "les", "et", "de", "un", "une", "est", "que", "pour"),
@@ -107,9 +109,14 @@ object TextFunctions {
     md5(concat_ws(" ", array_sort(array_distinct(tokens(text)))))
 
   /** Rabin-Karp-style rolling hash over the token stream (order-
-    * sensitive, mod 1e9+7 to stay clear of ANSI overflow). */
+    * sensitive, mod 1e9+7 to stay clear of ANSI overflow). Per-token
+    * hash is the cross-engine [[graft.operators.Dedup.hash60]] md5
+    * prefix, so the DuckDB oracle can fold the identical chain with
+    * `list_reduce`. */
   def rollingHash(text: Column): Column =
     aggregate(tokens(text), lit(0L),
-      (acc, t) => pmod(acc * 31 + pmod(xxhash64(t), lit(1000000007L)),
+      (acc, t) => pmod(acc * 31 +
+        pmod(conv(substring(md5(t), 1, 15), 16, 10).cast("long"),
+          lit(1000000007L)),
         lit(1000000007L)))
 }

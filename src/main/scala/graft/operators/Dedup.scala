@@ -64,13 +64,26 @@ object Dedup {
   private val BandRows = MinhashPerms / MinhashBands
   private val P = 2147483647L // 2^31 - 1, prime
 
+  /** Cross-engine 60-bit base hash: the first 15 hex chars of md5,
+    * parsed as an integer. Chosen over xxhash64 because every engine in
+    * the stack (and the DuckDB oracle) computes the identical value —
+    * `('0x' || substr(md5(s), 1, 15))::BIGINT` on the oracle side. 15 hex
+    * chars = 60 bits, safely inside BIGINT on both engines. All of md5 /
+    * substring / conv are codegen'd Catalyst expressions. */
+  def hash60(c: Column): Column =
+    conv(substring(md5(c), 1, 15), 16, 10).cast("long")
+
   /** Universal-hash permutation family over a 31-bit base hash:
     * h_i(x) = (a_i·x + b_i) mod P. a·x ≤ 2^62 — no ANSI overflow. */
   private def permApply(i: Int, h: Column): Column = {
-    val a = ((i.toLong * 2654435761L) % (P - 1)) + 1
-    val b = (i.toLong * 1013904223L) % P
+    val a = permA(i)
+    val b = permB(i)
     pmod(h * lit(a) + lit(b), lit(P))
   }
+
+  /** Permutation constants, exposed for the oracle-SQL generator. */
+  def permA(i: Int): Long = ((i.toLong * 2654435761L) % (P - 1)) + 1
+  def permB(i: Int): Long = (i.toLong * 1013904223L) % P
 
   /** Signature table (doc_id, m0..m63): explode shingles once, hash each
     * once, then 64 min-aggregates in a single codegen'd hash aggregate.
@@ -79,23 +92,26 @@ object Dedup {
   def minhashSigTable(spark: SparkSession, dir: String): DataFrame = {
     val sh = Tables.load(spark, dir, "documents")
       .select(col("doc_id"), explode(T.wordShingles(col("text"), 3)).as("s"))
-      .withColumn("h", pmod(xxhash64(col("s")), lit(P)))
+      .withColumn("h", pmod(hash60(col("s")), lit(P)))
     val mins = (0 until MinhashPerms).map(i => min(permApply(i, col("h"))).as(s"m$i"))
     sh.groupBy("doc_id").agg(mins.head, mins.tail: _*)
   }
 
-  /** (doc_id, band_id, band_hash): band the 64 mins into 16 hashes.
-    * Inputs are materialized aggregate columns — the explode is cheap. */
+  /** (doc_id, band_id, band_key): band the 64 mins into 16 keys. The key
+    * is the ':'-joined min tuple (cross-engine deterministic, unlike
+    * Murmur3); at cluster scale re-hash it to a long right before the
+    * shuffle (`xxhash64(band_key)`) to cut shuffle width — the grouping
+    * is identical because the concat is injective on the tuple. */
   def minhashBandTable(spark: SparkSession, dir: String): DataFrame = {
     val sig = minhashSigTable(spark, dir)
     val bands = (0 until MinhashBands).map { b =>
       struct(lit(b).as("band_id"),
-        hash((0 until BandRows).map(r => col(s"m${b * BandRows + r}")): _*)
-          .as("band_hash"))
+        concat_ws(":", (0 until BandRows).map(r => col(s"m${b * BandRows + r}")): _*)
+          .as("band_key"))
     }
     sig.select(col("doc_id"), explode(array(bands: _*)).as("bk"))
       .select(col("doc_id"), col("bk.band_id").as("band_id"),
-        col("bk.band_hash").as("band_hash"))
+        col("bk.band_key").as("band_key"))
   }
 
   /** E2 per-doc signature sample (deterministic face of the MinHash
@@ -110,14 +126,14 @@ object Dedup {
     * thing to salt at 100 TB). */
   def minhashBuckets(spark: SparkSession, dir: String): DataFrame =
     minhashBandTable(spark, dir)
-      .groupBy("band_id", "band_hash")
+      .groupBy("band_id", "band_key")
       .agg(count(lit(1)).as("bucket_size"))
       .filter(col("bucket_size") > 1)
-      .orderBy("band_id", "band_hash")
+      .orderBy("band_id", "band_key")
 
   /** E2: MinHash/LSH near-dup pairs, exact-Jaccard-verified.
     *
-    * band self-join (shuffle on (band_id, band_hash)) → distinct
+    * band self-join (shuffle on (band_id, band_key)) → distinct
     * candidate pairs → join back shingle sets → exact Jaccard ≥
     * `threshold`. Cost: O(n·bands) + Σ bucket². */
   def minhashPairs(spark: SparkSession, dir: String,
@@ -129,13 +145,13 @@ object Dedup {
     // skew cap: drop degenerate mega-buckets (boilerplate clusters) —
     // they would contribute O(bucket²) candidate pairs; the dropped-key
     // set is tiny, so a broadcast anti-join prunes them without a shuffle
-    val big = allBanded.groupBy("band_id", "band_hash")
+    val big = allBanded.groupBy("band_id", "band_key")
       .agg(count(lit(1)).as("bs")).filter(col("bs") > maxBucket)
-      .select("band_id", "band_hash")
+      .select("band_id", "band_key")
     val banded = allBanded.join(broadcast(big),
-      Seq("band_id", "band_hash"), "left_anti")
+      Seq("band_id", "band_key"), "left_anti")
     val pairs = banded.as("a")
-      .join(banded.as("b"), Seq("band_id", "band_hash"))
+      .join(banded.as("b"), Seq("band_id", "band_key"))
       .filter(col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
       .distinct()
@@ -154,18 +170,23 @@ object Dedup {
 
   // -------------------------------------------------------------- simhash
 
-  /** E2b: 64-bit SimHash per document. Tokens explode once; each bit is
-    * a signed vote summed in a single hash aggregate (64 conditional
+  /** SimHash width: 60 bits — the full width of [[hash60]] (the md5
+    * prefix), so the oracle reproduces every bit. */
+  val SimhashBits = 60
+  private val ChunkBits = SimhashBits / 4 // pigeonhole: 4 chunks of 15
+
+  /** E2b: 60-bit SimHash per document. Tokens explode once; each bit is
+    * a signed vote summed in a single hash aggregate (60 conditional
     * sums, codegen'd); bits pack back into one long. */
   def simhash(spark: SparkSession, dir: String): DataFrame = {
     val toks = Tables.load(spark, dir, "documents")
       .select(col("doc_id"), explode(T.tokens(col("text"))).as("tok"))
-      .withColumn("h", xxhash64(col("tok")))
-    val votes = (0 until 64).map { i =>
+      .withColumn("h", hash60(col("tok")))
+    val votes = (0 until SimhashBits).map { i =>
       sum(when(col("h").bitwiseAND(lit(1L << i)) =!= 0, 1).otherwise(-1))
         .as(s"b$i")
     }
-    val packed = (0 until 64).map { i =>
+    val packed = (0 until SimhashBits).map { i =>
       when(col(s"b$i") > 0, lit(1L << i)).otherwise(lit(0L))
     }.reduce(_ + _)
     toks.groupBy("doc_id").agg(votes.head, votes.tail: _*)
@@ -173,20 +194,20 @@ object Dedup {
       .orderBy("doc_id")
   }
 
-  /** Near-dup pairs by SimHash: band the 64 bits into 4×16-bit chunks
+  /** Near-dup pairs by SimHash: band the 60 bits into 4×15-bit chunks
     * (pigeonhole: hamming ≤ 3 ⇒ some chunk equal), join per chunk,
     * verify exact hamming distance via bit_count(xor). */
   def simhashPairs(spark: SparkSession, dir: String,
       maxHamming: Int = 3, maxBucket: Int = 200): DataFrame = {
-    // persisted: the 64-vote aggregate feeds both sides of the chunk
+    // persisted: the 60-vote aggregate feeds both sides of the chunk
     // self-join (no cross-branch subtree reuse in Catalyst)
     val sh = simhash(spark, dir)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val allChunked = sh.select(col("doc_id"), col("simhash"),
         explode(array((0 until 4).map { c =>
           struct(lit(c).as("chunk_id"),
-            shiftright(col("simhash"), c * 16).bitwiseAND(lit(0xffffL))
-              .as("chunk_val"))
+            shiftright(col("simhash"), c * ChunkBits)
+              .bitwiseAND(lit((1L << ChunkBits) - 1)).as("chunk_val"))
         }: _*)).as("ck"))
       .select(col("doc_id"), col("simhash"),
         col("ck.chunk_id").as("chunk_id"), col("ck.chunk_val").as("chunk_val"))
@@ -200,7 +221,8 @@ object Dedup {
     chunked.as("a").join(chunked.as("b"), Seq("chunk_id", "chunk_val"))
       .filter(col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
-        bit_count(col("a.simhash").bitwiseXOR(col("b.simhash"))).as("hamming"))
+        bit_count(col("a.simhash").bitwiseXOR(col("b.simhash"))).cast("long")
+          .as("hamming"))
       .distinct()
       .filter(col("hamming") <= maxHamming)
       .orderBy("doc_a", "doc_b")
@@ -228,15 +250,28 @@ object Dedup {
 
   // ------------------------------------------------ embedding near-dup
 
+  /** Plane component (p, d) — md5-derived pseudo-random in [-1, 1), so
+    * the DuckDB oracle regenerates the identical planes in SQL:
+    * `(('0x'||substr(md5('plane:'||p||':'||d),1,15))::BIGINT % M) / M * 2 - 1`.
+    * Integer mod then one double divide+fma — bit-identical IEEE ops on
+    * both engines. */
+  val PlaneMod = 1000003L
+  def planeComponent(p: Int, d: Int): Double = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val hex = md.digest(s"plane:$p:$d".getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString
+    (java.lang.Long.parseLong(hex.take(15), 16) % PlaneMod).toDouble /
+      PlaneMod.toDouble * 2.0 - 1.0
+  }
+
   /** Random-hyperplane LSH bucket per vector: `bits` fixed pseudo-random
-    * plane vectors (seeded driver-side, shipped as array literals — a
-    * few KB) dotted against each row with the codegen'd
+    * plane vectors (md5-derived driver-side, shipped as array literals —
+    * a few KB) dotted against each row with the codegen'd
     * [[graft.functions.DotProduct]]. A pure narrow map — no explode, no
     * shuffle, deterministic (per-row sequential loop). `emb` must have
     * (vec_id, v: array<double>) with `dim`-sized vectors. */
   def withHyperplaneBucket(emb: DataFrame, bits: Int, dim: Int = 64): DataFrame = {
-    val rnd = new scala.util.Random(9001)
-    val planes = Array.fill(bits)(Array.fill(dim)(rnd.nextDouble() * 2 - 1))
+    val planes = Array.tabulate(bits, dim)(planeComponent)
     val bucket = (0 until bits).map { p =>
       when(V.dot(col("v"), typedlit(planes(p).toSeq)) >= 0,
         lit(1L << (bits - 1 - p))).otherwise(lit(0L))

@@ -123,11 +123,12 @@ object TextAnalysis {
   }
 
   /** Document fingerprints: order-invariant md5 fingerprint (detects
-    * "same content, shuffled tokens" duplicates; oracle-checkable). The
-    * order-sensitive rolling hash is xxhash64-based (no DuckDB twin) and
-    * is exercised in TextSpec instead. */
+    * "same content, shuffled tokens" duplicates) plus the order-
+    * SENSITIVE Rabin-Karp rolling hash — both cross-engine (md5-based),
+    * both oracle-checked. */
   def fingerprints(spark: SparkSession, dir: String): DataFrame =
     Tables.load(spark, dir, "documents")
-      .select(col("doc_id"), T.fingerprint(col("text")).as("fp"))
+      .select(col("doc_id"), T.fingerprint(col("text")).as("fp"),
+        T.rollingHash(col("text")).as("rhash"))
       .orderBy("doc_id")
 }

@@ -98,13 +98,17 @@ object Backfill {
     * (SURVEY.md §5); here the feed self-certifies — run the same
     * aggregate over source and sink and compare (xor is commutative,
     * so partition order is irrelevant; a single flipped byte flips the
-    * checksum). */
-  def feedChecksum(feed: DataFrame): DataFrame =
+    * checksum). Row hash = md5-prefix over a length-prefixed concat
+    * (separator-proof), cross-engine so the oracle recomputes it. */
+  def feedChecksum(feed: DataFrame): DataFrame = {
+    val canon = concat(Seq(col("key"), col("tenant"), col("value")).map(c =>
+      concat(length(c).cast("string"), lit(":"), c, lit("|"))): _*)
     feed.groupBy("entity").agg(
       count(lit(1)).as("n_rows"),
-      bit_xor(xxhash64(col("key"), col("tenant"), col("value")))
+      bit_xor(conv(substring(md5(canon), 1, 15), 16, 10).cast("long"))
         .as("checksum"))
       .orderBy("entity")
+  }
 
   /** Batch Kafka sink for the feed (production path; offline harness
     * writes parquet instead — zero egress). */

@@ -13,7 +13,7 @@ class SimilaritySpec extends AnyFunSuite {
     assert(byQ.size == 8)
     byQ.values.foreach { g =>
       assert(g.length == 10)
-      val cs = g.sortBy(_.getAs[Int]("rk")).map(_.getAs[Double]("cos"))
+      val cs = g.sortBy(_.getAs[Long]("rk")).map(_.getAs[Double]("cos"))
       assert(cs.forall(c => c >= -1.0000001 && c <= 1.0000001))
       assert(cs.zip(cs.tail).forall { case (a, b) => a >= b })
     }
