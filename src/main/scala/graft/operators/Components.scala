@@ -4,21 +4,42 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.storage.StorageLevel
 
-/** Connected components over a pair/edge table by iterative min-label
-  * propagation — the step that turns near-dup PAIRS into dedup CLUSTERS
-  * ("keep one doc per component", the actual training-data dedup
-  * output).
+/** Connected components over a pair/edge table — the step that turns
+  * near-dup PAIRS into dedup CLUSTERS ("keep one doc per component",
+  * the actual training-data dedup output).
   *
-  * Each iteration is one join + one aggregate (label = min over self and
-  * neighbors); iterations double the propagation radius is NOT true for
-  * plain propagation — radius grows by 1 per round, so `maxIter` bounds
-  * the handled component diameter (near-dup clusters are shallow; 10
-  * covers diameter-10 chains). Results persist per round to cut lineage;
-  * convergence is detected by a changed-label count and the loop
-  * early-exits. This is the DataFrame form of label propagation — no
-  * driver-side data, only the converged flag crosses to the driver.
+  * Two phases, both executor-side (nothing but the converged flag and
+  * an edge count ever reach the driver):
+  *
+  *  1. '''Partition-local union-find contraction''' (`mapPartitions`):
+  *     each partition runs path-compressing union-find over its slice
+  *     of the edge list and emits its spanning forest as (node →
+  *     partition-local min). The union of per-partition forests has
+  *     exactly the original components (standard spanning-forest
+  *     argument), but at most one edge per distinct node per partition
+  *     — a near-dup edge list (Σ bucket-pair blowup) contracts to the
+  *     node set in one narrow pass. Memory is bounded by
+  *     nodes-per-partition, controlled by the edges-per-partition
+  *     target below, NOT by total graph size — this is what holds at
+  *     100 TB.
+  *  2. '''Min-label propagation''' on the contracted forest: label =
+  *     min over self and neighbors, iterated to fixpoint. The forest
+  *     is star-shaped (every node points at a local min), so rounds ≈
+  *     number of partition boundaries a component spans (1 for the
+  *     harness sizes; bounded by maxIter for adversarial chains).
+  *     Pointer-doubling was measured slower here — near-dup clusters
+  *     are shallow, and the extra self-join per round costs more than
+  *     the rounds it saves.
+  *
+  * Parallelism is right-sized from the measured edge count (one
+  * partition per ~500k edges): label propagation on a 3k-edge harness
+  * graph runs as single-task stages instead of 32-task stages — the
+  * per-round fixed cost, not the data, dominates below millions of
+  * edges. The same code picks hundreds of partitions at cluster scale.
   */
 object Components {
+
+  private val EdgesPerPartition = 500000L
 
   /** `edges`: (src, dst) long pairs, undirected (either orientation).
     * Returns (id, component) where component = min id reachable.
@@ -27,12 +48,50 @@ object Components {
     * materialization); callers that are done with it should
     * `.unpersist()` — the harness mains clear the cache between
     * queries. */
-  def connectedComponents(edges: DataFrame, maxIter: Int = 10): DataFrame = {
-    val sym = edges.select(col("src"), col("dst"))
-      .unionAll(edges.select(col("dst").as("src"), col("src").as("dst")))
+  def connectedComponents(edges: DataFrame, maxIter: Int = 20): DataFrame = {
+    val spark = edges.sparkSession
+    import spark.implicits._
+
+    val e0 = edges.select(col("src").cast("long"), col("dst").cast("long"))
+      .as[(Long, Long)].persist(StorageLevel.MEMORY_AND_DISK)
+    val m = e0.count()
+    val parts = math.max(1L, math.min(
+      spark.sparkContext.defaultParallelism.toLong,
+      m / EdgesPerPartition + 1)).toInt
+
+    // Phase 1: per-partition union-find → spanning forest (node, root).
+    val forest = e0.coalesce(parts).mapPartitions { it =>
+      val parent = scala.collection.mutable.HashMap.empty[Long, Long]
+      def find(x: Long): Long = {
+        var r = x
+        while (parent(r) != r) r = parent(r)
+        var c = x
+        while (parent(c) != r) { val n = parent(c); parent(c) = r; c = n }
+        r
+      }
+      it.foreach { case (s, d) =>
+        parent.getOrElseUpdate(s, s)
+        parent.getOrElseUpdate(d, d)
+        val rs = find(s); val rd = find(d)
+        if (rs != rd) { if (rs < rd) parent(rd) = rs else parent(rs) = rd }
+      }
+      val keys = parent.keys.toArray // snapshot: find() path-compresses
+      keys.iterator.map(k => (k, find(k)))
+    }.toDF("src", "dst").persist(StorageLevel.MEMORY_AND_DISK)
+    e0.unpersist()
+
+    // A single-partition contraction saw every edge, so its forest is
+    // already the exact component map — no propagation to run.
+    if (parts == 1)
+      return forest.select(col("src").as("id"), col("dst").as("component"))
+
+    // Phase 2: min-label propagation over the symmetric forest.
+    val sym = forest
+      .unionAll(forest.select(col("dst").as("src"), col("src").as("dst")))
+      .repartition(parts, col("src"))
       .persist(StorageLevel.MEMORY_AND_DISK)
-    var labels = sym.select(col("src").as("id")).distinct()
-      .withColumn("component", col("id"))
+    var labels = sym.groupBy(col("src").as("id"))
+      .agg(least(col("src"), min(col("dst"))).as("component"))
       .persist(StorageLevel.MEMORY_AND_DISK)
     var iter = 0
     var converged = false
@@ -40,11 +99,6 @@ object Components {
       val nbrMin = sym
         .join(labels.select(col("id").as("src"), col("component").as("c_src")), "src")
         .groupBy(col("dst").as("id")).agg(min("c_src").as("nbr_min"))
-      // NOTE: pointer-doubling (adopting component-of-component per
-      // round) was measured SLOWER here — near-dup clusters are
-      // star-shaped (diameter ≈ 2), so the extra self-join per round
-      // costs more than the rounds it saves; it only pays on long
-      // chains. Keep the simple neighbor-min propagation.
       val next = labels.join(nbrMin, Seq("id"), "left")
         .select(col("id"),
           least(col("component"), coalesce(col("nbr_min"), col("component")))
@@ -57,6 +111,7 @@ object Components {
       iter += 1
     }
     sym.unpersist()
+    forest.unpersist()
     labels
   }
 
