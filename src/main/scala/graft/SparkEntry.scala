@@ -25,6 +25,7 @@ object SparkEntry {
     "count_per_merchant" -> (Relational.countPerMerchant _),
     "keystore_in_list"   -> (Relational.keystoreInList _),
     "backfill_join"      -> (Relational.backfillJoin _),
+    "bloom_join_prune"   -> (Relational.bloomJoinPrune _),
     "semi_join"          -> (Relational.semiJoin _),
     "anti_join"          -> (Relational.antiJoin _),
     "pagination_window"  -> (Relational.paginationWindow _),
@@ -44,6 +45,7 @@ object SparkEntry {
     "rollup_docs"        -> (Aggregates.rollupDocs _),
     "events_window_agg"  -> (Aggregates.eventsWindowAgg _),
     "events_sessionize"  -> (Aggregates.sessionize _),
+    "tdigest_quantiles"  -> (Aggregates.tdigestQuantiles _),
     // §2.9 E1/E2 dedup
     "dedup_exact_key"    -> (Dedup.exactByKey _),
     "dedup_content_hash" -> (Dedup.exactByContentHash _),
@@ -717,6 +719,17 @@ object SparkEntry {
                 true AS approx_p50_ok, true AS approx_p99_ok
          FROM lineitem""",
     "text_langid" -> dLangIdSql,
+    "bloom_join_prune" ->
+      """SELECT o_orderkey, o_custkey, c_name, o_totalprice
+         FROM orders JOIN customer ON o_custkey = c_custkey
+         WHERE c_mktsegment = 'BUILDING' AND c_custkey % 3 = 0
+         ORDER BY o_orderkey""",
+    "tdigest_quantiles" ->
+      """SELECT o_orderstatus,
+                round(quantile_cont(o_totalprice, 0.5), 4) AS exact_p50,
+                round(quantile_cont(o_totalprice, 0.99), 4) AS exact_p99,
+                true AS td_p50_ok, true AS td_p99_ok
+         FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""",
     "minhash_signatures" ->
       s"""WITH ${minhashCtes(Seq(0, 1, 62, 63))}
          SELECT doc_id, m0 AS sig0, m1 AS sig1, m62 AS sig62, m63 AS sig63

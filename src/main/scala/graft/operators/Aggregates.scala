@@ -110,6 +110,29 @@ object Aggregates {
       .orderBy("user_id", "session_id")
   }
 
+  /** Grouped t-digest quantiles ([[graft.functions.TDigest]]) checked
+    * within ±5% of the exact percentile per group — the mergeable
+    * O(compression)-per-group sketch that replaces exact sort-based
+    * percentiles at 100 TB (see the TDigest scaladoc for why its
+    * accuracy concentrates at the tails). Verdict-boolean output keeps
+    * it oracle-checkable despite merge-order wobble. */
+  def tdigestQuantiles(spark: SparkSession, dir: String): DataFrame =
+    Tables.load(spark, dir, "orders")
+      .groupBy("o_orderstatus")
+      .agg(
+        graft.functions.TDigest
+          .t_digest_quantiles(col("o_totalprice"), Seq(0.5, 0.99)).as("td"),
+        expr("percentile(o_totalprice, 0.5)").as("e50"),
+        expr("percentile(o_totalprice, 0.99)").as("e99"))
+      .select(col("o_orderstatus"),
+        round(col("e50"), 4).as("exact_p50"),
+        round(col("e99"), 4).as("exact_p99"),
+        (abs(element_at(col("td"), 1) - col("e50")) / col("e50") <= 0.05)
+          .as("td_p50_ok"),
+        (abs(element_at(col("td"), 2) - col("e99")) / col("e99") <= 0.05)
+          .as("td_p99_ok"))
+      .orderBy("o_orderstatus")
+
   /** Tumbling event-time window aggregation in batch mode (`window()`),
     * the batch twin of the Structured Streaming path (§2.9 E7). */
   def eventsWindowAgg(spark: SparkSession, dir: String): DataFrame =

@@ -72,6 +72,27 @@ object Relational {
       .orderBy("o_orderkey")
   }
 
+  /** J1 with runtime Bloom pruning: when the key-store side is filtered
+    * (a merchant subset) but too large for an `isin` list, its join keys
+    * fold into a few-KB Bloom filter ([[graft.functions.GraftBloom]])
+    * that prunes fact rows BEFORE the join shuffle — at 100 TB the
+    * shuffle then scales with the dim's selectivity, not the fact table.
+    * No false negatives ⇒ result identical to the plain join (the
+    * oracle runs the plain join). */
+  def bloomJoinPrune(spark: SparkSession, dir: String): DataFrame = {
+    import graft.functions.GraftBloom
+    val dim = Tables.load(spark, dir, "customer")
+      .filter(col("c_mktsegment") === "BUILDING" && col("c_custkey") % 3 === 0)
+      .select(col("c_custkey"), col("c_name"))
+    val bloom = GraftBloom.fromColumn(dim, "c_custkey")
+    Tables.load(spark, dir, "orders")
+      .filter(GraftBloom.might_contain(col("o_custkey"), bloom))
+      .join(dim, col("o_custkey") === col("c_custkey"))
+      .select(col("o_orderkey"), col("o_custkey"), col("c_name"),
+        col("o_totalprice"))
+      .orderBy("o_orderkey")
+  }
+
   /** J1 (filter-only form): merchants that have entity rows — left-semi,
     * the semantics of the reference's "skip merchants with 0 rows" count
     * check (`payment_intent.rs:44` progress gate). */

@@ -1,0 +1,80 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.functions.{GraftBloom, TDigest, TDigestQuantiles}
+import graft.operators.Relational
+
+/** Bloom-filter join pruning + t-digest quantile sketch. */
+class SketchSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  val sf = TestSpark.sf
+
+  test("bloom filter: no false negatives, bounded false positives") {
+    val keys = (0L until 5000L).map(_ * 7 + 3)
+    val f = GraftBloom.create(keys, fpp = 0.01)
+    assert(keys.forall(f.mightContain))
+    val negatives = (0L until 20000L).map(_ * 7 + 5) // disjoint residue
+    val fpRate = negatives.count(f.mightContain).toDouble / negatives.size
+    assert(fpRate < 0.05, s"fp rate $fpRate")
+  }
+
+  test("bloom join pruning: identical result to the plain join, rows pruned") {
+    val dim = Tables.load(spark, sf, "customer")
+      .filter(col("c_mktsegment") === "BUILDING" && col("c_custkey") % 3 === 0)
+      .select(col("c_custkey"), col("c_name"))
+    val plain = Tables.load(spark, sf, "orders")
+      .join(dim, col("o_custkey") === col("c_custkey"))
+      .select(col("o_orderkey"), col("o_custkey"), col("c_name"),
+        col("o_totalprice"))
+      .orderBy("o_orderkey")
+    val pruned = Relational.bloomJoinPrune(spark, sf)
+    assert(pruned.collect().toSeq == plain.collect().toSeq)
+    // the probe side actually shrinks before the join
+    val bloom = GraftBloom.fromColumn(dim, "c_custkey")
+    val total = Tables.load(spark, sf, "orders").count()
+    val kept = Tables.load(spark, sf, "orders")
+      .filter(GraftBloom.might_contain(col("o_custkey"), bloom)).count()
+    assert(kept < total / 2, s"bloom kept $kept of $total")
+  }
+
+  test("t-digest: within 1% of exact on uniform, 2.5% on log-normal") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(42)
+    val uniform = Seq.fill(50000)(rnd.nextDouble() * 1000.0)
+    val lognorm = Seq.fill(50000)(math.exp(rnd.nextGaussian() * 1.5 + 3.0))
+    for ((data, tol) <- Seq((uniform, 0.01), (lognorm, 0.025))) {
+      val df = data.toDF("x").repartition(8)
+      val r = df.agg(
+        TDigest.t_digest_quantiles(col("x"), Seq(0.5, 0.9, 0.99)).as("td"),
+        expr("percentile(x, array(0.5, 0.9, 0.99))").as("exact"))
+        .collect().head
+      val td = r.getSeq[Double](0)
+      val exact = r.getSeq[Double](1)
+      td.zip(exact).foreach { case (a, e) =>
+        assert(math.abs(a - e) / e < tol, s"td $a exact $e") }
+    }
+  }
+
+  test("t-digest: merge path (partial aggregation) ~= single-buffer result") {
+    val rnd = new scala.util.Random(7)
+    val data = Array.fill(20000)(rnd.nextDouble() * 100.0)
+    val one = new graft.functions.TDigestBuf(200)
+    data.foreach(one.add)
+    val parts = data.grouped(1000).map { chunk =>
+      val b = new graft.functions.TDigestBuf(200); chunk.foreach(b.add); b
+    }
+    val merged = parts.reduce { (a, b) => a.absorb(b); a }
+    for (q <- Seq(0.1, 0.5, 0.9, 0.99))
+      assert(math.abs(merged.quantile(q) - one.quantile(q)) /
+        one.quantile(q) < 0.01, s"q=$q")
+  }
+
+  test("t-digest memory: centroid count bounded by compression") {
+    val rnd = new scala.util.Random(1)
+    val b = new graft.functions.TDigestBuf(100)
+    (1 to 100000).foreach(_ => b.add(rnd.nextDouble()))
+    b.compress()
+    assert(b.centroids.length <= 102, s"${b.centroids.length} centroids")
+  }
+}
