@@ -26,6 +26,7 @@ object SparkEntry {
     "keystore_in_list"   -> (Relational.keystoreInList _),
     "backfill_join"      -> (Relational.backfillJoin _),
     "bloom_join_prune"   -> (Relational.bloomJoinPrune _),
+    "skew_salted_join"   -> (Skew.saltedJoinQuery _),
     "semi_join"          -> (Relational.semiJoin _),
     "anti_join"          -> (Relational.antiJoin _),
     "pagination_window"  -> (Relational.paginationWindow _),
@@ -724,6 +725,11 @@ object SparkEntry {
          FROM orders JOIN customer ON o_custkey = c_custkey
          WHERE c_mktsegment = 'BUILDING' AND c_custkey % 3 = 0
          ORDER BY o_orderkey""",
+    "skew_salted_join" ->
+      """SELECT l_orderkey, l_linenumber, l_quantity, o_orderpriority
+         FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+         WHERE o_orderstatus = 'F'
+         ORDER BY l_orderkey, l_linenumber""",
     "tdigest_quantiles" ->
       """SELECT o_orderstatus,
                 round(quantile_cont(o_totalprice, 0.5), 4) AS exact_p50,

@@ -31,4 +31,21 @@ object Skew {
     saltBig(big, factor).join(replicateSmall(small, factor),
         col(bigKey) === col(smallKey) && col("_salt_b") === col("_salt_s"))
       .drop("_salt_b", "_salt_s")
+
+  /** Harness face of the salted join: lineitem (hot keys: one order =
+    * up to 7 lines, and the join key has TPC-H's natural skew) ⋈ orders
+    * subset. The salt never reaches the output, so the oracle is the
+    * plain join. */
+  def saltedJoinQuery(spark: org.apache.spark.sql.SparkSession,
+      dir: String): DataFrame = {
+    val li = graft.Tables.load(spark, dir, "lineitem")
+      .select("l_orderkey", "l_linenumber", "l_quantity")
+    val ord = graft.Tables.load(spark, dir, "orders")
+      .filter(col("o_orderstatus") === "F")
+      .select("o_orderkey", "o_orderpriority")
+    saltedJoin(li, ord, "l_orderkey", "o_orderkey")
+      .select(col("l_orderkey"), col("l_linenumber"),
+        col("l_quantity"), col("o_orderpriority"))
+      .orderBy("l_orderkey", "l_linenumber")
+  }
 }
