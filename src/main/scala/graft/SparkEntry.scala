@@ -70,6 +70,9 @@ object SparkEntry {
     "text_token_counts"  -> (TextAnalysis.tokenCounts _),
     "text_term_freq"     -> (TextAnalysis.termFrequencies _),
     "text_fingerprint"   -> (TextAnalysis.fingerprints _),
+    "doc_chunks"         -> ((s: SparkSession, d: String) => TextAnalysis.docChunks(s, d)),
+    "vocab_coverage"     -> ((s: SparkSession, d: String) => TextAnalysis.vocabCoverage(s, d)),
+    "dedup_keep_best"    -> (Components.dedupKeepBest _),
     "tfidf_top_terms"    -> ((s: SparkSession, d: String) => TextAnalysis.tfidfTopTerms(s, d)),
     "sample_per_lang"    -> (TextAnalysis.sampleKPerLang _),
     "text_normalize"     -> (TextAnalysis.normalize _),
@@ -758,6 +761,54 @@ object SparkEntry {
          SELECT s AS doc_id, least(s, min(d)) AS cluster_id,
                 s = least(s, min(d)) AS is_keeper
          FROM reach GROUP BY s ORDER BY cluster_id, doc_id""",
+    "doc_chunks" -> {
+      val rng = "range(1, greatest(len(ts), 1)+1, 48)"
+      s"""WITH toks AS (SELECT doc_id, $dToks AS ts FROM documents),
+         ch AS (SELECT doc_id,
+             unnest([(i-1)//48 for i in $rng]) AS chunk_idx,
+             unnest([len(ts[i:i+63]) for i in $rng]) AS n_chunk_tokens,
+             unnest([md5(array_to_string(ts[i:i+63], ' ')) for i in $rng])
+               AS chunk_sha
+           FROM toks)
+         SELECT doc_id, chunk_idx,
+                CAST(n_chunk_tokens AS BIGINT) AS n_chunk_tokens, chunk_sha
+         FROM ch ORDER BY doc_id, chunk_idx"""
+    },
+    "vocab_coverage" ->
+      s"""WITH tf AS (SELECT t AS token, count(*) AS freq
+                      FROM (SELECT unnest($dToks) AS t FROM documents)
+                      GROUP BY 1),
+         tot AS (SELECT sum(freq) AS total FROM tf),
+         r AS (SELECT token, freq,
+                 CAST(row_number() OVER w AS BIGINT) AS rank,
+                 round(CAST(sum(freq) OVER (ORDER BY freq DESC, token
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   AS DOUBLE) / total, 6) AS cum_frac
+               FROM tf, tot WINDOW w AS (ORDER BY freq DESC, token))
+         SELECT rank, token, freq, cum_frac FROM r
+         WHERE rank <= 30 ORDER BY rank""",
+    "dedup_keep_best" ->
+      s"""WITH RECURSIVE $dMinhashPairsCtes,
+         edges AS (SELECT doc_a AS s, doc_b AS d FROM mh_pairs
+                   UNION SELECT doc_b, doc_a FROM mh_pairs),
+         reach AS (SELECT s, d FROM edges
+                   UNION SELECT r.s, e.d FROM reach r JOIN edges e ON r.d = e.s),
+         comp AS (SELECT s AS doc_id, least(s, min(d)) AS cluster_id
+                  FROM reach GROUP BY s),
+         j AS (SELECT c.doc_id, c.cluster_id, d.n_chars
+               FROM comp c JOIN documents d USING (doc_id)),
+         rr AS (SELECT doc_id, cluster_id, n_chars,
+                  row_number() OVER wq AS rk,
+                  first_value(doc_id) OVER (PARTITION BY cluster_id
+                    ORDER BY n_chars DESC, doc_id
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+                    AS keep_doc_id
+                FROM j
+                WINDOW wq AS (PARTITION BY cluster_id
+                              ORDER BY n_chars DESC, doc_id))
+         SELECT doc_id, cluster_id, n_chars, keep_doc_id,
+                rk = 1 AS is_keeper
+         FROM rr ORDER BY cluster_id, doc_id""",
     "simhash" ->
       s"""WITH $dSimhashCtes
          SELECT doc_id, simhash FROM simsig ORDER BY doc_id""",

@@ -125,4 +125,26 @@ object Components {
         (col("id") === col("component")).as("is_keeper"))
       .orderBy("cluster_id", "doc_id")
   }
+
+  /** Quality-aware canonical selection: instead of "keep min doc_id",
+    * keep the best document per cluster (longest content, doc_id
+    * tie-break) — the policy real training pipelines use so dedup
+    * doesn't discard the richest copy. Broadcast the (tiny) cluster
+    * map onto the doc table, rank within cluster. */
+  def dedupKeepBest(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val clusters = dedupClusters(spark, dir).select("doc_id", "cluster_id")
+    val docs = graft.Tables.load(spark, dir, "documents")
+      .select(col("doc_id"), col("n_chars"))
+    val w = Window.partitionBy("cluster_id")
+      .orderBy(col("n_chars").desc, col("doc_id"))
+    clusters.join(docs, "doc_id")
+      .withColumn("rk", org.apache.spark.sql.functions.row_number().over(w))
+      .withColumn("keep_doc_id",
+        org.apache.spark.sql.functions.first(col("doc_id")).over(
+          w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)))
+      .select(col("doc_id"), col("cluster_id"), col("n_chars"),
+        col("keep_doc_id"), (col("rk") === 1).as("is_keeper"))
+      .orderBy("cluster_id", "doc_id")
+  }
 }

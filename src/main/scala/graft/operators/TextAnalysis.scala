@@ -122,6 +122,51 @@ object TextAnalysis {
       .orderBy("doc_id")
   }
 
+  /** Token-window document chunking — the "split every document into
+    * ~N-token training chunks with overlap" preprocessing step. One
+    * narrow projection + one generator: chunk starts are a strided
+    * `sequence`, each chunk a `slice` of the let-bound token array (an
+    * attribute reference, so the lambda does NOT retokenize per chunk —
+    * the HOF-recompute trap). Chunk text leaves as md5 so the row stays
+    * narrow; empty docs emit one empty chunk (parity with the oracle's
+    * `greatest(len,1)` range). */
+  def docChunks(spark: SparkSession, dir: String,
+      chunkSize: Int = 64, stride: Int = 48): DataFrame =
+    Tables.load(spark, dir, "documents")
+      .select(col("doc_id"), T.tokens(col("text")).as("ts"))
+      .select(col("doc_id"),
+        explode(transform(
+          sequence(lit(1), greatest(size(col("ts")), lit(1)), lit(stride)),
+          i => struct(
+            ((i - 1) / stride).cast("long").as("chunk_idx"),
+            size(slice(col("ts"), i, lit(chunkSize))).cast("long").as("n_chunk_tokens"),
+            md5(concat_ws(" ", slice(col("ts"), i, lit(chunkSize)))).as("chunk_sha"))))
+          .as("c"))
+      .select(col("doc_id"), col("c.chunk_idx"), col("c.n_chunk_tokens"),
+        col("c.chunk_sha"))
+      .orderBy("doc_id", "chunk_idx")
+
+  /** Vocabulary coverage — tokenizer-prep telemetry: how much of the
+    * corpus the top-k vocabulary covers. Two hash aggregates (term
+    * counts, then total) and one rank window; the window runs on the
+    * already-aggregated vocab (tiny next to the corpus — the standard
+    * final-aggregate shape, single partition is fine even at 100 TB
+    * vocab sizes after a freq-floor filter). */
+  def vocabCoverage(spark: SparkSession, dir: String, topK: Int = 30): DataFrame = {
+    val tf = Tables.load(spark, dir, "documents")
+      .select(explode(T.tokens(col("text"))).as("token"))
+      .groupBy("token").agg(count(lit(1)).as("freq"))
+    val w = Window.orderBy(col("freq").desc, col("token"))
+    tf.crossJoin(broadcast(tf.agg(sum("freq").as("total"))))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .withColumn("cum_frac",
+        round(sum(col("freq")).over(w.rowsBetween(Window.unboundedPreceding,
+          Window.currentRow)).cast("double") / col("total"), 6))
+      .filter(col("rank") <= topK)
+      .select("rank", "token", "freq", "cum_frac")
+      .orderBy("rank")
+  }
+
   /** Document fingerprints: order-invariant md5 fingerprint (detects
     * "same content, shuffled tokens" duplicates) plus the order-
     * SENSITIVE Rabin-Karp rolling hash — both cross-engine (md5-based),

@@ -121,4 +121,17 @@ class DedupSpec extends AnyFunSuite {
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(pairs.contains((0L, 1L)))
   }
+
+  test("dedupKeepBest: keeper is the longest doc per cluster, map consistent") {
+    val rows = graft.operators.Components.dedupKeepBest(spark, fixtureDir).collect()
+    val byCluster = rows.groupBy(_.getAs[Long]("cluster_id"))
+    byCluster.values.foreach { g =>
+      val keepers = g.filter(_.getAs[Boolean]("is_keeper"))
+      assert(keepers.length == 1)
+      val k = keepers.head
+      val maxChars = g.map(_.getAs[Number]("n_chars").longValue).max
+      assert(k.getAs[Number]("n_chars").longValue == maxChars)
+      assert(g.forall(_.getAs[Long]("keep_doc_id") == k.getAs[Long]("doc_id")))
+    }
+  }
 }

@@ -62,4 +62,36 @@ class TextSpec extends AnyFunSuite {
       .select(T.cjkRatio(col("text")).as("r")))
     assert(r.getAs[Double]("r") == 0.5)
   }
+
+  test("docChunks: dense chunk ids, full chunks except the tail") {
+    val sf = TestSpark.sf
+    val rows = graft.operators.TextAnalysis.docChunks(spark, sf).collect()
+    val byDoc = rows.groupBy(_.getAs[Long]("doc_id"))
+    byDoc.values.foreach { g =>
+      val idx = g.map(_.getAs[Long]("chunk_idx")).sorted
+      assert(idx.sameElements(0L until idx.length))
+      val ns = g.sortBy(_.getAs[Long]("chunk_idx"))
+        .map(_.getAs[Long]("n_chunk_tokens"))
+      // chunk i covers tokens [48i+1, 48i+64]: full unless it reaches
+      // the document end
+      val total = ns.length match {
+        case 1 => ns.head
+        case k => 48L * (k - 1) + ns.last
+      }
+      ns.zipWithIndex.foreach { case (n, i) =>
+        assert(n == math.min(64L, math.max(0L, total - 48L * i)),
+          s"chunk $i of ${ns.toSeq} total $total")
+      }
+    }
+  }
+
+  test("vocabCoverage: ranks dense, freq nonincreasing, cum_frac monotone <= 1") {
+    val sf = TestSpark.sf
+    val rows = graft.operators.TextAnalysis.vocabCoverage(spark, sf).collect()
+    assert(rows.map(_.getAs[Long]("rank")).sameElements(1L to rows.length))
+    val fs = rows.map(_.getAs[Long]("freq"))
+    assert(fs.zip(fs.tail).forall { case (a, b) => a >= b })
+    val cf = rows.map(_.getAs[Double]("cum_frac"))
+    assert(cf.zip(cf.tail).forall { case (a, b) => a <= b } && cf.last <= 1.0)
+  }
 }
