@@ -193,6 +193,69 @@ object SparkEntry {
                THEN (1::BIGINT << (15 - planes.p)) ELSE 0 END) AS BIGINT) AS bucket
            FROM emb0 CROSS JOIN planes GROUP BY emb0.vec_id)"""
 
+  /** Full IVF replication in SQL: sample (or `iters`-round decimal-exact
+    * Lloyd) centroids → per-vector argmax assignment → per-query nprobe
+    * probing → in-list exact cosine top-k. Every arithmetic step
+    * (list_dot_product, decimal-exact means, tie-broken row_number) is
+    * bit-identical to the Spark plan, so the ANN result itself is
+    * oracle-checked — not just its recall. */
+  private def dIvfSql(iters: Int, dims: Int = 64, nCentroids: Int = 64,
+      nQueries: Int = 8, nprobe: Int = 8, k: Int = 10): String = {
+    def assign(cent: String, name: String) =
+      s"""$name AS (
+           SELECT vec_id, v, nrm, c_id FROM (
+             SELECT e.vec_id, e.v, e.nrm, c.c_id,
+                    row_number() OVER (PARTITION BY e.vec_id
+                      ORDER BY list_dot_product(e.v, c.c_v) / (e.nrm * c.c_nrm)
+                        DESC, c.c_id) AS crk
+             FROM emb0 e CROSS JOIN $cent c)
+           WHERE crk = 1)"""
+    def update(assigned: String, name: String) =
+      s"""${name}_m AS (
+           SELECT c_id, i AS pos,
+                  CAST(sum(CAST(v[i] AS DECIMAL(38,18))) AS DOUBLE) / count(*)
+                    AS m
+           FROM $assigned, range(1, ${dims + 1}) t(i)
+           GROUP BY c_id, i),
+         $name AS (
+           SELECT c_id, c_v, sqrt(list_dot_product(c_v, c_v)) AS c_nrm
+           FROM (SELECT c_id, list(m ORDER BY pos) AS c_v
+                 FROM ${name}_m GROUP BY c_id))"""
+    val lloyd = (0 until iters).map { i =>
+      assign(s"cent$i", s"a${i + 1}") + ",\n         " +
+        update(s"a${i + 1}", s"cent${i + 1}")
+    }
+    val centFinal = s"cent$iters"
+    s"""WITH emb0 AS (
+           SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+                  sqrt(list_dot_product(CAST(embedding AS DOUBLE[]),
+                    CAST(embedding AS DOUBLE[]))) AS nrm
+           FROM embeddings),
+         cent0 AS (SELECT vec_id AS c_id, v AS c_v, nrm AS c_nrm
+                   FROM emb0 WHERE vec_id < $nCentroids),
+         ${(lloyd :+ assign(centFinal, "af")).mkString(",\n         ")},
+         probes AS (
+           SELECT q_id, q_v, q_nrm, c_id FROM (
+             SELECT q.vec_id AS q_id, q.v AS q_v, q.nrm AS q_nrm, c.c_id,
+                    row_number() OVER (PARTITION BY q.vec_id
+                      ORDER BY list_dot_product(q.v, c.c_v) / (q.nrm * c.c_nrm)
+                        DESC, c.c_id) AS crk
+             FROM emb0 q CROSS JOIN $centFinal c WHERE q.vec_id < $nQueries)
+           WHERE crk <= $nprobe),
+         scan AS (
+           SELECT p.q_id, a.vec_id,
+                  list_dot_product(p.q_v, a.v) / (p.q_nrm * a.nrm) AS cos
+           FROM af a JOIN probes p USING (c_id)
+           WHERE a.vec_id <> p.q_id),
+         ranked AS (
+           SELECT q_id, vec_id, cos,
+                  CAST(row_number() OVER (PARTITION BY q_id
+                    ORDER BY cos DESC, vec_id) AS BIGINT) AS rk
+           FROM scan)
+       SELECT q_id, rk, vec_id, round(cos, 6) AS cos
+       FROM ranked WHERE rk <= $k ORDER BY q_id, rk"""
+  }
+
   /** Argmax language CASE with the Spark fold's tie order (de,en,es,fr,zh). */
   private val dLangIdSql: String = {
     val langs = graft.functions.TextFunctions.stopwords.keys.toSeq.sorted
@@ -830,6 +893,8 @@ object SparkEntry {
            WHERE a.doc_id < b.doc_id)
          SELECT doc_a, doc_b, hamming FROM spairs
          WHERE hamming <= 3 ORDER BY doc_a, doc_b""",
+    "sim_topk_ivf" -> dIvfSql(iters = 0),
+    "sim_topk_ivf_kmeans" -> dIvfSql(iters = 2),
     "embedding_buckets" ->
       s"""WITH $dEmbBucketCtes
          SELECT vec_id, bucket FROM bkt ORDER BY vec_id""",

@@ -57,9 +57,14 @@ object Similarity {
           (V.dot(col("v"), col("c_v")) / (col("nrm") * col("c_nrm"))).as("c_cos"))
         .withColumn("crk", row_number().over(wAssign))
         .filter(col("crk") === 1)
+      // decimal-exact mean: float sums are partial-aggregation-order
+      // dependent; summing through DECIMAL(38,18) makes the centroids
+      // bit-deterministic (and lets the DuckDB oracle replicate Lloyd)
       centroids = assigned
         .select(col("c_id"), posexplode(col("v")).as(Seq("pos", "x")))
-        .groupBy("c_id", "pos").agg(avg(col("x")).as("m"))
+        .groupBy("c_id", "pos")
+        .agg((sum(col("x").cast("decimal(38,18)")).cast("double") /
+          count(lit(1))).as("m"))
         .groupBy("c_id")
         .agg(transform(array_sort(collect_list(struct(col("pos"), col("m")))),
           s => s.getField("m")).as("c_v"))
