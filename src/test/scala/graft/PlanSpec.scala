@@ -43,6 +43,25 @@ class PlanSpec extends AnyFunSuite {
     }
   }
 
+  test("bloom pruning filters the fact side BELOW the join") {
+    val p = planOf("bloom_join_prune")
+    val filterIdx = p.indexOf("bloom_might_contain")
+    assert(filterIdx >= 0, p)
+    // the probe must sit in the fact scan's subtree, i.e. the plan
+    // renders it AFTER (deeper than) the join operator line
+    val joinIdx = p.indexOf("Join")
+    assert(joinIdx >= 0 && joinIdx < filterIdx,
+      s"bloom probe should be below the join: $p")
+  }
+
+  test("doc_chunks stays a single narrow stage (no shuffle before sort)") {
+    val p = planOf("doc_chunks")
+    // one Exchange only — the final global orderBy; chunking itself is
+    // projection + generator
+    val exchanges = "Exchange".r.findAllIn(p).length
+    assert(exchanges <= 2, s"$exchanges exchanges in: $p")
+  }
+
   test("whole-stage codegen covers the envelope projection") {
     // AQE wraps the plan lazily and hides codegen spans until runtime;
     // disable it for the shape assertion
