@@ -27,6 +27,7 @@ object SparkEntry {
     "backfill_join"      -> (Relational.backfillJoin _),
     "bloom_join_prune"   -> (Relational.bloomJoinPrune _),
     "skew_salted_join"   -> (Skew.saltedJoinQuery _),
+    "range_join_pairs"   -> ((s: SparkSession, d: String) => RangeJoin.eventPairsWithin(s, d)),
     "semi_join"          -> (Relational.semiJoin _),
     "anti_join"          -> (Relational.antiJoin _),
     "pagination_window"  -> (Relational.paginationWindow _),
@@ -796,6 +797,13 @@ object SparkEntry {
          FROM lineitem JOIN orders ON l_orderkey = o_orderkey
          WHERE o_orderstatus = 'F'
          ORDER BY l_orderkey, l_linenumber""",
+    "range_join_pairs" ->
+      """SELECT a.user_id, a.event_id AS event_a, b.event_id AS event_b,
+                abs(epoch_us(a.ts) - epoch_us(b.ts)) AS gap_us
+         FROM events a JOIN events b
+           ON a.user_id = b.user_id AND a.event_id < b.event_id
+          AND abs(epoch_us(a.ts) - epoch_us(b.ts)) <= 1800000000
+         ORDER BY a.user_id, event_a, event_b""",
     "tdigest_quantiles" ->
       """SELECT o_orderstatus,
                 round(quantile_cont(o_totalprice, 0.5), 4) AS exact_p50,
