@@ -39,6 +39,7 @@ object SparkEntry {
     "event_envelope"     -> (Envelope.eventEnvelope _),
     "union_feed"         -> (Envelope.unionFeed _),
     "decrypt_two_level"  -> (Crypto.decryptTwoLevel _),
+    "decrypt_shredded"   -> (Crypto.decryptShredded _),
     // aggregation surface
     "pricing_summary"    -> (Aggregates.pricingSummary _),
     "distinct_counts"    -> (Aggregates.distinctCounts _),
@@ -412,6 +413,13 @@ object SparkEntry {
          ORDER BY entity, key""",
     "decrypt_two_level" ->
       """SELECT o_orderkey, o_custkey AS merchant_id, o_orderpriority AS priority
+         FROM orders ORDER BY o_orderkey""",
+    "decrypt_shredded" ->
+      """SELECT o_orderkey, o_custkey AS merchant_id,
+                CASE WHEN o_custkey % 5 = 0 THEN NULL
+                     ELSE o_orderpriority END AS priority,
+                CASE WHEN o_custkey % 5 = 0 THEN 'shredded'
+                     ELSE 'ok' END AS key_status
          FROM orders ORDER BY o_orderkey""",
     "pricing_summary" ->
       """SELECT l_returnflag, l_linestatus,

@@ -52,4 +52,36 @@ object Crypto {
           lit("GCM")).cast("string").as("priority"))
       .orderBy("o_orderkey")
   }
+
+  /** Crypto-shredding semantics: when a merchant's key-store row is
+    * GONE (GDPR erasure = delete the key, the ciphertext stays), its
+    * rows must surface as unreadable-but-accounted, not vanish and not
+    * fail the job. Left join against the shredded key store;
+    * `try_aes_decrypt` yields NULL for the missing keys (ANSI mode
+    * would otherwise abort the whole run on the first bad decrypt);
+    * every row carries a readable/shredded status. */
+  def decryptShredded(spark: SparkSession, dir: String): DataFrame = {
+    // merchants 0,5,10,… have been erased from the key store
+    val keyStore = Tables.load(spark, dir, "customer")
+      .filter(col("c_custkey") % 5 =!= 0)
+      .select(
+        col("c_custkey").as("merchant_id"),
+        aes_encrypt(merchantKey(col("c_custkey")).cast("binary"),
+          lit(MasterKey).cast("binary"), lit("GCM")).as("enc_key"))
+
+    val entity = Tables.load(spark, dir, "orders").select(
+      col("o_orderkey"), col("o_custkey").as("merchant_id"),
+      aes_encrypt(col("o_orderpriority").cast("binary"),
+        merchantKey(col("o_custkey")).cast("binary"), lit("GCM"))
+        .as("enc_priority"))
+
+    entity.join(broadcast(keyStore), Seq("merchant_id"), "left")
+      .select(col("o_orderkey"), col("merchant_id"),
+        expr("""try_aes_decrypt(enc_priority,
+                  try_aes_decrypt(enc_key, binary('0123456789abcdef0123456789abcdef'), 'GCM'),
+                  'GCM')""").cast("string").as("priority"),
+        when(col("enc_key").isNull, lit("shredded")).otherwise(lit("ok"))
+          .as("key_status"))
+      .orderBy("o_orderkey")
+  }
 }

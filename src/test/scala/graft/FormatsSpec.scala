@@ -28,6 +28,14 @@ class FormatsSpec extends AnyFunSuite {
     assert(fromCsv.exceptAll(ev).count() == 0 && ev.exceptAll(fromCsv).count() == 0)
   }
 
+  test("events round-trip through ORC (full fidelity incl. timestamps)") {
+    val dir = Files.createTempDirectory("fmt_orc").toString
+    val ev = Tables.load(spark, sf, "events")
+    ev.write.mode("overwrite").orc(s"$dir/ev_orc")
+    val back = spark.read.orc(s"$dir/ev_orc")
+    assert(back.exceptAll(ev).count() == 0 && ev.exceptAll(back).count() == 0)
+  }
+
   test("corrupt JSON records quarantine instead of failing the job") {
     val dir = Files.createTempDirectory("corrupt").toString
     Files.writeString(java.nio.file.Paths.get(s"$dir/data.json"),
