@@ -85,6 +85,7 @@ object SparkEntry {
     "media_features"     -> (Multimodal.mediaFeatures _),
     "media_frame_sample" -> ((s: SparkSession, d: String) => Multimodal.frameSample(s, d)),
     "audio_features"     -> (Multimodal.audioFeatures _),
+    "image_resize"       -> ((s: SparkSession, d: String) => Multimodal.imageResize(s, d)),
     // SQL front door + sketch quantiles
     "sql_backfill_scan"  -> (SqlInterface.sqlBackfillScan _),
     "sql_merchant_revenue" -> (SqlInterface.sqlMerchantRevenue _),
@@ -677,6 +678,24 @@ object SparkEntry {
                           ELSE ((octet_length(encode(text)) // 2) * 1000 // 16000 - 25)
                                // 10 + 1 END AS BIGINT) AS n_audio_frames
          FROM documents ORDER BY doc_id""",
+    "image_resize" ->
+      """WITH m AS (
+           SELECT doc_id, hex(encode(text)) AS hx,
+                  octet_length(encode(text)) AS n
+           FROM documents),
+         d AS (
+           SELECT doc_id, n, hx,
+                  greatest(n % 640, 1) AS w,
+                  greatest((n * 7) % 480, 1) AS h
+           FROM m)
+         SELECT doc_id, CAST(w AS BIGINT) AS src_w, CAST(h AS BIGINT) AS src_h,
+                8::BIGINT AS out_w, 8::BIGINT AS out_h,
+                CAST(list_sum(flatten(
+                  [[('0x'||substr(hx,
+                      2*((((y*h)//8)*w + (x*w)//8) % n) + 1, 2))::BIGINT
+                    for x in range(0, 8)] for y in range(0, 8)]))
+                  AS BIGINT) AS pixel_sum
+         FROM d ORDER BY doc_id""",
     "media_frame_sample" ->
       """SELECT doc_id, CAST(f AS BIGINT) AS frame_idx,
                 CAST(octet_length(encode(text)) % 16 AS BIGINT) AS n_frames

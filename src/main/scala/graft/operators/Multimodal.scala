@@ -85,6 +85,55 @@ object Multimodal {
       .orderBy("doc_id")
   }
 
+  /** Resize output: target dims + a checksum over the resampled pixels
+    * (the full pixel grid stays executor-side; only the digestible
+    * summary crosses to the result — at 100 TB the resized tensors
+    * would stream straight into the next stage or a binary sink). */
+  case class ResizedImage(doc_id: Long, src_w: Long, src_h: Long,
+      out_w: Long, out_h: Long, pixel_sum: Long)
+
+  /** STUB image decode + REAL nearest-neighbor resize. The "image" is
+    * the payload bytes laid out row-major over a (w, h) grid derived
+    * from the length (codecs absent in this container); the index
+    * arithmetic — src = floor(dst · src_dim / out_dim), row-major
+    * addressing, modulo wrap for the synthetic grid — is exactly what a
+    * real resize kernel does, and is a pure function of the bytes so
+    * the oracle recomputes it. */
+  def resizeStub(r: MediaRow, outW: Int, outH: Int): ResizedImage = {
+    val n = r.payload.length
+    val w = math.max(1L, n % 640)
+    val h = math.max(1L, (n.toLong * 7) % 480)
+    var sum = 0L
+    var y = 0
+    while (y < outH) {
+      val sy = y * h / outH
+      var x = 0
+      while (x < outW) {
+        val sx = x * w / outW
+        val idx = ((sy * w + sx) % n).toInt
+        sum += r.payload(idx) & 0xff
+        x += 1
+      }
+      y += 1
+    }
+    ResizedImage(r.doc_id, w, h, outW.toLong, outH.toLong, sum)
+  }
+
+  /** Image-resize plumbing: the batched decode→resize stage of an image
+    * training pipeline (same typed mapPartitions shape; swap resizeStub
+    * for a real decode+resample in production). */
+  def imageResize(spark: SparkSession, dir: String,
+      outW: Int = 8, outH: Int = 8): DataFrame = {
+    import spark.implicits._
+    Tables.load(spark, dir, "documents")
+      .select(col("doc_id"), lit("img").as("format"),
+        encode(col("text"), "UTF-8").as("payload"))
+      .as[MediaRow]
+      .mapPartitions(_.map(resizeStub(_, outW, outH)))
+      .toDF()
+      .orderBy("doc_id")
+  }
+
   /** Frame-sampling plumbing: explode a deterministic per-item frame
     * index sequence (every `stride`-th frame) — the partition/schema
     * shape of video frame extraction, with stub frame ids. */
