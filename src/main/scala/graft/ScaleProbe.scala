@@ -1,0 +1,47 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** Adversarial-scale probe (run manually; numbers recorded in
+  * NOTES.md): duplicates the documents corpus 10× (every doc gets 9
+  * clones — the LSH worst case: every band bucket is a 10-way
+  * collision) and times the near-dup pipeline end to end, including
+  * connected-components clustering. Usage:
+  * `sbt "runMain graft.ScaleProbe /root/testdata/sf0.1"`. */
+object ScaleProbe {
+  def main(args: Array[String]): Unit = {
+    val sf = if (args.nonEmpty) args(0) else "/root/testdata/sf0.1"
+    val spark = SparkSession.builder()
+      .appName("graft-scale-probe").master("local[32]")
+      .config("spark.sql.shuffle.partitions", 32)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", false)
+      .getOrCreate()
+    val dup = "/tmp/graft_scale_docs"
+    val docs = Tables.load(spark, sf, "documents")
+    val n = docs.count()
+    docs.crossJoin(spark.range(10).select(col("id").as("copy")))
+      .select((col("doc_id") * 10 + col("copy")).as("doc_id"),
+        col("text"), col("lang"), col("source"), col("n_chars"))
+      .write.mode("overwrite").parquet(s"$dup/documents.parquet")
+    println(s"corpus: ${n * 10} docs (10x of $sf)")
+
+    def time[A](label: String)(f: => A): A = {
+      val t0 = System.nanoTime()
+      val r = f
+      println(f"$label: ${(System.nanoTime() - t0) / 1e9}%.1f s")
+      r
+    }
+    val pairs = time("minhashPairs") {
+      val p = operators.Dedup.minhashPairs(spark, dup)
+      val c = p.count(); println(s"  pairs: $c"); p
+    }
+    time("dedupClusters (incl. pairs recompute)") {
+      val cl = operators.Components.dedupClusters(spark, dup)
+      val k = cl.filter(col("is_keeper")).count()
+      println(s"  clusters: $k of ${cl.count()} clustered docs")
+    }
+    spark.stop()
+  }
+}
