@@ -116,7 +116,6 @@ object TextFunctions {
   def rollingHash(text: Column): Column =
     aggregate(tokens(text), lit(0L),
       (acc, t) => pmod(acc * 31 +
-        pmod(conv(substring(md5(t), 1, 15), 16, 10).cast("long"),
-          lit(1000000007L)),
+        pmod(Hash60.hash60(t), lit(1000000007L)),
         lit(1000000007L)))
 }

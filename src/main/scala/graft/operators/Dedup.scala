@@ -64,14 +64,15 @@ object Dedup {
   private val BandRows = MinhashPerms / MinhashBands
   private val P = 2147483647L // 2^31 - 1, prime
 
-  /** Cross-engine 60-bit base hash: the first 15 hex chars of md5,
-    * parsed as an integer. Chosen over xxhash64 because every engine in
-    * the stack (and the DuckDB oracle) computes the identical value —
+  /** Cross-engine 60-bit base hash: the first 15 hex chars of md5 as an
+    * integer. Chosen over xxhash64 because every engine in the stack
+    * (and the DuckDB oracle) computes the identical value —
     * `('0x' || substr(md5(s), 1, 15))::BIGINT` on the oracle side. 15 hex
-    * chars = 60 bits, safely inside BIGINT on both engines. All of md5 /
-    * substring / conv are codegen'd Catalyst expressions. */
-  def hash60(c: Column): Column =
-    conv(substring(md5(c), 1, 15), 16, 10).cast("long")
+    * chars = 60 bits, safely inside BIGINT on both engines. Computed by
+    * the native [[graft.functions.Hash60]] expression (digest bytes →
+    * long, no hex-string round trip; Hash60Spec pins equality with the
+    * composed `conv(substring(md5))` form). */
+  def hash60(c: Column): Column = graft.functions.Hash60.hash60(c)
 
   /** Universal-hash permutation family over a 31-bit base hash:
     * h_i(x) = (a_i·x + b_i) mod P. a·x ≤ 2^62 — no ANSI overflow. */

@@ -105,8 +105,7 @@ object Backfill {
       concat(length(c).cast("string"), lit(":"), c, lit("|"))): _*)
     feed.groupBy("entity").agg(
       count(lit(1)).as("n_rows"),
-      bit_xor(conv(substring(md5(canon), 1, 15), 16, 10).cast("long"))
-        .as("checksum"))
+      bit_xor(graft.functions.Hash60.hash60(canon)).as("checksum"))
       .orderBy("entity")
   }
 
