@@ -77,6 +77,8 @@ object SparkEntry {
     "dedup_keep_best"    -> (Components.dedupKeepBest _),
     "tfidf_top_terms"    -> ((s: SparkSession, d: String) => TextAnalysis.tfidfTopTerms(s, d)),
     "sample_per_lang"    -> (TextAnalysis.sampleKPerLang _),
+    "train_split"        -> (Sampling.trainSplit _),
+    "source_quota"       -> ((s: SparkSession, d: String) => Sampling.sourceQuota(s, d)),
     "text_normalize"     -> (TextAnalysis.normalize _),
     "text_repetition"    -> (TextAnalysis.repetition _),
     "histogram_totals"   -> ((s: SparkSession, d: String) => SemiStructured.histogramTotals(s, d)),
@@ -814,6 +816,23 @@ object SparkEntry {
                 true AS approx_p50_ok, true AS approx_p99_ok
          FROM lineitem""",
     "text_langid" -> dLangIdSql,
+    "train_split" ->
+      s"""WITH b AS (
+           SELECT doc_id,
+                  ${dH60("'split:'||doc_id")} % 100 AS bucket
+           FROM documents)
+         SELECT doc_id, bucket,
+                CASE WHEN bucket < 90 THEN 'train'
+                     WHEN bucket < 95 THEN 'val'
+                     ELSE 'test' END AS split
+         FROM b ORDER BY doc_id""",
+    "source_quota" ->
+      """SELECT doc_id, source, pick_key, rn <= 30 AS kept FROM (
+           SELECT doc_id, source, md5(text) AS pick_key,
+                  CAST(row_number() OVER (PARTITION BY source
+                    ORDER BY md5(text), doc_id) AS BIGINT) AS rn
+           FROM documents)
+         ORDER BY source, pick_key, doc_id""",
     "bloom_join_prune" ->
       """SELECT o_orderkey, o_custkey, c_name, o_totalprice
          FROM orders JOIN customer ON o_custkey = c_custkey

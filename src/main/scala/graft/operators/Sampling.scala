@@ -1,0 +1,45 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.Tables
+import graft.functions.Hash60.hash60
+
+/** Dataset-assembly sampling operators: deterministic splits and
+  * source-mixing quotas — the steps that turn a cleaned corpus into a
+  * training mixture. Everything keys off [[graft.functions.Hash60]]
+  * so assignments are reproducible across runs, engines and re-shards
+  * (no `rand()` — retried tasks must not reassign rows), and the
+  * DuckDB oracle recomputes them exactly.
+  */
+object Sampling {
+
+  /** 90/5/5 train/val/test assignment from a salted content-free key:
+    * hash the doc id, not the text, so edits to a document never move
+    * it across splits (the leakage rule). Pure narrow map. */
+  def trainSplit(spark: SparkSession, dir: String): DataFrame =
+    Tables.load(spark, dir, "documents")
+      .withColumn("bucket",
+        pmod(hash60(concat(lit("split:"), col("doc_id").cast("string"))),
+          lit(100L)))
+      .select(col("doc_id"), col("bucket"),
+        when(col("bucket") < 90, "train")
+          .when(col("bucket") < 95, "val")
+          .otherwise("test").as("split"))
+      .orderBy("doc_id")
+
+  /** Per-source quota: keep at most `quota` docs per source, preferring
+    * a deterministic uniform sample (md5-of-content sort key) — the
+    * over-represented-source cap of corpus mixing. One shuffle on
+    * source; the window ranks within each source partition. */
+  def sourceQuota(spark: SparkSession, dir: String, quota: Int = 30): DataFrame = {
+    val w = Window.partitionBy("source").orderBy(col("pick_key"), col("doc_id"))
+    Tables.load(spark, dir, "documents")
+      .withColumn("pick_key", md5(col("text")))
+      .withColumn("rn", row_number().over(w).cast("long"))
+      .select(col("doc_id"), col("source"), col("pick_key"),
+        (col("rn") <= quota).as("kept"))
+      .orderBy("source", "pick_key", "doc_id")
+  }
+}

@@ -94,4 +94,28 @@ class TextSpec extends AnyFunSuite {
     val cf = rows.map(_.getAs[Double]("cum_frac"))
     assert(cf.zip(cf.tail).forall { case (a, b) => a <= b } && cf.last <= 1.0)
   }
+
+  test("trainSplit: deterministic, content-free, ~90/5/5") {
+    val sf = TestSpark.sf
+    val rows = graft.operators.Sampling.trainSplit(spark, sf).collect()
+    val n = rows.length.toDouble
+    val frac = rows.groupBy(_.getAs[String]("split")).view
+      .mapValues(_.length / n).toMap
+    assert(frac("train") > 0.8 && frac("train") < 0.97, frac.toString)
+    assert(frac.getOrElse("val", 0.0) < 0.15 && frac.getOrElse("test", 0.0) < 0.15)
+    // re-running yields the identical assignment
+    val again = graft.operators.Sampling.trainSplit(spark, sf).collect()
+    assert(rows.map(r => (r.getLong(0), r.getString(2))).toSeq ==
+      again.map(r => (r.getLong(0), r.getString(2))).toSeq)
+  }
+
+  test("sourceQuota: at most quota kept per source") {
+    val sf = TestSpark.sf
+    val rows = graft.operators.Sampling.sourceQuota(spark, sf, quota = 30).collect()
+    rows.groupBy(_.getAs[String]("source")).values.foreach { g =>
+      assert(g.count(_.getAs[Boolean]("kept")) <= 30)
+    }
+    assert(rows.exists(!_.getAs[Boolean]("kept")) ||
+      rows.groupBy(_.getAs[String]("source")).values.forall(_.length <= 30))
+  }
 }
