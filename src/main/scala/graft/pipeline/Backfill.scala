@@ -109,6 +109,60 @@ object Backfill {
       .orderBy("entity")
   }
 
+  /** Incremental batch backfill: process only rows newer than the
+    * persisted high-water mark, then advance it — the idempotent
+    * re-run story the reference lacks (X6: fail-fast, no resume,
+    * full-range re-read on retry). State is one tiny parquet of
+    * (entity, hwm); a re-run with no new data emits zero rows. The
+    * watermark column is the entity's `timeCol`, exclusive lower
+    * bound (rows AT the mark were emitted by the run that set it). */
+  def runIncremental(spark: SparkSession, dir: String, stateDir: String,
+      cfg: Config = Config()): DataFrame = {
+    import org.apache.spark.sql.types._
+    val statePath = s"$stateDir/hwm.parquet"
+    val stateSchema = StructType(Seq(
+      StructField("entity", StringType), StructField("hwm", TimestampNTZType)))
+    val prior: Map[String, java.time.LocalDateTime] =
+      try spark.read.schema(stateSchema).parquet(statePath).collect()
+        .map(r => r.getString(0) -> r.getAs[java.time.LocalDateTime](1)).toMap
+      catch { case _: Exception => Map.empty }
+
+    val feeds = cfg.entities.map { e =>
+      val base = Tables.load(spark, dir, e.table)
+      val incr = prior.get(e.name)
+        .map(h => base.filter(col(e.timeCol) > lit(h)))
+        .getOrElse(base)
+      (e, incr)
+    }
+    // advance the mark from the SOURCE (not the filtered slice) so an
+    // empty increment keeps the previous mark instead of erasing it
+    val newHwm = cfg.entities.map { e =>
+      val m = Tables.load(spark, dir, e.table)
+        .agg(max(col(e.timeCol))).collect().head
+      (e.name, if (m.isNullAt(0)) prior.get(e.name).orNull
+               else m.getAs[java.time.LocalDateTime](0))
+    }
+    import spark.implicits._
+    newHwm.filter(_._2 != null).toDF("entity", "hwm")
+      .coalesce(1).write.mode("overwrite").parquet(statePath)
+
+    feeds.map { case (e, src) =>
+      val cols = e.payload.map { c =>
+        val v = src.schema(c).dataType.typeName match {
+          case "double" => format_string("%.2f", col(c))
+          case t if t.startsWith("timestamp") =>
+            date_format(col(c), "yyyy-MM-dd HH:mm:ss")
+          case _ => col(c)
+        }
+        v.as(c)
+      }
+      src.select(lit(e.name).as("entity"),
+        col(e.keyCol).cast("string").as("key"),
+        lit(cfg.tenant).as("tenant"),
+        to_json(struct(cols: _*)).as("value"))
+    }.reduce(_ unionAll _)
+  }
+
   /** Batch Kafka sink for the feed (production path; offline harness
     * writes parquet instead — zero egress). */
   def writeKafka(feed: DataFrame, brokers: String, topic: String): Unit =

@@ -47,4 +47,18 @@ class PipelineSpec extends AnyFunSuite {
       assert(idx % 4 == 0 && idx < r.getAs[Long]("n_frames"))
     }
   }
+
+  test("incremental backfill: first run emits all, idle re-run emits zero") {
+    val state = java.nio.file.Files.createTempDirectory("hwm").toString
+    val sf = TestSpark.sf
+    val first = graft.pipeline.Backfill.runIncremental(spark, sf, state)
+    val full = graft.pipeline.Backfill.run(spark, sf)
+    assert(first.count() == full.count())
+    // no new data arrived: the second run must emit nothing
+    val second = graft.pipeline.Backfill.runIncremental(spark, sf, state)
+    assert(second.count() == 0)
+    // and the mark survives the empty increment
+    val third = graft.pipeline.Backfill.runIncremental(spark, sf, state)
+    assert(third.count() == 0)
+  }
 }
