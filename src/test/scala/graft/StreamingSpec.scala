@@ -82,4 +82,22 @@ class StreamingSpec extends AnyFunSuite {
     assert(r.getAs[String]("value").startsWith("{\"event_id\":"))
     assert(r.getAs[String]("tenant") == "public")
   }
+
+  test("streaming session windows == batch session_window aggregation") {
+    val stream = StreamingBackfill.sessionWindows(
+      StreamingBackfill.eventsStream(spark, sf))
+    val got = StreamingBackfill.runToMemory(spark, stream, "sess_out")
+      .select("session_start", "session_end", "user_id", "n_events",
+        "session_value")
+    val want = Tables.load(spark, sf, "events")
+      .groupBy(session_window(col("ts"), "30 minutes"), col("user_id"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(col("value").cast("decimal(18,2)")).cast("double")
+          .as("session_value"))
+      .select(col("session_window.start").as("session_start"),
+        col("session_window.end").as("session_end"),
+        col("user_id"), col("n_events"), col("session_value"))
+    assert(got.count() > 0)
+    assert(got.exceptAll(want).count() == 0 && want.exceptAll(got).count() == 0)
+  }
 }
