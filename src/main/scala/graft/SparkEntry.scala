@@ -78,6 +78,7 @@ object SparkEntry {
     "tfidf_top_terms"    -> ((s: SparkSession, d: String) => TextAnalysis.tfidfTopTerms(s, d)),
     "sample_per_lang"    -> (TextAnalysis.sampleKPerLang _),
     "train_split"        -> (Sampling.trainSplit _),
+    "contamination"      -> (Sampling.contamination _),
     "source_quota"       -> ((s: SparkSession, d: String) => Sampling.sourceQuota(s, d)),
     "text_normalize"     -> (TextAnalysis.normalize _),
     "text_repetition"    -> (TextAnalysis.repetition _),
@@ -869,6 +870,19 @@ object SparkEntry {
     "minhash_pairs" ->
       s"""WITH $dMinhashPairsCtes
          SELECT doc_a, doc_b, jaccard FROM mh_pairs ORDER BY doc_a, doc_b""",
+    "contamination" -> {
+      def splitCase(x: String) =
+        s"""CASE WHEN ${dH60(s"'split:'||$x")} % 100 < 90 THEN 'train'
+                 WHEN ${dH60(s"'split:'||$x")} % 100 < 95 THEN 'val'
+                 ELSE 'test' END"""
+      s"""WITH $dMinhashPairsCtes
+         SELECT doc_a, split_a, doc_b, split_b, jaccard FROM (
+           SELECT doc_a, doc_b, jaccard,
+                  ${splitCase("doc_a")} AS split_a,
+                  ${splitCase("doc_b")} AS split_b
+           FROM mh_pairs)
+         WHERE split_a <> split_b ORDER BY doc_a, doc_b"""
+    },
     "dedup_clusters" ->
       s"""WITH RECURSIVE $dMinhashPairsCtes,
          edges AS (SELECT doc_a AS s, doc_b AS d FROM mh_pairs

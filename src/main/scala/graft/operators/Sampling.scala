@@ -29,6 +29,25 @@ object Sampling {
           .otherwise("test").as("split"))
       .orderBy("doc_id")
 
+  /** Eval-contamination check: near-duplicate pairs that CROSS the
+    * train/val/test boundary — a test doc near-dup to a train doc
+    * leaks the benchmark into training. Composes the MinHash/LSH pair
+    * detector with the deterministic split; at 100 TB both inputs are
+    * the already-materialized dedup and split tables, and this is two
+    * broadcast-able joins over the (small) pair set. */
+  def contamination(spark: SparkSession, dir: String): DataFrame = {
+    val pairs = Dedup.minhashPairs(spark, dir)
+    val split = trainSplit(spark, dir).select("doc_id", "split")
+    pairs
+      .join(split.select(col("doc_id").as("doc_a"), col("split").as("split_a")),
+        "doc_a")
+      .join(split.select(col("doc_id").as("doc_b"), col("split").as("split_b")),
+        "doc_b")
+      .filter(col("split_a") =!= col("split_b"))
+      .select("doc_a", "split_a", "doc_b", "split_b", "jaccard")
+      .orderBy("doc_a", "doc_b")
+  }
+
   /** Per-source quota: keep at most `quota` docs per source, preferring
     * a deterministic uniform sample (md5-of-content sort key) — the
     * over-represented-source cap of corpus mixing. One shuffle on
