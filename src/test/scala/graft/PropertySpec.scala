@@ -93,4 +93,33 @@ class PropertySpec extends AnyFunSuite {
       if (keep == 0) assert(j == 0.0)
     }
   }
+
+  test("band join ≡ plain range join on random event sets") {
+    import spark.implicits._
+    import graft.operators.RangeJoin
+    val rnd = new scala.util.Random(99)
+    for (trial <- 0 until 3) {
+      val radius = Seq(1L, 1000L, 1000000L)(trial)
+      val rows = Seq.fill(300)((rnd.nextInt(5).toLong,
+        rnd.nextLong().abs % 100000, rnd.nextLong().abs % (radius * 10)))
+        .zipWithIndex.map { case ((u, _, t), i) => (u, i.toLong, t) }
+      val df = rows.toDF("user_id", "event_id", "t")
+      val a = df.select(col("user_id"), col("event_id").as("event_a"),
+        col("t").as("t_a"))
+      val b = df.select(col("user_id"), col("event_id").as("event_b"),
+        col("t").as("t_b"))
+      val banded = RangeJoin.bandJoin(a, b, "user_id", col("t_a"), col("t_b"),
+          radius)
+        .filter(col("event_a") < col("event_b"))
+        .select("event_a", "event_b").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      val plain = df.as("x").join(df.as("y"),
+          col("x.user_id") === col("y.user_id") &&
+          col("x.event_id") < col("y.event_id") &&
+          abs(col("x.t") - col("y.t")) <= radius)
+        .select(col("x.event_id"), col("y.event_id")).collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(banded == plain, s"radius $radius")
+    }
+  }
 }
