@@ -115,16 +115,24 @@ object Components {
     labels
   }
 
+  /** Unordered cluster map, materialized once per (session, dir): the
+    * component computation consumes the memoized pair table and is
+    * itself memoized, so keeper selection and any other cluster-derived
+    * query join against a tiny parquet table instead of re-running
+    * pairs → union-find. */
+  private def clusterTable(spark: SparkSession, dir: String): DataFrame =
+    Memo.table(spark, dir, "dedup_clusters") {
+      val pairs = Dedup.minhashPairs(spark, dir)
+        .select(col("doc_a").as("src"), col("doc_b").as("dst"))
+      connectedComponents(pairs)
+        .select(col("id").as("doc_id"), col("component").as("cluster_id"),
+          (col("id") === col("component")).as("is_keeper"))
+    }
+
   /** Dedup clustering end-to-end: minhash near-dup pairs → components →
     * per-doc cluster assignment with the keeper (min doc_id) marked. */
-  def dedupClusters(spark: SparkSession, dir: String): DataFrame = {
-    val pairs = Dedup.minhashPairs(spark, dir)
-      .select(col("doc_a").as("src"), col("doc_b").as("dst"))
-    connectedComponents(pairs)
-      .select(col("id").as("doc_id"), col("component").as("cluster_id"),
-        (col("id") === col("component")).as("is_keeper"))
-      .orderBy("cluster_id", "doc_id")
-  }
+  def dedupClusters(spark: SparkSession, dir: String): DataFrame =
+    clusterTable(spark, dir).orderBy("cluster_id", "doc_id")
 
   /** Quality-aware canonical selection: instead of "keep min doc_id",
     * keep the best document per cluster (longest content, doc_id
@@ -133,7 +141,7 @@ object Components {
     * map onto the doc table, rank within cluster. */
   def dedupKeepBest(spark: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val clusters = dedupClusters(spark, dir).select("doc_id", "cluster_id")
+    val clusters = clusterTable(spark, dir).select("doc_id", "cluster_id")
     val docs = graft.Tables.load(spark, dir, "documents")
       .select(col("doc_id"), col("n_chars"))
     val w = Window.partitionBy("cluster_id")

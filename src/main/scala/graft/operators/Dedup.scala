@@ -89,14 +89,18 @@ object Dedup {
   /** Signature table (doc_id, m0..m63): explode shingles once, hash each
     * once, then 64 min-aggregates in a single codegen'd hash aggregate.
     * Docs with < 3 tokens have no shingles and drop out (no signature —
-    * nothing to near-dup against). */
-  def minhashSigTable(spark: SparkSession, dir: String): DataFrame = {
-    val sh = Tables.load(spark, dir, "documents")
-      .select(col("doc_id"), explode(T.wordShingles(col("text"), 3)).as("s"))
-      .withColumn("h", pmod(hash60(col("s")), lit(P)))
-    val mins = (0 until MinhashPerms).map(i => min(permApply(i, col("h"))).as(s"m$i"))
-    sh.groupBy("doc_id").agg(mins.head, mins.tail: _*)
-  }
+    * nothing to near-dup against). Materialized once per (session, dir)
+    * via [[Memo]] — the signature aggregate feeds signatures, buckets
+    * AND both sides of the pair self-join, so it is computed exactly
+    * once per dataset, not once per consumer. */
+  def minhashSigTable(spark: SparkSession, dir: String): DataFrame =
+    Memo.table(spark, dir, "minhash_sig") {
+      val sh = Tables.load(spark, dir, "documents")
+        .select(col("doc_id"), explode(T.wordShingles(col("text"), 3)).as("s"))
+        .withColumn("h", pmod(hash60(col("s")), lit(P)))
+      val mins = (0 until MinhashPerms).map(i => min(permApply(i, col("h"))).as(s"m$i"))
+      sh.groupBy("doc_id").agg(mins.head, mins.tail: _*)
+    }
 
   /** (doc_id, band_id, band_key): band the 64 mins into 16 keys. The key
     * is the ':'-joined min tuple (cross-engine deterministic, unlike
@@ -136,38 +140,42 @@ object Dedup {
     *
     * band self-join (shuffle on (band_id, band_key)) → distinct
     * candidate pairs → join back shingle sets → exact Jaccard ≥
-    * `threshold`. Cost: O(n·bands) + Σ bucket². */
+    * `threshold`. Cost: O(n·bands) + Σ bucket².
+    *
+    * Memoized per (session, dir, params): the pair table is consumed by
+    * [[Components.dedupClusters]], [[Components.dedupKeepBest]] and
+    * [[Sampling.contamination]] — materializing it once turns those from
+    * full pipeline re-runs into joins over a tiny table. Both self-join
+    * sides read the memoized signature parquet, so no persist is needed
+    * for cross-branch reuse either. */
   def minhashPairs(spark: SparkSession, dir: String,
-      threshold: Double = 0.5, maxBucket: Int = 200): DataFrame = {
-    // persisted: feeds both sides of the candidate self-join (no
-    // cross-branch subtree reuse in Catalyst)
-    val allBanded = minhashBandTable(spark, dir)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    // skew cap: drop degenerate mega-buckets (boilerplate clusters) —
-    // they would contribute O(bucket²) candidate pairs; the dropped-key
-    // set is tiny, so a broadcast anti-join prunes them without a shuffle
-    val big = allBanded.groupBy("band_id", "band_key")
-      .agg(count(lit(1)).as("bs")).filter(col("bs") > maxBucket)
-      .select("band_id", "band_key")
-    val banded = allBanded.join(broadcast(big),
-      Seq("band_id", "band_key"), "left_anti")
-    val pairs = banded.as("a")
-      .join(banded.as("b"), Seq("band_id", "band_key"))
-      .filter(col("a.doc_id") < col("b.doc_id"))
-      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
-      .distinct()
-    val shingles = Tables.load(spark, dir, "documents")
-      .select(col("doc_id"), T.wordShingles(col("text"), 3).as("shingles"))
-    pairs
-      .join(shingles.select(col("doc_id").as("doc_a"), col("shingles").as("sh_a")), "doc_a")
-      .join(shingles.select(col("doc_id").as("doc_b"), col("shingles").as("sh_b")), "doc_b")
-      .withColumn("jaccard",
-        size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
-          size(array_union(col("sh_a"), col("sh_b"))))
-      .filter(col("jaccard") >= threshold)
-      .select("doc_a", "doc_b", "jaccard")
-      .orderBy("doc_a", "doc_b")
-  }
+      threshold: Double = 0.5, maxBucket: Int = 200): DataFrame =
+    Memo.table(spark, dir, s"minhash_pairs_${threshold}_$maxBucket") {
+      val allBanded = minhashBandTable(spark, dir)
+      // skew cap: drop degenerate mega-buckets (boilerplate clusters) —
+      // they would contribute O(bucket²) candidate pairs; the dropped-key
+      // set is tiny, so a broadcast anti-join prunes them without a shuffle
+      val big = allBanded.groupBy("band_id", "band_key")
+        .agg(count(lit(1)).as("bs")).filter(col("bs") > maxBucket)
+        .select("band_id", "band_key")
+      val banded = allBanded.join(broadcast(big),
+        Seq("band_id", "band_key"), "left_anti")
+      val pairs = banded.as("a")
+        .join(banded.as("b"), Seq("band_id", "band_key"))
+        .filter(col("a.doc_id") < col("b.doc_id"))
+        .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+        .distinct()
+      val shingles = Tables.load(spark, dir, "documents")
+        .select(col("doc_id"), T.wordShingles(col("text"), 3).as("shingles"))
+      pairs
+        .join(shingles.select(col("doc_id").as("doc_a"), col("shingles").as("sh_a")), "doc_a")
+        .join(shingles.select(col("doc_id").as("doc_b"), col("shingles").as("sh_b")), "doc_b")
+        .withColumn("jaccard",
+          size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
+            size(array_union(col("sh_a"), col("sh_b"))))
+        .filter(col("jaccard") >= threshold)
+        .select("doc_a", "doc_b", "jaccard")
+    }.orderBy("doc_a", "doc_b")
 
   // -------------------------------------------------------------- simhash
 
@@ -176,34 +184,39 @@ object Dedup {
   val SimhashBits = 60
   private val ChunkBits = SimhashBits / 4 // pigeonhole: 4 chunks of 15
 
+  /** Unordered (doc_id, simhash) table, materialized once per
+    * (session, dir) — feeds the `simhash` query and both sides of the
+    * [[simhashPairs]] chunk self-join. */
+  private def simhashTable(spark: SparkSession, dir: String): DataFrame =
+    Memo.table(spark, dir, "simhash") {
+      val toks = Tables.load(spark, dir, "documents")
+        .select(col("doc_id"), explode(T.tokens(col("text"))).as("tok"))
+        .withColumn("h", hash60(col("tok")))
+      val votes = (0 until SimhashBits).map { i =>
+        sum(when(col("h").bitwiseAND(lit(1L << i)) =!= 0, 1).otherwise(-1))
+          .as(s"b$i")
+      }
+      val packed = (0 until SimhashBits).map { i =>
+        when(col(s"b$i") > 0, lit(1L << i)).otherwise(lit(0L))
+      }.reduce(_ + _)
+      toks.groupBy("doc_id").agg(votes.head, votes.tail: _*)
+        .select(col("doc_id"), packed.as("simhash"))
+    }
+
   /** E2b: 60-bit SimHash per document. Tokens explode once; each bit is
     * a signed vote summed in a single hash aggregate (60 conditional
     * sums, codegen'd); bits pack back into one long. */
-  def simhash(spark: SparkSession, dir: String): DataFrame = {
-    val toks = Tables.load(spark, dir, "documents")
-      .select(col("doc_id"), explode(T.tokens(col("text"))).as("tok"))
-      .withColumn("h", hash60(col("tok")))
-    val votes = (0 until SimhashBits).map { i =>
-      sum(when(col("h").bitwiseAND(lit(1L << i)) =!= 0, 1).otherwise(-1))
-        .as(s"b$i")
-    }
-    val packed = (0 until SimhashBits).map { i =>
-      when(col(s"b$i") > 0, lit(1L << i)).otherwise(lit(0L))
-    }.reduce(_ + _)
-    toks.groupBy("doc_id").agg(votes.head, votes.tail: _*)
-      .select(col("doc_id"), packed.as("simhash"))
-      .orderBy("doc_id")
-  }
+  def simhash(spark: SparkSession, dir: String): DataFrame =
+    simhashTable(spark, dir).orderBy("doc_id")
 
   /** Near-dup pairs by SimHash: band the 60 bits into 4×15-bit chunks
     * (pigeonhole: hamming ≤ 3 ⇒ some chunk equal), join per chunk,
     * verify exact hamming distance via bit_count(xor). */
   def simhashPairs(spark: SparkSession, dir: String,
       maxHamming: Int = 3, maxBucket: Int = 200): DataFrame = {
-    // persisted: the 60-vote aggregate feeds both sides of the chunk
-    // self-join (no cross-branch subtree reuse in Catalyst)
-    val sh = simhash(spark, dir)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // both self-join sides read the memoized signature parquet — the
+    // 60-vote aggregate runs once per dataset, not once per branch
+    val sh = simhashTable(spark, dir)
     val allChunked = sh.select(col("doc_id"), col("simhash"),
         explode(array((0 until 4).map { c =>
           struct(lit(c).as("chunk_id"),
