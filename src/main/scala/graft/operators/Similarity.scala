@@ -36,6 +36,26 @@ object Similarity {
     withNorm(Tables.load(spark, dir, "embeddings")
       .select(col("vec_id"), V.asDouble(col("embedding")).as("v")))
 
+  /** Argmax-cosine centroid assignment as ONE aggregation instead of a
+    * `row_number` window over the n×C exploded table: `max` over a
+    * lexicographic (c_cos, −c_id) struct replicates the
+    * (cos DESC, c_id ASC) window tie-break exactly, but gets map-side
+    * partial aggregation — the shuffle carries ~n combined rows instead
+    * of n×C, and there is no full sort of the exploded table. This is
+    * the difference between the plan surviving a 100× scale-up and not;
+    * v/nrm ride along via first() (constant within a vec_id group). */
+  private def assignNearest(e: DataFrame, centroids: DataFrame): DataFrame =
+    e.crossJoin(broadcast(centroids))
+      .select(col("vec_id"), col("v"), col("nrm"),
+        struct(
+          (V.dot(col("v"), col("c_v")) / (col("nrm") * col("c_nrm"))).as("c_cos"),
+          (-col("c_id")).as("neg_id"),
+          col("c_id").as("c_id")).as("cand"))
+      .groupBy("vec_id")
+      .agg(first(col("v")).as("v"), first(col("nrm")).as("nrm"),
+        max(col("cand")).as("best"))
+      .select(col("vec_id"), col("v"), col("nrm"), col("best.c_id").as("c_id"))
+
   /** Spherical k-means (Lloyd) over the embedding table, fully as
     * DataFrame ops: assignment = broadcast-centroid argmax (codegen'd
     * dots), update = element-wise mean via posexplode + (cluster, pos)
@@ -50,13 +70,7 @@ object Similarity {
       .select(col("vec_id").as("c_id"), col("v").as("c_v"),
         col("nrm").as("c_nrm"))
     for (_ <- 0 until iters) {
-      val wAssign = Window.partitionBy("vec_id")
-        .orderBy(col("c_cos").desc, col("c_id"))
-      val assigned = e.crossJoin(broadcast(centroids))
-        .select(col("vec_id"), col("v"), col("c_id"),
-          (V.dot(col("v"), col("c_v")) / (col("nrm") * col("c_nrm"))).as("c_cos"))
-        .withColumn("crk", row_number().over(wAssign))
-        .filter(col("crk") === 1)
+      val assigned = assignNearest(e, centroids)
       // decimal-exact mean: float sums are partial-aggregation-order
       // dependent; summing through DECIMAL(38,18) makes the centroids
       // bit-deterministic (and lets the DuckDB oracle replicate Lloyd)
@@ -110,16 +124,11 @@ object Similarity {
       nprobe: Int): DataFrame = {
 
     // assignment: argmax cosine over the broadcast centroid set
-    val wAssign = Window.partitionBy("vec_id")
-      .orderBy(col("c_cos").desc, col("c_id"))
-    val assigned = e.crossJoin(broadcast(centroids))
-      .select(col("vec_id"), col("v"), col("nrm"), col("c_id"),
-        (V.dot(col("v"), col("c_v")) / (col("nrm") * col("c_nrm"))).as("c_cos"))
-      .withColumn("crk", row_number().over(wAssign))
-      .filter(col("crk") === 1)
-      .select(col("vec_id"), col("v"), col("nrm"), col("c_id"))
+    val assigned = assignNearest(e, centroids)
 
-    // queries probe their nprobe nearest centroids
+    // queries probe their nprobe nearest centroids — a top-nprobe, so a
+    // window stays; it runs over |Q|×C rows (both bounded by design:
+    // the query batch is small, C is fixed), never over n
     val queries = e.filter(col("vec_id") < NumQueries)
       .select(col("vec_id").as("q_id"), col("v").as("q_v"), col("nrm").as("q_nrm"))
     val wProbe = Window.partitionBy("q_id")

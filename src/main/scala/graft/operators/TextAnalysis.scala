@@ -148,21 +148,24 @@ object TextAnalysis {
 
   /** Vocabulary coverage — tokenizer-prep telemetry: how much of the
     * corpus the top-k vocabulary covers. Two hash aggregates (term
-    * counts, then total) and one rank window; the window runs on the
-    * already-aggregated vocab (tiny next to the corpus — the standard
-    * final-aggregate shape, single partition is fine even at 100 TB
-    * vocab sizes after a freq-floor filter). */
+    * counts, then total), then a top-k BEFORE any global window: the
+    * `orderBy().limit(topK)` plans as TakeOrderedAndProject (per-
+    * partition heap top-k, merged at the driver — no single-partition
+    * sort of the vocabulary, which is billions of distinct tokens at
+    * web-corpus scale). The rank/cumulative window then runs over
+    * exactly topK rows — bounded by construction, not by hoping the
+    * vocab is small. */
   def vocabCoverage(spark: SparkSession, dir: String, topK: Int = 30): DataFrame = {
     val tf = Tables.load(spark, dir, "documents")
       .select(explode(T.tokens(col("text"))).as("token"))
       .groupBy("token").agg(count(lit(1)).as("freq"))
+    val top = tf.orderBy(col("freq").desc, col("token")).limit(topK)
     val w = Window.orderBy(col("freq").desc, col("token"))
-    tf.crossJoin(broadcast(tf.agg(sum("freq").as("total"))))
+    top.crossJoin(broadcast(tf.agg(sum("freq").as("total"))))
       .withColumn("rank", row_number().over(w).cast("long"))
       .withColumn("cum_frac",
         round(sum(col("freq")).over(w.rowsBetween(Window.unboundedPreceding,
           Window.currentRow)).cast("double") / col("total"), 6))
-      .filter(col("rank") <= topK)
       .select("rank", "token", "freq", "cum_frac")
       .orderBy("rank")
   }

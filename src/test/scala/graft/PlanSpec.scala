@@ -54,6 +54,27 @@ class PlanSpec extends AnyFunSuite {
       s"bloom probe should be below the join: $p")
   }
 
+  test("vocab_coverage bounds the global window with a top-k, not a full sort") {
+    val p = planOf("vocab_coverage")
+    // the vocabulary top-k must plan as TakeOrderedAndProject (per-
+    // partition heaps) so the single-partition rank window only ever
+    // sees topK rows — never the full distinct-token table
+    assert(p.contains("TakeOrderedAndProject"), p)
+    val windowIdx = p.indexOf("Window")
+    val topkIdx = p.indexOf("TakeOrderedAndProject")
+    assert(windowIdx >= 0 && windowIdx < topkIdx,
+      s"top-k should sit below the window: $p")
+  }
+
+  test("ivf centroid assignment aggregates instead of windowing n×C rows") {
+    val p = planOf("sim_topk_ivf")
+    // remaining windows partition by q_id (bounded query set); the
+    // vector→centroid argmax must NOT be a window over vec_id — that
+    // shuffles+sorts the n×C exploded table
+    assert(!p.contains("windowspecdefinition(vec_id"), p)
+    assert(p.contains("partial_"), p)
+  }
+
   test("doc_chunks stays a single narrow stage (no shuffle before sort)") {
     val p = planOf("doc_chunks")
     // one Exchange only — the final global orderBy; chunking itself is
