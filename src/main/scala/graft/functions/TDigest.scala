@@ -4,6 +4,7 @@ import java.io.{ByteArrayInputStream, ByteArrayOutputStream, DataInputStream, Da
 import scala.collection.mutable.ArrayBuffer
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.Expression
 import org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggregate
 import org.apache.spark.sql.catalyst.util.GenericArrayData
@@ -109,6 +110,14 @@ case class TDigestQuantiles(
   require(compression >= 20, "t_digest compression must be >= 20")
   require(percentiles.nonEmpty && percentiles.forall(p => p >= 0 && p <= 1))
 
+  // any numeric input is accepted and widened per-value in update();
+  // non-numeric misuse fails at analysis time, not with a runtime
+  // ClassCastException
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case _: NumericType => TypeCheckResult.TypeCheckSuccess
+    case dt => TypeCheckResult.TypeCheckFailure(
+      s"t_digest_quantiles expects a numeric column, got ${dt.sql}")
+  }
   override def children: Seq[Expression] = Seq(child)
   override def nullable: Boolean = false
   override def dataType: DataType = ArrayType(DoubleType)
@@ -116,8 +125,18 @@ case class TDigestQuantiles(
   override def createAggregationBuffer(): TDigestBuf = new TDigestBuf(compression)
 
   override def update(buf: TDigestBuf, input: InternalRow): TDigestBuf = {
-    val v = child.eval(input)
-    if (v != null) buf.add(v.asInstanceOf[Double])
+    child.eval(input) match {
+      case null       => ()
+      case d: Double  => buf.add(d)
+      case f: Float   => buf.add(f.toDouble)
+      case l: Long    => buf.add(l.toDouble)
+      case i: Int     => buf.add(i.toDouble)
+      case s: Short   => buf.add(s.toDouble)
+      case b: Byte    => buf.add(b.toDouble)
+      case d: Decimal => buf.add(d.toDouble)
+      case v => throw new IllegalStateException(
+        s"t_digest_quantiles: unexpected input ${v.getClass}")
+    }
     buf
   }
 

@@ -38,6 +38,36 @@ class SketchSpec extends AnyFunSuite {
     assert(kept < total / 2, s"bloom kept $kept of $total")
   }
 
+  test("bloom executor-side build matches the driver-side build bit for bit") {
+    import spark.implicits._
+    val keys = (0L until 5000L).map(_ * 7 + 3)
+    val distributed = GraftBloom.fromColumn(
+      keys.toDF("k").repartition(8), "k")
+    val local = {
+      val (words, numH) = GraftBloom.sizing(keys.size.toLong, 0.01)
+      val bits = new Array[Long](words)
+      keys.foreach(GraftBloom.set(bits, numH, _))
+      new GraftBloom.Filter(bits, numH)
+    }
+    // same sizing input (n rows = n distinct here) → identical arrays;
+    // merge order across the 8 partitions must not matter (OR-idempotent)
+    assert(distributed.numHashes == local.numHashes)
+    assert(distributed.bits.sameElements(local.bits))
+  }
+
+  test("t-digest accepts integer/long/decimal columns (analysis-time widening)") {
+    import spark.implicits._
+    val df = (1L to 1000L).toDF("x")
+    val r = df.agg(TDigest.t_digest_quantiles(col("x"), Seq(0.5)).as("td"))
+      .collect().head.getSeq[Double](0)
+    assert(math.abs(r.head - 500.0) < 15.0, s"p50=$r")
+    val bad = intercept[Exception] {
+      df.select(lit("s").as("s")).agg(
+        TDigest.t_digest_quantiles(col("s"), Seq(0.5))).collect()
+    }
+    assert(bad.getMessage.toLowerCase.contains("numeric"), bad.getMessage)
+  }
+
   test("t-digest: within 1% of exact on uniform, 2.5% on log-normal") {
     import spark.implicits._
     val rnd = new scala.util.Random(42)
