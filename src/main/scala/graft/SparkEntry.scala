@@ -109,6 +109,18 @@ object SparkEntry {
         .orderBy("entity", "key", "value")),
     "backfill_checksum"  -> ((s: SparkSession, d: String) =>
       graft.pipeline.Backfill.feedChecksum(graft.pipeline.Backfill.run(s, d))),
+    // multi-tenant routing: merchant→tenant assignment + per-tenant topic
+    // (reference config/development.toml:724-729, main.rs:119-145)
+    "backfill_multitenant" -> ((s: SparkSession, d: String) => {
+      import org.apache.spark.sql.functions.{col, when}
+      val B = graft.pipeline.Backfill
+      B.runMultiTenant(s, d,
+        Seq(B.Tenant("public", "events"),
+          B.Tenant("analytics", "events-analytics")),
+        e => when(col(e.merchantCol) % 2 === 0, "public")
+          .otherwise("analytics"))
+        .orderBy("entity", "key", "value")
+    }),
   )
 
   // ================== oracle-SQL generators (cross-engine hash family) ==
@@ -693,10 +705,10 @@ object SparkEntry {
            FROM m)
          SELECT doc_id, CAST(w AS BIGINT) AS src_w, CAST(h AS BIGINT) AS src_h,
                 8::BIGINT AS out_w, 8::BIGINT AS out_h,
-                CAST(list_sum(flatten(
+                CAST(CASE WHEN n = 0 THEN 0 ELSE list_sum(flatten(
                   [[('0x'||substr(hx,
                       2*((((y*h)//8)*w + (x*w)//8) % n) + 1, 2))::BIGINT
-                    for x in range(0, 8)] for y in range(0, 8)]))
+                    for x in range(0, 8)] for y in range(0, 8)])) END
                   AS BIGINT) AS pixel_sum
          FROM d ORDER BY doc_id""",
     "media_frame_sample" ->
@@ -807,6 +819,34 @@ object SparkEntry {
            WHERE l_shipdate BETWEEN TIMESTAMP '1996-01-01' AND TIMESTAMP '1997-12-31')
          ORDER BY entity, key, value""",
     "backfill_checksum" -> dChecksumSql,
+    "backfill_multitenant" ->
+      """SELECT * FROM (
+           SELECT 'orders' AS entity, CAST(o_orderkey AS VARCHAR) AS key,
+                  CASE WHEN o_custkey % 2 = 0 THEN 'public'
+                       ELSE 'analytics' END AS tenant,
+                  (CASE WHEN o_custkey % 2 = 0 THEN 'events'
+                        ELSE 'events-analytics' END) || '-orders' AS topic,
+                  '{"o_orderkey":' || o_orderkey ||
+                  ',"o_custkey":' || o_custkey ||
+                  ',"o_orderstatus":"' || o_orderstatus ||
+                  '","o_totalprice":"' || printf('%.2f', o_totalprice) ||
+                  '","o_orderdate":"' || strftime(o_orderdate, '%Y-%m-%d %H:%M:%S') ||
+                  '","o_orderpriority":"' || o_orderpriority || '"}' AS value
+           FROM orders
+           UNION ALL
+           SELECT 'lineitem', CAST(l_orderkey AS VARCHAR),
+                  CASE WHEN l_orderkey % 2 = 0 THEN 'public'
+                       ELSE 'analytics' END,
+                  (CASE WHEN l_orderkey % 2 = 0 THEN 'events'
+                        ELSE 'events-analytics' END) || '-lineitem',
+                  '{"l_orderkey":' || l_orderkey ||
+                  ',"l_linenumber":' || l_linenumber ||
+                  ',"l_quantity":"' || printf('%.2f', l_quantity) ||
+                  '","l_returnflag":"' || l_returnflag ||
+                  '","l_linestatus":"' || l_linestatus ||
+                  '","l_shipdate":"' || strftime(l_shipdate, '%Y-%m-%d %H:%M:%S') || '"}'
+           FROM lineitem)
+         ORDER BY entity, key, value""",
     "approx_distinct" ->
       """SELECT count(DISTINCT l_orderkey) AS exact_orders,
                 true AS approx_ok

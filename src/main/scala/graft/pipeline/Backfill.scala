@@ -65,11 +65,10 @@ object Backfill {
     m && lo && hi
   }
 
-  /** One entity's event feed: filtered scan → envelope. Timestamps and
-    * doubles are pre-formatted so the JSON is engine-independent. */
-  def entityFeed(spark: SparkSession, dir: String, e: Entity,
-      cfg: Config): DataFrame = {
-    val src = Tables.load(spark, dir, e.table).filter(predicates(e, cfg))
+  /** Envelope projection over an already-filtered entity source: a pure
+    * narrow map. Timestamps and doubles are pre-formatted so the JSON
+    * is engine-independent. */
+  private def envelope(src: DataFrame, e: Entity, tenant: Column): DataFrame = {
     val payloadCols = e.payload.map { c =>
       val v = src.schema(c).dataType.typeName match {
         case "double" => format_string("%.2f", col(c))
@@ -82,8 +81,47 @@ object Backfill {
     src.select(
       lit(e.name).as("entity"),
       col(e.keyCol).cast("string").as("key"),
-      lit(cfg.tenant).as("tenant"),
+      tenant.as("tenant"),
       to_json(struct(payloadCols: _*)).as("value"))
+  }
+
+  /** One entity's event feed with an arbitrary tenant column: filtered
+    * scan → envelope. */
+  private def feedOf(spark: SparkSession, dir: String, e: Entity,
+      cfg: Config, tenant: Column): DataFrame =
+    envelope(Tables.load(spark, dir, e.table).filter(predicates(e, cfg)),
+      e, tenant)
+
+  /** One entity's event feed under the config's single tenant. */
+  def entityFeed(spark: SparkSession, dir: String, e: Entity,
+      cfg: Config): DataFrame =
+    feedOf(spark, dir, e, cfg, lit(cfg.tenant))
+
+  /** Per-tenant routing target (reference
+    * `config/development.toml:724-729`: a tenant selects a schema and a
+    * ClickHouse database; `main.rs:119-145`: the TenantID is stamped on
+    * every event). Here the routing payload is the per-tenant topic
+    * namespace events publish under. */
+  case class Tenant(id: String, topicPrefix: String)
+
+  /** Multi-tenant backfill feed: each row is assigned a tenant by
+    * `tenantOf` (an expression over the entity's columns — in
+    * production the merchant→tenant map, mirroring the reference's
+    * per-tenant schema config), then the (tiny) tenant table is
+    * broadcast-joined to stamp the per-tenant, per-entity topic the
+    * event routes to. The whole thing stays a narrow map + broadcast
+    * join — no shuffle added over the single-tenant feed. */
+  def runMultiTenant(spark: SparkSession, dir: String, tenants: Seq[Tenant],
+      tenantOf: Entity => Column, cfg: Config = Config()): DataFrame = {
+    import spark.implicits._
+    val tenantDf = tenants.map(t => (t.id, t.topicPrefix))
+      .toDF("tenant", "topic_prefix")
+    cfg.entities.map(e => feedOf(spark, dir, e, cfg, tenantOf(e)))
+      .reduce(_ unionAll _)
+      .join(broadcast(tenantDf), "tenant")
+      .select(col("entity"), col("key"), col("tenant"),
+        concat_ws("-", col("topic_prefix"), col("entity")).as("topic"),
+        col("value"))
   }
 
   /** The consolidated feed: UNION ALL of every entity feed — the
@@ -109,15 +147,31 @@ object Backfill {
       .orderBy("entity")
   }
 
-  /** Incremental batch backfill: process only rows newer than the
-    * persisted high-water mark, then advance it — the idempotent
-    * re-run story the reference lacks (X6: fail-fast, no resume,
-    * full-range re-read on retry). State is one tiny parquet of
-    * (entity, hwm); a re-run with no new data emits zero rows. The
-    * watermark column is the entity's `timeCol`, exclusive lower
-    * bound (rows AT the mark were emitted by the run that set it). */
-  def runIncremental(spark: SparkSession, dir: String, stateDir: String,
-      cfg: Config = Config()): DataFrame = {
+  /** A planned increment: the lazy feed of rows newer than the persisted
+    * mark, plus the `commit` that advances the mark. Planning NEVER
+    * writes state — callers commit only after the feed is durably in
+    * the sink, so a failed (or never-executed) write leaves the mark
+    * where it was and the next run re-emits the unprocessed rows.
+    * Re-emission means at-least-once into the sink, the same contract
+    * the reference's re-run has (X6) — downstream dedupes by key. */
+  case class Increment(feed: DataFrame, commit: () => Unit)
+
+  /** Incremental batch backfill: plan a feed of rows newer than the
+    * persisted high-water mark — the idempotent re-run story the
+    * reference lacks (X6: fail-fast, no resume, full-range re-read on
+    * retry). State is one tiny parquet of (entity, hwm); the watermark
+    * column is the entity's `timeCol`, exclusive lower bound (rows AT
+    * the mark were emitted by the run that set it).
+    *
+    * The new marks are read from the SOURCE at plan time (not the
+    * filtered slice, so an empty increment keeps the previous mark;
+    * not at commit time, so rows arriving after planning are never
+    * silently skipped — they re-emit next run instead). The commit
+    * writes the state beside the old one and renames over it, so a
+    * crash mid-commit loses at most the advancement (re-emit), never
+    * the rows. */
+  def planIncremental(spark: SparkSession, dir: String, stateDir: String,
+      cfg: Config = Config()): Increment = {
     import org.apache.spark.sql.types._
     val statePath = s"$stateDir/hwm.parquet"
     val stateSchema = StructType(Seq(
@@ -127,40 +181,49 @@ object Backfill {
         .map(r => r.getString(0) -> r.getAs[java.time.LocalDateTime](1)).toMap
       catch { case _: Exception => Map.empty }
 
-    val feeds = cfg.entities.map { e =>
+    val feed = cfg.entities.map { e =>
       val base = Tables.load(spark, dir, e.table)
-      val incr = prior.get(e.name)
+      val src = prior.get(e.name)
         .map(h => base.filter(col(e.timeCol) > lit(h)))
         .getOrElse(base)
-      (e, incr)
-    }
-    // advance the mark from the SOURCE (not the filtered slice) so an
-    // empty increment keeps the previous mark instead of erasing it
+      envelope(src, e, lit(cfg.tenant))
+    }.reduce(_ unionAll _)
+
     val newHwm = cfg.entities.map { e =>
       val m = Tables.load(spark, dir, e.table)
         .agg(max(col(e.timeCol))).collect().head
       (e.name, if (m.isNullAt(0)) prior.get(e.name).orNull
                else m.getAs[java.time.LocalDateTime](0))
-    }
-    import spark.implicits._
-    newHwm.filter(_._2 != null).toDF("entity", "hwm")
-      .coalesce(1).write.mode("overwrite").parquet(statePath)
+    }.filter(_._2 != null)
 
-    feeds.map { case (e, src) =>
-      val cols = e.payload.map { c =>
-        val v = src.schema(c).dataType.typeName match {
-          case "double" => format_string("%.2f", col(c))
-          case t if t.startsWith("timestamp") =>
-            date_format(col(c), "yyyy-MM-dd HH:mm:ss")
-          case _ => col(c)
-        }
-        v.as(c)
-      }
-      src.select(lit(e.name).as("entity"),
-        col(e.keyCol).cast("string").as("key"),
-        lit(cfg.tenant).as("tenant"),
-        to_json(struct(cols: _*)).as("value"))
-    }.reduce(_ unionAll _)
+    val commit = () => {
+      import spark.implicits._
+      val next = s"$statePath.next"
+      newHwm.toDF("entity", "hwm").coalesce(1)
+        .write.mode("overwrite").parquet(next)
+      val conf = spark.sparkContext.hadoopConfiguration
+      val fs = new org.apache.hadoop.fs.Path(statePath).getFileSystem(conf)
+      fs.delete(new org.apache.hadoop.fs.Path(statePath), true)
+      if (!fs.rename(new org.apache.hadoop.fs.Path(next),
+          new org.apache.hadoop.fs.Path(statePath)))
+        throw new java.io.IOException(s"rename $next -> $statePath failed")
+      ()
+    }
+    Increment(feed, commit)
+  }
+
+  /** Plan → durably sink (parquet append) → THEN advance the mark.
+    * Returns the number of rows this run added, counted from the sink
+    * itself (the durable truth, not a feed re-execution). */
+  def runIncremental(spark: SparkSession, dir: String, stateDir: String,
+      sinkDir: String, cfg: Config = Config()): Long = {
+    val inc = planIncremental(spark, dir, stateDir, cfg)
+    val before =
+      try spark.read.parquet(sinkDir).count() catch { case _: Exception => 0L }
+    inc.feed.write.mode("append").parquet(sinkDir)
+    val after = spark.read.parquet(sinkDir).count()
+    inc.commit()
+    after - before
   }
 
   /** Batch Kafka sink for the feed (production path; offline harness

@@ -51,14 +51,33 @@ class PipelineSpec extends AnyFunSuite {
   test("incremental backfill: first run emits all, idle re-run emits zero") {
     val state = java.nio.file.Files.createTempDirectory("hwm").toString
     val sf = TestSpark.sf
-    val first = graft.pipeline.Backfill.runIncremental(spark, sf, state)
+    val first = graft.pipeline.Backfill.planIncremental(spark, sf, state)
     val full = graft.pipeline.Backfill.run(spark, sf)
-    assert(first.count() == full.count())
-    // no new data arrived: the second run must emit nothing
-    val second = graft.pipeline.Backfill.runIncremental(spark, sf, state)
-    assert(second.count() == 0)
-    // and the mark survives the empty increment
-    val third = graft.pipeline.Backfill.runIncremental(spark, sf, state)
-    assert(third.count() == 0)
+    assert(first.feed.count() == full.count())
+    // planning must NOT advance the mark: an uncommitted (= failed-sink)
+    // run leaves the next plan re-emitting everything — no data loss
+    val retry = graft.pipeline.Backfill.planIncremental(spark, sf, state)
+    assert(retry.feed.count() == full.count())
+    retry.commit()
+    // committed: no new data arrived, so the next plan emits nothing
+    val second = graft.pipeline.Backfill.planIncremental(spark, sf, state)
+    assert(second.feed.count() == 0)
+    second.commit()
+    // and the mark survives the empty increment's commit
+    val third = graft.pipeline.Backfill.planIncremental(spark, sf, state)
+    assert(third.feed.count() == 0)
+  }
+
+  test("incremental backfill: sink write lands before the mark advances") {
+    val state = java.nio.file.Files.createTempDirectory("hwm2").toString
+    val sink = java.nio.file.Files.createTempDirectory("sink2").toString
+    val sf = TestSpark.sf
+    val n = graft.pipeline.Backfill.runIncremental(spark, sf, state, sink)
+    assert(n == graft.pipeline.Backfill.run(spark, sf).count())
+    assert(spark.read.parquet(sink).count() == n)
+    // re-run: mark advanced only after the durable write, nothing new
+    val n2 = graft.pipeline.Backfill.runIncremental(spark, sf, state, sink)
+    assert(n2 == 0)
+    assert(spark.read.parquet(sink).count() == n) // no duplicates either
   }
 }
