@@ -101,6 +101,9 @@ object Multimodal {
     * the oracle recomputes it. */
   def resizeStub(r: MediaRow, outW: Int, outH: Int): ResizedImage = {
     val n = r.payload.length
+    // empty payload: nothing to sample — emit a 1×1 zero image instead
+    // of letting the modulo-wrap index divide by zero in the executor
+    if (n == 0) return ResizedImage(r.doc_id, 1L, 1L, outW.toLong, outH.toLong, 0L)
     val w = math.max(1L, n % 640)
     val h = math.max(1L, (n.toLong * 7) % 480)
     var sum = 0L

@@ -12,17 +12,29 @@ import graft.Tables
   */
 object SqlInterface {
 
+  // keyed on the session OBJECT (WeakHashMap), not identityHashCode: a
+  // GC'd session's hash can be reused by a new session, which would
+  // silently skip registration ("table not found"); weak keys also let
+  // dead sessions' entries collect instead of growing forever
   private val registered =
-    java.util.concurrent.ConcurrentHashMap.newKeySet[(Int, String, String)]()
+    new java.util.WeakHashMap[SparkSession, java.util.HashSet[String]]()
 
   /** Register harness tables as temp views — only the ones asked for,
     * once per (session, dir): `spark.read.parquet` pays file listing +
-    * footer reads per call, which dominated these sub-second queries. */
+    * footer reads per call, which dominated these sub-second queries.
+    * Re-registers when the same view name is later asked for a
+    * DIFFERENT dir (last dir wins, matching createOrReplaceTempView). */
   def registerViews(spark: SparkSession, dir: String,
       tables: Seq[String] = Tables.names): Unit =
-    tables.foreach { t =>
-      if (registered.add((System.identityHashCode(spark), dir, t)))
-        Tables.load(spark, dir, t).createOrReplaceTempView(t)
+    registered.synchronized {
+      var set = registered.get(spark)
+      if (set == null) { set = new java.util.HashSet[String](); registered.put(spark, set) }
+      tables.foreach { t =>
+        if (set.add(s"$dir|$t") || !spark.catalog.tableExists(t)) {
+          set.removeIf((k: String) => k.endsWith(s"|$t") && k != s"$dir|$t")
+          Tables.load(spark, dir, t).createOrReplaceTempView(t)
+        }
+      }
     }
 
   /** The reference's core query shape, as SQL text (EP2 —
