@@ -15,9 +15,9 @@ object Bench {
     Tables.load(spark, sfDir, "events").count()
     Tables.load(spark, sfDir, "lineitem").count()
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      // min of two runs: machine-load noise on the shared box swings a
+      // min of three runs: machine-load noise on the shared box swings a
       // single run ±100%; the min is the reproducible warm cost
-      val times = (0 until 2).map { _ =>
+      val times = (0 until 3).map { _ =>
         val t0 = System.nanoTime()
         val ok = try { fn(spark, sfDir).count(); true }
           catch { case _: Throwable => false }
@@ -29,10 +29,14 @@ object Bench {
       }
       name -> (if (times.contains(-1.0)) -1.0 else times.min)
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+    def r4(v: Double): String = if (v < 0) "-1"
+      else String.format(java.util.Locale.ROOT, "%.4f", Double.box(v))
+    val qs = results.map { case (k, v) => s"\"" + k + "\":" + r4(v) }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    // queries first, metric/total LAST: a tail-truncating capture keeps
+    // the headline number either way
+    println(s"""{"queries":$qs,"sf":"$sfDir","metric":"total","unit":"sec","value":${r4(total)}}""")
     spark.stop()
   }
 }

@@ -42,4 +42,10 @@ object Shim {
       : org.apache.spark.sql.execution.SparkPlan =
     df.asInstanceOf[org.apache.spark.sql.classic.Dataset[_]]
       .queryExecution.executedPlan
+
+  /** Block until the async listener bus has delivered all queued events
+    * (`LiveListenerBus.waitUntilEmpty` is private[spark]) — needed to
+    * snapshot listener-fed metrics right after an action returns. */
+  def drainListenerBus(spark: SparkSession): Unit =
+    spark.sparkContext.listenerBus.waitUntilEmpty()
 }
