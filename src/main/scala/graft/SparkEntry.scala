@@ -82,6 +82,7 @@ object SparkEntry {
     "source_quota"       -> ((s: SparkSession, d: String) => Sampling.sourceQuota(s, d)),
     "text_normalize"     -> (TextAnalysis.normalize _),
     "text_repetition"    -> (TextAnalysis.repetition _),
+    "text_redact_pii"    -> (TextAnalysis.redactPii _),
     "histogram_totals"   -> ((s: SparkSession, d: String) => SemiStructured.histogramTotals(s, d)),
     "events_spine_fill"  -> (SemiStructured.eventsSpineFill _),
     // §2.9 E6 multimodal
@@ -655,6 +656,20 @@ object SparkEntry {
                      ELSE round(1.0 - CAST(len(list_distinct(ls)) AS DOUBLE)
                        / len(ls), 6) END AS dup_line_frac
          FROM g ORDER BY doc_id""",
+    "text_redact_pii" ->
+      """SELECT doc_id,
+                CAST(len(regexp_extract_all(text,
+                  '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS BIGINT)
+                  AS n_emails,
+                CAST(len(regexp_extract_all(text,
+                  '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b')) AS BIGINT) AS n_ips,
+                CAST(len(regexp_extract_all(text,
+                  '\+?\d[\d ()-]{7,}\d')) AS BIGINT) AS n_phones,
+                md5(regexp_replace(regexp_replace(regexp_replace(text,
+                  '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+                  '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '<IP>', 'g'),
+                  '\+?\d[\d ()-]{7,}\d', '<PHONE>', 'g')) AS redacted_sha
+         FROM documents ORDER BY doc_id""",
     "histogram_totals" ->
       """SELECT CAST(CASE WHEN o_totalprice < 0 THEN 0
                           WHEN o_totalprice >= 600000 THEN 21

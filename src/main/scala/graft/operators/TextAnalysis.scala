@@ -170,6 +170,32 @@ object TextAnalysis {
       .orderBy("rank")
   }
 
+  /** PII redaction — the scrub-before-training corpus step: emails,
+    * IPv4s and phone-ish digit runs replaced by typed placeholder
+    * tokens (in that order — the chain is deterministic), with
+    * per-category counts taken from the ORIGINAL text. All codegen'd
+    * regexp expressions, a pure narrow map; the patterns are chosen to
+    * behave identically under Java regex (Spark) and RE2 (DuckDB), so
+    * the redacted text is hash-checked cross-engine. The redacted text
+    * leaves as md5 to keep the result row narrow. */
+  def redactPii(spark: SparkSession, dir: String): DataFrame = {
+    val email = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+    val ip = "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b"
+    val phone = "\\+?\\d[\\d ()-]{7,}\\d"
+    val redacted = regexp_replace(regexp_replace(regexp_replace(col("text"),
+      email, "<EMAIL>"), ip, "<IP>"), phone, "<PHONE>")
+    Tables.load(spark, dir, "documents")
+      .select(col("doc_id"),
+        size(regexp_extract_all(col("text"), lit(email), lit(0)))
+          .cast("long").as("n_emails"),
+        size(regexp_extract_all(col("text"), lit(ip), lit(0)))
+          .cast("long").as("n_ips"),
+        size(regexp_extract_all(col("text"), lit(phone), lit(0)))
+          .cast("long").as("n_phones"),
+        md5(redacted).as("redacted_sha"))
+      .orderBy("doc_id")
+  }
+
   /** Document fingerprints: order-invariant md5 fingerprint (detects
     * "same content, shuffled tokens" duplicates) plus the order-
     * SENSITIVE Rabin-Karp rolling hash — both cross-engine (md5-based),

@@ -118,4 +118,32 @@ class TextSpec extends AnyFunSuite {
     assert(rows.exists(!_.getAs[Boolean]("kept")) ||
       rows.groupBy(_.getAs[String]("source")).values.forall(_.length <= 30))
   }
+
+  test("PII redaction scrubs emails/ips/phones with correct counts") {
+    import spark.implicits._
+    // same expression chain as TextAnalysis.redactPii, on crafted text
+    val email = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+    val ip = "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b"
+    val phone = "\\+?\\d[\\d ()-]{7,}\\d"
+    val df = Seq(
+      "write to a.b@x.co or ops@corp.example.org today",
+      "server 10.0.0.1 fell over; failover to 192.168.1.255",
+      "call +1 415-555-0199 now",
+      "no pii here at all").toDF("text")
+    val r = df.select(
+      regexp_replace(regexp_replace(regexp_replace(col("text"),
+        email, "<EMAIL>"), ip, "<IP>"), phone, "<PHONE>").as("red"),
+      size(regexp_extract_all(col("text"), lit(email), lit(0))).as("ne"),
+      size(regexp_extract_all(col("text"), lit(ip), lit(0))).as("ni"),
+      size(regexp_extract_all(col("text"), lit(phone), lit(0))).as("np"))
+      .collect()
+    assert(r(0).getString(0) == "write to <EMAIL> or <EMAIL> today")
+    assert(r(0).getInt(1) == 2)
+    assert(r(1).getString(0) == "server <IP> fell over; failover to <IP>")
+    assert(r(1).getInt(2) == 2)
+    assert(r(2).getString(0) == "call <PHONE> now")
+    assert(r(2).getInt(3) == 1)
+    assert(r(3).getString(0) == "no pii here at all")
+    assert(r(3).getInt(1) == 0 && r(3).getInt(2) == 0 && r(3).getInt(3) == 0)
+  }
 }
