@@ -33,14 +33,21 @@ object ScaleProbe {
       println(f"$label: ${(System.nanoTime() - t0) / 1e9}%.1f s")
       r
     }
-    val pairs = time("minhashPairs") {
+    time("minhashPairs (cold: builds + materializes sig and pair memos)") {
       val p = operators.Dedup.minhashPairs(spark, dup)
-      val c = p.count(); println(s"  pairs: $c"); p
+      val c = p.count(); println(s"  pairs: $c")
     }
-    time("dedupClusters (incl. pairs recompute)") {
+    time("dedupClusters (union-find over the memoized pair table)") {
       val cl = operators.Components.dedupClusters(spark, dup)
       val k = cl.filter(col("is_keeper")).count()
       println(s"  clusters: $k of ${cl.count()} clustered docs")
+    }
+    time("dedupKeepBest (memoized cluster map ⋈ docs)") {
+      println(s"  keepers: ${operators.Components.dedupKeepBest(spark, dup)
+        .filter(col("is_keeper")).count()}")
+    }
+    time("contamination (memoized pairs ⋈ split)") {
+      println(s"  cross-split pairs: ${operators.Sampling.contamination(spark, dup).count()}")
     }
     spark.stop()
   }

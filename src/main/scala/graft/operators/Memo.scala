@@ -41,7 +41,12 @@ object Memo {
   }
 
   /** Return the memoized table for (session, dir, name), building and
-    * materializing it on first use. `build` runs at most once per key. */
+    * materializing it on first use. `build` runs at most once per key.
+    *
+    * NOT computeIfAbsent: builders nest (the pair table's builder reads
+    * the signature memo), and ConcurrentHashMap throws "Recursive
+    * update" when a nested computeIfAbsent lands in the same bin. A
+    * monitor is reentrant, so a build may memoize its own inputs. */
   def table(spark: SparkSession, dir: String, name: String)
       (build: => DataFrame): DataFrame = {
     val m = lock.synchronized {
@@ -52,12 +57,18 @@ object Memo {
       }
       mm
     }
-    val path = m.computeIfAbsent(s"$dir|$name", _ => {
-      val p = Files.createTempDirectory(s"graft-memo-$name-").toString
-      allPaths.add(p)
-      build.write.mode("overwrite").parquet(p)
-      p
-    })
+    val key = s"$dir|$name"
+    var path = m.get(key)
+    if (path == null) lock.synchronized {
+      path = m.get(key)
+      if (path == null) {
+        val p = Files.createTempDirectory(s"graft-memo-$name-").toString
+        allPaths.add(p)
+        build.write.mode("overwrite").parquet(p)
+        m.put(key, p)
+        path = p
+      }
+    }
     spark.read.parquet(path)
   }
 }

@@ -62,9 +62,14 @@ object Similarity {
     * average + array re-assembly. Each iteration is two shuffles; the
     * centroid set (C×dim doubles) round-trips through the driver as the
     * next broadcast literal — the standard distributed k-means shape.
-    * Seeded from the deterministic sample the untrained IVF uses. */
+    * Seeded from the deterministic sample the untrained IVF uses.
+    *
+    * The trained centroid table is [[Memo]]-materialized per
+    * (session, dir, params): training is a once-per-dataset index-build
+    * step — a production system persists the trained index next to the
+    * data, it does not re-run Lloyd per query. */
   def trainCentroids(spark: SparkSession, dir: String, c: Int = NumCentroids,
-      iters: Int = 3): DataFrame = {
+      iters: Int = 3): DataFrame = Memo.table(spark, dir, s"ivf_cent_${c}_$iters") {
     val e = emb(spark, dir)
     var centroids = e.filter(col("vec_id") < c)
       .select(col("vec_id").as("c_id"), col("v").as("c_v"),
