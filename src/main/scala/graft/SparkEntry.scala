@@ -80,6 +80,7 @@ object SparkEntry {
     "train_split"        -> (Sampling.trainSplit _),
     "contamination"      -> (Sampling.contamination _),
     "source_quota"       -> ((s: SparkSession, d: String) => Sampling.sourceQuota(s, d)),
+    "doc_pack"           -> ((s: SparkSession, d: String) => Sampling.docPack(s, d)),
     "text_normalize"     -> (TextAnalysis.normalize _),
     "text_repetition"    -> (TextAnalysis.repetition _),
     "text_redact_pii"    -> (TextAnalysis.redactPii _),
@@ -110,6 +111,18 @@ object SparkEntry {
         .orderBy("entity", "key", "value")),
     "backfill_checksum"  -> ((s: SparkSession, d: String) =>
       graft.pipeline.Backfill.feedChecksum(graft.pipeline.Backfill.run(s, d))),
+    // at-least-once compaction: feed + deterministic 10% re-delivery →
+    // one row per event with its delivery count (X6 downstream dedupe)
+    "feed_compact"       -> ((s: SparkSession, d: String) => {
+      import org.apache.spark.sql.functions.{col, lit, concat, pmod}
+      val B = graft.pipeline.Backfill
+      val feed = B.run(s, d)
+      val redelivered = feed.filter(
+        pmod(Hash60.hash60(concat(col("entity"), lit(":"), col("key"))),
+          lit(10L)) === 0)
+      B.compactFeed(feed.unionAll(redelivered))
+        .orderBy("entity", "key", "value")
+    }),
     // multi-tenant routing: merchant→tenant assignment + per-tenant topic
     // (reference config/development.toml:724-729, main.rs:119-145)
     "backfill_multitenant" -> ((s: SparkSession, d: String) => {
@@ -303,11 +316,10 @@ object SparkEntry {
        FROM sc ORDER BY doc_id"""
   }
 
-  /** The consolidated feed (no date filter) + per-entity checksum. */
-  private val dChecksumSql: String = {
-    val canon = "len(key)||':'||key||'|'||len(tenant)||':'||tenant||'|'||" +
-      "len(value)||':'||value||'|'"
-    s"""WITH feed AS (
+  /** The consolidated backfill feed (no date filter) as a CTE — shared
+    * by the checksum and compaction oracles. */
+  private val dFeedCte: String =
+    """feed AS (
            SELECT 'orders' AS entity, CAST(o_orderkey AS VARCHAR) AS key,
                   'public' AS tenant,
                   '{"o_orderkey":' || o_orderkey ||
@@ -325,7 +337,13 @@ object SparkEntry {
                   '","l_returnflag":"' || l_returnflag ||
                   '","l_linestatus":"' || l_linestatus ||
                   '","l_shipdate":"' || strftime(l_shipdate, '%Y-%m-%d %H:%M:%S') || '"}'
-           FROM lineitem)
+           FROM lineitem)"""
+
+  /** The consolidated feed + per-entity checksum. */
+  private val dChecksumSql: String = {
+    val canon = "len(key)||':'||key||'|'||len(tenant)||':'||tenant||'|'||" +
+      "len(value)||':'||value||'|'"
+    s"""WITH $dFeedCte
        SELECT entity, count(*) AS n_rows,
               bit_xor(${dH60(s"($canon)")}) AS checksum
        FROM feed GROUP BY entity ORDER BY entity"""
@@ -834,6 +852,24 @@ object SparkEntry {
            WHERE l_shipdate BETWEEN TIMESTAMP '1996-01-01' AND TIMESTAMP '1997-12-31')
          ORDER BY entity, key, value""",
     "backfill_checksum" -> dChecksumSql,
+    "feed_compact" ->
+      s"""WITH $dFeedCte,
+         dup AS (SELECT * FROM feed
+                 WHERE ${dH60("entity||':'||key")} % 10 = 0),
+         delivered AS (SELECT * FROM feed UNION ALL SELECT * FROM dup)
+       SELECT entity, key, tenant, value, count(*) AS n_deliveries
+       FROM delivered GROUP BY 1, 2, 3, 4 ORDER BY entity, key, value""",
+    "doc_pack" ->
+      s"""WITH t AS (SELECT doc_id, source,
+             CAST(len($dToks) AS BIGINT) AS n_tokens FROM documents),
+         c AS (SELECT doc_id, source, n_tokens,
+             CAST(coalesce(sum(n_tokens) OVER (PARTITION BY source
+               ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING
+               AND 1 PRECEDING), 0) AS BIGINT) AS tokens_before
+           FROM t)
+       SELECT doc_id, source, n_tokens,
+              CAST(tokens_before // 512 AS BIGINT) AS pack_id
+       FROM c ORDER BY source, doc_id""",
     "backfill_multitenant" ->
       """SELECT * FROM (
            SELECT 'orders' AS entity, CAST(o_orderkey AS VARCHAR) AS key,

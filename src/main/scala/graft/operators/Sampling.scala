@@ -48,6 +48,30 @@ object Sampling {
       .orderBy("doc_a", "doc_b")
   }
 
+  /** Sequence packing: assign documents to ~`capacity`-token training
+    * bins — the "pack short docs into fixed-length sequences" step
+    * before batching. Contiguous fill by running token count in
+    * deterministic (doc_id) order, packed per source: the window
+    * partitions by source, so no single-partition global scan — each
+    * source packs independently (at 100 TB, sub-shard the source key
+    * the same way; packing is embarrassingly parallel across shards
+    * because bins never need to cross the domain boundary). A doc
+    * larger than `capacity` gets a bin of its own (contiguous fill
+    * never splits a document). */
+  def docPack(spark: SparkSession, dir: String, capacity: Int = 512): DataFrame = {
+    val w = Window.partitionBy("source").orderBy("doc_id")
+    Tables.load(spark, dir, "documents")
+      .select(col("doc_id"), col("source"),
+        size(graft.functions.TextFunctions.tokens(col("text")))
+          .cast("long").as("n_tokens"))
+      .withColumn("tokens_before",
+        coalesce(sum(col("n_tokens")).over(
+          w.rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select(col("doc_id"), col("source"), col("n_tokens"),
+        (col("tokens_before") / capacity).cast("long").as("pack_id"))
+      .orderBy("source", "doc_id")
+  }
+
   /** Per-source quota: keep at most `quota` docs per source, preferring
     * a deterministic uniform sample (md5-of-content sort key) — the
     * over-represented-source cap of corpus mixing. One shuffle on

@@ -226,6 +226,19 @@ object Backfill {
     after - before
   }
 
+  /** At-least-once compaction — the downstream half of the X6 story:
+    * re-runs (and task retries) duplicate events into the sink; the
+    * reference leans on ClickHouse/OpenSearch deduping by key
+    * (SURVEY §2.8 X6, §2.1 S6). This is that dedupe as an operator:
+    * exact-duplicate rows collapse to one with a delivery count — one
+    * hash-aggregate shuffle on the full event identity, the
+    * ReplacingMergeTree-style idempotent-consumer shape. The harness
+    * query feeds it a deterministic 10% re-delivery (hash-selected
+    * keys) so the compaction is observable and oracle-checkable. */
+  def compactFeed(feed: DataFrame): DataFrame =
+    feed.groupBy("entity", "key", "tenant", "value")
+      .agg(count(lit(1)).as("n_deliveries"))
+
   /** Batch Kafka sink for the feed (production path; offline harness
     * writes parquet instead — zero egress). */
   def writeKafka(feed: DataFrame, brokers: String, topic: String): Unit =
