@@ -1,0 +1,58 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.operators.{Dedup, Memo}
+
+/** The materialization cache: per-dataset keying, build-once semantics,
+  * and survival across spark.catalog.clearCache() (the harness calls it
+  * between queries — a persist()-based memo would silently recompute). */
+class MemoSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+
+  private def writeDocs(n: Int, salt: String): String = {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("memo-docs").toString
+    (0 until n).map { i =>
+      (i.toLong, s"doc $salt number $i with enough tokens to shingle",
+        "en", s"src${i % 3}", 40L)
+    }.toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    dir
+  }
+
+  test("memo keys by dataset dir — no cross-dataset contamination") {
+    val dirA = writeDocs(20, "alpha")
+    val dirB = writeDocs(35, "beta")
+    assert(Dedup.minhashSigTable(spark, dirA).count() == 20)
+    assert(Dedup.minhashSigTable(spark, dirB).count() == 35)
+    // ask again in reverse order: still the right datasets
+    assert(Dedup.minhashSigTable(spark, dirB).count() == 35)
+    assert(Dedup.minhashSigTable(spark, dirA).count() == 20)
+  }
+
+  test("build runs once per key and the result survives clearCache") {
+    var builds = 0
+    val dir = writeDocs(5, "gamma")
+    def t = Memo.table(spark, dir, "memo-spec-probe") {
+      builds += 1
+      spark.range(7).toDF("id")
+    }
+    assert(t.count() == 7)
+    spark.catalog.clearCache() // what Bench/Verify do between queries
+    assert(t.count() == 7)
+    assert(builds == 1, s"builder ran $builds times")
+  }
+
+  test("nested builds (a memo whose builder reads another memo) work") {
+    val dir = writeDocs(5, "delta")
+    val outer = Memo.table(spark, dir, "memo-spec-outer") {
+      Memo.table(spark, dir, "memo-spec-inner") {
+        spark.range(3).toDF("id")
+      }.withColumn("twice", col("id") * 2)
+    }
+    assert(outer.count() == 3)
+    assert(Memo.table(spark, dir, "memo-spec-inner")(fail("must be memoized"))
+      .count() == 3)
+  }
+}
