@@ -60,6 +60,11 @@ object TextAnalysis {
   def tfidfTopTerms(spark: SparkSession, dir: String, k: Int = 3): DataFrame = {
     val docs = Tables.load(spark, dir, "documents")
     val terms = docs.select(col("doc_id"), explode(T.tokens(col("text"))).as("term"))
+    // tf feeds both the score join and the df aggregate; the branch IS
+    // recomputed (two streaming tokenize scans). Measured: persisting tf
+    // here is a wash at sf0.1 and a liability at scale — the (doc, term)
+    // table is larger than the corpus, so two cheap streaming scans beat
+    // caching it.
     val tf = terms.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
     val dfreq = tf.groupBy("term").agg(count(lit(1)).as("df"))
     val total = docs.agg(count(lit(1)).as("n"))
