@@ -85,6 +85,7 @@ object SparkEntry {
     "text_repetition"    -> (TextAnalysis.repetition _),
     "text_redact_pii"    -> (TextAnalysis.redactPii _),
     "histogram_totals"   -> ((s: SparkSession, d: String) => SemiStructured.histogramTotals(s, d)),
+    "table_profile"      -> ((s: SparkSession, d: String) => Profile.tableProfile(s, d)),
     "events_spine_fill"  -> (SemiStructured.eventsSpineFill _),
     // §2.9 E6 multimodal
     "media_features"     -> (Multimodal.mediaFeatures _),
@@ -97,6 +98,7 @@ object SparkEntry {
     "approx_quantiles"   -> (SqlInterface.approxQuantiles _),
     // semi-structured + reshaping
     "json_extract"       -> (SemiStructured.jsonExtract _),
+    "quarantine_split"   -> (SemiStructured.quarantineSplit _),
     "pivot_lang_source"  -> (SemiStructured.pivotLangSource _),
     "quantiles"          -> (SemiStructured.quantiles _),
     // §2.7 categories absent from the reference, exposed via built-ins
@@ -695,6 +697,27 @@ object SparkEntry {
                   AS bucket,
                 count(*) AS n
          FROM orders GROUP BY 1 ORDER BY bucket""",
+    "table_profile" -> {
+      def prof(c: String, minEx: String, maxEx: String) =
+        s"""SELECT '$c' AS col_name,
+              CAST(count(*) FILTER ($c IS NULL) AS BIGINT) AS n_nulls,
+              count(DISTINCT $c) AS n_distinct,
+              $minEx AS min_value, $maxEx AS max_value
+            FROM orders"""
+      Seq(
+        prof("o_orderkey", "CAST(min(o_orderkey) AS VARCHAR)",
+          "CAST(max(o_orderkey) AS VARCHAR)"),
+        prof("o_custkey", "CAST(min(o_custkey) AS VARCHAR)",
+          "CAST(max(o_custkey) AS VARCHAR)"),
+        prof("o_orderstatus", "min(o_orderstatus)", "max(o_orderstatus)"),
+        prof("o_totalprice", "printf('%.2f', min(o_totalprice))",
+          "printf('%.2f', max(o_totalprice))"),
+        prof("o_orderdate", "strftime(min(o_orderdate), '%Y-%m-%d %H:%M:%S')",
+          "strftime(max(o_orderdate), '%Y-%m-%d %H:%M:%S')"),
+        prof("o_orderpriority", "min(o_orderpriority)", "max(o_orderpriority)"))
+        .mkString("SELECT * FROM (\n", "\nUNION ALL\n",
+          "\n) ORDER BY col_name")
+    },
     "events_spine_fill" ->
       """WITH b AS (
            SELECT date_trunc('hour', min(ts)) AS lo,
@@ -770,6 +793,21 @@ object SparkEntry {
                 CAST(json_extract_string(props, '$.k') AS BIGINT) AS k_typed,
                 CAST(json_extract_string(props, '$.k') AS BIGINT) AS k_path
          FROM events ORDER BY event_id""",
+    "quarantine_split" ->
+      """WITH p AS (
+           SELECT event_id,
+                  CASE WHEN event_id % 37 = 0 THEN 'x' || props
+                       ELSE props END AS payload
+           FROM events)
+         SELECT event_id,
+                CASE WHEN json_valid(payload) THEN 'ok'
+                     ELSE 'quarantined' END AS status,
+                CASE WHEN json_valid(payload)
+                     THEN CAST(json_extract_string(payload, '$.k') AS BIGINT)
+                END AS k_value,
+                CASE WHEN NOT json_valid(payload) THEN payload END
+                  AS dead_letter
+         FROM p ORDER BY event_id""",
     "pivot_lang_source" ->
       """SELECT lang,
                 count(*) FILTER (source = 'src0') AS src0,

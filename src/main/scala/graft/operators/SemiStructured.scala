@@ -22,6 +22,33 @@ object SemiStructured {
         get_json_object(col("props"), "$.k").cast("long").as("k_path"))
       .orderBy("event_id")
 
+  /** Dead-letter routing — malformed payloads must neither abort a
+    * 100 TB job (Spark 4's ANSI mode throws on bad parses) nor silently
+    * vanish: every row leaves tagged `ok` with its typed field or
+    * `quarantined` with the raw payload retained for replay. One narrow
+    * map using `from_json`'s corrupt-record column — PERMISSIVE parses
+    * never throw, and a malformed input lands verbatim in the corrupt
+    * field, which is both the routing signal and the dead letter. The
+    * harness corrupts a deterministic subset in-plan so both paths are
+    * observable and oracle-checked. */
+  def quarantineSplit(spark: SparkSession, dir: String): DataFrame = {
+    val payload = when(col("event_id") % 37 === 0,
+      concat(lit("x"), col("props"))).otherwise(col("props"))
+    val schema = StructType(Seq(
+      StructField("k", LongType), StructField("_corrupt", StringType)))
+    val opts = new java.util.HashMap[String, String]()
+    opts.put("columnNameOfCorruptRecord", "_corrupt")
+    Tables.load(spark, dir, "events")
+      .select(col("event_id"), payload.as("payload"))
+      .withColumn("parsed", from_json(col("payload"), schema, opts))
+      .select(col("event_id"),
+        when(col("parsed._corrupt").isNotNull, lit("quarantined"))
+          .otherwise(lit("ok")).as("status"),
+        col("parsed.k").as("k_value"),
+        col("parsed._corrupt").as("dead_letter"))
+      .orderBy("event_id")
+  }
+
   /** Pivot: docs count per lang × source — groupBy+pivot compiles to
     * one hash aggregate with conditional counts (values enumerated, so
     * no second pass). */
