@@ -139,6 +139,14 @@ object StreamingBackfill {
     spark.table(name)
   }
 
+  /** Streaming dead-letter split — the streaming twin of
+    * [[graft.operators.SemiStructured.quarantineSplit]]: the routing is
+    * a stateless narrow map (the shared projection), so it applies to a
+    * stream unchanged; in production the two statuses fan out to the
+    * main topic and a quarantine topic for replay. */
+  def quarantineStream(events: DataFrame): DataFrame =
+    graft.operators.SemiStructured.quarantineProjection(events)
+
   /** Stream-static enrichment: the event stream broadcast-joins the
     * static key-store/dimension table — per-microbatch hash join, no
     * streaming state at all (the streaming twin of the batch J1

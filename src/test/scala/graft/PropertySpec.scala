@@ -73,6 +73,35 @@ class PropertySpec extends AnyFunSuite {
     assert(concat == full)
   }
 
+  test("doc_pack: bins fill contiguously and never split a document") {
+    import spark.implicits._
+    forSamples(Gen.listOfN(40, Gen.chooseNum(1, 200)), 3) { lens =>
+      val dir = java.nio.file.Files.createTempDirectory("pack").toString
+      lens.zipWithIndex.map { case (n, i) =>
+        (i.toLong, Seq.fill(n)("tok").mkString(" "), "en",
+          s"src${i % 2}", n.toLong)
+      }.toDF("doc_id", "text", "lang", "source", "n_chars")
+        .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+      val packed = graft.operators.Sampling.docPack(spark, dir, capacity = 256)
+        .collect()
+      packed.groupBy(_.getAs[String]("source")).values.foreach { rows =>
+        val inOrder = rows.sortBy(_.getAs[Long]("doc_id"))
+        // pack ids are nondecreasing in doc order and start at 0
+        val ids = inOrder.map(_.getAs[Long]("pack_id"))
+        assert(ids.head == 0L)
+        assert(ids.zip(ids.tail).forall { case (a, b) => a <= b })
+        // a bin's docs are contiguous, and each bin starts before the
+        // capacity boundary (contiguous fill: tokens BEFORE the doc
+        // determine its bin)
+        var before = 0L
+        inOrder.foreach { r =>
+          assert(r.getAs[Long]("pack_id") == before / 256)
+          before += r.getAs[Long]("n_tokens")
+        }
+      }
+    }
+  }
+
   test("minhash jaccard estimate tracks exact jaccard on controlled overlap") {
     import spark.implicits._
     // two token sets with known overlap ratio

@@ -21,6 +21,18 @@ class StreamingSpec extends AnyFunSuite {
     assert(got.exceptAll(want).count() == 0 && want.exceptAll(got).count() == 0)
   }
 
+  test("streaming quarantine split == batch quarantine split") {
+    val got = StreamingBackfill.runToMemory(spark,
+      StreamingBackfill.quarantineStream(
+        StreamingBackfill.eventsStream(spark, sf)), "quar_out", "append")
+    val want = graft.operators.SemiStructured.quarantineSplit(spark, sf)
+    assert(got.count() == want.count())
+    assert(got.exceptAll(want).count() == 0 && want.exceptAll(got).count() == 0)
+    // both routes are populated (the in-plan corruption is observable)
+    assert(got.filter(col("status") === "quarantined").count() > 0)
+    assert(got.filter(col("status") === "ok").count() > 0)
+  }
+
   test("streaming dedup drops within-watermark duplicates") {
     val out = StreamingBackfill.runToMemory(spark,
       StreamingBackfill.dedupStream(StreamingBackfill.eventsStream(spark, sf)),
