@@ -95,6 +95,7 @@ object SparkEntry {
     // SQL front door + sketch quantiles
     "sql_backfill_scan"  -> (SqlInterface.sqlBackfillScan _),
     "sql_merchant_revenue" -> (SqlInterface.sqlMerchantRevenue _),
+    "sql_custom_funcs"   -> (SqlInterface.sqlCustomFuncs _),
     "approx_quantiles"   -> (SqlInterface.approxQuantiles _),
     // semi-structured + reshaping
     "json_extract"       -> (SemiStructured.jsonExtract _),
@@ -788,6 +789,13 @@ object SparkEntry {
          GROUP BY c.c_mktsegment
          HAVING count(*) > 10
          ORDER BY segment""",
+    "sql_custom_funcs" ->
+      s"""SELECT CAST(count(*) AS BIGINT) AS n_docs,
+                CAST(bit_xor(${dH60("text")}) AS BIGINT) AS corpus_hash,
+                round(list_dot_product([1.0, 2.0, 3.0], [4.0, 5.0, 6.0]), 4)
+                  AS dp,
+                true AS td_p50_ok
+         FROM documents""",
     "json_extract" ->
       """SELECT event_id,
                 CAST(json_extract_string(props, '$.k') AS BIGINT) AS k_typed,

@@ -64,6 +64,28 @@ object SqlInterface {
       ORDER BY segment""")
   }
 
+  /** The custom-function SQL surface: the engine's Catalyst expressions
+    * called from plain SQL text (registered via
+    * [[graft.functions.GraftFunctions]] — same builders the
+    * `GraftExtensions` session-extension path injects). hash60 is the
+    * cross-engine base hash, so even this query is hash-checked; the
+    * t-digest aggregate comes back as a within-bound verdict like the
+    * rest of the sketch family. */
+  def sqlCustomFuncs(spark: SparkSession, dir: String): DataFrame = {
+    graft.functions.GraftFunctions.registerTemp(spark)
+    registerViews(spark, dir, Seq("documents"))
+    spark.sql("""
+      SELECT count(*) AS n_docs,
+             CAST(bit_xor(hash60(text)) AS BIGINT) AS corpus_hash,
+             round(dot_product(array(1.0D, 2.0D, 3.0D),
+                               array(4.0D, 5.0D, 6.0D)), 4) AS dp,
+             abs(t_digest_quantiles(CAST(n_chars AS DOUBLE),
+                   array(0.5D), 200)[0]
+                 - percentile(n_chars, 0.5)) / percentile(n_chars, 0.5)
+               <= 0.02 AS td_p50_ok
+      FROM documents""")
+  }
+
   /** Sketch-family quantiles: `approx_percentile` checked against the
     * exact value. The sketch output is engine-specific, so the oracle
     * sees rounded exact quantiles plus within-±2% verdicts on the sketch

@@ -26,11 +26,21 @@ object PushFilterThroughAsOfJoin extends Rule[LogicalPlan] with PredicateHelper 
 
 /** Formal registration path for the engine's Catalyst extensions —
   * `SparkSession.builder().withExtensions(new GraftExtensions)` or
-  * `spark.sql.extensions=graft.plans.GraftExtensions`. (The Column-level
-  * APIs self-register on first use for harness sessions.) */
+  * `spark.sql.extensions=graft.plans.GraftExtensions`: the as-of
+  * planner strategy + pushdown rule, and the SQL-callable custom
+  * function surface ([[graft.functions.GraftFunctions]]). Existing
+  * sessions get the same functions via
+  * `GraftFunctions.registerTemp(spark)`. */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(e: SparkSessionExtensions): Unit = {
     e.injectPlannerStrategy(_ => AsOfStrategy)
     e.injectOptimizerRule(_ => PushFilterThroughAsOfJoin)
+    graft.functions.GraftFunctions.all.foreach { case (name, builder) =>
+      e.injectFunction((
+        org.apache.spark.sql.catalyst.FunctionIdentifier(name),
+        new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
+          classOf[GraftExtensions].getName, name),
+        builder))
+    }
   }
 }

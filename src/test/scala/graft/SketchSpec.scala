@@ -68,6 +68,22 @@ class SketchSpec extends AnyFunSuite {
     assert(bad.getMessage.toLowerCase.contains("numeric"), bad.getMessage)
   }
 
+  test("SQL registry: bottom_k and t_digest callable from SQL text with literal config args") {
+    graft.functions.GraftFunctions.registerTemp(spark)
+    val r = spark.sql("""
+      SELECT bottom_k(struct(CAST(id AS STRING) AS sort_key, id), 3) AS s,
+             t_digest_quantiles(CAST(id AS DOUBLE), array(0.5D), 100)[0] AS p50
+      FROM range(10)""").collect().head
+    val sample = r.getSeq[org.apache.spark.sql.Row](0)
+    assert(sample.map(_.getString(0)) == Seq("0", "1", "2"))
+    assert(math.abs(r.getDouble(1) - 4.5) <= 1.0, s"p50=${r.getDouble(1)}")
+    // non-literal config args are rejected at resolution, not silently
+    val err = intercept[Exception] {
+      spark.sql("SELECT bottom_k(struct('a' AS sort_key, id), CAST(id AS INT)) FROM range(3)").collect()
+    }
+    assert(err.getMessage.contains("foldable"), err.getMessage)
+  }
+
   test("t-digest: within 1% of exact on uniform, 2.5% on log-normal") {
     import spark.implicits._
     val rnd = new scala.util.Random(42)
