@@ -45,6 +45,8 @@ object SparkEntry {
     "distinct_counts"    -> (Aggregates.distinctCounts _),
     "approx_distinct"    -> (Aggregates.approxDistinct _),
     "window_running"     -> (Aggregates.windowRunning _),
+    "window_range_frame" -> (Aggregates.windowRangeFrame _),
+    "source_mix_weights" -> ((s: SparkSession, d: String) => Sampling.sourceMixWeights(s, d)),
     "rollup_docs"        -> (Aggregates.rollupDocs _),
     "events_window_agg"  -> (Aggregates.eventsWindowAgg _),
     "events_sessionize"  -> (Aggregates.sessionize _),
@@ -486,6 +488,24 @@ object SparkEntry {
                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
                   AS running_value
          FROM events ORDER BY user_id, event_id""",
+    "window_range_frame" ->
+      """SELECT user_id, event_id, epoch_us(ts) AS ts_us, value,
+                CAST(SUM(CAST(value AS DECIMAL(18,2))) OVER (
+                  PARTITION BY user_id ORDER BY epoch_us(ts)
+                  RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)
+                  AS DOUBLE) AS hour_sum
+         FROM events ORDER BY user_id, event_id""",
+    "source_mix_weights" ->
+      """WITH c AS (SELECT source, count(*) AS n_docs FROM documents GROUP BY 1),
+         t AS (SELECT sum(n_docs) AS n_total FROM c),
+         s AS (SELECT source, n_docs,
+                 CAST(n_docs AS DOUBLE) / n_total AS raw_frac,
+                 pow(CAST(n_docs AS DOUBLE) / n_total, 0.7) AS scaled
+               FROM c, t),
+         z AS (SELECT sum(scaled) AS z FROM s)
+         SELECT source, n_docs, round(raw_frac, 6) AS raw_frac,
+                round(scaled / z, 6) AS mix_weight
+         FROM s, z ORDER BY source""",
     "rollup_docs" ->
       """SELECT lang, source, count(*) AS n_docs,
                 CAST(SUM(CAST(n_chars AS DECIMAL(18,2))) AS DOUBLE) AS sum_chars

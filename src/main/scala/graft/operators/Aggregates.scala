@@ -80,6 +80,23 @@ object Aggregates {
       .orderBy("user_id", "event_id")
   }
 
+  /** RANGE-framed event-time window: per-user sum of values within the
+    * preceding hour INCLUSIVE of ties — the frame the ROWS variant
+    * can't express (two events in the same microsecond both see each
+    * other). Ordered on integer epoch-µs so the frame arithmetic is
+    * exact and engine-independent; the decimal-sum discipline makes the
+    * result order-independent. */
+  def windowRangeFrame(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy(col("ts_us"))
+      .rangeBetween(-3600L * 1000000L, 0L)
+    Tables.load(spark, dir, "events")
+      .withColumn("ts_us", unix_micros(col("ts")))
+      .withColumn("hour_sum",
+        sum(col("value").cast("decimal(18,2)")).over(w).cast("double"))
+      .select("user_id", "event_id", "ts_us", "value", "hour_sum")
+      .orderBy("user_id", "event_id")
+  }
+
   /** ROLLUP over (lang, source) on documents — grouping-set aggregation
     * (absent from the reference, SURVEY.md §2.7; free via Spark). */
   def rollupDocs(spark: SparkSession, dir: String): DataFrame =

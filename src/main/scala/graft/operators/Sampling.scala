@@ -72,6 +72,27 @@ object Sampling {
       .orderBy("source", "doc_id")
   }
 
+  /** Temperature-scaled corpus mixing weights — the multinomial
+    * sampling-temperature op (w_s ∝ (n_s/N)^α, α<1 upsamples small
+    * sources): one tiny aggregate per source plus two broadcast scalar
+    * joins; nothing here scales with row count, only with the number of
+    * sources. */
+  def sourceMixWeights(spark: SparkSession, dir: String,
+      alpha: Double = 0.7): DataFrame = {
+    val counts = Tables.load(spark, dir, "documents")
+      .groupBy("source").agg(count(lit(1)).as("n_docs"))
+    val total = counts.agg(sum("n_docs").as("n_total"))
+    val scaled = counts.crossJoin(broadcast(total))
+      .withColumn("raw_frac", col("n_docs").cast("double") / col("n_total"))
+      .withColumn("scaled", pow(col("raw_frac"), lit(alpha)))
+    val z = scaled.agg(sum("scaled").as("z"))
+    scaled.crossJoin(broadcast(z))
+      .select(col("source"), col("n_docs"),
+        round(col("raw_frac"), 6).as("raw_frac"),
+        round(col("scaled") / col("z"), 6).as("mix_weight"))
+      .orderBy("source")
+  }
+
   /** Per-source quota: keep at most `quota` docs per source, preferring
     * a deterministic uniform sample (md5-of-content sort key) — the
     * over-represented-source cap of corpus mixing. One shuffle on
