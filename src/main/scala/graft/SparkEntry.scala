@@ -30,6 +30,7 @@ object SparkEntry {
     "range_join_pairs"   -> ((s: SparkSession, d: String) => RangeJoin.eventPairsWithin(s, d)),
     "semi_join"          -> (Relational.semiJoin _),
     "anti_join"          -> (Relational.antiJoin _),
+    "full_outer_join"    -> (Relational.fullOuterJoin _),
     "pagination_window"  -> (Relational.paginationWindow _),
     "topk_per_group"     -> (Relational.topkPerGroup _),
     "asof_event_order"   -> (Relational.asofEventOrder _),
@@ -64,6 +65,7 @@ object SparkEntry {
     "embedding_neardup"  -> ((s: SparkSession, d: String) => Dedup.embeddingNearDup(s, d)),
     "dedup_clusters"     -> (Components.dedupClusters _),
     "int8_quantize"      -> (Quantize.int8Quantize _),
+    "embedding_project"  -> ((s: SparkSession, d: String) => Similarity.randomProject(s, d)),
     // §2.9 E3 similarity search
     "sim_topk_brute"     -> ((s: SparkSession, d: String) => Similarity.bruteForceTopK(s, d)),
     "sim_topk_ivf"       -> ((s: SparkSession, d: String) => Similarity.ivfTopK(s, d)),
@@ -381,6 +383,28 @@ object SparkEntry {
          WHERE c_custkey NOT IN
            (SELECT o_custkey FROM orders WHERE year(o_orderdate) = 1996)
          ORDER BY c_custkey""",
+    "full_outer_join" ->
+      """SELECT coalesce(l.merchant_id, r.merchant_id) AS merchant_id,
+                l.c_name, r.order_cnt
+         FROM (SELECT c_custkey AS merchant_id, c_name FROM customer
+               WHERE c_custkey % 7 = 0) l
+         FULL OUTER JOIN
+              (SELECT o_custkey AS merchant_id, count(*) AS order_cnt
+               FROM orders WHERE o_custkey % 5 = 0 GROUP BY 1) r
+           ON l.merchant_id = r.merchant_id
+         ORDER BY merchant_id""",
+    "embedding_project" ->
+      s"""WITH planes AS (SELECT p,
+             [(${dH60(s"'plane:'||(${Similarity.ProjSeedOffset}+p)||':'||d")} % ${Dedup.PlaneMod}) /
+                ${Dedup.PlaneMod}.0 * 2.0 - 1.0 for d in range(0, 64)] AS pv
+           FROM range(0, 16) t(p)),
+         emb0 AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+                  FROM embeddings)
+         SELECT emb0.vec_id, CAST(planes.p AS BIGINT) AS out_dim,
+                round(list_dot_product(emb0.v, planes.pv) / 4.0, 6)
+                  AS component
+         FROM emb0 CROSS JOIN planes
+         ORDER BY vec_id, out_dim""",
     "pagination_window" ->
       """SELECT rn, o_orderkey, o_custkey, o_orderstatus FROM (
            SELECT row_number() OVER (ORDER BY o_orderkey) AS rn,

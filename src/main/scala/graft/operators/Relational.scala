@@ -106,6 +106,23 @@ object Relational {
   /** Complement of [[semiJoin]]: merchants with no entity rows in the
     * window (anti). Scoped to one year so the result is non-trivial —
     * every merchant has SOME order across all history. */
+  /** FULL OUTER on partially-overlapping key sets (the reconciliation
+    * join: "which merchants exist only in the key store, only in the
+    * order stream, or in both"). Disjoint residues make all three row
+    * classes observable; the join key coalesces. */
+  def fullOuterJoin(spark: SparkSession, dir: String): DataFrame = {
+    val dims = Tables.load(spark, dir, "customer")
+      .filter(col("c_custkey") % 7 === 0)
+      .select(col("c_custkey").as("merchant_id"), col("c_name"))
+    val facts = Tables.load(spark, dir, "orders")
+      .filter(col("o_custkey") % 5 === 0)
+      .groupBy(col("o_custkey").as("merchant_id"))
+      .agg(count(lit(1)).as("order_cnt"))
+    dims.join(facts, Seq("merchant_id"), "full_outer")
+      .select("merchant_id", "c_name", "order_cnt")
+      .orderBy("merchant_id")
+  }
+
   def antiJoin(spark: SparkSession, dir: String): DataFrame = {
     val cust = Tables.load(spark, dir, "customer")
     val orders = Tables.load(spark, dir, "orders")

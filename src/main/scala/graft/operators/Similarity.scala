@@ -92,6 +92,34 @@ object Similarity {
     centroids
   }
 
+  /** Johnson–Lindenstrauss random projection 64 → `outDims` dims: an
+    * md5-derived projection matrix shipped as literals (the same
+    * cross-engine trick as the hyperplane bucketer, seed-offset so the
+    * planes are distinct from the bucketer's), one codegen'd dot per
+    * output dim, scaled by 1/√outDims — the dimensionality-reduction
+    * step before ANN/clustering at scale, and a pure narrow map. */
+  def randomProject(spark: SparkSession, dir: String,
+      outDims: Int = 16, dim: Int = 64): DataFrame = {
+    val planes = Array.tabulate(outDims, dim)((p, d) =>
+      Dedup.planeComponent(ProjSeedOffset + p, d))
+    val scale = math.sqrt(outDims.toDouble)
+    val comps = (0 until outDims).map { p =>
+      struct(lit(p.toLong).as("out_dim"),
+        round(V.dot(col("v"), typedlit(planes(p).toSeq)) / scale, 6)
+          .as("component"))
+    }
+    Tables.load(spark, dir, "embeddings")
+      .select(col("vec_id"), V.asDouble(col("embedding")).as("v"))
+      .select(col("vec_id"), explode(array(comps: _*)).as("c"))
+      .select(col("vec_id"), col("c.out_dim").as("out_dim"),
+        col("c.component").as("component"))
+      .orderBy("vec_id", "out_dim")
+  }
+
+  /** Seed offset separating projection planes from the LSH bucketer's
+    * (`plane:<ProjSeedOffset+p>:<d>` vs `plane:<p>:<d>`). */
+  val ProjSeedOffset = 1000
+
   /** Exact top-k cosine for query vectors (vec_id < NumQueries). */
   def bruteForceTopK(spark: SparkSession, dir: String, k: Int = 10): DataFrame = {
     val e = emb(spark, dir)
