@@ -14,9 +14,27 @@ object Tables {
     "region", "nation", "customer", "supplier", "part",
     "orders", "lineitem", "events", "documents", "embeddings")
 
-  def load(spark: SparkSession, dir: String, name: String): DataFrame =
-    if (name == "events") loadEvents(spark, dir) else
-      spark.read.parquet(s"$dir/$name.parquet")
+  // memoized per (session, dir, table): every `spark.read.parquet` call
+  // builds a fresh InMemoryFileIndex (directory listing + footer schema
+  // read) — a fixed tax on every one of the ~86 harness queries. The
+  // cached DataFrame is just an immutable logical plan whose file index
+  // is resolved once; weak session keys let dead sessions collect.
+  private val loaded =
+    new java.util.WeakHashMap[SparkSession, java.util.concurrent.ConcurrentHashMap[String, DataFrame]]()
+
+  def load(spark: SparkSession, dir: String, name: String): DataFrame = {
+    val m = loaded.synchronized {
+      var mm = loaded.get(spark)
+      if (mm == null) {
+        mm = new java.util.concurrent.ConcurrentHashMap[String, DataFrame]()
+        loaded.put(spark, mm)
+      }
+      mm
+    }
+    m.computeIfAbsent(s"$dir/$name", _ =>
+      if (name == "events") loadEvents(spark, dir)
+      else spark.read.parquet(s"$dir/$name.parquet"))
+  }
 
   /** events schema as stored on disk (`ts` = TIMESTAMP(NANOS) read as
     * long via nanosAsLong) — shared by the batch loader and the
