@@ -33,10 +33,15 @@ object Bench {
       else String.format(java.util.Locale.ROOT, "%.4f", Double.box(v))
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + r4(v) }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
+    // failed queries carry the -1 marker per-query but must not be
+    // summed into the headline (a -1 would silently UNDERSTATE it);
+    // they are named so a truncated capture still shows the failure
+    val (bad, good) = results.partition(_._2 < 0)
+    val failed = bad.map("\"" + _._1 + "\"").mkString("[", ",", "]")
+    val total = good.map(_._2).sum
     // queries first, metric/total LAST: a tail-truncating capture keeps
     // the headline number either way
-    println(s"""{"queries":$qs,"sf":"$sfDir","metric":"total","unit":"sec","value":${r4(total)}}""")
+    println(s"""{"queries":$qs,"sf":"$sfDir","failed":$failed,"metric":"total","unit":"sec","value":${r4(total)}}""")
     spark.stop()
   }
 }

@@ -524,7 +524,7 @@ object SparkEntry {
          t AS (SELECT sum(n_docs) AS n_total FROM c),
          s AS (SELECT source, n_docs,
                  CAST(n_docs AS DOUBLE) / n_total AS raw_frac,
-                 pow(CAST(n_docs AS DOUBLE) / n_total, 0.7) AS scaled
+                 sqrt(CAST(n_docs AS DOUBLE) / n_total) AS scaled
                FROM c, t),
          z AS (SELECT sum(scaled) AS z FROM s)
          SELECT source, n_docs, round(raw_frac, 6) AS raw_frac,

@@ -18,12 +18,19 @@ object Tables {
   // builds a fresh InMemoryFileIndex (directory listing + footer schema
   // read) — a fixed tax on every one of the ~86 harness queries. The
   // cached DataFrame is just an immutable logical plan whose file index
-  // is resolved once; weak session keys let dead sessions collect.
+  // is resolved once. NOTE a weak session key would never collect here
+  // (the cached DataFrames strongly reference their session), so growth
+  // is bounded explicitly instead: the whole cache resets once more
+  // than MaxSessions sessions have been seen — a rebuild costs one
+  // directory listing, a leak costs the heap.
+  private val MaxSessions = 8
   private val loaded =
-    new java.util.WeakHashMap[SparkSession, java.util.concurrent.ConcurrentHashMap[String, DataFrame]]()
+    new java.util.HashMap[SparkSession, java.util.concurrent.ConcurrentHashMap[String, DataFrame]]()
 
   def load(spark: SparkSession, dir: String, name: String): DataFrame = {
     val m = loaded.synchronized {
+      if (!loaded.containsKey(spark) && loaded.size() >= MaxSessions)
+        loaded.clear()
       var mm = loaded.get(spark)
       if (mm == null) {
         mm = new java.util.concurrent.ConcurrentHashMap[String, DataFrame]()

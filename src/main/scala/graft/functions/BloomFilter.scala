@@ -57,14 +57,22 @@ object GraftBloom {
   }
 
   /** Size the filter for `n` keys at ~`fpp` false positives:
-    * (word count [power of two, so modulo is a mask], hash count). */
+    * (word count [power of two, so modulo is a mask], hash count).
+    * Long arithmetic throughout (an Int cast on the exact bit count
+    * would wrap negative past ~7e9 keys and silently collapse the
+    * filter to 64 bits ≈ fpp 1.0), and the array is capped at
+    * [[MaxWords]] (256 MB of bits) — beyond that the false-positive
+    * rate degrades gracefully instead of the broadcast blowing up. */
+  val MaxWords: Int = 1 << 25
   def sizing(n: Long, fpp: Double): (Int, Int) = {
     val nn = math.max(n, 1L)
     val mExact = math.ceil(-nn * math.log(fpp) / (math.log(2) * math.log(2))).toLong
-    val words = math.max(1, Integer.highestOneBit(
-      math.max(1, ((mExact + 63) / 64).toInt) * 2 - 1))
+    val wordsExact = math.max(1L, (mExact + 63L) / 64L)
+    val words =
+      if (wordsExact >= MaxWords) MaxWords
+      else math.max(1L, java.lang.Long.highestOneBit(wordsExact * 2L - 1L)).toInt
     val k = math.max(1, math.round(words * 64.0 / nn * math.log(2)).toInt)
-    (words, k)
+    (words.toInt, k)
   }
 
   /** Set `key`'s k bits in-place. */
@@ -88,16 +96,21 @@ object GraftBloom {
     new Filter(bits, k)
   }
 
-  /** Build from a dim-side key column, executor-side: one cheap count
-    * to size the filter (row count upper-bounds distinct keys —
-    * oversizing only lowers the false-positive rate), then one
-    * [[BloomBuildAgg]] aggregation whose partial buffers OR together;
-    * only the final bit array is collected. Nothing
-    * proportional to the key count ever reaches the driver. */
+  /** Build from a dim-side key column, executor-side: one cheap
+    * HLL-estimated distinct count to size the filter (sizing on the raw
+    * row count would scale the bit array with duplicates, not keys —
+    * a duplicate-heavy dim side would re-create the very memory blowup
+    * this executor-side build avoids; the ±2% sketch error is noise
+    * next to the 2× power-of-two rounding), then one [[BloomBuildAgg]]
+    * aggregation whose partial buffers OR together; only the final bit
+    * array is collected. Nothing proportional to the key count ever
+    * reaches the driver. */
   def fromColumn(df: DataFrame, key: String, fpp: Double = 0.01): Filter = {
-    import org.apache.spark.sql.functions.col
+    import org.apache.spark.sql.functions.{approx_count_distinct, col}
     val keyed = df.select(col(key).cast("long").as("k")).na.drop()
-    val (words, k) = sizing(keyed.count(), fpp)
+    val n = keyed.agg(approx_count_distinct(col("k")))
+      .head.getLong(0)
+    val (words, k) = sizing(n, fpp)
     val bytes = keyed.select(Shim.column(
         BloomBuildAgg(Shim.expression(col("k")), words, k)
           .toAggregateExpression()))

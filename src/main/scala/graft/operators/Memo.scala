@@ -33,9 +33,12 @@ object Memo {
   sys.addShutdownHook {
     allPaths.forEach { p =>
       try {
-        import scala.jdk.CollectionConverters._
-        Files.walk(java.nio.file.Paths.get(p)).iterator().asScala.toSeq
-          .sortBy(-_.getNameCount).foreach(Files.deleteIfExists(_))
+        val walk = Files.walk(java.nio.file.Paths.get(p))
+        try {
+          import scala.jdk.CollectionConverters._
+          walk.iterator().asScala.toSeq
+            .sortBy(-_.getNameCount).foreach(Files.deleteIfExists(_))
+        } finally walk.close()
       } catch { case _: Exception => () }
     }
   }
@@ -46,7 +49,13 @@ object Memo {
     * NOT computeIfAbsent: builders nest (the pair table's builder reads
     * the signature memo), and ConcurrentHashMap throws "Recursive
     * update" when a nested computeIfAbsent lands in the same bin. A
-    * monitor is reentrant, so a build may memoize its own inputs. */
+    * monitor is reentrant, so a build may memoize its own inputs.
+    * Deliberate tradeoff: first-time builds of DIFFERENT keys serialize
+    * on the one monitor (per-key locks would deadlock-proof only for
+    * our current acyclic build DAG and break the reentrancy guarantee
+    * in general); hits take the lock-free fast path, and builds are
+    * once-per-dataset, so the serialization window is the cold start
+    * only. */
   def table(spark: SparkSession, dir: String, name: String)
       (build: => DataFrame): DataFrame = {
     val m = lock.synchronized {

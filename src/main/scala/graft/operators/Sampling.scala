@@ -76,15 +76,18 @@ object Sampling {
     * sampling-temperature op (w_s ∝ (n_s/N)^α, α<1 upsamples small
     * sources): one tiny aggregate per source plus two broadcast scalar
     * joins; nothing here scales with row count, only with the number of
-    * sources. */
-  def sourceMixWeights(spark: SparkSession, dir: String,
-      alpha: Double = 0.7): DataFrame = {
+    * sources. α is fixed at 0.5 (= sqrt) deliberately: sqrt is
+    * correctly-rounded under IEEE 754 on every engine, where a general
+    * pow's last ulp is libm-implementation-defined — with sqrt the
+    * weights stay exactly cross-engine reproducible like the rest of
+    * the hash-checked family. */
+  def sourceMixWeights(spark: SparkSession, dir: String): DataFrame = {
     val counts = Tables.load(spark, dir, "documents")
       .groupBy("source").agg(count(lit(1)).as("n_docs"))
     val total = counts.agg(sum("n_docs").as("n_total"))
     val scaled = counts.crossJoin(broadcast(total))
       .withColumn("raw_frac", col("n_docs").cast("double") / col("n_total"))
-      .withColumn("scaled", pow(col("raw_frac"), lit(alpha)))
+      .withColumn("scaled", sqrt(col("raw_frac")))
     val z = scaled.agg(sum("scaled").as("z"))
     scaled.crossJoin(broadcast(z))
       .select(col("source"), col("n_docs"),

@@ -110,7 +110,12 @@ object Backfill {
     * per-tenant schema config), then the (tiny) tenant table is
     * broadcast-joined to stamp the per-tenant, per-entity topic the
     * event routes to. The whole thing stays a narrow map + broadcast
-    * join — no shuffle added over the single-tenant feed. */
+    * join — no shuffle added over the single-tenant feed.
+    *
+    * Routing is left-join + runtime assert, NOT an inner join: an
+    * unmapped tenant id (typo'd config, a lookup miss yielding null)
+    * must fail the job loudly, not silently drop its events from the
+    * replay. */
   def runMultiTenant(spark: SparkSession, dir: String, tenants: Seq[Tenant],
       tenantOf: Entity => Column, cfg: Config = Config()): DataFrame = {
     import spark.implicits._
@@ -118,9 +123,14 @@ object Backfill {
       .toDF("tenant", "topic_prefix")
     cfg.entities.map(e => feedOf(spark, dir, e, cfg, tenantOf(e)))
       .reduce(_ unionAll _)
-      .join(broadcast(tenantDf), "tenant")
+      .join(broadcast(tenantDf), Seq("tenant"), "left")
       .select(col("entity"), col("key"), col("tenant"),
-        concat_ws("-", col("topic_prefix"), col("entity")).as("topic"),
+        concat_ws("-",
+          when(col("topic_prefix").isNull,
+            raise_error(concat(lit("unmapped tenant in routing table: "),
+              coalesce(col("tenant"), lit("<null>")))))
+            .otherwise(col("topic_prefix")),
+          col("entity")).as("topic"),
         col("value"))
   }
 
@@ -176,10 +186,18 @@ object Backfill {
     val statePath = s"$stateDir/hwm.parquet"
     val stateSchema = StructType(Seq(
       StructField("entity", StringType), StructField("hwm", TimestampNTZType)))
+    def readState(p: String): Option[Map[String, java.time.LocalDateTime]] =
+      try Some(spark.read.schema(stateSchema).parquet(p).collect()
+        .map(r => r.getString(0) -> r.getAs[java.time.LocalDateTime](1)).toMap)
+      catch { case _: Exception => None }
+    // crash recovery: if the committed state is missing but a `.next`
+    // exists, a commit died between delete and rename — `.next` was
+    // written only after its increment was durably sunk, so it IS the
+    // valid mark (see commit below); fall back to it rather than
+    // re-emitting all history
     val prior: Map[String, java.time.LocalDateTime] =
-      try spark.read.schema(stateSchema).parquet(statePath).collect()
-        .map(r => r.getString(0) -> r.getAs[java.time.LocalDateTime](1)).toMap
-      catch { case _: Exception => Map.empty }
+      readState(statePath).orElse(readState(s"$statePath.next"))
+        .getOrElse(Map.empty)
 
     val feed = cfg.entities.map { e =>
       val base = Tables.load(spark, dir, e.table)
@@ -196,6 +214,12 @@ object Backfill {
                else m.getAs[java.time.LocalDateTime](0))
     }.filter(_._2 != null)
 
+    // commit protocol: write `.next`, delete the old state, rename
+    // `.next` into place. Every crash window is recoverable: before the
+    // delete, the old state survives (re-emit since the old mark —
+    // at-least-once); between delete and rename, the read path above
+    // falls back to `.next` (which already reflects a sunk increment);
+    // after the rename, the commit is complete.
     val commit = () => {
       import spark.implicits._
       val next = s"$statePath.next"
@@ -218,8 +242,15 @@ object Backfill {
   def runIncremental(spark: SparkSession, dir: String, stateDir: String,
       sinkDir: String, cfg: Config = Config()): Long = {
     val inc = planIncremental(spark, dir, stateDir, cfg)
+    // "no sink yet" is the only condition that legitimately means 0 —
+    // a transient read failure on an EXISTING sink must propagate, not
+    // masquerade as an empty sink and inflate the reported delta
+    val sinkPath = new org.apache.hadoop.fs.Path(sinkDir)
+    val fs = sinkPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val before =
-      try spark.read.parquet(sinkDir).count() catch { case _: Exception => 0L }
+      if (fs.exists(sinkPath) && fs.listStatus(sinkPath).nonEmpty)
+        spark.read.parquet(sinkDir).count()
+      else 0L
     inc.feed.write.mode("append").parquet(sinkDir)
     val after = spark.read.parquet(sinkDir).count()
     inc.commit()

@@ -68,6 +68,36 @@ class PipelineSpec extends AnyFunSuite {
     assert(third.feed.count() == 0)
   }
 
+  test("multi-tenant routing fails loudly on an unmapped tenant, not silently drops") {
+    import org.apache.spark.sql.functions.{col, lit, when}
+    val B = graft.pipeline.Backfill
+    val good = B.runMultiTenant(spark, sf,
+      Seq(B.Tenant("a", "t-a"), B.Tenant("b", "t-b")),
+      e => when(col(e.merchantCol) % 2 === 0, "a").otherwise("b"))
+    assert(good.count() == B.run(spark, sf).count()) // nothing dropped
+    val bad = B.runMultiTenant(spark, sf,
+      Seq(B.Tenant("a", "t-a")), // "b" missing from the routing table
+      e => when(col(e.merchantCol) % 2 === 0, "a").otherwise("b"))
+    // collect(), not count(): count prunes the topic column and with it
+    // the routing check — a real sink write evaluates every column
+    val err = intercept[Exception] { bad.collect() }
+    assert(err.getMessage.contains("unmapped tenant"), err.getMessage)
+  }
+
+  test("incremental HWM crash recovery: .next survives a lost state dir") {
+    val state = java.nio.file.Files.createTempDirectory("hwm3").toString
+    val sf = TestSpark.sf
+    val first = graft.pipeline.Backfill.planIncremental(spark, sf, state)
+    first.feed.count(); first.commit()
+    // simulate a crash between delete and rename: state exists only as .next
+    val fs = java.nio.file.Paths.get(state)
+    val cur = fs.resolve("hwm.parquet")
+    val next = fs.resolve("hwm.parquet.next")
+    java.nio.file.Files.move(cur, next)
+    val recovered = graft.pipeline.Backfill.planIncremental(spark, sf, state)
+    assert(recovered.feed.count() == 0) // mark recovered, no re-emit of history
+  }
+
   test("incremental backfill: sink write lands before the mark advances") {
     val state = java.nio.file.Files.createTempDirectory("hwm2").toString
     val sink = java.nio.file.Files.createTempDirectory("sink2").toString

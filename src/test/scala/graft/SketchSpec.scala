@@ -41,18 +41,27 @@ class SketchSpec extends AnyFunSuite {
   test("bloom executor-side build matches the driver-side build bit for bit") {
     import spark.implicits._
     val keys = (0L until 5000L).map(_ * 7 + 3)
-    val distributed = GraftBloom.fromColumn(
-      keys.toDF("k").repartition(8), "k")
+    val df = keys.toDF("k").repartition(8)
+    val distributed = GraftBloom.fromColumn(df, "k")
     val local = {
-      val (words, numH) = GraftBloom.sizing(keys.size.toLong, 0.01)
+      // size from the same HLL estimate fromColumn uses, so the arrays
+      // are comparable bit for bit
+      val n = df.agg(org.apache.spark.sql.functions
+        .approx_count_distinct(col("k"))).head.getLong(0)
+      val (words, numH) = GraftBloom.sizing(n, 0.01)
       val bits = new Array[Long](words)
       keys.foreach(GraftBloom.set(bits, numH, _))
       new GraftBloom.Filter(bits, numH)
     }
-    // same sizing input (n rows = n distinct here) → identical arrays;
-    // merge order across the 8 partitions must not matter (OR-idempotent)
+    // identical sizing input → identical arrays; merge order across the
+    // 8 partitions must not matter (OR-idempotent)
     assert(distributed.numHashes == local.numHashes)
     assert(distributed.bits.sameElements(local.bits))
+    // duplicates must not inflate the filter: 10x-duplicated keys size
+    // the same power-of-two array as the distinct set
+    val dup = GraftBloom.fromColumn(
+      (0 until 10).flatMap(_ => keys).toDF("k").repartition(8), "k")
+    assert(dup.bits.length == distributed.bits.length)
   }
 
   test("t-digest accepts integer/long/decimal columns (analysis-time widening)") {
