@@ -85,6 +85,7 @@ object SparkEntry {
     "contamination"      -> (Sampling.contamination _),
     "source_quota"       -> ((s: SparkSession, d: String) => Sampling.sourceQuota(s, d)),
     "doc_pack"           -> ((s: SparkSession, d: String) => Sampling.docPack(s, d)),
+    "corpus_manifest"    -> (Sampling.corpusManifest _),
     "text_normalize"     -> (TextAnalysis.normalize _),
     "text_repetition"    -> (TextAnalysis.repetition _),
     "text_redact_pii"    -> (TextAnalysis.redactPii _),
@@ -949,6 +950,37 @@ object SparkEntry {
          delivered AS (SELECT * FROM feed UNION ALL SELECT * FROM dup)
        SELECT entity, key, tenant, value, count(*) AS n_deliveries
        FROM delivered GROUP BY 1, 2, 3, 4 ORDER BY entity, key, value""",
+    "corpus_manifest" -> {
+      def splitCase(x: String) =
+        s"""CASE WHEN ${dH60(s"'split:'||$x")} % 100 < 90 THEN 'train'
+                 WHEN ${dH60(s"'split:'||$x")} % 100 < 95 THEN 'val'
+                 ELSE 'test' END"""
+      s"""WITH RECURSIVE $dMinhashPairsCtes,
+         edges AS (SELECT doc_a AS s, doc_b AS d FROM mh_pairs
+                   UNION SELECT doc_b, doc_a FROM mh_pairs),
+         reach AS (SELECT s, d FROM edges
+                   UNION SELECT r.s, e.d FROM reach r JOIN edges e ON r.d = e.s),
+         comp AS (SELECT s AS doc_id, least(s, min(d)) AS cluster_id
+                  FROM reach GROUP BY s),
+         jj AS (SELECT c.doc_id, c.cluster_id, dd.n_chars
+                FROM comp c JOIN documents dd USING (doc_id)),
+         keepers AS (SELECT doc_id,
+                       row_number() OVER (PARTITION BY cluster_id
+                         ORDER BY n_chars DESC, doc_id) = 1 AS is_keeper
+                     FROM jj),
+         q AS (SELECT doc_id,
+                 row_number() OVER (PARTITION BY source
+                   ORDER BY md5(text), doc_id) <= 30 AS quota_kept
+               FROM documents)
+         SELECT d.doc_id, ${splitCase("d.doc_id")} AS split,
+                coalesce(k.is_keeper, true) AS dedup_keeper,
+                q.quota_kept,
+                (coalesce(k.is_keeper, true) AND q.quota_kept) AS selected
+         FROM documents d
+         JOIN q USING (doc_id)
+         LEFT JOIN keepers k USING (doc_id)
+         ORDER BY doc_id"""
+    },
     "doc_pack" ->
       s"""WITH t AS (SELECT doc_id, source,
              CAST(len($dToks) AS BIGINT) AS n_tokens FROM documents),

@@ -72,6 +72,31 @@ object Sampling {
       .orderBy("source", "doc_id")
   }
 
+  /** The end-to-end assembly manifest — the query a training run
+    * actually consumes: per document, its split, whether dedup keeps it
+    * (cluster keeper by quality, or untouched by any cluster), whether
+    * the per-source quota keeps it, and the final selection. This is
+    * what the [[Memo]] layer exists for: every input (cluster keeper
+    * map, split, quota) is a join against a materialized or narrow
+    * table — composing them costs joins, not pipeline re-runs. */
+  def corpusManifest(spark: SparkSession, dir: String): DataFrame = {
+    val keepers = Components.dedupKeepBest(spark, dir)
+      .select(col("doc_id"), col("is_keeper"))
+    val split = trainSplit(spark, dir).select("doc_id", "split")
+    val quota = sourceQuota(spark, dir)
+      .select(col("doc_id"), col("kept").as("quota_kept"))
+    Tables.load(spark, dir, "documents").select("doc_id")
+      .join(split, "doc_id")
+      .join(quota, "doc_id")
+      .join(keepers, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("split"),
+        coalesce(col("is_keeper"), lit(true)).as("dedup_keeper"),
+        col("quota_kept"),
+        (coalesce(col("is_keeper"), lit(true)) && col("quota_kept"))
+          .as("selected"))
+      .orderBy("doc_id")
+  }
+
   /** Temperature-scaled corpus mixing weights — the multinomial
     * sampling-temperature op (w_s ∝ (n_s/N)^α, α<1 upsamples small
     * sources): one tiny aggregate per source plus two broadcast scalar
