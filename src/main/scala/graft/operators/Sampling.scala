@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 import graft.Tables
@@ -15,18 +15,22 @@ import graft.functions.Hash60.hash60
   */
 object Sampling {
 
-  /** 90/5/5 train/val/test assignment from a salted content-free key:
-    * hash the doc id, not the text, so edits to a document never move
-    * it across splits (the leakage rule). Pure narrow map. */
+  /** Salted content-free split bucket for a doc-id column: hash the id,
+    * not the text, so edits to a document never move it across splits
+    * (the leakage rule). */
+  def splitBucket(docId: Column): Column =
+    pmod(hash60(concat(lit("split:"), docId.cast("string"))), lit(100L))
+
+  /** 90/5/5 label from the bucket. */
+  def splitLabel(bucket: Column): Column =
+    when(bucket < 90, "train").when(bucket < 95, "val").otherwise("test")
+
+  /** 90/5/5 train/val/test assignment — a pure narrow map. */
   def trainSplit(spark: SparkSession, dir: String): DataFrame =
     Tables.load(spark, dir, "documents")
-      .withColumn("bucket",
-        pmod(hash60(concat(lit("split:"), col("doc_id").cast("string"))),
-          lit(100L)))
+      .withColumn("bucket", splitBucket(col("doc_id")))
       .select(col("doc_id"), col("bucket"),
-        when(col("bucket") < 90, "train")
-          .when(col("bucket") < 95, "val")
-          .otherwise("test").as("split"))
+        splitLabel(col("bucket")).as("split"))
       .orderBy("doc_id")
 
   /** Eval-contamination check: near-duplicate pairs that CROSS the
@@ -76,18 +80,22 @@ object Sampling {
     * actually consumes: per document, its split, whether dedup keeps it
     * (cluster keeper by quality, or untouched by any cluster), whether
     * the per-source quota keeps it, and the final selection. This is
-    * what the [[Memo]] layer exists for: every input (cluster keeper
-    * map, split, quota) is a join against a materialized or narrow
-    * table — composing them costs joins, not pipeline re-runs. */
+    * what the [[Memo]] layer exists for: the keeper map is a join
+    * against a materialized table, and split/quota are computed as
+    * COLUMNS on the single docs scan (split a narrow expression, quota
+    * one per-source window) — one scan, one window shuffle, one
+    * small-table join; never a pipeline re-run, never a second corpus
+    * scan. */
   def corpusManifest(spark: SparkSession, dir: String): DataFrame = {
     val keepers = Components.dedupKeepBest(spark, dir)
       .select(col("doc_id"), col("is_keeper"))
-    val split = trainSplit(spark, dir).select("doc_id", "split")
-    val quota = sourceQuota(spark, dir)
-      .select(col("doc_id"), col("kept").as("quota_kept"))
-    Tables.load(spark, dir, "documents").select("doc_id")
-      .join(split, "doc_id")
-      .join(quota, "doc_id")
+    val w = Window.partitionBy("source").orderBy(col("pick_key"), col("doc_id"))
+    Tables.load(spark, dir, "documents")
+      .withColumn("pick_key", md5(col("text")))
+      .withColumn("quota_kept", row_number().over(w) <= 30)
+      .select(col("doc_id"),
+        splitLabel(splitBucket(col("doc_id"))).as("split"),
+        col("quota_kept"))
       .join(keepers, Seq("doc_id"), "left")
       .select(col("doc_id"), col("split"),
         coalesce(col("is_keeper"), lit(true)).as("dedup_keeper"),
