@@ -34,6 +34,7 @@ object SparkEntry {
     "pagination_window"  -> (Relational.paginationWindow _),
     "topk_per_group"     -> (Relational.topkPerGroup _),
     "asof_event_order"   -> (Relational.asofEventOrder _),
+    "asof_next_event"    -> (Relational.asofOrderNextEvent _),
     "tenant_tag"         -> (Relational.tenantTag _),
     // §2.6 per-row transforms
     "multi_format_ts"    -> (Timestamps.multiFormatParse _),
@@ -426,6 +427,15 @@ object SparkEntry {
          FROM events e ASOF LEFT JOIN o
            ON e.user_id = o.o_custkey AND e.ts >= o.o_orderdate
          ORDER BY e.event_id""",
+    "asof_next_event" ->
+      """WITH e AS (
+           SELECT user_id, ts, min(event_id) AS event_id
+           FROM events GROUP BY 1, 2)
+         SELECT o.o_orderkey, o.o_custkey, e.event_id,
+                e.ts AS next_event_ts
+         FROM orders o ASOF LEFT JOIN e
+           ON o.o_custkey = e.user_id AND o.o_orderdate <= e.ts
+         ORDER BY o_orderkey""",
     "tenant_tag" ->
       """SELECT event_id, 'public' AS tenant, 'payment_intent' AS entity,
                 event_type, user_id

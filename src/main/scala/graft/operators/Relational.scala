@@ -173,6 +173,25 @@ object Relational {
       .orderBy("event_id")
   }
 
+  /** Forward as-of: each order picks up the merchant's FIRST event
+    * at-or-after the order time — the "next interaction after purchase"
+    * attribution query. Right side pre-deduped to one row per
+    * (user, time) so the pick is deterministic. */
+  def asofOrderNextEvent(spark: SparkSession, dir: String): DataFrame = {
+    val ord = Tables.load(spark, dir, "orders")
+      .select(col("o_orderkey"), col("o_custkey"), col("o_orderdate"))
+      .withColumn("ot", unix_micros(col("o_orderdate").cast("timestamp")))
+    val ev = Tables.load(spark, dir, "events")
+      .groupBy("user_id", "ts")
+      .agg(min(col("event_id")).as("event_id"))
+      .withColumn("t", unix_micros(col("ts")))
+    graft.plans.AsOf.join(spark, ord, ev,
+      ord("o_custkey"), ev("user_id"), ord("ot"), ev("t"), forward = true)
+      .select(col("o_orderkey"), col("o_custkey"), col("event_id"),
+        col("ts").as("next_event_ts"))
+      .orderBy("o_orderkey")
+  }
+
   /** Top-k per group (window): top 3 orders per merchant by amount —
     * the canonical analytics query downstream ClickHouse consumers run on
     * the backfilled topics (SURVEY.md §2.7: free via Spark built-ins). */

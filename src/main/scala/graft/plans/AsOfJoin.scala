@@ -16,12 +16,14 @@ import org.apache.spark.sql.types.LongType
   * + `SparkPlan`).
   *
   * Semantics (left as-of join): for every left row, attach the single
-  * right row with the same key and the greatest right_time ≤ left_time
-  * (optionally within `toleranceMicros`); null-extend when none.
-  * Equivalent to DuckDB's `ASOF LEFT JOIN` (the oracle) and the
-  * point-in-time join every event/feature pipeline needs — Spark has no
-  * built-in form; the window/union emulation needs two shuffles of the
-  * combined tables plus a window pass.
+  * right row with the same key and — backward direction — the greatest
+  * right_time ≤ left_time, or — `forward = true` — the smallest
+  * right_time ≥ left_time (optionally within `toleranceMicros`);
+  * null-extend when none. Equivalent to DuckDB's `ASOF LEFT JOIN` with
+  * `l.t >= r.t` / `l.t <= r.t` (the oracles) and the point-in-time join
+  * every event/feature pipeline needs — Spark has no built-in form; the
+  * window/union emulation needs two shuffles of the combined tables
+  * plus a window pass.
   *
   * Physical design: both sides hash-cluster on the key (one shuffle
   * each — EnsureRequirements inserts the exchanges/sorts from
@@ -37,7 +39,8 @@ case class AsOfJoin(
     rightKeys: Seq[Expression],
     leftTime: Expression,
     rightTime: Expression,
-    toleranceMicros: Option[Long]) extends BinaryNode {
+    toleranceMicros: Option[Long],
+    forward: Boolean = false) extends BinaryNode {
   override def output: Seq[Attribute] =
     left.output ++ right.output.map(_.withNullability(true))
   override protected def withNewChildrenInternal(
@@ -52,7 +55,8 @@ case class AsOfJoinExec(
     rightKeys: Seq[Expression],
     leftTime: Expression,
     rightTime: Expression,
-    toleranceMicros: Option[Long]) extends BinaryExecNode {
+    toleranceMicros: Option[Long],
+    forward: Boolean) extends BinaryExecNode {
 
   override def output: Seq[Attribute] =
     left.output ++ right.output.map(_.withNullability(true))
@@ -94,6 +98,31 @@ case class AsOfJoinExec(
         // without the guard the natural ordering treats NULL == NULL
         if (lKey.anyNull || lTimeRow.isNullAt(0)) {
           outProj(joined(lRow, nullRight))
+        } else if (forward) {
+          // forward: match the FIRST right row at (lKey, time >= lTime).
+          // Advance strictly below the probe point and peek — the head
+          // is NOT consumed (later left rows may match the same row);
+          // left ascends in (key, time), so the advance is monotone.
+          val lTime = lTimeRow.getLong(0)
+          var advancing = true
+          while (advancing && rBuf.hasNext) {
+            val rKey = rKeyProj(rBuf.head)
+            if (rKey.anyNull || rTimeProj(rBuf.head).isNullAt(0)) { rBuf.next() }
+            else {
+              val cmp = keyOrd.compare(rKey, lKey)
+              if (cmp < 0 ||
+                  (cmp == 0 && rTimeProj(rBuf.head).getLong(0) < lTime))
+                rBuf.next()
+              else advancing = false
+            }
+          }
+          val ok = rBuf.hasNext && {
+            val rKey = rKeyProj(rBuf.head)
+            !rKey.anyNull && keyOrd.compare(rKey, lKey) == 0 &&
+              !rTimeProj(rBuf.head).isNullAt(0) &&
+              tol.forall(t => rTimeProj(rBuf.head).getLong(0) - lTime <= t)
+          }
+          outProj(joined(lRow, if (ok) rBuf.head else nullRight))
         } else {
           val lTime = lTimeRow.getLong(0)
           // drop candidate from a previous key group
@@ -129,20 +158,22 @@ case class AsOfJoinExec(
 
 object AsOfStrategy extends SparkStrategy {
   override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
-    case AsOfJoin(l, r, lk, rk, lt, rt, tol) =>
-      AsOfJoinExec(planLater(l), planLater(r), lk, rk, lt, rt, tol) :: Nil
+    case AsOfJoin(l, r, lk, rk, lt, rt, tol, fwd) =>
+      AsOfJoinExec(planLater(l), planLater(r), lk, rk, lt, rt, tol, fwd) :: Nil
     case _ => Nil
   }
 }
 
 /** Column-level API: `AsOf.join(events, orders, ...)`. */
 object AsOf {
-  /** Left as-of join. `leftTime`/`rightTime` must be LongType (e.g.
-    * `unix_micros(ts)`) — the API enforces the cast contract up front
-    * so the merge compares primitive longs. */
+  /** Left as-of join (backward by default; `forward = true` matches the
+    * next right row instead of the previous). `leftTime`/`rightTime`
+    * must be LongType (e.g. `unix_micros(ts)`) — the API enforces the
+    * cast contract up front so the merge compares primitive longs. */
   def join(spark: SparkSession, left: DataFrame, right: DataFrame,
       leftKey: Column, rightKey: Column, leftTime: Column, rightTime: Column,
-      toleranceMicros: Option[Long] = None): DataFrame = {
+      toleranceMicros: Option[Long] = None,
+      forward: Boolean = false): DataFrame = {
     if (!spark.experimental.extraStrategies.contains(AsOfStrategy)) {
       spark.experimental.extraStrategies =
         spark.experimental.extraStrategies :+ AsOfStrategy
@@ -157,7 +188,7 @@ object AsOf {
       "as-of time columns must be LongType (use unix_micros)")
     val node = AsOfJoin(Shim.analyzed(left), Shim.analyzed(right),
       Seq(Shim.expression(leftKey)), Seq(Shim.expression(rightKey)),
-      lt, rt, toleranceMicros)
+      lt, rt, toleranceMicros, forward)
     Shim.ofRows(spark, node)
   }
 }

@@ -36,6 +36,34 @@ class AsOfSpec extends AnyFunSuite {
       (3L, 10L, null)))  // key absent on right
   }
 
+  test("forward direction picks the first right row at or after left time") {
+    val (l, r) = fixture
+    val out = AsOf.join(spark, l, r, l("k"), r("k"), l("t"), r("rt"),
+        forward = true)
+      .select(l("k"), l("t"), col("tag")).collect()
+      .map(x => (x.getLong(0), x.getLong(1), x.getString(2))).toSet
+    assert(out == Set(
+      (1L, 100L, "b"),   // next at/after 100 is 150
+      (1L, 200L, "c"),   // next at/after 200 is 300
+      (1L, 50L, "a"),    // next at/after 50 is 90
+      (2L, 500L, "d"),   // boundary inclusive
+      (3L, 10L, null)))  // key absent on right
+  }
+
+  test("forward tolerance drops matches too far ahead") {
+    val (l, r) = fixture
+    val out = AsOf.join(spark, l, r, l("k"), r("k"), l("t"), r("rt"),
+        toleranceMicros = Some(60L), forward = true)
+      .select(l("k"), l("t"), col("tag")).collect()
+      .map(x => (x.getLong(0), x.getLong(1), x.getString(2))).toSet
+    assert(out == Set(
+      (1L, 100L, "b"),   // 150 - 100 = 50 <= 60
+      (1L, 200L, null),  // 300 - 200 = 100 > 60
+      (1L, 50L, "a"),    // 90 - 50 = 40 <= 60
+      (2L, 500L, "d"),   // exact match, 0 <= 60
+      (3L, 10L, null)))
+  }
+
   test("tolerance drops stale matches") {
     val (l, r) = fixture
     val out = AsOf.join(spark, l, r, l("k"), r("k"), l("t"), r("rt"),
