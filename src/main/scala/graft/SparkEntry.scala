@@ -121,15 +121,18 @@ object SparkEntry {
     "backfill_checksum"  -> ((s: SparkSession, d: String) =>
       graft.pipeline.Backfill.feedChecksum(graft.pipeline.Backfill.run(s, d))),
     // at-least-once compaction: feed + deterministic 10% re-delivery →
-    // one row per event with its delivery count (X6 downstream dedupe)
+    // one row per event with its delivery count (X6 downstream dedupe).
+    // The re-delivery is an in-plan explode (×2 for selected keys), not
+    // a union of two feed builds — one scan/envelope pass, same rows.
     "feed_compact"       -> ((s: SparkSession, d: String) => {
-      import org.apache.spark.sql.functions.{col, lit, concat, pmod}
+      import org.apache.spark.sql.functions.{array, col, concat, explode, lit, pmod, typedlit, when}
       val B = graft.pipeline.Backfill
-      val feed = B.run(s, d)
-      val redelivered = feed.filter(
-        pmod(Hash60.hash60(concat(col("entity"), lit(":"), col("key"))),
-          lit(10L)) === 0)
-      B.compactFeed(feed.unionAll(redelivered))
+      val delivered = B.run(s, d)
+        .withColumn("delivery", explode(
+          when(pmod(Hash60.hash60(concat(col("entity"), lit(":"), col("key"))),
+            lit(10L)) === 0, typedlit(Seq(0, 1))).otherwise(typedlit(Seq(0)))))
+        .drop("delivery")
+      B.compactFeed(delivered)
         .orderBy("entity", "key", "value")
     }),
     // multi-tenant routing: merchant→tenant assignment + per-tenant topic
