@@ -103,9 +103,6 @@ object Relational {
       .select("c_custkey", "c_name").orderBy("c_custkey")
   }
 
-  /** Complement of [[semiJoin]]: merchants with no entity rows in the
-    * window (anti). Scoped to one year so the result is non-trivial —
-    * every merchant has SOME order across all history. */
   /** FULL OUTER on partially-overlapping key sets (the reconciliation
     * join: "which merchants exist only in the key store, only in the
     * order stream, or in both"). Disjoint residues make all three row
@@ -123,6 +120,9 @@ object Relational {
       .orderBy("merchant_id")
   }
 
+  /** Complement of [[semiJoin]]: merchants with no entity rows in the
+    * window (anti). Scoped to one year so the result is non-trivial —
+    * every merchant has SOME order across all history. */
   def antiJoin(spark: SparkSession, dir: String): DataFrame = {
     val cust = Tables.load(spark, dir, "customer")
     val orders = Tables.load(spark, dir, "orders")

@@ -89,10 +89,9 @@ object Sampling {
   def corpusManifest(spark: SparkSession, dir: String): DataFrame = {
     val keepers = Components.dedupKeepBest(spark, dir)
       .select(col("doc_id"), col("is_keeper"))
-    val w = Window.partitionBy("source").orderBy(col("pick_key"), col("doc_id"))
     Tables.load(spark, dir, "documents")
       .withColumn("pick_key", md5(col("text")))
-      .withColumn("quota_kept", row_number().over(w) <= 30)
+      .withColumn("quota_kept", quotaKept(DefaultQuota))
       .select(col("doc_id"),
         splitLabel(splitBucket(col("doc_id"))).as("split"),
         col("quota_kept"))
@@ -129,17 +128,27 @@ object Sampling {
       .orderBy("source")
   }
 
+  /** The one quota policy both [[sourceQuota]] and [[corpusManifest]]
+    * apply (and the SQL oracles mirror): at most this many docs per
+    * source, preferring a deterministic uniform sample. */
+  val DefaultQuota = 30
+
+  /** The quota window's kept-predicate over a docs frame that already
+    * carries `source` and `pick_key`. */
+  private def quotaKept(quota: Int): Column = {
+    val w = Window.partitionBy("source").orderBy(col("pick_key"), col("doc_id"))
+    row_number().over(w) <= quota
+  }
+
   /** Per-source quota: keep at most `quota` docs per source, preferring
     * a deterministic uniform sample (md5-of-content sort key) — the
     * over-represented-source cap of corpus mixing. One shuffle on
     * source; the window ranks within each source partition. */
-  def sourceQuota(spark: SparkSession, dir: String, quota: Int = 30): DataFrame = {
-    val w = Window.partitionBy("source").orderBy(col("pick_key"), col("doc_id"))
+  def sourceQuota(spark: SparkSession, dir: String,
+      quota: Int = DefaultQuota): DataFrame =
     Tables.load(spark, dir, "documents")
       .withColumn("pick_key", md5(col("text")))
-      .withColumn("rn", row_number().over(w).cast("long"))
       .select(col("doc_id"), col("source"), col("pick_key"),
-        (col("rn") <= quota).as("kept"))
+        quotaKept(quota).as("kept"))
       .orderBy("source", "pick_key", "doc_id")
-  }
 }

@@ -247,10 +247,14 @@ object Backfill {
     // masquerade as an empty sink and inflate the reported delta
     val sinkPath = new org.apache.hadoop.fs.Path(sinkDir)
     val fs = sinkPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val before =
-      if (fs.exists(sinkPath) && fs.listStatus(sinkPath).nonEmpty)
-        spark.read.parquet(sinkDir).count()
-      else 0L
+    // hidden entries (_temporary from a crashed append, _SUCCESS, .crc)
+    // don't count as data: a sink holding only those must read as empty
+    // or a crashed first write would fail every retry at this count
+    val hasData = fs.exists(sinkPath) && fs.listStatus(sinkPath).exists { st =>
+      val n = st.getPath.getName
+      !n.startsWith("_") && !n.startsWith(".")
+    }
+    val before = if (hasData) spark.read.parquet(sinkDir).count() else 0L
     inc.feed.write.mode("append").parquet(sinkDir)
     val after = spark.read.parquet(sinkDir).count()
     inc.commit()
