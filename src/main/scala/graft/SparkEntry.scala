@@ -112,6 +112,7 @@ object SparkEntry {
     "set_ops"            -> (SetOps.setOps _),
     "cube_agg"           -> (SetOps.cubeAgg _),
     "window_funcs"       -> (SetOps.windowFuncs _),
+    "window_distribution" -> (SetOps.windowDistribution _),
     "id_validation"      -> (SetOps.idValidation _),
     // §7 M2: the full parameterized backfill pipeline (EP1 parity)
     "backfill_pipeline"  -> ((s: SparkSession, d: String) =>
@@ -924,6 +925,13 @@ object SparkEntry {
          FROM events
          WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id),
                 wv AS (PARTITION BY user_id ORDER BY value DESC, event_id)
+         ORDER BY user_id, event_id""",
+    "window_distribution" ->
+      """SELECT user_id, event_id, value,
+                percent_rank() OVER wv AS value_pct_rank,
+                cume_dist() OVER wv AS value_cume_dist
+         FROM events
+         WINDOW wv AS (PARTITION BY user_id ORDER BY value DESC, event_id)
          ORDER BY user_id, event_id""",
     "id_validation" ->
       """SELECT c_custkey, c_name,

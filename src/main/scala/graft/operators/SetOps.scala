@@ -52,6 +52,20 @@ object SetOps {
       .orderBy("user_id", "event_id")
   }
 
+  /** Distribution window functions — percent_rank and cume_dist per
+    * user over value (the remaining members of the rank family;
+    * deterministic under the (value desc, event_id) total order, and
+    * their divisions use identical integer operands on both engines so
+    * the doubles are bit-equal). */
+  def windowDistribution(spark: SparkSession, dir: String): DataFrame = {
+    val wv = Window.partitionBy("user_id").orderBy(col("value").desc, col("event_id"))
+    Tables.load(spark, dir, "events")
+      .select(col("user_id"), col("event_id"), col("value"),
+        percent_rank().over(wv).as("value_pct_rank"),
+        cume_dist().over(wv).as("value_cume_dist"))
+      .orderBy("user_id", "event_id")
+  }
+
   /** T6 — id validation (`MerchantId::wrap`, reference `main.rs:198-203`):
     * regex-shape check + range check as a validity column, invalid rows
     * quarantined with a reason (the engine's answer to wrap-or-error). */
