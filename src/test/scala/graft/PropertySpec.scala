@@ -73,6 +73,38 @@ class PropertySpec extends AnyFunSuite {
     assert(concat == full)
   }
 
+  test("as-of (both directions) ≡ join+aggregate emulation on random sets") {
+    import spark.implicits._
+    val gen = for {
+      nl <- Gen.chooseNum(5, 60)
+      nr <- Gen.chooseNum(0, 60)
+      l <- Gen.listOfN(nl, Gen.zip(Gen.chooseNum(0L, 6L), Gen.chooseNum(0L, 500L)))
+      r <- Gen.listOfN(nr, Gen.zip(Gen.chooseNum(0L, 6L), Gen.chooseNum(0L, 500L)))
+    } yield (l.distinct, r.distinct) // unique (k,t) per side → deterministic pick
+    forSamples(gen, 5) { case (lRows, rRows) =>
+      val l = lRows.toDF("k", "t").repartition(4)
+      val r = rRows.map { case (k, rt) => (k, rt, s"tag_${k}_$rt") }
+        .toDF("k", "rt", "tag").repartition(3)
+      for (forward <- Seq(false, true)) {
+        val got = graft.plans.AsOf.join(spark, l, r,
+            l("k"), r("k"), l("t"), r("rt"), forward = forward)
+          .select(l("k"), l("t"), col("tag")).collect()
+          .map(x => (x.getLong(0), x.getLong(1), x.getString(2))).toSet
+        // emulation: all candidates on the right side of the time
+        // boundary, then argmin/argmax by rt per left row
+        val pred = if (forward) col("rt") >= col("t") else col("rt") <= col("t")
+        val best = if (forward) min(struct(col("rt"), col("tag")))
+          else max(struct(col("rt"), col("tag")))
+        val want = l.join(r.withColumnRenamed("k", "rk"),
+            col("k") === col("rk") && pred, "left")
+          .groupBy("k", "t").agg(best.as("b"))
+          .select(col("k"), col("t"), col("b.tag")).collect()
+          .map(x => (x.getLong(0), x.getLong(1), x.getString(2))).toSet
+        assert(got == want, s"forward=$forward got=$got want=$want")
+      }
+    }
+  }
+
   test("doc_pack: bins fill contiguously and never split a document") {
     import spark.implicits._
     forSamples(Gen.listOfN(40, Gen.chooseNum(1, 200)), 3) { lens =>
