@@ -49,6 +49,29 @@ object ScaleProbe {
     time("contamination (memoized pairs ⋈ split)") {
       println(s"  cross-split pairs: ${operators.Sampling.contamination(spark, dup).count()}")
     }
+
+    // ANN at 10×: duplicate the embedding table (shifted vec_ids so the
+    // copies are distinct points from the index's perspective) and
+    // compare brute force vs IVF probing on the same query set
+    val nv = Tables.load(spark, sf, "embeddings").count()
+    Tables.load(spark, sf, "embeddings")
+      .crossJoin(spark.range(10).select(col("id").as("copy")))
+      .select((col("vec_id") + col("copy") * nv * 10).as("vec_id"),
+        col("embedding"), col("label"))
+      .write.mode("overwrite").parquet(s"$dup/embeddings.parquet")
+    println(s"vectors: ${nv * 10} (10x of $sf)")
+    time("sim_topk_brute (exact, scans all vectors per query)") {
+      operators.Similarity.bruteForceTopK(spark, dup).count()
+    }
+    time("sim_topk_ivf (cold: trains nothing, sample centroids; scans ~nprobe/C)") {
+      operators.Similarity.ivfTopK(spark, dup).count()
+    }
+    time("sim_topk_ivf_kmeans (cold: Lloyd training + memoized centroids)") {
+      operators.Similarity.ivfTopKTrained(spark, dup, iters = 2).count()
+    }
+    time("sim_topk_ivf_kmeans (warm: memoized centroid table)") {
+      operators.Similarity.ivfTopKTrained(spark, dup, iters = 2).count()
+    }
     spark.stop()
   }
 }
