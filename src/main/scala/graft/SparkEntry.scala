@@ -102,6 +102,7 @@ object SparkEntry {
     "sql_backfill_scan"  -> (SqlInterface.sqlBackfillScan _),
     "sql_merchant_revenue" -> (SqlInterface.sqlMerchantRevenue _),
     "sql_custom_funcs"   -> (SqlInterface.sqlCustomFuncs _),
+    "sql_grouping_sets"  -> (SqlInterface.sqlGroupingSets _),
     "approx_quantiles"   -> (SqlInterface.approxQuantiles _),
     // semi-structured + reshaping
     "json_extract"       -> (SemiStructured.jsonExtract _),
@@ -855,6 +856,12 @@ object SparkEntry {
                   AS dp,
                 true AS td_p50_ok
          FROM documents""",
+    "sql_grouping_sets" ->
+      """SELECT lang, source, count(*) AS n_docs,
+                CAST(grouping_id(lang, source) AS BIGINT) AS gid
+         FROM documents
+         GROUP BY GROUPING SETS ((lang), (source), ())
+         ORDER BY gid, lang, source""",
     "json_extract" ->
       """SELECT event_id,
                 CAST(json_extract_string(props, '$.k') AS BIGINT) AS k_typed,

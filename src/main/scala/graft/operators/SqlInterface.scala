@@ -64,6 +64,20 @@ object SqlInterface {
       ORDER BY segment""")
   }
 
+  /** Arbitrary GROUPING SETS (the general form cube/rollup specialize):
+    * per-lang totals, per-source totals and the grand total in ONE hash
+    * aggregate over an Expand — not three scans unioned. grouping_id
+    * disambiguates real NULLs from grouping-set NULLs. */
+  def sqlGroupingSets(spark: SparkSession, dir: String): DataFrame = {
+    registerViews(spark, dir, Seq("documents"))
+    spark.sql("""
+      SELECT lang, source, count(*) AS n_docs,
+             CAST(grouping_id(lang, source) AS BIGINT) AS gid
+      FROM documents
+      GROUP BY GROUPING SETS ((lang), (source), ())
+      ORDER BY gid, lang, source""")
+  }
+
   /** The custom-function SQL surface: the engine's Catalyst expressions
     * called from plain SQL text (registered via
     * [[graft.functions.GraftFunctions]] — same builders the
