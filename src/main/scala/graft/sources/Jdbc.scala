@@ -20,15 +20,20 @@ import org.apache.spark.sql.{DataFrame, DataFrameReader, SparkSession}
   * in is a config change, not a code change.
   */
 object Jdbc {
+  import graft.pipeline.ConfigBootstrap.Secret
 
   /** Connection + partitioning config (defaults mirror the reference's
     * tuning: fetchsize 10000 = its page size `main.rs:43-44`; 5
-    * partitions = its merchant parallelism `main.rs:46-47`). */
+    * partitions = its merchant parallelism `main.rs:46-47`). The
+    * password is a [[graft.pipeline.ConfigBootstrap.Secret]] — the S4
+    * bootstrap's decrypted credential flows to the reader without ever
+    * appearing in a toString/log (the case class renders
+    * `Secret(****)`). */
   case class JdbcConfig(
       url: String,
       table: String,
       user: String = "",
-      password: String = "",
+      password: Secret = new Secret(""),
       partitionColumn: Option[String] = Some("created_at"),
       lowerBound: Option[String] = None,
       upperBound: Option[String] = None,
@@ -42,7 +47,7 @@ object Jdbc {
       "url" -> cfg.url,
       "dbtable" -> cfg.table,
       "user" -> cfg.user,
-      "password" -> cfg.password,
+      "password" -> cfg.password.reveal(),
       "fetchsize" -> cfg.fetchSize.toString,
       "pushDownPredicate" -> "true",
       "pushDownLimit" -> "true")

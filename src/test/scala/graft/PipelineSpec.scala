@@ -22,6 +22,12 @@ class PipelineSpec extends AnyFunSuite {
     // without bounds no partitioning keys leak in
     val o2 = Jdbc.options(Jdbc.JdbcConfig(url = "u", table = "t"))
     assert(!o2.contains("partitionColumn") && !o2.contains("numPartitions"))
+    // credentials are masked in any printable form of the config, but
+    // the reader options still receive the revealed value
+    val secret = new graft.pipeline.ConfigBootstrap.Secret("hunter2")
+    val cfg3 = Jdbc.JdbcConfig(url = "u", table = "t", password = secret)
+    assert(!cfg3.toString.contains("hunter2"))
+    assert(Jdbc.options(cfg3)("password") == "hunter2")
   }
 
   test("media features: sha256 matches MessageDigest, stub dims consistent") {
