@@ -131,4 +131,11 @@ class CoreSpec extends AnyFunSuite {
       .collect().map(_.getString(0).toLong).toSet
     assert(custs.subsetOf(Set(1L, 42L)))
   }
+
+  test("driver contract: every query has an oracle, every oracle a query") {
+    val q = SparkEntry.queries.keySet
+    val o = SparkEntry.oracleSql.keySet
+    assert((q -- o).isEmpty, s"queries without oracle: ${(q -- o).toSeq.sorted}")
+    assert((o -- q).isEmpty, s"oracles without query: ${(o -- q).toSeq.sorted}")
+  }
 }
