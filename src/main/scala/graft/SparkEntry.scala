@@ -76,6 +76,7 @@ object SparkEntry {
     "text_quality"       -> (TextAnalysis.quality _),
     "text_token_counts"  -> (TextAnalysis.tokenCounts _),
     "text_term_freq"     -> (TextAnalysis.termFrequencies _),
+    "approx_top_terms"   -> ((s: SparkSession, d: String) => TextAnalysis.approxTopTerms(s, d)),
     "text_fingerprint"   -> (TextAnalysis.fingerprints _),
     "doc_chunks"         -> ((s: SparkSession, d: String) => TextAnalysis.docChunks(s, d)),
     "vocab_coverage"     -> ((s: SparkSession, d: String) => TextAnalysis.vocabCoverage(s, d)),
@@ -659,6 +660,13 @@ object SparkEntry {
              t -> len(t) > 0)) AS token
            FROM documents)
          GROUP BY token ORDER BY freq DESC, token LIMIT 50""",
+    "approx_top_terms" ->
+      """SELECT token, count(*) AS freq FROM (
+           SELECT unnest(list_filter(string_split_regex(lower(text), '\s+'),
+             t -> len(t) > 0)) AS token
+           FROM documents)
+         GROUP BY token
+         ORDER BY freq DESC, token LIMIT 50""",
     "text_fingerprint" ->
       s"""WITH toks AS (SELECT doc_id, $dToks AS ts FROM documents)
          SELECT doc_id,

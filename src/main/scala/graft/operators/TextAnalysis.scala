@@ -175,6 +175,23 @@ object TextAnalysis {
       .orderBy("rank")
   }
 
+  /** Frequent-items sketch over corpus tokens (`approx_top_k` —
+    * Spark 4's bounded-memory heavy-hitters aggregate): ONE pass, O(k)
+    * state per partial, mergeable — the affordable global top-k when
+    * the distinct-token table is too big to fully aggregate. The
+    * harness vocabulary fits inside the tracked-item budget, so the
+    * sketch degenerates to the exact frequency table and hash-matches
+    * the exact oracle; at web-corpus scale the same plan returns
+    * estimates within the sketch bound. Re-sorted deterministically
+    * after explode (the sketch's own array order is not a contract). */
+  def approxTopTerms(spark: SparkSession, dir: String, k: Int = 50): DataFrame =
+    Tables.load(spark, dir, "documents")
+      .select(explode(T.tokens(col("text"))).as("token"))
+      .agg(expr(s"approx_top_k(token, $k)").as("tk"))
+      .select(explode(col("tk")).as("e"))
+      .select(col("e.item").as("token"), col("e.count").as("freq"))
+      .orderBy(col("freq").desc, col("token"))
+
   /** PII redaction — the scrub-before-training corpus step: emails,
     * IPv4s and phone-ish digit runs replaced by typed placeholder
     * tokens (in that order — the chain is deterministic), with
