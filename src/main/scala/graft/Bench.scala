@@ -41,7 +41,16 @@ object Bench {
     val total = good.map(_._2).sum
     // queries first, metric/total LAST: a tail-truncating capture keeps
     // the headline number either way
-    println(s"""{"queries":$qs,"sf":"$sfDir","failed":$failed,"metric":"total","unit":"sec","value":${r4(total)}}""")
+    val line = s"""{"queries":$qs,"sf":"$sfDir","failed":$failed,"metric":"total","unit":"sec","value":${r4(total)}}"""
+    println(line)
+    // the stdout capture has truncated per-query numbers in past rounds;
+    // the same JSON goes to a file so every query's time survives review
+    try java.nio.file.Files.write(
+      java.nio.file.Paths.get(sys.env.getOrElse("SPARK_GRAFT_BENCH_DETAIL",
+        "BENCH_DETAIL.json")),
+      (line + "\n").getBytes("UTF-8"))
+    catch { case e: Exception =>
+      System.err.println(s"BENCH_DETAIL write failed: $e") }
     spark.stop()
   }
 }

@@ -20,10 +20,23 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   *
   * Keys are held in a WeakHashMap on the session object itself (not
   * `identityHashCode`, which can be reused after a session is GC'd) so
-  * entries die with their session; the temp directories live under
-  * `java.io.tmpdir` and are removed by a JVM shutdown hook.
+  * entries die with their session.
+  *
+  * WHERE the tables land is a spark conf, [[RootConf]] — on a real
+  * cluster the default `java.io.tmpdir` would be a DRIVER-local path
+  * invisible to executors, so production must point it at a shared
+  * filesystem (`spark.conf.set("graft.memo.root", "hdfs://…/memo")` or
+  * an S3/ABFS URI; any Hadoop-FS scheme works, the write/read path is
+  * `DataFrame.write.parquet`). Unset, it falls back to a local temp
+  * directory — correct for local[N] and tests. All memo directories
+  * are removed by a best-effort JVM shutdown hook (Hadoop FS delete,
+  * so the conf-rooted ones clean up too).
   */
 object Memo {
+
+  /** Spark conf key for the memo materialization root. Production sets
+    * this to a shared filesystem; default is a driver-local tempdir. */
+  val RootConf = "graft.memo.root"
 
   private val lock = new Object
   private val perSession =
@@ -33,15 +46,23 @@ object Memo {
   sys.addShutdownHook {
     allPaths.forEach { p =>
       try {
-        val walk = Files.walk(java.nio.file.Paths.get(p))
-        try {
-          import scala.jdk.CollectionConverters._
-          walk.iterator().asScala.toSeq
-            .sortBy(-_.getNameCount).foreach(Files.deleteIfExists(_))
-        } finally walk.close()
+        val hp = new org.apache.hadoop.fs.Path(p)
+        hp.getFileSystem(new org.apache.hadoop.conf.Configuration())
+          .delete(hp, true)
+        ()
       } catch { case _: Exception => () }
     }
   }
+
+  /** Resolve a fresh materialization directory for one memo table:
+    * under [[RootConf]] when set (shared-FS path for clusters), else a
+    * local temp directory. */
+  private def newPath(spark: SparkSession, name: String): String =
+    spark.conf.getOption(RootConf) match {
+      case Some(root) =>
+        s"${root.stripSuffix("/")}/graft-memo-$name-${java.util.UUID.randomUUID()}"
+      case None => Files.createTempDirectory(s"graft-memo-$name-").toString
+    }
 
   /** Return the memoized table for (session, dir, name), building and
     * materializing it on first use. `build` runs at most once per key.
@@ -71,7 +92,7 @@ object Memo {
     if (path == null) lock.synchronized {
       path = m.get(key)
       if (path == null) {
-        val p = Files.createTempDirectory(s"graft-memo-$name-").toString
+        val p = newPath(spark, name)
         allPaths.add(p)
         build.write.mode("overwrite").parquet(p)
         m.put(key, p)

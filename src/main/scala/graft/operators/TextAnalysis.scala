@@ -161,9 +161,17 @@ object TextAnalysis {
     * exactly topK rows — bounded by construction, not by hoping the
     * vocab is small. */
   def vocabCoverage(spark: SparkSession, dir: String, topK: Int = 30): DataFrame = {
-    val tf = Tables.load(spark, dir, "documents")
-      .select(explode(T.tokens(col("text"))).as("token"))
-      .groupBy("token").agg(count(lit(1)).as("freq"))
+    // the term-frequency aggregate feeds BOTH branches below (top-k and
+    // grand total) — without materialization each branch re-runs the
+    // full corpus explode+aggregate, i.e. two streaming scans of the
+    // token table. Memoized once per dataset, the branches read the
+    // (vocabulary-sized) parquet instead — and any other vocab-prep
+    // query in the same run shares it
+    val tf = Memo.table(spark, dir, "token-tf") {
+      Tables.load(spark, dir, "documents")
+        .select(explode(T.tokens(col("text"))).as("token"))
+        .groupBy("token").agg(count(lit(1)).as("freq"))
+    }
     val top = tf.orderBy(col("freq").desc, col("token")).limit(topK)
     val w = Window.orderBy(col("freq").desc, col("token"))
     top.crossJoin(broadcast(tf.agg(sum("freq").as("total"))))

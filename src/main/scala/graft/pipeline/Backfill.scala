@@ -25,13 +25,26 @@ import graft.Tables
   */
 object Backfill {
 
-  /** CLI-equivalent parameters (reference `main.rs:33-57`). */
+  /** CLI-equivalent parameters (reference `main.rs:33-57`).
+    *
+    * `source` is the binding seam the reference wires at
+    * `main.rs:167-170` (pool → per-entity scan): it resolves an entity
+    * to its DataFrame. The default reads the harness parquet layout;
+    * production swaps in [[graft.sources.Jdbc]] (`(s, _, e) =>
+    * Jdbc.load(s, jdbcConfigFor(e))`) — a config change, not a code
+    * change, and the rest of the pipeline (predicates, envelope,
+    * increments) composes over it unchanged. */
   case class Config(
       tenant: String = "public",
       merchantIds: Option[Seq[Long]] = None, // None = all merchants
       start: Option[String] = None,          // inclusive, like BETWEEN
       end: Option[String] = None,
-      entities: Seq[Entity] = defaultEntities)
+      entities: Seq[Entity] = defaultEntities,
+      source: (SparkSession, String, Entity) => DataFrame = defaultSource)
+
+  /** Default entity source: the harness parquet tables. */
+  val defaultSource: (SparkSession, String, Entity) => DataFrame =
+    (s, dir, e) => Tables.load(s, dir, e.table)
 
   /** One backfill entity: table + identity/merchant/time columns and
     * the envelope payload (mirrors the four dump_* modules). */
@@ -70,7 +83,14 @@ object Backfill {
     * is engine-independent. */
   private def envelope(src: DataFrame, e: Entity, tenant: Column): DataFrame = {
     val payloadCols = e.payload.map { c =>
-      val v = src.schema(c).dataType.typeName match {
+      // case-INsensitive field lookup: JDBC catalogs (Derby, Oracle, …)
+      // fold unquoted identifiers to uppercase; Spark resolves columns
+      // case-insensitively, so the envelope's type dispatch must too
+      val dt = src.schema.fields.find(_.name.equalsIgnoreCase(c))
+        .getOrElse(throw new IllegalArgumentException(
+          s"payload column '$c' missing from entity '${e.name}' source"))
+        .dataType
+      val v = dt.typeName match {
         case "double" => format_string("%.2f", col(c))
         case t if t.startsWith("timestamp") =>
           date_format(col(c), "yyyy-MM-dd HH:mm:ss")
@@ -89,7 +109,7 @@ object Backfill {
     * scan → envelope. */
   private def feedOf(spark: SparkSession, dir: String, e: Entity,
       cfg: Config, tenant: Column): DataFrame =
-    envelope(Tables.load(spark, dir, e.table).filter(predicates(e, cfg)),
+    envelope(cfg.source(spark, dir, e).filter(predicates(e, cfg)),
       e, tenant)
 
   /** One entity's event feed under the config's single tenant. */
@@ -200,7 +220,7 @@ object Backfill {
         .getOrElse(Map.empty)
 
     val feed = cfg.entities.map { e =>
-      val base = Tables.load(spark, dir, e.table)
+      val base = cfg.source(spark, dir, e)
       val src = prior.get(e.name)
         .map(h => base.filter(col(e.timeCol) > lit(h)))
         .getOrElse(base)
@@ -208,7 +228,7 @@ object Backfill {
     }.reduce(_ unionAll _)
 
     val newHwm = cfg.entities.map { e =>
-      val m = Tables.load(spark, dir, e.table)
+      val m = cfg.source(spark, dir, e)
         .agg(max(col(e.timeCol))).collect().head
       (e.name, if (m.isNullAt(0)) prior.get(e.name).orNull
                else m.getAs[java.time.LocalDateTime](0))
@@ -237,28 +257,20 @@ object Backfill {
   }
 
   /** Plan → durably sink (parquet append) → THEN advance the mark.
-    * Returns the number of rows this run added, counted from the sink
-    * itself (the durable truth, not a feed re-execution). */
+    * Returns the number of rows this run added, counted from the
+    * append's OWN task metrics (successful write tasks only — the file
+    * committer rolls failed attempts back). A before/after count of the
+    * sink would pay two full O(sink) scans, so the Nth increment would
+    * cost O(all prior increments) — the opposite of incremental; the
+    * metrics count is O(this increment) and never reads the sink. */
   def runIncremental(spark: SparkSession, dir: String, stateDir: String,
       sinkDir: String, cfg: Config = Config()): Long = {
     val inc = planIncremental(spark, dir, stateDir, cfg)
-    // "no sink yet" is the only condition that legitimately means 0 —
-    // a transient read failure on an EXISTING sink must propagate, not
-    // masquerade as an empty sink and inflate the reported delta
-    val sinkPath = new org.apache.hadoop.fs.Path(sinkDir)
-    val fs = sinkPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    // hidden entries (_temporary from a crashed append, _SUCCESS, .crc)
-    // don't count as data: a sink holding only those must read as empty
-    // or a crashed first write would fail every retry at this count
-    val hasData = fs.exists(sinkPath) && fs.listStatus(sinkPath).exists { st =>
-      val n = st.getPath.getName
-      !n.startsWith("_") && !n.startsWith(".")
+    val (_, m) = RunMetrics.instrument(spark) {
+      inc.feed.write.mode("append").parquet(sinkDir)
     }
-    val before = if (hasData) spark.read.parquet(sinkDir).count() else 0L
-    inc.feed.write.mode("append").parquet(sinkDir)
-    val after = spark.read.parquet(sinkDir).count()
     inc.commit()
-    after - before
+    m.outputRecords
   }
 
   /** At-least-once compaction — the downstream half of the X6 story:

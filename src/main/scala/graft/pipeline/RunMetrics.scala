@@ -35,8 +35,14 @@ final class RunMetrics extends SparkListener {
     if (m != null) {
       inputRecords.add(m.inputMetrics.recordsRead)
       inputBytes.add(m.inputMetrics.bytesRead)
-      outputRecords.add(m.outputMetrics.recordsWritten)
-      outputBytes.add(m.outputMetrics.bytesWritten)
+      // output counts only SUCCESSFUL attempts: a failed write task's
+      // partial files are rolled back by the file committer, so folding
+      // them in would overstate durably-written rows (input/shuffle stay
+      // all-attempts — they measure work done, not state committed)
+      if (e.reason == Success) {
+        outputRecords.add(m.outputMetrics.recordsWritten)
+        outputBytes.add(m.outputMetrics.bytesWritten)
+      }
       shuffleWriteBytes.add(m.shuffleWriteMetrics.bytesWritten)
     }
   }

@@ -44,6 +44,23 @@ class MemoSpec extends AnyFunSuite {
     assert(builds == 1, s"builder ran $builds times")
   }
 
+  test("graft.memo.root conf redirects materialization to the set root") {
+    val root = java.nio.file.Files.createTempDirectory("memo-root").toString
+    val dir = writeDocs(5, "epsilon")
+    spark.conf.set(Memo.RootConf, root)
+    try {
+      val t = Memo.table(spark, dir, "memo-spec-rooted") {
+        spark.range(11).toDF("id")
+      }
+      assert(t.count() == 11)
+      // the parquet landed under the conf root, not java.io.tmpdir
+      val sub = new java.io.File(root).listFiles()
+        .filter(_.getName.startsWith("graft-memo-memo-spec-rooted-"))
+      assert(sub.length == 1, s"expected one memo dir under $root")
+      assert(sub.head.listFiles().exists(_.getName.endsWith(".parquet")))
+    } finally spark.conf.unset(Memo.RootConf)
+  }
+
   test("nested builds (a memo whose builder reads another memo) work") {
     val dir = writeDocs(5, "delta")
     val outer = Memo.table(spark, dir, "memo-spec-outer") {

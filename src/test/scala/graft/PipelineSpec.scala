@@ -116,4 +116,74 @@ class PipelineSpec extends AnyFunSuite {
     assert(n2 == 0)
     assert(spark.read.parquet(sink).count() == n) // no duplicates either
   }
+
+  test("incremental run cost is O(increment): the sink is never re-read") {
+    import org.apache.spark.sql.functions.lit
+    val state = java.nio.file.Files.createTempDirectory("hwm4").toString
+    val sink = java.nio.file.Files.createTempDirectory("sink4").toString
+    val sf = TestSpark.sf
+    val n = graft.pipeline.Backfill.runIncremental(spark, sf, state, sink)
+    assert(n > 0)
+    // grow the sink out-of-band so a hidden O(sink) scan is visible in
+    // the read metrics (the old implementation counted the whole sink
+    // before AND after the append — 2× these rows)
+    val junk = 20L * n
+    spark.range(junk)
+      .select(lit("junk").as("entity"), lit("k").as("key"),
+        lit("public").as("tenant"), lit("{}").as("value"))
+      .write.mode("append").parquet(sink)
+    val (n2, m2) = graft.pipeline.RunMetrics.instrument(spark) {
+      graft.pipeline.Backfill.runIncremental(spark, sf, state, sink)
+    }
+    assert(n2 == 0)
+    // everything the second run read (source planning + the empty feed
+    // + hwm state) is far below the junk row count — the sink was not
+    // scanned; the old before/after counting would have read >= 2*junk
+    assert(m2.inputRecords < junk,
+      s"read ${m2.inputRecords} rows — sink (${junk} junk rows) was scanned")
+  }
+
+  test("jdbc source composes into Backfill.run end-to-end (embedded Derby)") {
+    import org.apache.spark.sql.functions.col
+    // a REAL database for the production seam: Derby ships with Spark,
+    // runs embedded in-memory — so the JDBC reader is exercised live
+    // (connect, schema inference, scan), not just at the option level
+    val url = "jdbc:derby:memory:graftjdbc;create=true"
+    val conn = java.sql.DriverManager.getConnection(url)
+    val rows = Tables.load(spark, sf, "orders")
+      .orderBy("o_orderkey").limit(25).collect()
+    try {
+      val st = conn.createStatement()
+      st.executeUpdate("""CREATE TABLE orders_j (
+        o_orderkey BIGINT, o_custkey BIGINT, o_orderstatus VARCHAR(4),
+        o_totalprice DOUBLE, o_orderdate TIMESTAMP, o_orderpriority VARCHAR(20))""")
+      val ps = conn.prepareStatement("INSERT INTO orders_j VALUES (?,?,?,?,?,?)")
+      rows.foreach { r =>
+        ps.setLong(1, r.getAs[Long]("o_orderkey"))
+        ps.setLong(2, r.getAs[Long]("o_custkey"))
+        ps.setString(3, r.getAs[String]("o_orderstatus"))
+        ps.setDouble(4, r.getAs[Double]("o_totalprice"))
+        ps.setTimestamp(5, java.sql.Timestamp.valueOf(
+          r.getAs[java.time.LocalDateTime]("o_orderdate")))
+        ps.setString(6, r.getAs[String]("o_orderpriority"))
+        ps.executeUpdate()
+      }
+      val B = graft.pipeline.Backfill
+      val ordersEntity = B.defaultEntities.find(_.name == "orders").get
+      val cfg = B.Config(
+        entities = Seq(ordersEntity),
+        source = (s, _, _) => Jdbc.load(s, Jdbc.JdbcConfig(
+          url = url, table = "orders_j", partitionColumn = None)))
+      val viaJdbc = B.run(spark, sf, cfg)
+        .orderBy("key").collect()
+      // byte-identical envelopes vs the parquet-sourced feed on the
+      // same 25 orders — the seam changes the source, nothing else
+      val keys = rows.map(_.getAs[Long]("o_orderkey").toString).toSet
+      val viaParquet = B.run(spark, sf, B.Config(entities = Seq(ordersEntity)))
+        .filter(col("key").isin(keys.toSeq: _*))
+        .orderBy("key").collect()
+      assert(viaJdbc.length == 25)
+      assert(viaJdbc.map(_.toString).toSeq == viaParquet.map(_.toString).toSeq)
+    } finally conn.close()
+  }
 }
