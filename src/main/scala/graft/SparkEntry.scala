@@ -99,6 +99,7 @@ object SparkEntry {
     "media_frame_sample" -> ((s: SparkSession, d: String) => Multimodal.frameSample(s, d)),
     "audio_features"     -> (Multimodal.audioFeatures _),
     "image_resize"       -> ((s: SparkSession, d: String) => Multimodal.imageResize(s, d)),
+    "image_decode"       -> ((s: SparkSession, d: String) => Multimodal.imageDecode(s, d)),
     // SQL front door + sketch quantiles
     "sql_backfill_scan"  -> (SqlInterface.sqlBackfillScan _),
     "sql_merchant_revenue" -> (SqlInterface.sqlMerchantRevenue _),
@@ -138,6 +139,10 @@ object SparkEntry {
       B.compactFeed(delivered)
         .orderBy("entity", "key", "value")
     }),
+    // wide-payload entity: nested metadata object + nullable PII through
+    // the same run() path — null-field JSON envelope semantics
+    "backfill_wide_entity" -> ((s: SparkSession, d: String) =>
+      graft.pipeline.Backfill.wideEntityFeed(s, d)),
     // multi-tenant routing: merchant→tenant assignment + per-tenant topic
     // (reference config/development.toml:724-729, main.rs:119-145)
     "backfill_multitenant" -> ((s: SparkSession, d: String) => {
@@ -836,6 +841,25 @@ object SparkEntry {
                     for x in range(0, 8)] for y in range(0, 8)])) END
                   AS BIGINT) AS pixel_sum
          FROM d ORDER BY doc_id""",
+    // oracle recomputes the CLOSED FORM of the deterministic raster the
+    // Spark side round-trips through a real PNG encode/decode — PNG is
+    // lossless, so a correct codec path reproduces these sums exactly.
+    // range(48) is the max raster size (w<=8, h<=6); correlated filter
+    // because DuckDB range() rejects lateral column arguments
+    "image_decode" ->
+      """WITH g AS (
+           SELECT doc_id, 4 + doc_id % 5 AS w, 3 + doc_id % 4 AS h
+           FROM documents)
+         SELECT doc_id,
+                CAST(w AS BIGINT) AS width, CAST(h AS BIGINT) AS height,
+                CAST((SELECT sum((g.doc_id * 31 + i) % 256)
+                      FROM range(48) t(i) WHERE i < w * h) AS BIGINT)
+                  AS pixel_sum,
+                CAST((SELECT sum((g.doc_id * 31 +
+                        ((yy * h // 8) * w + (xx * w // 8))) % 256)
+                      FROM range(8) a(yy), range(8) b(xx)) AS BIGINT)
+                  AS resized_sum
+         FROM g ORDER BY doc_id""",
     "media_frame_sample" ->
       """SELECT doc_id, CAST(f AS BIGINT) AS frame_idx,
                 CAST(octet_length(encode(text)) % 16 AS BIGINT) AS n_frames
@@ -1056,6 +1080,21 @@ object SparkEntry {
                   '","l_shipdate":"' || strftime(l_shipdate, '%Y-%m-%d %H:%M:%S') || '"}'
            FROM lineitem)
          ORDER BY entity, key, value""",
+    // explicit `"customer_email":null` (not an absent key) and a NESTED
+    // metadata object — matching envelope's ignoreNullFields=false
+    "backfill_wide_entity" ->
+      """SELECT 'documents' AS entity, CAST(doc_id AS VARCHAR) AS key,
+                'public' AS tenant,
+                '{"doc_id":' || doc_id ||
+                ',"lang":"' || lang ||
+                '","source":"' || source ||
+                '","n_chars":' || n_chars ||
+                ',"customer_email":' ||
+                CASE WHEN doc_id % 7 = 0 THEN 'null'
+                     ELSE '"user' || doc_id || '@example.com"' END ||
+                ',"metadata":{"src":"' || source ||
+                '","bucket":' || (n_chars % 10) || '}}' AS value
+         FROM documents ORDER BY key""",
     "approx_distinct" ->
       """SELECT count(DISTINCT l_orderkey) AS exact_orders,
                 true AS approx_ok

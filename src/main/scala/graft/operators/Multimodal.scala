@@ -10,11 +10,13 @@ import graft.Tables
   * Pandas-UDF `mapInPandas` stage — per-partition batch iteration, a
   * stable schema on both sides, executor-local libraries).
   *
-  * The container has no image/audio codecs, so `decodeStub` is a
-  * clearly-marked deterministic fake; the Spark-side plumbing — binary
-  * schema, partition batching, typed encoders, metadata struct — is real
-  * and oracle-checked (every stub output is a pure function of the
-  * payload bytes, so DuckDB can recompute it).
+  * IMAGE decode is REAL ([[imageDecode]] — `javax.imageio` ships with
+  * the JDK, so the PNG encode→decode round-trip runs an actual codec).
+  * The container has no audio/video codecs, so `decodeStub`/`audioStub`
+  * remain clearly-marked deterministic fakes; the Spark-side plumbing —
+  * binary schema, partition batching, typed encoders, metadata struct —
+  * is real and oracle-checked (every stub output is a pure function of
+  * the payload bytes, so DuckDB can recompute it).
   */
 object Multimodal {
 
@@ -133,6 +135,72 @@ object Multimodal {
         encode(col("text"), "UTF-8").as("payload"))
       .as[MediaRow]
       .mapPartitions(_.map(resizeStub(_, outW, outH)))
+      .toDF()
+      .orderBy("doc_id")
+  }
+
+  /** Decoded-image features: dimensions + pixel sums from a REAL codec
+    * round-trip (see [[imageDecode]]). */
+  case class DecodedImage(doc_id: Long, width: Long, height: Long,
+      pixel_sum: Long, resized_sum: Long)
+
+  /** REAL image decode — `javax.imageio` ships with the JDK, so unlike
+    * the audio/video stubs this path runs an actual codec: each doc
+    * gets a deterministic grayscale raster (dims and pixel values are
+    * pure functions of doc_id, so DuckDB recomputes them), the raster
+    * is ENCODED to real PNG bytes and DECODED back with ImageIO inside
+    * the per-partition batch, and all output features are computed from
+    * the DECODED pixels — dimensions, total luminance, and a
+    * nearest-neighbor resize (the same src = floor(dst·src_dim/out_dim)
+    * kernel as [[resizeStub]], on real pixels). PNG is lossless, so the
+    * decoded stats equal the closed-form the oracle computes; a codec
+    * bug (wrong dims, channel order, stride) breaks the hash match.
+    * Same 100 TB shape as the stubs: mapPartitions batches, codec state
+    * per partition, only O(1) features per image cross the shuffle. */
+  def imageDecode(spark: SparkSession, dir: String,
+      outW: Int = 8, outH: Int = 8): DataFrame = {
+    import spark.implicits._
+    Tables.load(spark, dir, "documents")
+      .select(col("doc_id")).as[Long]
+      .mapPartitions { it =>
+        it.map { id =>
+          val w = (4 + id % 5).toInt
+          val h = (3 + id % 4).toInt
+          val img = new java.awt.image.BufferedImage(
+            w, h, java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+          val raster = img.getRaster
+          var i = 0
+          while (i < w * h) {
+            raster.setSample(i % w, i / w, 0, ((id * 31 + i) % 256).toInt)
+            i += 1
+          }
+          val bos = new java.io.ByteArrayOutputStream()
+          javax.imageio.ImageIO.write(img, "png", bos)
+          val decoded = javax.imageio.ImageIO.read(
+            new java.io.ByteArrayInputStream(bos.toByteArray))
+          val dw = decoded.getWidth
+          val dh = decoded.getHeight
+          val dr = decoded.getRaster
+          var sum = 0L
+          var y = 0
+          while (y < dh) {
+            var x = 0
+            while (x < dw) { sum += dr.getSample(x, y, 0); x += 1 }
+            y += 1
+          }
+          var rsum = 0L
+          var yy = 0
+          while (yy < outH) {
+            val sy = yy * dh / outH
+            var xx = 0
+            while (xx < outW) {
+              rsum += dr.getSample(xx * dw / outW, sy, 0); xx += 1
+            }
+            yy += 1
+          }
+          DecodedImage(id, dw.toLong, dh.toLong, sum, rsum)
+        }
+      }
       .toDF()
       .orderBy("doc_id")
   }

@@ -102,7 +102,13 @@ object Backfill {
       lit(e.name).as("entity"),
       col(e.keyCol).cast("string").as("key"),
       tenant.as("tenant"),
-      to_json(struct(payloadCols: _*)).as("value"))
+      // ignoreNullFields=false: a null column serializes as an explicit
+      // `"field":null`, not an absent key — the event-log contract (a
+      // consumer must distinguish "cleared to null" from "not in this
+      // entity's schema"), and what the reference's serde emits for
+      // Option::None fields
+      to_json(struct(payloadCols: _*), Map("ignoreNullFields" -> "false"))
+        .as("value"))
   }
 
   /** One entity's event feed with an arbitrary tenant column: filtered
@@ -159,6 +165,29 @@ object Backfill {
     * parallel (the reference serializes them per merchant, X3). */
   def run(spark: SparkSession, dir: String, cfg: Config = Config()): DataFrame =
     cfg.entities.map(entityFeed(spark, dir, _, cfg)).reduce(_ unionAll _)
+
+  /** Wide-payload fidelity case (the reference's payment_intent is ~40
+    * columns with JSON metadata and nullable PII — SURVEY.md §1; the
+    * default harness entities are 6 flat non-null columns). A
+    * documents-based entity whose source synthesizes a NESTED metadata
+    * struct (serializes as a JSON object inside the envelope, not an
+    * escaped string) and a nullable PII column (null for doc_id % 7 ==
+    * 0), flowed through the SAME `run()` path via the source seam —
+    * exercising explicit-null serialization and nested objects without
+    * a special-case envelope. */
+  def wideEntityFeed(spark: SparkSession, dir: String): DataFrame = {
+    val e = Entity("documents", "documents", "doc_id", "doc_id", "doc_id",
+      Seq("doc_id", "lang", "source", "n_chars", "customer_email", "metadata"))
+    val cfg = Config(entities = Seq(e), source = (s, d, _) =>
+      Tables.load(s, d, "documents").select(
+        col("doc_id"), col("lang"), col("source"), col("n_chars"),
+        when(col("doc_id") % 7 === 0, lit(null).cast("string"))
+          .otherwise(concat(lit("user"), col("doc_id"), lit("@example.com")))
+          .as("customer_email"),
+        struct(col("source").as("src"), (col("n_chars") % 10).as("bucket"))
+          .as("metadata")))
+    run(spark, dir, cfg).orderBy("key")
+  }
 
   /** Reconciliation checksums: per-entity row count + order-independent
     * bit_xor of row hashes over the emitted feed. The reference relied

@@ -45,6 +45,21 @@ class PipelineSpec extends AnyFunSuite {
     }
   }
 
+  test("image decode: PNG round-trip reproduces the synthesized raster exactly") {
+    val rows = Multimodal.imageDecode(spark, sf).limit(10).collect()
+    assert(rows.length == 10)
+    rows.foreach { r =>
+      val id = r.getAs[Long]("doc_id")
+      val w = 4 + id % 5
+      val h = 3 + id % 4
+      // dims must come from the DECODER, matching the encoded raster
+      assert(r.getAs[Long]("width") == w && r.getAs[Long]("height") == h)
+      val expected = (0L until w * h).map(i => (id * 31 + i) % 256).sum
+      assert(r.getAs[Long]("pixel_sum") == expected,
+        s"doc $id: lossy or misaligned codec round-trip")
+    }
+  }
+
   test("frame sample strides every 4th frame") {
     val rows = Multimodal.frameSample(spark, sf, stride = 4).collect()
     assert(rows.nonEmpty)
