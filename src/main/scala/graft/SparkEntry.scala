@@ -59,6 +59,7 @@ object SparkEntry {
     "minhash_signatures" -> (Dedup.minhashSignatures _),
     "minhash_buckets"    -> (Dedup.minhashBuckets _),
     "minhash_pairs"      -> ((s: SparkSession, d: String) => Dedup.minhashPairs(s, d)),
+    "dedup_incremental"  -> ((s: SparkSession, d: String) => Dedup.incrementalPairs(s, d)),
     "simhash"            -> (Dedup.simhash _),
     "simhash_pairs"      -> ((s: SparkSession, d: String) => Dedup.simhashPairs(s, d)),
     "ngram_jaccard"      -> (Dedup.ngramJaccard _),
@@ -1158,6 +1159,21 @@ object SparkEntry {
     "minhash_pairs" ->
       s"""WITH $dMinhashPairsCtes
          SELECT doc_a, doc_b, jaccard FROM mh_pairs ORDER BY doc_a, doc_b""",
+    // one-sided band probe: the "new crawl" (doc_id % 10 = 0) against
+    // the corpus — same skew-capped buckets (bf) and exact verify as
+    // minhash_pairs, but candidates orient new→corpus, either order
+    "dedup_incremental" ->
+      s"""WITH $dMinhashPairsCtes,
+         candi AS (SELECT DISTINCT a.doc_id AS new_id, b.doc_id AS corpus_id
+                   FROM bf a JOIN bf b USING (band_id, band_key)
+                   WHERE a.doc_id % 10 = 0 AND b.doc_id % 10 <> 0),
+         jaci AS (SELECT new_id, corpus_id,
+                    CAST(len(list_intersect(gn.g, gc.g)) AS DOUBLE) /
+                      len(list_distinct(list_concat(gn.g, gc.g))) AS jaccard
+                  FROM candi JOIN grams gn ON gn.doc_id = candi.new_id
+                             JOIN grams gc ON gc.doc_id = candi.corpus_id)
+         SELECT new_id, corpus_id, jaccard FROM jaci
+         WHERE jaccard >= 0.5 ORDER BY new_id, corpus_id""",
     "contamination" -> {
       def splitCase(x: String) =
         s"""CASE WHEN ${dH60(s"'split:'||$x")} % 100 < 90 THEN 'train'

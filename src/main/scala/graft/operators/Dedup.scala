@@ -177,6 +177,48 @@ object Dedup {
         .select("doc_a", "doc_b", "jaccard")
     }.orderBy("doc_a", "doc_b")
 
+  /** Incremental near-dup — dedup a NEW batch of documents against the
+    * existing corpus WITHOUT re-running LSH over the corpus. This is
+    * the dedup cadence that actually runs at 100 TB: signatures are
+    * computed once per document EVER (on ingest — here, the memoized
+    * [[minhashSigTable]] is that persistent corpus index), and each
+    * increment pays O(new·bands) band probes + O(candidates) exact
+    * verifies — never O(corpus). The band join is one-sided (new
+    * probes corpus), so candidate count scales with the increment, and
+    * the same mega-bucket skew cap as [[minhashPairs]] bounds any
+    * boilerplate bucket the new batch lands in.
+    *
+    * The harness splits the documents table deterministically
+    * (doc_id % 10 == 0 is the "new crawl"); production swaps the
+    * predicate for a batch-id column and unions the verified new docs'
+    * signatures back into the corpus index afterwards. */
+  def incrementalPairs(spark: SparkSession, dir: String,
+      threshold: Double = 0.5, maxBucket: Int = 200): DataFrame = {
+    val allBanded = minhashBandTable(spark, dir)
+    val big = allBanded.groupBy("band_id", "band_key")
+      .agg(count(lit(1)).as("bs")).filter(col("bs") > maxBucket)
+      .select("band_id", "band_key")
+    val bf = allBanded.join(broadcast(big),
+      Seq("band_id", "band_key"), "left_anti")
+    val newBands = bf.filter(col("doc_id") % 10 === 0)
+    val corpusBands = bf.filter(col("doc_id") % 10 =!= 0)
+    val cand = newBands.as("a")
+      .join(corpusBands.as("b"), Seq("band_id", "band_key"))
+      .select(col("a.doc_id").as("new_id"), col("b.doc_id").as("corpus_id"))
+      .distinct()
+    val shingles = Tables.load(spark, dir, "documents")
+      .select(col("doc_id"), T.wordShingles(col("text"), 3).as("shingles"))
+    cand
+      .join(shingles.select(col("doc_id").as("new_id"), col("shingles").as("sh_n")), "new_id")
+      .join(shingles.select(col("doc_id").as("corpus_id"), col("shingles").as("sh_c")), "corpus_id")
+      .withColumn("jaccard",
+        size(array_intersect(col("sh_n"), col("sh_c"))).cast("double") /
+          size(array_union(col("sh_n"), col("sh_c"))))
+      .filter(col("jaccard") >= threshold)
+      .select("new_id", "corpus_id", "jaccard")
+      .orderBy("new_id", "corpus_id")
+  }
+
   // -------------------------------------------------------------- simhash
 
   /** SimHash width: 60 bits — the full width of [[hash60]] (the md5

@@ -45,6 +45,28 @@ class DedupSpec extends AnyFunSuite {
       s"false positives: $pairs")
   }
 
+  test("incremental dedup: new batch probes the corpus, never re-pairs it") {
+    // planted fixture: 0 (new side, %10==0) vs 1 (corpus) is a near-dup;
+    // 21/22 are both corpus-side and must NOT appear in an increment
+    val inc = Dedup.incrementalPairs(spark, fixtureDir, threshold = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(inc.contains((0L, 1L)), "new-doc near-dup vs corpus missed")
+    assert(inc.forall { case (n, c) => n % 10 == 0 && c % 10 != 0 },
+      s"non-incremental pair leaked: $inc")
+    // and on the harness data: exactly the cross-set subset of the full
+    // pair table, reoriented new→corpus — the one-sided probe loses no
+    // recall vs the full self-join
+    val full = Dedup.minhashPairs(spark, TestSpark.sf, threshold = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val expected = full.collect {
+      case (a, b) if a % 10 == 0 && b % 10 != 0 => (a, b)
+      case (a, b) if b % 10 == 0 && a % 10 != 0 => (b, a)
+    }
+    val incSf = Dedup.incrementalPairs(spark, TestSpark.sf, threshold = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(incSf == expected)
+  }
+
   test("simhash: identical docs equal, near-dups close, unrelated far") {
     val sh = Dedup.simhash(spark, fixtureDir).collect()
       .map(r => r.getLong(0) -> r.getLong(1)).toMap
