@@ -49,6 +49,7 @@ object SparkEntry {
     "window_running"     -> (Aggregates.windowRunning _),
     "window_range_frame" -> (Aggregates.windowRangeFrame _),
     "source_mix_weights" -> ((s: SparkSession, d: String) => Sampling.sourceMixWeights(s, d)),
+    "epoch_plan"         -> ((s: SparkSession, d: String) => Sampling.epochPlan(s, d)),
     "rollup_docs"        -> (Aggregates.rollupDocs _),
     "events_window_agg"  -> (Aggregates.eventsWindowAgg _),
     "events_sessionize"  -> (Aggregates.sessionize _),
@@ -552,6 +553,22 @@ object SparkEntry {
          z AS (SELECT sum(scaled) AS z FROM s)
          SELECT source, n_docs, round(raw_frac, 6) AS raw_frac,
                 round(scaled / z, 6) AS mix_weight
+         FROM s, z ORDER BY source""",
+    "epoch_plan" ->
+      s"""WITH tk AS (SELECT source, CAST(len($dToks) AS BIGINT) AS n_tokens
+                      FROM documents),
+         c AS (SELECT source, count(*) AS n_docs,
+                 CAST(sum(n_tokens) AS BIGINT) AS tokens_available
+               FROM tk GROUP BY 1),
+         t AS (SELECT CAST(sum(tokens_available) AS BIGINT) AS tok_total FROM c),
+         s AS (SELECT c.*,
+                 sqrt(CAST(tokens_available AS DOUBLE) / tok_total) AS scaled
+               FROM c, t),
+         z AS (SELECT sum(scaled) AS z FROM s)
+         SELECT source, n_docs, tokens_available,
+                round(scaled / z, 6) AS mix_weight,
+                round(200000 * scaled / z, 2) AS target_tokens,
+                round(200000 * scaled / z / tokens_available, 6) AS epochs
          FROM s, z ORDER BY source""",
     "rollup_docs" ->
       """SELECT lang, source, count(*) AS n_docs,

@@ -135,6 +135,39 @@ object Sampling {
 
   /** The quota window's kept-predicate over a docs frame that already
     * carries `source` and `pick_key`. */
+  /** Epoch/repeat plan — the "how many passes over each source" step of
+    * training-data mixing: apportion a global token budget across
+    * sources by temperature-scaled weight (sqrt of the source's token
+    * share — same scaling family as [[sourceMixWeights]], applied to
+    * tokens rather than doc counts) and emit the per-source repeat
+    * factor: epochs = target_tokens / tokens_available (> 1 means the
+    * source is upsampled/repeated across passes, < 1 downsampled).
+    * Shape: one doc-level narrow map → per-source hash aggregate →
+    * two broadcast scalars — the per-source table is thousands of rows
+    * at most, so everything after the first aggregate is free; the
+    * corpus is scanned exactly once. */
+  def epochPlan(spark: SparkSession, dir: String,
+      budgetTokens: Long = 200000L): DataFrame = {
+    import graft.functions.{TextFunctions => T}
+    val toks = Tables.load(spark, dir, "documents")
+      .select(col("source"), size(T.tokens(col("text"))).cast("long").as("n_tokens"))
+    val counts = toks.groupBy("source")
+      .agg(count(lit(1)).as("n_docs"), sum("n_tokens").as("tokens_available"))
+    val total = counts.agg(sum("tokens_available").as("tok_total"))
+    val scaled = counts.crossJoin(broadcast(total))
+      .withColumn("scaled",
+        sqrt(col("tokens_available").cast("double") / col("tok_total")))
+    val z = scaled.agg(sum("scaled").as("z"))
+    scaled.crossJoin(broadcast(z))
+      .select(col("source"), col("n_docs"), col("tokens_available"),
+        round(col("scaled") / col("z"), 6).as("mix_weight"),
+        round(lit(budgetTokens) * col("scaled") / col("z"), 2)
+          .as("target_tokens"),
+        round(lit(budgetTokens) * col("scaled") / col("z") /
+          col("tokens_available"), 6).as("epochs"))
+      .orderBy("source")
+  }
+
   private def quotaKept(quota: Int): Column = {
     val w = Window.partitionBy("source").orderBy(col("pick_key"), col("doc_id"))
     row_number().over(w) <= quota

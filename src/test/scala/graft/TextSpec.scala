@@ -119,6 +119,22 @@ class TextSpec extends AnyFunSuite {
       rows.groupBy(_.getAs[String]("source")).values.forall(_.length <= 30))
   }
 
+  test("epochPlan: weights normalize, targets apportion the full budget") {
+    val rows = graft.operators.Sampling
+      .epochPlan(spark, TestSpark.sf, budgetTokens = 100000L).collect()
+    assert(rows.nonEmpty)
+    val wSum = rows.map(_.getAs[Double]("mix_weight")).sum
+    assert(math.abs(wSum - 1.0) < 1e-3, s"weights sum to $wSum")
+    val tSum = rows.map(_.getAs[Double]("target_tokens")).sum
+    assert(math.abs(tSum - 100000.0) < 1.0, s"targets sum to $tSum")
+    rows.foreach { r =>
+      // epochs is the repeat factor: epochs × available ≈ target
+      val implied = r.getAs[Double]("epochs") * r.getAs[Long]("tokens_available")
+      assert(math.abs(implied - r.getAs[Double]("target_tokens")) <
+        r.getAs[Long]("tokens_available") * 1e-5 + 1.0)
+    }
+  }
+
   test("PII redaction scrubs emails/ips/phones with correct counts") {
     import spark.implicits._
     // same expression chain as TextAnalysis.redactPii, on crafted text
