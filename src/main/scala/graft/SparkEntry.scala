@@ -50,6 +50,7 @@ object SparkEntry {
     "window_range_frame" -> (Aggregates.windowRangeFrame _),
     "source_mix_weights" -> ((s: SparkSession, d: String) => Sampling.sourceMixWeights(s, d)),
     "epoch_plan"         -> ((s: SparkSession, d: String) => Sampling.epochPlan(s, d)),
+    "mix_expand"         -> ((s: SparkSession, d: String) => Sampling.mixExpand(s, d)),
     "rollup_docs"        -> (Aggregates.rollupDocs _),
     "events_window_agg"  -> (Aggregates.eventsWindowAgg _),
     "events_sessionize"  -> (Aggregates.sessionize _),
@@ -570,6 +571,35 @@ object SparkEntry {
                 round(200000 * scaled / z, 2) AS target_tokens,
                 round(200000 * scaled / z / tokens_available, 6) AS epochs
          FROM s, z ORDER BY source""",
+    // deterministic upsampling: floor(epochs) copies per doc + one extra
+    // for a hash-selected fraction (expected copies = fractional epochs)
+    "mix_expand" ->
+      s"""WITH tk AS (SELECT source, CAST(len($dToks) AS BIGINT) AS n_tokens
+                      FROM documents),
+         c AS (SELECT source, count(*) AS n_docs,
+                 CAST(sum(n_tokens) AS BIGINT) AS tokens_available
+               FROM tk GROUP BY 1),
+         t AS (SELECT CAST(sum(tokens_available) AS BIGINT) AS tok_total FROM c),
+         s AS (SELECT c.*,
+                 sqrt(CAST(tokens_available AS DOUBLE) / tok_total) AS scaled
+               FROM c, t),
+         z AS (SELECT sum(scaled) AS z FROM s),
+         ep AS (SELECT source,
+                  round(200000 * scaled / z / tokens_available, 6) AS epochs
+                FROM s, z),
+         d AS (SELECT doc_id, d0.source, epochs,
+                 CAST(floor(epochs) AS BIGINT) AS base,
+                 epochs - floor(epochs) AS frac
+               FROM documents d0 JOIN ep USING (source)),
+         n AS (SELECT doc_id, source, base +
+                 CASE WHEN CAST(${dH60("'rep:'||doc_id")} % 1000000 AS DOUBLE)
+                      < frac * 1000000 THEN 1 ELSE 0 END AS n_copies
+               FROM d)
+         SELECT doc_id, source, CAST(ci AS BIGINT) AS copy_idx,
+                CAST(n_copies AS BIGINT) AS n_copies
+         FROM n, LATERAL unnest(range(1, n_copies + 1)) AS u(ci)
+         WHERE n_copies > 0
+         ORDER BY doc_id, copy_idx""",
     "rollup_docs" ->
       """SELECT lang, source, count(*) AS n_docs,
                 CAST(SUM(CAST(n_chars AS DECIMAL(18,2))) AS DOUBLE) AS sum_chars

@@ -168,6 +168,34 @@ object Sampling {
       .orderBy("source")
   }
 
+  /** Materialize the [[epochPlan]] mixture: emit each document
+    * floor(epochs) times, plus one extra copy for a deterministic
+    * hash-selected fraction of docs, so each source's expected copy
+    * count equals its fractional epochs — no `rand()`, task retries
+    * and re-runs reproduce the same stream. Plan shape: broadcast the
+    * (tiny) per-source plan onto the doc scan, then ONE generator
+    * (`explode(sequence)`) does the upsampling in-plan — no self-union
+    * per epoch, no shuffle at all until a downstream consumer asks for
+    * one; at 100 TB the expansion streams straight into packing/sharding
+    * without materializing an intermediate. */
+  def mixExpand(spark: SparkSession, dir: String,
+      budgetTokens: Long = 200000L): DataFrame = {
+    val plan = epochPlan(spark, dir, budgetTokens)
+      .select(col("source"), col("epochs"))
+    Tables.load(spark, dir, "documents").select("doc_id", "source")
+      .join(broadcast(plan), "source")
+      .withColumn("base", floor(col("epochs")).cast("long"))
+      .withColumn("frac", col("epochs") - floor(col("epochs")))
+      .withColumn("n_copies", col("base") +
+        (pmod(hash60(concat(lit("rep:"), col("doc_id"))), lit(1000000L))
+          .cast("double") < col("frac") * 1000000.0).cast("long"))
+      .filter(col("n_copies") > 0)
+      .select(col("doc_id"), col("source"),
+        explode(sequence(lit(1L), col("n_copies"))).as("copy_idx"),
+        col("n_copies"))
+      .orderBy("doc_id", "copy_idx")
+  }
+
   private def quotaKept(quota: Int): Column = {
     val w = Window.partitionBy("source").orderBy(col("pick_key"), col("doc_id"))
     row_number().over(w) <= quota

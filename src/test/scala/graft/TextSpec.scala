@@ -135,6 +135,25 @@ class TextSpec extends AnyFunSuite {
     }
   }
 
+  test("mixExpand: contiguous copy indices, copies = floor(epochs) or +1") {
+    val S = graft.operators.Sampling
+    val plan = S.epochPlan(spark, TestSpark.sf).collect()
+      .map(r => r.getAs[String]("source") -> r.getAs[Double]("epochs")).toMap
+    val rows = S.mixExpand(spark, TestSpark.sf).collect()
+    assert(rows.nonEmpty)
+    rows.groupBy(_.getAs[Long]("doc_id")).values.foreach { g =>
+      val n = g.head.getAs[Long]("n_copies")
+      assert(g.map(_.getAs[Long]("copy_idx")).sorted.toSeq == (1L to n),
+        "copy indices not contiguous")
+      val e = plan(g.head.getAs[String]("source"))
+      val base = math.floor(e).toLong
+      assert(n == base || n == base + 1, s"copies $n vs epochs $e")
+    }
+    // determinism: a re-run emits the identical stream
+    assert(S.mixExpand(spark, TestSpark.sf).collect().map(_.toString).toSeq ==
+      rows.map(_.toString).toSeq)
+  }
+
   test("PII redaction scrubs emails/ips/phones with correct counts") {
     import spark.implicits._
     // same expression chain as TextAnalysis.redactPii, on crafted text
