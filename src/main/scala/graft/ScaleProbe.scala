@@ -49,6 +49,12 @@ object ScaleProbe {
     time("contamination (memoized pairs ⋈ split)") {
       println(s"  cross-split pairs: ${operators.Sampling.contamination(spark, dup).count()}")
     }
+    time("incrementalPairs (new batch probes the memoized corpus index)") {
+      // the increment rides the already-materialized signature memo:
+      // this cost is the honest per-increment price once the corpus
+      // index exists — compare against the cold minhashPairs above
+      println(s"  new-vs-corpus pairs: ${operators.Dedup.incrementalPairs(spark, dup).count()}")
+    }
 
     // ANN at 10×: duplicate the embedding table (shifted vec_ids so the
     // copies are distinct points from the index's perspective) and

@@ -177,6 +177,35 @@ object Dedup {
         .select("doc_a", "doc_b", "jaccard")
     }.orderBy("doc_a", "doc_b")
 
+  /** Per-ROW band computation — the stream-safe twin of
+    * [[minhashBandTable]]: the 64 min-hashes are higher-order-function
+    * minima over the row's own shingle array (`array_min(transform(…))`)
+    * instead of an explode + groupBy aggregate, so the whole signature
+    * is a pure narrow map with no shuffle and no streaming state. Same
+    * values as the batch path (min over the same hashed shingle set;
+    * docs with < 3 tokens have no shingles and drop out identically) —
+    * DedupSpec pins the equivalence via the streaming candidates ⊇
+    * verified-pairs check. Batch keeps the explode+groupBy form because
+    * the aggregate shares work with the memoized signature table; this
+    * form exists for ingest-time use where each row must be scored
+    * on arrival. */
+  def minhashBandsPerRow(docs: DataFrame): DataFrame = {
+    val hs = transform(T.wordShingles(col("text"), 3),
+      s => pmod(hash60(s), lit(P)))
+    val bandKeys = (0 until MinhashBands).map { b =>
+      struct(lit(b).as("band_id"),
+        concat_ws(":", (0 until BandRows).map { r =>
+          val i = b * BandRows + r
+          array_min(transform(col("hs"), h => pmod(h * lit(permA(i)) + lit(permB(i)), lit(P))))
+        }: _*).as("band_key"))
+    }
+    docs.withColumn("hs", hs)
+      .filter(size(col("hs")) > 0)
+      .select(col("doc_id"), explode(array(bandKeys: _*)).as("bk"))
+      .select(col("doc_id"), col("bk.band_id").as("band_id"),
+        col("bk.band_key").as("band_key"))
+  }
+
   /** Incremental near-dup — dedup a NEW batch of documents against the
     * existing corpus WITHOUT re-running LSH over the corpus. This is
     * the dedup cadence that actually runs at 100 TB: signatures are

@@ -32,6 +32,20 @@ object StreamingBackfill {
         .parquet(dir))
   }
 
+  /** File-source stream over the documents table — the "new crawl"
+    * ingest stream that [[incrementalDedupStream]] screens. */
+  def documentsStream(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.types._
+    spark.readStream
+      .schema(StructType(Seq(
+        StructField("doc_id", LongType), StructField("text", StringType),
+        StructField("lang", StringType), StructField("source", StringType),
+        StructField("n_chars", LongType))))
+      .option("pathGlobFilter", "documents.parquet")
+      .option("maxFilesPerTrigger", "1")
+      .parquet(dir)
+  }
+
   /** Watermarked tumbling-window counts per event type — the streaming
     * twin of [[graft.operators.Aggregates.eventsWindowAgg]]. */
   def windowedCounts(events: DataFrame): DataFrame =
@@ -156,6 +170,28 @@ object StreamingBackfill {
         events("user_id") === dim("c_custkey"), "left")
       .select(events("event_id"), events("user_id"), events("event_type"),
         dim("c_name"), dim("c_mktsegment"))
+
+  /** Ingest-time near-dup screening — the streaming twin of
+    * [[graft.operators.Dedup.incrementalPairs]]: a stream of new
+    * documents is shingled/minhashed/banded IN-STREAM (the per-row
+    * HOF-min form, [[graft.operators.Dedup.minhashBandsPerRow]] — a
+    * pure narrow map, no streaming state) and stream-static joined
+    * against the materialized corpus band table; any bucket collision
+    * emits a (doc_id, corpus_id) duplicate candidate BEFORE the doc
+    * lands in the corpus. The static side re-resolves per microbatch,
+    * so a nightly corpus-index refresh is picked up without a stream
+    * restart. Candidates are not distinct-ed here (that would need
+    * state); the downstream exact-Jaccard verify dedupes — same
+    * contract as the batch path's candidate stage. Pass a skew-capped
+    * band table (the batch cap's broadcast anti-join applies to the
+    * static side unchanged) to bound any boilerplate bucket. */
+  def incrementalDedupStream(newDocs: DataFrame, corpusBands: DataFrame): DataFrame =
+    graft.operators.Dedup.minhashBandsPerRow(newDocs)
+      .join(corpusBands
+          .withColumnRenamed("doc_id", "corpus_id"),
+        Seq("band_id", "band_key"))
+      .select(org.apache.spark.sql.functions.col("doc_id"),
+        org.apache.spark.sql.functions.col("corpus_id"))
 
   /** foreachBatch sink with idempotent per-batch output: each microbatch
     * writes to a batch-id-suffixed directory, so replays after failure

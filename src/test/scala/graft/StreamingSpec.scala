@@ -41,6 +41,27 @@ class StreamingSpec extends AnyFunSuite {
     assert(out.count() <= Tables.load(spark, sf, "events").count())
   }
 
+  test("streaming incremental dedup screens new docs against the corpus index") {
+    val corpusBands = graft.operators.Dedup.minhashBandTable(spark, sf)
+      .filter(col("doc_id") % 10 =!= 0)
+    val newStream = StreamingBackfill.documentsStream(spark, sf)
+      .filter(col("doc_id") % 10 === 0)
+    val cands = StreamingBackfill.runToMemory(spark,
+      StreamingBackfill.incrementalDedupStream(newStream, corpusBands),
+      "inc_dedup_out", "append")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // candidates orient new → corpus only (no corpus re-pairing at ingest)
+    assert(cands.forall { case (n, c) => n % 10 == 0 && c % 10 != 0 })
+    // no recall loss vs batch: every verified incremental pair was
+    // surfaced as a stream candidate (also pins the per-row HOF-min
+    // signature ≡ the batch explode+groupBy signature)
+    val verified = graft.operators.Dedup.incrementalPairs(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(verified.nonEmpty, "fixture has no cross-set near-dups")
+    assert(verified.subsetOf(cands),
+      s"missed candidates: ${verified.diff(cands)}")
+  }
+
   test("stream-stream join pairs purchases with prior signups") {
     import org.apache.spark.sql.functions._
     val out = StreamingBackfill.runToMemory(spark,
