@@ -67,6 +67,16 @@ class DedupSpec extends AnyFunSuite {
     assert(incSf == expected)
   }
 
+  test("per-row HOF band computation ≡ batch explode+groupBy band table") {
+    val perRow = Dedup.minhashBandsPerRow(
+      Tables.load(spark, fixtureDir, "documents"))
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getString(2))).toSet
+    val batch = Dedup.minhashBandTable(spark, fixtureDir)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getString(2))).toSet
+    assert(perRow == batch,
+      s"only per-row: ${perRow.diff(batch).take(3)}; only batch: ${batch.diff(perRow).take(3)}")
+  }
+
   test("simhash: identical docs equal, near-dups close, unrelated far") {
     val sh = Dedup.simhash(spark, fixtureDir).collect()
       .map(r => r.getLong(0) -> r.getLong(1)).toMap
