@@ -43,6 +43,19 @@ object Tables {
       else spark.read.parquet(s"$dir/$name.parquet"))
   }
 
+  /** documents schema as stored on disk — shared by any streaming
+    * reader (file-source streams require an explicit schema) so the
+    * batch and stream paths can't diverge: a stream reading a stale
+    * local copy of this schema would silently yield nulls for
+    * renamed/missing columns rather than erroring. */
+  val documentsSchema: org.apache.spark.sql.types.StructType = {
+    import org.apache.spark.sql.types._
+    StructType(Seq(
+      StructField("doc_id", LongType), StructField("text", StringType),
+      StructField("lang", StringType), StructField("source", StringType),
+      StructField("n_chars", LongType)))
+  }
+
   /** events schema as stored on disk (`ts` = TIMESTAMP(NANOS) read as
     * long via nanosAsLong) — shared by the batch loader and the
     * streaming reader so the two paths can't diverge. */

@@ -148,18 +148,29 @@ object Dedup {
     * full pipeline re-runs into joins over a tiny table. Both self-join
     * sides read the memoized signature parquet, so no persist is needed
     * for cross-branch reuse either. */
-  def minhashPairs(spark: SparkSession, dir: String,
-      threshold: Double = 0.5, maxBucket: Int = 200): DataFrame =
-    Memo.table(spark, dir, s"minhash_pairs_${threshold}_$maxBucket") {
+  /** Skew-capped band table, memoized per (session, dir, maxBucket) —
+    * the persistent corpus LSH index. Degenerate mega-buckets
+    * (boilerplate clusters) are dropped up front: they would contribute
+    * O(bucket²) candidate pairs; the dropped-key set is tiny, so a
+    * broadcast anti-join prunes them without a shuffle. Materialized
+    * because THREE consumers ride it — the pair self-join (both sides),
+    * [[incrementalPairs]] (per increment!) and the streaming ingest
+    * screen — and the cap aggregation itself is O(corpus), which an
+    * increment must not re-pay. */
+  def minhashCappedBands(spark: SparkSession, dir: String,
+      maxBucket: Int = 200): DataFrame =
+    Memo.table(spark, dir, s"minhash_bands_capped_$maxBucket") {
       val allBanded = minhashBandTable(spark, dir)
-      // skew cap: drop degenerate mega-buckets (boilerplate clusters) —
-      // they would contribute O(bucket²) candidate pairs; the dropped-key
-      // set is tiny, so a broadcast anti-join prunes them without a shuffle
       val big = allBanded.groupBy("band_id", "band_key")
         .agg(count(lit(1)).as("bs")).filter(col("bs") > maxBucket)
         .select("band_id", "band_key")
-      val banded = allBanded.join(broadcast(big),
-        Seq("band_id", "band_key"), "left_anti")
+      allBanded.join(broadcast(big), Seq("band_id", "band_key"), "left_anti")
+    }
+
+  def minhashPairs(spark: SparkSession, dir: String,
+      threshold: Double = 0.5, maxBucket: Int = 200): DataFrame =
+    Memo.table(spark, dir, s"minhash_pairs_${threshold}_$maxBucket") {
+      val banded = minhashCappedBands(spark, dir, maxBucket)
       val pairs = banded.as("a")
         .join(banded.as("b"), Seq("band_id", "band_key"))
         .filter(col("a.doc_id") < col("b.doc_id"))
@@ -223,12 +234,10 @@ object Dedup {
     * signatures back into the corpus index afterwards. */
   def incrementalPairs(spark: SparkSession, dir: String,
       threshold: Double = 0.5, maxBucket: Int = 200): DataFrame = {
-    val allBanded = minhashBandTable(spark, dir)
-    val big = allBanded.groupBy("band_id", "band_key")
-      .agg(count(lit(1)).as("bs")).filter(col("bs") > maxBucket)
-      .select("band_id", "band_key")
-    val bf = allBanded.join(broadcast(big),
-      Seq("band_id", "band_key"), "left_anti")
+    // the capped band table is a memoized parquet — the increment pays
+    // a scan of it (with the new/corpus predicates pushed down), never
+    // the shingle/signature/cap pipeline that built it
+    val bf = minhashCappedBands(spark, dir, maxBucket)
     val newBands = bf.filter(col("doc_id") % 10 === 0)
     val corpusBands = bf.filter(col("doc_id") % 10 =!= 0)
     val cand = newBands.as("a")

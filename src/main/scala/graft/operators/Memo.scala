@@ -41,14 +41,18 @@ object Memo {
   private val lock = new Object
   private val perSession =
     new java.util.WeakHashMap[SparkSession, ConcurrentHashMap[String, String]]()
-  private val allPaths = ConcurrentHashMap.newKeySet[String]()
+  // path → the hadoop conf it was written under: a bare `new
+  // Configuration()` would lack the session's fs settings (S3A
+  // credentials/endpoint, HDFS nameservices), so deletes of conf-rooted
+  // paths would silently fail and leak the memo directories
+  private val allPaths =
+    new ConcurrentHashMap[String, org.apache.hadoop.conf.Configuration]()
 
   sys.addShutdownHook {
-    allPaths.forEach { p =>
+    allPaths.forEach { (p, conf) =>
       try {
         val hp = new org.apache.hadoop.fs.Path(p)
-        hp.getFileSystem(new org.apache.hadoop.conf.Configuration())
-          .delete(hp, true)
+        hp.getFileSystem(conf).delete(hp, true)
         ()
       } catch { case _: Exception => () }
     }
@@ -93,7 +97,7 @@ object Memo {
       path = m.get(key)
       if (path == null) {
         val p = newPath(spark, name)
-        allPaths.add(p)
+        allPaths.put(p, spark.sparkContext.hadoopConfiguration)
         build.write.mode("overwrite").parquet(p)
         m.put(key, p)
         path = p

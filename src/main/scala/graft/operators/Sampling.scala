@@ -133,8 +133,6 @@ object Sampling {
     * source, preferring a deterministic uniform sample. */
   val DefaultQuota = 30
 
-  /** The quota window's kept-predicate over a docs frame that already
-    * carries `source` and `pick_key`. */
   /** Epoch/repeat plan — the "how many passes over each source" step of
     * training-data mixing: apportion a global token budget across
     * sources by temperature-scaled weight (sqrt of the source's token
@@ -196,6 +194,8 @@ object Sampling {
       .orderBy("doc_id", "copy_idx")
   }
 
+  /** The quota window's kept-predicate over a docs frame that already
+    * carries `source` and `pick_key`. */
   private def quotaKept(quota: Int): Column = {
     val w = Window.partitionBy("source").orderBy(col("pick_key"), col("doc_id"))
     row_number().over(w) <= quota

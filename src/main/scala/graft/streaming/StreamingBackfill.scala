@@ -34,17 +34,12 @@ object StreamingBackfill {
 
   /** File-source stream over the documents table — the "new crawl"
     * ingest stream that [[incrementalDedupStream]] screens. */
-  def documentsStream(spark: SparkSession, dir: String): DataFrame = {
-    import org.apache.spark.sql.types._
+  def documentsStream(spark: SparkSession, dir: String): DataFrame =
     spark.readStream
-      .schema(StructType(Seq(
-        StructField("doc_id", LongType), StructField("text", StringType),
-        StructField("lang", StringType), StructField("source", StringType),
-        StructField("n_chars", LongType))))
+      .schema(graft.Tables.documentsSchema)
       .option("pathGlobFilter", "documents.parquet")
       .option("maxFilesPerTrigger", "1")
       .parquet(dir)
-  }
 
   /** Watermarked tumbling-window counts per event type — the streaming
     * twin of [[graft.operators.Aggregates.eventsWindowAgg]]. */

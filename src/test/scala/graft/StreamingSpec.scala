@@ -42,7 +42,7 @@ class StreamingSpec extends AnyFunSuite {
   }
 
   test("streaming incremental dedup screens new docs against the corpus index") {
-    val corpusBands = graft.operators.Dedup.minhashBandTable(spark, sf)
+    val corpusBands = graft.operators.Dedup.minhashCappedBands(spark, sf)
       .filter(col("doc_id") % 10 =!= 0)
     val newStream = StreamingBackfill.documentsStream(spark, sf)
       .filter(col("doc_id") % 10 === 0)
