@@ -30,4 +30,32 @@ object Bucketing {
     o.hint("merge").join(c, o("o_custkey") === c("c_custkey"))
       .select(o("o_orderkey"), o("o_custkey"), c("c_name"), o("o_totalprice"))
   }
+
+  /** The corpus LSH band index as a BUCKETED table — the production
+    * shape of [[graft.operators.Dedup.incrementalPairs]]'s static side
+    * at 100 TB: clustering the index on `band_key` once at write time
+    * means each increment's probe join needs no exchange on the
+    * (enormous) corpus side — only the new batch's bands shuffle into
+    * the corpus's bucketing. Pays the clustering once per index
+    * refresh, amortized over every nightly increment. Bucketed on BOTH
+    * join keys — a subset bucketing gets discarded by the planner's
+    * bucketed-scan chooser for a (band_id, band_key) join. */
+  def writeBandIndexBucketed(spark: SparkSession, dir: String,
+      buckets: Int = 8): Unit =
+    graft.operators.Dedup.minhashCappedBands(spark, dir)
+      .write.mode("overwrite")
+      .bucketBy(buckets, "band_id", "band_key").sortBy("band_id", "band_key")
+      .saveAsTable("corpus_bands_bkt")
+
+  /** New-batch bands probing the bucketed corpus index: the increment's
+    * candidate join with the corpus side exchange-free
+    * (BucketingSpec asserts ≤ 1 exchange, on the new side only). */
+  def incrementalProbeColocated(spark: SparkSession,
+      newBands: DataFrame): DataFrame = {
+    val corpus = spark.table("corpus_bands_bkt")
+    newBands.hint("merge")
+      .join(corpus.withColumnRenamed("doc_id", "corpus_id"),
+        Seq("band_id", "band_key"))
+      .select("doc_id", "corpus_id")
+  }
 }

@@ -28,6 +28,35 @@ class BucketingSpec extends AnyFunSuite {
     }
   }
 
+  test("bucketed band index: increment probe exchange-free on corpus side") {
+    import org.apache.spark.sql.functions.col
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      Bucketing.writeBandIndexBucketed(spark, sf, buckets = 8)
+      val newBands = graft.operators.Dedup.minhashCappedBands(spark, sf)
+        .filter(col("doc_id") % 10 === 0)
+      val probe = Bucketing.incrementalProbeColocated(spark, newBands)
+      val plan = Shim.executedPlan(probe).toString
+      // at most ONE shuffle — the (small) new side aligning to the
+      // corpus index's bucketing; the corpus side itself must not move
+      val shuffles = "Exchange hashpartitioning".r.findAllIn(plan).length
+      assert(shuffles <= 1, s"corpus side reshuffled:\n$plan")
+      // and the bucketed probe finds the same candidates as the direct join
+      val got = probe.distinct().collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      val corpus = graft.operators.Dedup.minhashCappedBands(spark, sf)
+        .filter(col("doc_id") % 10 =!= 0)
+        .withColumnRenamed("doc_id", "corpus_id")
+      val want = newBands.join(corpus, Seq("band_id", "band_key"))
+        .select("doc_id", "corpus_id").distinct().collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(got.filter { case (n, c) => c % 10 != 0 } == want)
+    } finally {
+      spark.conf.set("spark.sql.adaptive.enabled", "true")
+      spark.sql("DROP TABLE IF EXISTS corpus_bands_bkt")
+    }
+  }
+
   test("streaming session windows and stateful totals run end to end") {
     import graft.streaming.StreamingBackfill
     val ev = StreamingBackfill.eventsStream(spark, sf)
