@@ -62,6 +62,8 @@ object SparkEntry {
     "minhash_buckets"    -> (Dedup.minhashBuckets _),
     "minhash_pairs"      -> ((s: SparkSession, d: String) => Dedup.minhashPairs(s, d)),
     "dedup_incremental"  -> ((s: SparkSession, d: String) => Dedup.incrementalPairs(s, d)),
+    "dedup_incremental_bucketed" ->
+      ((s: SparkSession, d: String) => Dedup.incrementalPairsBucketed(s, d)),
     "simhash"            -> (Dedup.simhash _),
     "simhash_pairs"      -> ((s: SparkSession, d: String) => Dedup.simhashPairs(s, d)),
     "ngram_jaccard"      -> (Dedup.ngramJaccard _),
@@ -1210,6 +1212,21 @@ object SparkEntry {
     // the corpus — same skew-capped buckets (bf) and exact verify as
     // minhash_pairs, but candidates orient new→corpus, either order
     "dedup_incremental" ->
+      s"""WITH $dMinhashPairsCtes,
+         candi AS (SELECT DISTINCT a.doc_id AS new_id, b.doc_id AS corpus_id
+                   FROM bf a JOIN bf b USING (band_id, band_key)
+                   WHERE a.doc_id % 10 = 0 AND b.doc_id % 10 <> 0),
+         jaci AS (SELECT new_id, corpus_id,
+                    CAST(len(list_intersect(gn.g, gc.g)) AS DOUBLE) /
+                      len(list_distinct(list_concat(gn.g, gc.g))) AS jaccard
+                  FROM candi JOIN grams gn ON gn.doc_id = candi.new_id
+                             JOIN grams gc ON gc.doc_id = candi.corpus_id)
+         SELECT new_id, corpus_id, jaccard FROM jaci
+         WHERE jaccard >= 0.5 ORDER BY new_id, corpus_id""",
+    // same semantics as dedup_incremental — the Spark side routes the
+    // candidate probe through the bucketed catalog index instead of the
+    // memo parquet; the verified pair set must be identical
+    "dedup_incremental_bucketed" ->
       s"""WITH $dMinhashPairsCtes,
          candi AS (SELECT DISTINCT a.doc_id AS new_id, b.doc_id AS corpus_id
                    FROM bf a JOIN bf b USING (band_id, band_key)

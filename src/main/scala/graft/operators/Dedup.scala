@@ -230,8 +230,9 @@ object Dedup {
     *
     * The harness splits the documents table deterministically
     * (doc_id % 10 == 0 is the "new crawl"); production swaps the
-    * predicate for a batch-id column and unions the verified new docs'
-    * signatures back into the corpus index afterwards. */
+    * predicate for a batch-id column and appends the verified new
+    * docs' bands back into the corpus index afterwards
+    * ([[graft.sources.Bucketing.appendToBandIndex]] — no rebuild). */
   def incrementalPairs(spark: SparkSession, dir: String,
       threshold: Double = 0.5, maxBucket: Int = 200): DataFrame = {
     // the capped band table is a memoized parquet — the increment pays
@@ -240,11 +241,46 @@ object Dedup {
     val bf = minhashCappedBands(spark, dir, maxBucket)
     val newBands = bf.filter(col("doc_id") % 10 === 0)
     val corpusBands = bf.filter(col("doc_id") % 10 =!= 0)
-    val cand = newBands.as("a")
-      .join(corpusBands.as("b"), Seq("band_id", "band_key"))
-      .select(col("a.doc_id").as("new_id"), col("b.doc_id").as("corpus_id"))
+    // candidates materialize to scratch parquet: the set is consumed
+    // twice (the verify stage's id-prune collect + the verify join) and
+    // an increment must not pay the band probe twice
+    val cand = Memo.scratch(spark, "incr_cand") {
+      newBands.as("a")
+        .join(corpusBands.as("b"), Seq("band_id", "band_key"))
+        .select(col("a.doc_id").as("new_id"), col("b.doc_id").as("corpus_id"))
+        .distinct()
+    }
+    verifyCandidates(spark, dir, cand, threshold)
+      .orderBy("new_id", "corpus_id")
+  }
+
+  /** Above this many distinct candidate doc ids, the verify stage stops
+    * inlining them as a literal IN filter (plan bloat) and switches to
+    * a broadcast semi-join — still candidate-only tokenization, just
+    * runtime pruning instead of static parquet pushdown. */
+  private val VerifyIsinMaxIds = 10000
+
+  /** Exact-Jaccard verify over a candidate pair table — O(candidates),
+    * never O(corpus): only candidate documents are re-read and
+    * re-shingled. The distinct candidate id set is bounded by
+    * new·bands·maxBucket (candidates come off the capped band index),
+    * i.e. O(increment), so collecting it driver-side is safe; small
+    * sets push into the documents parquet scan as an IN filter
+    * (row-group pruning — PlanSpec asserts the scan carries the doc_id
+    * pushdown), larger ones fall back to a broadcast semi-join placed
+    * BEFORE the tokenize, so non-candidate docs are never shingled on
+    * either path. */
+  private def verifyCandidates(spark: SparkSession, dir: String,
+      cand: DataFrame, threshold: Double): DataFrame = {
+    val candIds = cand.select(col("new_id").as("doc_id"))
+      .union(cand.select(col("corpus_id").as("doc_id")))
       .distinct()
-    val shingles = Tables.load(spark, dir, "documents")
+    val ids = candIds.limit(VerifyIsinMaxIds + 1).collect().map(_.getLong(0))
+    val docs = Tables.load(spark, dir, "documents")
+    val candDocs =
+      if (ids.length <= VerifyIsinMaxIds) docs.filter(col("doc_id").isin(ids: _*))
+      else docs.join(broadcast(candIds), Seq("doc_id"), "left_semi")
+    val shingles = candDocs
       .select(col("doc_id"), T.wordShingles(col("text"), 3).as("shingles"))
     cand
       .join(shingles.select(col("doc_id").as("new_id"), col("shingles").as("sh_n")), "new_id")
@@ -254,6 +290,29 @@ object Dedup {
           size(array_union(col("sh_n"), col("sh_c"))))
       .filter(col("jaccard") >= threshold)
       .select("new_id", "corpus_id", "jaccard")
+  }
+
+  /** [[incrementalPairs]] through the BUCKETED corpus band index — the
+    * production increment shape end-to-end: the corpus side of the
+    * candidate probe is a catalog table clustered on (band_id,
+    * band_key) at write time ([[graft.sources.Bucketing]]), so the
+    * probe join moves only the new batch's bands (BucketingSpec asserts
+    * ≤ 1 exchange); the verify stage is the same candidate-pruned
+    * O(candidates) pass as the plain path. The index build is
+    * once-per-dataset (table-exists check, memo semantics) — an
+    * increment never pays it. */
+  def incrementalPairsBucketed(spark: SparkSession, dir: String,
+      threshold: Double = 0.5, maxBucket: Int = 200): DataFrame = {
+    import graft.sources.Bucketing
+    val table = Bucketing.ensureCorpusBandIndex(spark, dir, maxBucket)
+    val newBands = minhashCappedBands(spark, dir, maxBucket)
+      .filter(col("doc_id") % 10 === 0)
+    val cand = Memo.scratch(spark, "incr_cand_bkt") {
+      Bucketing.incrementalProbeColocated(spark, newBands, table)
+        .withColumnRenamed("doc_id", "new_id")
+        .distinct()
+    }
+    verifyCandidates(spark, dir, cand, threshold)
       .orderBy("new_id", "corpus_id")
   }
 

@@ -81,6 +81,20 @@ object Memo {
     * in general); hits take the lock-free fast path, and builds are
     * once-per-dataset, so the serialization window is the cold start
     * only. */
+  /** Materialize a ONE-OFF intermediate to a fresh parquet path — NOT
+    * memoized, every call writes anew. For per-batch intermediates
+    * (an increment's candidate set) that are consumed more than once
+    * within one job but are never valid across batches, so caching
+    * them under a (session, dir) key would serve stale batches. Same
+    * conf-rooted placement and shutdown cleanup as memo tables. */
+  def scratch(spark: SparkSession, name: String)
+      (build: => DataFrame): DataFrame = {
+    val p = newPath(spark, name)
+    allPaths.put(p, spark.sparkContext.hadoopConfiguration)
+    build.write.mode("overwrite").parquet(p)
+    spark.read.parquet(p)
+  }
+
   def table(spark: SparkSession, dir: String, name: String)
       (build: => DataFrame): DataFrame = {
     val m = lock.synchronized {

@@ -57,6 +57,52 @@ class BucketingSpec extends AnyFunSuite {
     }
   }
 
+  test("appendToBandIndex: increment N+1 sees increment N, no index rebuild") {
+    import org.apache.spark.sql.functions.col
+    val bands = graft.operators.Dedup.minhashCappedBands(spark, sf)
+    val table = "corpus_bands_append_t"
+    try {
+      // corpus = %10 >= 2; increment A = %10 == 0; increment B = %10 == 1
+      Bucketing.ensureBandIndexFrom(spark, table,
+        bands.filter(col("doc_id") % 10 >= 2))
+      val bandsA = bands.filter(col("doc_id") % 10 === 0)
+      val bandsB = bands.filter(col("doc_id") % 10 === 1)
+      // before the append, B's probe can never hit an A doc
+      val before = Bucketing.incrementalProbeColocated(spark, bandsB, table)
+        .distinct().collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(before.forall { case (_, c) => c % 10 >= 2 })
+      // snapshot the index files, append A, snapshot again: the append
+      // must only ADD files — no rewrite of the existing index
+      def files(): Set[(String, Long)] = {
+        val loc = spark.sql(s"DESCRIBE TABLE EXTENDED $table")
+          .filter(col("col_name") === "Location")
+          .collect()(0).getString(1).stripPrefix("file:")
+        val dir = new java.io.File(loc)
+        dir.listFiles().filter(_.getName.endsWith(".parquet"))
+          .map(f => (f.getName, f.length())).toSet
+      }
+      val preFiles = files()
+      Bucketing.appendToBandIndex(spark, table, bandsA)
+      val postFiles = files()
+      assert(preFiles.subsetOf(postFiles),
+        s"append rewrote existing index files: ${preFiles.diff(postFiles)}")
+      assert(postFiles.size > preFiles.size, "append added no files")
+      // after the append, B's probe finds A docs as corpus — exactly
+      // the direct-join candidate set against (corpus ∪ A)
+      val after = Bucketing.incrementalProbeColocated(spark, bandsB, table)
+        .distinct().collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      val want = bandsB.join(
+          bands.filter(col("doc_id") % 10 =!= 1)
+            .withColumnRenamed("doc_id", "corpus_id"),
+          Seq("band_id", "band_key"))
+        .select("doc_id", "corpus_id").distinct().collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(after == want)
+      assert(after.exists { case (_, c) => c % 10 == 0 },
+        "no appended-increment doc ever surfaced as corpus")
+    } finally spark.sql(s"DROP TABLE IF EXISTS $table")
+  }
+
   test("streaming session windows and stateful totals run end to end") {
     import graft.streaming.StreamingBackfill
     val ev = StreamingBackfill.eventsStream(spark, sf)

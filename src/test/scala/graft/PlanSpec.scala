@@ -43,6 +43,18 @@ class PlanSpec extends AnyFunSuite {
     }
   }
 
+  test("incremental verify scans only candidate docs (doc_id pushdown)") {
+    // the O(increment) guarantee: the exact-Jaccard verify stage must
+    // read candidate documents only — the documents parquet scan
+    // carries a doc_id IN filter (static pushdown; above the id-list
+    // cap it becomes a broadcast semi-join, still candidate-only
+    // tokenize). A verify stage that scans documents unfiltered
+    // re-tokenizes the whole corpus per increment.
+    val p = planOf("dedup_incremental")
+    assert(p.contains("PushedFilters: [In(doc_id"),
+      s"documents scan in the verify stage is not candidate-pruned:\n$p")
+  }
+
   test("bloom pruning filters the fact side BELOW the join") {
     val p = planOf("bloom_join_prune")
     val filterIdx = p.indexOf("bloom_might_contain")
