@@ -105,6 +105,7 @@ object SparkEntry {
     "audio_features"     -> (Multimodal.audioFeatures _),
     "image_resize"       -> ((s: SparkSession, d: String) => Multimodal.imageResize(s, d)),
     "image_decode"       -> ((s: SparkSession, d: String) => Multimodal.imageDecode(s, d)),
+    "audio_decode"       -> (Multimodal.audioDecode _),
     // SQL front door + sketch quantiles
     "sql_backfill_scan"  -> (SqlInterface.sqlBackfillScan _),
     "sql_merchant_revenue" -> (SqlInterface.sqlMerchantRevenue _),
@@ -910,6 +911,21 @@ object SparkEntry {
                       FROM range(8) a(yy), range(8) b(xx)) AS BIGINT)
                   AS resized_sum
          FROM g ORDER BY doc_id""",
+    // closed form of the WAV round-trip: n = 400 + id % 1600 samples at
+    // 16 kHz mono s16le, sample i = (id*31 + i*7) % 2003 - 1001; WAV is
+    // lossless so the DECODED stats must equal these exactly
+    "audio_decode" ->
+      """WITH g AS (SELECT doc_id, 400 + doc_id % 1600 AS n FROM documents)
+         SELECT doc_id,
+                CAST(n AS BIGINT) AS n_samples,
+                CAST(16000 AS BIGINT) AS sample_rate,
+                CAST(n * 1000 // 16000 AS BIGINT) AS duration_ms,
+                CAST((n * 1000 // 16000 - 25) // 10 + 1 AS BIGINT)
+                  AS n_audio_frames,
+                CAST((SELECT sum((g.doc_id * 31 + i * 7) % 2003 - 1001)
+                      FROM range(2000) t(i) WHERE i < n) AS BIGINT)
+                  AS sample_sum
+         FROM g ORDER BY doc_id""",
     "media_frame_sample" ->
       """SELECT doc_id, CAST(f AS BIGINT) AS frame_idx,
                 CAST(octet_length(encode(text)) % 16 AS BIGINT) AS n_frames
@@ -1130,8 +1146,10 @@ object SparkEntry {
                   '","l_shipdate":"' || strftime(l_shipdate, '%Y-%m-%d %H:%M:%S') || '"}'
            FROM lineitem)
          ORDER BY entity, key, value""",
-    // explicit `"customer_email":null` (not an absent key) and a NESTED
-    // metadata object — matching envelope's ignoreNullFields=false
+    // explicit `"field":null` (not absent keys) across 8 independent
+    // null patterns, enum status, doubly-nested metadata object and a
+    // string array — matching envelope's ignoreNullFields=false over
+    // the 32-column synthesized payment_intent-width payload
     "backfill_wide_entity" ->
       """SELECT 'documents' AS entity, CAST(doc_id AS VARCHAR) AS key,
                 'public' AS tenant,
@@ -1139,11 +1157,68 @@ object SparkEntry {
                 ',"lang":"' || lang ||
                 '","source":"' || source ||
                 '","n_chars":' || n_chars ||
+                ',"status":"' ||
+                CASE doc_id % 5 WHEN 0 THEN 'created' WHEN 1 THEN 'processing'
+                     WHEN 2 THEN 'succeeded' WHEN 3 THEN 'failed'
+                     ELSE 'cancelled' END ||
+                '","status_reason":' ||
+                CASE WHEN doc_id % 5 = 3 THEN '"code_' || (doc_id % 13) || '"'
+                     ELSE 'null' END ||
                 ',"customer_email":' ||
                 CASE WHEN doc_id % 7 = 0 THEN 'null'
                      ELSE '"user' || doc_id || '@example.com"' END ||
+                ',"customer_phone":' ||
+                CASE WHEN doc_id % 11 = 0 THEN 'null'
+                     ELSE '"+1555' ||
+                          lpad(CAST(doc_id % 1000000 AS VARCHAR), 6, '0') || '"' END ||
+                ',"billing_name":' ||
+                CASE WHEN doc_id % 13 = 0 THEN 'null'
+                     ELSE '"name_' || (doc_id % 997) || '"' END ||
+                ',"billing_city":"city_' || (doc_id % 50) ||
+                '","billing_country":"' ||
+                CASE doc_id % 4 WHEN 0 THEN 'US' WHEN 1 THEN 'DE'
+                     WHEN 2 THEN 'IN' ELSE 'BR' END ||
+                '","shipping_city":' ||
+                CASE WHEN doc_id % 17 = 0 THEN 'null'
+                     ELSE '"city_' || (doc_id % 60) || '"' END ||
+                ',"amount":' || (n_chars * 100) ||
+                ',"currency":"' ||
+                CASE doc_id % 3 WHEN 0 THEN 'USD' WHEN 1 THEN 'EUR'
+                     ELSE 'INR' END ||
+                '","fee_amount":' || (n_chars % 97) ||
+                ',"net_amount":' || (n_chars * 100 - n_chars % 97) ||
+                ',"tax_amount":' || (n_chars % 23) ||
+                ',"surcharge_amount":' ||
+                CASE WHEN doc_id % 19 = 0 THEN 'null'
+                     ELSE CAST(n_chars % 11 AS VARCHAR) END ||
+                ',"attempt_count":' || (doc_id % 4 + 1) ||
+                ',"is_active":' ||
+                CASE WHEN doc_id % 2 = 0 THEN 'true' ELSE 'false' END ||
+                ',"is_test":' ||
+                CASE WHEN doc_id % 10 = 0 THEN 'true' ELSE 'false' END ||
+                ',"off_session":' ||
+                CASE WHEN doc_id % 23 = 0 THEN 'null'
+                     WHEN doc_id % 3 = 0 THEN 'true' ELSE 'false' END ||
+                ',"capture_method":"' ||
+                CASE WHEN doc_id % 2 = 0 THEN 'automatic' ELSE 'manual' END ||
+                '","auth_type":"' ||
+                CASE doc_id % 3 WHEN 0 THEN 'three_ds' WHEN 1 THEN 'no_three_ds'
+                     ELSE 'exempted' END ||
+                '","client_secret":"pi_' || doc_id || '_secret' ||
+                '","return_url":"https://merchant-' || (doc_id % 20) ||
+                '.example.com/return' ||
+                '","description":' ||
+                CASE WHEN doc_id % 29 = 0 THEN 'null'
+                     ELSE '"order ' || doc_id || '"' END ||
+                ',"statement_name":"STMT-' || upper(lang) ||
+                '","created_by":"svc_backfill"' ||
+                ',"version":' || (doc_id % 3) ||
                 ',"metadata":{"src":"' || source ||
-                '","bucket":' || (n_chars % 10) || '}}' AS value
+                '","bucket":' || (n_chars % 10) ||
+                ',"flags":{"priority":' ||
+                CASE WHEN doc_id % 2 = 1 THEN 'true' ELSE 'false' END ||
+                ',"region":"r' || (doc_id % 4) || '"}}' ||
+                ',"tags":["t' || (doc_id % 3) || '","' || lang || '"]}' AS value
          FROM documents ORDER BY key""",
     "approx_distinct" ->
       """SELECT count(DISTINCT l_orderkey) AS exact_orders,

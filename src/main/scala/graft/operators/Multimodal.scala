@@ -10,13 +10,14 @@ import graft.Tables
   * Pandas-UDF `mapInPandas` stage — per-partition batch iteration, a
   * stable schema on both sides, executor-local libraries).
   *
-  * IMAGE decode is REAL ([[imageDecode]] — `javax.imageio` ships with
-  * the JDK, so the PNG encode→decode round-trip runs an actual codec).
-  * The container has no audio/video codecs, so `decodeStub`/`audioStub`
-  * remain clearly-marked deterministic fakes; the Spark-side plumbing —
-  * binary schema, partition batching, typed encoders, metadata struct —
-  * is real and oracle-checked (every stub output is a pure function of
-  * the payload bytes, so DuckDB can recompute it).
+  * IMAGE and AUDIO decode are REAL: [[imageDecode]] runs a PNG
+  * encode→decode round-trip through `javax.imageio`, [[audioDecode]] a
+  * RIFF/WAVE round-trip through `javax.sound.sampled` — both JDK-
+  * builtin codecs, no external library. Only VIDEO has no JDK codec,
+  * so `decodeStub`/`audioStub`/`resizeStub` remain clearly-marked
+  * deterministic fakes for the generic-payload plumbing; every stub
+  * output is a pure function of the payload bytes, so DuckDB
+  * oracle-checks the schema/batching/encoder path end to end.
   */
 object Multimodal {
 
@@ -199,6 +200,74 @@ object Multimodal {
             yy += 1
           }
           DecodedImage(id, dw.toLong, dh.toLong, sum, rsum)
+        }
+      }
+      .toDF()
+      .orderBy("doc_id")
+  }
+
+  /** Decoded-audio features from a REAL codec round-trip (see
+    * [[audioDecode]]): decoded frame/rate/duration plus the signed
+    * sample sum over the decoded PCM and the 25 ms/10 ms-hop analysis
+    * frame count. */
+  case class DecodedAudio(doc_id: Long, n_samples: Long, sample_rate: Long,
+      duration_ms: Long, n_audio_frames: Long, sample_sum: Long)
+
+  /** REAL audio decode — `javax.sound.sampled` ships with the JDK
+    * (WAV/PCM needs no external codec), so like [[imageDecode]] this
+    * path runs an actual codec instead of the [[audioStub]] fake: each
+    * doc gets a deterministic 16 kHz mono 16-bit PCM signal (length and
+    * samples are pure functions of doc_id, so DuckDB recomputes them),
+    * the samples are ENCODED into a real RIFF/WAVE container and
+    * DECODED back with `AudioSystem.getAudioInputStream` inside the
+    * per-partition batch, and every output feature is computed from the
+    * DECODED stream — frame count and sample rate from the parsed
+    * header, the signed sample sum from the little-endian PCM bytes the
+    * decoder returns, duration and 25 ms/10 ms-hop analysis-frame count
+    * from those. WAV is lossless, so the decoded stats equal the closed
+    * form the oracle computes; a codec bug (header offset, endianness,
+    * channel count) breaks the hash match. Same 100 TB shape as
+    * [[imageDecode]]: mapPartitions batches, codec state per partition,
+    * only O(1) features per clip cross the shuffle. */
+  def audioDecode(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.load(spark, dir, "documents")
+      .select(col("doc_id")).as[Long]
+      .mapPartitions { it =>
+        it.map { id =>
+          val rate = 16000
+          val n = (400 + id % 1600).toInt // 25..125 ms clips
+          val pcm = new Array[Byte](n * 2)
+          var i = 0
+          while (i < n) {
+            val s = ((id * 31 + i * 7) % 2003 - 1001).toShort
+            pcm(2 * i) = (s & 0xff).toByte // little-endian, per WAV PCM
+            pcm(2 * i + 1) = ((s >> 8) & 0xff).toByte
+            i += 1
+          }
+          val fmt = new javax.sound.sampled.AudioFormat(
+            rate.toFloat, 16, 1, true, false)
+          val bos = new java.io.ByteArrayOutputStream()
+          javax.sound.sampled.AudioSystem.write(
+            new javax.sound.sampled.AudioInputStream(
+              new java.io.ByteArrayInputStream(pcm), fmt, n.toLong),
+            javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
+          val decoded = javax.sound.sampled.AudioSystem.getAudioInputStream(
+            new java.io.ByteArrayInputStream(bos.toByteArray))
+          val dFmt = decoded.getFormat
+          val frames = decoded.getFrameLength
+          val bytes = decoded.readAllBytes()
+          var sum = 0L
+          var j = 0
+          while (j < bytes.length) {
+            // 16-bit little-endian: low byte unsigned, high byte signed
+            sum += ((bytes(j + 1).toInt << 8) | (bytes(j) & 0xff)).toLong
+            j += 2
+          }
+          val sr = dFmt.getSampleRate.toLong
+          val durationMs = frames * 1000 / sr
+          val nFrames = if (durationMs < 25) 0L else (durationMs - 25) / 10 + 1
+          DecodedAudio(id, frames, sr, durationMs, nFrames, sum)
         }
       }
       .toDF()

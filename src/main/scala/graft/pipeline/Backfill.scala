@@ -166,26 +166,91 @@ object Backfill {
   def run(spark: SparkSession, dir: String, cfg: Config = Config()): DataFrame =
     cfg.entities.map(entityFeed(spark, dir, _, cfg)).reduce(_ unionAll _)
 
-  /** Wide-payload fidelity case (the reference's payment_intent is ~40
-    * columns with JSON metadata and nullable PII — SURVEY.md §1; the
-    * default harness entities are 6 flat non-null columns). A
-    * documents-based entity whose source synthesizes a NESTED metadata
-    * struct (serializes as a JSON object inside the envelope, not an
-    * escaped string) and a nullable PII column (null for doc_id % 7 ==
-    * 0), flowed through the SAME `run()` path via the source seam —
-    * exercising explicit-null serialization and nested objects without
-    * a special-case envelope. */
+  /** Wide-payload fidelity case at the reference's real width (its
+    * payment_intent is ~40 columns with JSON metadata, enum statuses
+    * and nullable PII — SURVEY.md §1; the default harness entities are
+    * 6 flat non-null columns). A documents-based entity whose source
+    * synthesizes a 32-column payload: an enum-like lifecycle `status`
+    * (+ a reason only on the failed branch), EIGHT independent null
+    * patterns across string/numeric/boolean columns (%5-failed-only,
+    * %7, %11, %13, %17, %19, %23, %29), money/count integers, booleans,
+    * a doubly-NESTED metadata struct (serializes as JSON objects inside
+    * the envelope, not escaped strings) and a string array — all flowed
+    * through the SAME `run()` path via the source seam, so explicit-null
+    * serialization, nesting and arrays need no special-case envelope. */
   def wideEntityFeed(spark: SparkSession, dir: String): DataFrame = {
+    val payload = Seq(
+      "doc_id", "lang", "source", "n_chars",
+      "status", "status_reason",
+      "customer_email", "customer_phone", "billing_name", "billing_city",
+      "billing_country", "shipping_city",
+      "amount", "currency", "fee_amount", "net_amount", "tax_amount",
+      "surcharge_amount", "attempt_count",
+      "is_active", "is_test", "off_session",
+      "capture_method", "auth_type", "client_secret", "return_url",
+      "description", "statement_name", "created_by", "version",
+      "metadata", "tags")
     val e = Entity("documents", "documents", "doc_id", "doc_id", "doc_id",
-      Seq("doc_id", "lang", "source", "n_chars", "customer_email", "metadata"))
+      payload)
     val cfg = Config(entities = Seq(e), source = (s, d, _) =>
       Tables.load(s, d, "documents").select(
         col("doc_id"), col("lang"), col("source"), col("n_chars"),
+        when(col("doc_id") % 5 === 0, "created")
+          .when(col("doc_id") % 5 === 1, "processing")
+          .when(col("doc_id") % 5 === 2, "succeeded")
+          .when(col("doc_id") % 5 === 3, "failed")
+          .otherwise("cancelled").as("status"),
+        when(col("doc_id") % 5 === 3,
+          concat(lit("code_"), col("doc_id") % 13))
+          .otherwise(lit(null).cast("string")).as("status_reason"),
         when(col("doc_id") % 7 === 0, lit(null).cast("string"))
           .otherwise(concat(lit("user"), col("doc_id"), lit("@example.com")))
           .as("customer_email"),
-        struct(col("source").as("src"), (col("n_chars") % 10).as("bucket"))
-          .as("metadata")))
+        when(col("doc_id") % 11 === 0, lit(null).cast("string"))
+          .otherwise(concat(lit("+1555"),
+            lpad((col("doc_id") % 1000000).cast("string"), 6, "0")))
+          .as("customer_phone"),
+        when(col("doc_id") % 13 === 0, lit(null).cast("string"))
+          .otherwise(concat(lit("name_"), col("doc_id") % 997))
+          .as("billing_name"),
+        concat(lit("city_"), col("doc_id") % 50).as("billing_city"),
+        when(col("doc_id") % 4 === 0, "US").when(col("doc_id") % 4 === 1, "DE")
+          .when(col("doc_id") % 4 === 2, "IN").otherwise("BR")
+          .as("billing_country"),
+        when(col("doc_id") % 17 === 0, lit(null).cast("string"))
+          .otherwise(concat(lit("city_"), col("doc_id") % 60))
+          .as("shipping_city"),
+        (col("n_chars") * 100).as("amount"),
+        when(col("doc_id") % 3 === 0, "USD").when(col("doc_id") % 3 === 1, "EUR")
+          .otherwise("INR").as("currency"),
+        (col("n_chars") % 97).as("fee_amount"),
+        (col("n_chars") * 100 - col("n_chars") % 97).as("net_amount"),
+        (col("n_chars") % 23).as("tax_amount"),
+        when(col("doc_id") % 19 === 0, lit(null).cast("long"))
+          .otherwise(col("n_chars") % 11).as("surcharge_amount"),
+        (col("doc_id") % 4 + 1).as("attempt_count"),
+        (col("doc_id") % 2 === 0).as("is_active"),
+        (col("doc_id") % 10 === 0).as("is_test"),
+        when(col("doc_id") % 23 === 0, lit(null).cast("boolean"))
+          .otherwise(col("doc_id") % 3 === 0).as("off_session"),
+        when(col("doc_id") % 2 === 0, "automatic").otherwise("manual")
+          .as("capture_method"),
+        when(col("doc_id") % 3 === 0, "three_ds")
+          .when(col("doc_id") % 3 === 1, "no_three_ds")
+          .otherwise("exempted").as("auth_type"),
+        concat(lit("pi_"), col("doc_id"), lit("_secret")).as("client_secret"),
+        concat(lit("https://merchant-"), col("doc_id") % 20,
+          lit(".example.com/return")).as("return_url"),
+        when(col("doc_id") % 29 === 0, lit(null).cast("string"))
+          .otherwise(concat(lit("order "), col("doc_id"))).as("description"),
+        concat(lit("STMT-"), upper(col("lang"))).as("statement_name"),
+        lit("svc_backfill").as("created_by"),
+        (col("doc_id") % 3).as("version"),
+        struct(col("source").as("src"), (col("n_chars") % 10).as("bucket"),
+          struct((col("doc_id") % 2 === 1).as("priority"),
+            concat(lit("r"), col("doc_id") % 4).as("region")).as("flags"))
+          .as("metadata"),
+        array(concat(lit("t"), col("doc_id") % 3), col("lang")).as("tags")))
     run(spark, dir, cfg).orderBy("key")
   }
 

@@ -85,6 +85,18 @@ object Bucketing {
       bands: => DataFrame, buckets: Int = 8): Unit =
     synchronized {
       if (!spark.catalog.tableExists(table)) {
+        // the index is a derived cache, so a rebuild is always safe;
+        // with the local in-memory catalog a managed-table LOCATION can
+        // outlive the JVM that registered it (files persist, catalog
+        // entries don't) and the fresh create would die with
+        // LOCATION_ALREADY_EXISTS — clear the orphaned location first.
+        // A persistent catalog (Hive/Glue) never takes this branch: the
+        // table resolves via tableExists across sessions.
+        val loc = new org.apache.hadoop.fs.Path(
+          spark.conf.get("spark.sql.warehouse.dir"),
+          table.toLowerCase(java.util.Locale.ROOT))
+        val fs = loc.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        if (fs.exists(loc)) fs.delete(loc, true)
         bands.write.mode("overwrite")
           .bucketBy(buckets, "band_id", "band_key").sortBy("band_id", "band_key")
           .saveAsTable(table)

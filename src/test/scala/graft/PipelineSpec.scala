@@ -60,6 +60,24 @@ class PipelineSpec extends AnyFunSuite {
     }
   }
 
+  test("audio decode: WAV round-trip reproduces the synthesized PCM exactly") {
+    val rows = Multimodal.audioDecode(spark, sf).limit(10).collect()
+    assert(rows.length == 10)
+    rows.foreach { r =>
+      val id = r.getAs[Long]("doc_id")
+      val n = 400 + id % 1600
+      // frame count and rate must come from the DECODED header
+      assert(r.getAs[Long]("n_samples") == n)
+      assert(r.getAs[Long]("sample_rate") == 16000L)
+      assert(r.getAs[Long]("duration_ms") == n * 1000 / 16000)
+      // signed sample sum over the DECODED little-endian PCM: any
+      // header-offset/endianness/width bug shifts or flips this
+      val expected = (0L until n).map(i => (id * 31 + i * 7) % 2003 - 1001).sum
+      assert(r.getAs[Long]("sample_sum") == expected,
+        s"doc $id: lossy or misaligned WAV round-trip")
+    }
+  }
+
   test("frame sample strides every 4th frame") {
     val rows = Multimodal.frameSample(spark, sf, stride = 4).collect()
     assert(rows.nonEmpty)
@@ -199,6 +217,36 @@ class PipelineSpec extends AnyFunSuite {
         .orderBy("key").collect()
       assert(viaJdbc.length == 25)
       assert(viaJdbc.map(_.toString).toSeq == viaParquet.map(_.toString).toSeq)
+    } finally conn.close()
+  }
+
+  test("partitioned jdbc scan: numPartitions live range splits, same rows") {
+    // the S1 concurrency claim EXECUTED, not just rendered as options:
+    // a partitionColumn'd read against a real database must fan the
+    // scan out into numPartitions range-bounded queries, and the union
+    // of the splits must be exactly the table
+    val url = "jdbc:derby:memory:graftjdbcpart;create=true"
+    val conn = java.sql.DriverManager.getConnection(url)
+    try {
+      val st = conn.createStatement()
+      st.executeUpdate("CREATE TABLE t_part (id BIGINT, v VARCHAR(16))")
+      val ps = conn.prepareStatement("INSERT INTO t_part VALUES (?,?)")
+      (0 until 100).foreach { i =>
+        ps.setLong(1, i.toLong); ps.setString(2, s"v$i"); ps.executeUpdate()
+      }
+      val df = Jdbc.load(spark, Jdbc.JdbcConfig(
+        url = url, table = "t_part",
+        partitionColumn = Some("id"), lowerBound = Some("0"),
+        upperBound = Some("100"), numPartitions = 4))
+      assert(df.rdd.getNumPartitions == 4,
+        s"expected 4 JDBC range partitions, got ${df.rdd.getNumPartitions}")
+      // each split carries real rows — 4 concurrent connections would
+      // each do ~1/4 of the work, not one fat partition + 3 empties
+      val perPart = df.rdd.mapPartitions(it => Iterator(it.size)).collect()
+      assert(perPart.count(_ > 0) == 4, s"split sizes: ${perPart.mkString(",")}")
+      assert(perPart.sum == 100)
+      val got = df.collect().map(r => (r.getLong(0), r.getString(1))).sortBy(_._1)
+      assert(got.toSeq == (0L until 100L).map(i => (i, s"v$i")))
     } finally conn.close()
   }
 }
