@@ -272,19 +272,31 @@ object Dedup {
     * either path. */
   private def verifyCandidates(spark: SparkSession, dir: String,
       cand: DataFrame, threshold: Double): DataFrame = {
-    val candIds = cand.select(col("new_id").as("doc_id"))
-      .union(cand.select(col("corpus_id").as("doc_id")))
-      .distinct()
-    val ids = candIds.limit(VerifyIsinMaxIds + 1).collect().map(_.getLong(0))
     val docs = Tables.load(spark, dir, "documents")
-    val candDocs =
-      if (ids.length <= VerifyIsinMaxIds) docs.filter(col("doc_id").isin(ids: _*))
-      else docs.join(broadcast(candIds), Seq("doc_id"), "left_semi")
-    val shingles = candDocs
-      .select(col("doc_id"), T.wordShingles(col("text"), 3).as("shingles"))
-    cand
-      .join(shingles.select(col("doc_id").as("new_id"), col("shingles").as("sh_n")), "new_id")
-      .join(shingles.select(col("doc_id").as("corpus_id"), col("shingles").as("sh_c")), "corpus_id")
+    verifyCandidatesFrom(cand, docs, docs, threshold)
+  }
+
+  /** The two-sided form of the candidate-pruned verify, with an
+    * explicit doc source per side — the streaming ingest loop passes
+    * the in-flight BATCH as the new side (its text never needs a store
+    * read at all) and a fresh corpus-store scan as the corpus side.
+    * Each side's source is pruned to that side's candidate ids before
+    * any tokenize. */
+  private[graft] def verifyCandidatesFrom(cand: DataFrame,
+      newDocs: DataFrame, corpusDocs: DataFrame,
+      threshold: Double): DataFrame = {
+    def pruned(docs: DataFrame, idCol: String): DataFrame = {
+      val ids = cand.select(col(idCol).as("doc_id")).distinct()
+      val lst = ids.limit(VerifyIsinMaxIds + 1).collect().map(_.getLong(0))
+      if (lst.length <= VerifyIsinMaxIds)
+        docs.filter(col("doc_id").isin(lst: _*))
+      else docs.join(broadcast(ids), Seq("doc_id"), "left_semi")
+    }
+    val shN = pruned(newDocs, "new_id")
+      .select(col("doc_id").as("new_id"), T.wordShingles(col("text"), 3).as("sh_n"))
+    val shC = pruned(corpusDocs, "corpus_id")
+      .select(col("doc_id").as("corpus_id"), T.wordShingles(col("text"), 3).as("sh_c"))
+    cand.join(shN, "new_id").join(shC, "corpus_id")
       .withColumn("jaccard",
         size(array_intersect(col("sh_n"), col("sh_c"))).cast("double") /
           size(array_union(col("sh_n"), col("sh_c"))))

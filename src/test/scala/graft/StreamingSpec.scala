@@ -62,6 +62,66 @@ class StreamingSpec extends AnyFunSuite {
       s"missed candidates: ${verified.diff(cands)}")
   }
 
+  test("ingest loop: batch-2 near-dup of a batch-1 doc caught via index append") {
+    import spark.implicits._
+    import java.nio.file.Files
+    val base = ("alpha bravo charlie delta echo foxtrot golf hotel india " +
+      "juliett kilo lima mike november oscar papa quebec romeo sierra " +
+      "tango uniform victor whiskey xray yankee zulu one two three four " +
+      "five six seven eight nine ten eleven twelve thirteen fourteen").trim
+    val filler = ("gamma theta iota kappa lambda omicron upsilon phi chi psi " +
+      "omega red orange yellow green blue indigo violet copper silver gold " +
+      "iron zinc lead tin mercury cobalt nickel chrome steel brass bronze " +
+      "stone glass paper cloth rope wire sand clay").trim
+    def docsDf(rows: Seq[(Long, String)]) =
+      rows.map { case (id, t) => (id, t, "en", "srcS") }
+        .toDF("doc_id", "text", "lang", "source")
+        .withColumn("n_chars", length(col("text")).cast("long"))
+    val corpusDir = Files.createTempDirectory("ingestcorpus").toString
+    val streamDir = Files.createTempDirectory("ingeststream").toString
+    val outDir = Files.createTempDirectory("ingestout").toString
+    val table = "ingest_loop_idx_t"
+    try {
+      // corpus: doc 1 = base + unrelated fillers; bucketed band index
+      val corpus = docsDf(Seq((1L, base)) ++ (100L until 120L).map(i =>
+        (i, s"unrelated corpus doc $i with words c${i}a c${i}b c${i}c " +
+          s"c${i}d c${i}e c${i}f c${i}g c${i}h c${i}i c${i}j")))
+      corpus.write.mode("overwrite").parquet(s"$corpusDir/documents.parquet")
+      graft.sources.Bucketing.ensureBandIndexFrom(spark, table,
+        graft.operators.Dedup.minhashBandsPerRow(corpus))
+      // batch 1: a near-dup of CORPUS doc 1, plus a doc with no relative
+      // anywhere; batch 2: a near-dup of the BATCH-1 filler only — it
+      // can only be caught if batch 1's bands reached the index
+      docsDf(Seq((1000L, base.replace("oscar", "OSCAR-B1")), (1010L, filler)))
+        .coalesce(1).write.mode("overwrite").parquet(s"$streamDir/b1")
+      docsDf(Seq((2000L, filler.replace("mercury", "MERCURY-B2"))))
+        .coalesce(1).write.mode("overwrite").parquet(s"$streamDir/b2")
+      // file-source order is by modification time — pin it
+      def stamp(sub: String, t: Long): Unit =
+        new java.io.File(s"$streamDir/$sub").listFiles()
+          .filter(_.getName.endsWith(".parquet"))
+          .foreach(f => assert(f.setLastModified(t)))
+      stamp("b1", 1000000000000L)
+      stamp("b2", 1000000060000L)
+      val stream = spark.readStream.schema(Tables.documentsSchema)
+        .option("maxFilesPerTrigger", "1")
+        .option("recursiveFileLookup", "true")
+        .parquet(streamDir)
+      StreamingBackfill.ingestDedupLoop(spark, stream, corpusDir, table, outDir)
+      def pairsOf(id: Int): Set[(Long, Long)] =
+        spark.read.parquet(s"$outDir/batch_id=$id")
+          .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      // batch 1 screens against the prebuilt corpus only
+      assert(pairsOf(0) == Set((1000L, 1L)), s"batch 0: ${pairsOf(0)}")
+      // batch 2's only near-dup relative is the batch-1 filler — caught
+      // exclusively through the loop's index+store append
+      assert(pairsOf(1) == Set((2000L, 1010L)), s"batch 1: ${pairsOf(1)}")
+      // and the corpus store accreted both batches
+      assert(spark.read.parquet(s"$corpusDir/documents.parquet").count() ==
+        corpus.count() + 3)
+    } finally spark.sql(s"DROP TABLE IF EXISTS $table")
+  }
+
   test("stream-stream join pairs purchases with prior signups") {
     import org.apache.spark.sql.functions._
     val out = StreamingBackfill.runToMemory(spark,
