@@ -56,6 +56,34 @@ object ScaleProbe {
       println(s"  new-vs-corpus pairs: ${operators.Dedup.incrementalPairs(spark, dup).count()}")
     }
 
+    // sparse-increment verify A/B: the 10× probe above is the LSH worst
+    // case (every doc in a 10-way clone bucket — the candidate set IS
+    // the corpus), so it can't show the candidate-prune win. A
+    // realistic nightly increment has few candidates relative to the
+    // corpus; the pruned verify must cost O(candidates), the unpruned
+    // (pre-r5) form pays a full corpus scan+tokenize regardless.
+    {
+      import spark.implicits._
+      val candDf = operators.Dedup.incrementalPairs(spark, dup)
+        .limit(100).select("new_id", "corpus_id")
+        .as[(Long, Long)].collect().toSeq.toDF("new_id", "corpus_id")
+      val docsAll = Tables.load(spark, dup, "documents")
+      time("sparse-increment verify, candidate-pruned (100 cand vs 50k corpus)") {
+        operators.Dedup.verifyCandidatesFrom(candDf, docsAll, docsAll, 0.5).count()
+      }
+      time("sparse-increment verify, UNPRUNED (pre-r5 shape, comparison)") {
+        val sh = docsAll.select(col("doc_id"),
+          functions.TextFunctions.wordShingles(col("text"), 3).as("shingles"))
+        candDf
+          .join(sh.select(col("doc_id").as("new_id"), col("shingles").as("sh_n")), "new_id")
+          .join(sh.select(col("doc_id").as("corpus_id"), col("shingles").as("sh_c")), "corpus_id")
+          .withColumn("jaccard",
+            size(array_intersect(col("sh_n"), col("sh_c"))).cast("double") /
+              size(array_union(col("sh_n"), col("sh_c"))))
+          .filter(col("jaccard") >= 0.5).count()
+      }
+    }
+
     // ANN at 10×: duplicate the embedding table (shifted vec_ids so the
     // copies are distinct points from the index's perspective) and
     // compare brute force vs IVF probing on the same query set
