@@ -106,6 +106,7 @@ object SparkEntry {
     "image_resize"       -> ((s: SparkSession, d: String) => Multimodal.imageResize(s, d)),
     "image_decode"       -> ((s: SparkSession, d: String) => Multimodal.imageDecode(s, d)),
     "audio_decode"       -> (Multimodal.audioDecode _),
+    "video_decode"       -> (Multimodal.videoDecode _),
     // SQL front door + sketch quantiles
     "sql_backfill_scan"  -> (SqlInterface.sqlBackfillScan _),
     "sql_merchant_revenue" -> (SqlInterface.sqlMerchantRevenue _),
@@ -925,6 +926,28 @@ object SparkEntry {
                 CAST((SELECT sum((g.doc_id * 31 + i * 7) % 2003 - 1001)
                       FROM range(2000) t(i) WHERE i < n) AS BIGINT)
                   AS sample_sum
+         FROM g ORDER BY doc_id""",
+    // closed form of the animated-GIF round trip: nf = 2 + id % 4
+    // frames of w×h gray pixels, pixel(f, i) = (id*31 + f*17 + i) % 256;
+    // the indexed non-interlaced GIF is lossless so the DECODED frame
+    // count, dims and pixel sums must equal these exactly
+    "video_decode" ->
+      """WITH g AS (SELECT doc_id, 2 + doc_id % 4 AS nf,
+                           4 + doc_id % 5 AS w, 3 + doc_id % 4 AS h
+                    FROM documents)
+         SELECT doc_id,
+                CAST(nf AS BIGINT) AS n_frames,
+                CAST(w AS BIGINT) AS width, CAST(h AS BIGINT) AS height,
+                CAST((SELECT sum((g.doc_id * 31 + f * 17 + i) % 256)
+                      FROM range(5) a(f), range(48) b(i)
+                      WHERE f < nf AND i < w * h) AS BIGINT) AS pixel_sum,
+                CAST((SELECT sum((g.doc_id * 31 + i) % 256)
+                      FROM range(48) t(i) WHERE i < w * h) AS BIGINT)
+                  AS frame0_sum,
+                CAST((SELECT sum((g.doc_id * 31 + f * 17 + i) % 256)
+                      FROM range(5) a(f), range(48) b(i)
+                      WHERE f < nf AND f % 2 = 0 AND i < w * h) AS BIGINT)
+                  AS sampled_sum
          FROM g ORDER BY doc_id""",
     "media_frame_sample" ->
       """SELECT doc_id, CAST(f AS BIGINT) AS frame_idx,

@@ -10,14 +10,17 @@ import graft.Tables
   * Pandas-UDF `mapInPandas` stage — per-partition batch iteration, a
   * stable schema on both sides, executor-local libraries).
   *
-  * IMAGE and AUDIO decode are REAL: [[imageDecode]] runs a PNG
-  * encode→decode round-trip through `javax.imageio`, [[audioDecode]] a
-  * RIFF/WAVE round-trip through `javax.sound.sampled` — both JDK-
-  * builtin codecs, no external library. Only VIDEO has no JDK codec,
-  * so `decodeStub`/`audioStub`/`resizeStub` remain clearly-marked
-  * deterministic fakes for the generic-payload plumbing; every stub
-  * output is a pure function of the payload bytes, so DuckDB
-  * oracle-checks the schema/batching/encoder path end to end.
+  * ALL THREE modalities run REAL JDK-builtin codecs, no external
+  * library: [[imageDecode]] a PNG encode→decode round trip
+  * (`javax.imageio`), [[audioDecode]] a RIFF/WAVE round trip
+  * (`javax.sound.sampled`), [[videoDecode]] an animated-GIF
+  * multi-frame round trip (container demux + per-frame decode;
+  * lossless with an explicit gray palette and interlacing disabled).
+  * Every decode is hash-oracled: features come from the DECODED
+  * output, whose closed form DuckDB recomputes. The remaining
+  * `decodeStub`/`audioStub`/`resizeStub` are the documented seam for
+  * EXTERNAL production codecs (ffmpeg-class) — deterministic fakes
+  * that oracle-check the generic binary-payload plumbing itself.
   */
 object Multimodal {
 
@@ -176,9 +179,15 @@ object Multimodal {
             i += 1
           }
           val bos = new java.io.ByteArrayOutputStream()
-          javax.imageio.ImageIO.write(img, "png", bos)
+          // explicit memory-cached streams (the bare OutputStream/
+          // InputStream overloads wrap a FILE-backed cache stream — a
+          // temp file per image in the hot decode path)
+          val ios = new javax.imageio.stream.MemoryCacheImageOutputStream(bos)
+          javax.imageio.ImageIO.write(img, "png", ios)
+          ios.close()
           val decoded = javax.imageio.ImageIO.read(
-            new java.io.ByteArrayInputStream(bos.toByteArray))
+            new javax.imageio.stream.MemoryCacheImageInputStream(
+              new java.io.ByteArrayInputStream(bos.toByteArray)))
           val dw = decoded.getWidth
           val dh = decoded.getHeight
           val dr = decoded.getRaster
@@ -268,6 +277,104 @@ object Multimodal {
           val durationMs = frames * 1000 / sr
           val nFrames = if (durationMs < 25) 0L else (durationMs - 25) / 10 + 1
           DecodedAudio(id, frames, sr, durationMs, nFrames, sum)
+        }
+      }
+      .toDF()
+      .orderBy("doc_id")
+  }
+
+  /** Decoded-video features from a REAL multi-frame codec round-trip
+    * (see [[videoDecode]]): frame count from the container demux,
+    * dimensions and pixel sums from the decoded frame rasters,
+    * plus a stride-2 sampled-frame sum (the frame-sampling stage a
+    * video training pipeline runs after decode). */
+  case class DecodedVideo(doc_id: Long, n_frames: Long, width: Long,
+      height: Long, pixel_sum: Long, frame0_sum: Long, sampled_sum: Long)
+
+  /** REAL video decode — animated GIF is a true multi-frame codec that
+    * ships with the JDK (`javax.imageio`), and with an explicit
+    * 256-gray palette + interlacing disabled it is LOSSLESS, so like
+    * [[imageDecode]]/[[audioDecode]] the whole round trip is
+    * oracle-checkable: each doc gets a deterministic multi-frame
+    * grayscale clip (frame count, dims and pixels are pure functions of
+    * doc_id), the frames are ENCODED into one animated-GIF container
+    * and DECODED back inside the per-partition batch — the frame count
+    * comes from the reader's container demux (`getNumImages`), every
+    * pixel statistic from the decoded rasters. A demux bug (lost
+    * frames, frame order) or raster bug (palette, stride, interlace)
+    * breaks the hash match. Codec objects (writer/reader/param) are
+    * created once per PARTITION and reset per item — the
+    * library-init-per-batch shape a real decoder needs. Only O(1)
+    * features per clip cross the shuffle. */
+  def videoDecode(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.load(spark, dir, "documents")
+      .select(col("doc_id")).as[Long]
+      .mapPartitions { it =>
+        val gray = Array.tabulate(256)(_.toByte)
+        val cm = new java.awt.image.IndexColorModel(8, 256, gray, gray, gray)
+        val writer = javax.imageio.ImageIO
+          .getImageWritersByFormatName("gif").next()
+        val reader = javax.imageio.ImageIO
+          .getImageReadersByFormatName("gif").next()
+        val wp = writer.getDefaultWriteParam
+        wp.setProgressiveMode(javax.imageio.ImageWriteParam.MODE_DISABLED)
+        it.map { id =>
+          val nf = (2 + id % 4).toInt
+          val w = (4 + id % 5).toInt
+          val h = (3 + id % 4).toInt
+          val bos = new java.io.ByteArrayOutputStream()
+          // explicit memory-cached streams: the ImageIO.createImage*Stream
+          // factories default to FILE-backed cache streams (a temp file
+          // per clip — disk I/O per row in the hot decode path)
+          val ios = new javax.imageio.stream.MemoryCacheImageOutputStream(bos)
+          writer.setOutput(ios)
+          writer.prepareWriteSequence(null)
+          var f = 0
+          while (f < nf) {
+            val img = new java.awt.image.BufferedImage(
+              w, h, java.awt.image.BufferedImage.TYPE_BYTE_INDEXED, cm)
+            val r = img.getRaster
+            var i = 0
+            while (i < w * h) {
+              r.setSample(i % w, i / w, 0, ((id * 31 + f * 17 + i) % 256).toInt)
+              i += 1
+            }
+            writer.writeToSequence(
+              new javax.imageio.IIOImage(img, null, null), wp)
+            f += 1
+          }
+          writer.endWriteSequence()
+          ios.close()
+          reader.setInput(new javax.imageio.stream.MemoryCacheImageInputStream(
+            new java.io.ByteArrayInputStream(bos.toByteArray)))
+          val frames = reader.getNumImages(true)
+          var sum = 0L
+          var f0 = 0L
+          var sampled = 0L
+          var df = 0
+          while (df < frames) {
+            val d = reader.read(df)
+            var fsum = 0L
+            var y = 0
+            while (y < d.getHeight) {
+              var x = 0
+              while (x < d.getWidth) {
+                fsum += (d.getRGB(x, y) & 0xff); x += 1
+              }
+              y += 1
+            }
+            sum += fsum
+            if (df == 0) f0 = fsum
+            if (df % 2 == 0) sampled += fsum
+            df += 1
+          }
+          val first = reader.read(0)
+          val out = DecodedVideo(id, frames.toLong, first.getWidth.toLong,
+            first.getHeight.toLong, sum, f0, sampled)
+          reader.reset()
+          writer.reset()
+          out
         }
       }
       .toDF()

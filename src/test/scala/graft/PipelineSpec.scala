@@ -78,6 +78,28 @@ class PipelineSpec extends AnyFunSuite {
     }
   }
 
+  test("video decode: animated-GIF round-trip demuxes and decodes exactly") {
+    val rows = Multimodal.videoDecode(spark, sf).limit(10).collect()
+    assert(rows.length == 10)
+    rows.foreach { r =>
+      val id = r.getAs[Long]("doc_id")
+      val nf = 2 + id % 4
+      val w = 4 + id % 5
+      val h = 3 + id % 4
+      // frame count must come from the DECODER's container demux
+      assert(r.getAs[Long]("n_frames") == nf)
+      assert(r.getAs[Long]("width") == w && r.getAs[Long]("height") == h)
+      // pixel sums over the DECODED rasters: palette/interlace/stride
+      // bugs, dropped frames, or frame reorder all shift these
+      def frameSum(f: Long) = (0L until w * h).map(i => (id * 31 + f * 17 + i) % 256).sum
+      assert(r.getAs[Long]("pixel_sum") == (0L until nf).map(frameSum).sum)
+      assert(r.getAs[Long]("frame0_sum") == frameSum(0))
+      assert(r.getAs[Long]("sampled_sum") ==
+        (0L until nf).filter(_ % 2 == 0).map(frameSum).sum,
+        s"doc $id: lossy or misordered GIF round-trip")
+    }
+  }
+
   test("frame sample strides every 4th frame") {
     val rows = Multimodal.frameSample(spark, sf, stride = 4).collect()
     assert(rows.nonEmpty)
