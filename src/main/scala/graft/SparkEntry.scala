@@ -57,6 +57,8 @@ object SparkEntry {
     "tdigest_quantiles"  -> (Aggregates.tdigestQuantiles _),
     // §2.9 E1/E2 dedup
     "dedup_exact_key"    -> (Dedup.exactByKey _),
+    "cdc_apply"          -> ((s: SparkSession, d: String) => Cdc.applySnapshot(s, d)),
+    "cdc_history"        -> (Cdc.scdHistory _),
     "dedup_content_hash" -> (Dedup.exactByContentHash _),
     "minhash_signatures" -> (Dedup.minhashSignatures _),
     "minhash_buckets"    -> (Dedup.minhashBuckets _),
@@ -70,6 +72,7 @@ object SparkEntry {
     "embedding_buckets"  -> (Dedup.embeddingBuckets _),
     "embedding_neardup"  -> ((s: SparkSession, d: String) => Dedup.embeddingNearDup(s, d)),
     "dedup_clusters"     -> (Components.dedupClusters _),
+    "span_dedup"         -> ((s: SparkSession, d: String) => Dedup.spanDedup(s, d)),
     "int8_quantize"      -> (Quantize.int8Quantize _),
     "embedding_project"  -> ((s: SparkSession, d: String) => Similarity.randomProject(s, d)),
     // §2.9 E3 similarity search
@@ -90,6 +93,8 @@ object SparkEntry {
     "sample_per_lang"    -> (TextAnalysis.sampleKPerLang _),
     "train_split"        -> (Sampling.trainSplit _),
     "contamination"      -> (Sampling.contamination _),
+    "contamination_ngram" -> ((s: SparkSession, d: String) => Sampling.contaminationNgram(s, d)),
+    "unigram_logprob"    -> (TextAnalysis.unigramLogprob _),
     "source_quota"       -> ((s: SparkSession, d: String) => Sampling.sourceQuota(s, d)),
     "doc_pack"           -> ((s: SparkSession, d: String) => Sampling.docPack(s, d)),
     "corpus_manifest"    -> (Sampling.corpusManifest _),
@@ -181,6 +186,23 @@ object SparkEntry {
     """CASE WHEN len(ts) < 3 THEN []
             ELSE [ts[i]||' '||ts[i+1]||' '||ts[i+2]
                   for i in range(1, len(ts)-1)] END"""
+
+  /** `n`-token word shingles over a token list `ts` (general form of
+    * [[dShingles]]; DuckDB `range` upper bound is exclusive). */
+  private def dShinglesN(n: Int): String = {
+    val joined = (0 until n).map(j => s"ts[i+$j]").mkString("||' '||")
+    s"""CASE WHEN len(ts) < $n THEN []
+            ELSE [$joined for i in range(1, len(ts)-${n - 2})] END"""
+  }
+
+  /** Per-doc distinct `n`-token span hashes — shared CTE prefix of the
+    * span-granular dedup/decontamination oracles. Ends in
+    * `spanx(doc_id, span_h)`. */
+  private def dSpanCtes(n: Int): String =
+    s"""toks AS (SELECT doc_id, $dToks AS ts FROM documents),
+         sp AS (SELECT doc_id, list_distinct(${dShinglesN(n)}) AS spans FROM toks),
+         spanx AS (SELECT doc_id, ${dH60("s")} AS span_h
+                   FROM (SELECT doc_id, unnest(spans) AS s FROM sp))"""
 
   /** CTE chain ending in per-doc minhash mins m<i> for i in `perms`. */
   private def minhashCtes(perms: Seq[Int]): String = {
@@ -641,6 +663,53 @@ object SparkEntry {
                     ORDER BY ts, event_id) AS rn
            FROM events)
          WHERE rn = 1 ORDER BY user_id, event_type""",
+    // the snapshot⊕changelog merge folds to the same result as a
+    // latest-wins over the whole stream (associativity — spec-pinned
+    // in CdcSpec), so the oracle states the semantic directly
+    "cdc_apply" ->
+      """WITH log AS (
+           SELECT user_id, ts, event_id,
+                  CASE WHEN event_type = 'signup' THEN 'I'
+                       WHEN event_type = 'error' THEN 'D'
+                       ELSE 'U' END AS op,
+                  event_type AS last_type, value AS last_value
+           FROM events),
+         latest AS (
+           SELECT * FROM (
+             SELECT *, row_number() OVER (PARTITION BY user_id
+                      ORDER BY ts DESC, event_id DESC) AS rk
+             FROM log)
+           WHERE rk = 1)
+         SELECT user_id, op, last_type, last_value, ts, event_id
+         FROM latest WHERE op <> 'D' ORDER BY user_id""",
+    "cdc_history" ->
+      """WITH log AS (
+           SELECT user_id, ts, event_id,
+                  CASE WHEN event_type = 'signup' THEN 'I'
+                       WHEN event_type = 'error' THEN 'D'
+                       ELSE 'U' END AS op
+           FROM events)
+         SELECT user_id, event_id, op, ts AS valid_from,
+                lead(ts) OVER w AS valid_to,
+                (lead(ts) OVER w IS NULL) AS is_current
+         FROM log
+         WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+         ORDER BY user_id, valid_from, event_id""",
+    "span_dedup" ->
+      s"""WITH ${dSpanCtes(8)},
+         freq AS (SELECT span_h, count(*) AS n_docs FROM spanx GROUP BY 1),
+         per AS (SELECT spanx.doc_id, count(*) AS n_spans,
+                        CAST(sum(CASE WHEN n_docs >= 2 THEN 1 ELSE 0 END)
+                          AS BIGINT) AS n_dup_spans
+                 FROM spanx JOIN freq USING (span_h) GROUP BY 1)
+         SELECT d.doc_id,
+                coalesce(n_spans, 0) AS n_spans,
+                coalesce(n_dup_spans, 0) AS n_dup_spans,
+                CASE WHEN coalesce(n_spans, 0) = 0 THEN 0.0
+                     ELSE round(n_dup_spans / CAST(n_spans AS DOUBLE), 6)
+                END AS dup_span_frac
+         FROM documents d LEFT JOIN per USING (doc_id)
+         ORDER BY doc_id""",
     "dedup_content_hash" ->
       """SELECT sha256(len(text) || ':' || text || '|' ||
                        len(lang) || ':' || lang || '|' ||
@@ -1263,6 +1332,47 @@ object SparkEntry {
                      WHEN bucket < 95 THEN 'val'
                      ELSE 'test' END AS split
          FROM b ORDER BY doc_id""",
+    "contamination_ngram" ->
+      s"""WITH ${dSpanCtes(8)},
+         split AS (
+           SELECT doc_id,
+                  CASE WHEN b < 90 THEN 'train'
+                       WHEN b < 95 THEN 'val'
+                       ELSE 'test' END AS split
+           FROM (SELECT doc_id, ${dH60("'split:'||doc_id")} % 100 AS b
+                 FROM documents)),
+         ex AS (SELECT spanx.doc_id, split.split, span_h
+                FROM spanx JOIN split USING (doc_id)),
+         train AS (SELECT DISTINCT span_h FROM ex WHERE split = 'train'),
+         per AS (SELECT ex.doc_id, count(*) AS n_spans,
+                        CAST(sum(CASE WHEN train.span_h IS NOT NULL
+                                      THEN 1 ELSE 0 END) AS BIGINT) AS n_hit
+                 FROM ex LEFT JOIN train ON ex.span_h = train.span_h
+                 WHERE ex.split <> 'train' GROUP BY 1)
+         SELECT s.doc_id, s.split,
+                coalesce(n_spans, 0) AS n_spans,
+                coalesce(n_hit, 0) AS n_hit,
+                CASE WHEN coalesce(n_spans, 0) = 0 THEN 0.0
+                     ELSE round(n_hit / CAST(n_spans AS DOUBLE), 6)
+                END AS hit_frac
+         FROM split s LEFT JOIN per USING (doc_id)
+         WHERE s.split <> 'train'
+         ORDER BY doc_id""",
+    "unigram_logprob" ->
+      s"""WITH toks AS (SELECT doc_id, $dToks AS ts FROM documents),
+         tok AS (SELECT doc_id, unnest(ts) AS token FROM toks),
+         tf AS (SELECT token, count(*) AS freq FROM tok GROUP BY 1),
+         tot AS (SELECT CAST(sum(freq) AS BIGINT) AS total FROM tf),
+         per AS (SELECT doc_id, count(*) AS n_tokens,
+                        sum(round(ln(freq / CAST(total AS DOUBLE)), 8)) AS s
+                 FROM tok JOIN tf USING (token) CROSS JOIN tot
+                 GROUP BY 1)
+         SELECT d.doc_id,
+                coalesce(n_tokens, 0) AS n_tokens,
+                CASE WHEN coalesce(n_tokens, 0) = 0 THEN 0.0
+                     ELSE round(s / n_tokens, 6) END AS avg_logprob
+         FROM documents d LEFT JOIN per USING (doc_id)
+         ORDER BY doc_id""",
     "source_quota" ->
       """SELECT doc_id, source, pick_key, rn <= 30 AS kept FROM (
            SELECT doc_id, source, md5(text) AS pick_key,

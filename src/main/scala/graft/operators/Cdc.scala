@@ -1,0 +1,100 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.Tables
+
+/** Change-data-capture application — the consumer-side twin of the
+  * reference's DB→Kafka replay (SURVEY §0, §2.8 X6): once a backfill
+  * has replayed a table's rows as a keyed change stream, something has
+  * to fold that stream back into a queryable snapshot. The reference
+  * delegates this to ClickHouse's ReplacingMergeTree (latest row per
+  * key wins at merge time, reference `README.md` sink description);
+  * these operators ARE that fold, as Spark batch relational algebra:
+  *
+  *   - [[latestWins]]: collapse a changelog to one row per key — a
+  *     single `row_number` window over the key, ordered by the change
+  *     sequence descending. One shuffle on the key; at 100 TB the
+  *     standard MERGE shape (and with the base snapshot bucketed by
+  *     key — [[graft.sources.Bucketing]] — the snapshot side of the
+  *     union needs no exchange).
+  *   - [[applyChangelog]]: merge a materialized base snapshot with a
+  *     new changelog batch — union, latest-wins, drop tombstones.
+  *     Incremental-refresh cadence: the nightly job unions yesterday's
+  *     snapshot with today's changes; cost is O(snapshot + batch) with
+  *     one key shuffle, never a history re-read.
+  *   - [[scdHistory]]: the SCD-type-2 view — every change becomes a
+  *     validity interval via `lead` over the same key window, current
+  *     rows marked. Same single shuffle.
+  *
+  * The harness changelog is the `events` table read as a change stream
+  * over a per-user profile entity: `signup` inserts, `click`/`view`/
+  * `purchase` upsert, `error` tombstones ([[opOf]] — the mapping is the
+  * operator's declared contract, not an inference). Sequence order is
+  * (ts, event_id): event_id breaks equal-timestamp ties so the fold is
+  * deterministic under any shuffle order.
+  */
+object Cdc {
+
+  /** Changelog op code for a harness event type: I/U/D. */
+  def opOf(eventType: Column): Column =
+    when(eventType === "signup", "I")
+      .when(eventType === "error", "D")
+      .otherwise("U")
+
+  /** Latest row per key: `row_number` over (key, sequence desc) — the
+    * deterministic MERGE/upsert kernel. `seq` columns are applied in
+    * order, all descending. */
+  def latestWins(changes: DataFrame, key: Seq[String], seq: Seq[String]): DataFrame = {
+    val w = Window.partitionBy(key.map(col): _*).orderBy(seq.map(col(_).desc): _*)
+    changes.withColumn("rk", row_number().over(w))
+      .filter(col("rk") === 1).drop("rk")
+  }
+
+  /** Merge a base snapshot with a changelog batch: rows tagged with op
+    * I/U/D and a (ts, event_id) sequence; the latest row per key wins
+    * and a winning tombstone deletes the key from the snapshot. Base
+    * rows carry the sequence they were snapshotted at, so a stale
+    * change (late replay of an already-applied event) loses to the
+    * snapshot row — idempotent under at-least-once delivery. */
+  def applyChangelog(base: DataFrame, changes: DataFrame): DataFrame =
+    latestWins(base.unionByName(changes),
+      key = Seq("user_id"), seq = Seq("ts", "event_id"))
+      .filter(col("op") =!= "D")
+
+  private def asChangelog(events: DataFrame): DataFrame =
+    events.select(col("user_id"), col("ts"), col("event_id"),
+      opOf(col("event_type")).as("op"),
+      col("event_type").as("last_type"), col("value").as("last_value"))
+
+  /** Harness query `cdc_apply`: snapshot the pre-cutoff half of the
+    * event stream, then apply the post-cutoff half as a changelog batch
+    * through [[applyChangelog]] — exercising the real two-phase merge
+    * path, whose result must equal (and is spec'd equal to) a
+    * latest-wins fold of the whole stream. */
+  def applySnapshot(spark: SparkSession, dir: String,
+      cutoff: String = "2024-03-01"): DataFrame = {
+    val log = asChangelog(Tables.load(spark, dir, "events"))
+    val base = latestWins(log.filter(col("ts") < lit(cutoff).cast("timestamp")),
+      key = Seq("user_id"), seq = Seq("ts", "event_id"))
+    val batch = log.filter(col("ts") >= lit(cutoff).cast("timestamp"))
+    applyChangelog(base, batch)
+      .select("user_id", "op", "last_type", "last_value", "ts", "event_id")
+      .orderBy("user_id")
+  }
+
+  /** Harness query `cdc_history`: the SCD-type-2 validity-interval view
+    * of the same changelog — `valid_from` = the change's own sequence
+    * point, `valid_to` = the next change's (NULL while current). One
+    * window shuffle on the key. */
+  def scdHistory(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+    asChangelog(Tables.load(spark, dir, "events"))
+      .withColumn("valid_to", lead(col("ts"), 1).over(w))
+      .withColumn("is_current", col("valid_to").isNull)
+      .select(col("user_id"), col("event_id"), col("op"),
+        col("ts").as("valid_from"), col("valid_to"), col("is_current"))
+      .orderBy("user_id", "valid_from", "event_id")
+  }
+}

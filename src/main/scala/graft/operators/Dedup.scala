@@ -476,4 +476,42 @@ object Dedup {
     embWithBuckets(spark, dir)
       .select(col("vec_id"), col("bucket"))
       .orderBy("vec_id")
+
+  // ------------------------------------------------- repeated-span dedup
+
+  /** Cross-document repeated-span detection — the span-granular exact
+    * dedup signal (Lee et al. 2022, "Deduplicating Training Data Makes
+    * Language Models Better"): for each document, the fraction of its
+    * `n`-token spans that also occur verbatim in at least one OTHER
+    * document. Near-dup detectors miss a boilerplate paragraph pasted
+    * into thousands of otherwise-distinct pages; this catches exactly
+    * that.
+    *
+    * Shape: per-doc DISTINCT span hashes (one explode, spans leave the
+    * row as a 60-bit [[hash60]] so the shuffle carries 8-byte keys, not
+    * span text) → span-frequency hash aggregate → join back → per-doc
+    * aggregate. Two key shuffles (span hash, doc id), no pair join —
+    * cost is O(total spans) regardless of how duplicated the corpus is,
+    * where a pair-based formulation blows up quadratically on hot
+    * spans. Docs shorter than `n` tokens have no spans and report 0. */
+  def spanDedup(spark: SparkSession, dir: String, n: Int = 8): DataFrame = {
+    val docs = Tables.load(spark, dir, "documents")
+    val spans = docs.select(col("doc_id"),
+        explode(array_distinct(T.wordShingles(col("text"), n))).as("span"))
+      .select(col("doc_id"), hash60(col("span")).as("span_h"))
+    // spans are distinct per doc, so count(*) per hash = #docs carrying it
+    val freq = spans.groupBy("span_h").agg(count(lit(1)).as("n_docs"))
+    val perDoc = spans.join(freq, "span_h")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_spans"),
+        sum(when(col("n_docs") >= 2, 1L).otherwise(0L)).as("n_dup_spans"))
+    docs.select(col("doc_id")).join(perDoc, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_spans"), lit(0L)).as("n_spans"),
+        coalesce(col("n_dup_spans"), lit(0L)).as("n_dup_spans"))
+      .withColumn("dup_span_frac",
+        when(col("n_spans") === 0, 0.0d)
+          .otherwise(round(col("n_dup_spans").cast("double") / col("n_spans"), 6)))
+      .orderBy("doc_id")
+  }
 }

@@ -52,6 +52,48 @@ object Sampling {
       .orderBy("doc_a", "doc_b")
   }
 
+  /** N-gram eval decontamination — the GPT-3-style membership check
+    * that complements [[contamination]]'s near-dup pairs: for every
+    * val/test document, how many of its distinct `n`-token spans occur
+    * verbatim anywhere in the train split. Catches partial leaks (one
+    * benchmark question pasted into a long train page) that whole-doc
+    * similarity never flags.
+    *
+    * Shape: spans leave each doc as 60-bit hashes (narrow 8-byte
+    * shuffle keys); the train side collapses to a DISTINCT span-hash
+    * set (one hash aggregate — membership needs no doc ids, so the
+    * train side shrinks before the join); eval spans probe it with one
+    * hash join, then one per-doc aggregate. No pair join, cost O(total
+    * spans). At 100 TB the probe side (eval spans) is tiny and the
+    * train set is the big side — exactly the asymmetry hash joins
+    * like; a bloom filter over the train set
+    * ([[graft.functions.BloomFilter]]) can pre-screen eval spans
+    * executor-side if the exchange itself needs cutting. */
+  def contaminationNgram(spark: SparkSession, dir: String, n: Int = 8): DataFrame = {
+    import graft.functions.{TextFunctions => T}
+    val docs = Tables.load(spark, dir, "documents")
+      .withColumn("split", splitLabel(splitBucket(col("doc_id"))))
+    val spans = docs.select(col("doc_id"), col("split"),
+        explode(array_distinct(T.wordShingles(col("text"), n))).as("span"))
+      .select(col("doc_id"), col("split"), hash60(col("span")).as("span_h"))
+    val trainSet = spans.filter(col("split") === "train")
+      .select("span_h").distinct().withColumn("hit", lit(1L))
+    val perDoc = spans.filter(col("split") =!= "train")
+      .join(trainSet, Seq("span_h"), "left")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_spans"),
+        sum(coalesce(col("hit"), lit(0L))).as("n_hit"))
+    docs.filter(col("split") =!= "train").select("doc_id", "split")
+      .join(perDoc, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("split"),
+        coalesce(col("n_spans"), lit(0L)).as("n_spans"),
+        coalesce(col("n_hit"), lit(0L)).as("n_hit"))
+      .withColumn("hit_frac",
+        when(col("n_spans") === 0, 0.0d)
+          .otherwise(round(col("n_hit").cast("double") / col("n_spans"), 6)))
+      .orderBy("doc_id")
+  }
+
   /** Sequence packing: assign documents to ~`capacity`-token training
     * bins — the "pack short docs into fixed-length sequences" step
     * before batching. Contiguous fill by running token count in

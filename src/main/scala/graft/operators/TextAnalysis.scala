@@ -226,6 +226,44 @@ object TextAnalysis {
       .orderBy("doc_id")
   }
 
+  /** Unigram language-model document scoring — the KenLM-lite quality
+    * signal: score each document by the mean log-probability of its
+    * tokens under the corpus unigram distribution. Gibberish and
+    * boilerplate-free rare-token soup score low; fluent text built from
+    * common tokens scores high. The classic cheap perplexity proxy for
+    * corpus filtering.
+    *
+    * Shape: the corpus term-frequency table is the SAME memoized
+    * `token-tf` table [[vocabCoverage]] builds (one corpus tokenize per
+    * dataset, shared across every vocab-prep query); the vocabulary
+    * total is a broadcast scalar; scoring is one token explode, one
+    * hash join on the token (every token hits — the model was trained
+    * on this corpus), one per-doc aggregate. Mean is computed on the
+    * rounded per-token logprob so cross-engine libm/summation ulp
+    * differences cannot move the 6-decimal result. */
+  def unigramLogprob(spark: SparkSession, dir: String): DataFrame = {
+    val tf = Memo.table(spark, dir, "token-tf") {
+      Tables.load(spark, dir, "documents")
+        .select(explode(T.tokens(col("text"))).as("token"))
+        .groupBy("token").agg(count(lit(1)).as("freq"))
+    }
+    val total = tf.agg(sum("freq").as("total"))
+    val docs = Tables.load(spark, dir, "documents")
+    val perDoc = docs
+      .select(col("doc_id"), explode(T.tokens(col("text"))).as("token"))
+      .join(tf, "token")
+      .crossJoin(broadcast(total))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).cast("long").as("n_tokens"),
+        sum(round(log(col("freq").cast("double") / col("total")), 8)).as("s"))
+    docs.select(col("doc_id")).join(perDoc, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_tokens"), lit(0L)).as("n_tokens"),
+        when(coalesce(col("n_tokens"), lit(0L)) === 0, 0.0d)
+          .otherwise(round(col("s") / col("n_tokens"), 6)).as("avg_logprob"))
+      .orderBy("doc_id")
+  }
+
   /** Document fingerprints: order-invariant md5 fingerprint (detects
     * "same content, shuffled tokens" duplicates) plus the order-
     * SENSITIVE Rabin-Karp rolling hash — both cross-engine (md5-based),

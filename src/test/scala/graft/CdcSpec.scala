@@ -1,0 +1,84 @@
+package graft
+
+import java.nio.file.Files
+import java.sql.Timestamp
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.operators.Cdc
+
+/** CDC application semantics: snapshot⊕changelog merge vs whole-stream
+  * fold, tombstone deletes, at-least-once idempotence, SCD2 interval
+  * integrity. */
+class CdcSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+
+  // the driver's events parquet stores ts as int64 epoch-NANOS
+  // (TESTDATA.md; Tables.loadEvents converts) — the fixture must too
+  private def ts(s: String): Long = Timestamp.valueOf(s).getTime * 1000000L
+
+  /** Tiny changelog: user 1 insert→update, user 2 insert→update→delete,
+    * user 3 insert only, user 4 delete-then-reinsert. */
+  lazy val fixtureDir: String = {
+    import spark.implicits._
+    val rows = Seq(
+      (10L, ts("2024-01-01 10:00:00"), 1L, "signup", 1.0, "{}"),
+      (11L, ts("2024-01-02 10:00:00"), 1L, "purchase", 2.0, "{}"),
+      (20L, ts("2024-01-01 11:00:00"), 2L, "signup", 3.0, "{}"),
+      (21L, ts("2024-01-02 11:00:00"), 2L, "click", 4.0, "{}"),
+      (22L, ts("2024-01-03 11:00:00"), 2L, "error", 5.0, "{}"),
+      (30L, ts("2024-01-01 12:00:00"), 3L, "signup", 6.0, "{}"),
+      (40L, ts("2024-01-01 13:00:00"), 4L, "error", 7.0, "{}"),
+      (41L, ts("2024-01-02 13:00:00"), 4L, "signup", 8.0, "{}"))
+    val dir = Files.createTempDirectory("cdcfix").toString
+    rows.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    dir
+  }
+
+  test("snapshot + changelog merge equals whole-stream latest-wins fold") {
+    // the associativity claim the cdc_apply oracle states directly
+    val merged = Cdc.applySnapshot(spark, TestSpark.sf, cutoff = "2024-03-01")
+    val whole = Cdc.applySnapshot(spark, TestSpark.sf, cutoff = "1900-01-01")
+    assert(merged.exceptAll(whole).isEmpty && whole.exceptAll(merged).isEmpty)
+    assert(merged.count() > 0)
+  }
+
+  test("tombstones delete, re-inserts revive, updates supersede") {
+    val snap = Cdc.applySnapshot(spark, fixtureDir, cutoff = "2024-01-02")
+      .select("user_id", "last_type", "last_value").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getDouble(2))).toSet
+    assert(snap === Set(
+      (1L, "purchase", 2.0), // update wins over insert
+      (3L, "signup", 6.0),   // untouched insert survives
+      (4L, "signup", 8.0)))  // re-insert after tombstone revives
+    // user 2's final op is a tombstone → absent
+  }
+
+  test("at-least-once replay is idempotent: stale changes lose to the snapshot") {
+    import spark.implicits._
+    val log = Tables.load(spark, fixtureDir, "events")
+      .select(col("user_id"), col("ts"), col("event_id"),
+        Cdc.opOf(col("event_type")).as("op"),
+        col("event_type").as("last_type"), col("value").as("last_value"))
+    val base = Cdc.latestWins(log, Seq("user_id"), Seq("ts", "event_id"))
+    // replay the ENTIRE history as a "new" batch over the snapshot
+    val replayed = Cdc.applyChangelog(base, log)
+    val direct = Cdc.applyChangelog(base, base.limit(0))
+    assert(replayed.exceptAll(direct).isEmpty && direct.exceptAll(replayed).isEmpty)
+  }
+
+  test("SCD2 intervals chain: valid_to = next valid_from, one current row per key") {
+    val h = Cdc.scdHistory(spark, fixtureDir).collect()
+    val byUser = h.groupBy(_.getLong(0))
+    byUser.foreach { case (_, rows) =>
+      val sorted = rows.sortBy(r => (r.getTimestamp(3).getTime, r.getLong(1)))
+      sorted.sliding(2).foreach {
+        case Array(a, b) => assert(a.getTimestamp(4) === b.getTimestamp(3))
+        case _ =>
+      }
+      assert(rows.count(_.getBoolean(5)) === 1)
+      assert(sorted.last.getBoolean(5))
+    }
+    assert(h.length === 8)
+  }
+}

@@ -166,4 +166,18 @@ class DedupSpec extends AnyFunSuite {
       assert(g.forall(_.getAs[Long]("keep_doc_id") == k.getAs[Long]("doc_id")))
     }
   }
+
+  test("spanDedup: exact dups fully covered, near-dups partial, uniques zero") {
+    val rows = Dedup.spanDedup(spark, fixtureDir).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Long]("n_spans"), r.getAs[Double]("dup_span_frac"))).toMap
+    // 21/22: identical 10-token docs → every 8-token span shared
+    assert(rows(21L)._2 === 1.0 && rows(22L)._2 === 1.0)
+    assert(rows(21L)._1 === 3L) // 10 tokens → 3 spans
+    // 0/1: 40 tokens, one swapped at position 15 → the 8 spans crossing
+    // it differ, the other 25 of 33 are shared on both sides
+    assert(rows(0L) === ((33L, 0.757576)) && rows(1L) === ((33L, 0.757576)))
+    // unique filler docs share nothing
+    (100L until 140L).foreach(i => assert(rows(i)._2 === 0.0))
+  }
 }

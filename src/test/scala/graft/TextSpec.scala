@@ -181,4 +181,31 @@ class TextSpec extends AnyFunSuite {
     assert(r(3).getString(0) == "no pii here at all")
     assert(r(3).getInt(1) == 0 && r(3).getInt(2) == 0 && r(3).getInt(3) == 0)
   }
+
+  test("contaminationNgram: eval rows only, hits bounded by spans") {
+    val rows = graft.operators.Sampling.contaminationNgram(spark, TestSpark.sf)
+      .collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(Set("val", "test").contains(r.getAs[String]("split")))
+      val (spans, hits) = (r.getAs[Long]("n_spans"), r.getAs[Long]("n_hit"))
+      assert(hits >= 0L && hits <= spans)
+      val frac = r.getAs[Double]("hit_frac")
+      assert(frac >= 0.0 && frac <= 1.0)
+      if (spans == 0) assert(frac === 0.0)
+    }
+  }
+
+  test("unigramLogprob: negative scores, token counts agree with tokenCounts") {
+    val lp = graft.operators.TextAnalysis.unigramLogprob(spark, TestSpark.sf)
+    val tc = graft.operators.TextAnalysis.tokenCounts(spark, TestSpark.sf)
+      .select("doc_id", "n_tokens")
+    assert(lp.join(tc, "doc_id")
+      .filter(lp("n_tokens") =!= tc("n_tokens")).isEmpty)
+    lp.collect().foreach { r =>
+      if (r.getAs[Long]("n_tokens") > 0)
+        assert(r.getAs[Double]("avg_logprob") < 0.0)
+      else assert(r.getAs[Double]("avg_logprob") === 0.0)
+    }
+  }
 }

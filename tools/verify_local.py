@@ -13,6 +13,7 @@ import duckdb
 
 SF = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
 OUT = sys.argv[2] if len(sys.argv) > 2 else "/tmp/verify_out"
+ONLY = set(sys.argv[3].split(",")) if len(sys.argv) > 3 else None
 TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
           "lineitem", "events", "documents", "embeddings"]
 
@@ -31,8 +32,9 @@ def canon(rows, cols):
 
 def main():
     if os.environ.get("SKIP_SPARK") != "1":
+        extra = f" {','.join(sorted(ONLY))}" if ONLY else ""
         r = subprocess.run(
-            ["sbt", "-batch", f'runMain graft.Verify {SF} {OUT}'],
+            ["sbt", "-batch", f'runMain graft.Verify {SF} {OUT}{extra}'],
             capture_output=True, text=True, cwd="/root/repo")
         sys.stdout.write(r.stdout[-3000:])
         sys.stderr.write(r.stderr[-3000:])
@@ -46,6 +48,8 @@ def main():
 
     n_pass = n_fail = 0
     for name, sql in sorted(oracle.items()):
+        if ONLY and name not in ONLY:
+            continue
         pdir = f"{OUT}/{name}"
         if not os.path.isdir(pdir):
             print(f"FAIL {name}: no spark output"); n_fail += 1; continue
