@@ -36,6 +36,7 @@ object SparkEntry {
     "asof_event_order"   -> (Relational.asofEventOrder _),
     "asof_next_event"    -> (Relational.asofOrderNextEvent _),
     "tenant_tag"         -> (Relational.tenantTag _),
+    "zorder_key"         -> (graft.sources.Layout.zorderKey _),
     // §2.6 per-row transforms
     "multi_format_ts"    -> (Timestamps.multiFormatParse _),
     "event_envelope"     -> (Envelope.eventEnvelope _),
@@ -682,6 +683,20 @@ object SparkEntry {
            WHERE rk = 1)
          SELECT user_id, op, last_type, last_value, ts, event_id
          FROM latest WHERE op <> 'D' ORDER BY user_id""",
+    "zorder_key" -> {
+      val terms = (0 until 16).map(i =>
+        s"((user_id >> $i) & 1) * ${1L << (2 * i + 1)} + " +
+          s"((stream_hour >> $i) & 1) * ${1L << (2 * i)}").mkString(" + ")
+      s"""WITH hours AS (
+           SELECT event_id, user_id,
+                  (epoch_us(ts) // 1000000 -
+                   epoch_us(TIMESTAMP '2024-01-01 00:00:00') // 1000000)
+                    // 3600 AS stream_hour
+           FROM events)
+         SELECT event_id, user_id, stream_hour,
+                $terms AS zkey
+         FROM hours ORDER BY event_id"""
+    },
     "cdc_history" ->
       """WITH log AS (
            SELECT user_id, ts, event_id,

@@ -97,4 +97,76 @@ object Cdc {
         col("ts").as("valid_from"), col("valid_to"), col("is_current"))
       .orderBy("user_id", "valid_from", "event_id")
   }
+
+  // --------------------------------------- bucket-partitioned upsert store
+
+  /** Deterministic key bucket for the partitioned snapshot store. */
+  def bucketOf(key: Column, buckets: Int): Column =
+    pmod(graft.functions.Hash60.hash60(concat(lit("cdcb:"), key.cast("string"))),
+      lit(buckets.toLong))
+
+  /** Merge one changelog batch into a hash-bucket-partitioned snapshot
+    * store — the upsert kernel behind the streaming CDC loop, and the
+    * shape that scales: the store is partitioned `bucket=<k>` by key
+    * hash, and a batch rewrites ONLY the buckets its keys fall in, so
+    * merge cost is O(affected partitions), never O(snapshot). At 100 TB
+    * the bucket count is sized so one bucket is a few GB; an idle key
+    * range is never read or rewritten.
+    *
+    * The only driver-side read is the affected-bucket id list — bounded
+    * by `buckets`, same budget class as the pipeline's 2-row HWM reads.
+    * Each bucket is written to a dot-prefixed staging dir (invisible to
+    * partition discovery) then swapped in with delete+rename, so a
+    * crash mid-batch leaves the old bucket intact — and replaying the
+    * batch is a no-op merge: stale rows lose [[latestWins]], identical
+    * rows collapse, so at-least-once delivery cannot corrupt the store.
+    * Winning tombstones are RETAINED in the store (op='D' rows) —
+    * dropping them would let a late replay of a pre-delete update
+    * resurrect the key; readers filter them via [[currentSnapshot]]. */
+  def mergeIntoStore(batch: DataFrame, storeDir: String,
+      buckets: Int = 16, batchId: Long = 0L): Unit = {
+    val s = batch.sparkSession
+    val delta = latestWins(batch, Seq("user_id"), Seq("ts", "event_id"))
+      .withColumn("bucket", bucketOf(col("user_id"), buckets))
+    val affected = delta.select("bucket").distinct()
+      .collect().map(_.getLong(0)).sorted
+    val hconf = s.sparkContext.hadoopConfiguration
+    val root = new org.apache.hadoop.fs.Path(storeDir)
+    val fs = root.getFileSystem(hconf)
+    affected.foreach { b =>
+      val dst = new org.apache.hadoop.fs.Path(root, s"bucket=$b")
+      val deltaB = delta.filter(col("bucket") === b).drop("bucket")
+      val merged =
+        if (fs.exists(dst))
+          latestWins(s.read.parquet(dst.toString).unionByName(deltaB),
+            Seq("user_id"), Seq("ts", "event_id"))
+        else deltaB
+      val staging = new org.apache.hadoop.fs.Path(root, s".staging_${batchId}_$b")
+      merged.write.mode("overwrite").parquet(staging.toString)
+      if (fs.exists(dst)) fs.delete(dst, true)
+      fs.rename(staging, dst)
+    }
+  }
+
+  /** Read the live snapshot out of a [[mergeIntoStore]] store: partition
+    * discovery over the bucket dirs, tombstones filtered at read time
+    * (the op filter pushes into the parquet scan). */
+  def currentSnapshot(spark: SparkSession, storeDir: String): DataFrame =
+    spark.read.parquet(storeDir)
+      .filter(col("op") =!= "D")
+      .drop("bucket")
+
+  /** Point lookup against the store: the key's bucket is computed
+    * driver-side (same md5 prefix as [[bucketOf]]), so the partition
+    * filter prunes the read to exactly ONE bucket directory — a
+    * key-value get that touches 1/`buckets` of the snapshot. */
+  def lookup(spark: SparkSession, storeDir: String, userId: Long,
+      buckets: Int = 16): DataFrame = {
+    val b = Math.floorMod(graft.functions.GraftHash.md5Prefix60(
+      s"cdcb:$userId".getBytes("UTF-8")), buckets.toLong)
+    spark.read.parquet(storeDir)
+      .filter(col("bucket") === b && col("user_id") === userId &&
+        col("op") =!= "D")
+      .drop("bucket")
+  }
 }

@@ -241,6 +241,33 @@ object StreamingBackfill {
     q.stop()
   }
 
+  /** Streaming CDC upsert — the continuous form of the batch
+    * [[graft.operators.Cdc.applySnapshot]] merge: a stream of keyed
+    * change events folds, per microbatch, into a hash-bucket-partitioned
+    * snapshot store via [[graft.operators.Cdc.mergeIntoStore]]. Each
+    * batch first collapses WITHIN itself (latest-wins, O(batch)), then
+    * rewrites only the bucket partitions its keys touch — merge cost is
+    * O(affected buckets), never O(snapshot), and stale replays lose to
+    * the rows already in the store, so at-least-once redelivery is a
+    * no-op (CdcSpec proves cross-batch supersede/delete plus replay
+    * idempotence through the store). This is the continuously-running
+    * form of the nightly snapshot⊕changelog batch merge — same kernel,
+    * same store layout, same reader ([[graft.operators.Cdc
+    * .currentSnapshot]]/[[graft.operators.Cdc.lookup]]). */
+  def cdcUpsertLoop(spark: SparkSession, changes: DataFrame,
+      storeDir: String, buckets: Int = 16): Unit = {
+    val q = changes.writeStream
+      .outputMode("append")
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[Row], id: Long) =>
+        if (!batch.isEmpty)
+          graft.operators.Cdc.mergeIntoStore(batch.toDF(), storeDir, buckets, id)
+      }
+      .trigger(Trigger.ProcessingTime(0))
+      .start()
+    q.processAllAvailable()
+    q.stop()
+  }
+
   /** foreachBatch sink with idempotent per-batch output: each microbatch
     * writes to a batch-id-suffixed directory, so replays after failure
     * overwrite rather than duplicate — the exactly-once file-sink

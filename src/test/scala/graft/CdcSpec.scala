@@ -67,6 +67,46 @@ class CdcSpec extends AnyFunSuite {
     assert(replayed.exceptAll(direct).isEmpty && direct.exceptAll(replayed).isEmpty)
   }
 
+  test("streaming CDC upsert: cross-batch supersede/delete, replay-safe store") {
+    import spark.implicits._
+    def tss(s: String) = Timestamp.valueOf(s)
+    val dir = Files.createTempDirectory("cdcstream").toString
+    val store = Files.createTempDirectory("cdcstore").toString
+    val b1 = Seq(
+      (1L, tss("2024-01-01 10:00:00"), 100L, "I", "signup", 1.0),
+      (2L, tss("2024-01-01 10:01:00"), 101L, "I", "signup", 2.0),
+      (3L, tss("2024-01-01 10:02:00"), 102L, "I", "signup", 3.0))
+      .toDF("user_id", "ts", "event_id", "op", "last_type", "last_value")
+    val b2 = Seq(
+      (1L, tss("2024-01-02 10:00:00"), 200L, "U", "purchase", 9.0),
+      (2L, tss("2024-01-02 10:01:00"), 201L, "D", "error", 0.0),
+      (4L, tss("2024-01-02 10:02:00"), 202L, "I", "signup", 4.0))
+      .toDF("user_id", "ts", "event_id", "op", "last_type", "last_value")
+    b1.repartition(1).write.mode("append").parquet(dir)
+    b2.repartition(1).write.mode("append").parquet(dir)
+    val changes = spark.readStream.schema(b1.schema)
+      .option("maxFilesPerTrigger", "1").parquet(dir)
+    graft.streaming.StreamingBackfill.cdcUpsertLoop(spark, changes, store, buckets = 4)
+
+    def snap() = Cdc.currentSnapshot(spark, store)
+      .select("user_id", "last_type", "last_value").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getDouble(2))).toSet
+    val expected = Set((1L, "purchase", 9.0), (3L, "signup", 3.0),
+      (4L, "signup", 4.0)) // user 2 tombstoned in batch 2
+    assert(snap() === expected)
+
+    // at-least-once: replaying batch 1 against the store changes nothing
+    // (the retained tombstone beats user 2's replayed insert)
+    Cdc.mergeIntoStore(b1, store, buckets = 4, batchId = 99L)
+    assert(snap() === expected)
+
+    // point lookup prunes to the key's single bucket partition
+    val look = Cdc.lookup(spark, store, 1L, buckets = 4)
+    assert(look.collect().map(_.getAs[String]("last_type")).toSeq === Seq("purchase"))
+    val plan = look.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters") && plan.contains("bucket"))
+  }
+
   test("SCD2 intervals chain: valid_to = next valid_from, one current row per key") {
     val h = Cdc.scdHistory(spark, fixtureDir).collect()
     val byUser = h.groupBy(_.getLong(0))
