@@ -55,6 +55,10 @@ object SparkEntry {
     "rollup_docs"        -> (Aggregates.rollupDocs _),
     "events_window_agg"  -> (Aggregates.eventsWindowAgg _),
     "events_sessionize"  -> (Aggregates.sessionize _),
+    "funnel_conversion"  -> (EventAnalytics.funnelConversion _),
+    "cohort_retention"   -> (EventAnalytics.cohortRetention _),
+    "event_paths"        -> ((s: SparkSession, d: String) => EventAnalytics.eventPaths(s, d)),
+    "fuzzy_match"        -> (Fuzzy.fuzzyMatch _),
     "tdigest_quantiles"  -> (Aggregates.tdigestQuantiles _),
     // §2.9 E1/E2 dedup
     "dedup_exact_key"    -> (Dedup.exactByKey _),
@@ -683,6 +687,69 @@ object SparkEntry {
            WHERE rk = 1)
          SELECT user_id, op, last_type, last_value, ts, event_id
          FROM latest WHERE op <> 'D' ORDER BY user_id""",
+    "funnel_conversion" ->
+      """WITH s1 AS (SELECT user_id, min(ts) AS t_signup FROM events
+                     WHERE event_type = 'signup' GROUP BY 1),
+         s2 AS (SELECT e.user_id, min(e.ts) AS t_view
+                FROM events e JOIN s1 USING (user_id)
+                WHERE e.event_type = 'view' AND e.ts > s1.t_signup
+                GROUP BY 1),
+         s3 AS (SELECT e.user_id, min(e.ts) AS t_purchase
+                FROM events e JOIN s2 USING (user_id)
+                WHERE e.event_type = 'purchase' AND e.ts > s2.t_view
+                GROUP BY 1)
+         SELECT n_users, n_signup, n_view_after, n_purchase_after,
+                round(n_signup / CAST(n_users AS DOUBLE), 6) AS signup_rate,
+                round(n_view_after / CAST(n_signup AS DOUBLE), 6) AS view_rate,
+                round(n_purchase_after / CAST(n_view_after AS DOUBLE), 6)
+                  AS purchase_rate
+         FROM (SELECT
+                 (SELECT count(DISTINCT user_id) FROM events) AS n_users,
+                 (SELECT count(*) FROM s1) AS n_signup,
+                 (SELECT count(*) FROM s2) AS n_view_after,
+                 (SELECT count(*) FROM s3) AS n_purchase_after)""",
+    "cohort_retention" ->
+      """WITH cohort AS (
+           SELECT user_id,
+                  CAST(date_trunc('week', min(ts)) AS TIMESTAMP) AS cohort_week
+           FROM events WHERE event_type = 'signup' GROUP BY 1),
+         act AS (SELECT DISTINCT user_id,
+                        CAST(date_trunc('week', ts) AS TIMESTAMP) AS week
+                 FROM events)
+         SELECT cohort_week,
+                (epoch_us(week) - epoch_us(cohort_week)) // 604800000000
+                  AS week_offset,
+                count(DISTINCT user_id) AS n_active
+         FROM cohort JOIN act USING (user_id)
+         WHERE (epoch_us(week) - epoch_us(cohort_week)) // 604800000000 >= 0
+         GROUP BY 1, 2 ORDER BY 1, 2""",
+    "event_paths" ->
+      """WITH paths AS (
+           SELECT user_id, CAST(ts AS DATE) AS day,
+                  string_agg(event_type, '>' ORDER BY ts, event_id) AS path
+           FROM events GROUP BY 1, 2)
+         SELECT path, count(*) AS n_user_days
+         FROM paths GROUP BY 1
+         ORDER BY n_user_days DESC, path LIMIT 20""",
+    "fuzzy_match" ->
+      s"""WITH parts AS (
+           SELECT p_partkey, p_name, substr(p_name, 1, 2) AS blk_pre,
+                  len(p_name) AS blk_len
+           FROM part),
+         probes AS (
+           SELECT p_partkey AS probe_key,
+                  substr(p_name, 1, p - 1) || 'q' || substr(p_name, p + 1)
+                    AS probe_name,
+                  blk_pre, blk_len
+           FROM (SELECT *,
+                   CAST(${dH60("p_name")} % (len(p_name) - 2) + 3 AS INT) AS p
+                 FROM parts)
+           WHERE p_partkey % 40 = 0)
+         SELECT probe_key, probe_name, p.p_partkey, p.p_name,
+                CAST(levenshtein(probe_name, p.p_name) AS BIGINT) AS dist
+         FROM probes JOIN parts p USING (blk_pre, blk_len)
+         WHERE levenshtein(probe_name, p.p_name) <= 1
+         ORDER BY probe_key, p.p_partkey""",
     "zorder_key" -> {
       val terms = (0 until 16).map(i =>
         s"((user_id >> $i) & 1) * ${1L << (2 * i + 1)} + " +
