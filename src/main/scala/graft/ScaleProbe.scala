@@ -106,6 +106,38 @@ object ScaleProbe {
     time("sim_topk_ivf_kmeans (warm: memoized centroid table)") {
       operators.Similarity.ivfTopKTrained(spark, dup, iters = 2).count()
     }
+
+    // span-granular dedup at 10×: every 8-token span now occurs in 10
+    // docs — maximal duplication. The no-pair-join claim is exactly
+    // that THIS case stays linear: cost is O(total spans) whatever the
+    // duplication level (a pair-based formulation would square).
+    time("spanDedup (10x corpus, every span 10-way duplicated)") {
+      val r = operators.Dedup.spanDedup(spark, dup)
+      println(s"  dup-span docs: ${r.filter(col("dup_span_frac") > 0).count()} of ${r.count()}")
+    }
+
+    // CDC store: fold the full event changelog into a 16-bucket store,
+    // then merge a small keyed batch — the increment must cost
+    // O(affected buckets), not O(snapshot)
+    {
+      val log = Tables.load(spark, sf, "events")
+        .select(col("user_id"), col("ts"), col("event_id"),
+          operators.Cdc.opOf(col("event_type")).as("op"),
+          col("event_type").as("last_type"), col("value").as("last_value"))
+      val store = s"$dup/cdc_store"
+      val p = new org.apache.hadoop.fs.Path(store)
+      val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      if (fs.exists(p)) fs.delete(p, true)
+      val nEv = log.count()
+      time(s"cdc initial fold ($nEv events -> 16-bucket snapshot store)") {
+        operators.Cdc.mergeIntoStore(log, store, 16, 0L)
+      }
+      val batch = log.filter(col("user_id") < 3)
+      time(s"cdc incremental merge (${batch.count()} events, 3 keys -> <=3 buckets)") {
+        operators.Cdc.mergeIntoStore(batch, store, 16, 1L)
+      }
+      println(s"  snapshot keys: ${operators.Cdc.currentSnapshot(spark, store).count()}")
+    }
     spark.stop()
   }
 }

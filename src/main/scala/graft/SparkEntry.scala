@@ -54,6 +54,8 @@ object SparkEntry {
     "mix_expand"         -> ((s: SparkSession, d: String) => Sampling.mixExpand(s, d)),
     "rollup_docs"        -> (Aggregates.rollupDocs _),
     "events_window_agg"  -> (Aggregates.eventsWindowAgg _),
+    "events_hopping"     -> (Aggregates.eventsHoppingAgg _),
+    "anomaly_hours"      -> (Aggregates.anomalyHours _),
     "events_sessionize"  -> (Aggregates.sessionize _),
     "funnel_conversion"  -> (EventAnalytics.funnelConversion _),
     "cohort_retention"   -> (EventAnalytics.cohortRetention _),
@@ -642,6 +644,36 @@ object SparkEntry {
                 count(*) AS n,
                 CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
          FROM events GROUP BY 1, 2 ORDER BY ws, event_type""",
+    "events_hopping" ->
+      """SELECT ws, event_type, count(*) AS n,
+                CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+         FROM (SELECT unnest([time_bucket(INTERVAL '30 minutes', ts),
+                              time_bucket(INTERVAL '30 minutes', ts)
+                                - INTERVAL '30 minutes']) AS ws,
+                      event_type, value
+               FROM events)
+         GROUP BY 1, 2 ORDER BY ws, event_type""",
+    "anomaly_hours" ->
+      """WITH hourly AS (
+           SELECT time_bucket(INTERVAL '1 hour', ts) AS ws, event_type,
+                  SUM(CAST(value AS DECIMAL(18,2))) AS hv
+           FROM events GROUP BY 1, 2),
+         stats AS (
+           SELECT event_type, count(*) AS n_hours,
+                  SUM(hv) AS s1, SUM(hv * hv) AS s2
+           FROM hourly GROUP BY 1),
+         st AS (SELECT event_type,
+                       CAST(s1 AS DOUBLE) / n_hours AS mean,
+                       sqrt((CAST(s2 AS DOUBLE) -
+                             CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE) / n_hours)
+                            / (n_hours - 1)) AS std
+                FROM stats)
+         SELECT ws, event_type, CAST(hv AS DOUBLE) AS hv,
+                round((CAST(hv AS DOUBLE) - mean) / std, 4) AS z,
+                abs(round((CAST(hv AS DOUBLE) - mean) / std, 4)) > 2.0
+                  AS is_anomaly
+         FROM hourly JOIN st USING (event_type)
+         ORDER BY ws, event_type""",
     "events_sessionize" ->
       """WITH flagged AS (
            SELECT user_id, event_id, ts, value,

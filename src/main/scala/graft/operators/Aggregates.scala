@@ -160,4 +160,47 @@ object Aggregates {
       .select(col("window.start").as("ws"), col("event_type"),
         col("n"), col("sum_value"))
       .orderBy("ws", "event_type")
+
+  /** Hopping (sliding) windows: 1-hour windows every 30 minutes — each
+    * event lands in exactly two overlapping windows. Spark's `window`
+    * generator replicates the row per window BEFORE the aggregate (an
+    * in-plan explode, no self-union), so the cost is 2× the tumbling
+    * case, one shuffle. */
+  def eventsHoppingAgg(spark: SparkSession, dir: String): DataFrame =
+    Tables.load(spark, dir, "events")
+      .groupBy(window(col("ts"), "1 hour", "30 minutes"), col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("value").cast("decimal(18,2)")).cast("double").as("sum_value"))
+      .select(col("window.start").as("ws"), col("event_type"),
+        col("n"), col("sum_value"))
+      .orderBy("ws", "event_type")
+
+  /** Hourly volume anomalies per event type: hours whose summed value
+    * sits more than 2σ from that type's mean hour. Cross-engine float
+    * discipline: the per-hour sums and the sum-of-squares are EXACT
+    * decimal aggregates (order-independent); mean/σ/z convert to
+    * double only at the end, through the same literal expression on
+    * both engines, and z is rounded. Stats are per-type scalars
+    * (5 rows) broadcast back onto the hourly table — no window, no
+    * second scan of the raw events. */
+  def anomalyHours(spark: SparkSession, dir: String): DataFrame = {
+    val hourly = Tables.load(spark, dir, "events")
+      .groupBy(window(col("ts"), "1 hour").getField("start").as("ws"),
+        col("event_type"))
+      .agg(sum(col("value").cast("decimal(18,2)")).as("hv"))
+    val stats = hourly.groupBy("event_type")
+      .agg(count(lit(1)).as("n_hours"),
+        sum(col("hv")).as("s1"),
+        sum(col("hv") * col("hv")).as("s2"))
+      .select(col("event_type"), col("n_hours"),
+        (col("s1").cast("double") / col("n_hours")).as("mean"),
+        sqrt((col("s2").cast("double") -
+          col("s1").cast("double") * col("s1").cast("double") / col("n_hours"))
+          / (col("n_hours") - 1)).as("std"))
+    hourly.join(broadcast(stats), "event_type")
+      .select(col("ws"), col("event_type"), col("hv").cast("double").as("hv"),
+        round((col("hv").cast("double") - col("mean")) / col("std"), 4).as("z"))
+      .withColumn("is_anomaly", abs(col("z")) > 2.0)
+      .orderBy("ws", "event_type")
+  }
 }

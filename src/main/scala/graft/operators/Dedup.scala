@@ -494,11 +494,24 @@ object Dedup {
     * cost is O(total spans) regardless of how duplicated the corpus is,
     * where a pair-based formulation blows up quadratically on hot
     * spans. Docs shorter than `n` tokens have no spans and report 0. */
+  /** Per-doc DISTINCT `n`-token span hashes, memoized once per dataset
+    * — the corpus tokenize behind BOTH [[spanDedup]] and
+    * [[graft.operators.Sampling.contaminationNgram]] (and each consumer
+    * reads it from more than one plan branch). Same economics as the
+    * `token-tf` memo: one tokenize pass ever, every span query after
+    * reads a compact (doc_id, 8-byte hash) parquet. */
+  private[operators] def spanTable(spark: SparkSession, dir: String,
+      n: Int): DataFrame =
+    Memo.table(spark, dir, s"span$n") {
+      Tables.load(spark, dir, "documents")
+        .select(col("doc_id"),
+          explode(array_distinct(T.wordShingles(col("text"), n))).as("span"))
+        .select(col("doc_id"), hash60(col("span")).as("span_h"))
+    }
+
   def spanDedup(spark: SparkSession, dir: String, n: Int = 8): DataFrame = {
     val docs = Tables.load(spark, dir, "documents")
-    val spans = docs.select(col("doc_id"),
-        explode(array_distinct(T.wordShingles(col("text"), n))).as("span"))
-      .select(col("doc_id"), hash60(col("span")).as("span_h"))
+    val spans = spanTable(spark, dir, n)
     // spans are distinct per doc, so count(*) per hash = #docs carrying it
     val freq = spans.groupBy("span_h").agg(count(lit(1)).as("n_docs"))
     val perDoc = spans.join(freq, "span_h")

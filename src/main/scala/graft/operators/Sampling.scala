@@ -70,12 +70,12 @@ object Sampling {
     * ([[graft.functions.BloomFilter]]) can pre-screen eval spans
     * executor-side if the exchange itself needs cutting. */
   def contaminationNgram(spark: SparkSession, dir: String, n: Int = 8): DataFrame = {
-    import graft.functions.{TextFunctions => T}
     val docs = Tables.load(spark, dir, "documents")
       .withColumn("split", splitLabel(splitBucket(col("doc_id"))))
-    val spans = docs.select(col("doc_id"), col("split"),
-        explode(array_distinct(T.wordShingles(col("text"), n))).as("span"))
-      .select(col("doc_id"), col("split"), hash60(col("span")).as("span_h"))
+    // the memoized span table (shared with Dedup.spanDedup — one corpus
+    // tokenize per dataset); split is a narrow expression of doc_id
+    val spans = Dedup.spanTable(spark, dir, n)
+      .withColumn("split", splitLabel(splitBucket(col("doc_id"))))
     val trainSet = spans.filter(col("split") === "train")
       .select("span_h").distinct().withColumn("hit", lit(1L))
     val perDoc = spans.filter(col("split") =!= "train")
