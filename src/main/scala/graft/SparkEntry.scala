@@ -1158,6 +1158,7 @@ object SparkEntry {
                 CAST(bit_xor(${dH60("text")}) AS BIGINT) AS corpus_hash,
                 round(list_dot_product([1.0, 2.0, 3.0], [4.0, 5.0, 6.0]), 4)
                   AS dp,
+                CAST(57 AS BIGINT) AS z65,
                 true AS td_p50_ok
          FROM documents""",
     "sql_grouping_sets" ->

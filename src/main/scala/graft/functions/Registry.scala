@@ -58,6 +58,11 @@ object GraftFunctions {
       arity(es, Seq(2), "bottom_k")
       BottomK(es(0), intArg(es(1), "bottom_k")).toAggregateExpression()
     },
+    "z_order" -> { es =>
+      arity(es, Seq(2, 3), "z_order")
+      val bits = if (es.length == 3) intArg(es(2), "z_order") else 16
+      ZOrder64(es(0), es(1), bits)
+    },
     "t_digest_quantiles" -> { es =>
       arity(es, Seq(2, 3), "t_digest_quantiles")
       val compression = if (es.length == 3)

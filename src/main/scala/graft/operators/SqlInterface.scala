@@ -93,6 +93,7 @@ object SqlInterface {
              CAST(bit_xor(hash60(text)) AS BIGINT) AS corpus_hash,
              round(dot_product(array(1.0D, 2.0D, 3.0D),
                                array(4.0D, 5.0D, 6.0D)), 4) AS dp,
+             z_order(CAST(6L AS BIGINT), CAST(5L AS BIGINT), 3) AS z65,
              abs(t_digest_quantiles(CAST(n_chars AS DOUBLE),
                    array(0.5D), 200)[0]
                  - percentile(n_chars, 0.5)) / percentile(n_chars, 0.5)

@@ -36,11 +36,19 @@ import graft.Tables
 object Layout {
 
   /** Morton/Z-value: interleave the low `bits` bits of two non-negative
-    * integer columns (x gets the odd bit positions, y the even). Pure
-    * codegen'd arithmetic — no UDF — and recomputable bit-identically
-    * in ANSI SQL, so the oracle checks it. `bits`=16 covers 65536
-    * distinct cells per dimension; the result fits a long. */
+    * integer columns (x gets the odd bit positions, y the even) —
+    * the native [[graft.functions.ZOrder64]] expression (one codegen'd
+    * loop; SQL-callable as `z_order(x, y, bits)`), recomputable
+    * bit-identically in ANSI SQL, so the oracle checks it. `bits`=16
+    * covers 65536 distinct cells per dimension; the result fits a
+    * long. */
   def zValue(x: Column, y: Column, bits: Int = 16): Column =
+    graft.functions.ZOrder64.z_order(x.cast("long"), y.cast("long"), bits)
+
+  /** The composed-expression twin of [[zValue]] (shifts + masks +
+    * multiplies as a plain expression tree) — kept as the equality
+    * witness for the native expression (LayoutSpec pins them equal). */
+  def zValueComposed(x: Column, y: Column, bits: Int = 16): Column =
     (0 until bits).map { i =>
       shiftright(x, i).bitwiseAND(lit(1L)) * lit(1L << (2 * i + 1)) +
         shiftright(y, i).bitwiseAND(lit(1L)) * lit(1L << (2 * i))

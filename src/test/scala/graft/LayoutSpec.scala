@@ -51,4 +51,14 @@ class LayoutSpec extends AnyFunSuite {
     // x on odd bits, y on even: (1,0)→2, (0,1)→1, (1,1)→3, (255,255)→65535
     assert(rows === Seq(0L, 2L, 1L, 3L, 65535L))
   }
+
+  test("native ZOrder64 expression equals the composed form on a full grid") {
+    val grid = spark.range(0, 4096).select(
+      (col("id") % 64).as("x"), (col("id") / 64).cast("long").as("y"))
+    val diff = grid.select(
+      Layout.zValue(col("x"), col("y"), 6).as("zn"),
+      Layout.zValueComposed(col("x"), col("y"), 6).as("zc"))
+      .filter(col("zn") =!= col("zc")).count()
+    assert(diff === 0L)
+  }
 }
