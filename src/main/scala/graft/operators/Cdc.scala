@@ -136,9 +136,14 @@ object Cdc {
     affected.foreach { b =>
       val dst = new org.apache.hadoop.fs.Path(root, s"bucket=$b")
       val deltaB = delta.filter(col("bucket") === b).drop("bucket")
+      // allowMissingColumns = schema evolution: a batch may carry
+      // columns the snapshot predates (or drop ones it has) — the
+      // union fills nulls and the rewritten bucket adopts the merged
+      // schema, bucket by bucket as batches touch them
       val merged =
         if (fs.exists(dst))
-          latestWins(s.read.parquet(dst.toString).unionByName(deltaB),
+          latestWins(s.read.parquet(dst.toString)
+              .unionByName(deltaB, allowMissingColumns = true),
             Seq("user_id"), Seq("ts", "event_id"))
         else deltaB
       val staging = new org.apache.hadoop.fs.Path(root, s".staging_${batchId}_$b")
@@ -152,7 +157,10 @@ object Cdc {
     * discovery over the bucket dirs, tombstones filtered at read time
     * (the op filter pushes into the parquet scan). */
   def currentSnapshot(spark: SparkSession, storeDir: String): DataFrame =
-    spark.read.parquet(storeDir)
+    // mergeSchema: buckets evolve independently (see mergeIntoStore) —
+    // the snapshot view is the union schema, nulls where a bucket
+    // predates a column
+    spark.read.option("mergeSchema", "true").parquet(storeDir)
       .filter(col("op") =!= "D")
       .drop("bucket")
 
@@ -164,7 +172,7 @@ object Cdc {
       buckets: Int = 16): DataFrame = {
     val b = Math.floorMod(graft.functions.GraftHash.md5Prefix60(
       s"cdcb:$userId".getBytes("UTF-8")), buckets.toLong)
-    spark.read.parquet(storeDir)
+    spark.read.option("mergeSchema", "true").parquet(storeDir)
       .filter(col("bucket") === b && col("user_id") === userId &&
         col("op") =!= "D")
       .drop("bucket")

@@ -44,10 +44,12 @@ object Fuzzy {
       .select(col("p_partkey").as("probe_key"),
         typo(col("p_name")).as("probe_name"),
         col("blk_pre"), col("blk_len"))
+    // threshold form = banded DP: O(len·k) per candidate instead of
+    // O(len²); returns -1 above the bound, so the filter keeps [0, k]
     probes.join(parts, Seq("blk_pre", "blk_len"))
       .withColumn("dist",
-        levenshtein(col("probe_name"), col("p_name")).cast("long"))
-      .filter(col("dist") <= 1)
+        levenshtein(col("probe_name"), col("p_name"), 1).cast("long"))
+      .filter(col("dist") >= 0 && col("dist") <= 1)
       .select("probe_key", "probe_name", "p_partkey", "p_name", "dist")
       .orderBy("probe_key", "p_partkey")
   }

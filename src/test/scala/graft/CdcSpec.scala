@@ -105,6 +105,19 @@ class CdcSpec extends AnyFunSuite {
     assert(look.collect().map(_.getAs[String]("last_type")).toSeq === Seq("purchase"))
     val plan = look.queryExecution.executedPlan.toString
     assert(plan.contains("PartitionFilters") && plan.contains("bucket"))
+
+    // schema evolution: a later batch carries a column the store
+    // predates — only its buckets rewrite, the snapshot shows the
+    // union schema with nulls for untouched keys
+    val b3 = Seq((5L, tss("2024-01-03 10:00:00"), 300L, "I", "signup", 5.0, "DE"))
+      .toDF("user_id", "ts", "event_id", "op", "last_type", "last_value",
+        "country")
+    Cdc.mergeIntoStore(b3, store, buckets = 4, batchId = 3L)
+    val evolved = Cdc.currentSnapshot(spark, store)
+      .select("user_id", "country").collect()
+      .map(r => (r.getLong(0), Option(r.getString(1)))).toMap
+    assert(evolved(5L) === Some("DE"))
+    assert(evolved(1L) === None && evolved.size === 4)
   }
 
   test("SCD2 intervals chain: valid_to = next valid_from, one current row per key") {

@@ -43,6 +43,13 @@ class PlanSpec extends AnyFunSuite {
     }
   }
 
+  test("fuzzy_match verifies inside hash-joined blocks, never a nested loop") {
+    val p = planOf("fuzzy_match")
+    assert(!p.contains("BroadcastNestedLoopJoin") &&
+      !p.contains("CartesianProduct"), p)
+    assert(p.contains("levenshtein"), p)
+  }
+
   test("incremental verify scans only candidate docs (doc_id pushdown)") {
     // the O(increment) guarantee: the exact-Jaccard verify stage must
     // read candidate documents only — the documents parquet scan
