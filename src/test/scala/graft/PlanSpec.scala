@@ -43,6 +43,24 @@ class PlanSpec extends AnyFunSuite {
     }
   }
 
+  test("PruneLevenshteinByLength injects a cheap length bound, idempotently") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{col, levenshtein}
+    val rule = graft.plans.PruneLevenshteinByLength
+    if (!spark.experimental.extraOptimizations.contains(rule))
+      spark.experimental.extraOptimizations =
+        spark.experimental.extraOptimizations :+ rule
+    val df = Seq("abc", "abcdefg", "ab").toDF("a")
+      .crossJoin(Seq("abcd").toDF("b"))
+      .filter(levenshtein(col("a"), col("b")) <= 1)
+    val opt = df.queryExecution.optimizedPlan.toString
+    assert(opt.contains("abs(") && opt.contains("length("), opt)
+    // the semantic-equality guard keeps exactly ONE injected bound
+    assert(opt.split("abs\\(").length == 2, opt)
+    // the bound is implied, so results are unchanged
+    assert(df.collect().map(_.getString(0)).toSeq === Seq("abc"))
+  }
+
   test("fuzzy_match verifies inside hash-joined blocks, never a nested loop") {
     val p = planOf("fuzzy_match")
     assert(!p.contains("BroadcastNestedLoopJoin") &&
