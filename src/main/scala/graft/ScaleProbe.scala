@@ -112,8 +112,12 @@ object ScaleProbe {
     // that THIS case stays linear: cost is O(total spans) whatever the
     // duplication level (a pair-based formulation would square).
     time("spanDedup (10x corpus, every span 10-way duplicated)") {
+      // one aggregate action — two separate counts would run (and
+      // time) the whole pipeline twice
       val r = operators.Dedup.spanDedup(spark, dup)
-      println(s"  dup-span docs: ${r.filter(col("dup_span_frac") > 0).count()} of ${r.count()}")
+        .agg(sum(when(col("dup_span_frac") > 0, 1L).otherwise(0L)),
+          count(lit(1))).collect().head
+      println(s"  dup-span docs: ${r.getLong(0)} of ${r.getLong(1)}")
     }
 
     // CDC store: fold the full event changelog into a 16-bucket store,

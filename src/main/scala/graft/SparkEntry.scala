@@ -189,18 +189,15 @@ object SparkEntry {
   private val dToks =
     """list_filter(string_split_regex(lower(text), '\s+'), t -> len(t) > 0)"""
 
-  private val dShingles =
-    """CASE WHEN len(ts) < 3 THEN []
-            ELSE [ts[i]||' '||ts[i+1]||' '||ts[i+2]
-                  for i in range(1, len(ts)-1)] END"""
-
-  /** `n`-token word shingles over a token list `ts` (general form of
-    * [[dShingles]]; DuckDB `range` upper bound is exclusive). */
+  /** `n`-token word shingles over a token list `ts` (DuckDB `range`
+    * upper bound is exclusive). */
   private def dShinglesN(n: Int): String = {
     val joined = (0 until n).map(j => s"ts[i+$j]").mkString("||' '||")
     s"""CASE WHEN len(ts) < $n THEN []
             ELSE [$joined for i in range(1, len(ts)-${n - 2})] END"""
   }
+
+  private val dShingles = dShinglesN(3)
 
   /** Per-doc distinct `n`-token span hashes — shared CTE prefix of the
     * span-granular dedup/decontamination oracles. Ends in
@@ -664,9 +661,9 @@ object SparkEntry {
            FROM hourly GROUP BY 1),
          st AS (SELECT event_type,
                        CAST(s1 AS DOUBLE) / n_hours AS mean,
-                       sqrt((CAST(s2 AS DOUBLE) -
+                       sqrt(GREATEST((CAST(s2 AS DOUBLE) -
                              CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE) / n_hours)
-                            / (n_hours - 1)) AS std
+                            / (n_hours - 1), 0.0)) AS std
                 FROM stats)
          SELECT ws, event_type, CAST(hv AS DOUBLE) AS hv,
                 round((CAST(hv AS DOUBLE) - mean) / std, 4) AS z,

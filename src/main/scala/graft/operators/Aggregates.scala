@@ -194,9 +194,12 @@ object Aggregates {
         sum(col("hv") * col("hv")).as("s2"))
       .select(col("event_type"), col("n_hours"),
         (col("s1").cast("double") / col("n_hours")).as("mean"),
-        sqrt((col("s2").cast("double") -
+        // greatest(0): constant hourly volumes make the one-pass
+        // numerator a tiny NEGATIVE double (s2 - s1²/n ≈ -1e-19), and
+        // sqrt of that is NaN here but a hard error in the oracle
+        sqrt(greatest((col("s2").cast("double") -
           col("s1").cast("double") * col("s1").cast("double") / col("n_hours"))
-          / (col("n_hours") - 1)).as("std"))
+          / (col("n_hours") - 1), lit(0.0d))).as("std"))
     hourly.join(broadcast(stats), "event_type")
       .select(col("ws"), col("event_type"), col("hv").cast("double").as("hv"),
         round((col("hv").cast("double") - col("mean")) / col("std"), 4).as("z"))

@@ -100,10 +100,22 @@ object Cdc {
 
   // --------------------------------------- bucket-partitioned upsert store
 
+  /** Salt for the store's bucket hash — ONE definition feeding both the
+    * Column form ([[bucketOf]], write path) and the scalar form
+    * ([[bucketIdOf]], lookup path); a divergence between the two would
+    * silently read the wrong bucket. */
+  private val BucketSalt = "cdcb:"
+
   /** Deterministic key bucket for the partitioned snapshot store. */
   def bucketOf(key: Column, buckets: Int): Column =
-    pmod(graft.functions.Hash60.hash60(concat(lit("cdcb:"), key.cast("string"))),
+    pmod(graft.functions.Hash60.hash60(concat(lit(BucketSalt), key.cast("string"))),
       lit(buckets.toLong))
+
+  /** Driver-side scalar twin of [[bucketOf]] (same md5 prefix + salt —
+    * CdcSpec's lookup test pins the two paths agree). */
+  def bucketIdOf(key: String, buckets: Int): Long =
+    Math.floorMod(graft.functions.GraftHash.md5Prefix60(
+      (BucketSalt + key).getBytes("UTF-8")), buckets.toLong)
 
   /** Merge one changelog batch into a hash-bucket-partitioned snapshot
     * store — the upsert kernel behind the streaming CDC loop, and the
@@ -116,41 +128,66 @@ object Cdc {
     * The only driver-side read is the affected-bucket id list — bounded
     * by `buckets`, same budget class as the pipeline's 2-row HWM reads.
     * Each bucket is written to a dot-prefixed staging dir (invisible to
-    * partition discovery) then swapped in with delete+rename, so a
-    * crash mid-batch leaves the old bucket intact — and replaying the
-    * batch is a no-op merge: stale rows lose [[latestWins]], identical
-    * rows collapse, so at-least-once delivery cannot corrupt the store.
-    * Winning tombstones are RETAINED in the store (op='D' rows) —
-    * dropping them would let a late replay of a pre-delete update
-    * resurrect the key; readers filter them via [[currentSnapshot]]. */
+    * partition discovery) then swapped in rename-first: the OLD bucket
+    * is renamed aside, the staging dir renamed in, and only then is the
+    * old dir deleted — at every instant either the old or the new
+    * bucket exists, so a crash mid-swap never loses data (a leftover
+    * `.old_` dir is retried work, not a hole), and each rename's
+    * Boolean result is checked (Hadoop reports most failures that way,
+    * not by throwing). Replaying the batch is a no-op merge: stale rows
+    * lose [[latestWins]], identical rows collapse, so at-least-once
+    * delivery cannot corrupt the store. Winning tombstones are RETAINED
+    * in the store (op='D' rows) — dropping them would let a late replay
+    * of a pre-delete update resurrect the key; readers filter them via
+    * [[currentSnapshot]]. */
   def mergeIntoStore(batch: DataFrame, storeDir: String,
       buckets: Int = 16, batchId: Long = 0L): Unit = {
     val s = batch.sparkSession
+    // persist: the batch window feeds the affected-bucket collect AND
+    // every per-bucket merge — uncached, k affected buckets would
+    // re-run the whole-batch shuffle k+1 times (O(batch × buckets))
     val delta = latestWins(batch, Seq("user_id"), Seq("ts", "event_id"))
       .withColumn("bucket", bucketOf(col("user_id"), buckets))
-    val affected = delta.select("bucket").distinct()
-      .collect().map(_.getLong(0)).sorted
-    val hconf = s.sparkContext.hadoopConfiguration
-    val root = new org.apache.hadoop.fs.Path(storeDir)
-    val fs = root.getFileSystem(hconf)
-    affected.foreach { b =>
-      val dst = new org.apache.hadoop.fs.Path(root, s"bucket=$b")
-      val deltaB = delta.filter(col("bucket") === b).drop("bucket")
-      // allowMissingColumns = schema evolution: a batch may carry
-      // columns the snapshot predates (or drop ones it has) — the
-      // union fills nulls and the rewritten bucket adopts the merged
-      // schema, bucket by bucket as batches touch them
-      val merged =
-        if (fs.exists(dst))
-          latestWins(s.read.parquet(dst.toString)
-              .unionByName(deltaB, allowMissingColumns = true),
-            Seq("user_id"), Seq("ts", "event_id"))
-        else deltaB
-      val staging = new org.apache.hadoop.fs.Path(root, s".staging_${batchId}_$b")
-      merged.write.mode("overwrite").parquet(staging.toString)
-      if (fs.exists(dst)) fs.delete(dst, true)
-      fs.rename(staging, dst)
-    }
+      .persist()
+    try {
+      val affected = delta.select("bucket").distinct()
+        .collect().map(_.getLong(0)).sorted
+      val hconf = s.sparkContext.hadoopConfiguration
+      val root = new org.apache.hadoop.fs.Path(storeDir)
+      val fs = root.getFileSystem(hconf)
+      def renameOrFail(from: org.apache.hadoop.fs.Path,
+          to: org.apache.hadoop.fs.Path): Unit =
+        require(fs.rename(from, to), s"cdc store swap failed: $from -> $to")
+      affected.foreach { b =>
+        val dst = new org.apache.hadoop.fs.Path(root, s"bucket=$b")
+        val old = new org.apache.hadoop.fs.Path(root, s".old_$b")
+        // recover a prior crashed swap BEFORE reading the base: aside
+        // dir present with no live bucket = the crash hit between the
+        // two renames — restore it; with a live bucket = the crash hit
+        // after the swap completed — the aside copy is superseded
+        if (fs.exists(old)) {
+          if (!fs.exists(dst)) renameOrFail(old, dst)
+          else fs.delete(old, true)
+        }
+        val deltaB = delta.filter(col("bucket") === b).drop("bucket")
+        // allowMissingColumns = schema evolution: a batch may carry
+        // columns the snapshot predates (or drop ones it has) — the
+        // union fills nulls and the rewritten bucket adopts the merged
+        // schema, bucket by bucket as batches touch them
+        val merged =
+          if (fs.exists(dst))
+            latestWins(s.read.parquet(dst.toString)
+                .unionByName(deltaB, allowMissingColumns = true),
+              Seq("user_id"), Seq("ts", "event_id"))
+          else deltaB
+        val staging = new org.apache.hadoop.fs.Path(root, s".staging_${batchId}_$b")
+        merged.write.mode("overwrite").parquet(staging.toString)
+        val hadOld = fs.exists(dst)
+        if (hadOld) renameOrFail(dst, old)
+        renameOrFail(staging, dst)
+        if (hadOld) fs.delete(old, true)
+      }
+    } finally delta.unpersist()
   }
 
   /** Read the live snapshot out of a [[mergeIntoStore]] store: partition
@@ -170,8 +207,7 @@ object Cdc {
     * key-value get that touches 1/`buckets` of the snapshot. */
   def lookup(spark: SparkSession, storeDir: String, userId: Long,
       buckets: Int = 16): DataFrame = {
-    val b = Math.floorMod(graft.functions.GraftHash.md5Prefix60(
-      s"cdcb:$userId".getBytes("UTF-8")), buckets.toLong)
+    val b = bucketIdOf(userId.toString, buckets)
     spark.read.option("mergeSchema", "true").parquet(storeDir)
       .filter(col("bucket") === b && col("user_id") === userId &&
         col("op") =!= "D")

@@ -35,9 +35,14 @@ object PushFilterThroughAsOfJoin extends Rule[LogicalPlan] with PredicateHelper 
   * across optimizer iterations. */
 object PruneLevenshteinByLength extends Rule[LogicalPlan] with PredicateHelper {
   private def bound(e: Expression): Option[Expression] = e match {
-    case LessThanOrEqual(Levenshtein(a, b, None), k: Literal) =>
+    // deterministic only: the bound re-evaluates a and b, which would
+    // observe different values from a nondeterministic argument (the
+    // same guard stock predicate-pushdown rules apply)
+    case LessThanOrEqual(Levenshtein(a, b, None), k: Literal)
+        if a.deterministic && b.deterministic =>
       Some(LessThanOrEqual(Abs(Subtract(Length(a), Length(b))), k))
-    case LessThan(Levenshtein(a, b, None), k: Literal) =>
+    case LessThan(Levenshtein(a, b, None), k: Literal)
+        if a.deterministic && b.deterministic =>
       Some(LessThan(Abs(Subtract(Length(a), Length(b))), k))
     case _ => None
   }

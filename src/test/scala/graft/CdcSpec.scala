@@ -120,6 +120,35 @@ class CdcSpec extends AnyFunSuite {
     assert(evolved(1L) === None && evolved.size === 4)
   }
 
+  test("store swap recovery: an interrupted rename restores before merging") {
+    import spark.implicits._
+    def tss(s: String) = Timestamp.valueOf(s)
+    val store = Files.createTempDirectory("cdcrecover").toString
+    val bId = Cdc.bucketIdOf("1", 4)
+    // a second key in the SAME bucket — its survival proves the
+    // restored base was read, not just the new batch
+    val mate = (2L to 200L).find(k => Cdc.bucketIdOf(k.toString, 4) == bId).get
+    val b1 = Seq(
+      (1L, tss("2024-01-01 10:00:00"), 1L, "I", "signup", 1.0),
+      (mate, tss("2024-01-01 11:00:00"), 2L, "I", "signup", 2.0))
+      .toDF("user_id", "ts", "event_id", "op", "last_type", "last_value")
+    Cdc.mergeIntoStore(b1, store, buckets = 4, batchId = 0L)
+    // simulate the crash window: live bucket renamed aside, not yet
+    // replaced — exactly the state between mergeIntoStore's two renames
+    val root = new org.apache.hadoop.fs.Path(store)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    assert(fs.rename(new org.apache.hadoop.fs.Path(root, s"bucket=$bId"),
+      new org.apache.hadoop.fs.Path(root, s".old_$bId")))
+    val b2 = Seq((1L, tss("2024-01-02 10:00:00"), 3L, "U", "click", 9.0))
+      .toDF("user_id", "ts", "event_id", "op", "last_type", "last_value")
+    Cdc.mergeIntoStore(b2, store, buckets = 4, batchId = 1L)
+    val snap = Cdc.currentSnapshot(spark, store)
+      .select("user_id", "last_type").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toMap
+    assert(snap(1L) === "click")     // new batch applied
+    assert(snap(mate) === "signup")  // restored base survived the crash
+  }
+
   test("SCD2 intervals chain: valid_to = next valid_from, one current row per key") {
     val h = Cdc.scdHistory(spark, fixtureDir).collect()
     val byUser = h.groupBy(_.getLong(0))
