@@ -183,4 +183,37 @@ class PropertySpec extends AnyFunSuite {
       assert(banded == plain, s"radius $radius")
     }
   }
+
+  test("CDC fold laws: split-anywhere associativity and replay idempotence") {
+    import spark.implicits._
+    import graft.operators.Cdc
+    // random keyed changelogs: few keys so supersede/delete chains occur
+    val evGen = Gen.listOfN(24, Gen.zip(
+      Gen.chooseNum(1L, 5L),   // user_id
+      Gen.chooseNum(0L, 40L),  // coarse ts (collisions likely)
+      Gen.oneOf("I", "U", "D")))
+    forSamples(Gen.zip(evGen, Gen.chooseNum(1, 23)), 12) { case (evs, cut) =>
+      val rows = evs.zipWithIndex.map { case ((u, t, op), i) =>
+        (u, new java.sql.Timestamp(86400000L + t * 60000L), i.toLong, op,
+          s"type$op", i.toDouble)
+      }
+      def df(xs: Seq[(Long, java.sql.Timestamp, Long, String, String, Double)]) =
+        xs.toDF("user_id", "ts", "event_id", "op", "last_type", "last_value")
+      def canon(d: org.apache.spark.sql.DataFrame) =
+        d.select("user_id", "event_id").collect()
+          .map(r => (r.getLong(0), r.getLong(1))).toSet
+      val whole = Cdc.applyChangelog(
+        df(rows).limit(0), df(rows))
+      // associativity: folding any prefix to a snapshot first, then
+      // applying the suffix, equals one fold over the whole stream
+      val (pre, post) = rows.splitAt(cut)
+      val base = Cdc.latestWins(df(pre), Seq("user_id"), Seq("ts", "event_id"))
+      val merged = Cdc.applyChangelog(base, df(post))
+      assert(canon(merged) === canon(whole), s"cut=$cut")
+      // idempotence: replaying the whole stream over the fold changes nothing
+      val folded = Cdc.latestWins(df(rows), Seq("user_id"), Seq("ts", "event_id"))
+      val replayed = Cdc.applyChangelog(folded, df(rows))
+      assert(canon(replayed) === canon(whole))
+    }
+  }
 }
