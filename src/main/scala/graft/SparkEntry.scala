@@ -93,6 +93,8 @@ object SparkEntry {
     "text_term_freq"     -> (TextAnalysis.termFrequencies _),
     "approx_top_terms"   -> ((s: SparkSession, d: String) => TextAnalysis.approxTopTerms(s, d)),
     "text_fingerprint"   -> (TextAnalysis.fingerprints _),
+    "inverted_index"     -> ((s: SparkSession, d: String) => Retrieval.invertedIndex(s, d)),
+    "bm25_search"        -> ((s: SparkSession, d: String) => Retrieval.bm25Search(s, d)),
     "doc_chunks"         -> ((s: SparkSession, d: String) => TextAnalysis.docChunks(s, d)),
     "vocab_coverage"     -> ((s: SparkSession, d: String) => TextAnalysis.vocabCoverage(s, d)),
     "dedup_keep_best"    -> (Components.dedupKeepBest _),
@@ -1470,6 +1472,34 @@ object SparkEntry {
          FROM split s LEFT JOIN per USING (doc_id)
          WHERE s.split <> 'train'
          ORDER BY doc_id""",
+    "inverted_index" ->
+      s"""WITH toks AS (SELECT doc_id, $dToks AS ts FROM documents),
+         tok AS (SELECT doc_id, unnest(list_distinct(ts)) AS token FROM toks),
+         idx AS (SELECT token, count(*) AS df,
+                        (list_sort(list(doc_id)))[1:20] AS postings
+                 FROM tok GROUP BY 1)
+         SELECT token, df, postings FROM idx
+         ORDER BY df DESC, token LIMIT 50""",
+    "bm25_search" ->
+      s"""WITH toks AS (SELECT doc_id, $dToks AS ts FROM documents),
+         tok AS (SELECT doc_id, unnest(ts) AS token FROM toks),
+         dl AS (SELECT doc_id, count(*) AS dl FROM tok GROUP BY 1),
+         stats AS (SELECT (SELECT count(*) FROM documents) AS n_docs,
+                          (SELECT avg(dl) FROM dl) AS avgdl),
+         tf AS (SELECT doc_id, token, count(*) AS tf FROM tok
+                WHERE token IN ('hash', 'join', 'scan') GROUP BY 1, 2),
+         dfreq AS (SELECT token, count(*) AS df FROM tf GROUP BY 1),
+         per AS (SELECT tf.doc_id, count(*) AS n_terms,
+                        sum(round(
+                          ln((n_docs - df + 0.5) / (df + 0.5) + 1.0) *
+                          (tf * (1.2 + 1.0)) /
+                          (tf + 1.2 * (1.0 - 0.75 + 0.75 * dl / avgdl)),
+                          8)) AS s
+                 FROM tf JOIN dfreq USING (token) JOIN dl USING (doc_id)
+                 CROSS JOIN stats
+                 GROUP BY 1)
+         SELECT doc_id, n_terms, round(s, 6) AS score
+         FROM per ORDER BY score DESC, doc_id LIMIT 20""",
     "unigram_logprob" ->
       s"""WITH toks AS (SELECT doc_id, $dToks AS ts FROM documents),
          tok AS (SELECT doc_id, unnest(ts) AS token FROM toks),

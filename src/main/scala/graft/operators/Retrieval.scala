@@ -1,0 +1,79 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+import graft.functions.{TextFunctions => T}
+import graft.functions.BottomK.bottom_k
+
+/** Text retrieval over the document corpus (E16): inverted-index
+  * construction and BM25 ranking — the index-side complement of the
+  * similarity/ANN family (what a corpus search or RAG pre-filter runs
+  * on before any embedding model is involved).
+  *
+  * Scale shape: both ops are one tokenize scan plus hash aggregates.
+  * The index's posting lists are built with the custom [[graft
+  * .functions.BottomK]] aggregate — O(k) state per token, mergeable —
+  * so a stopword's millions of matching docs cost the same bounded
+  * state as a rare term's handful (an unbounded `collect_list` would
+  * OOM exactly on the hottest tokens). BM25 filters the token stream
+  * to the query's terms BEFORE any shuffle, so per-query cost is
+  * O(matching postings), plus two small corpus-constant aggregates
+  * (N, avgdl) that memoize naturally per dataset.
+  */
+object Retrieval {
+
+  /** Harness query `inverted_index`: token → document frequency + the
+    * first `maxPostings` doc ids (ascending — the classic posting-list
+    * prefix). Top 50 tokens by df, ties broken by token. */
+  def invertedIndex(spark: SparkSession, dir: String,
+      maxPostings: Int = 20, topTokens: Int = 50): DataFrame =
+    Tables.load(spark, dir, "documents")
+      .select(col("doc_id"),
+        explode(array_distinct(T.tokens(col("text")))).as("token"))
+      .groupBy("token")
+      .agg(count(lit(1)).as("df"),
+        // bottom_k sorts its string key lexicographically — zero-pad
+        // the id so lexicographic == numeric ascending
+        bottom_k(struct(lpad(col("doc_id").cast("string"), 12, "0")
+          .as("sort_key"), col("doc_id").as("id")), maxPostings).as("bk"))
+      .select(col("token"), col("df"),
+        transform(col("bk"), e => e.getField("id")).as("postings"))
+      .orderBy(col("df").desc, col("token"))
+      .limit(topTokens)
+
+  /** BM25 parameters (the standard Robertson defaults). */
+  private val K1 = 1.2d
+  private val B = 0.75d
+
+  /** Harness query `bm25_search`: rank documents for a literal term
+    * query with BM25 (k1=1.2, b=0.75, idf = ln((N-df+0.5)/(df+0.5)+1)).
+    * Per-term scores round to 8 decimals before the per-doc sum so the
+    * cross-engine hash holds (same discipline as unigram_logprob);
+    * top 20 by (rounded score desc, doc_id). */
+  def bm25Search(spark: SparkSession, dir: String,
+      query: Seq[String] = Seq("hash", "join", "scan"),
+      topK: Int = 20): DataFrame = {
+    val docs = Tables.load(spark, dir, "documents")
+    val toks = docs.select(col("doc_id"),
+      explode(T.tokens(col("text"))).as("token"))
+    val dl = toks.groupBy("doc_id").agg(count(lit(1)).as("dl"))
+    val stats = docs.agg(count(lit(1)).as("n_docs"))
+      .crossJoin(broadcast(dl.agg(avg(col("dl")).as("avgdl"))))
+    val tf = toks.filter(col("token").isin(query: _*))
+      .groupBy("doc_id", "token").agg(count(lit(1)).as("tf"))
+    val dfreq = tf.groupBy("token").agg(count(lit(1)).as("df"))
+    val termScore = round(
+      log((col("n_docs") - col("df") + 0.5d) / (col("df") + 0.5d) + 1.0d) *
+        (col("tf") * (K1 + 1.0d)) /
+        (col("tf") + lit(K1) * (lit(1.0d - B) + lit(B) * col("dl") / col("avgdl"))), 8)
+    tf.join(broadcast(dfreq), "token")
+      .join(dl, "doc_id")
+      .crossJoin(broadcast(stats))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_terms"), sum(termScore).as("s"))
+      .select(col("doc_id"), col("n_terms"), round(col("s"), 6).as("score"))
+      .orderBy(col("score").desc, col("doc_id"))
+      .limit(topK)
+  }
+}

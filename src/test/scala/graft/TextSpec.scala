@@ -196,6 +196,32 @@ class TextSpec extends AnyFunSuite {
     }
   }
 
+  test("invertedIndex: postings ascending, bounded, never exceed df") {
+    val rows = graft.operators.Retrieval.invertedIndex(spark, TestSpark.sf)
+      .collect()
+    assert(rows.nonEmpty && rows.length <= 50)
+    val dfs = rows.map(_.getAs[Long]("df")).toSeq
+    assert(dfs === dfs.sorted.reverse)
+    rows.foreach { r =>
+      val p = r.getAs[scala.collection.Seq[Long]]("postings")
+      assert(p.length <= 20 && p.length <= r.getAs[Long]("df"))
+      assert(p == p.sorted && p.distinct.length == p.length)
+    }
+  }
+
+  test("bm25Search: positive descending scores, term counts bounded by query") {
+    val rows = graft.operators.Retrieval.bm25Search(spark, TestSpark.sf)
+      .collect()
+    assert(rows.nonEmpty && rows.length <= 20)
+    val scores = rows.map(_.getAs[Double]("score")).toSeq
+    assert(scores === scores.sorted.reverse)
+    rows.foreach { r =>
+      assert(r.getAs[Double]("score") > 0.0)
+      val nt = r.getAs[Long]("n_terms")
+      assert(nt >= 1L && nt <= 3L)
+    }
+  }
+
   test("unigramLogprob: negative scores, token counts agree with tokenCounts") {
     val lp = graft.operators.TextAnalysis.unigramLogprob(spark, TestSpark.sf)
     val tc = graft.operators.TextAnalysis.tokenCounts(spark, TestSpark.sf)
