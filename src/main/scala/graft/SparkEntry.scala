@@ -95,6 +95,7 @@ object SparkEntry {
     "text_fingerprint"   -> (TextAnalysis.fingerprints _),
     "inverted_index"     -> ((s: SparkSession, d: String) => Retrieval.invertedIndex(s, d)),
     "bm25_search"        -> ((s: SparkSession, d: String) => Retrieval.bm25Search(s, d)),
+    "phrase_search"      -> ((s: SparkSession, d: String) => Retrieval.phraseSearch(s, d)),
     "doc_chunks"         -> ((s: SparkSession, d: String) => TextAnalysis.docChunks(s, d)),
     "vocab_coverage"     -> ((s: SparkSession, d: String) => TextAnalysis.vocabCoverage(s, d)),
     "dedup_keep_best"    -> (Components.dedupKeepBest _),
@@ -1500,6 +1501,22 @@ object SparkEntry {
                  GROUP BY 1)
          SELECT doc_id, n_terms, round(s, 6) AS score
          FROM per ORDER BY score DESC, doc_id LIMIT 20""",
+    "phrase_search" ->
+      s"""WITH toks AS (SELECT doc_id, $dToks AS ts FROM documents),
+         pos AS (SELECT doc_id,
+                   [i for i in range(1, len(ts) + 1) if ts[i] = 'hash']
+                     AS p1,
+                   [i for i in range(1, len(ts) + 1) if ts[i] = 'join']
+                     AS p2
+                 FROM toks),
+         hits AS (SELECT doc_id,
+                    CAST(len(list_intersect(
+                      list_transform(p1, x -> x + 1), p2)) AS BIGINT)
+                      AS n_occurrences
+                  FROM pos)
+         SELECT doc_id, n_occurrences FROM hits
+         WHERE n_occurrences > 0
+         ORDER BY n_occurrences DESC, doc_id LIMIT 20""",
     "unigram_logprob" ->
       s"""WITH toks AS (SELECT doc_id, $dToks AS ts FROM documents),
          tok AS (SELECT doc_id, unnest(ts) AS token FROM toks),

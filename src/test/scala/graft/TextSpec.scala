@@ -222,6 +222,25 @@ class TextSpec extends AnyFunSuite {
     }
   }
 
+  test("phraseSearch counts exact adjacent occurrences, ignores bags") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("phrasefix").toString
+    Seq(
+      (1L, "hash join hash join twice", "en", "s"),
+      (2L, "one hash join here", "en", "s"),
+      (3L, "join hash reversed never matches", "en", "s"),
+      (4L, "hash alone and join apart", "en", "s"),
+      (5L, "", "en", "s"))
+      .toDF("doc_id", "text", "lang", "source")
+      .withColumn("n_chars", length(col("text")))
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val got = graft.operators.Retrieval.phraseSearch(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    // doc 3 has both tokens but never adjacent in order; 4 has them
+    // apart; 5 is empty — only 1 (twice) and 2 (once) match
+    assert(got === Seq((1L, 2L), (2L, 1L)))
+  }
+
   test("unigramLogprob: negative scores, token counts agree with tokenCounts") {
     val lp = graft.operators.TextAnalysis.unigramLogprob(spark, TestSpark.sf)
     val tc = graft.operators.TextAnalysis.tokenCounts(spark, TestSpark.sf)
