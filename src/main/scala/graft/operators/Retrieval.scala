@@ -42,33 +42,24 @@ object Retrieval {
       .orderBy(col("df").desc, col("token"))
       .limit(topTokens)
 
-  /** 1-based positions of `term` in a token-array column (empty-array
-    * guard: `sequence(1, 0)` would DESCEND and index 0 out of bounds
-    * under ANSI). */
-  private def positionsOf(ts: org.apache.spark.sql.Column, term: String) =
-    when(size(ts) === 0, array().cast("array<int>"))
-      .otherwise(filter(sequence(lit(1), size(ts)),
-        i => element_at(ts, i) === term))
-
   /** Harness query `phrase_search`: exact adjacent-token phrase
     * matching ("hash join" as a phrase, not a bag) — the positional
-    * step BM25 can't express. Per doc: the two terms' position lists
-    * (filter over an index sequence against the LET-BOUND token array
-    * — an attribute reference, so the lambda does not re-tokenize per
-    * index), then `|(p1+1) ∩ p2|` counts adjacent occurrences. A pure
-    * narrow map + TakeOrderedAndProject: no shuffle at all before the
-    * final top-k, O(corpus scan) whatever the phrase frequency. */
+    * semantics BM25 can't express. An occurrence of a 2-term phrase IS
+    * a matching word 2-shingle, so the count rides
+    * [[T.wordShingles]] — whose internal let-binding makes this O(L)
+    * per doc (a first cut filtered an index `sequence` over a
+    * `ts` column from the previous select: CollapseProject substituted
+    * the tokenize back into EVERY element_at — the O(L²) HOF-recompute
+    * trap, measured 6.9 s vs 0.3 s at sf0.1). A pure narrow map +
+    * TakeOrderedAndProject: zero shuffles before the top-k. */
   def phraseSearch(spark: SparkSession, dir: String,
       first: String = "hash", second: String = "join",
       topK: Int = 20): DataFrame =
     Tables.load(spark, dir, "documents")
-      .select(col("doc_id"), T.tokens(col("text")).as("ts"))
       .select(col("doc_id"),
-        positionsOf(col("ts"), first).as("p1"),
-        positionsOf(col("ts"), second).as("p2"))
-      .select(col("doc_id"),
-        size(array_intersect(transform(col("p1"), _ + 1), col("p2")))
-          .cast("long").as("n_occurrences"))
+        size(filter(T.wordShingles(col("text"), 2),
+          s => s === lit(s"$first $second"))).cast("long")
+          .as("n_occurrences"))
       .filter(col("n_occurrences") > 0)
       .orderBy(col("n_occurrences").desc, col("doc_id"))
       .limit(topK)
