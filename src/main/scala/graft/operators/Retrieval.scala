@@ -33,9 +33,11 @@ object Retrieval {
         explode(array_distinct(T.tokens(col("text")))).as("token"))
       .groupBy("token")
       .agg(count(lit(1)).as("df"),
-        // bottom_k sorts its string key lexicographically — zero-pad
-        // the id so lexicographic == numeric ascending
-        bottom_k(struct(lpad(col("doc_id").cast("string"), 12, "0")
+        // bottom_k sorts its string key lexicographically — zero-pad to
+        // 19 digits (every non-negative long fits untruncated) so
+        // lexicographic == numeric ascending; doc ids are non-negative
+        // by the corpus contract (negative ids would sort by '-' first)
+        bottom_k(struct(lpad(col("doc_id").cast("string"), 19, "0")
           .as("sort_key"), col("doc_id").as("id")), maxPostings).as("bk"))
       .select(col("token"), col("df"),
         transform(col("bk"), e => e.getField("id")).as("postings"))
@@ -50,7 +52,7 @@ object Retrieval {
     * per doc (a first cut filtered an index `sequence` over a
     * `ts` column from the previous select: CollapseProject substituted
     * the tokenize back into EVERY element_at — the O(L²) HOF-recompute
-    * trap, measured 6.9 s vs 0.3 s at sf0.1). A pure narrow map +
+    * trap, measured 6.9 s vs 0.50 s at sf0.1). A pure narrow map +
     * TakeOrderedAndProject: zero shuffles before the top-k. */
   def phraseSearch(spark: SparkSession, dir: String,
       first: String = "hash", second: String = "join",
@@ -72,14 +74,25 @@ object Retrieval {
     * query with BM25 (k1=1.2, b=0.75, idf = ln((N-df+0.5)/(df+0.5)+1)).
     * Per-term scores round to 8 decimals before the per-doc sum so the
     * cross-engine hash holds (same discipline as unigram_logprob);
-    * top 20 by (rounded score desc, doc_id). */
+    * top 20 by (rounded score desc, doc_id).
+    *
+    * Cost shape: the per-doc length table is MEMOIZED per dataset
+    * (`doclen` — the corpus tokenize for lengths runs once ever, and
+    * avgdl reads the memo), the query tokenize filters to query terms
+    * before its aggregate, and the doc-length join streams the narrow
+    * memo scan against the BROADCAST scored side — per-query shuffles
+    * are bounded by matching postings; the remaining per-query corpus
+    * work is the one tf tokenize scan, which a production deployment
+    * replaces by probing the materialized [[invertedIndex]]. */
   def bm25Search(spark: SparkSession, dir: String,
       query: Seq[String] = Seq("hash", "join", "scan"),
       topK: Int = 20): DataFrame = {
     val docs = Tables.load(spark, dir, "documents")
     val toks = docs.select(col("doc_id"),
       explode(T.tokens(col("text"))).as("token"))
-    val dl = toks.groupBy("doc_id").agg(count(lit(1)).as("dl"))
+    val dl = Memo.table(spark, dir, "doclen") {
+      toks.groupBy("doc_id").agg(count(lit(1)).as("dl"))
+    }
     val stats = docs.agg(count(lit(1)).as("n_docs"))
       .crossJoin(broadcast(dl.agg(avg(col("dl")).as("avgdl"))))
     val tf = toks.filter(col("token").isin(query: _*))
@@ -89,9 +102,9 @@ object Retrieval {
       log((col("n_docs") - col("df") + 0.5d) / (col("df") + 0.5d) + 1.0d) *
         (col("tf") * (K1 + 1.0d)) /
         (col("tf") + lit(K1) * (lit(1.0d - B) + lit(B) * col("dl") / col("avgdl"))), 8)
-    tf.join(broadcast(dfreq), "token")
-      .join(dl, "doc_id")
+    val scored = tf.join(broadcast(dfreq), "token")
       .crossJoin(broadcast(stats))
+    dl.join(broadcast(scored), "doc_id")
       .groupBy("doc_id")
       .agg(count(lit(1)).as("n_terms"), sum(termScore).as("s"))
       .select(col("doc_id"), col("n_terms"), round(col("s"), 6).as("score"))
