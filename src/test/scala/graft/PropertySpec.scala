@@ -184,6 +184,24 @@ class PropertySpec extends AnyFunSuite {
     }
   }
 
+  test("CDC bucket hash: Column and driver-side scalar paths agree") {
+    import spark.implicits._
+    import graft.operators.Cdc
+    // the write path buckets with the Catalyst expression, the lookup
+    // path with the JVM scalar — a divergence silently reads the
+    // wrong bucket, so pin them equal across random keys and widths
+    forSamples(Gen.zip(Gen.listOfN(50, Gen.chooseNum(0L, Long.MaxValue)),
+      Gen.oneOf(4, 16, 64)), 6) { case (keys, buckets) =>
+      val viaColumn = keys.toDF("k")
+        .select(col("k"), Cdc.bucketOf(col("k"), buckets).as("b"))
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      keys.foreach { k =>
+        assert(viaColumn(k) === Cdc.bucketIdOf(k.toString, buckets),
+          s"key $k buckets=$buckets")
+      }
+    }
+  }
+
   test("CDC fold laws: split-anywhere associativity and replay idempotence") {
     import spark.implicits._
     import graft.operators.Cdc
