@@ -95,7 +95,9 @@ object SparkEntry {
     "text_fingerprint"   -> (TextAnalysis.fingerprints _),
     "inverted_index"     -> ((s: SparkSession, d: String) => Retrieval.invertedIndex(s, d)),
     "bm25_search"        -> ((s: SparkSession, d: String) => Retrieval.bm25Search(s, d)),
+    "bm25_from_index"    -> ((s: SparkSession, d: String) => Retrieval.bm25FromIndex(s, d)),
     "phrase_search"      -> ((s: SparkSession, d: String) => Retrieval.phraseSearch(s, d)),
+    "phrase_from_index"  -> ((s: SparkSession, d: String) => Retrieval.phraseFromIndex(s, d)),
     "doc_chunks"         -> ((s: SparkSession, d: String) => TextAnalysis.docChunks(s, d)),
     "vocab_coverage"     -> ((s: SparkSession, d: String) => TextAnalysis.vocabCoverage(s, d)),
     "dedup_keep_best"    -> (Components.dedupKeepBest _),
@@ -404,6 +406,48 @@ object SparkEntry {
               bit_xor(${dH60(s"($canon)")}) AS checksum
        FROM feed GROUP BY entity ORDER BY entity"""
   }
+
+  /** Shared by bm25_search (full-scan) and bm25_from_index (served from
+    * the materialized postings memo): same ranking by construction. */
+  private val dBm25Sql: String =
+    s"""WITH toks AS (SELECT doc_id, $dToks AS ts FROM documents),
+       tok AS (SELECT doc_id, unnest(ts) AS token FROM toks),
+       dl AS (SELECT doc_id, count(*) AS dl FROM tok GROUP BY 1),
+       stats AS (SELECT (SELECT count(*) FROM documents) AS n_docs,
+                        (SELECT avg(dl) FROM dl) AS avgdl),
+       tf AS (SELECT doc_id, token, count(*) AS tf FROM tok
+              WHERE token IN ('hash', 'join', 'scan') GROUP BY 1, 2),
+       dfreq AS (SELECT token, count(*) AS df FROM tf GROUP BY 1),
+       per AS (SELECT tf.doc_id, count(*) AS n_terms,
+                      sum(round(
+                        ln((n_docs - df + 0.5) / (df + 0.5) + 1.0) *
+                        (tf * (1.2 + 1.0)) /
+                        (tf + 1.2 * (1.0 - 0.75 + 0.75 * dl / avgdl)),
+                        8)) AS s
+               FROM tf JOIN dfreq USING (token) JOIN dl USING (doc_id)
+               CROSS JOIN stats
+               GROUP BY 1)
+       SELECT doc_id, n_terms, round(s, 6) AS score
+       FROM per ORDER BY score DESC, doc_id LIMIT 20"""
+
+  /** Shared by phrase_search (full-scan) and phrase_from_index (served
+    * from the positional-postings memo). */
+  private val dPhraseSql: String =
+    s"""WITH toks AS (SELECT doc_id, $dToks AS ts FROM documents),
+       pos AS (SELECT doc_id,
+                 [i for i in range(1, len(ts) + 1) if ts[i] = 'hash']
+                   AS p1,
+                 [i for i in range(1, len(ts) + 1) if ts[i] = 'join']
+                   AS p2
+               FROM toks),
+       hits AS (SELECT doc_id,
+                  CAST(len(list_intersect(
+                    list_transform(p1, x -> x + 1), p2)) AS BIGINT)
+                    AS n_occurrences
+                FROM pos)
+       SELECT doc_id, n_occurrences FROM hits
+       WHERE n_occurrences > 0
+       ORDER BY n_occurrences DESC, doc_id LIMIT 20"""
 
   def oracleSql: Map[String, String] = Map(
     "backfill_scan" ->
@@ -1477,46 +1521,19 @@ object SparkEntry {
       s"""WITH toks AS (SELECT doc_id, $dToks AS ts FROM documents),
          tok AS (SELECT doc_id, unnest(list_distinct(ts)) AS token FROM toks),
          idx AS (SELECT token, count(*) AS df,
-                        (list_sort(list(doc_id)))[1:20] AS postings
+                        array_to_string((list_sort(list(doc_id)))[1:20], ',')
+                          AS postings
                  FROM tok GROUP BY 1)
          SELECT token, df, postings FROM idx
          ORDER BY df DESC, token LIMIT 50""",
-    "bm25_search" ->
-      s"""WITH toks AS (SELECT doc_id, $dToks AS ts FROM documents),
-         tok AS (SELECT doc_id, unnest(ts) AS token FROM toks),
-         dl AS (SELECT doc_id, count(*) AS dl FROM tok GROUP BY 1),
-         stats AS (SELECT (SELECT count(*) FROM documents) AS n_docs,
-                          (SELECT avg(dl) FROM dl) AS avgdl),
-         tf AS (SELECT doc_id, token, count(*) AS tf FROM tok
-                WHERE token IN ('hash', 'join', 'scan') GROUP BY 1, 2),
-         dfreq AS (SELECT token, count(*) AS df FROM tf GROUP BY 1),
-         per AS (SELECT tf.doc_id, count(*) AS n_terms,
-                        sum(round(
-                          ln((n_docs - df + 0.5) / (df + 0.5) + 1.0) *
-                          (tf * (1.2 + 1.0)) /
-                          (tf + 1.2 * (1.0 - 0.75 + 0.75 * dl / avgdl)),
-                          8)) AS s
-                 FROM tf JOIN dfreq USING (token) JOIN dl USING (doc_id)
-                 CROSS JOIN stats
-                 GROUP BY 1)
-         SELECT doc_id, n_terms, round(s, 6) AS score
-         FROM per ORDER BY score DESC, doc_id LIMIT 20""",
-    "phrase_search" ->
-      s"""WITH toks AS (SELECT doc_id, $dToks AS ts FROM documents),
-         pos AS (SELECT doc_id,
-                   [i for i in range(1, len(ts) + 1) if ts[i] = 'hash']
-                     AS p1,
-                   [i for i in range(1, len(ts) + 1) if ts[i] = 'join']
-                     AS p2
-                 FROM toks),
-         hits AS (SELECT doc_id,
-                    CAST(len(list_intersect(
-                      list_transform(p1, x -> x + 1), p2)) AS BIGINT)
-                      AS n_occurrences
-                  FROM pos)
-         SELECT doc_id, n_occurrences FROM hits
-         WHERE n_occurrences > 0
-         ORDER BY n_occurrences DESC, doc_id LIMIT 20""",
+    // bm25_from_index / phrase_from_index are the index-served twins of
+    // bm25_search / phrase_search: same results by construction, so the
+    // oracle SQL is shared (the index is a Spark-side materialization
+    // detail DuckDB doesn't need to model).
+    "bm25_from_index" -> dBm25Sql,
+    "phrase_from_index" -> dPhraseSql,
+    "bm25_search" -> dBm25Sql,
+    "phrase_search" -> dPhraseSql,
     "unigram_logprob" ->
       s"""WITH toks AS (SELECT doc_id, $dToks AS ts FROM documents),
          tok AS (SELECT doc_id, unnest(ts) AS token FROM toks),

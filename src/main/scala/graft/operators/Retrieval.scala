@@ -25,7 +25,10 @@ object Retrieval {
 
   /** Harness query `inverted_index`: token → document frequency + the
     * first `maxPostings` doc ids (ascending — the classic posting-list
-    * prefix). Top 50 tokens by df, ties broken by token. */
+    * prefix), joined to one comma-separated string: the harness compare
+    * sorts/hashes rows through a scalar-typed path, so a top-level
+    * array column would be unorderable there. Top 50 tokens by df,
+    * ties broken by token. */
   def invertedIndex(spark: SparkSession, dir: String,
       maxPostings: Int = 20, topTokens: Int = 50): DataFrame =
     Tables.load(spark, dir, "documents")
@@ -40,7 +43,9 @@ object Retrieval {
         bottom_k(struct(lpad(col("doc_id").cast("string"), 19, "0")
           .as("sort_key"), col("doc_id").as("id")), maxPostings).as("bk"))
       .select(col("token"), col("df"),
-        transform(col("bk"), e => e.getField("id")).as("postings"))
+        concat_ws(",",
+          transform(col("bk"), e => e.getField("id").cast("string")))
+          .as("postings"))
       .orderBy(col("df").desc, col("token"))
       .limit(topTokens)
 
@@ -70,6 +75,53 @@ object Retrieval {
   private val K1 = 1.2d
   private val B = 0.75d
 
+  /** Per-doc token-length table, memoized per dataset: the corpus
+    * tokenize for lengths runs once ever; every BM25 variant and avgdl
+    * read the memo. */
+  def docLengths(spark: SparkSession, dir: String): DataFrame =
+    Memo.table(spark, dir, "doclen") {
+      Tables.load(spark, dir, "documents")
+        .select(col("doc_id"), explode(T.tokens(col("text"))).as("token"))
+        .groupBy("doc_id").agg(count(lit(1)).as("dl"))
+    }
+
+  /** Corpus-constant stats (doc count), memoized: BM25's N. Kept
+    * separate from [[docLengths]] so a corpus with token-less docs
+    * still counts them in N (the full-scan twin counts `documents`
+    * rows, not docs-with-tokens). */
+  def corpusStats(spark: SparkSession, dir: String): DataFrame =
+    Memo.table(spark, dir, "corpstats") {
+      Tables.load(spark, dir, "documents").agg(count(lit(1)).as("n_docs"))
+    }
+
+  /** FULL postings table — token → (doc_id, tf) — memoized per dataset:
+    * the materialized index a production deployment serves BM25 from.
+    * Unlike [[invertedIndex]]'s display prefix, this keeps every
+    * posting; state per aggregate group is one counter (the groupBy is
+    * partial-aggregating), and the memo parquet is laid out so a
+    * per-query `token IN (…)` filter pushes into the scan — per-query
+    * I/O is O(matching postings), zero corpus tokenizes. */
+  def postingsTable(spark: SparkSession, dir: String): DataFrame =
+    Memo.table(spark, dir, "postings") {
+      Tables.load(spark, dir, "documents")
+        .select(col("doc_id"), explode(T.tokens(col("text"))).as("token"))
+        .groupBy("token", "doc_id").agg(count(lit(1)).as("tf"))
+    }
+
+  /** POSITIONAL postings — token → (doc_id, sorted positions) —
+    * memoized per dataset: the phrase-query index. Aggregate state per
+    * (token, doc) group is that one document's occurrence list — bounded
+    * by a single doc's length, never corpus-wide (the collect_list OOM
+    * shape only appears when a group spans documents). */
+  def positionalPostings(spark: SparkSession, dir: String): DataFrame =
+    Memo.table(spark, dir, "positional") {
+      Tables.load(spark, dir, "documents")
+        .select(col("doc_id"),
+          posexplode(T.tokens(col("text"))).as(Seq("pos", "token")))
+        .groupBy("token", "doc_id")
+        .agg(sort_array(collect_list(col("pos"))).as("positions"))
+    }
+
   /** Harness query `bm25_search`: rank documents for a literal term
     * query with BM25 (k1=1.2, b=0.75, idf = ln((N-df+0.5)/(df+0.5)+1)).
     * Per-term scores round to 8 decimals before the per-doc sum so the
@@ -77,26 +129,46 @@ object Retrieval {
     * top 20 by (rounded score desc, doc_id).
     *
     * Cost shape: the per-doc length table is MEMOIZED per dataset
-    * (`doclen` — the corpus tokenize for lengths runs once ever, and
-    * avgdl reads the memo), the query tokenize filters to query terms
-    * before its aggregate, and the doc-length join streams the narrow
-    * memo scan against the BROADCAST scored side — per-query shuffles
-    * are bounded by matching postings; the remaining per-query corpus
-    * work is the one tf tokenize scan, which a production deployment
-    * replaces by probing the materialized [[invertedIndex]]. */
+    * ([[docLengths]] — the corpus tokenize for lengths runs once ever,
+    * and avgdl reads the memo) and the query tokenize filters to query
+    * terms before its aggregate; the remaining per-query corpus work is
+    * the one tf tokenize scan. This is kept as the full-scan ORACLE
+    * TWIN of [[bm25FromIndex]], which serves the same ranking from the
+    * materialized postings memo. */
   def bm25Search(spark: SparkSession, dir: String,
       query: Seq[String] = Seq("hash", "join", "scan"),
       topK: Int = 20): DataFrame = {
     val docs = Tables.load(spark, dir, "documents")
     val toks = docs.select(col("doc_id"),
       explode(T.tokens(col("text"))).as("token"))
-    val dl = Memo.table(spark, dir, "doclen") {
-      toks.groupBy("doc_id").agg(count(lit(1)).as("dl"))
-    }
-    val stats = docs.agg(count(lit(1)).as("n_docs"))
-      .crossJoin(broadcast(dl.agg(avg(col("dl")).as("avgdl"))))
     val tf = toks.filter(col("token").isin(query: _*))
       .groupBy("doc_id", "token").agg(count(lit(1)).as("tf"))
+    bm25Rank(spark, dir, tf, topK)
+  }
+
+  /** Harness query `bm25_from_index`: identical BM25 ranking, but the
+    * per-term tf comes from the MATERIALIZED [[postingsTable]] — the
+    * production path. The only per-query corpus touch is a pruned scan
+    * of the postings memo (`token IN (…)` pushes into parquet); the
+    * tokenize ran once at index-build time. Results must equal
+    * [[bm25Search]] (same oracle). */
+  def bm25FromIndex(spark: SparkSession, dir: String,
+      query: Seq[String] = Seq("hash", "join", "scan"),
+      topK: Int = 20): DataFrame = {
+    val tf = postingsTable(spark, dir).filter(col("token").isin(query: _*))
+    bm25Rank(spark, dir, tf, topK)
+  }
+
+  /** Shared BM25 scoring tail: `tf` = (doc_id, token, tf) for the query
+    * terms only, however it was obtained. dfreq/stats are tiny and
+    * broadcast; the scored→doc-length join is left to AQE (a forced
+    * broadcast of the scored side would be O(matching docs) — unbounded
+    * for a common term at 100 TB). */
+  private def bm25Rank(spark: SparkSession, dir: String, tf: DataFrame,
+      topK: Int): DataFrame = {
+    val dl = docLengths(spark, dir)
+    val stats = corpusStats(spark, dir)
+      .crossJoin(broadcast(dl.agg(avg(col("dl")).as("avgdl"))))
     val dfreq = tf.groupBy("token").agg(count(lit(1)).as("df"))
     val termScore = round(
       log((col("n_docs") - col("df") + 0.5d) / (col("df") + 0.5d) + 1.0d) *
@@ -104,11 +176,35 @@ object Retrieval {
         (col("tf") + lit(K1) * (lit(1.0d - B) + lit(B) * col("dl") / col("avgdl"))), 8)
     val scored = tf.join(broadcast(dfreq), "token")
       .crossJoin(broadcast(stats))
-    dl.join(broadcast(scored), "doc_id")
+    dl.join(scored, "doc_id")
       .groupBy("doc_id")
       .agg(count(lit(1)).as("n_terms"), sum(termScore).as("s"))
       .select(col("doc_id"), col("n_terms"), round(col("s"), 6).as("score"))
       .orderBy(col("score").desc, col("doc_id"))
+      .limit(topK)
+  }
+
+  /** Harness query `phrase_from_index`: the same adjacent-token phrase
+    * count as [[phraseSearch]], served from the [[positionalPostings]]
+    * memo: each term's postings are fetched by a pushed-down token
+    * filter, and an occurrence of "a b" at positions (i, i+1) is exactly
+    * a member of intersect(p_a + 1, p_b) — positions within a doc are
+    * distinct, so the intersection size IS the occurrence count. The
+    * per-query plan never touches `documents`. */
+  def phraseFromIndex(spark: SparkSession, dir: String,
+      first: String = "hash", second: String = "join",
+      topK: Int = 20): DataFrame = {
+    val p = positionalPostings(spark, dir)
+    val p1 = p.filter(col("token") === first)
+      .select(col("doc_id"), col("positions").as("p1"))
+    val p2 = p.filter(col("token") === second)
+      .select(col("doc_id"), col("positions").as("p2"))
+    p1.join(p2, "doc_id")
+      .select(col("doc_id"),
+        size(array_intersect(transform(col("p1"), x => x + 1), col("p2")))
+          .cast("long").as("n_occurrences"))
+      .filter(col("n_occurrences") > 0)
+      .orderBy(col("n_occurrences").desc, col("doc_id"))
       .limit(topK)
   }
 }

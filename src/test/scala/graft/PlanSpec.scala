@@ -80,6 +80,20 @@ class PlanSpec extends AnyFunSuite {
       s"documents scan in the verify stage is not candidate-pruned:\n$p")
   }
 
+  test("bm25_from_index serves from the postings memo, never documents") {
+    val p = planOf("bm25_from_index")
+    assert(p.contains("graft-memo-postings"), p)
+    assert(!p.contains("documents"),
+      s"per-query corpus scan leaked into the index-served path:\n$p")
+  }
+
+  test("phrase_from_index serves from the positional memo, never documents") {
+    val p = planOf("phrase_from_index")
+    assert(p.contains("graft-memo-positional"), p)
+    assert(!p.contains("documents"),
+      s"per-query corpus scan leaked into the index-served path:\n$p")
+  }
+
   test("bloom pruning filters the fact side BELOW the join") {
     val p = planOf("bloom_join_prune")
     val filterIdx = p.indexOf("bloom_might_contain")

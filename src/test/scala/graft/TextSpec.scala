@@ -203,10 +203,22 @@ class TextSpec extends AnyFunSuite {
     val dfs = rows.map(_.getAs[Long]("df")).toSeq
     assert(dfs === dfs.sorted.reverse)
     rows.foreach { r =>
-      val p = r.getAs[scala.collection.Seq[Long]]("postings")
+      // postings is a comma-joined string (scalar so the harness
+      // compare can sort/hash it); decode and check the prefix contract
+      val p = r.getAs[String]("postings").split(",").map(_.toLong).toSeq
       assert(p.length <= 20 && p.length <= r.getAs[Long]("df"))
       assert(p == p.sorted && p.distinct.length == p.length)
     }
+  }
+
+  test("index-served BM25 and phrase search equal their full-scan twins") {
+    val R = graft.operators.Retrieval
+    def rowsOf(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(_.toSeq).toSeq
+    assert(rowsOf(R.bm25FromIndex(spark, TestSpark.sf)) ===
+      rowsOf(R.bm25Search(spark, TestSpark.sf)))
+    assert(rowsOf(R.phraseFromIndex(spark, TestSpark.sf)) ===
+      rowsOf(R.phraseSearch(spark, TestSpark.sf)))
   }
 
   test("bm25Search: positive descending scores, term counts bounded by query") {
