@@ -127,25 +127,31 @@ object Cdc {
     *
     * The only driver-side read is the affected-bucket id list — bounded
     * by `buckets`, same budget class as the pipeline's 2-row HWM reads.
-    * Each bucket is written to a dot-prefixed staging dir (invisible to
-    * partition discovery) then swapped in rename-first: the OLD bucket
-    * is renamed aside, the staging dir renamed in, and only then is the
-    * old dir deleted — at every instant either the old or the new
-    * bucket exists, so a crash mid-swap never loses data (a leftover
-    * `.old_` dir is retried work, not a hole), and each rename's
-    * Boolean result is checked (Hadoop reports most failures that way,
-    * not by throwing). Replaying the batch is a no-op merge: stale rows
-    * lose [[latestWins]], identical rows collapse, so at-least-once
-    * delivery cannot corrupt the store. Winning tombstones are RETAINED
-    * in the store (op='D' rows) — dropping them would let a late replay
-    * of a pre-delete update resurrect the key; readers filter them via
+    * ALL affected buckets merge in ONE Spark job: the base read unions
+    * the affected bucket dirs (untouched buckets are never opened), the
+    * merged output lands `partitionBy("bucket")` under a dot-prefixed
+    * staging root (invisible to partition discovery), and only then
+    * does a driver loop swap each bucket in rename-first: the OLD
+    * bucket is renamed aside, the staging dir renamed in, and only then
+    * is the old dir deleted — at every instant either the old or the
+    * new bucket exists, so a crash mid-swap never loses data (a
+    * leftover `.old_` dir is retried work, not a hole), and each
+    * rename's Boolean result is checked (Hadoop reports most failures
+    * that way, not by throwing). The swaps are pure metadata ops, so a
+    * batch touching k buckets costs O(affected) I/O but O(1) Spark
+    * jobs — not the k sequential read→merge→write job round trips a
+    * per-bucket loop would pay (CdcSpec pins the job count constant in
+    * k). Replaying the batch is a no-op merge: stale rows lose
+    * [[latestWins]], identical rows collapse, so at-least-once delivery
+    * cannot corrupt the store. Winning tombstones are RETAINED in the
+    * store (op='D' rows) — dropping them would let a late replay of a
+    * pre-delete update resurrect the key; readers filter them via
     * [[currentSnapshot]]. */
   def mergeIntoStore(batch: DataFrame, storeDir: String,
       buckets: Int = 16, batchId: Long = 0L): Unit = {
     val s = batch.sparkSession
     // persist: the batch window feeds the affected-bucket collect AND
-    // every per-bucket merge — uncached, k affected buckets would
-    // re-run the whole-batch shuffle k+1 times (O(batch × buckets))
+    // the merge union — uncached, the whole-batch shuffle would re-run
     val delta = latestWins(batch, Seq("user_id"), Seq("ts", "event_id"))
       .withColumn("bucket", bucketOf(col("user_id"), buckets))
       .persist()
@@ -158,35 +164,53 @@ object Cdc {
       def renameOrFail(from: org.apache.hadoop.fs.Path,
           to: org.apache.hadoop.fs.Path): Unit =
         require(fs.rename(from, to), s"cdc store swap failed: $from -> $to")
+      // recover prior crashed swaps BEFORE reading any base — every
+      // aside dir, not just this batch's buckets, so a crash in an
+      // earlier batch can't hide a bucket from readers indefinitely:
+      // aside present with no live bucket = the crash hit between the
+      // two renames — restore it; with a live bucket = the crash hit
+      // after the swap completed — the aside copy is superseded
+      if (fs.exists(root)) fs.listStatus(root).foreach { st =>
+        val n = st.getPath.getName
+        if (n.startsWith(".old_")) {
+          val dst = new org.apache.hadoop.fs.Path(root, s"bucket=${n.stripPrefix(".old_")}")
+          if (!fs.exists(dst)) renameOrFail(st.getPath, dst)
+          else fs.delete(st.getPath, true)
+        } else if (n.startsWith(".staging_")) {
+          // leftover staging from a crashed batch: that batch replays
+          // under at-least-once delivery, so the partial output is junk
+          fs.delete(st.getPath, true)
+        }
+      }
+      val existing = affected.filter(b =>
+        fs.exists(new org.apache.hadoop.fs.Path(root, s"bucket=$b")))
+      // allowMissingColumns = schema evolution: a batch may carry
+      // columns the snapshot predates (or drop ones it has) — the
+      // union fills nulls and the rewritten buckets adopt the merged
+      // schema as batches touch them; untouched buckets keep theirs
+      // (currentSnapshot reads the union via mergeSchema)
+      val merged =
+        if (existing.isEmpty) delta
+        else latestWins(
+          s.read.option("mergeSchema", "true")
+            .option("basePath", root.toString)
+            .parquet(existing.map(b => s"$root/bucket=$b"): _*)
+            .withColumn("bucket", col("bucket").cast("long"))
+            .unionByName(delta, allowMissingColumns = true),
+          Seq("user_id"), Seq("ts", "event_id"))
+      val staging = new org.apache.hadoop.fs.Path(root, s".staging_$batchId")
+      merged.write.mode("overwrite").partitionBy("bucket")
+        .parquet(staging.toString)
       affected.foreach { b =>
+        val src = new org.apache.hadoop.fs.Path(staging, s"bucket=$b")
         val dst = new org.apache.hadoop.fs.Path(root, s"bucket=$b")
         val old = new org.apache.hadoop.fs.Path(root, s".old_$b")
-        // recover a prior crashed swap BEFORE reading the base: aside
-        // dir present with no live bucket = the crash hit between the
-        // two renames — restore it; with a live bucket = the crash hit
-        // after the swap completed — the aside copy is superseded
-        if (fs.exists(old)) {
-          if (!fs.exists(dst)) renameOrFail(old, dst)
-          else fs.delete(old, true)
-        }
-        val deltaB = delta.filter(col("bucket") === b).drop("bucket")
-        // allowMissingColumns = schema evolution: a batch may carry
-        // columns the snapshot predates (or drop ones it has) — the
-        // union fills nulls and the rewritten bucket adopts the merged
-        // schema, bucket by bucket as batches touch them
-        val merged =
-          if (fs.exists(dst))
-            latestWins(s.read.parquet(dst.toString)
-                .unionByName(deltaB, allowMissingColumns = true),
-              Seq("user_id"), Seq("ts", "event_id"))
-          else deltaB
-        val staging = new org.apache.hadoop.fs.Path(root, s".staging_${batchId}_$b")
-        merged.write.mode("overwrite").parquet(staging.toString)
         val hadOld = fs.exists(dst)
         if (hadOld) renameOrFail(dst, old)
-        renameOrFail(staging, dst)
+        renameOrFail(src, dst)
         if (hadOld) fs.delete(old, true)
       }
+      fs.delete(staging, true)
     } finally delta.unpersist()
   }
 

@@ -120,6 +120,38 @@ class CdcSpec extends AnyFunSuite {
     assert(evolved(1L) === None && evolved.size === 4)
   }
 
+  test("multi-bucket merge runs a constant number of jobs, not O(buckets)") {
+    import spark.implicits._
+    def tss(s: String) = Timestamp.valueOf(s)
+    val store = Files.createTempDirectory("cdcjobs").toString
+    def mkBatch(day: String) = (1L to 64L).map(u =>
+      (u, tss(s"$day 10:00:00"), u * 10, "I", "signup", 1.0))
+      .toDF("user_id", "ts", "event_id", "op", "last_type", "last_value")
+    // seed: 64 keys spread across the 16 buckets
+    Cdc.mergeIntoStore(mkBatch("2024-01-01"), store, buckets = 16, batchId = 0L)
+    val affected = (1L to 64L).map(u => Cdc.bucketIdOf(u.toString, 16)).distinct
+    assert(affected.size >= 8) // the batch genuinely spans many buckets
+    val jobs = new java.util.concurrent.atomic.AtomicInteger
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(
+          j: org.apache.spark.scheduler.SparkListenerJobStart): Unit = {
+        jobs.incrementAndGet(); ()
+      }
+    }
+    spark.sparkContext.addSparkListener(listener)
+    try {
+      // second merge: every affected bucket has an existing base
+      Cdc.mergeIntoStore(mkBatch("2024-01-02"), store, buckets = 16, batchId = 1L)
+      Thread.sleep(2000) // let the async listener bus drain
+    } finally spark.sparkContext.removeSparkListener(listener)
+    // the old per-bucket loop paid ≥ 2·affected+1 jobs (≥33 here); the
+    // single-job merge pays: affected-id collect + schema-merge read +
+    // one staged write (AQE materializes each shuffle stage as its own
+    // job, so ~7 total) — constant in the affected-bucket count
+    assert(jobs.get <= 8, s"expected O(1) jobs, got ${jobs.get}")
+    assert(Cdc.currentSnapshot(spark, store).count() === 64)
+  }
+
   test("store swap recovery: an interrupted rename restores before merging") {
     import spark.implicits._
     def tss(s: String) = Timestamp.valueOf(s)
