@@ -86,6 +86,7 @@ object SparkEntry {
     "sim_topk_brute"     -> ((s: SparkSession, d: String) => Similarity.bruteForceTopK(s, d)),
     "sim_topk_ivf"       -> ((s: SparkSession, d: String) => Similarity.ivfTopK(s, d)),
     "sim_topk_ivf_kmeans" -> ((s: SparkSession, d: String) => Similarity.ivfTopKTrained(s, d, iters = 2)),
+    "sim_topk_incremental" -> ((s: SparkSession, d: String) => Similarity.incrementalTopK(s, d)),
     // §2.9 E5 text analysis
     "text_langid"        -> (TextAnalysis.langId _),
     "text_quality"       -> (TextAnalysis.quality _),
@@ -290,7 +291,9 @@ object SparkEntry {
     * bit-identical to the Spark plan, so the ANN result itself is
     * oracle-checked — not just its recall. */
   private def dIvfSql(iters: Int, dims: Int = 64, nCentroids: Int = 64,
-      nQueries: Int = 8, nprobe: Int = 8, k: Int = 10): String = {
+      nQueries: Int = 8, nprobe: Int = 8, k: Int = 10,
+      queryPred: String = "", corpusPred: String = "TRUE"): String = {
+    val qp = if (queryPred.nonEmpty) queryPred else s"q.vec_id < $nQueries"
     def assign(cent: String, name: String) =
       s"""$name AS (
            SELECT vec_id, v, nrm, c_id FROM (
@@ -330,13 +333,13 @@ object SparkEntry {
                     row_number() OVER (PARTITION BY q.vec_id
                       ORDER BY list_dot_product(q.v, c.c_v) / (q.nrm * c.c_nrm)
                         DESC, c.c_id) AS crk
-             FROM emb0 q CROSS JOIN $centFinal c WHERE q.vec_id < $nQueries)
+             FROM emb0 q CROSS JOIN $centFinal c WHERE $qp)
            WHERE crk <= $nprobe),
          scan AS (
            SELECT p.q_id, a.vec_id,
                   list_dot_product(p.q_v, a.v) / (p.q_nrm * a.nrm) AS cos
            FROM af a JOIN probes p USING (c_id)
-           WHERE a.vec_id <> p.q_id),
+           WHERE a.vec_id <> p.q_id AND $corpusPred),
          ranked AS (
            SELECT q_id, vec_id, cos,
                   CAST(row_number() OVER (PARTITION BY q_id
@@ -1715,6 +1718,11 @@ object SparkEntry {
          WHERE hamming <= 3 ORDER BY doc_a, doc_b""",
     "sim_topk_ivf" -> dIvfSql(iters = 0),
     "sim_topk_ivf_kmeans" -> dIvfSql(iters = 2),
+    // incremental: the % 10 slice plays the new batch, the rest is the
+    // persisted corpus — the af assignment CTE models the Spark side's
+    // materialized assignment memo
+    "sim_topk_incremental" -> dIvfSql(iters = 2,
+      queryPred = "q.vec_id % 10 = 0", corpusPred = "a.vec_id % 10 <> 0"),
     "embedding_buckets" ->
       s"""WITH $dEmbBucketCtes
          SELECT vec_id, bucket FROM bkt ORDER BY vec_id""",

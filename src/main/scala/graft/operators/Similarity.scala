@@ -154,16 +154,21 @@ object Similarity {
   }
 
   private def ivfWith(e: DataFrame, centroids: DataFrame, k: Int,
-      nprobe: Int): DataFrame = {
+      nprobe: Int): DataFrame =
+    probeTopK(assignNearest(e, centroids),
+      e.filter(col("vec_id") < NumQueries)
+        .select(col("vec_id").as("q_id"), col("v").as("q_v"),
+          col("nrm").as("q_nrm")),
+      centroids, k, nprobe)
 
-    // assignment: argmax cosine over the broadcast centroid set
-    val assigned = assignNearest(e, centroids)
-
+  /** The IVF probe tail, shared by the one-shot and incremental paths:
+    * each query ranks its `nprobe` nearest centroids, then scans only
+    * those inverted lists of `assigned` for the exact cosine top-k. */
+  private def probeTopK(assigned: DataFrame, queries: DataFrame,
+      centroids: DataFrame, k: Int, nprobe: Int): DataFrame = {
     // queries probe their nprobe nearest centroids — a top-nprobe, so a
     // window stays; it runs over |Q|×C rows (both bounded by design:
     // the query batch is small, C is fixed), never over n
-    val queries = e.filter(col("vec_id") < NumQueries)
-      .select(col("vec_id").as("q_id"), col("v").as("q_v"), col("nrm").as("q_nrm"))
     val wProbe = Window.partitionBy("q_id")
       .orderBy(col("c_cos").desc, col("c_id"))
     val probes = queries.crossJoin(broadcast(centroids))
@@ -183,5 +188,35 @@ object Similarity {
       .filter(col("rk") <= k)
       .select(col("q_id"), col("rk"), col("vec_id"), round(col("cos"), 6).as("cos"))
       .orderBy("q_id", "rk")
+  }
+
+  /** PERSISTED per-vector centroid assignment — the index-side state an
+    * incremental ANN pipeline maintains (the dedup band index's twin):
+    * (vec_id, c_id, v, nrm) for every corpus vector, materialized once
+    * behind [[Memo]]. A production deployment keeps this as a bucketed
+    * catalog table and folds verified new batches in by append; queries
+    * then probe lists without ever re-running the O(n·C) assignment. */
+  def assignmentTable(spark: SparkSession, dir: String,
+      iters: Int = 2): DataFrame =
+    Memo.table(spark, dir, s"ivf_assign_$iters") {
+      assignNearest(emb(spark, dir), trainCentroids(spark, dir, iters = iters))
+    }
+
+  /** Harness query `sim_topk_incremental`: a NEW vector batch (the
+    * `vec_id % mod == 0` slice plays the new arrivals) finds its top-k
+    * neighbors among the EXISTING corpus by probing its `nprobe`
+    * centroid lists against the PERSISTED [[assignmentTable]] — no
+    * full-corpus re-assignment per batch. Per-batch cost is
+    * O(batch·C + probed lists); the corpus side is a narrow filtered
+    * scan of the assignment memo (SimilaritySpec pins the plan). */
+  def incrementalTopK(spark: SparkSession, dir: String, k: Int = 10,
+      nprobe: Int = 8, iters: Int = 2, mod: Int = 10): DataFrame = {
+    val centroids = trainCentroids(spark, dir, iters = iters)
+    val corpus = assignmentTable(spark, dir, iters)
+      .filter(col("vec_id") % mod =!= 0)
+    val batch = emb(spark, dir).filter(col("vec_id") % mod === 0)
+      .select(col("vec_id").as("q_id"), col("v").as("q_v"),
+        col("nrm").as("q_nrm"))
+    probeTopK(corpus, batch, centroids, k, nprobe)
   }
 }

@@ -36,6 +36,30 @@ class SimilaritySpec extends AnyFunSuite {
       s"trained recall ${recalls.sum / recalls.size}")
   }
 
+  test("incremental probe reads the persisted assignment, results sane") {
+    val df = Similarity.incrementalTopK(spark, sf)
+    // the corpus side must be the materialized assignment memo — a plan
+    // that re-assigns the corpus per batch re-pays O(n·C) every
+    // increment (embeddings appears only as the new-batch side)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("graft-memo-ivf_assign_2"),
+      s"corpus side does not read the persisted assignment:\n$plan")
+    val rows = df.collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      // new-batch vectors query, existing-corpus vectors answer
+      assert(r.getAs[Long]("q_id") % 10 === 0L)
+      assert(r.getAs[Long]("vec_id") % 10 !== 0L)
+      val c = r.getAs[Double]("cos")
+      assert(c >= -1.0000001 && c <= 1.0000001)
+    }
+    val byQ = rows.groupBy(_.getAs[Long]("q_id"))
+    byQ.values.foreach { g =>
+      val cs = g.sortBy(_.getAs[Long]("rk")).map(_.getAs[Double]("cos"))
+      assert(cs.zip(cs.tail).forall { case (a, b) => a >= b })
+    }
+  }
+
   test("IVF ANN recall@10 >= 0.5 vs brute force") {
     def tops(df: org.apache.spark.sql.DataFrame) =
       df.collect().groupBy(_.getAs[Long]("q_id"))
