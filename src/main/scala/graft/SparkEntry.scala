@@ -812,23 +812,31 @@ object SparkEntry {
          ORDER BY n_user_days DESC, path LIMIT 20""",
     "fuzzy_match" ->
       s"""WITH parts AS (
-           SELECT p_partkey, p_name, substr(p_name, 1, 2) AS blk_pre,
-                  len(p_name) AS blk_len
-           FROM part),
+           SELECT p_partkey, p_name FROM part WHERE len(p_name) >= 3),
          probes AS (
            SELECT p_partkey AS probe_key,
                   substr(p_name, 1, p - 1) || 'q' || substr(p_name, p + 1)
-                    AS probe_name,
-                  blk_pre, blk_len
+                    AS probe_name
            FROM (SELECT *,
-                   CAST(${dH60("p_name")} % (len(p_name) - 2) + 3 AS INT) AS p
+                   CAST(${dH60("p_name")} % len(p_name) + 1 AS INT) AS p
                  FROM parts)
-           WHERE p_partkey % 40 = 0)
-         SELECT probe_key, probe_name, p.p_partkey, p.p_name,
-                CAST(levenshtein(probe_name, p.p_name) AS BIGINT) AS dist
-         FROM probes JOIN parts p USING (blk_pre, blk_len)
-         WHERE levenshtein(probe_name, p.p_name) <= 1
-         ORDER BY probe_key, p.p_partkey""",
+           WHERE p_partkey % 40 = 0),
+         cand AS (
+           SELECT probe_key, probe_name, p.p_partkey, p.p_name
+           FROM probes JOIN parts p
+             ON substr(probe_name, 1, 2) = substr(p.p_name, 1, 2)
+            AND len(probe_name) = len(p.p_name)
+           UNION
+           SELECT probe_key, probe_name, p.p_partkey, p.p_name
+           FROM probes JOIN parts p
+             ON substr(probe_name, len(probe_name) - 1, 2) =
+                substr(p.p_name, len(p.p_name) - 1, 2)
+            AND len(probe_name) = len(p.p_name))
+         SELECT probe_key, probe_name, p_partkey, p_name,
+                CAST(levenshtein(probe_name, p_name) AS BIGINT) AS dist
+         FROM cand
+         WHERE levenshtein(probe_name, p_name) <= 1
+         ORDER BY probe_key, p_partkey""",
     "zorder_key" -> {
       val terms = (0 until 16).map(i =>
         s"((user_id >> $i) & 1) * ${1L << (2 * i + 1)} + " +

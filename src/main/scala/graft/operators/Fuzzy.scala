@@ -7,50 +7,71 @@ import graft.functions.Hash60.hash60
 
 /** Approximate string matching (entity resolution / data cleaning):
   * edit-distance join WITHOUT the all-pairs explosion. The classic
-  * blocked shape — candidates pair only within a cheap blocking key
-  * (prefix + length band here), then the exact `levenshtein` verifies
-  * inside the block. Cost is one equi-join on the block key plus
-  * per-candidate O(len²) distance — the same candidates-then-verify
-  * economics as the LSH near-dup family, applied to short strings.
+  * blocked shape — candidates pair only within cheap blocking keys,
+  * then the exact `levenshtein` verifies inside the block. Cost is one
+  * equi-join per blocking pass plus per-candidate O(len·k) distance —
+  * the same candidates-then-verify economics as the LSH near-dup
+  * family, applied to short strings.
   *
-  * At 100 TB: the block key is groupable/shuffle-friendly; hot blocks
+  * TWO blocking passes, because one is structurally blind: a (2-char
+  * prefix, length) block misses any edit in the first two characters
+  * by construction. The standard fix is a complementary pass — here
+  * (2-char suffix, length) — and a substitution typo cannot corrupt
+  * both ends of a name longer than 4 chars, so the union of the two
+  * passes recovers every single-substitution probe. Candidates are
+  * deduped BEFORE the verify (a middle-of-string typo survives both
+  * blocks) so each pair pays the DP at most once.
+  *
+  * At 100 TB: each block key is groupable/shuffle-friendly; hot blocks
   * (very common prefixes) would salt or cap exactly like the minhash
-  * mega-buckets. A production matcher adds more recall passes (e.g. a
-  * second blocking on suffix) — each pass is the same plan.
+  * mega-buckets. More recall passes (length±1 bands for indels) are
+  * each the same plan.
   */
 object Fuzzy {
 
-  /** Deterministic "typo" of a name: one character (at an md5-chosen
-    * position ≥ 3, so the 2-char blocking prefix survives) replaced by
-    * 'q' — the harness's stand-in for dirty upstream strings, chosen so
-    * the DuckDB oracle can regenerate the identical probe set. */
+  /** Deterministic "typo" of a name: one character at an md5-chosen
+    * position — ANYWHERE in the string, including the blocking prefix —
+    * replaced by 'q'; the harness's stand-in for dirty upstream
+    * strings, chosen so the DuckDB oracle can regenerate the identical
+    * probe set. Callers must pre-filter degenerate names (the harness
+    * uses length >= 3, mirrored in the oracle): hash60 is non-negative
+    * so the pmod is safe for any non-empty string, but sub-3-char names
+    * make 2-char blocking meaningless. */
   def typo(name: Column): Column = {
-    val p = (pmod(hash60(name), (length(name) - 2).cast("long")) + lit(3)).cast("int")
+    val p = (pmod(hash60(name), length(name).cast("long")) + lit(1)).cast("int")
     concat(name.substr(lit(1), p - 1), lit("q"), name.substr(p + 1, lit(100000)))
   }
 
   /** Harness query `fuzzy_match`: a deterministic probe set (every
-    * 40th part's name, typo'd) matched back against the part table —
-    * block on (2-char prefix, exact length), verify `levenshtein <= 1`.
+    * 40th part's name, typo'd anywhere) matched back against the part
+    * table — block on (2-char prefix, exact length) UNION (2-char
+    * suffix, exact length), dedup candidates, verify `levenshtein <= 1`.
     * Emits every in-block match with its distance; the true source row
-    * is found (distance 1, or 0 when the typo'd char equaled 'q') plus
-    * any genuine same-block near-collisions. */
+    * is always found (distance 1, or 0 when the typo'd char equaled
+    * 'q') plus any genuine same-block near-collisions. */
   def fuzzyMatch(spark: SparkSession, dir: String): DataFrame = {
-    val parts = Tables.load(spark, dir, "part")
-      .select(col("p_partkey"), col("p_name"),
-        substring(col("p_name"), 1, 2).as("blk_pre"),
-        length(col("p_name")).as("blk_len"))
-    val probes = parts.filter(col("p_partkey") % 40 === 0)
+    val base = Tables.load(spark, dir, "part")
+      .filter(length(col("p_name")) >= 3)
+      .select(col("p_partkey"), col("p_name"))
+    val probes = base.filter(col("p_partkey") % 40 === 0)
       .select(col("p_partkey").as("probe_key"),
-        typo(col("p_name")).as("probe_name"),
-        col("blk_pre"), col("blk_len"))
-    // threshold form = banded DP: O(len·k) per candidate instead of
-    // O(len²); returns -1 above the bound, so the filter keeps [0, k]
-    probes.join(parts, Seq("blk_pre", "blk_len"))
+        typo(col("p_name")).as("probe_name"))
+    def withBlock(df: DataFrame, nameCol: String, fromEnd: Boolean) = {
+      val n = col(nameCol)
+      df.withColumn("blk",
+          if (fromEnd) substring(n, -2, 2) else substring(n, 1, 2))
+        .withColumn("blk_len", length(n))
+    }
+    def pass(fromEnd: Boolean) =
+      withBlock(probes, "probe_name", fromEnd)
+        .join(withBlock(base, "p_name", fromEnd), Seq("blk", "blk_len"))
+        .select("probe_key", "probe_name", "p_partkey", "p_name")
+    // union+distinct BEFORE the verify: each candidate pair pays the
+    // banded-DP levenshtein (O(len·k), -1 above the bound) exactly once
+    pass(fromEnd = false).union(pass(fromEnd = true)).distinct()
       .withColumn("dist",
         levenshtein(col("probe_name"), col("p_name"), 1).cast("long"))
       .filter(col("dist") >= 0 && col("dist") <= 1)
-      .select("probe_key", "probe_name", "p_partkey", "p_name", "dist")
       .orderBy("probe_key", "p_partkey")
   }
 }

@@ -37,14 +37,28 @@ class EventAnalyticsSpec extends AnyFunSuite {
   }
 
   test("fuzzy match recovers every probe's source row within distance 1") {
+    import org.apache.spark.sql.functions.{col, length}
     val rows = Fuzzy.fuzzyMatch(spark, TestSpark.sf).collect()
     val probes = rows.map(_.getLong(0)).distinct
-    assert(probes.nonEmpty)
-    // the typo'd name must match its own original inside the block
+    // EVERY eligible probe key must appear — recall is total, not just
+    // over the probes some block happened to keep
+    val expected = Tables.load(spark, TestSpark.sf, "part")
+      .filter(length(col("p_name")) >= 3 && col("p_partkey") % 40 === 0)
+      .select("p_partkey").collect().map(_.getLong(0)).toSet
+    assert(probes.toSet === expected && probes.nonEmpty)
+    // the typo'd name must match its own original inside some block
     probes.foreach { pk =>
       val self = rows.filter(r => r.getLong(0) == pk && r.getLong(2) == pk)
       assert(self.length === 1 && self.head.getLong(4) <= 1L)
     }
     assert(rows.forall(_.getLong(4) <= 1L))
+    // typos now land ANYWHERE: at least one probe's corruption hits the
+    // 2-char blocking prefix (the case the old single-pass block missed
+    // by construction) — and the suffix pass still recovered it above
+    val prefixHit = rows.exists { r =>
+      r.getLong(0) == r.getLong(2) &&
+        r.getString(1).take(2) != r.getString(3).take(2)
+    }
+    assert(prefixHit, "no probe exercises the prefix-corruption path")
   }
 }
