@@ -707,7 +707,9 @@ object SparkEntry {
            FROM events GROUP BY 1, 2),
          stats AS (
            SELECT event_type, count(*) AS n_hours,
-                  SUM(hv) AS s1, SUM(hv * hv) AS s2
+                  SUM(hv) AS s1,
+                  SUM(CAST(hv AS DECIMAL(18,2)) * CAST(hv AS DECIMAL(18,2)))
+                    AS s2
            FROM hourly GROUP BY 1),
          st AS (SELECT event_type,
                        CAST(s1 AS DOUBLE) / n_hours AS mean,

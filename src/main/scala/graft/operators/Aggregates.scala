@@ -191,7 +191,15 @@ object Aggregates {
     val stats = hourly.groupBy("event_type")
       .agg(count(lit(1)).as("n_hours"),
         sum(col("hv")).as("s1"),
-        sum(col("hv") * col("hv")).as("s2"))
+        // square at decimal(18,2), not the sum's widened (28,2): the
+        // (28,2)×(28,2) product's precision (57) silently truncates at
+        // Spark's 38 cap while DuckDB widens differently — a latent
+        // 4th-decimal z divergence at larger SFs. (18,2)² is (37,4),
+        // exact under the cap on BOTH engines; ANSI mode turns a
+        // genuinely overflowing hourly sum into a loud error, not a
+        // silent drift (the oracle mirrors the cast)
+        sum(col("hv").cast("decimal(18,2)") * col("hv").cast("decimal(18,2)"))
+          .as("s2"))
       .select(col("event_type"), col("n_hours"),
         (col("s1").cast("double") / col("n_hours")).as("mean"),
         // greatest(0): constant hourly volumes make the one-pass
