@@ -97,6 +97,7 @@ object SparkEntry {
     "inverted_index"     -> ((s: SparkSession, d: String) => Retrieval.invertedIndex(s, d)),
     "bm25_search"        -> ((s: SparkSession, d: String) => Retrieval.bm25Search(s, d)),
     "bm25_from_index"    -> ((s: SparkSession, d: String) => Retrieval.bm25FromIndex(s, d)),
+    "bm25_index_maintained" -> ((s: SparkSession, d: String) => Retrieval.bm25IndexMaintained(s, d)),
     "phrase_search"      -> ((s: SparkSession, d: String) => Retrieval.phraseSearch(s, d)),
     "phrase_from_index"  -> ((s: SparkSession, d: String) => Retrieval.phraseFromIndex(s, d)),
     "doc_chunks"         -> ((s: SparkSession, d: String) => TextAnalysis.docChunks(s, d)),
@@ -1544,6 +1545,9 @@ object SparkEntry {
     // oracle SQL is shared (the index is a Spark-side materialization
     // detail DuckDB doesn't need to model).
     "bm25_from_index" -> dBm25Sql,
+    // …_index_maintained: corpus-slice index + increment append must
+    // reproduce the FULL-corpus ranking — the append-correctness claim
+    "bm25_index_maintained" -> dBm25Sql,
     "phrase_from_index" -> dPhraseSql,
     "bm25_search" -> dBm25Sql,
     "phrase_search" -> dPhraseSql,

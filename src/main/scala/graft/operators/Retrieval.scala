@@ -184,6 +184,22 @@ object Retrieval {
       .limit(topK)
   }
 
+  /** Harness query `bm25_index_maintained`: the same BM25 ranking
+    * served from the BUCKETED postings CATALOG table after an increment
+    * append ([[graft.sources.Bucketing.ensureMaintainedPostingsIndex]]:
+    * corpus slice built once, the new-doc batch folded in by
+    * bucket-preserving append). The query-term IN filter bucket-prunes
+    * the scan — only the matching token buckets' files open — and the
+    * result must equal [[bm25Search]] over the full corpus (same
+    * oracle), which is exactly the append-correctness claim. */
+  def bm25IndexMaintained(spark: SparkSession, dir: String,
+      query: Seq[String] = Seq("hash", "join", "scan"),
+      topK: Int = 20): DataFrame = {
+    val table = graft.sources.Bucketing.ensureMaintainedPostingsIndex(spark, dir)
+    bm25Rank(spark, dir,
+      spark.table(table).filter(col("token").isin(query: _*)), topK)
+  }
+
   /** Harness query `phrase_from_index`: the same adjacent-token phrase
     * count as [[phraseSearch]], served from the [[positionalPostings]]
     * memo: each term's postings are fetched by a pushed-down token

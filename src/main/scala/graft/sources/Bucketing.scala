@@ -78,11 +78,15 @@ object Bucketing {
     table
   }
 
-  /** Write `bands` as a bucketed band-index table iff it doesn't exist
-    * yet (build-once semantics; the builder is by-name so a hit costs
-    * no plan construction). */
-  def ensureBandIndexFrom(spark: SparkSession, table: String,
-      bands: => DataFrame, buckets: Int = 8): Unit =
+  /** Write `df` as a bucketed catalog table iff it doesn't exist yet
+    * (build-once semantics; the builder is by-name so a hit costs no
+    * plan construction). `andThen` runs exactly once, right after a
+    * fresh build — the hook for folding an increment into the
+    * just-built index idempotently (re-invocations hit the
+    * tableExists guard and never re-append). */
+  def ensureBucketedTable(spark: SparkSession, table: String,
+      df: => DataFrame, bucketCols: Seq[String], buckets: Int = 8)(
+      andThen: => Unit = ()): Unit =
     synchronized {
       if (!spark.catalog.tableExists(table)) {
         // the index is a derived cache, so a rebuild is always safe;
@@ -97,11 +101,20 @@ object Bucketing {
           table.toLowerCase(java.util.Locale.ROOT))
         val fs = loc.getFileSystem(spark.sparkContext.hadoopConfiguration)
         if (fs.exists(loc)) fs.delete(loc, true)
-        bands.write.mode("overwrite")
-          .bucketBy(buckets, "band_id", "band_key").sortBy("band_id", "band_key")
+        df.write.mode("overwrite")
+          .bucketBy(buckets, bucketCols.head, bucketCols.tail: _*)
+          .sortBy(bucketCols.head, bucketCols.tail: _*)
           .saveAsTable(table)
+        andThen
       }
     }
+
+  /** Write `bands` as a bucketed band-index table iff it doesn't exist
+    * yet. */
+  def ensureBandIndexFrom(spark: SparkSession, table: String,
+      bands: => DataFrame, buckets: Int = 8): Unit =
+    ensureBucketedTable(spark, table, bands,
+      Seq("band_id", "band_key"), buckets)()
 
   /** Index maintenance — the other half of the incremental-dedup loop:
     * after an increment is verified, APPEND its bands into the corpus
@@ -118,5 +131,44 @@ object Bucketing {
     newBands.select("doc_id", "band_id", "band_key")
       .write.mode("append")
       .bucketBy(buckets, "band_id", "band_key").sortBy("band_id", "band_key")
+      .saveAsTable(table)
+
+  // ------------------------------------------- bucketed postings catalog
+
+  /** The E16 postings index as a token-BUCKETED catalog table — the
+    * production serving shape: a query's `token IN (…)` filter bucket-
+    * prunes the scan (only the matching buckets' files open), and joins
+    * on token need no exchange on the index side. Build-once per
+    * dataset over the corpus slice (`doc_id % 10 != 0` — the batch-id
+    * split the production table would carry as a column), then the
+    * harness increment (`% 10 == 0`) folds in via
+    * [[appendToPostingsIndex]] exactly once, inside the build guard —
+    * so the maintained table always equals the FULL corpus postings and
+    * re-invocations never double-append. Returns the table name. */
+  def ensureMaintainedPostingsIndex(spark: SparkSession, dir: String,
+      buckets: Int = 8): String = {
+    import org.apache.spark.sql.functions.col
+    val table = f"postings_bkt_${dir.hashCode & 0x7fffffff}%08x"
+    lazy val posts = graft.operators.Retrieval.postingsTable(spark, dir)
+    ensureBucketedTable(spark, table,
+      posts.filter(col("doc_id") % 10 =!= 0), Seq("token"), buckets) {
+      appendToPostingsIndex(spark, table,
+        posts.filter(col("doc_id") % 10 === 0), buckets)
+    }
+    table
+  }
+
+  /** Postings-index maintenance — the retrieval twin of
+    * [[appendToBandIndex]]: after a new document batch is ingested,
+    * append its (token, doc_id, tf) postings into the bucketed index.
+    * The append clusters only the new rows into new per-bucket files
+    * next to the existing ones (existing files untouched — no rebuild;
+    * BucketingSpec asserts byte-identity). The bucket spec must match
+    * the table's or Spark rejects the write. */
+  def appendToPostingsIndex(spark: SparkSession, table: String,
+      newPostings: DataFrame, buckets: Int = 8): Unit =
+    newPostings.select("token", "doc_id", "tf")
+      .write.mode("append")
+      .bucketBy(buckets, "token").sortBy("token")
       .saveAsTable(table)
 }

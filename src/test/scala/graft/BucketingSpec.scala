@@ -103,6 +103,49 @@ class BucketingSpec extends AnyFunSuite {
     } finally spark.sql(s"DROP TABLE IF EXISTS $table")
   }
 
+  test("maintained postings index: append preserves files, query bucket-prunes") {
+    import org.apache.spark.sql.functions.col
+    val posts = graft.operators.Retrieval.postingsTable(spark, sf)
+    val table = "postings_append_t"
+    try {
+      Bucketing.ensureBucketedTable(spark, table,
+        posts.filter(col("doc_id") % 10 =!= 0), Seq("token"))()
+      def files(): Set[(String, Long)] = {
+        val loc = spark.sql(s"DESCRIBE TABLE EXTENDED $table")
+          .filter(col("col_name") === "Location")
+          .collect()(0).getString(1).stripPrefix("file:")
+        new java.io.File(loc).listFiles()
+          .filter(_.getName.endsWith(".parquet"))
+          .map(f => (f.getName, f.length())).toSet
+      }
+      val preFiles = files()
+      Bucketing.appendToPostingsIndex(spark, table,
+        posts.filter(col("doc_id") % 10 === 0))
+      val postFiles = files()
+      assert(preFiles.subsetOf(postFiles),
+        s"append rewrote existing index files: ${preFiles.diff(postFiles)}")
+      assert(postFiles.size > preFiles.size, "append added no files")
+      // the maintained table IS the full postings set
+      val got = spark.table(table).count()
+      assert(got === posts.count())
+      // a query-term filter opens only the matching token buckets; the
+      // aggregate on the bucket column (BM25's dfreq shape) keeps the
+      // scan bucketed (a bare filter alone gets de-bucketed by the
+      // planner as "not useful") AND exchange-free
+      val probe = spark.table(table)
+        .filter(col("token").isin("hash", "join", "scan"))
+        .groupBy("token")
+        .agg(org.apache.spark.sql.functions.count(col("doc_id")).as("df"))
+      val plan = Shim.executedPlan(probe).toString
+      assert(plan.contains("SelectedBucketsCount"),
+        s"token filter did not bucket-prune:\n$plan")
+      val sel = "SelectedBucketsCount: (\\d+) out of (\\d+)".r
+        .findFirstMatchIn(plan).get
+      assert(sel.group(1).toInt < sel.group(2).toInt,
+        s"pruning selected every bucket:\n$plan")
+    } finally spark.sql(s"DROP TABLE IF EXISTS $table")
+  }
+
   test("streaming session windows and stateful totals run end to end") {
     import graft.streaming.StreamingBackfill
     val ev = StreamingBackfill.eventsStream(spark, sf)
