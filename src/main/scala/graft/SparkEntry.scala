@@ -100,6 +100,8 @@ object SparkEntry {
     "bm25_index_maintained" -> ((s: SparkSession, d: String) => Retrieval.bm25IndexMaintained(s, d)),
     "phrase_search"      -> ((s: SparkSession, d: String) => Retrieval.phraseSearch(s, d)),
     "phrase_from_index"  -> ((s: SparkSession, d: String) => Retrieval.phraseFromIndex(s, d)),
+    "phrase3_from_index" -> ((s: SparkSession, d: String) =>
+      Retrieval.phraseFromIndexN(s, d, Seq("part", "filter", "scan"))),
     "doc_chunks"         -> ((s: SparkSession, d: String) => TextAnalysis.docChunks(s, d)),
     "vocab_coverage"     -> ((s: SparkSession, d: String) => TextAnalysis.vocabCoverage(s, d)),
     "dedup_keep_best"    -> (Components.dedupKeepBest _),
@@ -1549,6 +1551,25 @@ object SparkEntry {
     // reproduce the FULL-corpus ranking — the append-correctness claim
     "bm25_index_maintained" -> dBm25Sql,
     "phrase_from_index" -> dPhraseSql,
+    "phrase3_from_index" ->
+      s"""WITH toks AS (SELECT doc_id, $dToks AS ts FROM documents),
+         pos AS (SELECT doc_id,
+                   [i for i in range(1, len(ts) + 1) if ts[i] = 'part']
+                     AS p1,
+                   [i for i in range(1, len(ts) + 1) if ts[i] = 'filter']
+                     AS p2,
+                   [i for i in range(1, len(ts) + 1) if ts[i] = 'scan']
+                     AS p3
+                 FROM toks),
+         hits AS (SELECT doc_id,
+                    CAST(len(list_intersect(list_intersect(
+                      list_transform(p1, x -> x + 2),
+                      list_transform(p2, x -> x + 1)), p3)) AS BIGINT)
+                      AS n_occurrences
+                  FROM pos)
+         SELECT doc_id, n_occurrences FROM hits
+         WHERE n_occurrences > 0
+         ORDER BY n_occurrences DESC, doc_id LIMIT 20""",
     "bm25_search" -> dBm25Sql,
     "phrase_search" -> dPhraseSql,
     "unigram_logprob" ->

@@ -209,16 +209,36 @@ object Retrieval {
     * per-query plan never touches `documents`. */
   def phraseFromIndex(spark: SparkSession, dir: String,
       first: String = "hash", second: String = "join",
-      topK: Int = 20): DataFrame = {
+      topK: Int = 20): DataFrame =
+    phraseFromIndexN(spark, dir, Seq(first, second), topK)
+
+  /** General n-term phrase from the positional index: term i's
+    * positions shift by (n-1-i) so a phrase occurrence ending at
+    * position e is a member of EVERY shifted list — the running
+    * `array_intersect` narrows left to right, so the rarest-term list
+    * bounds the work. Joins chain on doc_id (inner: every term must
+    * appear), each side a pushed-down single-token fetch from the memo.
+    * `phrase3_from_index` runs this for a 3-term phrase; the oracle
+    * twin counts matching word 3-shingles. */
+  def phraseFromIndexN(spark: SparkSession, dir: String,
+      terms: Seq[String], topK: Int = 20): DataFrame = {
+    require(terms.nonEmpty, "phrase needs at least one term")
     val p = positionalPostings(spark, dir)
-    val p1 = p.filter(col("token") === first)
-      .select(col("doc_id"), col("positions").as("p1"))
-    val p2 = p.filter(col("token") === second)
-      .select(col("doc_id"), col("positions").as("p2"))
-    p1.join(p2, "doc_id")
+    def listOf(t: String, i: Int): DataFrame =
+      p.filter(col("token") === t)
+        .select(col("doc_id"), col("positions").as(s"p$i"))
+    val n = terms.size
+    val joined = terms.zipWithIndex.map { case (t, i) => listOf(t, i) }
+      .reduce(_.join(_, "doc_id"))
+    // shift term i's positions by (n-1-i): all lists then agree on the
+    // phrase's END position; positions within a doc are distinct, so
+    // the intersection size is the occurrence count
+    val shifted = (0 until n).map(i =>
+      transform(col(s"p$i"), x => x + lit(n - 1 - i)))
+    joined
       .select(col("doc_id"),
-        size(array_intersect(transform(col("p1"), x => x + 1), col("p2")))
-          .cast("long").as("n_occurrences"))
+        size(shifted.reduce(array_intersect)).cast("long")
+          .as("n_occurrences"))
       .filter(col("n_occurrences") > 0)
       .orderBy(col("n_occurrences").desc, col("doc_id"))
       .limit(topK)

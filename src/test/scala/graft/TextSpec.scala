@@ -251,6 +251,13 @@ class TextSpec extends AnyFunSuite {
     // doc 3 has both tokens but never adjacent in order; 4 has them
     // apart; 5 is empty — only 1 (twice) and 2 (once) match
     assert(got === Seq((1L, 2L), (2L, 1L)))
+    // the index-served n-term generalization on the same fixture: the
+    // overlapping 3-phrase "hash join hash" occurs once in doc 1
+    // ("hash join hash join …") and nowhere else
+    val got3 = graft.operators.Retrieval
+      .phraseFromIndexN(spark, dir, Seq("hash", "join", "hash"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(got3 === Seq((1L, 1L)))
   }
 
   test("unigramLogprob: negative scores, token counts agree with tokenCounts") {
