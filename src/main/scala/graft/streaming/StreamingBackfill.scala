@@ -241,6 +241,40 @@ object StreamingBackfill {
     q.stop()
   }
 
+  /** Streaming postings-index maintenance — the retrieval-side twin of
+    * [[ingestDedupLoop]]: each microbatch of new documents tokenizes
+    * ONCE into (token, doc_id, tf) postings that append into the
+    * token-bucketed catalog table
+    * ([[graft.sources.Bucketing.appendToPostingsIndex]] — bucket-
+    * preserving, existing index files untouched), so BM25 served from
+    * the table sees new docs at ingest latency with no rebuild.
+    *
+    * Delivery: the append is at-least-once — a replayed microbatch
+    * would double its postings (tf inflation), unlike the idempotent
+    * CDC store merge. Production either carries a batch_id column and
+    * dedups at read, or routes through the [[cdcUpsertLoop]]-style
+    * keyed upsert when exactly-once matters; the harness drives the
+    * loop with processAllAvailable (no replay window). */
+  def indexMaintenanceLoop(spark: SparkSession, newDocs: DataFrame,
+      indexTable: String, buckets: Int = 8): Unit = {
+    import graft.functions.{TextFunctions => T}
+    val q = newDocs.writeStream
+      .outputMode("append")
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[Row], _: Long) =>
+        if (!batch.isEmpty) {
+          val posts = batch.toDF()
+            .select(col("doc_id"), explode(T.tokens(col("text"))).as("token"))
+            .groupBy("token", "doc_id").agg(count(lit(1)).as("tf"))
+          graft.sources.Bucketing.appendToPostingsIndex(
+            batch.sparkSession, indexTable, posts, buckets)
+        }
+      }
+      .trigger(Trigger.ProcessingTime(0))
+      .start()
+    q.processAllAvailable()
+    q.stop()
+  }
+
   /** Streaming CDC upsert — the continuous form of the batch
     * [[graft.operators.Cdc.applySnapshot]] merge: a stream of keyed
     * change events folds, per microbatch, into a hash-bucket-partitioned

@@ -193,4 +193,33 @@ class StreamingSpec extends AnyFunSuite {
     assert(got.count() > 0)
     assert(got.exceptAll(want).count() == 0 && want.exceptAll(got).count() == 0)
   }
+
+  test("streaming postings maintenance: ingested batches reach the served index") {
+    val table = "postings_stream_t"
+    val streamDir = java.nio.file.Files
+      .createTempDirectory("poststream").toString
+    try {
+      val posts = graft.operators.Retrieval.postingsTable(spark, sf)
+      // the pre-existing index covers the corpus slice only
+      graft.sources.Bucketing.ensureBucketedTable(spark, table,
+        posts.filter(col("doc_id") % 10 =!= 0), Seq("token"))()
+      // new docs arrive as two files -> two microbatches
+      val newDocs = Tables.load(spark, sf, "documents")
+        .filter(col("doc_id") % 10 === 0)
+      newDocs.filter(col("doc_id") % 20 === 0)
+        .repartition(1).write.mode("append").parquet(streamDir)
+      newDocs.filter(col("doc_id") % 20 =!= 0)
+        .repartition(1).write.mode("append").parquet(streamDir)
+      val stream = spark.readStream.schema(newDocs.schema)
+        .option("maxFilesPerTrigger", "1").parquet(streamDir)
+      StreamingBackfill.indexMaintenanceLoop(spark, stream, table)
+      // after the loop the maintained table IS the full corpus postings
+      def rows(df: org.apache.spark.sql.DataFrame) =
+        df.select("token", "doc_id", "tf").collect()
+          .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+      val got = rows(spark.table(table))
+      val want = rows(posts)
+      assert(got.length === want.length && got.toSet === want.toSet)
+    } finally spark.sql(s"DROP TABLE IF EXISTS $table")
+  }
 }
