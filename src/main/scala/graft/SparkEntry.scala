@@ -87,6 +87,7 @@ object SparkEntry {
     "sim_topk_ivf"       -> ((s: SparkSession, d: String) => Similarity.ivfTopK(s, d)),
     "sim_topk_ivf_kmeans" -> ((s: SparkSession, d: String) => Similarity.ivfTopKTrained(s, d, iters = 2)),
     "sim_topk_incremental" -> ((s: SparkSession, d: String) => Similarity.incrementalTopK(s, d)),
+    "sim_topk_maintained" -> ((s: SparkSession, d: String) => Similarity.maintainedTopK(s, d)),
     // §2.9 E5 text analysis
     "text_langid"        -> (TextAnalysis.langId _),
     "text_quality"       -> (TextAnalysis.quality _),
@@ -1758,6 +1759,10 @@ object SparkEntry {
     // materialized assignment memo
     "sim_topk_incremental" -> dIvfSql(iters = 2,
       queryPred = "q.vec_id % 10 = 0", corpusPred = "a.vec_id % 10 <> 0"),
+    // maintained: corpus-slice build + frozen-centroid batch append must
+    // reproduce the full-corpus assignment — same oracle as the full
+    // build, hash-equality IS the append-correctness proof
+    "sim_topk_maintained" -> dIvfSql(iters = 2),
     "embedding_buckets" ->
       s"""WITH $dEmbBucketCtes
          SELECT vec_id, bucket FROM bkt ORDER BY vec_id""",

@@ -202,6 +202,37 @@ object Similarity {
       assignNearest(emb(spark, dir), trainCentroids(spark, dir, iters = iters))
     }
 
+  /** Centroid assignment of ONE corpus slice against the frozen
+    * memoized centroids — the build (`newBatch = false`) and increment
+    * (`newBatch = true`) halves of the maintained bucketed assignment
+    * index ([[graft.sources.Bucketing.ensureMaintainedAssignmentIndex]]).
+    * Cost of an increment is O(batch·C), never O(n·C). */
+  def assignSlice(spark: SparkSession, dir: String, newBatch: Boolean,
+      iters: Int = 2, mod: Int = 10): DataFrame = {
+    val e0 = emb(spark, dir)
+    val slice =
+      if (newBatch) e0.filter(col("vec_id") % mod === 0)
+      else e0.filter(col("vec_id") % mod =!= 0)
+    assignNearest(slice, trainCentroids(spark, dir, iters = iters))
+      .select("vec_id", "c_id", "v", "nrm")
+  }
+
+  /** Harness query `sim_topk_maintained`: the standard query set served
+    * from the MAINTAINED bucketed assignment index (corpus slice built
+    * once + new-vector batch appended against frozen centroids). Equal
+    * by construction to [[ivfTopKTrained]] over the full corpus — the
+    * same oracle hash, which IS the append-correctness proof. */
+  def maintainedTopK(spark: SparkSession, dir: String, k: Int = 10,
+      nprobe: Int = 8, iters: Int = 2): DataFrame = {
+    val table =
+      graft.sources.Bucketing.ensureMaintainedAssignmentIndex(spark, dir, iters)
+    val queries = emb(spark, dir).filter(col("vec_id") < NumQueries)
+      .select(col("vec_id").as("q_id"), col("v").as("q_v"),
+        col("nrm").as("q_nrm"))
+    probeTopK(spark.table(table), queries,
+      trainCentroids(spark, dir, iters = iters), k, nprobe)
+  }
+
   /** Harness query `sim_topk_incremental`: a NEW vector batch (the
     * `vec_id % mod == 0` slice plays the new arrivals) finds its top-k
     * neighbors among the EXISTING corpus by probing its `nprobe`

@@ -171,4 +171,37 @@ object Bucketing {
       .write.mode("append")
       .bucketBy(buckets, "token").sortBy("token")
       .saveAsTable(table)
+
+  // ---------------------------------------- bucketed ANN assignment index
+
+  /** The E3 IVF assignment as a c_id-BUCKETED catalog table — the grown
+    * form of [[graft.operators.Similarity.assignmentTable]]: the corpus
+    * slice assigns once at build; new-vector batches assign ONLY
+    * themselves against the frozen memoized centroids and fold in via
+    * [[appendToAssignmentIndex]] — exactly how production IVF indexes
+    * grow between periodic retrains. The maintained table therefore
+    * equals the full-corpus assignment, which the harness proves by
+    * hash-equality of `sim_topk_maintained` with the full-build oracle.
+    * Returns the table name. */
+  def ensureMaintainedAssignmentIndex(spark: SparkSession, dir: String,
+      iters: Int = 2, buckets: Int = 8): String = {
+    val table = f"ivf_assign_bkt_${iters}_${dir.hashCode & 0x7fffffff}%08x"
+    val S = graft.operators.Similarity
+    ensureBucketedTable(spark, table,
+      S.assignSlice(spark, dir, newBatch = false, iters), Seq("c_id"), buckets) {
+      appendToAssignmentIndex(spark, table,
+        S.assignSlice(spark, dir, newBatch = true, iters), buckets)
+    }
+    table
+  }
+
+  /** Assignment-index maintenance: append a new batch's (vec_id, c_id,
+    * v, nrm) rows, clustered into the existing c_id bucketing — no
+    * rebuild, existing files untouched. */
+  def appendToAssignmentIndex(spark: SparkSession, table: String,
+      newAssigned: DataFrame, buckets: Int = 8): Unit =
+    newAssigned.select("vec_id", "c_id", "v", "nrm")
+      .write.mode("append")
+      .bucketBy(buckets, "c_id").sortBy("c_id")
+      .saveAsTable(table)
 }

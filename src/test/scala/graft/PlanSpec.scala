@@ -35,7 +35,8 @@ class PlanSpec extends AnyFunSuite {
 
   test("only the intentionally-bounded queries use cartesian products") {
     val allowed = Set("ngram_jaccard", "sim_topk_brute", "sim_topk_ivf",
-      "sim_topk_ivf_kmeans", "sim_topk_incremental", "tfidf_top_terms")
+      "sim_topk_ivf_kmeans", "sim_topk_incremental", "sim_topk_maintained",
+      "tfidf_top_terms")
     SparkEntry.queries.keys.filterNot(allowed).foreach { name =>
       val p = try planOf(name) catch { case _: Throwable => "" }
       assert(!p.contains("CartesianProduct"),

@@ -60,6 +60,36 @@ class SimilaritySpec extends AnyFunSuite {
     }
   }
 
+  test("maintained assignment index: append adds files, equals full build") {
+    import org.apache.spark.sql.functions.col
+    val table = "ivf_assign_append_t"
+    try {
+      graft.sources.Bucketing.ensureBucketedTable(spark, table,
+        Similarity.assignSlice(spark, sf, newBatch = false), Seq("c_id"))()
+      def files(): Set[(String, Long)] = {
+        val loc = spark.sql(s"DESCRIBE TABLE EXTENDED $table")
+          .filter(col("col_name") === "Location")
+          .collect()(0).getString(1).stripPrefix("file:")
+        new java.io.File(loc).listFiles()
+          .filter(_.getName.endsWith(".parquet"))
+          .map(f => (f.getName, f.length())).toSet
+      }
+      val preFiles = files()
+      graft.sources.Bucketing.appendToAssignmentIndex(spark, table,
+        Similarity.assignSlice(spark, sf, newBatch = true))
+      val postFiles = files()
+      assert(preFiles.subsetOf(postFiles),
+        s"append rewrote existing index files: ${preFiles.diff(postFiles)}")
+      assert(postFiles.size > preFiles.size, "append added no files")
+      // maintained table == full-corpus assignment (frozen centroids)
+      def asg(df: org.apache.spark.sql.DataFrame) =
+        df.select("vec_id", "c_id").collect()
+          .map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(asg(spark.table(table)) ===
+        asg(Similarity.assignmentTable(spark, sf)))
+    } finally spark.sql(s"DROP TABLE IF EXISTS $table")
+  }
+
   test("IVF ANN recall@10 >= 0.5 vs brute force") {
     def tops(df: org.apache.spark.sql.DataFrame) =
       df.collect().groupBy(_.getAs[Long]("q_id"))
