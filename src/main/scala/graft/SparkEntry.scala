@@ -99,6 +99,7 @@ object SparkEntry {
     "bm25_search"        -> ((s: SparkSession, d: String) => Retrieval.bm25Search(s, d)),
     "bm25_from_index"    -> ((s: SparkSession, d: String) => Retrieval.bm25FromIndex(s, d)),
     "bm25_index_maintained" -> ((s: SparkSession, d: String) => Retrieval.bm25IndexMaintained(s, d)),
+    "bm25_batch"         -> ((s: SparkSession, d: String) => Retrieval.bm25Batch(s, d)),
     "phrase_search"      -> ((s: SparkSession, d: String) => Retrieval.phraseSearch(s, d)),
     "phrase_from_index"  -> ((s: SparkSession, d: String) => Retrieval.phraseFromIndex(s, d)),
     "phrase3_from_index" -> ((s: SparkSession, d: String) =>
@@ -436,6 +437,42 @@ object SparkEntry {
                GROUP BY 1)
        SELECT doc_id, n_terms, round(s, 6) AS score
        FROM per ORDER BY score DESC, doc_id LIMIT 20"""
+
+  /** Batched BM25: the query batch is generated from the SAME
+    * [[graft.operators.Retrieval.QueryBatch]] the Spark side uses, so
+    * the two can't drift. */
+  private val dBm25BatchSql: String = {
+    val batch = graft.operators.Retrieval.QueryBatch
+    val values = batch
+      .flatMap { case (q, ts) => ts.map(t => s"($q::BIGINT, '$t')") }
+      .mkString(", ")
+    val terms = batch.flatMap(_._2).distinct.map(t => s"'$t'").mkString(", ")
+    s"""WITH toks AS (SELECT doc_id, $dToks AS ts FROM documents),
+       tok AS (SELECT doc_id, unnest(ts) AS token FROM toks),
+       dl AS (SELECT doc_id, count(*) AS dl FROM tok GROUP BY 1),
+       stats AS (SELECT (SELECT count(*) FROM documents) AS n_docs,
+                        (SELECT avg(dl) FROM dl) AS avgdl),
+       q(query_id, token) AS (VALUES $values),
+       tf AS (SELECT doc_id, token, count(*) AS tf FROM tok
+              WHERE token IN ($terms) GROUP BY 1, 2),
+       dfreq AS (SELECT token, count(*) AS df FROM tf GROUP BY 1),
+       per AS (SELECT q.query_id, tf.doc_id, count(*) AS n_terms,
+                      sum(round(
+                        ln((n_docs - df + 0.5) / (df + 0.5) + 1.0) *
+                        (tf * (1.2 + 1.0)) /
+                        (tf + 1.2 * (1.0 - 0.75 + 0.75 * dl / avgdl)),
+                        8)) AS s
+               FROM tf JOIN q USING (token) JOIN dfreq USING (token)
+               JOIN dl USING (doc_id) CROSS JOIN stats
+               GROUP BY 1, 2),
+       ranked AS (SELECT query_id, doc_id, n_terms, round(s, 6) AS score,
+                         CAST(row_number() OVER (PARTITION BY query_id
+                           ORDER BY round(s, 6) DESC, doc_id) AS BIGINT)
+                           AS rk
+                  FROM per)
+     SELECT query_id, rk, doc_id, n_terms, score
+     FROM ranked WHERE rk <= 20 ORDER BY query_id, rk"""
+  }
 
   /** Shared by phrase_search (full-scan) and phrase_from_index (served
     * from the positional-postings memo). */
@@ -1551,6 +1588,7 @@ object SparkEntry {
     // …_index_maintained: corpus-slice index + increment append must
     // reproduce the FULL-corpus ranking — the append-correctness claim
     "bm25_index_maintained" -> dBm25Sql,
+    "bm25_batch" -> dBm25BatchSql,
     "phrase_from_index" -> dPhraseSql,
     "phrase3_from_index" ->
       s"""WITH toks AS (SELECT doc_id, $dToks AS ts FROM documents),

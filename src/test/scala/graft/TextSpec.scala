@@ -211,6 +211,15 @@ class TextSpec extends AnyFunSuite {
     }
   }
 
+  test("bm25Batch: the batch member with the standing terms equals the single-query ranking") {
+    val single = graft.operators.Retrieval.bm25FromIndex(spark, TestSpark.sf)
+      .collect().map(r => (r.getAs[Long]("doc_id"), r.getAs[Double]("score")))
+    val batch = graft.operators.Retrieval.bm25Batch(spark, TestSpark.sf)
+      .filter(col("query_id") === 1L).orderBy("rk")
+      .collect().map(r => (r.getAs[Long]("doc_id"), r.getAs[Double]("score")))
+    assert(batch.toSeq === single.toSeq)
+  }
+
   test("index-served BM25 and phrase search equal their full-scan twins") {
     val R = graft.operators.Retrieval
     def rowsOf(df: org.apache.spark.sql.DataFrame) =
