@@ -199,7 +199,13 @@ object Cdc {
             .unionByName(delta, allowMissingColumns = true),
           Seq("user_id"), Seq("ts", "event_id"))
       val staging = new org.apache.hadoop.fs.Path(root, s".staging_$batchId")
-      merged.write.mode("overwrite").partitionBy("bucket")
+      // cluster by bucket before the partitioned write: each bucket then
+      // lands as ONE file instead of one-per-upstream-task (k buckets ×
+      // 32 window partitions of file fragments is the small-files
+      // problem at nightly cadence); the extra exchange moves the same
+      // O(affected) rows the window already shuffled
+      merged.repartition(col("bucket"))
+        .write.mode("overwrite").partitionBy("bucket")
         .parquet(staging.toString)
       affected.foreach { b =>
         val src = new org.apache.hadoop.fs.Path(staging, s"bucket=$b")
