@@ -120,6 +120,44 @@ object ScaleProbe {
       println(s"  dup-span docs: ${r.getLong(0)} of ${r.getLong(1)}")
     }
 
+    // retrieval at 10×: the index-served paths must beat the per-query
+    // corpus scans as the corpus grows — the scan path pays a tokenize
+    // of all 50k docs per query, the index path probes materialized
+    // postings with a token-IN pushdown
+    time("bm25_search (cold: builds doclen memo + full tf scan)") {
+      operators.Retrieval.bm25Search(spark, dup).count()
+    }
+    time("bm25_search (warm: memoized doclen, still a full tf scan/query)") {
+      operators.Retrieval.bm25Search(spark, dup).count()
+    }
+    time("bm25_from_index (cold: builds the postings memo once)") {
+      operators.Retrieval.bm25FromIndex(spark, dup).count()
+    }
+    time("bm25_from_index (warm: pruned postings probe, 0 corpus scans)") {
+      operators.Retrieval.bm25FromIndex(spark, dup).count()
+    }
+    time("bm25_batch (3 queries in ONE plan off the warm postings memo)") {
+      operators.Retrieval.bm25Batch(spark, dup).count()
+    }
+    time("phrase_search (full-scan twin)") {
+      operators.Retrieval.phraseSearch(spark, dup).count()
+    }
+    time("phrase_from_index (cold: builds the positional memo)") {
+      operators.Retrieval.phraseFromIndex(spark, dup).count()
+    }
+    time("phrase_from_index (warm: positional probe only)") {
+      operators.Retrieval.phraseFromIndex(spark, dup).count()
+    }
+
+    // incremental ANN at 10×: the new-batch probe must not re-assign
+    // the corpus — warm cost is the batch's nprobe lists only
+    time("sim_topk_incremental (cold: materializes the assignment memo)") {
+      operators.Similarity.incrementalTopK(spark, dup).count()
+    }
+    time("sim_topk_incremental (warm: persisted-assignment probe)") {
+      operators.Similarity.incrementalTopK(spark, dup).count()
+    }
+
     // CDC store: fold the full event changelog into a 16-bucket store,
     // then merge a small keyed batch — the increment must cost
     // O(affected buckets), not O(snapshot)
