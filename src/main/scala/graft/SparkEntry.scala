@@ -92,6 +92,8 @@ object SparkEntry {
     "text_langid"        -> (TextAnalysis.langId _),
     "text_quality"       -> (TextAnalysis.quality _),
     "text_token_counts"  -> (TextAnalysis.tokenCounts _),
+    "quality_quantile_filter" -> ((s: SparkSession, d: String) =>
+      TextAnalysis.qualityQuantileFilter(s, d)),
     "text_term_freq"     -> (TextAnalysis.termFrequencies _),
     "approx_top_terms"   -> ((s: SparkSession, d: String) => TextAnalysis.approxTopTerms(s, d)),
     "text_fingerprint"   -> (TextAnalysis.fingerprints _),
@@ -981,6 +983,38 @@ object SparkEntry {
                     ['the','a','and','of','to','in','is','that','it','for'], t)))
                     AS DOUBLE) / len(ts) END, 6) AS stopword_ratio
          FROM toks ORDER BY doc_id""",
+    // the oracle states the SEMANTICS as the naive full window; the
+    // Spark plan reaches the same kept set via the aggregated-threshold
+    // + tie-quota shape (no per-language whole-corpus window)
+    "quality_quantile_filter" ->
+      """WITH toks AS (
+           SELECT doc_id, lang, text,
+                  list_filter(string_split_regex(lower(text), '\s+'),
+                    t -> len(t) > 0) AS ts
+           FROM documents),
+         q AS (
+           SELECT doc_id, lang,
+                  round(
+                    round(CASE WHEN len(ts) = 0 THEN 0.0
+                      ELSE CAST(len(list_filter(ts, t -> list_contains(
+                        ['the','a','and','of','to','in','is','that','it','for'], t)))
+                        AS DOUBLE) / len(ts) END, 6) -
+                    round(CASE WHEN len(text) = 0 THEN 0.0
+                      ELSE CAST(len(regexp_extract_all(text, '[.,;:!?]')) AS DOUBLE) / len(text)
+                      END, 6) -
+                    round(CASE WHEN len(text) = 0 THEN 0.0
+                      ELSE CAST(len(regexp_extract_all(text, '[0-9]')) AS DOUBLE) / len(text)
+                      END, 6), 6) AS score
+           FROM toks),
+         r AS (
+           SELECT lang, doc_id, score,
+                  row_number() OVER (PARTITION BY lang
+                    ORDER BY score DESC, doc_id) AS rk,
+                  count(*) OVER (PARTITION BY lang) AS n
+           FROM q)
+         SELECT lang, doc_id, score FROM r
+         WHERE rk <= floor(1 + 0.5 * (n - 1))
+         ORDER BY lang, doc_id""",
     "text_token_counts" ->
       """WITH toks AS (
            SELECT doc_id, text,

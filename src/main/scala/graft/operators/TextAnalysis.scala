@@ -33,6 +33,50 @@ object TextAnalysis {
         round(col("q.stopword_ratio"), 6).as("stopword_ratio"))
       .orderBy("doc_id")
 
+  /** Harness query `quality_quantile_filter`: keep the top `keep`
+    * fraction of documents PER LANGUAGE by a composite quality score
+    * (stopword − punct − digit ratios, rounded) — the standard
+    * quality-pruning pass of a training-data pipeline, with the rank
+    * semantics of `rank ≤ 1 + keep·(n−1)` over (score desc, doc_id).
+    *
+    * Scale shape: the naive form is a per-language window over every
+    * document — a 20 TB single partition per language at 100 TB. This
+    * plan instead (1) aggregates to (lang, score) counts — bounded by
+    * langs × distinct rounded scores, (2) finds each language's
+    * threshold score and its tie quota with a window over THAT tiny
+    * table, (3) keeps `score > thr` with a narrow broadcast-joined
+    * filter, and (4) ranks ONLY the tie group (docs exactly at the
+    * threshold) in a bounded window. Exactly the kept set the full
+    * window would produce (the oracle computes it that way), at
+    * O(docs) narrow work + windows over aggregate-sized inputs. */
+  def qualityQuantileFilter(spark: SparkSession, dir: String,
+      keep: Double = 0.5): DataFrame = {
+    val q = Tables.load(spark, dir, "documents")
+      .select(col("doc_id"), col("lang"), T.qualityStruct(col("text")).as("q"))
+      .select(col("doc_id"), col("lang"),
+        round(round(col("q.stopword_ratio"), 6) -
+          round(col("q.punct_ratio"), 6) -
+          round(col("q.digit_ratio"), 6), 6).as("score"))
+    val wCum = Window.partitionBy("lang").orderBy(col("score").desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val thr = q.groupBy("lang", "score").agg(count(lit(1)).as("cnt"))
+      .withColumn("cum", sum(col("cnt")).over(wCum))
+      .withColumn("n", sum(col("cnt")).over(Window.partitionBy("lang")))
+      .withColumn("k", floor(lit(1.0) + lit(keep) * (col("n") - 1)))
+      .filter(col("cum") >= col("k") && (col("cum") - col("cnt")) < col("k"))
+      .select(col("lang"), col("score").as("thr"),
+        (col("k") - (col("cum") - col("cnt"))).as("quota"))
+    val joined = q.join(broadcast(thr), "lang")
+    val above = joined.filter(col("score") > col("thr"))
+      .select("lang", "doc_id", "score")
+    val wTie = Window.partitionBy("lang").orderBy("doc_id")
+    val ties = joined.filter(col("score") === col("thr"))
+      .withColumn("trk", row_number().over(wTie))
+      .filter(col("trk") <= col("quota"))
+      .select("lang", "doc_id", "score")
+    above.union(ties).orderBy("lang", "doc_id")
+  }
+
   /** Token counts: whitespace tokens, distinct tokens, BPE-ish subword
     * estimate. */
   def tokenCounts(spark: SparkSession, dir: String): DataFrame =

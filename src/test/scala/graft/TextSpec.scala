@@ -211,6 +211,35 @@ class TextSpec extends AnyFunSuite {
     }
   }
 
+  test("qualityQuantileFilter: threshold+tie plan equals the naive per-lang window") {
+    import org.apache.spark.sql.expressions.Window
+    val TA = graft.operators.TextAnalysis
+    val got = TA.qualityQuantileFilter(spark, TestSpark.sf).collect()
+      .map(r => (r.getString(0), r.getLong(1))).toSet
+    // naive semantics: full window per language, rank <= 1 + keep*(n-1)
+    val docs = Tables.load(spark, TestSpark.sf, "documents")
+      .select(col("doc_id"), col("lang"))
+    val q = TA.quality(spark, TestSpark.sf)
+      .select(col("doc_id"),
+        round(col("stopword_ratio") - col("punct_ratio") -
+          col("digit_ratio"), 6).as("score"))
+      .join(docs, "doc_id")
+    val w = Window.partitionBy("lang").orderBy(col("score").desc, col("doc_id"))
+    val want = q.withColumn("rk", row_number().over(w))
+      .withColumn("n", count(lit(1)).over(Window.partitionBy("lang")))
+      .filter(col("rk") <= floor(lit(1.0) + lit(0.5) * (col("n") - 1)))
+      .select("lang", "doc_id").collect()
+      .map(r => (r.getString(0), r.getLong(1))).toSet
+    assert(got === want && got.nonEmpty)
+    // roughly half of each language survives
+    val byLang = got.groupBy(_._1).view.mapValues(_.size)
+    val totals = docs.groupBy("lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    byLang.foreach { case (l, k) =>
+      assert(math.abs(k.toDouble / totals(l) - 0.5) < 0.1, s"$l kept $k of ${totals(l)}")
+    }
+  }
+
   test("bm25Batch: the batch member with the standing terms equals the single-query ranking") {
     val single = graft.operators.Retrieval.bm25FromIndex(spark, TestSpark.sf)
       .collect().map(r => (r.getAs[Long]("doc_id"), r.getAs[Double]("score")))
