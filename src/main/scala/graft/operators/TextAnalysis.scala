@@ -51,12 +51,18 @@ object TextAnalysis {
     * O(docs) narrow work + windows over aggregate-sized inputs. */
   def qualityQuantileFilter(spark: SparkSession, dir: String,
       keep: Double = 0.5): DataFrame = {
-    val q = Tables.load(spark, dir, "documents")
-      .select(col("doc_id"), col("lang"), T.qualityStruct(col("text")).as("q"))
-      .select(col("doc_id"), col("lang"),
-        round(round(col("q.stopword_ratio"), 6) -
-          round(col("q.punct_ratio"), 6) -
-          round(col("q.digit_ratio"), 6), 6).as("score"))
+    // memoized: the (doc_id, lang, score) table feeds three plan
+    // branches (threshold aggregate, above-threshold filter, tie
+    // ranking) — uncached, each branch would re-tokenize the corpus;
+    // materialized once it's a narrow 3-column scan per branch
+    val q = Memo.table(spark, dir, "quality_scores") {
+      Tables.load(spark, dir, "documents")
+        .select(col("doc_id"), col("lang"), T.qualityStruct(col("text")).as("q"))
+        .select(col("doc_id"), col("lang"),
+          round(round(col("q.stopword_ratio"), 6) -
+            round(col("q.punct_ratio"), 6) -
+            round(col("q.digit_ratio"), 6), 6).as("score"))
+    }
     val wCum = Window.partitionBy("lang").orderBy(col("score").desc)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val thr = q.groupBy("lang", "score").agg(count(lit(1)).as("cnt"))
