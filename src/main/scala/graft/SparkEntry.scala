@@ -106,6 +106,8 @@ object SparkEntry {
     "phrase_from_index"  -> ((s: SparkSession, d: String) => Retrieval.phraseFromIndex(s, d)),
     "phrase3_from_index" -> ((s: SparkSession, d: String) =>
       Retrieval.phraseFromIndexN(s, d, Seq("part", "filter", "scan"))),
+    "phrase_index_maintained" -> ((s: SparkSession, d: String) =>
+      Retrieval.phraseIndexMaintained(s, d)),
     "doc_chunks"         -> ((s: SparkSession, d: String) => TextAnalysis.docChunks(s, d)),
     "vocab_coverage"     -> ((s: SparkSession, d: String) => TextAnalysis.vocabCoverage(s, d)),
     "dedup_keep_best"    -> (Components.dedupKeepBest _),
@@ -1624,6 +1626,7 @@ object SparkEntry {
     "bm25_index_maintained" -> dBm25Sql,
     "bm25_batch" -> dBm25BatchSql,
     "phrase_from_index" -> dPhraseSql,
+    "phrase_index_maintained" -> dPhraseSql,
     "phrase3_from_index" ->
       s"""WITH toks AS (SELECT doc_id, $dToks AS ts FROM documents),
          pos AS (SELECT doc_id,

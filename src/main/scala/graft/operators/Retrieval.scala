@@ -272,18 +272,40 @@ object Retrieval {
     * `phrase3_from_index` runs this for a 3-term phrase; the oracle
     * twin counts matching word 3-shingles. */
   def phraseFromIndexN(spark: SparkSession, dir: String,
-      terms: Seq[String], topK: Int = 20): DataFrame = {
+      terms: Seq[String], topK: Int = 20): DataFrame =
+    phraseOver(positionalPostings(spark, dir), terms, topK)
+
+  /** Harness query `phrase_index_maintained`: the 2-term phrase served
+    * from the BUCKETED positional CATALOG table grown by increment
+    * append ([[graft.sources.Bucketing.ensureMaintainedPositionalIndex]]).
+    * Hash-equality with the full-corpus phrase oracle is the
+    * append-correctness proof, mirroring [[bm25IndexMaintained]]. */
+  def phraseIndexMaintained(spark: SparkSession, dir: String,
+      first: String = "hash", second: String = "join",
+      topK: Int = 20): DataFrame = {
+    val table =
+      graft.sources.Bucketing.ensureMaintainedPositionalIndex(spark, dir)
+    phraseOver(spark.table(table), Seq(first, second), topK)
+  }
+
+  /** The n-term phrase kernel over ANY (token, doc_id, positions)
+    * source: term i's positions shift by (n-1-i) so a phrase occurrence
+    * ending at position e is a member of EVERY shifted list — the
+    * running `array_intersect` narrows left to right, so the
+    * rarest-term list bounds the work. Joins chain on doc_id (inner:
+    * every term must appear), each side a pushed-down single-token
+    * fetch. */
+  private def phraseOver(p: DataFrame, terms: Seq[String],
+      topK: Int): DataFrame = {
     require(terms.nonEmpty, "phrase needs at least one term")
-    val p = positionalPostings(spark, dir)
     def listOf(t: String, i: Int): DataFrame =
       p.filter(col("token") === t)
         .select(col("doc_id"), col("positions").as(s"p$i"))
     val n = terms.size
     val joined = terms.zipWithIndex.map { case (t, i) => listOf(t, i) }
       .reduce(_.join(_, "doc_id"))
-    // shift term i's positions by (n-1-i): all lists then agree on the
-    // phrase's END position; positions within a doc are distinct, so
-    // the intersection size is the occurrence count
+    // positions within a doc are distinct, so the intersection size is
+    // the occurrence count
     val shifted = (0 until n).map(i =>
       transform(col(s"p$i"), x => x + lit(n - 1 - i)))
     joined

@@ -172,6 +172,32 @@ object Bucketing {
       .bucketBy(buckets, "token").sortBy("token")
       .saveAsTable(table)
 
+  /** The positional-postings twin of [[ensureMaintainedPostingsIndex]]:
+    * (token, doc_id, positions) bucketed by token, corpus slice built
+    * once, the new-doc batch appended inside the build guard. Serves
+    * `phrase_index_maintained`. */
+  def ensureMaintainedPositionalIndex(spark: SparkSession, dir: String,
+      buckets: Int = 8): String = {
+    import org.apache.spark.sql.functions.col
+    val table = f"positional_bkt_${dir.hashCode & 0x7fffffff}%08x"
+    lazy val posts = graft.operators.Retrieval.positionalPostings(spark, dir)
+    ensureBucketedTable(spark, table,
+      posts.filter(col("doc_id") % 10 =!= 0), Seq("token"), buckets) {
+      appendToPositionalIndex(spark, table,
+        posts.filter(col("doc_id") % 10 === 0), buckets)
+    }
+    table
+  }
+
+  /** Positional-index maintenance: bucket-preserving append of a new
+    * batch's (token, doc_id, positions) rows — no rebuild. */
+  def appendToPositionalIndex(spark: SparkSession, table: String,
+      newPostings: DataFrame, buckets: Int = 8): Unit =
+    newPostings.select("token", "doc_id", "positions")
+      .write.mode("append")
+      .bucketBy(buckets, "token").sortBy("token")
+      .saveAsTable(table)
+
   // ---------------------------------------- bucketed ANN assignment index
 
   /** The E3 IVF assignment as a c_id-BUCKETED catalog table — the grown
