@@ -117,6 +117,7 @@ object SparkEntry {
     "contamination"      -> (Sampling.contamination _),
     "contamination_ngram" -> ((s: SparkSession, d: String) => Sampling.contaminationNgram(s, d)),
     "unigram_logprob"    -> (TextAnalysis.unigramLogprob _),
+    "bigram_logprob"     -> (TextAnalysis.bigramLogprob _),
     "source_quota"       -> ((s: SparkSession, d: String) => Sampling.sourceQuota(s, d)),
     "doc_pack"           -> ((s: SparkSession, d: String) => Sampling.docPack(s, d)),
     "corpus_manifest"    -> (Sampling.corpusManifest _),
@@ -1661,6 +1662,27 @@ object SparkEntry {
                 coalesce(n_tokens, 0) AS n_tokens,
                 CASE WHEN coalesce(n_tokens, 0) = 0 THEN 0.0
                      ELSE round(s / n_tokens, 6) END AS avg_logprob
+         FROM documents d LEFT JOIN per USING (doc_id)
+         ORDER BY doc_id""",
+    "bigram_logprob" ->
+      s"""WITH toks AS (SELECT doc_id, $dToks AS ts FROM documents),
+         tok AS (SELECT doc_id, unnest(ts) AS token FROM toks),
+         tf AS (SELECT token, count(*) AS freq FROM tok GROUP BY 1),
+         v AS (SELECT count(*) AS v FROM tf),
+         big AS (SELECT doc_id, unnest(${dShinglesN(2)}) AS bigram
+                 FROM toks),
+         bf AS (SELECT bigram, count(*) AS bfreq FROM big GROUP BY 1),
+         per AS (SELECT doc_id, count(*) AS n_bigrams,
+                        sum(round(ln((bfreq + 1) /
+                          CAST(freq + v AS DOUBLE)), 8)) AS s
+                 FROM big JOIN bf USING (bigram)
+                 JOIN tf ON split_part(bigram, ' ', 1) = tf.token
+                 CROSS JOIN v
+                 GROUP BY 1)
+         SELECT d.doc_id,
+                coalesce(n_bigrams, 0) AS n_bigrams,
+                CASE WHEN coalesce(n_bigrams, 0) = 0 THEN 0.0
+                     ELSE round(s / n_bigrams, 6) END AS avg_logprob
          FROM documents d LEFT JOIN per USING (doc_id)
          ORDER BY doc_id""",
     "source_quota" ->

@@ -314,6 +314,52 @@ object TextAnalysis {
       .orderBy("doc_id")
   }
 
+  /** Harness query `bigram_logprob`: bigram language-model fluency
+    * scoring — avg log P(w_i | w_{i-1}) with add-one smoothing,
+    * P = (c(w1 w2) + 1) / (c(w1) + V) — the KenLM-style filter a
+    * training pipeline runs after the unigram pass (a doc of real words
+    * in scrambled order scores well on unigrams but poorly here).
+    *
+    * Shape: the bigram table memoizes next to the shared `token-tf`
+    * memo (one extra corpus shingle pass per dataset); scoring is one
+    * shingle explode, two hash joins (bigram count, left-token count),
+    * a broadcast vocab scalar, one per-doc aggregate. Same rounding
+    * discipline as [[unigramLogprob]] (round per-bigram logprob to 8
+    * before the sum, mean on the rounded sum) so the cross-engine hash
+    * holds. */
+  def bigramLogprob(spark: SparkSession, dir: String): DataFrame = {
+    val tf = Memo.table(spark, dir, "token-tf") {
+      Tables.load(spark, dir, "documents")
+        .select(explode(T.tokens(col("text"))).as("token"))
+        .groupBy("token").agg(count(lit(1)).as("freq"))
+    }
+    val bf = Memo.table(spark, dir, "bigram-tf") {
+      Tables.load(spark, dir, "documents")
+        .select(explode(T.wordShingles(col("text"), 2)).as("bigram"))
+        .groupBy("bigram").agg(count(lit(1)).as("bfreq"))
+    }
+    val vocab = tf.agg(count(lit(1)).as("v"))
+    val docs = Tables.load(spark, dir, "documents")
+    val perDoc = docs
+      .select(col("doc_id"), explode(T.wordShingles(col("text"), 2)).as("bigram"))
+      .join(bf, "bigram")
+      // tokens contain no whitespace (the tokenizer splits on it), so
+      // the bigram's left token is everything before the separator
+      .withColumn("w1", substring_index(col("bigram"), " ", 1))
+      .join(tf.select(col("token").as("w1"), col("freq")), "w1")
+      .crossJoin(broadcast(vocab))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).cast("long").as("n_bigrams"),
+        sum(round(log((col("bfreq") + 1).cast("double") /
+          (col("freq") + col("v")).cast("double")), 8)).as("s"))
+    docs.select(col("doc_id")).join(perDoc, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_bigrams"), lit(0L)).as("n_bigrams"),
+        when(coalesce(col("n_bigrams"), lit(0L)) === 0, 0.0d)
+          .otherwise(round(col("s") / col("n_bigrams"), 6)).as("avg_logprob"))
+      .orderBy("doc_id")
+  }
+
   /** Document fingerprints: order-invariant md5 fingerprint (detects
     * "same content, shuffled tokens" duplicates) plus the order-
     * SENSITIVE Rabin-Karp rolling hash — both cross-engine (md5-based),

@@ -298,6 +298,20 @@ class TextSpec extends AnyFunSuite {
     assert(got3 === Seq((1L, 1L)))
   }
 
+  test("bigramLogprob: bigram counts = max(n_tokens - 1, 0), scores negative") {
+    val TA = graft.operators.TextAnalysis
+    val j = TA.bigramLogprob(spark, TestSpark.sf)
+      .join(TA.tokenCounts(spark, TestSpark.sf)
+        .select("doc_id", "n_tokens"), "doc_id").collect()
+    assert(j.nonEmpty)
+    j.foreach { r =>
+      val nb = r.getAs[Long]("n_bigrams")
+      assert(nb === math.max(r.getAs[Long]("n_tokens") - 1, 0L))
+      if (nb > 0) assert(r.getAs[Double]("avg_logprob") < 0.0)
+      else assert(r.getAs[Double]("avg_logprob") === 0.0)
+    }
+  }
+
   test("unigramLogprob: negative scores, token counts agree with tokenCounts") {
     val lp = graft.operators.TextAnalysis.unigramLogprob(spark, TestSpark.sf)
     val tc = graft.operators.TextAnalysis.tokenCounts(spark, TestSpark.sf)
