@@ -234,4 +234,32 @@ class PropertySpec extends AnyFunSuite {
       assert(canon(replayed) === canon(whole))
     }
   }
+
+  test("phrase kernel == brute shingle count on random corpora") {
+    import spark.implicits._
+    // tiny vocab so phrases genuinely repeat and overlap (the repeated-
+    // term case — "a a a" — is where shifted-intersection math breaks
+    // if positions are mishandled)
+    val vocab = Vector("a", "b", "c")
+    val docGen = Gen.listOfN(12, Gen.oneOf(vocab)).map(_.mkString(" "))
+    val caseGen = Gen.zip(
+      Gen.listOfN(8, docGen),
+      Gen.chooseNum(2, 3).flatMap(k => Gen.listOfN(k, Gen.oneOf(vocab))))
+    forSamples(caseGen, 5) { case (docs, terms) =>
+      val dir = java.nio.file.Files.createTempDirectory("phraseprop").toString
+      docs.zipWithIndex.map { case (t, i) => (i.toLong, t, "en", "s") }
+        .toDF("doc_id", "text", "lang", "source")
+        .withColumn("n_chars", length(col("text")))
+        .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+      val got = graft.operators.Retrieval
+        .phraseFromIndexN(spark, dir, terms, topK = 100)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+      val want = docs.zipWithIndex.flatMap { case (t, i) =>
+        val toks = t.split("\\s+").filter(_.nonEmpty).toSeq
+        val n = toks.sliding(terms.size).count(_ == terms)
+        if (n > 0) Some(i.toLong -> n.toLong) else None
+      }.toMap
+      assert(got === want, s"terms=$terms docs=$docs")
+    }
+  }
 }
