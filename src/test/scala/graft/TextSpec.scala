@@ -240,6 +240,43 @@ class TextSpec extends AnyFunSuite {
     }
   }
 
+  test("quantile filter keeps exactly floor(1 + keep*(n-1)) per lang under heavy ties") {
+    import spark.implicits._
+    val TA = graft.operators.TextAnalysis
+    // 3 score classes x 10 docs per lang: most of the kept set comes
+    // from INSIDE a tie group, so the tie-quota branch does the work
+    val variants = Seq(
+      "the a and of to in is that it for",     // all stopwords: high score
+      "one two three four five six seven",      // no stopwords: mid
+      "1 2 3 4 5 6 7 8 9 10")                   // digits: low
+    val docs = for (l <- Seq("en", "de"); i <- 0 until 30)
+      yield ((if (l == "en") 0 else 1000) + i.toLong,
+        variants(i % 3), l, "s")
+    val dir = java.nio.file.Files.createTempDirectory("quantfix").toString
+    docs.toDF("doc_id", "text", "lang", "source")
+      .withColumn("n_chars", length(col("text")))
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    for (keep <- Seq(0.25, 0.5, 0.9)) {
+      val kept = TA.qualityQuantileFilter(spark, dir, keep).collect()
+      val byLang = kept.groupBy(_.getString(0)).view.mapValues(_.length)
+      val k = math.floor(1.0 + keep * 29).toLong
+      Seq("en", "de").foreach { l =>
+        assert(byLang.getOrElse(l, 0) === k, s"keep=$keep lang=$l")
+      }
+      // kept docs are the BEST-scoring, ties broken by doc_id: variants
+      // cycle i%3 with strictly ordered class scores (stopwords > plain
+      // words > digits), so the expected kept set is the first k ids in
+      // (class, doc_id) order
+      kept.groupBy(_.getString(0)).foreach { case (lang, rows) =>
+        val base = if (lang == "en") 0L else 1000L
+        val expected = (0 until 30).map(i => (i % 3, base + i)).sorted
+          .take(k.toInt).map(_._2).toSet
+        assert(rows.map(_.getLong(1)).toSet === expected,
+          s"keep=$keep lang=$lang")
+      }
+    }
+  }
+
   test("bm25Batch: the batch member with the standing terms equals the single-query ranking") {
     val single = graft.operators.Retrieval.bm25FromIndex(spark, TestSpark.sf)
       .collect().map(r => (r.getAs[Long]("doc_id"), r.getAs[Double]("score")))
