@@ -139,6 +139,12 @@ object ScaleProbe {
     time("bm25_batch (3 queries in ONE plan off the warm postings memo)") {
       operators.Retrieval.bm25Batch(spark, dup).count()
     }
+    time("bm25_index_maintained (cold: builds + appends the bucketed catalog)") {
+      operators.Retrieval.bm25IndexMaintained(spark, dup).count()
+    }
+    time("bm25_index_maintained (warm: bucket-pruned catalog probe)") {
+      operators.Retrieval.bm25IndexMaintained(spark, dup).count()
+    }
     time("phrase_search (full-scan twin)") {
       operators.Retrieval.phraseSearch(spark, dup).count()
     }
