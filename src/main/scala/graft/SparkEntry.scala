@@ -101,6 +101,7 @@ object SparkEntry {
     "bm25_search"        -> ((s: SparkSession, d: String) => Retrieval.bm25Search(s, d)),
     "bm25_from_index"    -> ((s: SparkSession, d: String) => Retrieval.bm25FromIndex(s, d)),
     "bm25_index_maintained" -> ((s: SparkSession, d: String) => Retrieval.bm25IndexMaintained(s, d)),
+    "bm25_index_churn"   -> ((s: SparkSession, d: String) => Retrieval.bm25IndexChurn(s, d)),
     "bm25_batch"         -> ((s: SparkSession, d: String) => Retrieval.bm25Batch(s, d)),
     "phrase_search"      -> ((s: SparkSession, d: String) => Retrieval.phraseSearch(s, d)),
     "phrase_from_index"  -> ((s: SparkSession, d: String) => Retrieval.phraseFromIndex(s, d)),
@@ -108,6 +109,8 @@ object SparkEntry {
       Retrieval.phraseFromIndexN(s, d, Seq("part", "filter", "scan"))),
     "phrase_index_maintained" -> ((s: SparkSession, d: String) =>
       Retrieval.phraseIndexMaintained(s, d)),
+    "phrase_index_churn" -> ((s: SparkSession, d: String) =>
+      Retrieval.phraseIndexChurn(s, d)),
     "doc_chunks"         -> ((s: SparkSession, d: String) => TextAnalysis.docChunks(s, d)),
     "vocab_coverage"     -> ((s: SparkSession, d: String) => TextAnalysis.vocabCoverage(s, d)),
     "dedup_keep_best"    -> (Components.dedupKeepBest _),
@@ -420,13 +423,17 @@ object SparkEntry {
        FROM feed GROUP BY entity ORDER BY entity"""
   }
 
-  /** Shared by bm25_search (full-scan) and bm25_from_index (served from
-    * the materialized postings memo): same ranking by construction. */
-  private val dBm25Sql: String =
-    s"""WITH toks AS (SELECT doc_id, $dToks AS ts FROM documents),
+  /** Shared by bm25_search (full-scan), bm25_from_index /
+    * bm25_index_maintained (served from the materialized indexes), and
+    * — with a doc filter — bm25_index_churn (served after a doc-batch
+    * delete must equal a fresh build that never saw those docs): same
+    * ranking by construction. */
+  private def dBm25SqlFor(where: String = "TRUE"): String =
+    s"""WITH docs AS (SELECT * FROM documents WHERE $where),
+       toks AS (SELECT doc_id, $dToks AS ts FROM docs),
        tok AS (SELECT doc_id, unnest(ts) AS token FROM toks),
        dl AS (SELECT doc_id, count(*) AS dl FROM tok GROUP BY 1),
-       stats AS (SELECT (SELECT count(*) FROM documents) AS n_docs,
+       stats AS (SELECT (SELECT count(*) FROM docs) AS n_docs,
                         (SELECT avg(dl) FROM dl) AS avgdl),
        tf AS (SELECT doc_id, token, count(*) AS tf FROM tok
               WHERE token IN ('hash', 'join', 'scan') GROUP BY 1, 2),
@@ -442,6 +449,8 @@ object SparkEntry {
                GROUP BY 1)
        SELECT doc_id, n_terms, round(s, 6) AS score
        FROM per ORDER BY score DESC, doc_id LIMIT 20"""
+
+  private val dBm25Sql: String = dBm25SqlFor()
 
   /** Batched BM25: the query batch is generated from the SAME
     * [[graft.operators.Retrieval.QueryBatch]] the Spark side uses, so
@@ -479,10 +488,12 @@ object SparkEntry {
      FROM ranked WHERE rk <= 20 ORDER BY query_id, rk"""
   }
 
-  /** Shared by phrase_search (full-scan) and phrase_from_index (served
-    * from the positional-postings memo). */
-  private val dPhraseSql: String =
-    s"""WITH toks AS (SELECT doc_id, $dToks AS ts FROM documents),
+  /** Shared by phrase_search (full-scan), phrase_from_index /
+    * phrase_index_maintained (served from the positional indexes), and
+    * — with a doc filter — phrase_index_churn. */
+  private def dPhraseSqlFor(where: String = "TRUE"): String =
+    s"""WITH docs AS (SELECT * FROM documents WHERE $where),
+       toks AS (SELECT doc_id, $dToks AS ts FROM docs),
        pos AS (SELECT doc_id,
                  [i for i in range(1, len(ts) + 1) if ts[i] = 'hash']
                    AS p1,
@@ -497,6 +508,13 @@ object SparkEntry {
        SELECT doc_id, n_occurrences FROM hits
        WHERE n_occurrences > 0
        ORDER BY n_occurrences DESC, doc_id LIMIT 20"""
+
+  private val dPhraseSql: String = dPhraseSqlFor()
+
+  /** The churn lifecycle's surviving corpus: the `doc_id % 10 == 0`
+    * batch was deleted and compacted away, so the served index must
+    * equal a fresh build over the rest. */
+  private val dChurnWhere = "doc_id % 10 <> 0"
 
   def oracleSql: Map[String, String] = Map(
     "backfill_scan" ->
@@ -1625,9 +1643,11 @@ object SparkEntry {
     // …_index_maintained: corpus-slice index + increment append must
     // reproduce the FULL-corpus ranking — the append-correctness claim
     "bm25_index_maintained" -> dBm25Sql,
+    "bm25_index_churn" -> dBm25SqlFor(dChurnWhere),
     "bm25_batch" -> dBm25BatchSql,
     "phrase_from_index" -> dPhraseSql,
     "phrase_index_maintained" -> dPhraseSql,
+    "phrase_index_churn" -> dPhraseSqlFor(dChurnWhere),
     "phrase3_from_index" ->
       s"""WITH toks AS (SELECT doc_id, $dToks AS ts FROM documents),
          pos AS (SELECT doc_id,

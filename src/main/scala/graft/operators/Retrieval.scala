@@ -201,6 +201,63 @@ object Retrieval {
       spark.table(table).filter(col("token").isin(query: _*)), topK)
   }
 
+  /** Harness query `bm25_index_churn`: BM25 served from the
+    * CHURN-capable index after a doc-batch DELETE and a bucket-local
+    * compaction ([[graft.sources.Bucketing.ensureChurnedBm25Index]]:
+    * full build at seq=0, tombstones for the `doc_id % 10 == 0` batch
+    * at seq=1, compact). The tf, doc-length, N and avgdl inputs ALL
+    * come from the churned tables' serve view, so the result must
+    * hash-equal a fresh build over a corpus that never contained the
+    * deleted docs — which is exactly the oracle, and exactly the claim
+    * that deletes don't leave stale postings OR stale stats behind. */
+  def bm25IndexChurn(spark: SparkSession, dir: String,
+      query: Seq[String] = Seq("hash", "join", "scan"),
+      topK: Int = 20): DataFrame = {
+    val (pt, dt) = graft.sources.Bucketing.ensureChurnedBm25Index(spark, dir)
+    val tf = graft.sources.IndexChurn.served(spark, pt, Seq("token", "doc_id"))
+      .filter(col("token").isin(query: _*))
+    val dl = graft.sources.IndexChurn.served(spark, dt, Seq("doc_id"))
+    bm25RankWith(tf, dl, topK)
+  }
+
+  /** BM25 scoring tail over EXPLICIT tf and doc-length inputs (the
+    * churn-serving variant of [[bm25Rank]]): `dlAll` carries one row
+    * per live doc (dl=0 for token-less docs), so N = count(dlAll) and
+    * avgdl = avg over dl>0 — the same N/avgdl semantics as the
+    * full-scan twin's separate aggregates, derived from the index
+    * alone. */
+  private def bm25RankWith(tf: DataFrame, dlAll: DataFrame,
+      topK: Int): DataFrame = {
+    val stats = broadcast(dlAll.agg(count(lit(1)).as("n_docs"),
+      avg(when(col("dl") > 0, col("dl"))).as("avgdl")))
+    val dl = dlAll.filter(col("dl") > 0)
+    val dfreq = tf.groupBy("token").agg(count(lit(1)).as("df"))
+    val termScore = round(
+      log((col("n_docs") - col("df") + 0.5d) / (col("df") + 0.5d) + 1.0d) *
+        (col("tf") * (K1 + 1.0d)) /
+        (col("tf") + lit(K1) * (lit(1.0d - B) + lit(B) * col("dl") / col("avgdl"))), 8)
+    val scored = tf.join(broadcast(dfreq), "token").crossJoin(stats)
+    dl.join(scored, "doc_id")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_terms"), sum(termScore).as("s"))
+      .select(col("doc_id"), col("n_terms"), round(col("s"), 6).as("score"))
+      .orderBy(col("score").desc, col("doc_id"))
+      .limit(topK)
+  }
+
+  /** Harness query `phrase_index_churn`: the 2-term phrase served from
+    * the CHURN-capable positional index after the doc-batch delete +
+    * compaction lifecycle
+    * ([[graft.sources.Bucketing.ensureChurnedPositionalIndex]]) —
+    * hash-equal to a fresh build over the remaining docs. */
+  def phraseIndexChurn(spark: SparkSession, dir: String,
+      first: String = "hash", second: String = "join",
+      topK: Int = 20): DataFrame = {
+    val table = graft.sources.Bucketing.ensureChurnedPositionalIndex(spark, dir)
+    phraseOver(graft.sources.IndexChurn.served(spark, table,
+      Seq("token", "doc_id")), Seq(first, second), topK)
+  }
+
   /** The harness's standing query batch for [[bm25Batch]]. */
   val QueryBatch: Seq[(Long, Seq[String])] = Seq(
     1L -> Seq("hash", "join", "scan"),

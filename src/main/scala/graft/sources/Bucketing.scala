@@ -78,34 +78,56 @@ object Bucketing {
     table
   }
 
+  /** Clear a warehouse location left behind by a dead JVM: with the
+    * local in-memory catalog a managed-table LOCATION can outlive the
+    * JVM that registered it (files persist, catalog entries don't) and
+    * a fresh create would die with LOCATION_ALREADY_EXISTS. Safe ONLY
+    * because every table this module manages is a DERIVED CACHE
+    * (rebuildable from the source data at any time) — never reuse this
+    * pattern for primary data, where the orphaned files would be the
+    * only copy. A persistent catalog (Hive/Glue) never needs this: the
+    * table resolves via tableExists across sessions. */
+  private def clearOrphanedLocation(spark: SparkSession, table: String): Unit = {
+    val loc = new org.apache.hadoop.fs.Path(
+      spark.conf.get("spark.sql.warehouse.dir"),
+      table.toLowerCase(java.util.Locale.ROOT))
+    val fs = loc.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(loc)) fs.delete(loc, true)
+    ()
+  }
+
   /** Write `df` as a bucketed catalog table iff it doesn't exist yet
     * (build-once semantics; the builder is by-name so a hit costs no
     * plan construction). `andThen` runs exactly once, right after a
-    * fresh build — the hook for folding an increment into the
-    * just-built index idempotently (re-invocations hit the
-    * tableExists guard and never re-append). */
+    * fresh build, and receives the table name to fold an increment
+    * into — the hook for completing a maintained index idempotently.
+    *
+    * CRASH-ATOMIC completion: the build lands under a temp name
+    * (`<table>__building`), `andThen` appends into the temp table, and
+    * only a fully-built-and-appended index is renamed to the final
+    * name (a pure catalog metadata op that also moves the managed
+    * location). A crash anywhere before the rename leaves no table
+    * under the final name, so the next call's tableExists guard
+    * rebuilds from scratch instead of serving a corpus-slice-only
+    * index forever — completion is observable in the name itself. */
   def ensureBucketedTable(spark: SparkSession, table: String,
       df: => DataFrame, bucketCols: Seq[String], buckets: Int = 8)(
-      andThen: => Unit = ()): Unit =
+      andThen: String => Unit = _ => ()): Unit =
     synchronized {
       if (!spark.catalog.tableExists(table)) {
-        // the index is a derived cache, so a rebuild is always safe;
-        // with the local in-memory catalog a managed-table LOCATION can
-        // outlive the JVM that registered it (files persist, catalog
-        // entries don't) and the fresh create would die with
-        // LOCATION_ALREADY_EXISTS — clear the orphaned location first.
-        // A persistent catalog (Hive/Glue) never takes this branch: the
-        // table resolves via tableExists across sessions.
-        val loc = new org.apache.hadoop.fs.Path(
-          spark.conf.get("spark.sql.warehouse.dir"),
-          table.toLowerCase(java.util.Locale.ROOT))
-        val fs = loc.getFileSystem(spark.sparkContext.hadoopConfiguration)
-        if (fs.exists(loc)) fs.delete(loc, true)
+        val tmp = s"${table}__building"
+        // a leftover temp table/location IS the crashed-build case —
+        // derived cache, so drop and rebuild (see clearOrphanedLocation)
+        spark.sql(s"DROP TABLE IF EXISTS $tmp")
+        clearOrphanedLocation(spark, tmp)
+        clearOrphanedLocation(spark, table)
         df.write.mode("overwrite")
           .bucketBy(buckets, bucketCols.head, bucketCols.tail: _*)
           .sortBy(bucketCols.head, bucketCols.tail: _*)
-          .saveAsTable(table)
-        andThen
+          .saveAsTable(tmp)
+        andThen(tmp)
+        spark.sql(s"ALTER TABLE $tmp RENAME TO $table")
+        ()
       }
     }
 
@@ -151,8 +173,8 @@ object Bucketing {
     val table = f"postings_bkt_${dir.hashCode & 0x7fffffff}%08x"
     lazy val posts = graft.operators.Retrieval.postingsTable(spark, dir)
     ensureBucketedTable(spark, table,
-      posts.filter(col("doc_id") % 10 =!= 0), Seq("token"), buckets) {
-      appendToPostingsIndex(spark, table,
+      posts.filter(col("doc_id") % 10 =!= 0), Seq("token"), buckets) { t =>
+      appendToPostingsIndex(spark, t,
         posts.filter(col("doc_id") % 10 === 0), buckets)
     }
     table
@@ -182,8 +204,8 @@ object Bucketing {
     val table = f"positional_bkt_${dir.hashCode & 0x7fffffff}%08x"
     lazy val posts = graft.operators.Retrieval.positionalPostings(spark, dir)
     ensureBucketedTable(spark, table,
-      posts.filter(col("doc_id") % 10 =!= 0), Seq("token"), buckets) {
-      appendToPositionalIndex(spark, table,
+      posts.filter(col("doc_id") % 10 =!= 0), Seq("token"), buckets) { t =>
+      appendToPositionalIndex(spark, t,
         posts.filter(col("doc_id") % 10 === 0), buckets)
     }
     table
@@ -197,6 +219,70 @@ object Bucketing {
       .write.mode("append")
       .bucketBy(buckets, "token").sortBy("token")
       .saveAsTable(table)
+
+  // ----------------------------------------------- churnable index family
+
+  /** CHURN-capable BM25 serving index: the postings table AND the
+    * per-doc length table as churnable bucketed tables
+    * ([[IndexChurn]] schema: payload ++ (op, seq)) — BM25's stats (N,
+    * avgdl, dl) must forget a deleted doc too, or its lengths keep
+    * skewing every score, so a doc delete tombstones BOTH tables in one
+    * O(deleted postings) append. Build-once per dataset; the harness
+    * lifecycle (delete the `doc_id % 10 == 0` batch at seq=1, then
+    * compact) runs exactly once inside the build guard, so
+    * `bm25_index_churn`'s hash-equality with a fresh build that never
+    * saw those docs is the delete+compact correctness proof. The
+    * doc-length payload counts token-less docs as dl=0 rows so N stays
+    * "all live docs" while avgdl averages docs-with-tokens — the exact
+    * semantics of the full-scan twin's separate N/avgdl aggregates.
+    * Returns (postingsTable, docLenTable). */
+  def ensureChurnedBm25Index(spark: SparkSession, dir: String,
+      buckets: Int = 8): (String, String) = {
+    import org.apache.spark.sql.functions.{col, size}
+    import graft.functions.{TextFunctions => T}
+    val h = f"${dir.hashCode & 0x7fffffff}%08x"
+    val pt = s"postings_chn_$h"
+    val dt = s"doclen_chn_$h"
+    lazy val posts = graft.operators.Retrieval.postingsTable(spark, dir)
+    ensureBucketedTable(spark, pt,
+      IndexChurn.stamp(posts, "U", 0L), Seq("token"), buckets) { t =>
+      // tombstones for a doc batch = its postings rows re-keyed as
+      // deletes (production tokenizes the deleted docs' text or reads
+      // their postings back; the memo serves the same rows here)
+      IndexChurn.append(spark, t,
+        posts.filter(col("doc_id") % 10 === 0), "D", 1L, Seq("token"), buckets)
+      IndexChurn.compact(spark, t, Seq("token", "doc_id"), Seq("token"), buckets)
+    }
+    lazy val dls = graft.Tables.load(spark, dir, "documents")
+      .select(col("doc_id"), size(T.tokens(col("text"))).cast("long").as("dl"))
+    ensureBucketedTable(spark, dt,
+      IndexChurn.stamp(dls, "U", 0L), Seq("doc_id"), buckets) { t =>
+      IndexChurn.append(spark, t,
+        dls.filter(col("doc_id") % 10 === 0), "D", 1L, Seq("doc_id"), buckets)
+      IndexChurn.compact(spark, t, Seq("doc_id"), Seq("doc_id"), buckets)
+    }
+    (pt, dt)
+  }
+
+  /** CHURN-capable positional phrase index — the [[IndexChurn]] twin of
+    * [[ensureMaintainedPositionalIndex]]: same harness lifecycle as the
+    * BM25 churn index (delete the `doc_id % 10 == 0` batch, compact),
+    * proven by `phrase_index_churn`'s hash-equality with a fresh build
+    * over the remaining docs. Phrase serving reads no corpus stats, so
+    * one table suffices. Returns the table name. */
+  def ensureChurnedPositionalIndex(spark: SparkSession, dir: String,
+      buckets: Int = 8): String = {
+    import org.apache.spark.sql.functions.col
+    val table = f"positional_chn_${dir.hashCode & 0x7fffffff}%08x"
+    lazy val posts = graft.operators.Retrieval.positionalPostings(spark, dir)
+    ensureBucketedTable(spark, table,
+      IndexChurn.stamp(posts, "U", 0L), Seq("token"), buckets) { t =>
+      IndexChurn.append(spark, t,
+        posts.filter(col("doc_id") % 10 === 0), "D", 1L, Seq("token"), buckets)
+      IndexChurn.compact(spark, t, Seq("token", "doc_id"), Seq("token"), buckets)
+    }
+    table
+  }
 
   // ---------------------------------------- bucketed ANN assignment index
 
@@ -214,8 +300,8 @@ object Bucketing {
     val table = f"ivf_assign_bkt_${iters}_${dir.hashCode & 0x7fffffff}%08x"
     val S = graft.operators.Similarity
     ensureBucketedTable(spark, table,
-      S.assignSlice(spark, dir, newBatch = false, iters), Seq("c_id"), buckets) {
-      appendToAssignmentIndex(spark, table,
+      S.assignSlice(spark, dir, newBatch = false, iters), Seq("c_id"), buckets) { t =>
+      appendToAssignmentIndex(spark, t,
         S.assignSlice(spark, dir, newBatch = true, iters), buckets)
     }
     table

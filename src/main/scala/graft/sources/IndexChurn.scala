@@ -1,0 +1,183 @@
+package graft.sources
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+/** Churn (delete/update) support for the maintained bucketed serving
+  * indexes — the missing half of the append-only growth story in
+  * [[Bucketing]]: a deleted or re-ingested document must stop being
+  * served without an index rebuild.
+  *
+  * Contract: a churnable index table is a bucketed catalog table whose
+  * schema is `payload ++ (op: string, seq: long)`:
+  *
+  *   - appends write the payload rows with `op='U'` and a monotonically
+  *     increasing batch `seq` ([[append]]);
+  *   - deletes append TOMBSTONE rows — same key, `op='D'`, higher `seq`
+  *     ([[append]] with `op="D"`); an O(deleted keys) write, never a
+  *     rewrite;
+  *   - reads go through [[served]]: latest `seq` wins per key (the
+  *     [[graft.operators.Cdc.latestWins]] kernel), winning tombstones
+  *     drop out. The per-key version count is tiny between compactions,
+  *     and a query's key filter (e.g. `token IN (…)`) pushes below the
+  *     window, so serving cost stays O(matching postings) and the
+  *     bucketed scan still prunes;
+  *   - [[compact]] folds history down again: ONLY the buckets that
+  *     contain a superseded row or a tombstone are rewritten (bucket-
+  *     local file I/O — untouched buckets stay byte-identical, which
+  *     ChurnSpec asserts), so compaction cost is O(dirty buckets), not
+  *     O(index).
+  *
+  * Crash-safety of [[compact]] comes from an ordering trick rather than
+  * a rename dance: the compacted winners KEEP their original (op, seq)
+  * rows, i.e. they are an exact subset of the rows already in the dirty
+  * buckets — so the staging files are moved IN first and the superseded
+  * files deleted after, and at every instant [[served]] over (old ∪
+  * compacted) equals [[served]] over either side alone. A crash mid-
+  * compaction leaves duplicate rows that the next compaction (or the
+  * serve-time window) collapses; nothing is ever lost or double-served.
+  *
+  * Single-writer contract: appends, deletes, and compaction of ONE
+  * index table must not run concurrently with each other (same contract
+  * as [[graft.operators.Cdc.mergeIntoStore]]'s staging recovery);
+  * concurrent READS are safe at every point, including mid-compaction.
+  *
+  * Reference tie-in: the reference delegates exactly this churn problem
+  * to ClickHouse's ReplacingMergeTree (latest row per key wins at merge
+  * time); [[served]] is that read view and [[compact]] is the
+  * background merge, expressed over Spark bucketed tables.
+  */
+object IndexChurn {
+
+  /** Spark's bucket id for a row: `pmod(murmur3(bucketCols), buckets)`.
+    * `functions.hash` IS the hash bucketed writes use (Murmur3, seed
+    * 42 — the default seed of HashPartitioning's expression), so this
+    * expression reproduces file placement exactly; ChurnSpec pins the
+    * agreement against actual bucketed files so a Spark-version drift
+    * cannot silently rot compaction. */
+  def bucketIdExpr(bucketCols: Seq[Column], buckets: Int): Column =
+    pmod(hash(bucketCols: _*), lit(buckets))
+
+  /** Stamp payload rows with churn metadata. */
+  def stamp(payload: DataFrame, op: String, seq: Long): DataFrame =
+    payload.withColumn("op", lit(op)).withColumn("seq", lit(seq))
+
+  /** Append one batch of payload rows (op='U') or tombstones (op='D')
+    * into a churnable index table — a bucket-preserving append: the new
+    * rows cluster into new per-bucket files next to the existing ones,
+    * which are untouched. `seq` must be strictly greater than any seq
+    * already in the table for the same keys (the monotonic-batch
+    * contract; on a seq tie the serve view lets the tombstone win, so
+    * a violated contract fails deterministically, not randomly). */
+  def append(spark: SparkSession, table: String, payload: DataFrame,
+      op: String, seq: Long, bucketCols: Seq[String], buckets: Int = 8): Unit = {
+    val cols = spark.table(table).columns
+    stamp(payload, op, seq).select(cols.head, cols.tail: _*)
+      .write.mode("append")
+      .bucketBy(buckets, bucketCols.head, bucketCols.tail: _*)
+      .sortBy(bucketCols.head, bucketCols.tail: _*)
+      .saveAsTable(table)
+  }
+
+  /** The serving read: latest seq per key wins (tombstones win seq
+    * ties — 'D' < 'U' so `op` ascending puts the delete first), winning
+    * tombstones filtered out, churn metadata dropped. A key filter on
+    * the result pushes below the window (the key columns are the
+    * window's partition spec), so bucket pruning and O(matching
+    * postings) serving survive churn. */
+  def served(spark: SparkSession, table: String, keyCols: Seq[String]): DataFrame =
+    servedFrom(spark.table(table), keyCols)
+
+  /** [[served]] over an arbitrary churn-schema frame (the testable
+    * kernel). */
+  def servedFrom(df: DataFrame, keyCols: Seq[String]): DataFrame = {
+    val w = Window.partitionBy(keyCols.map(col): _*)
+      .orderBy(col("seq").desc, col("op").asc)
+    df.withColumn("rk", row_number().over(w))
+      .filter(col("rk") === 1 && col("op") =!= "D")
+      .drop("rk", "op", "seq")
+  }
+
+  /** Rewrite ONLY the buckets holding churn debt (a superseded version
+    * or a tombstone), collapsing each key to its winner and dropping
+    * tombstones for good. Move-in-before-delete makes every instant
+    * serve-consistent (see object doc); untouched buckets are never
+    * opened for write. Cost: one aggregate over the index to find dirty
+    * keys (collect bounded by the bucket count), then file I/O on the
+    * dirty buckets only.
+    *
+    * Invariant required of callers: all versions of a key live in the
+    * SAME bucket — true whenever the bucket columns are a subset of the
+    * key columns, and for the ANN assignment index (bucketed by c_id,
+    * keyed by vec_id) exactly when tombstones are assigned under the
+    * same frozen centroids as the rows they delete; a centroid change
+    * is a RETRAIN (staged full rebuild), never churn. */
+  def compact(spark: SparkSession, table: String, keyCols: Seq[String],
+      bucketCols: Seq[String], buckets: Int = 8): Unit = {
+    val t = spark.table(table)
+    val affected = t
+      .withColumn("b", bucketIdExpr(bucketCols.map(col), buckets))
+      .groupBy(keyCols.map(col): _*)
+      .agg(collect_set(col("b")).as("bs"), count(lit(1)).as("n"),
+        max((col("op") === "D").cast("int")).as("has_d"))
+      .filter(col("n") > 1 || col("has_d") === 1)
+      .select(explode(col("bs")).as("b")).distinct()
+      .collect().map(_.getInt(0)).toSet
+    if (affected.isEmpty) return
+    val hconf = spark.sparkContext.hadoopConfiguration
+    val loc = tableLocation(spark, table)
+    val fs = loc.getFileSystem(hconf)
+    val oldFiles = dataFiles(fs, loc)
+      .filter(p => bucketOfFile(p.getName).exists(affected.contains))
+    // winners keep their original (op, seq) — they are byte-equal rows
+    // to ones already present, which is what makes move-in-first safe
+    val w = Window.partitionBy(keyCols.map(col): _*)
+      .orderBy(col("seq").desc, col("op").asc)
+    val winners = spark.read.schema(t.schema)
+      .parquet(oldFiles.map(_.toString): _*)
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") === 1 && col("op") =!= "D")
+      .drop("rk")
+    val stg = s"${table.split('.').last}__compact"
+    spark.sql(s"DROP TABLE IF EXISTS $stg")
+    winners.write.mode("overwrite")
+      .bucketBy(buckets, bucketCols.head, bucketCols.tail: _*)
+      .sortBy(bucketCols.head, bucketCols.tail: _*)
+      .saveAsTable(stg)
+    val stgLoc = tableLocation(spark, stg)
+    dataFiles(fs, stgLoc).foreach { p =>
+      val dst = new org.apache.hadoop.fs.Path(loc, p.getName)
+      require(fs.rename(p, dst), s"compaction move failed: $p -> $dst")
+    }
+    oldFiles.foreach(p => fs.delete(p, false))
+    spark.sql(s"DROP TABLE IF EXISTS $stg")
+    spark.sql(s"REFRESH TABLE $table")
+    ()
+  }
+
+  /** Resolved storage location of a catalog table. */
+  private def tableLocation(spark: SparkSession,
+      table: String): org.apache.hadoop.fs.Path =
+    new org.apache.hadoop.fs.Path(
+      spark.sql(s"DESCRIBE TABLE EXTENDED $table")
+        .filter(col("col_name") === "Location")
+        .head().getString(1))
+
+  /** Visible data files of a bucketed table directory. */
+  private def dataFiles(fs: org.apache.hadoop.fs.FileSystem,
+      loc: org.apache.hadoop.fs.Path): Seq[org.apache.hadoop.fs.Path] =
+    fs.listStatus(loc).toSeq
+      .filter(st => st.isFile && {
+        val n = st.getPath.getName
+        !n.startsWith("_") && !n.startsWith(".")
+      })
+      .map(_.getPath)
+
+  private val BucketInName = "_(\\d{5})\\.".r
+
+  /** Bucket id encoded in a bucketed data file's name
+    * (`part-…_00003.c000.snappy.parquet` → 3). */
+  def bucketOfFile(name: String): Option[Int] =
+    BucketInName.findFirstMatchIn(name).map(_.group(1).toInt)
+}

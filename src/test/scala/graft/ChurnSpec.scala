@@ -1,0 +1,175 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.graftshim.Shim
+import graft.sources.IndexChurn
+
+/** Index-churn machinery: tombstone/supersede semantics of the serve
+  * view, replay idempotence, and bucket-local compaction (untouched
+  * buckets byte-identical, mid-compaction states serve-consistent). */
+class ChurnSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+
+  private def location(table: String): String =
+    spark.sql(s"DESCRIBE TABLE EXTENDED $table")
+      .filter(col("col_name") === "Location")
+      .collect()(0).getString(1).stripPrefix("file:")
+
+  private def files(table: String): Set[(String, Long)] =
+    new java.io.File(location(table)).listFiles()
+      .filter(_.getName.endsWith(".parquet"))
+      .map(f => (f.getName, f.length())).toSet
+
+  private def bucketOf(token: String, buckets: Int = 8): Int = {
+    import spark.implicits._
+    Seq(token).toDF("token")
+      .select(IndexChurn.bucketIdExpr(Seq(col("token")), buckets))
+      .head().getInt(0)
+  }
+
+  test("bucketIdExpr reproduces bucketed file placement exactly") {
+    import spark.implicits._
+    val table = "churn_bucket_pin_t"
+    try {
+      (1L to 500L).map(i => (s"tok$i", i)).toDF("token", "doc_id")
+        .write.mode("overwrite").bucketBy(8, "token").sortBy("token")
+        .saveAsTable(table)
+      val fs = new java.io.File(location(table)).listFiles()
+        .filter(_.getName.endsWith(".parquet"))
+      assert(fs.nonEmpty)
+      fs.foreach { f =>
+        val b = IndexChurn.bucketOfFile(f.getName)
+        assert(b.isDefined, s"no bucket id in ${f.getName}")
+        val mismatch = spark.read.parquet(f.getPath)
+          .withColumn("bb", IndexChurn.bucketIdExpr(Seq(col("token")), 8))
+          .filter(col("bb") =!= b.get).count()
+        assert(mismatch === 0,
+          s"bucketIdExpr disagrees with file placement for ${f.getName}")
+      }
+    } finally spark.sql(s"DROP TABLE IF EXISTS $table")
+  }
+
+  private def seed(table: String): Unit = {
+    import spark.implicits._
+    val payload = (1L to 200L).map(i => (s"tok${i % 20}", i, 1L))
+      .toDF("token", "doc_id", "tf")
+    IndexChurn.stamp(payload, "U", 0L)
+      .write.mode("overwrite").bucketBy(8, "token").sortBy("token")
+      .saveAsTable(table)
+  }
+
+  test("serve view: update supersedes, delete drops, replay collapses") {
+    import spark.implicits._
+    val table = "churn_life_t"
+    try {
+      seed(table)
+      // seq 1: update (tok1, 1) to tf=5; seq 2: delete (tok2, 2)
+      IndexChurn.append(spark, table,
+        Seq(("tok1", 1L, 5L)).toDF("token", "doc_id", "tf"),
+        "U", 1L, Seq("token"))
+      IndexChurn.append(spark, table,
+        Seq(("tok2", 2L, 0L)).toDF("token", "doc_id", "tf"),
+        "D", 2L, Seq("token"))
+      def servedMap() = IndexChurn.served(spark, table, Seq("token", "doc_id"))
+        .collect().map(r => (r.getString(0), r.getLong(1)) -> r.getLong(2)).toMap
+      val s1 = servedMap()
+      assert(s1(("tok1", 1L)) === 5L, "update did not supersede")
+      assert(!s1.contains(("tok2", 2L)), "tombstone did not delete")
+      assert(s1(("tok3", 3L)) === 1L)
+      assert(s1.size === 199)
+      // at-least-once replay: the SAME (key, seq) rows land twice;
+      // the serve view must collapse them, not double anything
+      IndexChurn.append(spark, table,
+        Seq(("tok1", 1L, 5L)).toDF("token", "doc_id", "tf"),
+        "U", 1L, Seq("token"))
+      assert(servedMap() === s1, "replayed batch changed the serve view")
+    } finally spark.sql(s"DROP TABLE IF EXISTS $table")
+  }
+
+  test("compact: only dirty buckets rewritten, untouched byte-identical") {
+    import spark.implicits._
+    val table = "churn_compact_t"
+    try {
+      seed(table)
+      // churn exactly two keys, both under tok1 — one bucket is dirty
+      IndexChurn.append(spark, table,
+        Seq(("tok1", 1L, 7L)).toDF("token", "doc_id", "tf"),
+        "U", 1L, Seq("token"))
+      IndexChurn.append(spark, table,
+        Seq(("tok1", 21L, 0L)).toDF("token", "doc_id", "tf"),
+        "D", 2L, Seq("token"))
+      val dirtyBucket = bucketOf("tok1")
+      val pre = files(table)
+      val servedPre = IndexChurn.served(spark, table, Seq("token", "doc_id"))
+        .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+      IndexChurn.compact(spark, table, Seq("token", "doc_id"), Seq("token"))
+      val post = files(table)
+      val preClean = pre.filter { case (n, _) =>
+        IndexChurn.bucketOfFile(n).get != dirtyBucket }
+      val postClean = post.filter { case (n, _) =>
+        IndexChurn.bucketOfFile(n).get != dirtyBucket }
+      assert(preClean === postClean,
+        "compaction touched a bucket with no churn debt")
+      assert(pre.diff(post).nonEmpty, "no dirty-bucket file was replaced")
+      // the serve view is unchanged by compaction…
+      val servedPost = IndexChurn.served(spark, table, Seq("token", "doc_id"))
+        .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+      assert(servedPost === servedPre)
+      // …and the debt is actually gone: no tombstones, one row per key
+      val t = spark.table(table)
+      assert(t.filter(col("op") === "D").count() === 0)
+      assert(t.groupBy("token", "doc_id").count()
+        .filter(col("count") > 1).count() === 0)
+      // second compact is a no-op (nothing dirty): files unchanged
+      IndexChurn.compact(spark, table, Seq("token", "doc_id"), Seq("token"))
+      assert(files(table) === post, "no-debt compaction rewrote files")
+    } finally spark.sql(s"DROP TABLE IF EXISTS $table")
+  }
+
+  test("mid-compaction overlap (winners + history both present) serves identically") {
+    import spark.implicits._
+    val table = "churn_overlap_t"
+    try {
+      seed(table)
+      IndexChurn.append(spark, table,
+        Seq(("tok4", 4L, 9L)).toDF("token", "doc_id", "tf"),
+        "U", 1L, Seq("token"))
+      val before = IndexChurn.served(spark, table, Seq("token", "doc_id"))
+        .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+      // simulate the compaction crash window: the winner rows have been
+      // moved in but the superseded files not yet deleted — i.e. the
+      // winners exist TWICE. served() must not change.
+      IndexChurn.append(spark, table,
+        Seq(("tok4", 4L, 9L)).toDF("token", "doc_id", "tf"),
+        "U", 1L, Seq("token"))
+      val during = IndexChurn.served(spark, table, Seq("token", "doc_id"))
+        .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+      assert(during === before, "duplicated winners changed the serve view")
+      // and the next compaction clears the duplicates for good
+      IndexChurn.compact(spark, table, Seq("token", "doc_id"), Seq("token"))
+      assert(spark.table(table).groupBy("token", "doc_id").count()
+        .filter(col("count") > 1).count() === 0)
+    } finally spark.sql(s"DROP TABLE IF EXISTS $table")
+  }
+
+  test("served postings query still bucket-prunes under churn") {
+    import spark.implicits._
+    val table = "churn_prune_t"
+    try {
+      seed(table)
+      IndexChurn.append(spark, table,
+        Seq(("tok5", 5L, 0L)).toDF("token", "doc_id", "tf"),
+        "D", 1L, Seq("token"))
+      val probe = IndexChurn.served(spark, table, Seq("token", "doc_id"))
+        .filter(col("token").isin("tok1", "tok2", "tok3"))
+        .groupBy("token").agg(count(col("doc_id")).as("df"))
+      val plan = Shim.executedPlan(probe).toString
+      assert(plan.contains("SelectedBucketsCount"),
+        s"token filter did not bucket-prune under the churn window:\n$plan")
+      val sel = "SelectedBucketsCount: (\\d+) out of (\\d+)".r
+        .findFirstMatchIn(plan).get
+      assert(sel.group(1).toInt < sel.group(2).toInt, s"no pruning:\n$plan")
+    } finally spark.sql(s"DROP TABLE IF EXISTS $table")
+  }
+}
