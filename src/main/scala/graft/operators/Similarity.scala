@@ -233,6 +233,39 @@ object Similarity {
       trainCentroids(spark, dir, iters = iters), k, nprobe)
   }
 
+  /** RETRAIN lifecycle for the maintained assignment index — the
+    * missing third phase after build and frozen-centroid append:
+    * production IVF centroids go stale as appended batches drift away
+    * from the distribution they were trained on, so the index is
+    * periodically retrained and re-assigned. The rebuild is STAGED so
+    * there is never a serving gap: fresh centroids are trained under a
+    * new index version (`newIters` — a distinct memo key, the
+    * "centroid epoch"), every current vector is read back OUT OF THE
+    * OLD INDEX (the index is self-contained — no source-table re-read)
+    * and assigned against the new centroids into a new bucketed table
+    * built under a temp name and renamed only when complete
+    * ([[graft.sources.Bucketing.ensureBucketedTable]]'s crash-atomic
+    * path). The OLD index table is untouched and keeps serving its
+    * centroid epoch until the caller flips the epoch — the same
+    * pointer-swap cutover as the CDC store's rename-aside, at catalog
+    * granularity. Cost: O(n·C) assignment, the irreducible price of a
+    * retrain, in ONE staged job. SimilaritySpec pins: old epoch serves
+    * unchanged after the retrain, and the retrained index hash-equals
+    * a fresh full build with the new centroids. */
+  def retrainAssignmentIndex(spark: SparkSession, dir: String,
+      oldIters: Int = 2, newIters: Int = 3, buckets: Int = 8): String = {
+    val B = graft.sources.Bucketing
+    val oldTable = B.ensureMaintainedAssignmentIndex(spark, dir, oldIters)
+    val newCentroids = trainCentroids(spark, dir, iters = newIters)
+    val vectors = spark.table(oldTable).select("vec_id", "v", "nrm")
+    val newTable = f"ivf_assign_bkt_${newIters}_${dir.hashCode & 0x7fffffff}%08x"
+    B.ensureBucketedTable(spark, newTable,
+      assignNearest(vectors, newCentroids)
+        .select("vec_id", "c_id", "v", "nrm"),
+      Seq("c_id"), buckets)()
+    newTable
+  }
+
   /** Harness query `sim_topk_incremental`: a NEW vector batch (the
     * `vec_id % mod == 0` slice plays the new arrivals) finds its top-k
     * neighbors among the EXISTING corpus by probing its `nprobe`

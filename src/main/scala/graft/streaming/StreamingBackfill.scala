@@ -241,33 +241,48 @@ object StreamingBackfill {
     q.stop()
   }
 
+  /** One microbatch's postings append — the foreachBatch body of
+    * [[indexMaintenanceLoop]], factored out so a replay is testable as
+    * the production code path: tokenize the batch ONCE into
+    * (token, doc_id, tf) rows and append them into the CHURN-schema
+    * index ([[graft.sources.IndexChurn]]) with `seq = batchId`. */
+  def appendPostingsBatch(spark: SparkSession, indexTable: String,
+      batch: DataFrame, batchId: Long, buckets: Int = 8): Unit = {
+    import graft.functions.{TextFunctions => T}
+    val posts = batch
+      .select(col("doc_id"), explode(T.tokens(col("text"))).as("token"))
+      .groupBy("token", "doc_id").agg(count(lit(1)).as("tf"))
+    graft.sources.IndexChurn.append(spark, indexTable, posts,
+      "U", batchId, Seq("token"), buckets)
+  }
+
   /** Streaming postings-index maintenance — the retrieval-side twin of
-    * [[ingestDedupLoop]]: each microbatch of new documents tokenizes
-    * ONCE into (token, doc_id, tf) postings that append into the
-    * token-bucketed catalog table
-    * ([[graft.sources.Bucketing.appendToPostingsIndex]] — bucket-
-    * preserving, existing index files untouched), so BM25 served from
-    * the table sees new docs at ingest latency with no rebuild.
+    * [[ingestDedupLoop]]: each microbatch of new documents appends its
+    * postings into the token-bucketed CHURN-schema catalog table
+    * (bucket-preserving — existing index files untouched), so BM25
+    * served from the table sees new docs at ingest latency with no
+    * rebuild.
     *
-    * Delivery: the append is at-least-once — a replayed microbatch
-    * would double its postings (tf inflation), unlike the idempotent
-    * CDC store merge. Production either carries a batch_id column and
-    * dedups at read, or routes through the [[cdcUpsertLoop]]-style
-    * keyed upsert when exactly-once matters; the harness drives the
-    * loop with processAllAvailable (no replay window). */
+    * Delivery: IDEMPOTENT under at-least-once replay. Each append is
+    * keyed by its batchId through the churn schema (`op='U'`,
+    * `seq=batchId`): a replayed microbatch re-derives byte-identical
+    * (token, doc_id, seq) rows from the same source files, and the
+    * latest-wins serve view ([[graft.sources.IndexChurn.served]])
+    * collapses duplicates — tf can never inflate (StreamingSpec replays
+    * a batch and asserts the served index is unchanged). The duplicate
+    * rows themselves are storage debt that the next
+    * [[graft.sources.IndexChurn.compact]] clears. The base index build
+    * must use a seq below the first batch id (e.g. -1) so batch rows
+    * supersede on key collisions. Doc deletes ride the same loop as
+    * tombstone batches (`op='D'`). */
   def indexMaintenanceLoop(spark: SparkSession, newDocs: DataFrame,
       indexTable: String, buckets: Int = 8): Unit = {
-    import graft.functions.{TextFunctions => T}
     val q = newDocs.writeStream
       .outputMode("append")
-      .foreachBatch { (batch: org.apache.spark.sql.Dataset[Row], _: Long) =>
-        if (!batch.isEmpty) {
-          val posts = batch.toDF()
-            .select(col("doc_id"), explode(T.tokens(col("text"))).as("token"))
-            .groupBy("token", "doc_id").agg(count(lit(1)).as("tf"))
-          graft.sources.Bucketing.appendToPostingsIndex(
-            batch.sparkSession, indexTable, posts, buckets)
-        }
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[Row], id: Long) =>
+        if (!batch.isEmpty)
+          appendPostingsBatch(batch.sparkSession, indexTable,
+            batch.toDF(), id, buckets)
       }
       .trigger(Trigger.ProcessingTime(0))
       .start()

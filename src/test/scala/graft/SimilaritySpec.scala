@@ -90,6 +90,34 @@ class SimilaritySpec extends AnyFunSuite {
     } finally spark.sql(s"DROP TABLE IF EXISTS $table")
   }
 
+  test("retrain: staged rebuild under fresh centroids, old epoch serves on") {
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getDouble(3)))
+    val oldTable =
+      graft.sources.Bucketing.ensureMaintainedAssignmentIndex(spark, sf, 2)
+    // the maintained index already holds the drifted append (the
+    // vec_id % 10 == 0 batch assigned under frozen epoch-2 centroids)
+    val before = rows(Similarity.maintainedTopK(spark, sf, iters = 2))
+    val newTable = Similarity.retrainAssignmentIndex(spark, sf, 2, 3)
+    try {
+      // no serving gap: the old epoch's table is untouched and serves
+      // bit-identical results after the retrain completed
+      assert(spark.catalog.tableExists(oldTable))
+      assert(rows(Similarity.maintainedTopK(spark, sf, iters = 2))
+        .toSeq === before.toSeq)
+      // the retrained index must equal a fresh full build against the
+      // SAME new centroids — re-assignment forgot nothing and the
+      // index round-trip (vectors read back out of the old table)
+      // lost nothing
+      val got = rows(Similarity.maintainedTopK(spark, sf, iters = 3))
+      val want = rows(Similarity.ivfTopKTrained(spark, sf, iters = 3))
+      assert(got.toSeq === want.toSeq)
+      // and the rebuild landed crash-atomically: no leftover temp table
+      assert(!spark.catalog.tableExists(s"${newTable}__building"))
+    } finally spark.sql(s"DROP TABLE IF EXISTS $newTable")
+  }
+
   test("IVF ANN recall@10 >= 0.5 vs brute force") {
     def tops(df: org.apache.spark.sql.DataFrame) =
       df.collect().groupBy(_.getAs[Long]("q_id"))

@@ -194,15 +194,18 @@ class StreamingSpec extends AnyFunSuite {
     assert(got.exceptAll(want).count() == 0 && want.exceptAll(got).count() == 0)
   }
 
-  test("streaming postings maintenance: ingested batches reach the served index") {
+  test("streaming postings maintenance: served index complete, replay idempotent") {
     val table = "postings_stream_t"
     val streamDir = java.nio.file.Files
       .createTempDirectory("poststream").toString
     try {
       val posts = graft.operators.Retrieval.postingsTable(spark, sf)
-      // the pre-existing index covers the corpus slice only
-      graft.sources.Bucketing.ensureBucketedTable(spark, table,
-        posts.filter(col("doc_id") % 10 =!= 0), Seq("token"))()
+      // the pre-existing index covers the corpus slice only; churn
+      // schema, base seq below the first batch id
+      graft.sources.IndexChurn
+        .stamp(posts.filter(col("doc_id") % 10 =!= 0), "U", -1L)
+        .write.mode("overwrite").bucketBy(8, "token").sortBy("token")
+        .saveAsTable(table)
       // new docs arrive as two files -> two microbatches
       val newDocs = Tables.load(spark, sf, "documents")
         .filter(col("doc_id") % 10 === 0)
@@ -213,13 +216,30 @@ class StreamingSpec extends AnyFunSuite {
       val stream = spark.readStream.schema(newDocs.schema)
         .option("maxFilesPerTrigger", "1").parquet(streamDir)
       StreamingBackfill.indexMaintenanceLoop(spark, stream, table)
-      // after the loop the maintained table IS the full corpus postings
+      // after the loop the SERVED index IS the full corpus postings
       def rows(df: org.apache.spark.sql.DataFrame) =
         df.select("token", "doc_id", "tf").collect()
           .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
-      val got = rows(spark.table(table))
+      def served() = rows(graft.sources.IndexChurn.served(
+        spark, table, Seq("token", "doc_id")))
+      val got = served()
       val want = rows(posts)
       assert(got.length === want.length && got.toSet === want.toSet)
+      // at-least-once replay: re-run batch 0's append through the SAME
+      // production code path; the served view must not change — tf in
+      // particular must not double
+      StreamingBackfill.appendPostingsBatch(spark, table,
+        newDocs.filter(col("doc_id") % 20 === 0), batchId = 0L)
+      val replayed = served()
+      assert(replayed.length === want.length && replayed.toSet === want.toSet,
+        "replayed microbatch changed the served index")
+      // the replay's duplicate rows are storage debt; compaction clears
+      // it and the served view still equals the full postings
+      graft.sources.IndexChurn.compact(spark, table,
+        Seq("token", "doc_id"), Seq("token"))
+      assert(spark.table(table).groupBy("token", "doc_id").count()
+        .filter(col("count") > 1).count() === 0)
+      assert(served().toSet === want.toSet)
     } finally spark.sql(s"DROP TABLE IF EXISTS $table")
   }
 }
