@@ -51,7 +51,7 @@ object SparkEntry {
     "window_range_frame" -> (Aggregates.windowRangeFrame _),
     "source_mix_weights" -> ((s: SparkSession, d: String) => Sampling.sourceMixWeights(s, d)),
     "epoch_plan"         -> ((s: SparkSession, d: String) => Sampling.epochPlan(s, d)),
-    "mix_expand"         -> ((s: SparkSession, d: String) => Sampling.mixExpand(s, d)),
+    "mix_expand"         -> ((s: SparkSession, d: String) => Sampling.mixExpand(s, d, ordered = true)),
     "rollup_docs"        -> (Aggregates.rollupDocs _),
     "events_window_agg"  -> (Aggregates.eventsWindowAgg _),
     "events_hopping"     -> (Aggregates.eventsHoppingAgg _),
@@ -878,7 +878,7 @@ object SparkEntry {
          ORDER BY n_user_days DESC, path LIMIT 20""",
     "fuzzy_match" ->
       s"""WITH parts AS (
-           SELECT p_partkey, p_name FROM part WHERE len(p_name) >= 3),
+           SELECT p_partkey, p_name FROM part WHERE len(p_name) >= 4),
          probes AS (
            SELECT p_partkey AS probe_key,
                   substr(p_name, 1, p - 1) || 'q' || substr(p_name, p + 1)

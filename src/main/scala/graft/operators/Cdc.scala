@@ -146,7 +146,17 @@ object Cdc {
     * cannot corrupt the store. Winning tombstones are RETAINED in the
     * store (op='D' rows) — dropping them would let a late replay of a
     * pre-delete update resurrect the key; readers filter them via
-    * [[currentSnapshot]]. */
+    * [[currentSnapshot]].
+    *
+    * SINGLE-WRITER CONTRACT: exactly one merge runs against a store at
+    * a time (the streaming loop's foreachBatch already serializes
+    * batches; any external scheduler must too). Recovery depends on it:
+    * a `.staging_*` dir found at merge start is classified as a crashed
+    * predecessor's junk and deleted — under a concurrent writer it
+    * could be that writer's LIVE output. Concurrent-writer setups need
+    * a coordination layer (lock file / table format with commit
+    * protocol) on top; this kernel deliberately stays at the
+    * one-writer-many-readers level of the reference pipeline. */
   def mergeIntoStore(batch: DataFrame, storeDir: String,
       buckets: Int = 16, batchId: Long = 0L): Unit = {
     val s = batch.sparkSession
@@ -178,7 +188,9 @@ object Cdc {
           else fs.delete(st.getPath, true)
         } else if (n.startsWith(".staging_")) {
           // leftover staging from a crashed batch: that batch replays
-          // under at-least-once delivery, so the partial output is junk
+          // under at-least-once delivery, so the partial output is junk.
+          // Safe ONLY under the single-writer contract (scaladoc) — a
+          // concurrent merge's staging dir would be live, not junk
           fs.delete(st.getPath, true)
         }
       }

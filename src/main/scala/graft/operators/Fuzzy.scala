@@ -17,8 +17,9 @@ import graft.functions.Hash60.hash60
   * prefix, length) block misses any edit in the first two characters
   * by construction. The standard fix is a complementary pass — here
   * (2-char suffix, length) — and a substitution typo cannot corrupt
-  * both ends of a name longer than 4 chars, so the union of the two
-  * passes recovers every single-substitution probe. Candidates are
+  * both ends of a name of 4+ chars (the blocks no longer overlap), so
+  * the union of the two passes recovers every single-substitution
+  * probe among the length >= 4 eligible set. Candidates are
   * deduped BEFORE the verify (a middle-of-string typo survives both
   * blocks) so each pair pays the DP at most once.
   *
@@ -34,9 +35,12 @@ object Fuzzy {
     * replaced by 'q'; the harness's stand-in for dirty upstream
     * strings, chosen so the DuckDB oracle can regenerate the identical
     * probe set. Callers must pre-filter degenerate names (the harness
-    * uses length >= 3, mirrored in the oracle): hash60 is non-negative
-    * so the pmod is safe for any non-empty string, but sub-3-char names
-    * make 2-char blocking meaningless. */
+    * uses length >= 4, mirrored in the oracle): hash60 is non-negative
+    * so the pmod is safe for any non-empty string, but only at length
+    * >= 4 can a single substitution never corrupt BOTH the 2-char
+    * prefix and the 2-char suffix block — at length 3 the middle
+    * character sits in both, so a typo there would evade both passes
+    * and break the total-recall guarantee. */
   def typo(name: Column): Column = {
     val p = (pmod(hash60(name), length(name).cast("long")) + lit(1)).cast("int")
     concat(name.substr(lit(1), p - 1), lit("q"), name.substr(p + 1, lit(100000)))
@@ -51,7 +55,7 @@ object Fuzzy {
     * 'q') plus any genuine same-block near-collisions. */
   def fuzzyMatch(spark: SparkSession, dir: String): DataFrame = {
     val base = Tables.load(spark, dir, "part")
-      .filter(length(col("p_name")) >= 3)
+      .filter(length(col("p_name")) >= 4)
       .select(col("p_partkey"), col("p_name"))
     val probes = base.filter(col("p_partkey") % 40 === 0)
       .select(col("p_partkey").as("probe_key"),

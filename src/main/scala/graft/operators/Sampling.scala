@@ -217,12 +217,17 @@ object Sampling {
     * (`explode(sequence)`) does the upsampling in-plan — no self-union
     * per epoch, no shuffle at all until a downstream consumer asks for
     * one; at 100 TB the expansion streams straight into packing/sharding
-    * without materializing an intermediate. */
+    * without materializing an intermediate.
+    *
+    * `ordered = true` (harness/oracle only) appends a GLOBAL sort for
+    * deterministic row order — a whole-output range shuffle that the
+    * production path must not pay: training-data expansion feeds a
+    * packer/shuffler that imposes its own order anyway. Defaults off. */
   def mixExpand(spark: SparkSession, dir: String,
-      budgetTokens: Long = 200000L): DataFrame = {
+      budgetTokens: Long = 200000L, ordered: Boolean = false): DataFrame = {
     val plan = epochPlan(spark, dir, budgetTokens)
       .select(col("source"), col("epochs"))
-    Tables.load(spark, dir, "documents").select("doc_id", "source")
+    val expanded = Tables.load(spark, dir, "documents").select("doc_id", "source")
       .join(broadcast(plan), "source")
       .withColumn("base", floor(col("epochs")).cast("long"))
       .withColumn("frac", col("epochs") - floor(col("epochs")))
@@ -233,7 +238,7 @@ object Sampling {
       .select(col("doc_id"), col("source"),
         explode(sequence(lit(1L), col("n_copies"))).as("copy_idx"),
         col("n_copies"))
-      .orderBy("doc_id", "copy_idx")
+    if (ordered) expanded.orderBy("doc_id", "copy_idx") else expanded
   }
 
   /** The quota window's kept-predicate over a docs frame that already

@@ -146,6 +146,37 @@ class BucketingSpec extends AnyFunSuite {
     } finally spark.sql(s"DROP TABLE IF EXISTS $table")
   }
 
+  test("ensureBucketedTable crash window: partial __building leftover is discarded") {
+    import org.apache.spark.sql.functions.col
+    val posts = graft.operators.Retrieval.postingsTable(spark, sf)
+    val table = "postings_crash_t"
+    val tmp = s"${table}__building"
+    try {
+      // simulate the crash the advisor flagged: the build committed the
+      // corpus slice under the temp name but the JVM died before the
+      // increment append + rename — nothing exists under the final name
+      posts.filter(col("doc_id") % 10 =!= 0)
+        .write.mode("overwrite").bucketBy(8, "token").sortBy("token")
+        .saveAsTable(tmp)
+      assert(!spark.catalog.tableExists(table))
+      // the next ensure call must not adopt the partial temp table: it
+      // rebuilds from scratch and only the fully-appended index gets
+      // the final name
+      Bucketing.ensureBucketedTable(spark, table,
+        posts.filter(col("doc_id") % 10 =!= 0), Seq("token")) { t =>
+        Bucketing.appendToPostingsIndex(spark, t,
+          posts.filter(col("doc_id") % 10 === 0))
+      }
+      assert(spark.catalog.tableExists(table))
+      assert(!spark.catalog.tableExists(tmp), "temp table outlived the rename")
+      assert(spark.table(table).count() === posts.count(),
+        "healed index is missing the increment — partial build was served")
+    } finally {
+      spark.sql(s"DROP TABLE IF EXISTS $table")
+      spark.sql(s"DROP TABLE IF EXISTS $tmp")
+    }
+  }
+
   test("streaming session windows and stateful totals run end to end") {
     import graft.streaming.StreamingBackfill
     val ev = StreamingBackfill.eventsStream(spark, sf)

@@ -124,31 +124,48 @@ class CdcSpec extends AnyFunSuite {
     import spark.implicits._
     def tss(s: String) = Timestamp.valueOf(s)
     val store = Files.createTempDirectory("cdcjobs").toString
-    def mkBatch(day: String) = (1L to 64L).map(u =>
+    def mkBatch(day: String, keys: Seq[Long]) = keys.map(u =>
       (u, tss(s"$day 10:00:00"), u * 10, "I", "signup", 1.0))
       .toDF("user_id", "ts", "event_id", "op", "last_type", "last_value")
-    // seed: 64 keys spread across the 16 buckets
-    Cdc.mergeIntoStore(mkBatch("2024-01-01"), store, buckets = 16, batchId = 0L)
-    val affected = (1L to 64L).map(u => Cdc.bucketIdOf(u.toString, 16)).distinct
-    assert(affected.size >= 8) // the batch genuinely spans many buckets
-    val jobs = new java.util.concurrent.atomic.AtomicInteger
-    val listener = new org.apache.spark.scheduler.SparkListener {
-      override def onJobStart(
-          j: org.apache.spark.scheduler.SparkListenerJobStart): Unit = {
-        jobs.incrementAndGet(); ()
+    // seed: 64 keys spread across the 16 buckets, so every later merge
+    // hits an existing base (identical plan shape for both probes)
+    Cdc.mergeIntoStore(mkBatch("2024-01-01", 1L to 64L), store,
+      buckets = 16, batchId = 0L)
+    val byBucket = (1L to 64L).groupBy(u => Cdc.bucketIdOf(u.toString, 16))
+    assert(byBucket.size >= 8) // the wide batch genuinely spans many buckets
+    // count the jobs a merge schedules, draining the async listener bus
+    // deterministically instead of sleeping (ADVICE r6: a hard-coded
+    // ceiling + sleep flakes across AQE stage-count changes and bus lag)
+    def jobsFor(body: => Unit): Int = {
+      val jobs = new java.util.concurrent.atomic.AtomicInteger
+      val listener = new org.apache.spark.scheduler.SparkListener {
+        override def onJobStart(
+            j: org.apache.spark.scheduler.SparkListenerJobStart): Unit = {
+          jobs.incrementAndGet(); ()
+        }
       }
+      org.apache.spark.sql.graftshim.Shim.drainListenerBus(spark)
+      spark.sparkContext.addSparkListener(listener)
+      try {
+        body
+        org.apache.spark.sql.graftshim.Shim.drainListenerBus(spark)
+      } finally spark.sparkContext.removeSparkListener(listener)
+      jobs.get
     }
-    spark.sparkContext.addSparkListener(listener)
-    try {
-      // second merge: every affected bucket has an existing base
-      Cdc.mergeIntoStore(mkBatch("2024-01-02"), store, buckets = 16, batchId = 1L)
-      Thread.sleep(2000) // let the async listener bus drain
-    } finally spark.sparkContext.removeSparkListener(listener)
-    // the old per-bucket loop paid ≥ 2·affected+1 jobs (≥33 here); the
-    // single-job merge pays: affected-id collect + schema-merge read +
-    // one staged write (AQE materializes each shuffle stage as its own
-    // job, so ~7 total) — constant in the affected-bucket count
-    assert(jobs.get <= 8, s"expected O(1) jobs, got ${jobs.get}")
+    // narrow merge: all keys in ONE bucket; wide merge: all 64 keys
+    // across >= 8 buckets. O(1)-jobs means the two counts are EQUAL —
+    // the assertion survives AQE changing how many jobs one merge is,
+    // as long as that number does not grow with the bucket count
+    val narrowKeys = byBucket.values.maxBy(_.size)
+    val jNarrow = jobsFor(Cdc.mergeIntoStore(
+      mkBatch("2024-01-02", narrowKeys), store, buckets = 16, batchId = 1L))
+    val jWide = jobsFor(Cdc.mergeIntoStore(
+      mkBatch("2024-01-03", 1L to 64L), store, buckets = 16, batchId = 2L))
+    assert(jWide === jNarrow,
+      s"job count grew with affected buckets: $jNarrow (1 bucket) vs " +
+        s"$jWide (${byBucket.size} buckets)")
+    // and both sit far below the old per-bucket loop's >= 2k+1 floor
+    assert(jWide < 2 * byBucket.size + 1, s"O(buckets) job count: $jWide")
     assert(Cdc.currentSnapshot(spark, store).count() === 64)
   }
 

@@ -43,7 +43,7 @@ class EventAnalyticsSpec extends AnyFunSuite {
     // EVERY eligible probe key must appear — recall is total, not just
     // over the probes some block happened to keep
     val expected = Tables.load(spark, TestSpark.sf, "part")
-      .filter(length(col("p_name")) >= 3 && col("p_partkey") % 40 === 0)
+      .filter(length(col("p_name")) >= 4 && col("p_partkey") % 40 === 0)
       .select("p_partkey").collect().map(_.getLong(0)).toSet
     assert(probes.toSet === expected && probes.nonEmpty)
     // the typo'd name must match its own original inside some block

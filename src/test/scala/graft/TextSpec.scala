@@ -149,9 +149,18 @@ class TextSpec extends AnyFunSuite {
       val base = math.floor(e).toLong
       assert(n == base || n == base + 1, s"copies $n vs epochs $e")
     }
-    // determinism: a re-run emits the identical stream
-    assert(S.mixExpand(spark, TestSpark.sf).collect().map(_.toString).toSeq ==
-      rows.map(_.toString).toSeq)
+    // determinism: a re-run emits the identical multiset (and, under
+    // the oracle's ordered variant, the identical stream)
+    assert(S.mixExpand(spark, TestSpark.sf, ordered = true)
+      .collect().map(_.toString).toSeq ==
+      S.mixExpand(spark, TestSpark.sf, ordered = true)
+        .collect().map(_.toString).toSeq)
+    // the production path (default) must NOT pay the global range
+    // shuffle the oracle ordering needs — no rangepartitioning exchange
+    val physical = org.apache.spark.sql.graftshim.Shim
+      .executedPlan(S.mixExpand(spark, TestSpark.sf)).toString
+    assert(!physical.contains("rangepartitioning"),
+      s"unordered mixExpand still global-sorts:\n$physical")
   }
 
   test("PII redaction scrubs emails/ips/phones with correct counts") {
