@@ -161,11 +161,13 @@ object Retrieval {
   }
 
   /** Shared BM25 scoring tail: `tf` = (doc_id, token, tf) for the query
-    * terms only, however it was obtained. dfreq/stats are tiny and
+    * terms only, however it was obtained (public so external index
+    * sources — e.g. the streaming loop's churn-index serve view — can
+    * rank through the same kernel). dfreq/stats are tiny and
     * broadcast; the scored→doc-length join is left to AQE (a forced
     * broadcast of the scored side would be O(matching docs) — unbounded
     * for a common term at 100 TB). */
-  private def bm25Rank(spark: SparkSession, dir: String, tf: DataFrame,
+  def bm25Rank(spark: SparkSession, dir: String, tf: DataFrame,
       topK: Int): DataFrame = {
     val dl = docLengths(spark, dir)
     val stats = corpusStats(spark, dir)

@@ -266,6 +266,32 @@ object Similarity {
     newTable
   }
 
+  /** Embeddings with precomputed norm — the (vec_id, v, nrm) frame all
+    * index-build and serving paths consume; public so the streaming
+    * ingest loop's spec can slice the vector space explicitly. */
+  def embeddingsWithNorm(spark: SparkSession, dir: String): DataFrame =
+    emb(spark, dir)
+
+  /** Centroid assignment of an arbitrary (vec_id, v, nrm) batch against
+    * frozen centroids — the per-microbatch ANN index increment of
+    * [[graft.streaming.StreamingBackfill.fullIngestLoop]]. O(batch·C),
+    * never O(n·C). */
+  def assignVectors(vectors: DataFrame, centroids: DataFrame): DataFrame =
+    assignNearest(vectors, centroids).select("vec_id", "c_id", "v", "nrm")
+
+  /** The standard query set served over an EXPLICIT assignment frame —
+    * the probe tail of [[maintainedTopK]] decoupled from the catalog
+    * table name, so a churn-schema streaming index's serve view (or any
+    * other assignment source) can answer the same queries. */
+  def servedTopK(spark: SparkSession, dir: String, assigned: DataFrame,
+      k: Int = 10, nprobe: Int = 8, iters: Int = 2): DataFrame = {
+    val queries = emb(spark, dir).filter(col("vec_id") < NumQueries)
+      .select(col("vec_id").as("q_id"), col("v").as("q_v"),
+        col("nrm").as("q_nrm"))
+    probeTopK(assigned, queries, trainCentroids(spark, dir, iters = iters),
+      k, nprobe)
+  }
+
   /** Harness query `sim_topk_incremental`: a NEW vector batch (the
     * `vec_id % mod == 0` slice plays the new arrivals) finds its top-k
     * neighbors among the EXISTING corpus by probing its `nprobe`

@@ -290,6 +290,65 @@ object StreamingBackfill {
     q.stop()
   }
 
+  /** The WHOLE ingest path in one loop — the seam-closer between the
+    * E7 streaming machinery and the E16/E3 serving indexes: each
+    * microbatch of new documents runs, in order,
+    *
+    *  1. near-dup screen against the bucketed corpus band index
+    *     (verified pairs land in a batch-id-suffixed report dir —
+    *     report-then-append, the [[ingestDedupLoop]] contract);
+    *  2. corpus doc-store append + band-index append, so the NEXT
+    *     batch screens against this one;
+    *  3. postings append into the CHURN-schema BM25 serving index,
+    *     keyed `seq = batchId` ([[appendPostingsBatch]] — replay-
+    *     idempotent);
+    *  4. the batch's embeddings (via the `embedder` seam — the
+    *     embedding model in production, a table lookup in the harness)
+    *     assigned against FROZEN centroids at O(batch·C) and appended
+    *     into the churn-schema ANN assignment index under the same
+    *     batchId keying.
+    *
+    * After the stream drains, BM25 served from the postings index and
+    * ANN served from the assignment index must equal batch rebuilds
+    * over the full corpus — StreamingSpec pins both hash-equalities.
+    * Every step is O(batch + matching index rows); no full-corpus scan,
+    * tokenize, or rebuild anywhere in the loop. */
+  def fullIngestLoop(spark: SparkSession, newDocs: DataFrame,
+      corpusDir: String, bandIndexTable: String, postingsIndexTable: String,
+      assignIndexTable: String, centroids: DataFrame,
+      embedder: DataFrame => DataFrame, outDir: String,
+      threshold: Double = 0.5, buckets: Int = 8): Unit = {
+    import graft.operators.{Dedup, Memo, Similarity}
+    import graft.sources.{Bucketing, IndexChurn}
+    val q = newDocs.writeStream
+      .outputMode("append")
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[Row], id: Long) =>
+        if (!batch.isEmpty) {
+          val s = batch.sparkSession
+          val docs = batch.toDF()
+          val bands = Memo.scratch(s, s"full_bands_$id")(
+            Dedup.minhashBandsPerRow(docs))
+          val cand = Memo.scratch(s, s"full_cand_$id")(
+            Bucketing.incrementalProbeColocated(s, bands, bandIndexTable)
+              .withColumnRenamed("doc_id", "new_id").distinct())
+          val corpusDocs = s.read.schema(graft.Tables.documentsSchema)
+            .parquet(s"$corpusDir/documents.parquet")
+          Dedup.verifyCandidatesFrom(cand, docs, corpusDocs, threshold)
+            .write.mode("overwrite").parquet(s"$outDir/batch_id=$id")
+          docs.write.mode("append").parquet(s"$corpusDir/documents.parquet")
+          Bucketing.appendToBandIndex(s, bandIndexTable, bands)
+          appendPostingsBatch(s, postingsIndexTable, docs, id, buckets)
+          IndexChurn.append(s, assignIndexTable,
+            Similarity.assignVectors(embedder(docs), centroids),
+            "U", id, Seq("c_id"), buckets)
+        }
+      }
+      .trigger(Trigger.ProcessingTime(0))
+      .start()
+    q.processAllAvailable()
+    q.stop()
+  }
+
   /** Streaming CDC upsert — the continuous form of the batch
     * [[graft.operators.Cdc.applySnapshot]] merge: a stream of keyed
     * change events folds, per microbatch, into a hash-bucket-partitioned

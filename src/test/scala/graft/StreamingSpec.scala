@@ -242,4 +242,88 @@ class StreamingSpec extends AnyFunSuite {
       assert(served().toSet === want.toSet)
     } finally spark.sql(s"DROP TABLE IF EXISTS $table")
   }
+
+  test("full ingest loop: one stream feeds dedup, corpus store, BM25 and ANN") {
+    import java.nio.file.Files
+    import graft.operators.{Dedup, Retrieval, Similarity}
+    import graft.sources.{Bucketing, IndexChurn}
+    val bandTable = "full_band_t"
+    val postTable = "full_post_t"
+    val assignTable = "full_assign_t"
+    val corpusDir = Files.createTempDirectory("fullcorpus").toString
+    val streamDir = Files.createTempDirectory("fullstream").toString
+    val outDir = Files.createTempDirectory("fullout").toString
+    try {
+      val docs = Tables.load(spark, sf, "documents")
+      val corpus = docs.filter(col("doc_id") % 10 =!= 0)
+      val incoming = docs.filter(col("doc_id") % 10 === 0)
+      // --- pre-existing state: corpus store + three serving indexes
+      // covering the corpus slice only
+      corpus.write.mode("overwrite").parquet(s"$corpusDir/documents.parquet")
+      Bucketing.ensureBandIndexFrom(spark, bandTable,
+        Dedup.minhashCappedBands(spark, sf).filter(col("doc_id") % 10 =!= 0))
+      val posts = Retrieval.postingsTable(spark, sf)
+      IndexChurn.stamp(posts.filter(col("doc_id") % 10 =!= 0), "U", -1L)
+        .write.mode("overwrite").bucketBy(8, "token").sortBy("token")
+        .saveAsTable(postTable)
+      // vectors "arriving with the stream" are the embeddings sharing an
+      // id with a streamed doc; the base index covers everything else
+      val emb = Similarity.embeddingsWithNorm(spark, sf)
+      val centroids = Similarity.trainCentroids(spark, sf, iters = 2)
+      val streamedIds = incoming.select(col("doc_id").as("vec_id"))
+      val streamedEmb = emb.join(streamedIds, "vec_id")
+      assert(streamedEmb.count() > 0, "fixture streams no embeddings")
+      IndexChurn.stamp(
+          Similarity.assignVectors(
+            emb.join(streamedIds, Seq("vec_id"), "left_anti"), centroids),
+          "U", -1L)
+        .write.mode("overwrite").bucketBy(8, "c_id").sortBy("c_id")
+        .saveAsTable(assignTable)
+      // --- stream the new docs as two microbatches
+      incoming.filter(col("doc_id") % 20 === 0)
+        .coalesce(1).write.mode("overwrite").parquet(s"$streamDir/b1")
+      incoming.filter(col("doc_id") % 20 =!= 0)
+        .coalesce(1).write.mode("overwrite").parquet(s"$streamDir/b2")
+      def stampT(sub: String, t: Long): Unit =
+        new java.io.File(s"$streamDir/$sub").listFiles()
+          .filter(_.getName.endsWith(".parquet"))
+          .foreach(f => assert(f.setLastModified(t)))
+      stampT("b1", 1000000000000L)
+      stampT("b2", 1000000060000L)
+      val stream = spark.readStream.schema(Tables.documentsSchema)
+        .option("maxFilesPerTrigger", "1")
+        .option("recursiveFileLookup", "true")
+        .parquet(streamDir)
+      StreamingBackfill.fullIngestLoop(spark, stream, corpusDir, bandTable,
+        postTable, assignTable, centroids,
+        b => emb.join(b.select(col("doc_id").as("vec_id")), "vec_id"), outDir)
+      // --- the corpus store accreted every streamed doc, and each batch
+      // left its dedup report
+      assert(spark.read.parquet(s"$corpusDir/documents.parquet").count() ===
+        docs.count())
+      assert(new java.io.File(s"$outDir/batch_id=0").exists())
+      assert(new java.io.File(s"$outDir/batch_id=1").exists())
+      // --- BM25 served from the maintained churn index == the batch
+      // full-scan twin over the whole corpus
+      val servedTf = IndexChurn.served(spark, postTable, Seq("token", "doc_id"))
+        .filter(col("token").isin("hash", "join", "scan"))
+      val gotBm25 = Retrieval.bm25Rank(spark, sf, servedTf, 20)
+        .collect().map(_.toString).toSeq
+      val wantBm25 = Retrieval.bm25Search(spark, sf)
+        .collect().map(_.toString).toSeq
+      assert(gotBm25 === wantBm25, "served BM25 diverged from batch rebuild")
+      // --- ANN served from the maintained churn assignment == the
+      // full-corpus rebuild under the same centroids
+      val gotAnn = Similarity.servedTopK(spark, sf,
+          IndexChurn.served(spark, assignTable, Seq("vec_id")), iters = 2)
+        .collect().map(_.toString).toSeq
+      val wantAnn = Similarity.ivfTopKTrained(spark, sf, iters = 2)
+        .collect().map(_.toString).toSeq
+      assert(gotAnn === wantAnn, "served ANN diverged from batch rebuild")
+    } finally {
+      spark.sql(s"DROP TABLE IF EXISTS $bandTable")
+      spark.sql(s"DROP TABLE IF EXISTS $postTable")
+      spark.sql(s"DROP TABLE IF EXISTS $assignTable")
+    }
+  }
 }
