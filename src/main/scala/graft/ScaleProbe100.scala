@@ -1,0 +1,199 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** 100× scale probe (run manually; numbers recorded in NOTES.md) — the
+  * brief's "would this survive a 100× scale-up" question asked of the
+  * heaviest paths with actual wall-clocks:
+  *
+  *   - the incremental-dedup serving loop (bucketed band-index build
+  *     once, then a 1%-batch probe whose cost must be O(batch +
+  *     candidates), never O(corpus));
+  *   - the feed_compact full-identity aggregate (the heaviest bench
+  *     query every round — its identity shuffle is the irreducible
+  *     cost, so it must scale linearly);
+  *   - quality_quantile_filter (the no-whole-corpus-window exact
+  *     rank-k keep);
+  *   - the maintained BM25 + ANN serving indexes (build once, then
+  *     bucket-pruned serve — the warm serve must stay near-constant as
+  *     the corpus grows, and the plan counter proves the pruning);
+  *   - the hot-token (Zipf stopword) bucket-skew probe for the salted
+  *     postings index: per-bucket byte spread salted vs unsalted.
+  *
+  * Usage: `sbt "runMain graft.ScaleProbe100 /root/testdata/sf0.1 100
+  * dedup,feed,quality,bm25,ann,zipf"` — the third arg selects sections
+  * so long runs can split across invocations (default: all).
+  * The clone corpus keeps texts IDENTICAL across copies: the
+  * mega-bucket cap bounds each band bucket, so a new doc's candidate
+  * set is its ~factor clones — the honest per-increment price when the
+  * corpus is saturated with duplicates. */
+object ScaleProbe100 {
+  def main(args: Array[String]): Unit = {
+    val sf = if (args.nonEmpty) args(0) else "/root/testdata/sf0.1"
+    val factor = if (args.length > 1) args(1).toInt else 100
+    val sections: Set[String] =
+      if (args.length > 2) args(2).split(',').map(_.trim).toSet
+      else Set("dedup", "feed", "quality", "bm25", "ann", "zipf")
+    def section(name: String)(body: => Unit): Unit =
+      if (sections(name)) body
+    val spark = SparkSession.builder()
+      .appName("graft-scale-probe-100").master("local[32]")
+      .config("spark.sql.shuffle.partitions", 32)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", false)
+      .getOrCreate()
+    def time[A](label: String)(f: => A): A = {
+      val t0 = System.nanoTime()
+      val r = f
+      println(f"$label: ${(System.nanoTime() - t0) / 1e9}%.1f s")
+      r
+    }
+    val dup = s"/tmp/graft_scale${factor}_docs"
+    val fs = new org.apache.hadoop.fs.Path(dup)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+    if (sections.exists(Set("dedup", "quality", "bm25"))) {
+      if (!fs.exists(new org.apache.hadoop.fs.Path(s"$dup/documents.parquet"))) {
+        val docs = Tables.load(spark, sf, "documents")
+        docs.crossJoin(spark.range(factor).select(col("id").as("copy")))
+          .select((col("doc_id") * factor + col("copy")).as("doc_id"),
+            col("text"), col("lang"), col("source"), col("n_chars"))
+          .write.mode("overwrite").parquet(s"$dup/documents.parquet")
+      }
+      println(s"corpus: ${Tables.load(spark, dup, "documents").count()} docs " +
+        s"(${factor}x of $sf)")
+    }
+
+    // 1. incremental dedup: one-time index build vs per-batch probe
+    section("dedup") {
+      val bandTable = time(s"band index build (${factor}x corpus, bucketed)") {
+        sources.Bucketing.ensureCorpusBandIndex(spark, dup)
+      }
+      time("incremental probe+verify (1% new batch vs indexed corpus)") {
+        val newBands = operators.Dedup.minhashCappedBands(spark, dup)
+          .filter(col("doc_id") % 1000 === 0)
+        val cand = sources.Bucketing
+          .incrementalProbeColocated(spark, newBands, bandTable)
+          .withColumnRenamed("doc_id", "new_id").distinct()
+        val all = Tables.load(spark, dup, "documents")
+        val v = operators.Dedup.verifyCandidatesFrom(cand, all, all, 0.5).count()
+        println(s"  verified pairs: $v")
+      }
+    }
+
+    // 2. feed_compact's kernel at factor×: the envelope feed replicated
+    // in-plan with distinct identities, then the full-identity
+    // aggregate — the shuffle that must scale linearly
+    section("feed") {
+      time(s"feed_compact kernel (${factor}x feed identities)") {
+        val feed = pipeline.Backfill.run(spark, sf)
+          .crossJoin(spark.range(factor).select(col("id").as("copy")))
+          .withColumn("key", concat(col("key"), lit("#"), col("copy")))
+          .drop("copy")
+        val delivered = feed.withColumn("delivery", explode(
+            when(pmod(functions.Hash60.hash60(
+              concat(col("entity"), lit(":"), col("key"))), lit(10L)) === 0,
+              typedlit(Seq(0, 1))).otherwise(typedlit(Seq(0)))))
+          .drop("delivery")
+        println(s"  compacted rows: ${pipeline.Backfill.compactFeed(delivered).count()}")
+      }
+    }
+
+    // 3. exact per-language quantile keep without a corpus-wide window
+    section("quality") {
+      time(s"quality_quantile_filter (${factor}x corpus, cold memos)") {
+        println(s"  kept rows: ${operators.TextAnalysis.qualityQuantileFilter(spark, dup).count()}")
+      }
+    }
+
+    // 4a. maintained BM25 serving index: one-time build, then warm serve
+    section("bm25") {
+      time("bm25_index_maintained (cold: build + append the catalog index)") {
+        operators.Retrieval.bm25IndexMaintained(spark, dup).count()
+      }
+      time("bm25_index_maintained (warm: bucket-pruned serve)") {
+        operators.Retrieval.bm25IndexMaintained(spark, dup).count()
+      }
+      val plan = org.apache.spark.sql.graftshim.Shim
+        .executedPlan(operators.Retrieval.bm25IndexMaintained(spark, dup))
+        .toString
+      "SelectedBucketsCount: \\d+ out of \\d+".r.findFirstIn(plan)
+        .foreach(s => println(s"  bm25 serve plan: $s"))
+    }
+
+    // 4b. maintained ANN assignment index
+    section("ann") {
+      val nv = Tables.load(spark, sf, "embeddings").count()
+      if (!fs.exists(new org.apache.hadoop.fs.Path(s"$dup/embeddings.parquet"))) {
+        Tables.load(spark, sf, "embeddings")
+          .crossJoin(spark.range(factor).select(col("id").as("copy")))
+          .select((col("vec_id") + col("copy") * nv * factor).as("vec_id"),
+            col("embedding"), col("label"))
+          .write.mode("overwrite").parquet(s"$dup/embeddings.parquet")
+      }
+      println(s"vectors: ${nv * factor} (${factor}x of $sf)")
+      time("sim_topk_maintained (cold: train + assign + build the index)") {
+        operators.Similarity.maintainedTopK(spark, dup).count()
+      }
+      time("sim_topk_maintained (warm: nprobe-list serve)") {
+        operators.Similarity.maintainedTopK(spark, dup).count()
+      }
+    }
+
+    // 5. hot-token skew: Zipf postings (df of rank r ≈ N/r — the
+    // stopword distribution), salted vs unsalted per-bucket bytes
+    section("zipf") {
+      // a prior run's probe tables outlive the in-memory catalog —
+      // clear both catalog entries and orphaned managed locations
+      Seq("probe_salted", "probe_salted_hot", "probe_unsalted").foreach { t =>
+        spark.sql(s"DROP TABLE IF EXISTS $t")
+        val p = new org.apache.hadoop.fs.Path(
+          spark.conf.get("spark.sql.warehouse.dir"), t)
+        val wfs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        if (wfs.exists(p)) wfs.delete(p, true)
+      }
+      val nDocs = 500000L
+      val ranks = 500
+      val posts = spark.range(1, ranks + 1)
+        .select(concat(lit("tok"), col("id")).as("token"), col("id").as("r"))
+        .select(col("token"),
+          explode(sequence(lit(0L),
+            (lit(nDocs) / col("r")).cast("long") - 1)).as("doc_id"))
+        .withColumn("tf", lit(1L))
+      // 64 buckets: at production bucket counts a stopword's single
+      // bucket dwarfs the 1/buckets uniform share — the skew the salt
+      // has to flatten (8 buckets would mask it: a 13%-of-corpus token
+      // can only be ~2x a 12.5% uniform share)
+      time(s"salted postings build (Zipf, N=$nDocs, $ranks ranks)") {
+        sources.Bucketing.writeSaltedPostingsIndex(
+          spark, "probe_salted", posts, hotDf = nDocs / 20,
+          salts = 16, buckets = 64)
+      }
+      time("unsalted postings build (same corpus, raw token bucketing)") {
+        posts.write.mode("overwrite")
+          .bucketBy(64, "token").sortBy("token").saveAsTable("probe_unsalted")
+      }
+      def bucketBytes(table: String): Seq[Long] = {
+        val loc = spark.sql(s"DESCRIBE TABLE EXTENDED $table")
+          .filter(col("col_name") === "Location")
+          .head().getString(1).stripPrefix("file:")
+        new java.io.File(loc).listFiles()
+          .filter(f => f.isFile && !f.getName.startsWith("_") &&
+            !f.getName.startsWith("."))
+          .groupBy(f => sources.IndexChurn.bucketOfFile(f.getName).getOrElse(-1))
+          .map { case (_, fs) => fs.map(_.length()).sum }.toSeq.sorted
+      }
+      val sb = bucketBytes("probe_salted")
+      val ub = bucketBytes("probe_unsalted")
+      println(s"  unsalted bucket bytes: max=${ub.max} median=${ub(ub.size / 2)} " +
+        f"skew=${ub.max.toDouble / ub(ub.size / 2)}%.1fx")
+      println(s"  salted   bucket bytes: max=${sb.max} median=${sb(sb.size / 2)} " +
+        f"skew=${sb.max.toDouble / sb(sb.size / 2)}%.1fx")
+      time("salted serve (hot tok1 + cold tok400)") {
+        println(s"  rows: ${sources.Bucketing.saltedPostings(spark, "probe_salted", Seq("tok1", "tok400"), salts = 16).count()}")
+      }
+    }
+    spark.stop()
+  }
+}

@@ -102,6 +102,7 @@ object SparkEntry {
     "bm25_from_index"    -> ((s: SparkSession, d: String) => Retrieval.bm25FromIndex(s, d)),
     "bm25_index_maintained" -> ((s: SparkSession, d: String) => Retrieval.bm25IndexMaintained(s, d)),
     "bm25_index_churn"   -> ((s: SparkSession, d: String) => Retrieval.bm25IndexChurn(s, d)),
+    "bm25_salted"        -> ((s: SparkSession, d: String) => Retrieval.bm25Salted(s, d)),
     "bm25_batch"         -> ((s: SparkSession, d: String) => Retrieval.bm25Batch(s, d)),
     "phrase_search"      -> ((s: SparkSession, d: String) => Retrieval.phraseSearch(s, d)),
     "phrase_from_index"  -> ((s: SparkSession, d: String) => Retrieval.phraseFromIndex(s, d)),
@@ -1644,6 +1645,7 @@ object SparkEntry {
     // reproduce the FULL-corpus ranking — the append-correctness claim
     "bm25_index_maintained" -> dBm25Sql,
     "bm25_index_churn" -> dBm25SqlFor(dChurnWhere),
+    "bm25_salted" -> dBm25Sql,
     "bm25_batch" -> dBm25BatchSql,
     "phrase_from_index" -> dPhraseSql,
     "phrase_index_maintained" -> dPhraseSql,

@@ -247,6 +247,22 @@ object Retrieval {
       .limit(topK)
   }
 
+  /** Harness query `bm25_salted`: BM25 served from the HOT-TOKEN-SALTED
+    * postings catalog ([[graft.sources.Bucketing
+    * .ensureSaltedPostingsIndex]]) — the stopword-skew-proof serving
+    * shape: a token above the hot threshold has its postings sharded
+    * over `salts` bucket keys, so no single bucket ever holds a whole
+    * stopword list; the query expands hot tokens to all their shard
+    * keys (union at read) and must rank identically to the full-scan
+    * twin (same oracle as [[bm25Search]]). */
+  def bm25Salted(spark: SparkSession, dir: String,
+      query: Seq[String] = Seq("hash", "join", "scan"),
+      topK: Int = 20): DataFrame = {
+    val table = graft.sources.Bucketing.ensureSaltedPostingsIndex(spark, dir)
+    bm25Rank(spark, dir,
+      graft.sources.Bucketing.saltedPostings(spark, table, query), topK)
+  }
+
   /** Harness query `phrase_index_churn`: the 2-term phrase served from
     * the CHURN-capable positional index after the doc-batch delete +
     * compaction lifecycle

@@ -220,6 +220,106 @@ object Bucketing {
       .bucketBy(buckets, "token").sortBy("token")
       .saveAsTable(table)
 
+  // ------------------------------------------ hot-token salting (skew)
+
+  /** SALTED postings index — the stopword-skew answer for the
+    * token-bucketed catalog: bucketing by raw token puts a stopword's
+    * ENTIRE posting list in one bucket, so at 100 TB one bucket is
+    * TB-scale while the median is MBs (the minhash mega-bucket problem,
+    * on the serving side). Tokens whose df exceeds `hotDf` shard across
+    * `salts` sub-keys instead — `shard_key = token#pmod(hash(doc_id),
+    * salts)` — so no bucket ever holds more than ~1/salts of the
+    * hottest list; cold tokens keep `shard_key = token` and their
+    * single-bucket pruning. The hot-token list (the Zipf head — tiny by
+    * construction) lands in `<table>_hot` for the serve side to expand
+    * filters with. BucketingSpec pins the skew bound and serve-path
+    * equivalence; ScaleProbe records the byte spread on a Zipf corpus.
+    *
+    * The df threshold is a BUILD-time decision; re-sharding a token
+    * that later crosses the threshold is an index-maintenance job
+    * (rewrite that token's rows under salted keys — O(one posting
+    * list), the same economics as a churn compaction). */
+  def writeSaltedPostingsIndex(spark: SparkSession, table: String,
+      posts: DataFrame, hotDf: Long, salts: Int = 8,
+      buckets: Int = 8): Unit = {
+    import org.apache.spark.sql.functions._
+    posts.groupBy("token").agg(count(lit(1)).as("df"))
+      .filter(col("df") > hotDf)
+      .write.mode("overwrite").saveAsTable(s"${table}_hot")
+    saltedShards(spark, table, posts, salts)
+      .write.mode("overwrite")
+      .bucketBy(buckets, "shard_key").sortBy("shard_key")
+      .saveAsTable(table)
+  }
+
+  /** Shard-key a postings frame under `table`'s hot policy: hot tokens
+    * split by doc hash, cold tokens keep their own key. */
+  private def saltedShards(spark: SparkSession, table: String,
+      posts: DataFrame, salts: Int): DataFrame = {
+    import org.apache.spark.sql.functions._
+    val hot = broadcast(spark.table(s"${table}_hot")
+      .select(col("token"), lit(true).as("is_hot")))
+    posts.join(hot, Seq("token"), "left")
+      .withColumn("shard_key",
+        when(col("is_hot"),
+          concat(col("token"), lit("#"),
+            pmod(hash(col("doc_id")), lit(salts)).cast("string")))
+          .otherwise(col("token")))
+      .select("shard_key", "token", "doc_id", "tf")
+  }
+
+  /** Bucket-preserving append into a salted postings index: new rows
+    * adopt the BUILD-time hot/cold sharding (the `<table>_hot` list is
+    * the frozen policy — a token that crosses the threshold later gets
+    * re-sharded by a maintenance job rewriting that one posting list,
+    * the same O(one list) economics as a churn compaction, never by the
+    * append path silently diverging from the serve-side expansion). */
+  def appendToSaltedPostingsIndex(spark: SparkSession, table: String,
+      newPostings: DataFrame, salts: Int = 8, buckets: Int = 8): Unit =
+    saltedShards(spark, table, newPostings, salts)
+      .write.mode("append")
+      .bucketBy(buckets, "shard_key").sortBy("shard_key")
+      .saveAsTable(table)
+
+  /** Build-once salted postings catalog per dataset —
+    * [[writeSaltedPostingsIndex]] over the full corpus postings with the
+    * hot threshold at 5% of the corpus (a token in more than 1-in-20
+    * docs is stopword-class; the Zipf head above that line is tiny).
+    * Serves `bm25_salted`, whose hash-equality with the full-scan BM25
+    * twin is the salting-correctness proof. Crash-safe by overwrite:
+    * the guard checks the MAIN table, written after the hot table, so a
+    * partial build rebuilds both. Returns the table name. */
+  def ensureSaltedPostingsIndex(spark: SparkSession, dir: String,
+      salts: Int = 8, buckets: Int = 8): String = synchronized {
+    val table = f"postings_salt_${dir.hashCode & 0x7fffffff}%08x"
+    if (!spark.catalog.tableExists(table)) {
+      clearOrphanedLocation(spark, s"${table}_hot")
+      clearOrphanedLocation(spark, table)
+      val posts = graft.operators.Retrieval.postingsTable(spark, dir)
+      val nDocs = Tables.load(spark, dir, "documents").count()
+      writeSaltedPostingsIndex(spark, table, posts,
+        hotDf = math.max(nDocs / 20, 10), salts, buckets)
+    }
+    table
+  }
+
+  /** Serve-side read of a [[writeSaltedPostingsIndex]] table: each query
+    * token expands to its shard keys — `salts` sub-keys if hot (union
+    * at read), just itself if cold — and the IN filter bucket-prunes
+    * exactly as the unsalted index's did. The hot lookup reads the tiny
+    * Zipf-head table once per query batch (driver-side, bounded); a
+    * long-running server caches it. */
+  def saltedPostings(spark: SparkSession, table: String,
+      tokens: Seq[String], salts: Int = 8): DataFrame = {
+    import org.apache.spark.sql.functions.col
+    val hot = spark.table(s"${table}_hot").select("token")
+      .collect().map(_.getString(0)).toSet
+    val keys = tokens.flatMap(t =>
+      if (hot(t)) (0 until salts).map(i => s"$t#$i") else Seq(t))
+    spark.table(table).filter(col("shard_key").isin(keys: _*))
+      .select("token", "doc_id", "tf")
+  }
+
   // ----------------------------------------------- churnable index family
 
   /** CHURN-capable BM25 serving index: the postings table AND the
