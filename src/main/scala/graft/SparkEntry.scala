@@ -103,6 +103,8 @@ object SparkEntry {
     "bm25_index_maintained" -> ((s: SparkSession, d: String) => Retrieval.bm25IndexMaintained(s, d)),
     "bm25_index_churn"   -> ((s: SparkSession, d: String) => Retrieval.bm25IndexChurn(s, d)),
     "bm25_salted"        -> ((s: SparkSession, d: String) => Retrieval.bm25Salted(s, d)),
+    "bm25_salted_churn"  -> ((s: SparkSession, d: String) => Retrieval.bm25SaltedChurn(s, d)),
+    "sim_topk_retrained" -> ((s: SparkSession, d: String) => Similarity.retrainedTopK(s, d)),
     "bm25_batch"         -> ((s: SparkSession, d: String) => Retrieval.bm25Batch(s, d)),
     "phrase_search"      -> ((s: SparkSession, d: String) => Retrieval.phraseSearch(s, d)),
     "phrase_from_index"  -> ((s: SparkSession, d: String) => Retrieval.phraseFromIndex(s, d)),
@@ -1646,6 +1648,8 @@ object SparkEntry {
     "bm25_index_maintained" -> dBm25Sql,
     "bm25_index_churn" -> dBm25SqlFor(dChurnWhere),
     "bm25_salted" -> dBm25Sql,
+    "bm25_salted_churn" -> dBm25SqlFor(dChurnWhere),
+    "sim_topk_retrained" -> dIvfSql(iters = 3),
     "bm25_batch" -> dBm25BatchSql,
     "phrase_from_index" -> dPhraseSql,
     "phrase_index_maintained" -> dPhraseSql,

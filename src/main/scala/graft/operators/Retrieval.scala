@@ -263,6 +263,29 @@ object Retrieval {
       graft.sources.Bucketing.saltedPostings(spark, table, query), topK)
   }
 
+  /** Harness query `bm25_salted_churn`: BM25 served from the
+    * churn-capable SALTED index
+    * ([[graft.sources.Bucketing.ensureChurnedSaltedIndex]] — hot-token
+    * shard keys AND tombstone deletes composed) after the doc-batch
+    * delete + compaction lifecycle. Doc-length/N/avgdl come from the
+    * churned doc-length table (shared with [[bm25IndexChurn]]), so
+    * stats forget the deleted docs too; the result must hash-equal a
+    * fresh build over a corpus that never contained them — the same
+    * oracle as `bm25_index_churn`, proving deletes flow correctly
+    * through salt sharding. */
+  def bm25SaltedChurn(spark: SparkSession, dir: String,
+      query: Seq[String] = Seq("hash", "join", "scan"),
+      topK: Int = 20): DataFrame = {
+    val pt = graft.sources.Bucketing.ensureChurnedSaltedIndex(spark, dir)
+    val (_, dt) = graft.sources.Bucketing.ensureChurnedBm25Index(spark, dir)
+    val tf = graft.sources.IndexChurn.servedFrom(
+        graft.sources.Bucketing.saltedFilter(spark, pt, query),
+        Seq("token", "doc_id"))
+      .select("token", "doc_id", "tf")
+    val dl = graft.sources.IndexChurn.served(spark, dt, Seq("doc_id"))
+    bm25RankWith(tf, dl, topK)
+  }
+
   /** Harness query `phrase_index_churn`: the 2-term phrase served from
     * the CHURN-capable positional index after the doc-batch delete +
     * compaction lifecycle

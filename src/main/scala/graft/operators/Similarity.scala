@@ -292,6 +292,20 @@ object Similarity {
       k, nprobe)
   }
 
+  /** Harness query `sim_topk_retrained`: the standard query set served
+    * from the RETRAINED assignment index — [[retrainAssignmentIndex]]
+    * rebuilds the epoch-2 maintained index under fresh epoch-3
+    * centroids (staged, no serving gap), and this serves from the new
+    * table. Equal by construction to a fresh full build with the new
+    * centroids — the same oracle as [[ivfTopKTrained]] at iters=3,
+    * which makes the retrain lifecycle a driver-gate-proven row, not
+    * just a spec. */
+  def retrainedTopK(spark: SparkSession, dir: String, k: Int = 10,
+      nprobe: Int = 8): DataFrame = {
+    val table = retrainAssignmentIndex(spark, dir, oldIters = 2, newIters = 3)
+    servedTopK(spark, dir, spark.table(table), k, nprobe, iters = 3)
+  }
+
   /** Harness query `sim_topk_incremental`: a NEW vector batch (the
     * `vec_id % mod == 0` slice plays the new arrivals) finds its top-k
     * neighbors among the EXISTING corpus by probing its `nprobe`

@@ -253,10 +253,16 @@ object Bucketing {
   }
 
   /** Shard-key a postings frame under `table`'s hot policy: hot tokens
-    * split by doc hash, cold tokens keep their own key. */
+    * split by doc hash, cold tokens keep their own key. Payload columns
+    * beyond (token, doc_id, tf) — e.g. the churn schema's (op, seq) —
+    * pass through, and the shard derivation is a pure function of
+    * (hot policy, doc_id), so a tombstone always lands in the same
+    * shard as the rows it deletes (the [[IndexChurn.compact]]
+    * same-bucket invariant). */
   private def saltedShards(spark: SparkSession, table: String,
       posts: DataFrame, salts: Int): DataFrame = {
     import org.apache.spark.sql.functions._
+    val payload = posts.columns.toSeq
     val hot = broadcast(spark.table(s"${table}_hot")
       .select(col("token"), lit(true).as("is_hot")))
     posts.join(hot, Seq("token"), "left")
@@ -265,7 +271,7 @@ object Bucketing {
           concat(col("token"), lit("#"),
             pmod(hash(col("doc_id")), lit(salts)).cast("string")))
           .otherwise(col("token")))
-      .select("shard_key", "token", "doc_id", "tf")
+      .select(("shard_key" +: payload).map(col): _*)
   }
 
   /** Bucket-preserving append into a salted postings index: new rows
@@ -312,12 +318,61 @@ object Bucketing {
   def saltedPostings(spark: SparkSession, table: String,
       tokens: Seq[String], salts: Int = 8): DataFrame = {
     import org.apache.spark.sql.functions.col
+    saltedFilter(spark, table, tokens, salts)
+      .select("token", "doc_id", "tf")
+  }
+
+  /** The shard-expanded IN filter over a salted table, churn metadata
+    * (if any) retained — shared by the plain and churn serve paths. */
+  def saltedFilter(spark: SparkSession, table: String,
+      tokens: Seq[String], salts: Int = 8): DataFrame = {
+    import org.apache.spark.sql.functions.col
     val hot = spark.table(s"${table}_hot").select("token")
       .collect().map(_.getString(0)).toSet
     val keys = tokens.flatMap(t =>
       if (hot(t)) (0 until salts).map(i => s"$t#$i") else Seq(t))
     spark.table(table).filter(col("shard_key").isin(keys: _*))
-      .select("token", "doc_id", "tf")
+  }
+
+  /** CHURN-capable SALTED postings index — the two skew/lifecycle
+    * answers composed: hot tokens shard over salt sub-keys AND the
+    * schema carries (op, seq) so doc deletes tombstone without a
+    * rebuild. The shard key is a pure function of (frozen hot policy,
+    * doc_id), so every version of a (token, doc_id) key — updates and
+    * tombstones alike — lands in the same shard and the same bucket,
+    * which is exactly [[IndexChurn.compact]]'s invariant. Harness
+    * lifecycle inside the build guard mirrors
+    * [[ensureChurnedBm25Index]]: full build at seq=0, tombstones for
+    * the `doc_id % 10 == 0` batch at seq=1, bucket-local compact;
+    * `bm25_salted_churn`'s hash-equality with a fresh build that never
+    * saw those docs proves delete-through-salt correctness. Returns the
+    * table name. */
+  def ensureChurnedSaltedIndex(spark: SparkSession, dir: String,
+      salts: Int = 8, buckets: Int = 8): String = synchronized {
+    import org.apache.spark.sql.functions.{col, count, lit}
+    val table = f"postings_saltchn_${dir.hashCode & 0x7fffffff}%08x"
+    if (!spark.catalog.tableExists(table)) {
+      clearOrphanedLocation(spark, s"${table}_hot")
+      clearOrphanedLocation(spark, table)
+      val posts = graft.operators.Retrieval.postingsTable(spark, dir)
+      val nDocs = Tables.load(spark, dir, "documents").count()
+      posts.groupBy("token").agg(count(lit(1)).as("df"))
+        .filter(col("df") > math.max(nDocs / 20, 10))
+        .write.mode("overwrite").saveAsTable(s"${table}_hot")
+      saltedShards(spark, table, IndexChurn.stamp(posts, "U", 0L), salts)
+        .write.mode("overwrite")
+        .bucketBy(buckets, "shard_key").sortBy("shard_key")
+        .saveAsTable(table)
+      saltedShards(spark, table,
+          IndexChurn.stamp(posts.filter(col("doc_id") % 10 === 0), "D", 1L),
+          salts)
+        .write.mode("append")
+        .bucketBy(buckets, "shard_key").sortBy("shard_key")
+        .saveAsTable(table)
+      IndexChurn.compact(spark, table, Seq("token", "doc_id"),
+        Seq("shard_key"), buckets)
+    }
+    table
   }
 
   // ----------------------------------------------- churnable index family

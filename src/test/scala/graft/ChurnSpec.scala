@@ -172,4 +172,36 @@ class ChurnSpec extends AnyFunSuite {
       assert(sel.group(1).toInt < sel.group(2).toInt, s"no pruning:\n$plan")
     } finally spark.sql(s"DROP TABLE IF EXISTS $table")
   }
+
+  test("churned salted index: deletes ride shard keys, compaction clears") {
+    val sf = TestSpark.sf
+    val t = graft.sources.Bucketing.ensureChurnedSaltedIndex(spark, sf)
+    try {
+      // the deleted batch is gone from the serve view, the survivors
+      // are exactly the fresh-build postings of the remaining docs
+      val served = IndexChurn.servedFrom(spark.table(t),
+        Seq("token", "doc_id"))
+      assert(served.filter(col("doc_id") % 10 === 0).count() === 0,
+        "a deleted doc's postings survived the salted churn")
+      val want = graft.operators.Retrieval.postingsTable(spark, sf)
+        .filter(col("doc_id") % 10 =!= 0).count()
+      assert(served.count() === want)
+      // compaction collapsed every key: no tombstones, no multi-version
+      // keys — possible only because a tombstone's shard key equals its
+      // victim's (pure function of frozen hot policy + doc_id)
+      assert(spark.table(t).filter(col("op") === "D").count() === 0)
+      assert(spark.table(t).groupBy("token", "doc_id").count()
+        .filter(col("count") > 1).count() === 0)
+      // shard keys obey the policy: hot tokens carry a salt suffix,
+      // cold tokens are their own key
+      val hot = spark.table(s"${t}_hot").select("token")
+        .collect().map(_.getString(0)).toSet
+      val badShard = spark.table(t)
+        .filter(col("token").isin(hot.toSeq: _*) =!=
+          col("shard_key").contains("#")).count()
+      assert(badShard === 0, "shard keys diverge from the hot policy")
+    } finally ()
+    // no drop: the table is the memoized serving index other tests and
+    // the harness queries share
+  }
 }
