@@ -104,6 +104,7 @@ object SparkEntry {
     "bm25_index_churn"   -> ((s: SparkSession, d: String) => Retrieval.bm25IndexChurn(s, d)),
     "bm25_salted"        -> ((s: SparkSession, d: String) => Retrieval.bm25Salted(s, d)),
     "bm25_salted_churn"  -> ((s: SparkSession, d: String) => Retrieval.bm25SaltedChurn(s, d)),
+    "phrase_salted"      -> ((s: SparkSession, d: String) => Retrieval.phraseSalted(s, d)),
     "sim_topk_retrained" -> ((s: SparkSession, d: String) => Similarity.retrainedTopK(s, d)),
     "bm25_batch"         -> ((s: SparkSession, d: String) => Retrieval.bm25Batch(s, d)),
     "phrase_search"      -> ((s: SparkSession, d: String) => Retrieval.phraseSearch(s, d)),
@@ -1649,6 +1650,7 @@ object SparkEntry {
     "bm25_index_churn" -> dBm25SqlFor(dChurnWhere),
     "bm25_salted" -> dBm25Sql,
     "bm25_salted_churn" -> dBm25SqlFor(dChurnWhere),
+    "phrase_salted" -> dPhraseSql,
     "sim_topk_retrained" -> dIvfSql(iters = 3),
     "bm25_batch" -> dBm25BatchSql,
     "phrase_from_index" -> dPhraseSql,

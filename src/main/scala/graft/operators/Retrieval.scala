@@ -286,6 +286,21 @@ object Retrieval {
     bm25RankWith(tf, dl, topK)
   }
 
+  /** Harness query `phrase_salted`: the 2-term phrase served from the
+    * HOT-TOKEN-SALTED positional index — the shard-expanded IN filter
+    * prunes the scan to the query terms' (possibly salted) keys, then
+    * the standard shifted-intersection kernel runs over the reduced
+    * frame. Must equal the full-scan phrase twin (same oracle). */
+  def phraseSalted(spark: SparkSession, dir: String,
+      first: String = "hash", second: String = "join",
+      topK: Int = 20): DataFrame = {
+    val table = graft.sources.Bucketing.ensureSaltedPositionalIndex(spark, dir)
+    phraseOver(
+      graft.sources.Bucketing.saltedFilter(spark, table, Seq(first, second))
+        .select("token", "doc_id", "positions"),
+      Seq(first, second), topK)
+  }
+
   /** Harness query `phrase_index_churn`: the 2-term phrase served from
     * the CHURN-capable positional index after the doc-batch delete +
     * compaction lifecycle

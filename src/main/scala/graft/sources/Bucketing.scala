@@ -322,6 +322,25 @@ object Bucketing {
       .select("token", "doc_id", "tf")
   }
 
+  /** Build-once salted POSITIONAL index per dataset — same hot policy
+    * and shard derivation as [[ensureSaltedPostingsIndex]], payload
+    * (token, doc_id, positions): a stopword's position lists are just
+    * as bucket-skewing as its tf postings. Serves `phrase_salted`.
+    * Returns the table name. */
+  def ensureSaltedPositionalIndex(spark: SparkSession, dir: String,
+      salts: Int = 8, buckets: Int = 8): String = synchronized {
+    val table = f"positional_salt_${dir.hashCode & 0x7fffffff}%08x"
+    if (!spark.catalog.tableExists(table)) {
+      clearOrphanedLocation(spark, s"${table}_hot")
+      clearOrphanedLocation(spark, table)
+      val posts = graft.operators.Retrieval.positionalPostings(spark, dir)
+      val nDocs = Tables.load(spark, dir, "documents").count()
+      writeSaltedPostingsIndex(spark, table, posts,
+        hotDf = math.max(nDocs / 20, 10), salts, buckets)
+    }
+    table
+  }
+
   /** The shard-expanded IN filter over a salted table, churn metadata
     * (if any) retained — shared by the plain and churn serve paths. */
   def saltedFilter(spark: SparkSession, table: String,
