@@ -367,28 +367,31 @@ object Bucketing {
     * saw those docs proves delete-through-salt correctness. Returns the
     * table name. */
   def ensureChurnedSaltedIndex(spark: SparkSession, dir: String,
-      salts: Int = 8, buckets: Int = 8): String = synchronized {
+      salts: Int = 8, buckets: Int = 8): String = {
     import org.apache.spark.sql.functions.{col, count, lit}
     val table = f"postings_saltchn_${dir.hashCode & 0x7fffffff}%08x"
-    if (!spark.catalog.tableExists(table)) {
-      clearOrphanedLocation(spark, s"${table}_hot")
-      clearOrphanedLocation(spark, table)
-      val posts = graft.operators.Retrieval.postingsTable(spark, dir)
-      val nDocs = Tables.load(spark, dir, "documents").count()
-      posts.groupBy("token").agg(count(lit(1)).as("df"))
-        .filter(col("df") > math.max(nDocs / 20, 10))
-        .write.mode("overwrite").saveAsTable(s"${table}_hot")
-      saltedShards(spark, table, IndexChurn.stamp(posts, "U", 0L), salts)
-        .write.mode("overwrite")
-        .bucketBy(buckets, "shard_key").sortBy("shard_key")
-        .saveAsTable(table)
+    lazy val posts = graft.operators.Retrieval.postingsTable(spark, dir)
+    // the whole lifecycle (hot policy, seq-0 build, seq-1 tombstones,
+    // compaction) runs under ensureBucketedTable's temp-name + rename,
+    // so a crash at ANY step leaves no table under the final name and
+    // the next call rebuilds — the same completion-observability the
+    // advisor required of the maintained builds. The hot table lives
+    // under the FINAL name (its overwrite is idempotent on rebuild).
+    ensureBucketedTable(spark, table, {
+        clearOrphanedLocation(spark, s"${table}_hot")
+        val nDocs = Tables.load(spark, dir, "documents").count()
+        posts.groupBy("token").agg(count(lit(1)).as("df"))
+          .filter(col("df") > math.max(nDocs / 20, 10))
+          .write.mode("overwrite").saveAsTable(s"${table}_hot")
+        saltedShards(spark, table, IndexChurn.stamp(posts, "U", 0L), salts)
+      }, Seq("shard_key"), buckets) { t =>
       saltedShards(spark, table,
           IndexChurn.stamp(posts.filter(col("doc_id") % 10 === 0), "D", 1L),
           salts)
         .write.mode("append")
         .bucketBy(buckets, "shard_key").sortBy("shard_key")
-        .saveAsTable(table)
-      IndexChurn.compact(spark, table, Seq("token", "doc_id"),
+        .saveAsTable(t)
+      IndexChurn.compact(spark, t, Seq("token", "doc_id"),
         Seq("shard_key"), buckets)
     }
     table
