@@ -73,6 +73,8 @@ object SparkEntry {
     "dedup_incremental"  -> ((s: SparkSession, d: String) => Dedup.incrementalPairs(s, d)),
     "dedup_incremental_bucketed" ->
       ((s: SparkSession, d: String) => Dedup.incrementalPairsBucketed(s, d)),
+    "dedup_index_churn" ->
+      ((s: SparkSession, d: String) => Dedup.incrementalPairsChurned(s, d)),
     "simhash"            -> (Dedup.simhash _),
     "simhash_pairs"      -> ((s: SparkSession, d: String) => Dedup.simhashPairs(s, d)),
     "ngram_jaccard"      -> (Dedup.ngramJaccard _),
@@ -88,6 +90,7 @@ object SparkEntry {
     "sim_topk_ivf_kmeans" -> ((s: SparkSession, d: String) => Similarity.ivfTopKTrained(s, d, iters = 2)),
     "sim_topk_incremental" -> ((s: SparkSession, d: String) => Similarity.incrementalTopK(s, d)),
     "sim_topk_maintained" -> ((s: SparkSession, d: String) => Similarity.maintainedTopK(s, d)),
+    "sim_topk_churn"     -> ((s: SparkSession, d: String) => Similarity.churnedTopK(s, d)),
     // §2.9 E5 text analysis
     "text_langid"        -> (TextAnalysis.langId _),
     "text_quality"       -> (TextAnalysis.quality _),
@@ -1786,6 +1789,22 @@ object SparkEntry {
                              JOIN grams gc ON gc.doc_id = candi.corpus_id)
          SELECT new_id, corpus_id, jaccard FROM jaci
          WHERE jaccard >= 0.5 ORDER BY new_id, corpus_id""",
+    // churned band index: full build minus the tombstoned % 10 == 0
+    // batch == the corpus slice, so the served probe must equal the
+    // append-built corpus index's — the same SQL as
+    // dedup_incremental_bucketed IS the delete-through proof
+    "dedup_index_churn" ->
+      s"""WITH $dMinhashPairsCtes,
+         candi AS (SELECT DISTINCT a.doc_id AS new_id, b.doc_id AS corpus_id
+                   FROM bf a JOIN bf b USING (band_id, band_key)
+                   WHERE a.doc_id % 10 = 0 AND b.doc_id % 10 <> 0),
+         jaci AS (SELECT new_id, corpus_id,
+                    CAST(len(list_intersect(gn.g, gc.g)) AS DOUBLE) /
+                      len(list_distinct(list_concat(gn.g, gc.g))) AS jaccard
+                  FROM candi JOIN grams gn ON gn.doc_id = candi.new_id
+                             JOIN grams gc ON gc.doc_id = candi.corpus_id)
+         SELECT new_id, corpus_id, jaccard FROM jaci
+         WHERE jaccard >= 0.5 ORDER BY new_id, corpus_id""",
     "contamination" -> {
       def splitCase(x: String) =
         s"""CASE WHEN ${dH60(s"'split:'||$x")} % 100 < 90 THEN 'train'
@@ -1888,6 +1907,11 @@ object SparkEntry {
     // reproduce the full-corpus assignment — same oracle as the full
     // build, hash-equality IS the append-correctness proof
     "sim_topk_maintained" -> dIvfSql(iters = 2),
+    // churned: the full assignment minus the tombstoned % 10 == 0 batch
+    // serves the standard queries — deleted vectors must never surface
+    // in a top-k, so the oracle's scan simply excludes them
+    "sim_topk_churn" -> dIvfSql(iters = 2,
+      corpusPred = "a.vec_id % 10 <> 0"),
     "embedding_buckets" ->
       s"""WITH $dEmbBucketCtes
          SELECT vec_id, bucket FROM bkt ORDER BY vec_id""",

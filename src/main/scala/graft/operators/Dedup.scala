@@ -328,6 +328,34 @@ object Dedup {
       .orderBy("new_id", "corpus_id")
   }
 
+  /** Harness query `dedup_index_churn`: the incremental probe served
+    * from the CHURN-capable corpus band index
+    * ([[graft.sources.Bucketing.ensureChurnedBandIndex]] — full band
+    * table built, the `doc_id % 10 == 0` batch deleted via tombstones,
+    * bucket-local compaction). Candidates come from the index's serve
+    * view, so a deleted doc can never surface as a near-dup candidate
+    * again; the result must hash-equal
+    * [[incrementalPairsBucketed]]'s append-built corpus probe (same
+    * oracle), which IS the delete-through proof. */
+  def incrementalPairsChurned(spark: SparkSession, dir: String,
+      threshold: Double = 0.5, maxBucket: Int = 200): DataFrame = {
+    import graft.sources.{Bucketing, IndexChurn}
+    val table = Bucketing.ensureChurnedBandIndex(spark, dir, maxBucket)
+    val corpus = IndexChurn.served(spark, table,
+      Seq("band_id", "band_key", "doc_id"))
+    val newBands = minhashCappedBands(spark, dir, maxBucket)
+      .filter(col("doc_id") % 10 === 0)
+    val cand = Memo.scratch(spark, "incr_cand_chn") {
+      newBands.hint("merge")
+        .join(corpus.withColumnRenamed("doc_id", "corpus_id"),
+          Seq("band_id", "band_key"))
+        .select(col("doc_id").as("new_id"), col("corpus_id"))
+        .distinct()
+    }
+    verifyCandidates(spark, dir, cand, threshold)
+      .orderBy("new_id", "corpus_id")
+  }
+
   // -------------------------------------------------------------- simhash
 
   /** SimHash width: 60 bits — the full width of [[hash60]] (the md5

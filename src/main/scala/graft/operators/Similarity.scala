@@ -306,6 +306,24 @@ object Similarity {
     servedTopK(spark, dir, spark.table(table), k, nprobe, iters = 3)
   }
 
+  /** Harness query `sim_topk_churn`: the standard query set served from
+    * the CHURN-capable assignment index
+    * ([[graft.sources.Bucketing.ensureChurnedAssignmentIndex]] — full
+    * assignment built, the `vec_id % 10 == 0` batch deleted via
+    * tombstones under the same frozen centroids, bucket-local
+    * compaction). The serve view keys on (c_id, vec_id) so the probe's
+    * c_id filter stays below the latest-wins window; deleted vectors
+    * can never surface in a top-k between retrains. Hash-equal to IVF
+    * over only the surviving vectors — the delete-through proof. */
+  def churnedTopK(spark: SparkSession, dir: String, k: Int = 10,
+      nprobe: Int = 8, iters: Int = 2): DataFrame = {
+    val table =
+      graft.sources.Bucketing.ensureChurnedAssignmentIndex(spark, dir, iters)
+    val assigned = graft.sources.IndexChurn.served(spark, table,
+      Seq("c_id", "vec_id"))
+    servedTopK(spark, dir, assigned, k, nprobe, iters)
+  }
+
   /** Harness query `sim_topk_incremental`: a NEW vector batch (the
     * `vec_id % mod == 0` slice plays the new arrivals) finds its top-k
     * neighbors among the EXISTING corpus by probing its `nprobe`

@@ -461,6 +461,39 @@ object Bucketing {
     table
   }
 
+  /** CHURN-capable corpus BAND index — the dedup twin of
+    * [[ensureChurnedBm25Index]], closing the delete story for the last
+    * append-only serving index family: a deleted or re-ingested doc's
+    * LSH bands must stop producing candidates without an index rebuild.
+    * Unlike the token-keyed indexes, one doc's band rows scatter across
+    * MANY (band_id, band_key) buckets — but each tombstone carries its
+    * victim's full (doc_id, band_id, band_key) key, and the bucket cols
+    * are a subset of the key cols, so every version lands in its
+    * victim's bucket and [[IndexChurn.compact]]'s same-bucket invariant
+    * holds; a doc delete dirties at most `bands` buckets (band count,
+    * not corpus size). Harness lifecycle inside the crash-atomic build
+    * guard: full capped band table at seq=0, tombstones for the
+    * `doc_id % 10 == 0` batch at seq=1, bucket-local compact — the
+    * served index is exactly the corpus slice, so `dedup_index_churn`'s
+    * hash-equality with the append-built corpus index's probe
+    * ([[ensureCorpusBandIndex]]) IS the delete-through proof. Returns
+    * the table name. */
+  def ensureChurnedBandIndex(spark: SparkSession, dir: String,
+      maxBucket: Int = 200, buckets: Int = 8): String = {
+    import org.apache.spark.sql.functions.col
+    val table = f"corpus_bands_chn_${dir.hashCode & 0x7fffffff}%08x"
+    lazy val bands =
+      graft.operators.Dedup.minhashCappedBands(spark, dir, maxBucket)
+    ensureBucketedTable(spark, table,
+      IndexChurn.stamp(bands, "U", 0L), Seq("band_id", "band_key"), buckets) { t =>
+      IndexChurn.append(spark, t, bands.filter(col("doc_id") % 10 === 0),
+        "D", 1L, Seq("band_id", "band_key"), buckets)
+      IndexChurn.compact(spark, t, Seq("doc_id", "band_id", "band_key"),
+        Seq("band_id", "band_key"), buckets)
+    }
+    table
+  }
+
   // ---------------------------------------- bucketed ANN assignment index
 
   /** The E3 IVF assignment as a c_id-BUCKETED catalog table — the grown
@@ -493,4 +526,39 @@ object Bucketing {
       .write.mode("append")
       .bucketBy(buckets, "c_id").sortBy("c_id")
       .saveAsTable(table)
+
+  /** CHURN-capable ANN assignment index — deletes BETWEEN retrains:
+    * [[graft.operators.Similarity.retrainAssignmentIndex]] rebuilds the
+    * whole index under fresh centroids, but a vector deleted mid-epoch
+    * must stop being served NOW, without paying the O(n·C) retrain.
+    * Tombstones are assigned under the SAME frozen centroids as the
+    * rows they delete (here: read from the same assignment memo), so
+    * every version of a vec_id lands in the same c_id — and therefore
+    * the same bucket — satisfying [[IndexChurn.compact]]'s invariant
+    * even though the bucket col (c_id) is not the row key (vec_id); the
+    * serve view keys on (c_id, vec_id), equivalent per-vector grouping,
+    * so a probe's c_id join filter stays below the window and serving
+    * cost stays O(probed lists). An embedding UPDATE that moves a
+    * vector to a new centroid is a tombstone under the old c_id plus an
+    * insert under the new one — two correctly-bucketed rows, never an
+    * in-place rewrite. Harness lifecycle in the crash-atomic guard:
+    * full assignment at seq=0, tombstones for the `vec_id % 10 == 0`
+    * batch at seq=1, bucket-local compact; `sim_topk_churn`'s
+    * hash-equality with IVF over the surviving vectors proves deleted
+    * vectors never surface in top-k. Returns the table name. */
+  def ensureChurnedAssignmentIndex(spark: SparkSession, dir: String,
+      iters: Int = 2, buckets: Int = 8): String = {
+    import org.apache.spark.sql.functions.col
+    val table = f"ivf_assign_chn_${iters}_${dir.hashCode & 0x7fffffff}%08x"
+    lazy val assigned = graft.operators.Similarity
+      .assignmentTable(spark, dir, iters)
+      .select("vec_id", "c_id", "v", "nrm")
+    ensureBucketedTable(spark, table,
+      IndexChurn.stamp(assigned, "U", 0L), Seq("c_id"), buckets) { t =>
+      IndexChurn.append(spark, t, assigned.filter(col("vec_id") % 10 === 0),
+        "D", 1L, Seq("c_id"), buckets)
+      IndexChurn.compact(spark, t, Seq("c_id", "vec_id"), Seq("c_id"), buckets)
+    }
+    table
+  }
 }

@@ -173,6 +173,54 @@ class ChurnSpec extends AnyFunSuite {
     } finally spark.sql(s"DROP TABLE IF EXISTS $table")
   }
 
+  test("churned band index: deleted docs never resurface as candidates") {
+    val sf = TestSpark.sf
+    val t = graft.sources.Bucketing.ensureChurnedBandIndex(spark, sf)
+    // the serve view is exactly the corpus band slice: the tombstoned
+    // % 10 == 0 batch is gone, everything else survives
+    val served = IndexChurn.served(spark, t,
+      Seq("band_id", "band_key", "doc_id"))
+    assert(served.filter(col("doc_id") % 10 === 0).count() === 0,
+      "a deleted doc's bands survived churn")
+    val want = graft.operators.Dedup.minhashCappedBands(spark, sf)
+      .filter(col("doc_id") % 10 =!= 0).count()
+    assert(served.count() === want)
+    // compaction is complete: no tombstones, one row per band key —
+    // possible because a tombstone carries its victim's full
+    // (doc_id, band_id, band_key), landing in the victim's bucket
+    assert(spark.table(t).filter(col("op") === "D").count() === 0)
+    assert(spark.table(t).groupBy("doc_id", "band_id", "band_key").count()
+      .filter(col("count") > 1).count() === 0)
+    // and the served probe equals the append-built corpus index's probe
+    val churned = graft.operators.Dedup.incrementalPairsChurned(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val appended = graft.operators.Dedup.incrementalPairsBucketed(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(churned === appended,
+      "churned-index probe diverges from the append-built corpus probe")
+    // no drop: memoized serving index shared with the harness queries
+  }
+
+  test("churned assignment index: serve window rides the c_id bucketing") {
+    val sf = TestSpark.sf
+    val t = graft.sources.Bucketing.ensureChurnedAssignmentIndex(spark, sf)
+    val served = IndexChurn.served(spark, t, Seq("c_id", "vec_id"))
+    assert(served.filter(col("vec_id") % 10 === 0).count() === 0,
+      "a deleted vector survived churn")
+    val want = graft.operators.Similarity.assignmentTable(spark, sf)
+      .filter(col("vec_id") % 10 =!= 0).count()
+    assert(served.count() === want)
+    assert(spark.table(t).filter(col("op") === "D").count() === 0)
+    // the latest-wins window keys on (c_id, vec_id) — a per-vector
+    // grouping, since tombstones share their victim's frozen-centroid
+    // c_id — so the c_id bucketing satisfies its distribution and the
+    // serve view needs NO exchange over the index scan
+    val plan = Shim.executedPlan(served).toString
+    assert(!plan.contains("Exchange"),
+      s"churn serve view shuffled the bucketed assignment index:\n$plan")
+    // no drop: memoized serving index shared with the harness queries
+  }
+
   test("churned salted index: deletes ride shard keys, compaction clears") {
     val sf = TestSpark.sf
     val t = graft.sources.Bucketing.ensureChurnedSaltedIndex(spark, sf)
