@@ -247,14 +247,9 @@ object StreamingBackfill {
     * (token, doc_id, tf) rows and append them into the CHURN-schema
     * index ([[graft.sources.IndexChurn]]) with `seq = batchId`. */
   def appendPostingsBatch(spark: SparkSession, indexTable: String,
-      batch: DataFrame, batchId: Long, buckets: Int = 8): Unit = {
-    import graft.functions.{TextFunctions => T}
-    val posts = batch
-      .select(col("doc_id"), explode(T.tokens(col("text"))).as("token"))
-      .groupBy("token", "doc_id").agg(count(lit(1)).as("tf"))
-    graft.sources.IndexChurn.append(spark, indexTable, posts,
+      batch: DataFrame, batchId: Long, buckets: Int = 8): Unit =
+    graft.sources.IndexChurn.append(spark, indexTable, postingsOf(batch),
       "U", batchId, Seq("token"), buckets)
-  }
 
   /** Streaming postings-index maintenance — the retrieval-side twin of
     * [[ingestDedupLoop]]: each microbatch of new documents appends its
@@ -273,8 +268,8 @@ object StreamingBackfill {
     * rows themselves are storage debt that the next
     * [[graft.sources.IndexChurn.compact]] clears. The base index build
     * must use a seq below the first batch id (e.g. -1) so batch rows
-    * supersede on key collisions. Doc deletes ride the same loop as
-    * tombstone batches (`op='D'`). */
+    * supersede on key collisions. Doc deletes and updates ride the
+    * dedicated [[churnIngestLoop]] (tombstone batches, `op='D'`). */
   def indexMaintenanceLoop(spark: SparkSession, newDocs: DataFrame,
       indexTable: String, buckets: Int = 8): Unit = {
     val q = newDocs.writeStream
@@ -342,6 +337,87 @@ object StreamingBackfill {
             Similarity.assignVectors(embedder(docs), centroids),
             "U", id, Seq("c_id"), buckets)
         }
+      }
+      .trigger(Trigger.ProcessingTime(0))
+      .start()
+    q.processAllAvailable()
+    q.stop()
+  }
+
+  /** The per-batch tokenize shared by the append and churn loops:
+    * (token, doc_id, tf) rows of a document frame — one pass, no
+    * corpus access. */
+  private def postingsOf(docs: DataFrame): DataFrame = {
+    import graft.functions.{TextFunctions => T}
+    docs.select(col("doc_id"), explode(T.tokens(col("text"))).as("token"))
+      .groupBy("token", "doc_id").agg(count(lit(1)).as("tf"))
+  }
+
+  /** One microbatch of CHURN ops applied to the serving indexes — the
+    * delete/update half the append-only streaming loops lack. The ops
+    * frame carries (op, doc_id, text, …): `op='U'` inserts or updates a
+    * document, `op='D'` deletes one, and a delete's `text` is the
+    * BEFORE-IMAGE — the CDC old-value slot (the reference's Kafka event
+    * API reserves exactly this field; it is `None` only during
+    * backfill: `payment_intent.rs:103`) — so the victim's postings and
+    * centroid assignment are re-derived from the event itself, with no
+    * corpus read in the loop.
+    *
+    * Seq keying: deletes stamp `2*batchId`, upserts `2*batchId + 1` —
+    * monotonic across batches, and an UPDATE (its D before-image + U
+    * after-image in ONE batch) resolves exactly: stale tokens (in old
+    * text only) keep their tombstone, surviving tokens' U rows
+    * supersede their D rows, new tokens simply insert; on the ANN side
+    * the D rides the OLD embedding to the old c_id bucket and the U
+    * rides the new one, so a vector that crosses centroids leaves no
+    * stale list entry. Replay-idempotent like [[appendPostingsBatch]]:
+    * a re-run derives byte-identical (key, op, seq) rows that
+    * latest-wins collapses. A table is owned by ONE loop's seq scheme
+    * (this one's or [[indexMaintenanceLoop]]'s plain batchId) — mixing
+    * writers on one table breaks the monotonic-seq contract. */
+  def applyChurnBatch(spark: SparkSession, postingsTable: String,
+      assignTable: String, centroids: DataFrame,
+      embedder: DataFrame => DataFrame, ops: DataFrame, batchId: Long,
+      buckets: Int = 8): Unit = {
+    import graft.operators.Similarity
+    import graft.sources.IndexChurn
+    val dels = ops.filter(col("op") === "D").drop("op")
+    val ups = ops.filter(col("op") === "U").drop("op")
+    if (!dels.isEmpty) {
+      IndexChurn.append(spark, postingsTable, postingsOf(dels),
+        "D", 2 * batchId, Seq("token"), buckets)
+      IndexChurn.append(spark, assignTable,
+        Similarity.assignVectors(embedder(dels), centroids),
+        "D", 2 * batchId, Seq("c_id"), buckets)
+    }
+    if (!ups.isEmpty) {
+      IndexChurn.append(spark, postingsTable, postingsOf(ups),
+        "U", 2 * batchId + 1, Seq("token"), buckets)
+      IndexChurn.append(spark, assignTable,
+        Similarity.assignVectors(embedder(ups), centroids),
+        "U", 2 * batchId + 1, Seq("c_id"), buckets)
+    }
+  }
+
+  /** Streaming index CHURN loop — deletes and updates flowing to the
+    * BM25 and ANN serving indexes at ingest latency, completing the
+    * lifecycle story: [[fullIngestLoop]] grows the indexes, the batch
+    * compaction jobs fold debt, and this loop retracts — each
+    * microbatch of CDC-style ops tombstones/supersedes via
+    * [[applyChurnBatch]], O(batch ops + batch·C), never a rebuild or
+    * corpus scan. StreamingSpec proves: a deleted doc stops being
+    * served by BOTH indexes after its batch drains, an updated doc
+    * serves its new text/assignment, a replayed batch changes nothing,
+    * and compaction clears the debt without changing the serve view. */
+  def churnIngestLoop(spark: SparkSession, ops: DataFrame,
+      postingsTable: String, assignTable: String, centroids: DataFrame,
+      embedder: DataFrame => DataFrame, buckets: Int = 8): Unit = {
+    val q = ops.writeStream
+      .outputMode("append")
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[Row], id: Long) =>
+        if (!batch.isEmpty)
+          applyChurnBatch(batch.sparkSession, postingsTable, assignTable,
+            centroids, embedder, batch.toDF(), id, buckets)
       }
       .trigger(Trigger.ProcessingTime(0))
       .start()

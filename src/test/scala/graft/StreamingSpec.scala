@@ -243,6 +243,103 @@ class StreamingSpec extends AnyFunSuite {
     } finally spark.sql(s"DROP TABLE IF EXISTS $table")
   }
 
+  test("streaming churn loop: deletes and updates retract from BM25 and ANN serves") {
+    import graft.operators.{Retrieval, Similarity}
+    import graft.sources.IndexChurn
+    import graft.functions.{TextFunctions => T}
+    val postTable = "churnloop_post_t"
+    val assignTable = "churnloop_assign_t"
+    val streamDir = java.nio.file.Files.createTempDirectory("churnops").toString
+    try {
+      val docs = Tables.load(spark, sf, "documents")
+      // base state: the FULL corpus lives in both serving indexes (seq
+      // below any batch-derived seq)
+      IndexChurn.stamp(Retrieval.postingsTable(spark, sf), "U", -1L)
+        .write.mode("overwrite").bucketBy(8, "token").sortBy("token")
+        .saveAsTable(postTable)
+      val emb = Similarity.embeddingsWithNorm(spark, sf)
+      val centroids = Similarity.trainCentroids(spark, sf, iters = 2)
+      IndexChurn.stamp(Similarity.assignVectors(emb, centroids), "U", -1L)
+        .write.mode("overwrite").bucketBy(8, "c_id").sortBy("c_id")
+        .saveAsTable(assignTable)
+      // a victim to delete and a target to update, with their texts
+      // (the delete/update events carry the CDC before-image)
+      val Array(vic, upd) = docs.orderBy("doc_id").limit(2)
+        .select("doc_id", "text").collect()
+      val (delId, delText) = (vic.getLong(0), vic.getString(1))
+      val (updId, oldText) = (upd.getLong(0), upd.getString(1))
+      val newText = "entirely rewritten document body after the update"
+      import spark.implicits._
+      // batch 0: pure delete; batch 1: update = D(before) + U(after)
+      Seq(("D", delId, delText)).toDF("op", "doc_id", "text")
+        .coalesce(1).write.parquet(s"$streamDir/b0")
+      Seq(("D", updId, oldText), ("U", updId, newText))
+        .toDF("op", "doc_id", "text")
+        .coalesce(1).write.parquet(s"$streamDir/b1")
+      def stampT(sub: String, t: Long): Unit =
+        new java.io.File(s"$streamDir/$sub").listFiles()
+          .filter(_.getName.endsWith(".parquet"))
+          .foreach(f => assert(f.setLastModified(t)))
+      stampT("b0", 1000000000000L)
+      stampT("b1", 1000000060000L)
+      val opsSchema = org.apache.spark.sql.types.StructType.fromDDL(
+        "op string, doc_id bigint, text string")
+      val stream = spark.readStream.schema(opsSchema)
+        .option("maxFilesPerTrigger", "1")
+        .option("recursiveFileLookup", "true")
+        .parquet(streamDir)
+      val embedder = (b: org.apache.spark.sql.DataFrame) =>
+        emb.join(b.select(col("doc_id").as("vec_id")), "vec_id")
+      StreamingBackfill.churnIngestLoop(spark, stream, postTable,
+        assignTable, centroids, embedder)
+      // --- postings serve: victim gone, target serves its NEW text
+      def servedPosts() = IndexChurn
+        .served(spark, postTable, Seq("token", "doc_id"))
+        .select("token", "doc_id", "tf").collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+      val newPosts = Seq((updId, newText)).toDF("doc_id", "text")
+        .select(col("doc_id"), explode(T.tokens(col("text"))).as("token"))
+        .groupBy("token", "doc_id").agg(count(lit(1)).as("tf"))
+        .select("token", "doc_id", "tf").collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+      val want = Retrieval.postingsTable(spark, sf)
+        .filter(col("doc_id") =!= delId && col("doc_id") =!= updId)
+        .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+        .toSet ++ newPosts
+      val got = servedPosts()
+      assert(got === want, "churned postings serve diverged")
+      // --- ANN serve: victim's vector retracted, target still served,
+      // and the whole top-k equals a rebuild without the victim
+      def servedAssign() = IndexChurn
+        .served(spark, assignTable, Seq("c_id", "vec_id"))
+      assert(servedAssign().filter(col("vec_id") === delId).count() === 0,
+        "deleted vector still in the assignment serve")
+      assert(servedAssign().filter(col("vec_id") === updId).count() === 1,
+        "updated vector fell out of the assignment serve")
+      val gotAnn = Similarity.servedTopK(spark, sf, servedAssign(), iters = 2)
+        .collect().map(_.toString).toSeq
+      val wantAnn = Similarity.servedTopK(spark, sf,
+          Similarity.assignVectors(emb.filter(col("vec_id") =!= delId),
+            centroids), iters = 2)
+        .collect().map(_.toString).toSeq
+      assert(gotAnn === wantAnn, "churned ANN serve diverged from rebuild")
+      // --- at-least-once replay of the delete batch: nothing changes
+      StreamingBackfill.applyChurnBatch(spark, postTable, assignTable,
+        centroids, embedder,
+        Seq(("D", delId, delText)).toDF("op", "doc_id", "text"), 0L)
+      assert(servedPosts() === want, "replayed churn batch changed the serve")
+      // --- compaction clears the debt, serve unchanged
+      IndexChurn.compact(spark, postTable, Seq("token", "doc_id"), Seq("token"))
+      IndexChurn.compact(spark, assignTable, Seq("c_id", "vec_id"), Seq("c_id"))
+      assert(spark.table(postTable).filter(col("op") === "D").count() === 0)
+      assert(spark.table(assignTable).filter(col("op") === "D").count() === 0)
+      assert(servedPosts() === want)
+    } finally {
+      spark.sql(s"DROP TABLE IF EXISTS $postTable")
+      spark.sql(s"DROP TABLE IF EXISTS $assignTable")
+    }
+  }
+
   test("full ingest loop: one stream feeds dedup, corpus store, BM25 and ANN") {
     import java.nio.file.Files
     import graft.operators.{Dedup, Retrieval, Similarity}
