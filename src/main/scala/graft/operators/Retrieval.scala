@@ -227,8 +227,10 @@ object Retrieval {
     * per live doc (dl=0 for token-less docs), so N = count(dlAll) and
     * avgdl = avg over dl>0 — the same N/avgdl semantics as the
     * full-scan twin's separate aggregates, derived from the index
-    * alone. */
-  private def bm25RankWith(tf: DataFrame, dlAll: DataFrame,
+    * alone. Public: any churn-schema index pair's serve views — the
+    * batch-churned catalog tables or the streaming churn loop's — rank
+    * through this one kernel. */
+  def bm25RankWith(tf: DataFrame, dlAll: DataFrame,
       topK: Int): DataFrame = {
     val stats = broadcast(dlAll.agg(count(lit(1)).as("n_docs"),
       avg(when(col("dl") > 0, col("dl"))).as("avgdl")))

@@ -254,12 +254,29 @@ object Similarity {
     * a fresh full build with the new centroids. */
   def retrainAssignmentIndex(spark: SparkSession, dir: String,
       oldIters: Int = 2, newIters: Int = 3, buckets: Int = 8): String = {
-    val B = graft.sources.Bucketing
-    val oldTable = B.ensureMaintainedAssignmentIndex(spark, dir, oldIters)
-    val newCentroids = trainCentroids(spark, dir, iters = newIters)
-    val vectors = spark.table(oldTable).select("vec_id", "v", "nrm")
+    val oldTable = graft.sources.Bucketing
+      .ensureMaintainedAssignmentIndex(spark, dir, oldIters)
     val newTable = f"ivf_assign_bkt_${newIters}_${dir.hashCode & 0x7fffffff}%08x"
-    B.ensureBucketedTable(spark, newTable,
+    retrainFrom(spark, dir, oldTable, newTable, newIters, buckets)
+  }
+
+  /** The retrain kernel, decoupled from the maintained-table naming so
+    * a CHURN-schema index retrains too: vectors are read back out of
+    * the old index THROUGH ITS SERVE VIEW when the schema carries
+    * (op, seq) — a retrain that read raw rows would resurrect every
+    * tombstoned vector into the new epoch (and re-assign superseded
+    * versions), silently undoing deletes. The new epoch starts
+    * churn-debt-free: winners only, plain schema; subsequent deletes
+    * tombstone against the new table. SimilaritySpec pins the
+    * no-resurrection property. */
+  def retrainFrom(spark: SparkSession, dir: String, oldTable: String,
+      newTable: String, newIters: Int, buckets: Int = 8): String = {
+    val newCentroids = trainCentroids(spark, dir, iters = newIters)
+    val raw = spark.table(oldTable)
+    val vectors = (if (raw.columns.contains("op"))
+        graft.sources.IndexChurn.servedFrom(raw, Seq("c_id", "vec_id"))
+      else raw).select("vec_id", "v", "nrm")
+    graft.sources.Bucketing.ensureBucketedTable(spark, newTable,
       assignNearest(vectors, newCentroids)
         .select("vec_id", "c_id", "v", "nrm"),
       Seq("c_id"), buckets)()

@@ -378,25 +378,28 @@ object StreamingBackfill {
   def applyChurnBatch(spark: SparkSession, postingsTable: String,
       assignTable: String, centroids: DataFrame,
       embedder: DataFrame => DataFrame, ops: DataFrame, batchId: Long,
-      buckets: Int = 8): Unit = {
+      buckets: Int = 8, doclenTable: Option[String] = None): Unit = {
+    import graft.functions.{TextFunctions => T}
     import graft.operators.Similarity
     import graft.sources.IndexChurn
-    val dels = ops.filter(col("op") === "D").drop("op")
-    val ups = ops.filter(col("op") === "U").drop("op")
-    if (!dels.isEmpty) {
-      IndexChurn.append(spark, postingsTable, postingsOf(dels),
-        "D", 2 * batchId, Seq("token"), buckets)
-      IndexChurn.append(spark, assignTable,
-        Similarity.assignVectors(embedder(dels), centroids),
-        "D", 2 * batchId, Seq("c_id"), buckets)
-    }
-    if (!ups.isEmpty) {
-      IndexChurn.append(spark, postingsTable, postingsOf(ups),
-        "U", 2 * batchId + 1, Seq("token"), buckets)
-      IndexChurn.append(spark, assignTable,
-        Similarity.assignVectors(embedder(ups), centroids),
-        "U", 2 * batchId + 1, Seq("c_id"), buckets)
-    }
+    // doc lengths for BM25's (N, avgdl, dl) stats — dl counts ALL the
+    // doc's tokens (token-less docs keep a dl=0 row so N stays "all
+    // live docs"), same payload as the batch churn index's dl table
+    def doclensOf(docs: DataFrame): DataFrame =
+      docs.select(col("doc_id"),
+        size(T.tokens(col("text"))).cast("long").as("dl"))
+    def side(slice: DataFrame, op: String, seq: Long): Unit =
+      if (!slice.isEmpty) {
+        IndexChurn.append(spark, postingsTable, postingsOf(slice),
+          op, seq, Seq("token"), buckets)
+        doclenTable.foreach(dt => IndexChurn.append(spark, dt,
+          doclensOf(slice), op, seq, Seq("doc_id"), buckets))
+        IndexChurn.append(spark, assignTable,
+          Similarity.assignVectors(embedder(slice), centroids),
+          op, seq, Seq("c_id"), buckets)
+      }
+    side(ops.filter(col("op") === "D").drop("op"), "D", 2 * batchId)
+    side(ops.filter(col("op") === "U").drop("op"), "U", 2 * batchId + 1)
   }
 
   /** Streaming index CHURN loop — deletes and updates flowing to the
@@ -411,13 +414,14 @@ object StreamingBackfill {
     * and compaction clears the debt without changing the serve view. */
   def churnIngestLoop(spark: SparkSession, ops: DataFrame,
       postingsTable: String, assignTable: String, centroids: DataFrame,
-      embedder: DataFrame => DataFrame, buckets: Int = 8): Unit = {
+      embedder: DataFrame => DataFrame, buckets: Int = 8,
+      doclenTable: Option[String] = None): Unit = {
     val q = ops.writeStream
       .outputMode("append")
       .foreachBatch { (batch: org.apache.spark.sql.Dataset[Row], id: Long) =>
         if (!batch.isEmpty)
           applyChurnBatch(batch.sparkSession, postingsTable, assignTable,
-            centroids, embedder, batch.toDF(), id, buckets)
+            centroids, embedder, batch.toDF(), id, buckets, doclenTable)
       }
       .trigger(Trigger.ProcessingTime(0))
       .start()

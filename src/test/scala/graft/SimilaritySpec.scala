@@ -118,6 +118,35 @@ class SimilaritySpec extends AnyFunSuite {
     } finally spark.sql(s"DROP TABLE IF EXISTS $newTable")
   }
 
+  test("retrain after churn: tombstoned vectors are not resurrected") {
+    import org.apache.spark.sql.functions.col
+    // the churned index: full assignment minus the tombstoned
+    // vec_id % 10 == 0 batch (compacted inside the build guard)
+    val oldTable =
+      graft.sources.Bucketing.ensureChurnedAssignmentIndex(spark, sf, 2)
+    val newTable = "retrain_after_churn_t"
+    try {
+      Similarity.retrainFrom(spark, sf, oldTable, newTable, newIters = 3)
+      // the new epoch contains exactly the LIVE vectors, no op/seq debt
+      val t = spark.table(newTable)
+      assert(!t.columns.contains("op"), "churn schema leaked into new epoch")
+      assert(t.filter(col("vec_id") % 10 === 0).count() === 0,
+        "retrain resurrected a deleted vector")
+      val live = Similarity.embeddingsWithNorm(spark, sf)
+        .filter(col("vec_id") % 10 =!= 0)
+      assert(t.count() === live.count())
+      // and it serves exactly like a fresh epoch-3 build over the
+      // surviving vectors
+      val got = Similarity.servedTopK(spark, sf, t, iters = 3)
+        .collect().map(_.toString).toSeq
+      val want = Similarity.servedTopK(spark, sf,
+          Similarity.assignVectors(live,
+            Similarity.trainCentroids(spark, sf, iters = 3)), iters = 3)
+        .collect().map(_.toString).toSeq
+      assert(got === want, "retrained-from-churn serve diverged")
+    } finally spark.sql(s"DROP TABLE IF EXISTS $newTable")
+  }
+
   test("IVF ANN recall@10 >= 0.5 vs brute force") {
     def tops(df: org.apache.spark.sql.DataFrame) =
       df.collect().groupBy(_.getAs[Long]("q_id"))

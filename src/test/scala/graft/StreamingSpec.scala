@@ -248,15 +248,21 @@ class StreamingSpec extends AnyFunSuite {
     import graft.sources.IndexChurn
     import graft.functions.{TextFunctions => T}
     val postTable = "churnloop_post_t"
+    val dlTable = "churnloop_dl_t"
     val assignTable = "churnloop_assign_t"
     val streamDir = java.nio.file.Files.createTempDirectory("churnops").toString
     try {
       val docs = Tables.load(spark, sf, "documents")
-      // base state: the FULL corpus lives in both serving indexes (seq
-      // below any batch-derived seq)
+      def doclens(d: org.apache.spark.sql.DataFrame) =
+        d.select(col("doc_id"), size(T.tokens(col("text"))).cast("long").as("dl"))
+      // base state: the FULL corpus lives in all three serving tables
+      // (seq below any batch-derived seq)
       IndexChurn.stamp(Retrieval.postingsTable(spark, sf), "U", -1L)
         .write.mode("overwrite").bucketBy(8, "token").sortBy("token")
         .saveAsTable(postTable)
+      IndexChurn.stamp(doclens(docs), "U", -1L)
+        .write.mode("overwrite").bucketBy(8, "doc_id").sortBy("doc_id")
+        .saveAsTable(dlTable)
       val emb = Similarity.embeddingsWithNorm(spark, sf)
       val centroids = Similarity.trainCentroids(spark, sf, iters = 2)
       IndexChurn.stamp(Similarity.assignVectors(emb, centroids), "U", -1L)
@@ -291,7 +297,7 @@ class StreamingSpec extends AnyFunSuite {
       val embedder = (b: org.apache.spark.sql.DataFrame) =>
         emb.join(b.select(col("doc_id").as("vec_id")), "vec_id")
       StreamingBackfill.churnIngestLoop(spark, stream, postTable,
-        assignTable, centroids, embedder)
+        assignTable, centroids, embedder, doclenTable = Some(dlTable))
       // --- postings serve: victim gone, target serves its NEW text
       def servedPosts() = IndexChurn
         .served(spark, postTable, Seq("token", "doc_id"))
@@ -308,6 +314,27 @@ class StreamingSpec extends AnyFunSuite {
         .toSet ++ newPosts
       val got = servedPosts()
       assert(got === want, "churned postings serve diverged")
+      // --- BM25 at SCORE level: tf, dl, N and avgdl all served from
+      // the streaming-churned tables must rank like a batch rebuild
+      // over the post-churn corpus (text swapped, victim gone)
+      val modDocs = docs.filter(col("doc_id") =!= delId)
+        .withColumn("text",
+          when(col("doc_id") === updId, lit(newText)).otherwise(col("text")))
+      val qTerms = Seq("hash", "join", "scan")
+      val gotBm25 = Retrieval.bm25RankWith(
+          IndexChurn.served(spark, postTable, Seq("token", "doc_id"))
+            .filter(col("token").isin(qTerms: _*)),
+          IndexChurn.served(spark, dlTable, Seq("doc_id")), 20)
+        .collect().map(_.toString).toSeq
+      val wantBm25 = Retrieval.bm25RankWith(
+          modDocs.select(col("doc_id"),
+              explode(T.tokens(col("text"))).as("token"))
+            .filter(col("token").isin(qTerms: _*))
+            .groupBy("token", "doc_id").agg(count(lit(1)).as("tf")),
+          doclens(modDocs), 20)
+        .collect().map(_.toString).toSeq
+      assert(gotBm25 === wantBm25,
+        "BM25 from the streaming-churned tables diverged from rebuild")
       // --- ANN serve: victim's vector retracted, target still served,
       // and the whole top-k equals a rebuild without the victim
       def servedAssign() = IndexChurn
@@ -336,6 +363,7 @@ class StreamingSpec extends AnyFunSuite {
       assert(servedPosts() === want)
     } finally {
       spark.sql(s"DROP TABLE IF EXISTS $postTable")
+      spark.sql(s"DROP TABLE IF EXISTS $dlTable")
       spark.sql(s"DROP TABLE IF EXISTS $assignTable")
     }
   }
