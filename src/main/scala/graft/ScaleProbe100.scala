@@ -34,7 +34,7 @@ object ScaleProbe100 {
     val factor = if (args.length > 1) args(1).toInt else 100
     val sections: Set[String] =
       if (args.length > 2) args(2).split(',').map(_.trim).toSet
-      else Set("dedup", "feed", "quality", "bm25", "ann", "zipf")
+      else Set("dedup", "feed", "quality", "bm25", "ann", "zipf", "churn")
     def section(name: String)(body: => Unit): Unit =
       if (sections(name)) body
     val spark = SparkSession.builder()
@@ -53,7 +53,7 @@ object ScaleProbe100 {
     val fs = new org.apache.hadoop.fs.Path(dup)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
 
-    if (sections.exists(Set("dedup", "quality", "bm25"))) {
+    if (sections.exists(Set("dedup", "quality", "bm25", "churn"))) {
       if (!fs.exists(new org.apache.hadoop.fs.Path(s"$dup/documents.parquet"))) {
         val docs = Tables.load(spark, sf, "documents")
         docs.crossJoin(spark.range(factor).select(col("id").as("copy")))
@@ -138,6 +138,92 @@ object ScaleProbe100 {
       }
       time("sim_topk_maintained (warm: nprobe-list serve)") {
         operators.Similarity.maintainedTopK(spark, dup).count()
+      }
+    }
+
+    // 6. churn lifecycle economics at factor×: tombstone-append cost
+    // (must track the DELETED batch, not the index), serve cost under
+    // debt, compaction cost vs the full-rebuild comparator. Honest
+    // caveat probed here: doc-granular deletes on a TOKEN-bucketed
+    // index scatter debt across many buckets (a doc's tokens spread),
+    // so compaction approaches a rebuild for broad batches — its win
+    // is amortization (many delete batches, one compact) plus correct
+    // serving the whole time; the c_id-bucketed ANN index concentrates
+    // debt instead.
+    section("churn") {
+      Seq("probe_churn_post", "probe_churn_assign").foreach { t =>
+        spark.sql(s"DROP TABLE IF EXISTS $t")
+        val p = new org.apache.hadoop.fs.Path(
+          spark.conf.get("spark.sql.warehouse.dir"), t)
+        val wfs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        if (wfs.exists(p)) wfs.delete(p, true)
+      }
+      val posts = operators.Retrieval.postingsTable(spark, dup)
+      // this build time is also the comparator: a full REBUILD after
+      // deletes would pay it again; the tombstone+compact path below
+      // must come in well under it
+      time(s"churn postings build (full ${factor}x corpus, seq 0)") {
+        sources.IndexChurn.stamp(posts, "U", 0L)
+          .write.mode("overwrite").bucketBy(8, "token").sortBy("token")
+          .saveAsTable("probe_churn_post")
+      }
+      val delBatch = posts.filter(col("doc_id") % 1000 === 0)
+      println(s"  delete batch: ${delBatch.agg(countDistinct(col("doc_id")))
+        .head().getLong(0)} docs, ${delBatch.count()} postings")
+      time("tombstone append (0.1% doc batch — O(deleted postings))") {
+        sources.IndexChurn.append(spark, "probe_churn_post", delBatch,
+          "D", 1L, Seq("token"))
+      }
+      def servedProbe(): Long = sources.IndexChurn
+        .served(spark, "probe_churn_post", Seq("token", "doc_id"))
+        .filter(col("token").isin("hash", "join", "scan")).count()
+      time("served probe UNDER DEBT (latest-wins window, pre-compaction)") {
+        println(s"  rows: ${servedProbe()}")
+      }
+      time("compact, tombstonesOnly detection (delete-triggered fast path)") {
+        sources.IndexChurn.compact(spark, "probe_churn_post",
+          Seq("token", "doc_id"), Seq("token"), tombstonesOnly = true)
+      }
+      time("served probe post-compaction") {
+        println(s"  rows: ${servedProbe()}")
+      }
+      // same delete again (idempotent: serve unchanged) to time the
+      // EXACT detection mode on identical debt for comparison
+      sources.IndexChurn.append(spark, "probe_churn_post", delBatch,
+        "D", 2L, Seq("token"))
+      time("compact, exact detection (full-index groupBy, comparison)") {
+        sources.IndexChurn.compact(spark, "probe_churn_post",
+          Seq("token", "doc_id"), Seq("token"))
+      }
+      // ANN side: c_id bucketing concentrates a batch's debt
+      val nv0 = Tables.load(spark, sf, "embeddings").count()
+      if (!fs.exists(new org.apache.hadoop.fs.Path(s"$dup/embeddings.parquet"))) {
+        Tables.load(spark, sf, "embeddings")
+          .crossJoin(spark.range(factor).select(col("id").as("copy")))
+          .select((col("vec_id") + col("copy") * nv0 * factor).as("vec_id"),
+            col("embedding"), col("label"))
+          .write.mode("overwrite").parquet(s"$dup/embeddings.parquet")
+      }
+      val emb = operators.Similarity.embeddingsWithNorm(spark, dup)
+      val cent = operators.Similarity.trainCentroids(spark, dup, iters = 2)
+      time(s"churn assignment build (${factor}x vectors, seq 0)") {
+        sources.IndexChurn.stamp(
+            operators.Similarity.assignVectors(emb, cent), "U", 0L)
+          .write.mode("overwrite").bucketBy(8, "c_id").sortBy("c_id")
+          .saveAsTable("probe_churn_assign")
+      }
+      time("vector tombstones (0.1% batch assigned at O(batch*C)) + compact") {
+        sources.IndexChurn.append(spark, "probe_churn_assign",
+          operators.Similarity.assignVectors(
+            emb.filter(col("vec_id") % 1000 === 0), cent),
+          "D", 1L, Seq("c_id"))
+        sources.IndexChurn.compact(spark, "probe_churn_assign",
+          Seq("c_id", "vec_id"), Seq("c_id"), tombstonesOnly = true)
+      }
+      time("ANN serve from the churned assignment (nprobe lists)") {
+        operators.Similarity.servedTopK(spark, dup,
+          sources.IndexChurn.served(spark, "probe_churn_assign",
+            Seq("c_id", "vec_id")), iters = 2).count()
       }
     }
 

@@ -392,7 +392,7 @@ object Bucketing {
         .bucketBy(buckets, "shard_key").sortBy("shard_key")
         .saveAsTable(t)
       IndexChurn.compact(spark, t, Seq("token", "doc_id"),
-        Seq("shard_key"), buckets)
+        Seq("shard_key"), buckets, tombstonesOnly = true)
     }
     table
   }
@@ -428,7 +428,8 @@ object Bucketing {
       // their postings back; the memo serves the same rows here)
       IndexChurn.append(spark, t,
         posts.filter(col("doc_id") % 10 === 0), "D", 1L, Seq("token"), buckets)
-      IndexChurn.compact(spark, t, Seq("token", "doc_id"), Seq("token"), buckets)
+      IndexChurn.compact(spark, t, Seq("token", "doc_id"), Seq("token"),
+        buckets, tombstonesOnly = true)
     }
     lazy val dls = graft.Tables.load(spark, dir, "documents")
       .select(col("doc_id"), size(T.tokens(col("text"))).cast("long").as("dl"))
@@ -436,7 +437,8 @@ object Bucketing {
       IndexChurn.stamp(dls, "U", 0L), Seq("doc_id"), buckets) { t =>
       IndexChurn.append(spark, t,
         dls.filter(col("doc_id") % 10 === 0), "D", 1L, Seq("doc_id"), buckets)
-      IndexChurn.compact(spark, t, Seq("doc_id"), Seq("doc_id"), buckets)
+      IndexChurn.compact(spark, t, Seq("doc_id"), Seq("doc_id"), buckets,
+        tombstonesOnly = true)
     }
     (pt, dt)
   }
@@ -456,7 +458,8 @@ object Bucketing {
       IndexChurn.stamp(posts, "U", 0L), Seq("token"), buckets) { t =>
       IndexChurn.append(spark, t,
         posts.filter(col("doc_id") % 10 === 0), "D", 1L, Seq("token"), buckets)
-      IndexChurn.compact(spark, t, Seq("token", "doc_id"), Seq("token"), buckets)
+      IndexChurn.compact(spark, t, Seq("token", "doc_id"), Seq("token"),
+        buckets, tombstonesOnly = true)
     }
     table
   }
@@ -489,7 +492,7 @@ object Bucketing {
       IndexChurn.append(spark, t, bands.filter(col("doc_id") % 10 === 0),
         "D", 1L, Seq("band_id", "band_key"), buckets)
       IndexChurn.compact(spark, t, Seq("doc_id", "band_id", "band_key"),
-        Seq("band_id", "band_key"), buckets)
+        Seq("band_id", "band_key"), buckets, tombstonesOnly = true)
     }
     table
   }
@@ -557,7 +560,8 @@ object Bucketing {
       IndexChurn.stamp(assigned, "U", 0L), Seq("c_id"), buckets) { t =>
       IndexChurn.append(spark, t, assigned.filter(col("vec_id") % 10 === 0),
         "D", 1L, Seq("c_id"), buckets)
-      IndexChurn.compact(spark, t, Seq("c_id", "vec_id"), Seq("c_id"), buckets)
+      IndexChurn.compact(spark, t, Seq("c_id", "vec_id"), Seq("c_id"),
+        buckets, tombstonesOnly = true)
     }
     table
   }

@@ -103,27 +103,45 @@ object IndexChurn {
     * or a tombstone), collapsing each key to its winner and dropping
     * tombstones for good. Move-in-before-delete makes every instant
     * serve-consistent (see object doc); untouched buckets are never
-    * opened for write. Cost: one aggregate over the index to find dirty
-    * keys (collect bounded by the bucket count), then file I/O on the
-    * dirty buckets only.
+    * opened for write.
     *
     * Invariant required of callers: all versions of a key live in the
     * SAME bucket — true whenever the bucket columns are a subset of the
     * key columns, and for the ANN assignment index (bucketed by c_id,
     * keyed by vec_id) exactly when tombstones are assigned under the
     * same frozen centroids as the rows they delete; a centroid change
-    * is a RETRAIN (staged full rebuild), never churn. */
+    * is a RETRAIN (staged full rebuild), never churn.
+    *
+    * Dirty detection has two modes. The default (`tombstonesOnly =
+    * false`) is exact — one groupBy over the whole index finds every
+    * superseded version and tombstone — but that aggregate is O(index)
+    * and, measured at 100× (ScaleProbe100 `churn`), costs MORE than
+    * the bucket rewrite itself. `tombstonesOnly = true` derives the
+    * dirty-bucket set from the tombstone rows alone (a column-pruned
+    * scan, no shuffle): exactly right for delete-triggered compaction,
+    * since an update's D before-image flags its bucket too; the only
+    * debt it can miss is U-over-U replay duplicates in buckets with no
+    * tombstone — harmless (the serve view collapses them; they clear
+    * on that bucket's next tombstone-triggered or exact pass). The
+    * rewrite itself collapses ALL debt in a chosen bucket either
+    * way. */
   def compact(spark: SparkSession, table: String, keyCols: Seq[String],
-      bucketCols: Seq[String], buckets: Int = 8): Unit = {
+      bucketCols: Seq[String], buckets: Int = 8,
+      tombstonesOnly: Boolean = false): Unit = {
     val t = spark.table(table)
-    val affected = t
-      .withColumn("b", bucketIdExpr(bucketCols.map(col), buckets))
-      .groupBy(keyCols.map(col): _*)
-      .agg(collect_set(col("b")).as("bs"), count(lit(1)).as("n"),
-        max((col("op") === "D").cast("int")).as("has_d"))
-      .filter(col("n") > 1 || col("has_d") === 1)
-      .select(explode(col("bs")).as("b")).distinct()
-      .collect().map(_.getInt(0)).toSet
+    val affected = (
+      if (tombstonesOnly)
+        t.filter(col("op") === "D")
+          .select(bucketIdExpr(bucketCols.map(col), buckets).as("b"))
+          .distinct()
+      else
+        t.withColumn("b", bucketIdExpr(bucketCols.map(col), buckets))
+          .groupBy(keyCols.map(col): _*)
+          .agg(collect_set(col("b")).as("bs"), count(lit(1)).as("n"),
+            max((col("op") === "D").cast("int")).as("has_d"))
+          .filter(col("n") > 1 || col("has_d") === 1)
+          .select(explode(col("bs")).as("b")).distinct()
+      ).collect().map(_.getInt(0)).toSet
     if (affected.isEmpty) return
     val hconf = spark.sparkContext.hadoopConfiguration
     val loc = tableLocation(spark, table)

@@ -127,6 +127,56 @@ class ChurnSpec extends AnyFunSuite {
     } finally spark.sql(s"DROP TABLE IF EXISTS $table")
   }
 
+  test("tombstonesOnly detection: clears delete debt, skips tombstone-free buckets") {
+    import spark.implicits._
+    val table = "churn_tonly_t"
+    try {
+      seed(table)
+      // a delete in tok2's bucket, and an update in a DIFFERENT bucket
+      // (picked dynamically so the test can't rot with hash changes):
+      // the fast path must rewrite only the tombstone's bucket
+      val updIdx = (0 until 20)
+        .find(k => bucketOf(s"tok$k") != bucketOf("tok2")).get
+      val updTok = s"tok$updIdx"
+      val updDoc = if (updIdx == 0) 20L else updIdx.toLong // seed key (tokK, K)
+      IndexChurn.append(spark, table,
+        Seq(("tok2", 2L, 0L)).toDF("token", "doc_id", "tf"),
+        "D", 1L, Seq("token"))
+      IndexChurn.append(spark, table,
+        Seq((updTok, updDoc, 9L)).toDF("token", "doc_id", "tf"),
+        "U", 2L, Seq("token"))
+      def servedSet() = IndexChurn.served(spark, table, Seq("token", "doc_id"))
+        .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+      val pre = servedSet()
+      val tombBucket = bucketOf("tok2")
+      val filesPre = files(table)
+      IndexChurn.compact(spark, table, Seq("token", "doc_id"),
+        Seq("token"), tombstonesOnly = true)
+      // serve view unchanged; the tombstone and its victim are gone
+      assert(servedSet() === pre, "fast-path compaction changed the serve view")
+      val t = spark.table(table)
+      assert(t.filter(col("op") === "D").count() === 0,
+        "tombstone survived a tombstonesOnly pass")
+      // only the tombstone's bucket was opened: every other bucket's
+      // files are byte-identical — including the update's bucket, whose
+      // U-over-U debt is the documented (serve-invisible) miss
+      val untouchedPre = filesPre.filter { case (n, _) =>
+        IndexChurn.bucketOfFile(n).get != tombBucket }
+      val untouchedPost = files(table).filter { case (n, _) =>
+        IndexChurn.bucketOfFile(n).get != tombBucket }
+      assert(untouchedPre === untouchedPost,
+        "tombstonesOnly pass rewrote a bucket with no tombstone")
+      assert(t.filter(col("token") === updTok && col("doc_id") === updDoc)
+        .count() === 2, "expected the superseded version to be left behind")
+      // the exact pass then clears the remaining debt, same serve view
+      IndexChurn.compact(spark, table, Seq("token", "doc_id"), Seq("token"))
+      assert(servedSet() === pre)
+      assert(spark.table(table).groupBy("token", "doc_id").count()
+        .filter(col("count") > 1).count() === 0,
+        "exact pass left multi-version keys")
+    } finally spark.sql(s"DROP TABLE IF EXISTS $table")
+  }
+
   test("mid-compaction overlap (winners + history both present) serves identically") {
     import spark.implicits._
     val table = "churn_overlap_t"
