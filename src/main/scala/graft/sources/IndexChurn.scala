@@ -174,6 +174,88 @@ object IndexChurn {
     ()
   }
 
+  /** Tombstone debt of an index: fraction of rows that are tombstones.
+    * Two column-pruned counts over the metadata-cached file listing —
+    * cheap enough to gate every maintenance tick. (Superseded U
+    * versions don't count; they are serve-invisible and clear on the
+    * next tombstone-triggered pass of their bucket.) */
+  def debtFraction(spark: SparkSession, table: String): Double = {
+    val t = spark.table(table)
+    val total = t.count()
+    if (total == 0L) 0.0
+    else t.filter(col("op") === "D").count().toDouble / total
+  }
+
+  /** The maintenance-tick policy: compact (fast, tombstone-derived
+    * dirty set) only once tombstone debt crosses `threshold` — so a
+    * steady trickle of deletes is absorbed by O(deleted) appends and
+    * the bucket rewrites amortize over many delete batches, which is
+    * what makes churn cheaper than rebuilding (NOTES: at 100× one
+    * compaction pass approaches a rebuild for doc-granular deletes;
+    * its win IS this amortization). Returns true iff it compacted. */
+  def compactIfNeeded(spark: SparkSession, table: String,
+      keyCols: Seq[String], bucketCols: Seq[String], buckets: Int = 8,
+      threshold: Double = 0.05): Boolean = {
+    val run = debtFraction(spark, table) >= threshold
+    if (run) compact(spark, table, keyCols, bucketCols, buckets,
+      tombstonesOnly = true)
+    run
+  }
+
+  /** Bucket-count evolution: rebuild the index into `newBuckets`
+    * buckets via a staged table and metadata-only rename swap — the
+    * lifecycle operation a 100×-grown index eventually needs, since a
+    * fixed bucket count stops bounding per-bucket bytes (8 buckets of
+    * a 100 TB index are 12 TB each; pruning to 3-of-8 no longer saves
+    * the query). Compaction rides along free: only latest-wins
+    * winners (original (op, seq) kept — the monotonic-append contract
+    * survives) are written to the staging table, so the evolved index
+    * starts debt-free.
+    *
+    * Swap order: build `<t>__rebucket` fully, rename the live table
+    * aside to `<t>__retired`, rename the staging table in, drop the
+    * retired table. Readers resolve the catalog name, so they see the
+    * old complete index until the instant of the swap (rename is a
+    * metastore pointer move, not file I/O). Crash recovery, same
+    * single-writer contract as [[compact]]: a leftover `__rebucket`
+    * is junk (rebuilt next run); a missing live table with a
+    * `__retired` present means the crash hit between the two renames —
+    * rename `__retired` back before retrying. [[recoverRebucket]]
+    * does exactly that and is called on entry. */
+  def rebucket(spark: SparkSession, table: String, keyCols: Seq[String],
+      bucketCols: Seq[String], newBuckets: Int): Unit = {
+    recoverRebucket(spark, table)
+    val stg = s"${table}__rebucket"
+    val retired = s"${table}__retired"
+    spark.sql(s"DROP TABLE IF EXISTS $stg")
+    val w = Window.partitionBy(keyCols.map(col): _*)
+      .orderBy(col("seq").desc, col("op").asc)
+    spark.table(table)
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") === 1 && col("op") =!= "D")
+      .drop("rk")
+      .write.mode("overwrite")
+      .bucketBy(newBuckets, bucketCols.head, bucketCols.tail: _*)
+      .sortBy(bucketCols.head, bucketCols.tail: _*)
+      .saveAsTable(stg)
+    spark.sql(s"DROP TABLE IF EXISTS $retired")
+    spark.sql(s"ALTER TABLE $table RENAME TO $retired")
+    spark.sql(s"ALTER TABLE $stg RENAME TO $table")
+    spark.sql(s"DROP TABLE IF EXISTS $retired")
+    ()
+  }
+
+  /** Heal the one non-atomic window of [[rebucket]]: live table gone
+    * but its retired predecessor present → rename it back. Idempotent;
+    * a no-op when the live table exists. */
+  def recoverRebucket(spark: SparkSession, table: String): Unit = {
+    val retired = s"${table}__retired"
+    if (!spark.catalog.tableExists(table) &&
+        spark.catalog.tableExists(retired))
+      spark.sql(s"ALTER TABLE $retired RENAME TO $table")
+    ()
+  }
+
   /** Resolved storage location of a catalog table. */
   private def tableLocation(spark: SparkSession,
       table: String): org.apache.hadoop.fs.Path =

@@ -203,6 +203,82 @@ class ChurnSpec extends AnyFunSuite {
     } finally spark.sql(s"DROP TABLE IF EXISTS $table")
   }
 
+  test("compactIfNeeded: trickle absorbed by appends, threshold triggers the pass") {
+    import spark.implicits._
+    val table = "churn_tick_t"
+    try {
+      seed(table) // 200 rows
+      // 2 tombstones = 1% debt: below the 5% default, tick must no-op
+      IndexChurn.append(spark, table,
+        Seq(("tok1", 1L, 0L), ("tok2", 2L, 0L)).toDF("token", "doc_id", "tf"),
+        "D", 1L, Seq("token"))
+      val pre = files(table)
+      assert(!IndexChurn.compactIfNeeded(spark, table,
+        Seq("token", "doc_id"), Seq("token")), "tick compacted below threshold")
+      assert(files(table) === pre, "a no-op tick touched files")
+      // push debt over 5%: the tick compacts and clears every tombstone
+      IndexChurn.append(spark, table,
+        (3L to 13L).map(i => (s"tok${i % 20}", i, 0L))
+          .toDF("token", "doc_id", "tf"),
+        "D", 2L, Seq("token"))
+      assert(IndexChurn.compactIfNeeded(spark, table,
+        Seq("token", "doc_id"), Seq("token")), "tick skipped above threshold")
+      assert(spark.table(table).filter(col("op") === "D").count() === 0)
+      assert(IndexChurn.debtFraction(spark, table) === 0.0)
+    } finally spark.sql(s"DROP TABLE IF EXISTS $table")
+  }
+
+  test("rebucket: serve view survives the swap, new bucket count prunes, debt cleared") {
+    import spark.implicits._
+    val table = "churn_rebucket_t"
+    try {
+      seed(table)
+      IndexChurn.append(spark, table,
+        Seq(("tok1", 1L, 7L)).toDF("token", "doc_id", "tf"),
+        "U", 1L, Seq("token"))
+      IndexChurn.append(spark, table,
+        Seq(("tok2", 2L, 0L)).toDF("token", "doc_id", "tf"),
+        "D", 2L, Seq("token"))
+      def servedSet() = IndexChurn.served(spark, table, Seq("token", "doc_id"))
+        .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+      val pre = servedSet()
+      IndexChurn.rebucket(spark, table, Seq("token", "doc_id"),
+        Seq("token"), newBuckets = 16)
+      assert(servedSet() === pre, "rebucket changed the serve view")
+      // evolved table: 16 bucket files max id, debt gone, staging gone
+      val ids = files(table).map { case (n, _) => IndexChurn.bucketOfFile(n).get }
+      assert(ids.max >= 8 && ids.max < 16,
+        s"expected 16-bucket layout, saw bucket ids $ids")
+      assert(spark.table(table).filter(col("op") === "D").count() === 0)
+      assert(!spark.catalog.tableExists(s"${table}__rebucket"))
+      assert(!spark.catalog.tableExists(s"${table}__retired"))
+      // a key filter still bucket-prunes at the NEW count
+      val probe = IndexChurn.served(spark, table, Seq("token", "doc_id"))
+        .filter(col("token") === "tok3")
+      val plan = Shim.executedPlan(probe).toString
+      val sel = "SelectedBucketsCount: (\\d+) out of (\\d+)".r
+        .findFirstMatchIn(plan)
+      assert(sel.isDefined, s"no bucket pruning after rebucket:\n$plan")
+      assert(sel.get.group(2).toInt === 16)
+      // appends keep working against the evolved table (contract: the
+      // kept original seqs stay below new batches' seqs)
+      IndexChurn.append(spark, table,
+        Seq(("tok3", 3L, 0L)).toDF("token", "doc_id", "tf"),
+        "D", 3L, Seq("token"), buckets = 16)
+      assert(!servedSet().contains(("tok3", 3L, 1L)),
+        "post-rebucket tombstone not honored")
+      // crash-window recovery: live table renamed aside, recover heals
+      spark.sql(s"ALTER TABLE $table RENAME TO ${table}__retired")
+      IndexChurn.recoverRebucket(spark, table)
+      assert(spark.catalog.tableExists(table))
+      assert(servedSet().size === pre.size - 1)
+    } finally {
+      spark.sql(s"DROP TABLE IF EXISTS $table")
+      spark.sql(s"DROP TABLE IF EXISTS ${table}__rebucket")
+      spark.sql(s"DROP TABLE IF EXISTS ${table}__retired")
+    }
+  }
+
   test("served postings query still bucket-prunes under churn") {
     import spark.implicits._
     val table = "churn_prune_t"
