@@ -91,6 +91,8 @@ object SparkEntry {
     "sim_topk_incremental" -> ((s: SparkSession, d: String) => Similarity.incrementalTopK(s, d)),
     "sim_topk_maintained" -> ((s: SparkSession, d: String) => Similarity.maintainedTopK(s, d)),
     "sim_topk_churn"     -> ((s: SparkSession, d: String) => Similarity.churnedTopK(s, d)),
+    "semantic_neardup"   -> ((s: SparkSession, d: String) => Similarity.semanticNearDupPairs(s, d)),
+    "semantic_dedup_keep" -> ((s: SparkSession, d: String) => Similarity.semanticDedupKeep(s, d)),
     // §2.9 E5 text analysis
     "text_langid"        -> (TextAnalysis.langId _),
     "text_quality"       -> (TextAnalysis.quality _),
@@ -310,10 +312,14 @@ object SparkEntry {
     * (list_dot_product, decimal-exact means, tie-broken row_number) is
     * bit-identical to the Spark plan, so the ANN result itself is
     * oracle-checked — not just its recall. */
-  private def dIvfSql(iters: Int, dims: Int = 64, nCentroids: Int = 64,
-      nQueries: Int = 8, nprobe: Int = 8, k: Int = 10,
-      queryPred: String = "", corpusPred: String = "TRUE"): String = {
-    val qp = if (queryPred.nonEmpty) queryPred else s"q.vec_id < $nQueries"
+  /** The Lloyd-assignment CTE chain shared by every IVF oracle: `emb0`
+    * (cast + norm), `cent0` (deterministic init), `iters` rounds of
+    * decimal-exact assignment/update, and the final full assignment
+    * `af (vec_id, v, nrm, c_id)` — bit-identical to
+    * `Similarity.assignmentTable`. Returned string is the WITH body up
+    * to and including `af`; the final centroid CTE is `cent<iters>`. */
+  private def dIvfAssignCtes(iters: Int, dims: Int = 64,
+      nCentroids: Int = 64): String = {
     def assign(cent: String, name: String) =
       s"""$name AS (
            SELECT vec_id, v, nrm, c_id FROM (
@@ -339,14 +345,22 @@ object SparkEntry {
         update(s"a${i + 1}", s"cent${i + 1}")
     }
     val centFinal = s"cent$iters"
-    s"""WITH emb0 AS (
+    s"""emb0 AS (
            SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
                   sqrt(list_dot_product(CAST(embedding AS DOUBLE[]),
                     CAST(embedding AS DOUBLE[]))) AS nrm
            FROM embeddings),
          cent0 AS (SELECT vec_id AS c_id, v AS c_v, nrm AS c_nrm
                    FROM emb0 WHERE vec_id < $nCentroids),
-         ${(lloyd :+ assign(centFinal, "af")).mkString(",\n         ")},
+         ${(lloyd :+ assign(centFinal, "af")).mkString(",\n         ")}"""
+  }
+
+  private def dIvfSql(iters: Int, dims: Int = 64, nCentroids: Int = 64,
+      nQueries: Int = 8, nprobe: Int = 8, k: Int = 10,
+      queryPred: String = "", corpusPred: String = "TRUE"): String = {
+    val qp = if (queryPred.nonEmpty) queryPred else s"q.vec_id < $nQueries"
+    val centFinal = s"cent$iters"
+    s"""WITH ${dIvfAssignCtes(iters, dims, nCentroids)},
          probes AS (
            SELECT q_id, q_v, q_nrm, c_id FROM (
              SELECT q.vec_id AS q_id, q.v AS q_v, q.nrm AS q_nrm, c.c_id,
@@ -1912,6 +1926,28 @@ object SparkEntry {
     // in a top-k, so the oracle's scan simply excludes them
     "sim_topk_churn" -> dIvfSql(iters = 2,
       corpusPred = "a.vec_id % 10 <> 0"),
+    // SemDeDup over the IVF clustering: same Lloyd chain as the ANN
+    // oracles, then per-cluster pairwise cosine above the threshold
+    "semantic_neardup" ->
+      s"""WITH ${dIvfAssignCtes(iters = 2)},
+         pairs AS (
+           SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+                  list_dot_product(a.v, b.v) / (a.nrm * b.nrm) AS cos
+           FROM af a JOIN af b USING (c_id)
+           WHERE a.vec_id < b.vec_id)
+         SELECT vec_a, vec_b, round(cos, 6) AS cos
+         FROM pairs WHERE cos >= 0.40 ORDER BY vec_a, vec_b""",
+    "semantic_dedup_keep" ->
+      s"""WITH ${dIvfAssignCtes(iters = 2)},
+         pairs AS (
+           SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+                  list_dot_product(a.v, b.v) / (a.nrm * b.nrm) AS cos
+           FROM af a JOIN af b USING (c_id)
+           WHERE a.vec_id < b.vec_id),
+         dropped AS (SELECT DISTINCT vec_b FROM pairs WHERE cos >= 0.40)
+         SELECT e.vec_id, e.label FROM embeddings e
+         LEFT JOIN dropped d ON e.vec_id = d.vec_b
+         WHERE d.vec_b IS NULL ORDER BY e.vec_id""",
     "embedding_buckets" ->
       s"""WITH $dEmbBucketCtes
          SELECT vec_id, bucket FROM bkt ORDER BY vec_id""",

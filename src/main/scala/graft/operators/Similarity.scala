@@ -341,6 +341,51 @@ object Similarity {
     servedTopK(spark, dir, assigned, k, nprobe, iters)
   }
 
+  /** Harness query `semantic_neardup`: SemDeDup-style semantic
+    * near-duplicate pairs (Abbas et al. 2023, "SemDeDup: Data-efficient
+    * learning at web-scale through semantic deduplication") riding the
+    * SERVING index — the memoized IVF assignment IS the clustering, so
+    * semantic dedup is one per-cluster pairwise pass over centroid
+    * lists (Σ|cluster|², ~(n/C)² per cluster) instead of a separate
+    * LSH structure or an n² sweep. The self-join keys on c_id, so both
+    * sides shuffle once on the cluster id (or ride the c_id-bucketed
+    * maintained index exchange-free); at 100 TB the per-cluster bound
+    * is held by the SAME retrain cadence that keeps the ANN index
+    * balanced — a mega-cluster is an index-quality problem first, and
+    * its fix (retrain, [[retrainAssignmentIndex]]) fixes dedup too. */
+  def semanticNearDupPairs(spark: SparkSession, dir: String,
+      threshold: Double = 0.40, iters: Int = 2): DataFrame = {
+    val a = assignmentTable(spark, dir, iters)
+      .select(col("c_id"), col("vec_id"), col("v"), col("nrm"))
+    val b = a.select(col("c_id"), col("vec_id").as("vec_b"),
+      col("v").as("v_b"), col("nrm").as("nrm_b"))
+    a.join(b, "c_id")
+      .filter(col("vec_id") < col("vec_b"))
+      .withColumn("cos", V.dot(col("v"), col("v_b")) / (col("nrm") * col("nrm_b")))
+      .filter(col("cos") >= threshold)
+      .select(col("vec_id").as("vec_a"), col("vec_b"),
+        round(col("cos"), 6).as("cos"))
+      .orderBy("vec_a", "vec_b")
+  }
+
+  /** Harness query `semantic_dedup_keep`: the greedy keep-min-id
+    * survivor set of [[semanticNearDupPairs]] — a vector is dropped iff
+    * some smaller-id vector in its centroid list sits above the
+    * threshold (every pair retires its larger id, so each near-dup
+    * group keeps exactly its minimum — deterministic without a
+    * union-find pass; transitive groups need no closure for this
+    * keep-min rule because the minimum of a group is never anyone's
+    * vec_b). Output joins the label back on, the shape a curation
+    * pipeline consumes. */
+  def semanticDedupKeep(spark: SparkSession, dir: String,
+      threshold: Double = 0.40, iters: Int = 2): DataFrame = {
+    val dropped = semanticNearDupPairs(spark, dir, threshold, iters)
+      .select(col("vec_b").as("vec_id")).distinct()
+    Tables.load(spark, dir, "embeddings").select("vec_id", "label")
+      .join(dropped, Seq("vec_id"), "left_anti")
+      .orderBy("vec_id")
+  }
+
   /** Harness query `sim_topk_incremental`: a NEW vector batch (the
     * `vec_id % mod == 0` slice plays the new arrivals) finds its top-k
     * neighbors among the EXISTING corpus by probing its `nprobe`

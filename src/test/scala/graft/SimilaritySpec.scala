@@ -147,6 +147,41 @@ class SimilaritySpec extends AnyFunSuite {
     } finally spark.sql(s"DROP TABLE IF EXISTS $newTable")
   }
 
+  test("semantic dedup: pairs in-cluster above threshold, keep-min survivors") {
+    import org.apache.spark.sql.functions._
+    val threshold = 0.40
+    val pairs = Similarity.semanticNearDupPairs(spark, sf, threshold)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(pairs.nonEmpty, "threshold chosen to yield a non-trivial pair set")
+    // every pair is genuinely same-cluster and above threshold, and the
+    // pair set is exactly the in-cluster pairwise sweep's — recomputed
+    // independently of the operator's join shape
+    val a = Similarity.assignmentTable(spark, sf)
+      .select("vec_id", "c_id", "v", "nrm").collect()
+      .map(r => (r.getLong(0), r.getLong(1),
+        r.getSeq[Double](2).toArray, r.getDouble(3)))
+    val byCluster = a.groupBy(_._2)
+    val want = byCluster.values.flatMap { vs0 =>
+      val vs = vs0.toSeq
+      for {
+        x <- vs; y <- vs if x._1 < y._1
+        if x._3.zip(y._3).map { case (p, q) => p * q }.sum /
+          (x._4 * y._4) >= threshold
+      } yield (x._1, y._1)
+    }.toSet
+    assert(pairs.toSet === want, "pair set diverges from the exact sweep")
+    // survivors are exactly everyone that is never a pair's larger id;
+    // each near-dup group's minimum is kept (it can never be a vec_b)
+    val dropped = pairs.map(_._2).toSet
+    val keep = Similarity.semanticDedupKeep(spark, sf, threshold)
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    val all = a.map(_._1).toSet
+    assert(keep === all -- dropped)
+    assert(pairs.map(_._1).toSet.intersect(dropped).isEmpty ||
+      pairs.map(_._1).exists(v => !dropped.contains(v)),
+      "keep-min sanity: some pair's smaller id survives")
+  }
+
   test("IVF ANN recall@10 >= 0.5 vs brute force") {
     def tops(df: org.apache.spark.sql.DataFrame) =
       df.collect().groupBy(_.getAs[Long]("q_id"))
