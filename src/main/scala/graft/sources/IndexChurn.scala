@@ -128,6 +128,7 @@ object IndexChurn {
   def compact(spark: SparkSession, table: String, keyCols: Seq[String],
       bucketCols: Seq[String], buckets: Int = 8,
       tombstonesOnly: Boolean = false): Unit = {
+    spark.sql(s"REFRESH TABLE $table") // see debtFraction: cross-session writes
     val t = spark.table(table)
     val affected = (
       if (tombstonesOnly)
@@ -178,8 +179,16 @@ object IndexChurn {
     * Two column-pruned counts over the metadata-cached file listing —
     * cheap enough to gate every maintenance tick. (Superseded U
     * versions don't count; they are serve-invisible and clear on the
-    * next tombstone-triggered pass of their bucket.) */
+    * next tombstone-triggered pass of their bucket.)
+    *
+    * The REFRESH first is load-bearing: maintenance runs next to
+    * writers on OTHER sessions (a streaming foreachBatch executes in a
+    * cloned session, and an append whose payload plan was built on the
+    * outer session commits through THAT session), and a session that
+    * never wrote the table can hold a stale cached file listing that
+    * silently hides fresh tombstones from the debt count. */
   def debtFraction(spark: SparkSession, table: String): Double = {
+    spark.sql(s"REFRESH TABLE $table")
     val t = spark.table(table)
     val total = t.count()
     if (total == 0L) 0.0

@@ -411,17 +411,41 @@ object StreamingBackfill {
     * corpus scan. StreamingSpec proves: a deleted doc stops being
     * served by BOTH indexes after its batch drains, an updated doc
     * serves its new text/assignment, a replayed batch changes nothing,
-    * and compaction clears the debt without changing the serve view. */
+    * and compaction clears the debt without changing the serve view.
+    *
+    * `compactThreshold` (NaN = off) adds the maintenance tick INSIDE
+    * the loop: after each applied batch,
+    * [[graft.sources.IndexChurn.compactIfNeeded]] folds an index's
+    * debt once tombstones cross the threshold fraction — the
+    * amortization policy from NOTES (one compaction pass absorbs many
+    * delete batches) running at ingest cadence, so a long-lived stream
+    * can never accrete unbounded debt. The tick itself is two
+    * column-pruned counts per index; compaction replays fine (winners
+    * keep their (op, seq), so the monotonic-seq contract and replay
+    * idempotence survive the rewrite). */
   def churnIngestLoop(spark: SparkSession, ops: DataFrame,
       postingsTable: String, assignTable: String, centroids: DataFrame,
       embedder: DataFrame => DataFrame, buckets: Int = 8,
-      doclenTable: Option[String] = None): Unit = {
+      doclenTable: Option[String] = None,
+      compactThreshold: Double = Double.NaN): Unit = {
+    import graft.sources.IndexChurn
     val q = ops.writeStream
       .outputMode("append")
       .foreachBatch { (batch: org.apache.spark.sql.Dataset[Row], id: Long) =>
-        if (!batch.isEmpty)
-          applyChurnBatch(batch.sparkSession, postingsTable, assignTable,
+        if (!batch.isEmpty) {
+          val s = batch.sparkSession
+          applyChurnBatch(s, postingsTable, assignTable,
             centroids, embedder, batch.toDF(), id, buckets, doclenTable)
+          if (!compactThreshold.isNaN) {
+            IndexChurn.compactIfNeeded(s, postingsTable,
+              Seq("token", "doc_id"), Seq("token"), buckets, compactThreshold)
+            doclenTable.foreach(dt => IndexChurn.compactIfNeeded(s, dt,
+              Seq("doc_id"), Seq("doc_id"), buckets, compactThreshold))
+            IndexChurn.compactIfNeeded(s, assignTable,
+              Seq("c_id", "vec_id"), Seq("c_id"), buckets, compactThreshold)
+            ()
+          }
+        }
       }
       .trigger(Trigger.ProcessingTime(0))
       .start()

@@ -368,6 +368,92 @@ class StreamingSpec extends AnyFunSuite {
     }
   }
 
+  test("churn loop maintenance tick: in-loop compaction, debt cleared, serve exact") {
+    import graft.operators.{Retrieval, Similarity}
+    import graft.sources.IndexChurn
+    import graft.functions.{TextFunctions => T}
+    val postTable = "churntick_post_t"
+    val dlTable = "churntick_dl_t"
+    val assignTable = "churntick_assign_t"
+    val streamDir = java.nio.file.Files.createTempDirectory("churntick").toString
+    try {
+      val docs = Tables.load(spark, sf, "documents")
+      def doclens(d: org.apache.spark.sql.DataFrame) =
+        d.select(col("doc_id"), size(T.tokens(col("text"))).cast("long").as("dl"))
+      IndexChurn.stamp(Retrieval.postingsTable(spark, sf), "U", -1L)
+        .write.mode("overwrite").bucketBy(8, "token").sortBy("token")
+        .saveAsTable(postTable)
+      IndexChurn.stamp(doclens(docs), "U", -1L)
+        .write.mode("overwrite").bucketBy(8, "doc_id").sortBy("doc_id")
+        .saveAsTable(dlTable)
+      val emb = Similarity.embeddingsWithNorm(spark, sf)
+      val centroids = Similarity.trainCentroids(spark, sf, iters = 2)
+      IndexChurn.stamp(Similarity.assignVectors(emb, centroids), "U", -1L)
+        .write.mode("overwrite").bucketBy(8, "c_id").sortBy("c_id")
+        .saveAsTable(assignTable)
+      val Array(vic, upd) = docs.orderBy("doc_id").limit(2)
+        .select("doc_id", "text").collect()
+      val (delId, delText) = (vic.getLong(0), vic.getString(1))
+      val (updId, oldText) = (upd.getLong(0), upd.getString(1))
+      val newText = "entirely rewritten document body after the update"
+      import spark.implicits._
+      Seq(("D", delId, delText)).toDF("op", "doc_id", "text")
+        .coalesce(1).write.parquet(s"$streamDir/b0")
+      Seq(("D", updId, oldText), ("U", updId, newText))
+        .toDF("op", "doc_id", "text")
+        .coalesce(1).write.parquet(s"$streamDir/b1")
+      def stampT(sub: String, t: Long): Unit =
+        new java.io.File(s"$streamDir/$sub").listFiles()
+          .filter(_.getName.endsWith(".parquet"))
+          .foreach(f => assert(f.setLastModified(t)))
+      stampT("b0", 1000000000000L)
+      stampT("b1", 1000000060000L)
+      val opsSchema = org.apache.spark.sql.types.StructType.fromDDL(
+        "op string, doc_id bigint, text string")
+      val stream = spark.readStream.schema(opsSchema)
+        .option("maxFilesPerTrigger", "1")
+        .option("recursiveFileLookup", "true")
+        .parquet(streamDir)
+      val embedder = (b: org.apache.spark.sql.DataFrame) =>
+        emb.join(b.select(col("doc_id").as("vec_id")), "vec_id")
+      // any tombstone trips the tick: compaction interleaves WITH the
+      // batches (b0 compacts before b1 lands), the hard ordering case
+      StreamingBackfill.churnIngestLoop(spark, stream, postTable,
+        assignTable, centroids, embedder, doclenTable = Some(dlTable),
+        compactThreshold = 1e-9)
+      // debt is gone from every table the instant the stream drains —
+      // no separate compaction job needed
+      Seq(postTable, dlTable, assignTable).foreach { t =>
+        assert(spark.table(t).filter(col("op") === "D").count() === 0,
+          s"$t kept tombstones despite the in-loop tick")
+        assert(IndexChurn.debtFraction(spark, t) === 0.0)
+      }
+      // and the mid-loop rewrites lost nothing: serve equals the
+      // post-churn corpus exactly
+      val newPosts = Seq((updId, newText)).toDF("doc_id", "text")
+        .select(col("doc_id"), explode(T.tokens(col("text"))).as("token"))
+        .groupBy("token", "doc_id").agg(count(lit(1)).as("tf"))
+        .select("token", "doc_id", "tf").collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+      val want = Retrieval.postingsTable(spark, sf)
+        .filter(col("doc_id") =!= delId && col("doc_id") =!= updId)
+        .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+        .toSet ++ newPosts
+      val got = IndexChurn.served(spark, postTable, Seq("token", "doc_id"))
+        .select("token", "doc_id", "tf").collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+      assert(got === want, "tick-compacted postings serve diverged")
+      val servedAssign = IndexChurn.served(spark, assignTable,
+        Seq("c_id", "vec_id"))
+      assert(servedAssign.filter(col("vec_id") === delId).count() === 0)
+      assert(servedAssign.filter(col("vec_id") === updId).count() === 1)
+    } finally {
+      spark.sql(s"DROP TABLE IF EXISTS $postTable")
+      spark.sql(s"DROP TABLE IF EXISTS $dlTable")
+      spark.sql(s"DROP TABLE IF EXISTS $assignTable")
+    }
+  }
+
   test("full ingest loop: one stream feeds dedup, corpus store, BM25 and ANN") {
     import java.nio.file.Files
     import graft.operators.{Dedup, Retrieval, Similarity}
