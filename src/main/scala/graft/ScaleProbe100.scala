@@ -34,7 +34,8 @@ object ScaleProbe100 {
     val factor = if (args.length > 1) args(1).toInt else 100
     val sections: Set[String] =
       if (args.length > 2) args(2).split(',').map(_.trim).toSet
-      else Set("dedup", "feed", "quality", "bm25", "ann", "zipf", "churn")
+      else Set("dedup", "feed", "quality", "bm25", "ann", "zipf", "churn",
+        "semdedup", "rebucket")
     def section(name: String)(body: => Unit): Unit =
       if (sections(name)) body
     val spark = SparkSession.builder()
@@ -53,7 +54,7 @@ object ScaleProbe100 {
     val fs = new org.apache.hadoop.fs.Path(dup)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
 
-    if (sections.exists(Set("dedup", "quality", "bm25", "churn"))) {
+    if (sections.exists(Set("dedup", "quality", "bm25", "churn", "rebucket"))) {
       if (!fs.exists(new org.apache.hadoop.fs.Path(s"$dup/documents.parquet"))) {
         val docs = Tables.load(spark, sf, "documents")
         docs.crossJoin(spark.range(factor).select(col("id").as("copy")))
@@ -63,6 +64,16 @@ object ScaleProbe100 {
       }
       println(s"corpus: ${Tables.load(spark, dup, "documents").count()} docs " +
         s"(${factor}x of $sf)")
+    }
+    if (sections.exists(Set("churn", "semdedup"))) {
+      if (!fs.exists(new org.apache.hadoop.fs.Path(s"$dup/embeddings.parquet"))) {
+        val nv0 = Tables.load(spark, sf, "embeddings").count()
+        Tables.load(spark, sf, "embeddings")
+          .crossJoin(spark.range(factor).select(col("id").as("copy")))
+          .select((col("vec_id") + col("copy") * nv0 * factor).as("vec_id"),
+            col("embedding"), col("label"))
+          .write.mode("overwrite").parquet(s"$dup/embeddings.parquet")
+      }
     }
 
     // 1. incremental dedup: one-time index build vs per-batch probe
@@ -196,14 +207,7 @@ object ScaleProbe100 {
           Seq("token", "doc_id"), Seq("token"))
       }
       // ANN side: c_id bucketing concentrates a batch's debt
-      val nv0 = Tables.load(spark, sf, "embeddings").count()
-      if (!fs.exists(new org.apache.hadoop.fs.Path(s"$dup/embeddings.parquet"))) {
-        Tables.load(spark, sf, "embeddings")
-          .crossJoin(spark.range(factor).select(col("id").as("copy")))
-          .select((col("vec_id") + col("copy") * nv0 * factor).as("vec_id"),
-            col("embedding"), col("label"))
-          .write.mode("overwrite").parquet(s"$dup/embeddings.parquet")
-      }
+      // (embeddings replica created by the shared guard above)
       val emb = operators.Similarity.embeddingsWithNorm(spark, dup)
       val cent = operators.Similarity.trainCentroids(spark, dup, iters = 2)
       time(s"churn assignment build (${factor}x vectors, seq 0)") {
@@ -225,6 +229,76 @@ object ScaleProbe100 {
           sources.IndexChurn.served(spark, "probe_churn_assign",
             Seq("c_id", "vec_id")), iters = 2).count()
       }
+    }
+
+    // 7. SemDeDup at factor×: the per-centroid-list pairwise sweep is
+    // quadratic in CLUSTER size, not corpus size — the probe records
+    // the actual cluster-size distribution (the cost driver) and the
+    // end-to-end sweep time. A mega-cluster would blow the sweep up
+    // quadratically; the fix is the SAME retrain that keeps the ANN
+    // index balanced.
+    section("semdedup") {
+      val a = operators.Similarity.assignmentTable(spark, dup)
+      val sizes = a.groupBy("c_id").count()
+      time(s"semdedup: cluster size distribution (${factor}x vectors)") {
+        sizes.agg(min("count"), expr("approx_percentile(count, 0.5)"),
+          max("count"), count(lit(1))).show(false)
+      }
+      time("semdedup: in-cluster pairwise sweep + threshold (full corpus)") {
+        println("  pairs: " + operators.Similarity
+          .semanticNearDupPairs(spark, dup, threshold = 0.40).count())
+      }
+      time("semdedup: keep-min survivor set") {
+        println("  kept: " + operators.Similarity
+          .semanticDedupKeep(spark, dup, threshold = 0.40).count())
+      }
+    }
+
+    // 8. bucket-count evolution: the churned postings table rebuilt at
+    // 4× the bucket count via the staged rename swap — per-bucket
+    // bytes must drop ~4×, the serve view must be unchanged, and the
+    // cost is one full winner rewrite (the honest price; it's a
+    // rebuild that compacts for free and never gaps serving).
+    section("rebucket") {
+      val t = "probe_rebucket_post"
+      spark.sql(s"DROP TABLE IF EXISTS $t")
+      Seq("", "__rebucket", "__retired").foreach { sfx =>
+        val p = new org.apache.hadoop.fs.Path(
+          spark.conf.get("spark.sql.warehouse.dir"), t + sfx)
+        val wfs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        if (wfs.exists(p)) wfs.delete(p, true)
+      }
+      val posts = operators.Retrieval.postingsTable(spark, dup)
+      sources.IndexChurn.stamp(posts, "U", 0L)
+        .write.mode("overwrite").bucketBy(8, "token").sortBy("token")
+        .saveAsTable(t)
+      sources.IndexChurn.append(spark, t,
+        posts.filter(col("doc_id") % 1000 === 0), "D", 1L, Seq("token"))
+      def bucketBytes(): Unit = {
+        val loc = spark.sql(s"DESCRIBE TABLE EXTENDED $t")
+          .filter(col("col_name") === "Location").head().getString(1)
+        val p = new org.apache.hadoop.fs.Path(loc)
+        val wfs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        val per = wfs.listStatus(p).filter(_.isFile)
+          .flatMap(st => sources.IndexChurn.bucketOfFile(st.getPath.getName)
+            .map(_ -> st.getLen))
+          .groupBy(_._1).view.mapValues(_.map(_._2).sum)
+        println(s"  buckets=${per.size} maxBucketBytes=${per.values.max} " +
+          s"medianBucketBytes=${per.values.toSeq.sorted.apply(per.size / 2)}")
+      }
+      bucketBytes()
+      val servedCount = sources.IndexChurn
+        .served(spark, t, Seq("token", "doc_id")).count()
+      time(s"rebucket 8 -> 32 (${factor}x postings, winners-only rewrite)") {
+        sources.IndexChurn.rebucket(spark, t, Seq("token", "doc_id"),
+          Seq("token"), newBuckets = 32)
+      }
+      bucketBytes()
+      val servedAfter = sources.IndexChurn
+        .served(spark, t, Seq("token", "doc_id")).count()
+      println(s"  served rows before=$servedCount after=$servedAfter " +
+        s"equal=${servedCount == servedAfter}")
+      spark.sql(s"DROP TABLE IF EXISTS $t")
     }
 
     // 5. hot-token skew: Zipf postings (df of rank r ≈ N/r — the

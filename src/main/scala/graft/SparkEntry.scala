@@ -92,6 +92,7 @@ object SparkEntry {
     "sim_topk_maintained" -> ((s: SparkSession, d: String) => Similarity.maintainedTopK(s, d)),
     "sim_topk_churn"     -> ((s: SparkSession, d: String) => Similarity.churnedTopK(s, d)),
     "semantic_neardup"   -> ((s: SparkSession, d: String) => Similarity.semanticNearDupPairs(s, d)),
+    "semantic_neardup_maintained" -> ((s: SparkSession, d: String) => Similarity.semanticNearDupMaintained(s, d)),
     "semantic_dedup_keep" -> ((s: SparkSession, d: String) => Similarity.semanticDedupKeep(s, d)),
     // §2.9 E5 text analysis
     "text_langid"        -> (TextAnalysis.langId _),
@@ -382,6 +383,18 @@ object SparkEntry {
        SELECT q_id, rk, vec_id, round(cos, 6) AS cos
        FROM ranked WHERE rk <= $k ORDER BY q_id, rk"""
   }
+
+  /** SemDeDup pairwise oracle: the shared Lloyd assignment chain, then
+    * per-cluster pairwise cosine above the threshold. */
+  private lazy val dSemanticPairsSql: String =
+    s"""WITH ${dIvfAssignCtes(iters = 2)},
+         pairs AS (
+           SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+                  list_dot_product(a.v, b.v) / (a.nrm * b.nrm) AS cos
+           FROM af a JOIN af b USING (c_id)
+           WHERE a.vec_id < b.vec_id)
+         SELECT vec_a, vec_b, round(cos, 6) AS cos
+         FROM pairs WHERE cos >= 0.40 ORDER BY vec_a, vec_b"""
 
   /** Argmax language CASE with the Spark fold's tie order (de,en,es,fr,zh). */
   private val dLangIdSql: String = {
@@ -1928,15 +1941,10 @@ object SparkEntry {
       corpusPred = "a.vec_id % 10 <> 0"),
     // SemDeDup over the IVF clustering: same Lloyd chain as the ANN
     // oracles, then per-cluster pairwise cosine above the threshold
-    "semantic_neardup" ->
-      s"""WITH ${dIvfAssignCtes(iters = 2)},
-         pairs AS (
-           SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
-                  list_dot_product(a.v, b.v) / (a.nrm * b.nrm) AS cos
-           FROM af a JOIN af b USING (c_id)
-           WHERE a.vec_id < b.vec_id)
-         SELECT vec_a, vec_b, round(cos, 6) AS cos
-         FROM pairs WHERE cos >= 0.40 ORDER BY vec_a, vec_b""",
+    "semantic_neardup" -> dSemanticPairsSql,
+    // the maintained bucketed index is hash-equal to the full build
+    // (append-correctness proof), so the SAME pairwise oracle gates it
+    "semantic_neardup_maintained" -> dSemanticPairsSql,
     "semantic_dedup_keep" ->
       s"""WITH ${dIvfAssignCtes(iters = 2)},
          pairs AS (

@@ -354,9 +354,16 @@ object Similarity {
     * balanced — a mega-cluster is an index-quality problem first, and
     * its fix (retrain, [[retrainAssignmentIndex]]) fixes dedup too. */
   def semanticNearDupPairs(spark: SparkSession, dir: String,
-      threshold: Double = 0.40, iters: Int = 2): DataFrame = {
-    val a = assignmentTable(spark, dir, iters)
-      .select(col("c_id"), col("vec_id"), col("v"), col("nrm"))
+      threshold: Double = 0.40, iters: Int = 2): DataFrame =
+    semanticNearDupPairsFrom(
+      assignmentTable(spark, dir, iters), threshold)
+
+  /** The sweep of [[semanticNearDupPairs]] over an EXPLICIT assignment
+    * frame (the testable kernel — any (c_id, vec_id, v, nrm) source:
+    * the memo, the maintained bucketed index, a churn serve view). */
+  def semanticNearDupPairsFrom(assignment: DataFrame,
+      threshold: Double = 0.40): DataFrame = {
+    val a = assignment.select(col("c_id"), col("vec_id"), col("v"), col("nrm"))
     val b = a.select(col("c_id"), col("vec_id").as("vec_b"),
       col("v").as("v_b"), col("nrm").as("nrm_b"))
     a.join(b, "c_id")
@@ -366,6 +373,22 @@ object Similarity {
       .select(col("vec_id").as("vec_a"), col("vec_b"),
         round(col("cos"), 6).as("cos"))
       .orderBy("vec_a", "vec_b")
+  }
+
+  /** Harness query `semantic_neardup_maintained`: the same pair set
+    * served from the c_id-BUCKETED maintained assignment index — the
+    * self-join keys on exactly the bucket column, so BOTH sides read
+    * colocated with zero hash exchange (BucketingSpec pins the plan;
+    * only per-bucket sorts and the presentation range-sort remain).
+    * This is the 100 TB shape: the sweep streams bucket-by-bucket over
+    * the serving index with no corpus-wide shuffle at all. Same oracle
+    * as [[semanticNearDupPairs]] — the maintained index is hash-equal
+    * to the full build by the append-correctness proof. */
+  def semanticNearDupMaintained(spark: SparkSession, dir: String,
+      threshold: Double = 0.40, iters: Int = 2): DataFrame = {
+    val t = graft.sources.Bucketing
+      .ensureMaintainedAssignmentIndex(spark, dir, iters)
+    semanticNearDupPairsFrom(spark.table(t), threshold)
   }
 
   /** Harness query `semantic_dedup_keep`: the greedy keep-min-id

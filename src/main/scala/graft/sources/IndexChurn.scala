@@ -254,6 +254,32 @@ object IndexChurn {
     ()
   }
 
+  /** Max bytes held by any one bucket of the index — the signal that
+    * drives [[rebucketIfNeeded]]. One file-listing pass, no data read. */
+  def maxBucketBytes(spark: SparkSession, table: String): Long = {
+    val loc = tableLocation(spark, table)
+    val fs = loc.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val per = dataFiles(fs, loc)
+      .flatMap(p => bucketOfFile(p.getName).map(_ -> fs.getFileStatus(p).getLen))
+      .groupBy(_._1).map(_._2.map(_._2).sum)
+    if (per.isEmpty) 0L else per.max
+  }
+
+  /** The evolution policy: double the bucket count (via [[rebucket]])
+    * whenever some bucket's bytes exceed `maxBytes` — the maintenance
+    * tick that keeps per-bucket size bounded as an index grows 100×,
+    * so bucket pruning keeps meaning something and a single bucket
+    * never becomes the scan. The check is one file listing; the
+    * rebuild only runs when growth actually crossed the bound.
+    * Returns the new bucket count (== `buckets` when nothing ran). */
+  def rebucketIfNeeded(spark: SparkSession, table: String,
+      keyCols: Seq[String], bucketCols: Seq[String], buckets: Int,
+      maxBytes: Long): Int =
+    if (maxBucketBytes(spark, table) > maxBytes) {
+      rebucket(spark, table, keyCols, bucketCols, buckets * 2)
+      buckets * 2
+    } else buckets
+
   /** Heal the one non-atomic window of [[rebucket]]: live table gone
     * but its retired predecessor present → rename it back. Idempotent;
     * a no-op when the live table exists. */

@@ -57,6 +57,32 @@ class BucketingSpec extends AnyFunSuite {
     }
   }
 
+  test("semantic dedup sweep over the maintained index: zero hash exchange") {
+    import org.apache.spark.sql.functions.col
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    val prevBroadcast = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val S = graft.operators.Similarity
+      val pairs = S.semanticNearDupMaintained(spark, sf)
+      val plan = Shim.executedPlan(pairs).toString
+      // the self-join keys on the bucket column: both sides read
+      // colocated — the only repartitioning allowed is the final
+      // presentation range-sort
+      val hashEx = "Exchange hashpartitioning".r.findAllIn(plan).length
+      assert(hashEx === 0, s"bucketed self-join reshuffled:\n$plan")
+      // and it is the SAME pair set as the memo-based sweep
+      val got = pairs.collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      val want = S.semanticNearDupPairs(spark, sf).collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(got === want, "maintained-index sweep diverged from memo sweep")
+    } finally {
+      spark.conf.set("spark.sql.adaptive.enabled", "true")
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevBroadcast)
+    }
+  }
+
   test("appendToBandIndex: increment N+1 sees increment N, no index rebuild") {
     import org.apache.spark.sql.functions.col
     val bands = graft.operators.Dedup.minhashCappedBands(spark, sf)

@@ -279,6 +279,38 @@ class ChurnSpec extends AnyFunSuite {
     }
   }
 
+  test("rebucketIfNeeded: bounded buckets no-op, oversized doubles and prunes") {
+    import spark.implicits._
+    val table = "churn_autorebucket_t"
+    try {
+      seed(table)
+      val before = files(table)
+      val big = IndexChurn.maxBucketBytes(spark, table)
+      assert(big > 0L)
+      // bound above current max: policy must not touch the table
+      assert(IndexChurn.rebucketIfNeeded(spark, table,
+        Seq("token", "doc_id"), Seq("token"), 8, big + 1) === 8)
+      assert(files(table) === before, "no-op policy rewrote files")
+      // bound below: evolve to 16 and the new count serves + prunes
+      assert(IndexChurn.rebucketIfNeeded(spark, table,
+        Seq("token", "doc_id"), Seq("token"), 8, big - 1) === 16)
+      assert(IndexChurn.maxBucketBytes(spark, table) < big)
+      assert(IndexChurn.served(spark, table, Seq("token", "doc_id"))
+        .count() === 200)
+      val plan = Shim.executedPlan(
+        IndexChurn.served(spark, table, Seq("token", "doc_id"))
+          .filter(col("token") === "tok3")).toString
+      val sel = "SelectedBucketsCount: (\\d+) out of (\\d+)".r
+        .findFirstMatchIn(plan)
+      assert(sel.isDefined && sel.get.group(2).toInt === 16,
+        s"evolved table lost pruning:\n$plan")
+    } finally {
+      spark.sql(s"DROP TABLE IF EXISTS $table")
+      spark.sql(s"DROP TABLE IF EXISTS ${table}__rebucket")
+      spark.sql(s"DROP TABLE IF EXISTS ${table}__retired")
+    }
+  }
+
   test("served postings query still bucket-prunes under churn") {
     import spark.implicits._
     val table = "churn_prune_t"
