@@ -63,6 +63,23 @@ object IndexChurn {
   def stamp(payload: DataFrame, op: String, seq: Long): DataFrame =
     payload.withColumn("op", lit(op)).withColumn("seq", lit(seq))
 
+  /** The table's actual bucket count, from the catalog. Maintenance
+    * entry points resolve the count through this (a `buckets` argument
+    * of -1) rather than trusting a caller-supplied constant: after a
+    * [[rebucket]] the count CHANGES, and a stale constant would make
+    * [[compact]] map rows to the wrong bucket ids — missing dirty
+    * buckets while rewriting clean ones (still serve-consistent, but
+    * debt never clears) — or make [[append]] fail the writer's
+    * spec-match check. Self-describing beats remembering. */
+  def bucketCountOf(spark: SparkSession, table: String): Int =
+    spark.sql(s"DESCRIBE TABLE EXTENDED $table")
+      .filter(col("col_name") === "Num Buckets")
+      .head().getString(1).trim.toInt
+
+  private def resolveBuckets(spark: SparkSession, table: String,
+      buckets: Int): Int =
+    if (buckets > 0) buckets else bucketCountOf(spark, table)
+
   /** Append one batch of payload rows (op='U') or tombstones (op='D')
     * into a churnable index table — a bucket-preserving append: the new
     * rows cluster into new per-bucket files next to the existing ones,
@@ -71,11 +88,12 @@ object IndexChurn {
     * contract; on a seq tie the serve view lets the tombstone win, so
     * a violated contract fails deterministically, not randomly). */
   def append(spark: SparkSession, table: String, payload: DataFrame,
-      op: String, seq: Long, bucketCols: Seq[String], buckets: Int = 8): Unit = {
+      op: String, seq: Long, bucketCols: Seq[String], buckets: Int = -1): Unit = {
+    val b = resolveBuckets(spark, table, buckets)
     val cols = spark.table(table).columns
     stamp(payload, op, seq).select(cols.head, cols.tail: _*)
       .write.mode("append")
-      .bucketBy(buckets, bucketCols.head, bucketCols.tail: _*)
+      .bucketBy(b, bucketCols.head, bucketCols.tail: _*)
       .sortBy(bucketCols.head, bucketCols.tail: _*)
       .saveAsTable(table)
   }
@@ -126,17 +144,18 @@ object IndexChurn {
     * rewrite itself collapses ALL debt in a chosen bucket either
     * way. */
   def compact(spark: SparkSession, table: String, keyCols: Seq[String],
-      bucketCols: Seq[String], buckets: Int = 8,
+      bucketCols: Seq[String], buckets: Int = -1,
       tombstonesOnly: Boolean = false): Unit = {
     spark.sql(s"REFRESH TABLE $table") // see debtFraction: cross-session writes
+    val b = resolveBuckets(spark, table, buckets)
     val t = spark.table(table)
     val affected = (
       if (tombstonesOnly)
         t.filter(col("op") === "D")
-          .select(bucketIdExpr(bucketCols.map(col), buckets).as("b"))
+          .select(bucketIdExpr(bucketCols.map(col), b).as("b"))
           .distinct()
       else
-        t.withColumn("b", bucketIdExpr(bucketCols.map(col), buckets))
+        t.withColumn("b", bucketIdExpr(bucketCols.map(col), b))
           .groupBy(keyCols.map(col): _*)
           .agg(collect_set(col("b")).as("bs"), count(lit(1)).as("n"),
             max((col("op") === "D").cast("int")).as("has_d"))
@@ -161,7 +180,7 @@ object IndexChurn {
     val stg = s"${table.split('.').last}__compact"
     spark.sql(s"DROP TABLE IF EXISTS $stg")
     winners.write.mode("overwrite")
-      .bucketBy(buckets, bucketCols.head, bucketCols.tail: _*)
+      .bucketBy(b, bucketCols.head, bucketCols.tail: _*)
       .sortBy(bucketCols.head, bucketCols.tail: _*)
       .saveAsTable(stg)
     val stgLoc = tableLocation(spark, stg)
@@ -203,7 +222,7 @@ object IndexChurn {
     * compaction pass approaches a rebuild for doc-granular deletes;
     * its win IS this amortization). Returns true iff it compacted. */
   def compactIfNeeded(spark: SparkSession, table: String,
-      keyCols: Seq[String], bucketCols: Seq[String], buckets: Int = 8,
+      keyCols: Seq[String], bucketCols: Seq[String], buckets: Int = -1,
       threshold: Double = 0.05): Boolean = {
     val run = debtFraction(spark, table) >= threshold
     if (run) compact(spark, table, keyCols, bucketCols, buckets,
@@ -273,12 +292,14 @@ object IndexChurn {
     * rebuild only runs when growth actually crossed the bound.
     * Returns the new bucket count (== `buckets` when nothing ran). */
   def rebucketIfNeeded(spark: SparkSession, table: String,
-      keyCols: Seq[String], bucketCols: Seq[String], buckets: Int,
-      maxBytes: Long): Int =
+      keyCols: Seq[String], bucketCols: Seq[String], buckets: Int = -1,
+      maxBytes: Long): Int = {
+    val b = resolveBuckets(spark, table, buckets)
     if (maxBucketBytes(spark, table) > maxBytes) {
-      rebucket(spark, table, keyCols, bucketCols, buckets * 2)
-      buckets * 2
-    } else buckets
+      rebucket(spark, table, keyCols, bucketCols, b * 2)
+      b * 2
+    } else b
+  }
 
   /** Heal the one non-atomic window of [[rebucket]]: live table gone
     * but its retired predecessor present → rename it back. Idempotent;

@@ -260,11 +260,18 @@ class ChurnSpec extends AnyFunSuite {
         .findFirstMatchIn(plan)
       assert(sel.isDefined, s"no bucket pruning after rebucket:\n$plan")
       assert(sel.get.group(2).toInt === 16)
-      // appends keep working against the evolved table (contract: the
-      // kept original seqs stay below new batches' seqs)
+      // appends keep working against the evolved table with DEFAULT
+      // args — the bucket count self-resolves from the catalog, so a
+      // caller holding the stale pre-evolution count can't corrupt
+      // placement (contract: kept original seqs stay below new ones)
+      assert(IndexChurn.bucketCountOf(spark, table) === 16)
       IndexChurn.append(spark, table,
         Seq(("tok3", 3L, 0L)).toDF("token", "doc_id", "tf"),
-        "D", 3L, Seq("token"), buckets = 16)
+        "D", 3L, Seq("token"))
+      IndexChurn.compact(spark, table, Seq("token", "doc_id"),
+        Seq("token"), tombstonesOnly = true)
+      assert(spark.table(table).filter(col("op") === "D").count() === 0,
+        "auto-resolved compaction missed the tombstone bucket")
       assert(!servedSet().contains(("tok3", 3L, 1L)),
         "post-rebucket tombstone not honored")
       // crash-window recovery: live table renamed aside, recover heals
