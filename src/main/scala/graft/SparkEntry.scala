@@ -127,6 +127,7 @@ object SparkEntry {
     "tfidf_top_terms"    -> ((s: SparkSession, d: String) => TextAnalysis.tfidfTopTerms(s, d)),
     "sample_per_lang"    -> (TextAnalysis.sampleKPerLang _),
     "train_split"        -> (Sampling.trainSplit _),
+    "leakage_safe_split" -> (Sampling.leakageSafeSplit _),
     "contamination"      -> (Sampling.contamination _),
     "contamination_ngram" -> ((s: SparkSession, d: String) => Sampling.contaminationNgram(s, d)),
     "unigram_logprob"    -> (TextAnalysis.unigramLogprob _),
@@ -1854,6 +1855,27 @@ object SparkEntry {
          SELECT s AS doc_id, least(s, min(d)) AS cluster_id,
                 s = least(s, min(d)) AS is_keeper
          FROM reach GROUP BY s ORDER BY cluster_id, doc_id""",
+    // group-aware split: the cluster representative is the split key,
+    // singletons key on themselves — same hash kernel as train_split
+    "leakage_safe_split" ->
+      s"""WITH RECURSIVE $dMinhashPairsCtes,
+         edges AS (SELECT doc_a AS s, doc_b AS d FROM mh_pairs
+                   UNION SELECT doc_b, doc_a FROM mh_pairs),
+         reach AS (SELECT s, d FROM edges
+                   UNION SELECT r.s, e.d FROM reach r JOIN edges e ON r.d = e.s),
+         clus AS (SELECT s AS doc_id, least(s, min(d)) AS cluster_id
+                  FROM reach GROUP BY s),
+         keyed AS (
+           SELECT d.doc_id, COALESCE(c.cluster_id, d.doc_id) AS split_key
+           FROM documents d LEFT JOIN clus c ON d.doc_id = c.doc_id),
+         b AS (SELECT doc_id, split_key,
+                      ${dH60("'split:'||split_key")} % 100 AS bucket
+               FROM keyed)
+         SELECT doc_id, split_key, bucket,
+                CASE WHEN bucket < 90 THEN 'train'
+                     WHEN bucket < 95 THEN 'val'
+                     ELSE 'test' END AS split
+         FROM b ORDER BY doc_id""",
     "doc_chunks" -> {
       val rng = "range(1, greatest(len(ts), 1)+1, 48)"
       s"""WITH toks AS (SELECT doc_id, $dToks AS ts FROM documents),

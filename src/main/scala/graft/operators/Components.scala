@@ -120,7 +120,7 @@ object Components {
     * itself memoized, so keeper selection and any other cluster-derived
     * query join against a tiny parquet table instead of re-running
     * pairs → union-find. */
-  private def clusterTable(spark: SparkSession, dir: String): DataFrame =
+  private[operators] def clusterTable(spark: SparkSession, dir: String): DataFrame =
     Memo.table(spark, dir, "dedup_clusters") {
       val pairs = Dedup.minhashPairs(spark, dir)
         .select(col("doc_a").as("src"), col("doc_b").as("dst"))

@@ -33,6 +33,31 @@ object Sampling {
         splitLabel(col("bucket")).as("split"))
       .orderBy("doc_id")
 
+  /** Harness query `leakage_safe_split`: GROUP-AWARE 90/5/5 split —
+    * the near-dup cluster, not the document, is the split unit, so two
+    * near-duplicate documents can never straddle the train/eval
+    * boundary. [[contamination]] DETECTS the straddle after the fact;
+    * this prevents it by construction (the standard fix once the
+    * detector fires). The split key is the cluster representative
+    * (`cluster_id` = min member; a singleton doc is its own
+    * representative), bucketed by the same content-free
+    * `split:<key>` hash as [[trainSplit]] — so edits to a document
+    * move neither it nor its near-dups across splits. At 100 TB the
+    * cluster map is the already-materialized dedup output: one
+    * broadcast-able left join onto the doc-id scan, then a narrow
+    * map. */
+  def leakageSafeSplit(spark: SparkSession, dir: String): DataFrame = {
+    val clusters = Components.clusterTable(spark, dir)
+      .select("doc_id", "cluster_id")
+    Tables.load(spark, dir, "documents").select("doc_id")
+      .join(clusters, Seq("doc_id"), "left")
+      .withColumn("split_key", coalesce(col("cluster_id"), col("doc_id")))
+      .withColumn("bucket", splitBucket(col("split_key")))
+      .select(col("doc_id"), col("split_key"), col("bucket"),
+        splitLabel(col("bucket")).as("split"))
+      .orderBy("doc_id")
+  }
+
   /** Eval-contamination check: near-duplicate pairs that CROSS the
     * train/val/test boundary — a test doc near-dup to a train doc
     * leaks the benchmark into training. Composes the MinHash/LSH pair

@@ -109,6 +109,33 @@ class TextSpec extends AnyFunSuite {
       again.map(r => (r.getLong(0), r.getString(2))).toSeq)
   }
 
+  test("leakageSafeSplit: near-dup pairs never straddle the boundary") {
+    val sf = TestSpark.sf
+    val split = graft.operators.Sampling.leakageSafeSplit(spark, sf)
+      .collect().map(r => r.getLong(0) -> r.getString(3)).toMap
+    // the defining property: every near-dup pair lands in ONE split
+    val pairs = graft.operators.Dedup.minhashPairs(spark, sf)
+      .select("doc_a", "doc_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    assert(pairs.nonEmpty)
+    pairs.foreach { case (a, b) =>
+      assert(split(a) === split(b),
+        s"near-dup pair ($a, $b) straddles splits ${split(a)}/${split(b)}")
+    }
+    // still roughly 90/5/5 over the whole corpus
+    val n = split.size.toDouble
+    val frac = split.values.groupBy(identity).view.mapValues(_.size / n).toMap
+    assert(frac("train") > 0.8 && frac("train") < 0.97, frac.toString)
+    // and a doc NOT in any pair keys on itself — same bucket as the
+    // per-doc split, so the group rule only moves actual near-dups
+    val paired = pairs.flatMap(p => Seq(p._1, p._2)).toSet
+    val perDoc = graft.operators.Sampling.trainSplit(spark, sf)
+      .collect().map(r => r.getLong(0) -> r.getString(2)).toMap
+    val singletons = split.keySet -- paired
+    assert(singletons.nonEmpty)
+    singletons.foreach(d => assert(split(d) === perDoc(d)))
+  }
+
   test("sourceQuota: at most quota kept per source") {
     val sf = TestSpark.sf
     val rows = graft.operators.Sampling.sourceQuota(spark, sf, quota = 30).collect()
