@@ -65,7 +65,7 @@ object ScaleProbe100 {
       println(s"corpus: ${Tables.load(spark, dup, "documents").count()} docs " +
         s"(${factor}x of $sf)")
     }
-    if (sections.exists(Set("churn", "semdedup"))) {
+    if (sections.exists(Set("churn", "semdedup", "ann"))) {
       if (!fs.exists(new org.apache.hadoop.fs.Path(s"$dup/embeddings.parquet"))) {
         val nv0 = Tables.load(spark, sf, "embeddings").count()
         Tables.load(spark, sf, "embeddings")
@@ -134,15 +134,9 @@ object ScaleProbe100 {
     }
 
     // 4b. maintained ANN assignment index
+    // (embeddings replica created by the shared guard above)
     section("ann") {
       val nv = Tables.load(spark, sf, "embeddings").count()
-      if (!fs.exists(new org.apache.hadoop.fs.Path(s"$dup/embeddings.parquet"))) {
-        Tables.load(spark, sf, "embeddings")
-          .crossJoin(spark.range(factor).select(col("id").as("copy")))
-          .select((col("vec_id") + col("copy") * nv * factor).as("vec_id"),
-            col("embedding"), col("label"))
-          .write.mode("overwrite").parquet(s"$dup/embeddings.parquet")
-      }
       println(s"vectors: ${nv * factor} (${factor}x of $sf)")
       time("sim_topk_maintained (cold: train + assign + build the index)") {
         operators.Similarity.maintainedTopK(spark, dup).count()

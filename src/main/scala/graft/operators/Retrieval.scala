@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 import graft.Tables
@@ -75,6 +75,16 @@ object Retrieval {
   /** BM25 parameters (the standard Robertson defaults). */
   private val K1 = 1.2d
   private val B = 0.75d
+
+  /** The per-(doc, term) BM25 contribution — ONE definition so the
+    * round-8 discipline and the k1/b handling can never drift between
+    * the scan, index-served, churn-served and batched paths (their
+    * shared oracles rely on all of them being bit-identical). Expects
+    * `n_docs`, `df`, `tf`, `dl`, `avgdl` in scope. */
+  private def termScore: Column = round(
+    log((col("n_docs") - col("df") + 0.5d) / (col("df") + 0.5d) + 1.0d) *
+      (col("tf") * (K1 + 1.0d)) /
+      (col("tf") + lit(K1) * (lit(1.0d - B) + lit(B) * col("dl") / col("avgdl"))), 8)
 
   /** Per-doc token-length table, memoized per dataset: the corpus
     * tokenize for lengths runs once ever; every BM25 variant and avgdl
@@ -173,10 +183,6 @@ object Retrieval {
     val stats = corpusStats(spark, dir)
       .crossJoin(broadcast(dl.agg(avg(col("dl")).as("avgdl"))))
     val dfreq = tf.groupBy("token").agg(count(lit(1)).as("df"))
-    val termScore = round(
-      log((col("n_docs") - col("df") + 0.5d) / (col("df") + 0.5d) + 1.0d) *
-        (col("tf") * (K1 + 1.0d)) /
-        (col("tf") + lit(K1) * (lit(1.0d - B) + lit(B) * col("dl") / col("avgdl"))), 8)
     val scored = tf.join(broadcast(dfreq), "token")
       .crossJoin(broadcast(stats))
     dl.join(scored, "doc_id")
@@ -236,10 +242,6 @@ object Retrieval {
       avg(when(col("dl") > 0, col("dl"))).as("avgdl")))
     val dl = dlAll.filter(col("dl") > 0)
     val dfreq = tf.groupBy("token").agg(count(lit(1)).as("df"))
-    val termScore = round(
-      log((col("n_docs") - col("df") + 0.5d) / (col("df") + 0.5d) + 1.0d) *
-        (col("tf") * (K1 + 1.0d)) /
-        (col("tf") + lit(K1) * (lit(1.0d - B) + lit(B) * col("dl") / col("avgdl"))), 8)
     val scored = tf.join(broadcast(dfreq), "token").crossJoin(stats)
     dl.join(scored, "doc_id")
       .groupBy("doc_id")
@@ -346,10 +348,6 @@ object Retrieval {
     // df is query-independent: compute it BEFORE the query-term join
     // (a term shared by two queries must not double its df)
     val dfreq = post.groupBy("token").agg(count(lit(1)).as("df"))
-    val termScore = round(
-      log((col("n_docs") - col("df") + 0.5d) / (col("df") + 0.5d) + 1.0d) *
-        (col("tf") * (K1 + 1.0d)) /
-        (col("tf") + lit(K1) * (lit(1.0d - B) + lit(B) * col("dl") / col("avgdl"))), 8)
     val w = Window.partitionBy("query_id")
       .orderBy(col("score").desc, col("doc_id"))
     post.join(broadcast(queryTerms), "token")

@@ -253,6 +253,10 @@ object IndexChurn {
   def rebucket(spark: SparkSession, table: String, keyCols: Seq[String],
       bucketCols: Seq[String], newBuckets: Int): Unit = {
     recoverRebucket(spark, table)
+    // see debtFraction: a session that never wrote the table can hold a
+    // stale file listing — here that would DROP cross-session appends
+    // from the rebuilt index, so the refresh is load-bearing
+    spark.sql(s"REFRESH TABLE $table")
     val stg = s"${table}__rebucket"
     val retired = s"${table}__retired"
     spark.sql(s"DROP TABLE IF EXISTS $stg")

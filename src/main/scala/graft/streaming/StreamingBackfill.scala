@@ -227,12 +227,10 @@ object StreamingBackfill {
           val cand = Memo.scratch(s, s"ingest_cand_$id")(
             Bucketing.incrementalProbeColocated(s, bands, indexTable)
               .withColumnRenamed("doc_id", "new_id").distinct())
-          val corpusDocs = s.read.schema(graft.Tables.documentsSchema)
-            .parquet(s"$corpusDir/documents.parquet")
-          Dedup.verifyCandidatesFrom(cand, batch.toDF(), corpusDocs, threshold)
+          Dedup.verifyCandidatesFrom(cand, batch.toDF(),
+              corpusDocs(s, corpusDir), threshold)
             .write.mode("overwrite").parquet(s"$outDir/batch_id=$id")
-          batch.write.mode("append").parquet(s"$corpusDir/documents.parquet")
-          Bucketing.appendToBandIndex(s, indexTable, bands)
+          growCorpus(s, corpusDir, indexTable, batch.toDF(), bands, id)
         }
       }
       .trigger(Trigger.ProcessingTime(0))
@@ -241,13 +239,45 @@ object StreamingBackfill {
     q.stop()
   }
 
+  /** Replay-idempotent corpus-store + band-index growth for one ingest
+    * microbatch. The doc slice lands in a batch-keyed SUBDIRECTORY with
+    * overwrite semantics, so an at-least-once replayed batch rewrites
+    * its own files instead of double-appending into the store. The band
+    * append (a bucketed catalog table — no per-batch directory to
+    * overwrite) is guarded by a marker file committed AFTER the append:
+    * systematic replay duplication becomes a narrow crash window
+    * (between append and marker), and even those rare duplicate band
+    * rows are serve-harmless — the probe's candidate set is distinct
+    * and the verify output is per-batch-overwritten. */
+  private def growCorpus(s: SparkSession, corpusDir: String,
+      bandIndexTable: String, docs: DataFrame, bands: DataFrame,
+      batchId: Long): Unit = {
+    docs.write.mode("overwrite")
+      .parquet(s"$corpusDir/documents.parquet/batch-$batchId")
+    val marker = new org.apache.hadoop.fs.Path(
+      s"$corpusDir/_band_batch_$batchId")
+    val mfs = marker.getFileSystem(s.sparkContext.hadoopConfiguration)
+    if (!mfs.exists(marker)) {
+      graft.sources.Bucketing.appendToBandIndex(s, bandIndexTable, bands)
+      mfs.create(marker, true).close()
+    }
+  }
+
+  /** The corpus-store read: the seed files plus every batch
+    * subdirectory ([[growCorpus]]'s layout). Public so specs and
+    * downstream jobs read the store through one definition. */
+  def corpusDocs(s: SparkSession, corpusDir: String): DataFrame =
+    s.read.schema(graft.Tables.documentsSchema)
+      .option("recursiveFileLookup", "true")
+      .parquet(s"$corpusDir/documents.parquet")
+
   /** One microbatch's postings append — the foreachBatch body of
     * [[indexMaintenanceLoop]], factored out so a replay is testable as
     * the production code path: tokenize the batch ONCE into
     * (token, doc_id, tf) rows and append them into the CHURN-schema
     * index ([[graft.sources.IndexChurn]]) with `seq = batchId`. */
   def appendPostingsBatch(spark: SparkSession, indexTable: String,
-      batch: DataFrame, batchId: Long, buckets: Int = 8): Unit =
+      batch: DataFrame, batchId: Long, buckets: Int = -1): Unit =
     graft.sources.IndexChurn.append(spark, indexTable, postingsOf(batch),
       "U", batchId, Seq("token"), buckets)
 
@@ -271,7 +301,7 @@ object StreamingBackfill {
     * supersede on key collisions. Doc deletes and updates ride the
     * dedicated [[churnIngestLoop]] (tombstone batches, `op='D'`). */
   def indexMaintenanceLoop(spark: SparkSession, newDocs: DataFrame,
-      indexTable: String, buckets: Int = 8): Unit = {
+      indexTable: String, buckets: Int = -1): Unit = {
     val q = newDocs.writeStream
       .outputMode("append")
       .foreachBatch { (batch: org.apache.spark.sql.Dataset[Row], id: Long) =>
@@ -292,8 +322,10 @@ object StreamingBackfill {
     *  1. near-dup screen against the bucketed corpus band index
     *     (verified pairs land in a batch-id-suffixed report dir —
     *     report-then-append, the [[ingestDedupLoop]] contract);
-    *  2. corpus doc-store append + band-index append, so the NEXT
-    *     batch screens against this one;
+    *  2. corpus doc-store + band-index growth ([[growCorpus]] — the
+    *     doc slice to a batch-keyed overwrite subdir, the band append
+    *     marker-guarded, so a replayed batch re-writes instead of
+    *     double-appending), so the NEXT batch screens against this one;
     *  3. postings append into the CHURN-schema BM25 serving index,
     *     keyed `seq = batchId` ([[appendPostingsBatch]] — replay-
     *     idempotent);
@@ -326,12 +358,10 @@ object StreamingBackfill {
           val cand = Memo.scratch(s, s"full_cand_$id")(
             Bucketing.incrementalProbeColocated(s, bands, bandIndexTable)
               .withColumnRenamed("doc_id", "new_id").distinct())
-          val corpusDocs = s.read.schema(graft.Tables.documentsSchema)
-            .parquet(s"$corpusDir/documents.parquet")
-          Dedup.verifyCandidatesFrom(cand, docs, corpusDocs, threshold)
+          Dedup.verifyCandidatesFrom(cand, docs,
+              corpusDocs(s, corpusDir), threshold)
             .write.mode("overwrite").parquet(s"$outDir/batch_id=$id")
-          docs.write.mode("append").parquet(s"$corpusDir/documents.parquet")
-          Bucketing.appendToBandIndex(s, bandIndexTable, bands)
+          growCorpus(s, corpusDir, bandIndexTable, docs, bands, id)
           appendPostingsBatch(s, postingsIndexTable, docs, id, buckets)
           IndexChurn.append(s, assignIndexTable,
             Similarity.assignVectors(embedder(docs), centroids),
@@ -363,22 +393,34 @@ object StreamingBackfill {
     * centroid assignment are re-derived from the event itself, with no
     * corpus read in the loop.
     *
-    * Seq keying: deletes stamp `2*batchId`, upserts `2*batchId + 1` —
-    * monotonic across batches, and an UPDATE (its D before-image + U
-    * after-image in ONE batch) resolves exactly: stale tokens (in old
-    * text only) keep their tombstone, surviving tokens' U rows
-    * supersede their D rows, new tokens simply insert; on the ANN side
-    * the D rides the OLD embedding to the old c_id bucket and the U
-    * rides the new one, so a vector that crosses centroids leaves no
-    * stale list entry. Replay-idempotent like [[appendPostingsBatch]]:
-    * a re-run derives byte-identical (key, op, seq) rows that
-    * latest-wins collapses. A table is owned by ONE loop's seq scheme
-    * (this one's or [[indexMaintenanceLoop]]'s plain batchId) — mixing
-    * writers on one table breaks the monotonic-seq contract. */
+    * Seq keying: deletes stamp `seqBase + 2*batchId`, upserts
+    * `seqBase + 2*batchId + 1` — monotonic across batches, and an
+    * UPDATE (its D before-image + U after-image in ONE batch) resolves
+    * exactly: stale tokens (in old text only) keep their tombstone,
+    * surviving tokens' U rows supersede their D rows, new tokens
+    * simply insert; on the ANN side the D rides the OLD embedding to
+    * the old c_id bucket and the U rides the new one, so a vector that
+    * crosses centroids leaves no stale list entry. Replay-idempotent
+    * like [[appendPostingsBatch]]: a re-run derives byte-identical
+    * (key, op, seq) rows that latest-wins collapses.
+    *
+    * `seqBase` is what makes the advertised grow-then-retract
+    * composition safe: [[fullIngestLoop]] and [[indexMaintenanceLoop]]
+    * stamp plain `batchId` seqs, and a churn stream's OWN batch ids
+    * restart at 0 — without a base, its first delete (seq 0) would
+    * LOSE the latest-wins race against any ingest row with a higher
+    * batch id and be silently ignored. [[churnIngestLoop]] therefore
+    * keys its batches above [[ChurnSeqBase]] (2^40), a domain no
+    * realistic ingest batch count reaches; the base is a constant, not
+    * a max(seq) read, so a checkpoint-resumed churn stream re-derives
+    * byte-identical rows. One table still takes ONE writer scheme at a
+    * time (the single-writer contract); the base only orders the
+    * schemes' DOMAINS so grow-then-retract works. */
   def applyChurnBatch(spark: SparkSession, postingsTable: String,
       assignTable: String, centroids: DataFrame,
       embedder: DataFrame => DataFrame, ops: DataFrame, batchId: Long,
-      buckets: Int = 8, doclenTable: Option[String] = None): Unit = {
+      buckets: Int = -1, doclenTable: Option[String] = None,
+      seqBase: Long = 0L): Unit = {
     import graft.functions.{TextFunctions => T}
     import graft.operators.Similarity
     import graft.sources.IndexChurn
@@ -398,9 +440,17 @@ object StreamingBackfill {
           Similarity.assignVectors(embedder(slice), centroids),
           op, seq, Seq("c_id"), buckets)
       }
-    side(ops.filter(col("op") === "D").drop("op"), "D", 2 * batchId)
-    side(ops.filter(col("op") === "U").drop("op"), "U", 2 * batchId + 1)
+    side(ops.filter(col("op") === "D").drop("op"), "D",
+      seqBase + 2 * batchId)
+    side(ops.filter(col("op") === "U").drop("op"), "U",
+      seqBase + 2 * batchId + 1)
   }
+
+  /** The churn loop's seq domain floor: far above any plain-batchId
+    * ingest seq (2^40 microbatches at one per second is ~35k years),
+    * so [[churnIngestLoop]] deletes always supersede
+    * [[fullIngestLoop]]/[[indexMaintenanceLoop]] appends. */
+  val ChurnSeqBase: Long = 1L << 40
 
   /** Streaming index CHURN loop — deletes and updates flowing to the
     * BM25 and ANN serving indexes at ingest latency, completing the
@@ -425,9 +475,10 @@ object StreamingBackfill {
     * idempotence survive the rewrite). */
   def churnIngestLoop(spark: SparkSession, ops: DataFrame,
       postingsTable: String, assignTable: String, centroids: DataFrame,
-      embedder: DataFrame => DataFrame, buckets: Int = 8,
+      embedder: DataFrame => DataFrame, buckets: Int = -1,
       doclenTable: Option[String] = None,
-      compactThreshold: Double = Double.NaN): Unit = {
+      compactThreshold: Double = Double.NaN,
+      seqBase: Long = ChurnSeqBase): Unit = {
     import graft.sources.IndexChurn
     val q = ops.writeStream
       .outputMode("append")
@@ -435,7 +486,8 @@ object StreamingBackfill {
         if (!batch.isEmpty) {
           val s = batch.sparkSession
           applyChurnBatch(s, postingsTable, assignTable,
-            centroids, embedder, batch.toDF(), id, buckets, doclenTable)
+            centroids, embedder, batch.toDF(), id, buckets, doclenTable,
+            seqBase)
           if (!compactThreshold.isNaN) {
             IndexChurn.compactIfNeeded(s, postingsTable,
               Seq("token", "doc_id"), Seq("token"), buckets, compactThreshold)

@@ -117,7 +117,7 @@ class StreamingSpec extends AnyFunSuite {
       // exclusively through the loop's index+store append
       assert(pairsOf(1) == Set((2000L, 1010L)), s"batch 1: ${pairsOf(1)}")
       // and the corpus store accreted both batches
-      assert(spark.read.parquet(s"$corpusDir/documents.parquet").count() ==
+      assert(StreamingBackfill.corpusDocs(spark, corpusDir).count() ==
         corpus.count() + 3)
     } finally spark.sql(s"DROP TABLE IF EXISTS $table")
   }
@@ -454,6 +454,53 @@ class StreamingSpec extends AnyFunSuite {
     }
   }
 
+  test("churn seq domain: a churn batch retracts docs from LATER ingest batches") {
+    import graft.operators.{Retrieval, Similarity}
+    import graft.sources.IndexChurn
+    val postTable = "seqdom_post_t"
+    val assignTable = "seqdom_assign_t"
+    try {
+      // indexes grown by the INGEST scheme (seq = batchId) up to batch 5
+      val posts = Retrieval.postingsTable(spark, sf)
+      IndexChurn.stamp(posts, "U", 5L)
+        .write.mode("overwrite").bucketBy(8, "token").sortBy("token")
+        .saveAsTable(postTable)
+      val emb = Similarity.embeddingsWithNorm(spark, sf)
+      val centroids = Similarity.trainCentroids(spark, sf, iters = 2)
+      IndexChurn.stamp(Similarity.assignVectors(emb, centroids), "U", 5L)
+        .write.mode("overwrite").bucketBy(8, "c_id").sortBy("c_id")
+        .saveAsTable(assignTable)
+      val vic = Tables.load(spark, sf, "documents").orderBy("doc_id")
+        .limit(1).select("doc_id", "text").collect()(0)
+      val (delId, delText) = (vic.getLong(0), vic.getString(1))
+      import spark.implicits._
+      val ops = Seq(("D", delId, delText)).toDF("op", "doc_id", "text")
+      val embedder = (b: org.apache.spark.sql.DataFrame) =>
+        emb.join(b.select(col("doc_id").as("vec_id")), "vec_id")
+      // WITHOUT the domain base, a churn stream's first batch (id 0)
+      // stamps seq 0 < 5: the delete silently loses the latest-wins
+      // race — the failure mode the base exists to prevent
+      StreamingBackfill.applyChurnBatch(spark, postTable, assignTable,
+        centroids, embedder, ops, 0L)
+      assert(IndexChurn.served(spark, postTable, Seq("token", "doc_id"))
+        .filter(col("doc_id") === delId).count() > 0,
+        "expected the un-based delete to be ignored (fixture broken?)")
+      // WITH the churn loop's domain base, the same batch retracts
+      StreamingBackfill.applyChurnBatch(spark, postTable, assignTable,
+        centroids, embedder, ops, 0L,
+        seqBase = StreamingBackfill.ChurnSeqBase)
+      assert(IndexChurn.served(spark, postTable, Seq("token", "doc_id"))
+        .filter(col("doc_id") === delId).count() === 0,
+        "domain-based delete did not retract the postings")
+      assert(IndexChurn.served(spark, assignTable, Seq("c_id", "vec_id"))
+        .filter(col("vec_id") === delId).count() === 0,
+        "domain-based delete did not retract the assignment")
+    } finally {
+      spark.sql(s"DROP TABLE IF EXISTS $postTable")
+      spark.sql(s"DROP TABLE IF EXISTS $assignTable")
+    }
+  }
+
   test("full ingest loop: one stream feeds dedup, corpus store, BM25 and ANN") {
     import java.nio.file.Files
     import graft.operators.{Dedup, Retrieval, Similarity}
@@ -510,7 +557,7 @@ class StreamingSpec extends AnyFunSuite {
         b => emb.join(b.select(col("doc_id").as("vec_id")), "vec_id"), outDir)
       // --- the corpus store accreted every streamed doc, and each batch
       // left its dedup report
-      assert(spark.read.parquet(s"$corpusDir/documents.parquet").count() ===
+      assert(StreamingBackfill.corpusDocs(spark, corpusDir).count() ===
         docs.count())
       assert(new java.io.File(s"$outDir/batch_id=0").exists())
       assert(new java.io.File(s"$outDir/batch_id=1").exists())
@@ -531,6 +578,31 @@ class StreamingSpec extends AnyFunSuite {
       val wantAnn = Similarity.ivfTopKTrained(spark, sf, iters = 2)
         .collect().map(_.toString).toSeq
       assert(gotAnn === wantAnn, "served ANN diverged from batch rebuild")
+      // --- at-least-once replay of the WHOLE stream (fresh query, batch
+      // ids restart at 0, same file order): the corpus store rewrites
+      // its batch subdirs, the band append is marker-skipped, and the
+      // seq-keyed postings/assignment appends collapse — nothing doubles
+      val corpusN = StreamingBackfill.corpusDocs(spark, corpusDir).count()
+      val bandN = spark.table(bandTable).count()
+      val servedPostN = IndexChurn
+        .served(spark, postTable, Seq("token", "doc_id")).count()
+      val stream2 = spark.readStream.schema(Tables.documentsSchema)
+        .option("maxFilesPerTrigger", "1")
+        .option("recursiveFileLookup", "true")
+        .parquet(streamDir)
+      StreamingBackfill.fullIngestLoop(spark, stream2, corpusDir, bandTable,
+        postTable, assignTable, centroids,
+        b => emb.join(b.select(col("doc_id").as("vec_id")), "vec_id"), outDir)
+      assert(StreamingBackfill.corpusDocs(spark, corpusDir).count() === corpusN,
+        "replayed stream grew the corpus store")
+      assert(spark.table(bandTable).count() === bandN,
+        "replayed stream re-appended band rows past the marker guard")
+      assert(IndexChurn.served(spark, postTable, Seq("token", "doc_id"))
+        .count() === servedPostN, "replayed stream changed the served postings")
+      assert(Similarity.servedTopK(spark, sf,
+          IndexChurn.served(spark, assignTable, Seq("vec_id")), iters = 2)
+        .collect().map(_.toString).toSeq === wantAnn,
+        "replayed stream changed the served ANN")
     } finally {
       spark.sql(s"DROP TABLE IF EXISTS $bandTable")
       spark.sql(s"DROP TABLE IF EXISTS $postTable")
