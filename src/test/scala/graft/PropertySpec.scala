@@ -235,6 +235,52 @@ class PropertySpec extends AnyFunSuite {
     }
   }
 
+  test("churn history: serve equals the reference fold under random ops + compactions") {
+    import spark.implicits._
+    import graft.sources.IndexChurn
+    // a history = batches of (op, key set, tf, compact-after?); keys are
+    // (token, doc_id) over a small space so updates, deletes of absent
+    // keys, re-inserts after delete, and tombstone pile-ups all occur.
+    // The reference is a plain Scala map fold — the serve view must
+    // match it after EVERY batch, with compaction (either detection
+    // mode) interleaved at random points as a semantic no-op.
+    val keyGen = Gen.zip(Gen.oneOf("ka", "kb", "kc", "kd"),
+      Gen.chooseNum(1L, 4L))
+    val batchGen = Gen.zip(Gen.oneOf("U", "D"),
+      Gen.nonEmptyListOf(keyGen).map(_.distinct.take(5)),
+      Gen.oneOf(true, false), Gen.chooseNum(2L, 9L))
+    forSamples(Gen.listOfN(5, batchGen), 3) { hist =>
+      val table = "churn_prop_t"
+      spark.sql(s"DROP TABLE IF EXISTS $table")
+      try {
+        val allKeys = for { t <- Seq("ka", "kb", "kc", "kd"); d <- 1L to 4L }
+          yield (t, d, 1L)
+        IndexChurn.stamp(allKeys.toDF("token", "doc_id", "tf"), "U", 0L)
+          .write.mode("overwrite").bucketBy(4, "token").sortBy("token")
+          .saveAsTable(table)
+        var ref = allKeys.map { case (t, d, v) => (t, d) -> v }.toMap
+        var seq = 0L
+        hist.foreach { case (op, keys, doCompact, tfv) =>
+          seq += 1
+          IndexChurn.append(spark, table,
+            keys.map { case (t, d) => (t, d, tfv) }.toDF("token", "doc_id", "tf"),
+            op, seq, Seq("token"), 4)
+          ref = if (op == "D") ref -- keys
+                else ref ++ keys.map { case (t, d) => (t, d) -> tfv }
+          if (doCompact)
+            IndexChurn.compact(spark, table, Seq("token", "doc_id"),
+              Seq("token"), 4,
+              tombstonesOnly = scala.util.Random.nextBoolean())
+          val got = IndexChurn.served(spark, table, Seq("token", "doc_id"))
+            .collect().map(r => (r.getString(0), r.getLong(1)) -> r.getLong(2))
+            .toMap
+          assert(got === ref,
+            s"serve diverged from the fold at seq $seq (op=$op keys=$keys)")
+        }
+      } finally spark.sql(s"DROP TABLE IF EXISTS $table")
+    }
+  }
+
   test("phrase kernel == brute shingle count on random corpora") {
     import spark.implicits._
     // tiny vocab so phrases genuinely repeat and overlap (the repeated-
