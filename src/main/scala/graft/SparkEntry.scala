@@ -94,6 +94,7 @@ object SparkEntry {
     "semantic_neardup"   -> ((s: SparkSession, d: String) => Similarity.semanticNearDupPairs(s, d)),
     "semantic_neardup_maintained" -> ((s: SparkSession, d: String) => Similarity.semanticNearDupMaintained(s, d)),
     "semantic_dedup_keep" -> ((s: SparkSession, d: String) => Similarity.semanticDedupKeep(s, d)),
+    "semantic_dedup_incremental" -> ((s: SparkSession, d: String) => Similarity.semanticScreenBatch(s, d)),
     // §2.9 E5 text analysis
     "text_langid"        -> (TextAnalysis.langId _),
     "text_quality"       -> (TextAnalysis.quality _),
@@ -1978,6 +1979,28 @@ object SparkEntry {
          SELECT e.vec_id, e.label FROM embeddings e
          LEFT JOIN dropped d ON e.vec_id = d.vec_b
          WHERE d.vec_b IS NULL ORDER BY e.vec_id""",
+    // at-ingest screening: the % 10 batch probes its nprobe centroid
+    // lists in the persisted assignment; rejected iff an EXISTING
+    // corpus vector sits above the threshold (intra-batch pairs are
+    // out of scope by design — admission is arrival-order-free)
+    "semantic_dedup_incremental" ->
+      s"""WITH ${dIvfAssignCtes(iters = 2)},
+         probes AS (
+           SELECT q_id, q_v, q_nrm, c_id FROM (
+             SELECT q.vec_id AS q_id, q.v AS q_v, q.nrm AS q_nrm, c.c_id,
+                    row_number() OVER (PARTITION BY q.vec_id
+                      ORDER BY list_dot_product(q.v, c.c_v) / (q.nrm * c.c_nrm)
+                        DESC, c.c_id) AS crk
+             FROM emb0 q CROSS JOIN cent2 c WHERE q.vec_id % 10 = 0)
+           WHERE crk <= 8),
+         rej AS (
+           SELECT DISTINCT p.q_id AS vec_id
+           FROM af a JOIN probes p USING (c_id)
+           WHERE a.vec_id % 10 <> 0
+             AND list_dot_product(p.q_v, a.v) / (p.q_nrm * a.nrm) >= 0.40)
+         SELECT e.vec_id, e.label, r.vec_id IS NULL AS admitted
+         FROM embeddings e LEFT JOIN rej r ON e.vec_id = r.vec_id
+         WHERE e.vec_id % 10 = 0 ORDER BY e.vec_id""",
     "embedding_buckets" ->
       s"""WITH $dEmbBucketCtes
          SELECT vec_id, bucket FROM bkt ORDER BY vec_id""",

@@ -426,4 +426,77 @@ object Similarity {
         col("nrm").as("q_nrm"))
     probeTopK(corpus, batch, centroids, k, nprobe)
   }
+
+  /** Harness query `semantic_dedup_incremental`: AT-INGEST semantic
+    * screening — the incremental form of SemDeDup, completing the same
+    * scan/maintained/incremental family BM25 and top-k ANN already
+    * have. A NEW vector batch (the `vec_id % mod == 0` slice plays the
+    * arrivals) is screened against the EXISTING corpus by probing each
+    * new vector's `nprobe` nearest centroid lists in the PERSISTED
+    * [[assignmentTable]]: a vector is rejected iff some existing corpus
+    * vector in a probed list sits at cosine >= threshold — it adds no
+    * semantic information the corpus lacks. Per-batch cost is
+    * O(batch·C) for the probe ranking (C fixed at 64, so linear in the
+    * batch — the same constant the batch's own index append already
+    * pays) plus the probed inverted lists; nothing rescans or
+    * re-assigns the corpus, and the probes→corpus join is AQE-decided
+    * because the batch, unlike the bounded 8-query serving set, is
+    * arbitrarily large — a forced broadcast here is the r5 BM25 OOM
+    * shape. Intra-batch duplicates are deliberately NOT screened:
+    * admission must not depend on arrival order within a batch;
+    * admitted vectors join the index via the maintained append and the
+    * NEXT batch probes them. Output is the full batch with its
+    * admission verdict — the shape an ingest gate consumes. */
+  def semanticScreenBatch(spark: SparkSession, dir: String,
+      threshold: Double = 0.40, nprobe: Int = 8, iters: Int = 2,
+      mod: Int = 10): DataFrame = {
+    val verdicts = semanticScreenFrom(
+      emb(spark, dir).filter(col("vec_id") % mod === 0),
+      assignmentTable(spark, dir, iters).filter(col("vec_id") % mod =!= 0),
+      trainCentroids(spark, dir, iters = iters), threshold, nprobe)
+    Tables.load(spark, dir, "embeddings").select("vec_id", "label")
+      .join(verdicts, "vec_id")
+      .select("vec_id", "label", "admitted")
+      .orderBy("vec_id")
+  }
+
+  /** The screening kernel over EXPLICIT frames — `batch` is any
+    * (vec_id, v, nrm) arrival set, `assignment` any corpus assignment
+    * source under the SAME centroids (the memo, the maintained bucketed
+    * index, a streaming churn serve view). Returns every batch vector
+    * with its verdict: `admitted = false` iff some corpus vector in the
+    * batch vector's `nprobe` probed lists sits at cosine >= threshold.
+    * Public so the streaming ingest loop screens each microbatch
+    * against the live index through the same definition the harness
+    * row gates. */
+  def semanticScreenFrom(batch: DataFrame, assignment: DataFrame,
+      centroids: DataFrame, threshold: Double = 0.40,
+      nprobe: Int = 8): DataFrame = {
+    val q = batch.select(col("vec_id").as("q_id"), col("v").as("q_v"),
+      col("nrm").as("q_nrm"))
+    val wProbe = Window.partitionBy("q_id")
+      .orderBy(col("c_cos").desc, col("c_id"))
+    val probes = q.crossJoin(broadcast(centroids))
+      .select(col("q_id"), col("q_v"), col("q_nrm"), col("c_id"),
+        (V.dot(col("q_v"), col("c_v")) / (col("q_nrm") * col("c_nrm")))
+          .as("c_cos"))
+      .withColumn("crk", row_number().over(wProbe))
+      .filter(col("crk") <= nprobe)
+      .select(col("q_id"), col("q_v"), col("q_nrm"), col("c_id"))
+    // vec_id != q_id mirrors probeTopK: under at-least-once replay the
+    // index already holds the batch's own first-run append, and a
+    // vector must not be rejected for matching ITSELF
+    val rejected = assignment
+      .select(col("c_id"), col("vec_id"), col("v"), col("nrm"))
+      .join(probes, "c_id")
+      .filter(col("vec_id") =!= col("q_id"))
+      .filter(V.dot(col("q_v"), col("v")) / (col("q_nrm") * col("nrm"))
+        >= threshold)
+      .select(col("q_id").as("vec_id")).distinct()
+      .withColumn("rejected", lit(true))
+    batch.select("vec_id")
+      .join(rejected, Seq("vec_id"), "left")
+      .select(col("vec_id"),
+        (!coalesce(col("rejected"), lit(false))).as("admitted"))
+  }
 }

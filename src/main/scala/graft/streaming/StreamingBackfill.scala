@@ -331,7 +331,14 @@ object StreamingBackfill {
     *     idempotent);
     *  4. the batch's embeddings (via the `embedder` seam — the
     *     embedding model in production, a table lookup in the harness)
-    *     assigned against FROZEN centroids at O(batch·C) and appended
+    *     SEMANTICALLY SCREENED against the assignment index's CURRENT
+    *     serve view ([[graft.operators.Similarity.semanticScreenFrom]]
+    *     — the incremental SemDeDup gate, probing nprobe centroid
+    *     lists of the pre-batch corpus; verdicts land in a batch-keyed
+    *     report dir, report-then-append like step 1, so replay
+    *     overwrites rather than doubles and admission is
+    *     arrival-order-free within the batch), then
+    *  5. assigned against FROZEN centroids at O(batch·C) and appended
     *     into the churn-schema ANN assignment index under the same
     *     batchId keying.
     *
@@ -344,7 +351,8 @@ object StreamingBackfill {
       corpusDir: String, bandIndexTable: String, postingsIndexTable: String,
       assignIndexTable: String, centroids: DataFrame,
       embedder: DataFrame => DataFrame, outDir: String,
-      threshold: Double = 0.5, buckets: Int = 8): Unit = {
+      threshold: Double = 0.5, buckets: Int = 8,
+      simThreshold: Double = 0.40): Unit = {
     import graft.operators.{Dedup, Memo, Similarity}
     import graft.sources.{Bucketing, IndexChurn}
     val q = newDocs.writeStream
@@ -363,8 +371,17 @@ object StreamingBackfill {
             .write.mode("overwrite").parquet(s"$outDir/batch_id=$id")
           growCorpus(s, corpusDir, bandIndexTable, docs, bands, id)
           appendPostingsBatch(s, postingsIndexTable, docs, id, buckets)
+          val vecs = embedder(docs)
+          // REFRESH first: the index pre-dates this stream (another
+          // session built it), and the clone session's relation cache
+          // would otherwise miss its files — see IndexChurn.compact
+          s.sql(s"REFRESH TABLE $assignIndexTable")
+          Similarity.semanticScreenFrom(vecs,
+              IndexChurn.served(s, assignIndexTable, Seq("c_id", "vec_id")),
+              centroids, simThreshold)
+            .write.mode("overwrite").parquet(s"$outDir/semscreen/batch_id=$id")
           IndexChurn.append(s, assignIndexTable,
-            Similarity.assignVectors(embedder(docs), centroids),
+            Similarity.assignVectors(vecs, centroids),
             "U", id, Seq("c_id"), buckets)
         }
       }

@@ -194,4 +194,31 @@ class SimilaritySpec extends AnyFunSuite {
     val mean = recalls.sum / recalls.size
     assert(mean >= 0.5, s"mean recall $mean")
   }
+
+  test("at-ingest semantic screen agrees with the incremental probe") {
+    val threshold = 0.40
+    val screen = Similarity.semanticScreenBatch(spark, sf, threshold)
+    // the corpus side must be the persisted assignment memo — a screen
+    // that re-assigns the corpus per batch re-pays O(n·C) every ingest
+    val plan = screen.queryExecution.executedPlan.toString
+    assert(plan.contains("graft-memo-ivf_assign_2"),
+      s"screen does not read the persisted assignment:\n$plan")
+    val verdicts = screen.collect()
+      .map(r => r.getAs[Long]("vec_id") -> r.getAs[Boolean]("admitted")).toMap
+    // the whole batch gets a verdict, nobody outside the batch does
+    val batchIds = Similarity.embeddingsWithNorm(spark, sf)
+      .filter(org.apache.spark.sql.functions.col("vec_id") % 10 === 0)
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    assert(verdicts.keySet === batchIds)
+    // screen and incrementalTopK share the exact same probe set, so
+    // rejected ⇔ the best incremental neighbor clears the threshold
+    // (cross-checked against the independently-shaped top-k operator)
+    val best = Similarity.incrementalTopK(spark, sf, k = 1).collect()
+      .map(r => r.getAs[Long]("q_id") -> r.getAs[Double]("cos")).toMap
+    verdicts.foreach { case (id, admitted) =>
+      val hit = best.get(id).exists(_ >= threshold)
+      assert(admitted === !hit,
+        s"vec $id admitted=$admitted but best probed cos=${best.get(id)}")
+    }
+  }
 }

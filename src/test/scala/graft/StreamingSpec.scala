@@ -561,6 +561,30 @@ class StreamingSpec extends AnyFunSuite {
         docs.count())
       assert(new java.io.File(s"$outDir/batch_id=0").exists())
       assert(new java.io.File(s"$outDir/batch_id=1").exists())
+      // --- each batch's semantic-screen verdicts equal a batch-mode
+      // recompute against the PRE-batch assignment (report-then-append:
+      // batch 0 screens against the base index, batch 1 against
+      // base + batch 0) — the kernel the harness row gates, fed the
+      // exact corpus state the loop's serve view exposed
+      def verdictsAt(id: Int): Map[Long, Boolean] =
+        spark.read.parquet(s"$outDir/semscreen/batch_id=$id")
+          .collect().map(r => r.getLong(0) -> r.getBoolean(1)).toMap
+      def screenOf(ids: org.apache.spark.sql.DataFrame,
+          corpusAssign: org.apache.spark.sql.DataFrame): Map[Long, Boolean] =
+        Similarity.semanticScreenFrom(emb.join(ids, "vec_id"),
+            corpusAssign, centroids)
+          .collect().map(r => r.getLong(0) -> r.getBoolean(1)).toMap
+      val baseAssign = Similarity.assignVectors(
+        emb.join(streamedIds, Seq("vec_id"), "left_anti"), centroids)
+      val b1Ids = incoming.filter(col("doc_id") % 20 === 0)
+        .select(col("doc_id").as("vec_id"))
+      val b2Ids = incoming.filter(col("doc_id") % 20 =!= 0)
+        .select(col("doc_id").as("vec_id"))
+      val want0 = screenOf(b1Ids, baseAssign)
+      val want1 = screenOf(b2Ids, baseAssign.unionByName(
+        Similarity.assignVectors(emb.join(b1Ids, "vec_id"), centroids)))
+      assert(verdictsAt(0) === want0, "batch-0 screen diverged")
+      assert(verdictsAt(1) === want1, "batch-1 screen diverged")
       // --- BM25 served from the maintained churn index == the batch
       // full-scan twin over the whole corpus
       val servedTf = IndexChurn.served(spark, postTable, Seq("token", "doc_id"))
@@ -603,6 +627,13 @@ class StreamingSpec extends AnyFunSuite {
           IndexChurn.served(spark, assignTable, Seq("vec_id")), iters = 2)
         .collect().map(_.toString).toSeq === wantAnn,
         "replayed stream changed the served ANN")
+      // replayed screen reports overwrite batch-keyed: the replayed
+      // batch sees MORE corpus (its own first run's append), but the
+      // verdict for every vector is derived fresh — the report dirs
+      // must still exist and cover the same vectors
+      assert(verdictsAt(0).keySet === want0.keySet &&
+        verdictsAt(1).keySet === want1.keySet,
+        "replayed screen reports lost or gained vectors")
     } finally {
       spark.sql(s"DROP TABLE IF EXISTS $bandTable")
       spark.sql(s"DROP TABLE IF EXISTS $postTable")
