@@ -114,6 +114,7 @@ object SparkEntry {
     "phrase_salted"      -> ((s: SparkSession, d: String) => Retrieval.phraseSalted(s, d)),
     "sim_topk_retrained" -> ((s: SparkSession, d: String) => Similarity.retrainedTopK(s, d)),
     "bm25_batch"         -> ((s: SparkSession, d: String) => Retrieval.bm25Batch(s, d)),
+    "hybrid_search"      -> ((s: SparkSession, d: String) => Retrieval.hybridSearch(s, d)),
     "phrase_search"      -> ((s: SparkSession, d: String) => Retrieval.phraseSearch(s, d)),
     "phrase_from_index"  -> ((s: SparkSession, d: String) => Retrieval.phraseFromIndex(s, d)),
     "phrase3_from_index" -> ((s: SparkSession, d: String) =>
@@ -487,6 +488,74 @@ object SparkEntry {
        FROM per ORDER BY score DESC, doc_id LIMIT 20"""
 
   private val dBm25Sql: String = dBm25SqlFor()
+
+  /** Hybrid RRF fusion: the batched-BM25 chain and the IVF probe chain
+    * (both verbatim from their own oracles — CTE names are disjoint),
+    * candidate pools unioned, 1/(60+rank) summed per (query, doc). The
+    * query id doubles as the query vector's vec_id, mirroring the Spark
+    * side's encoder stand-in. */
+  private val dHybridSql: String = {
+    val batch = graft.operators.Retrieval.QueryBatch
+    val values = batch
+      .flatMap { case (q, ts) => ts.map(t => s"($q::BIGINT, '$t')") }
+      .mkString(", ")
+    val terms = batch.flatMap(_._2).distinct.map(t => s"'$t'").mkString(", ")
+    val qids = batch.map(_._1).mkString(", ")
+    s"""WITH toks AS (SELECT doc_id, $dToks AS ts FROM documents),
+       tok AS (SELECT doc_id, unnest(ts) AS token FROM toks),
+       dl AS (SELECT doc_id, count(*) AS dl FROM tok GROUP BY 1),
+       stats AS (SELECT (SELECT count(*) FROM documents) AS n_docs,
+                        (SELECT avg(dl) FROM dl) AS avgdl),
+       q(query_id, token) AS (VALUES $values),
+       tf AS (SELECT doc_id, token, count(*) AS tf FROM tok
+              WHERE token IN ($terms) GROUP BY 1, 2),
+       dfreq AS (SELECT token, count(*) AS df FROM tf GROUP BY 1),
+       per AS (SELECT q.query_id, tf.doc_id, count(*) AS n_terms,
+                      sum(round(
+                        ln((n_docs - df + 0.5) / (df + 0.5) + 1.0) *
+                        (tf * (1.2 + 1.0)) /
+                        (tf + 1.2 * (1.0 - 0.75 + 0.75 * dl / avgdl)),
+                        8)) AS s
+               FROM tf JOIN q USING (token) JOIN dfreq USING (token)
+               JOIN dl USING (doc_id) CROSS JOIN stats
+               GROUP BY 1, 2),
+       lexr AS (SELECT query_id, doc_id,
+                       CAST(row_number() OVER (PARTITION BY query_id
+                         ORDER BY round(s, 6) DESC, doc_id) AS BIGINT) AS rk
+                FROM per),
+       ${dIvfAssignCtes(iters = 2)},
+       probes AS (
+         SELECT q_id, q_v, q_nrm, c_id FROM (
+           SELECT qe.vec_id AS q_id, qe.v AS q_v, qe.nrm AS q_nrm, c.c_id,
+                  row_number() OVER (PARTITION BY qe.vec_id
+                    ORDER BY list_dot_product(qe.v, c.c_v) / (qe.nrm * c.c_nrm)
+                      DESC, c.c_id) AS crk
+           FROM emb0 qe CROSS JOIN cent2 c WHERE qe.vec_id IN ($qids))
+         WHERE crk <= 8),
+       semscan AS (
+         SELECT p.q_id, a.vec_id,
+                list_dot_product(p.q_v, a.v) / (p.q_nrm * a.nrm) AS cos
+         FROM af a JOIN probes p USING (c_id)
+         WHERE a.vec_id <> p.q_id),
+       semr AS (
+         SELECT q_id, vec_id,
+                CAST(row_number() OVER (PARTITION BY q_id
+                  ORDER BY cos DESC, vec_id) AS BIGINT) AS rk
+         FROM semscan),
+       fused AS (
+         SELECT query_id, doc_id, sum(1.0 / (60 + rk)) AS rrf FROM (
+           SELECT query_id, doc_id, rk FROM lexr WHERE rk <= 20
+           UNION ALL
+           SELECT q_id AS query_id, vec_id AS doc_id, rk FROM semr
+           WHERE rk <= 20) u
+         GROUP BY 1, 2),
+       fr AS (SELECT query_id, doc_id, rrf,
+                     CAST(row_number() OVER (PARTITION BY query_id
+                       ORDER BY rrf DESC, doc_id) AS BIGINT) AS rk
+              FROM fused)
+     SELECT query_id, rk, doc_id, round(rrf, 6) AS rrf
+     FROM fr WHERE rk <= 10 ORDER BY query_id, rk"""
+  }
 
   /** Batched BM25: the query batch is generated from the SAME
     * [[graft.operators.Retrieval.QueryBatch]] the Spark side uses, so
@@ -1685,6 +1754,7 @@ object SparkEntry {
     "phrase_salted" -> dPhraseSql,
     "sim_topk_retrained" -> dIvfSql(iters = 3),
     "bm25_batch" -> dBm25BatchSql,
+    "hybrid_search" -> dHybridSql,
     "phrase_from_index" -> dPhraseSql,
     "phrase_index_maintained" -> dPhraseSql,
     "phrase_index_churn" -> dPhraseSqlFor(dChurnWhere),

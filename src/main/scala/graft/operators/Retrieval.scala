@@ -429,4 +429,44 @@ object Retrieval {
       .orderBy(col("n_occurrences").desc, col("doc_id"))
       .limit(topK)
   }
+
+  /** Harness query `hybrid_search`: lexical+semantic retrieval fused by
+    * reciprocal-rank fusion (Cormack, Clarke & Büttcher 2009,
+    * "Reciprocal rank fusion outperforms Condorcet and individual rank
+    * learning methods") — the RAG serving shape that tops off the
+    * retrieval family. Each query in [[QueryBatch]] runs BOTH serving
+    * paths: BM25 over the materialized postings memo ([[bm25Batch]] —
+    * one pushed IN probe for the whole batch) and cosine top-k over the
+    * persisted IVF assignment
+    * ([[graft.operators.Similarity.probedTopKForIds]] — the query id
+    * doubles as the query vector's id, the harness stand-in for an
+    * encoder); a doc's fused score is Σ 1/(rrfC + rank) over the sides
+    * that returned it. Fusion touches only the two candidate pools
+    * (2·poolK rows per query — aggregate-sized however big the corpus),
+    * so the whole query costs what its two index probes cost: at
+    * 100 TB both sides remain O(matching postings) / O(probed lists),
+    * and the fusion groupBy never sees corpus-sized data. Ranks fuse at
+    * most TWO addends per (query, doc), so the double sum is
+    * order-independent (IEEE addition is commutative; associativity
+    * never enters), making the score hash-stable across engines. */
+  def hybridSearch(spark: SparkSession, dir: String, k: Int = 10,
+      poolK: Int = 20, rrfC: Int = 60, nprobe: Int = 8,
+      iters: Int = 2): DataFrame = {
+    val lex = bm25Batch(spark, dir, QueryBatch, poolK)
+      .select(col("query_id"), col("doc_id"), col("rk"))
+    val sem = Similarity
+      .probedTopKForIds(spark, dir, QueryBatch.map(_._1), poolK, nprobe, iters)
+      .select(col("q_id").as("query_id"), col("vec_id").as("doc_id"),
+        col("rk"))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("rrf").desc, col("doc_id"))
+    lex.unionByName(sem)
+      .groupBy("query_id", "doc_id")
+      .agg(sum(lit(1.0) / (lit(rrfC) + col("rk"))).as("rrf"))
+      .withColumn("rk", row_number().over(w).cast("long"))
+      .filter(col("rk") <= k)
+      .select(col("query_id"), col("rk"), col("doc_id"),
+        round(col("rrf"), 6).as("rrf"))
+      .orderBy("query_id", "rk")
+  }
 }

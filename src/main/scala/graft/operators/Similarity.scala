@@ -460,6 +460,21 @@ object Similarity {
       .orderBy("vec_id")
   }
 
+  /** Top-k IVF probe for an EXPLICIT query-id set against the
+    * persisted assignment memo — the semantic half of
+    * [[graft.operators.Retrieval.hybridSearch]]: the fusion operator
+    * picks which ids query, everything else is the standard
+    * [[maintainedTopK]] probe tail (frozen centroids, nprobe inverted
+    * lists, per-query window). */
+  def probedTopKForIds(spark: SparkSession, dir: String, qIds: Seq[Long],
+      k: Int = 10, nprobe: Int = 8, iters: Int = 2): DataFrame = {
+    val queries = emb(spark, dir).filter(col("vec_id").isin(qIds: _*))
+      .select(col("vec_id").as("q_id"), col("v").as("q_v"),
+        col("nrm").as("q_nrm"))
+    probeTopK(assignmentTable(spark, dir, iters), queries,
+      trainCentroids(spark, dir, iters = iters), k, nprobe)
+  }
+
   /** The screening kernel over EXPLICIT frames — `batch` is any
     * (vec_id, v, nrm) arrival set, `assignment` any corpus assignment
     * source under the SAME centroids (the memo, the maintained bucketed

@@ -88,6 +88,18 @@ class PlanSpec extends AnyFunSuite {
       s"per-query corpus scan leaked into the index-served path:\n$p")
   }
 
+  test("hybrid_search fuses two index probes, never documents") {
+    val p = planOf("hybrid_search")
+    // lexical side: the postings memo; semantic side: the assignment
+    // memo; the only raw-table scan is embeddings for the 3 query
+    // vectors (the encoder stand-in) — the corpus is never tokenized
+    // or re-assigned per query
+    assert(p.contains("graft-memo-postings"), p)
+    assert(p.contains("graft-memo-ivf_assign"), p)
+    assert(!p.contains("documents"),
+      s"per-query corpus scan leaked into the fused path:\n$p")
+  }
+
   test("phrase_from_index serves from the positional memo, never documents") {
     val p = planOf("phrase_from_index")
     assert(p.contains("graft-memo-positional"), p)

