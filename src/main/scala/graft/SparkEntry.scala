@@ -91,6 +91,9 @@ object SparkEntry {
     "sim_topk_incremental" -> ((s: SparkSession, d: String) => Similarity.incrementalTopK(s, d)),
     "sim_topk_maintained" -> ((s: SparkSession, d: String) => Similarity.maintainedTopK(s, d)),
     "sim_topk_churn"     -> ((s: SparkSession, d: String) => Similarity.churnedTopK(s, d)),
+    "pq_codes"           -> ((s: SparkSession, d: String) => Quantize.pqCodes(s, d)),
+    "sim_topk_pq"        -> ((s: SparkSession, d: String) => Quantize.pqTopK(s, d)),
+    "sim_topk_pq_rerank" -> ((s: SparkSession, d: String) => Quantize.pqTopKRerank(s, d)),
     "semantic_neardup"   -> ((s: SparkSession, d: String) => Similarity.semanticNearDupPairs(s, d)),
     "semantic_neardup_maintained" -> ((s: SparkSession, d: String) => Similarity.semanticNearDupMaintained(s, d)),
     "semantic_dedup_keep" -> ((s: SparkSession, d: String) => Similarity.semanticDedupKeep(s, d)),
@@ -398,6 +401,80 @@ object SparkEntry {
            WHERE a.vec_id < b.vec_id)
          SELECT vec_a, vec_b, round(cos, 6) AS cos
          FROM pairs WHERE cos >= 0.40 ORDER BY vec_a, vec_b"""
+
+  /** Product-quantization CTE chain: subvector slices, Lloyd-trained
+    * per-subspace codebooks (decimal-exact means — the IVF pattern with
+    * a `sub` grouping column), and the final nearest-entry encoding.
+    * Ends at `pqcodes` (vec_id, sub, code); `pqcb2` is the trained
+    * codebook. Argmin L2 ranks by 2·sv·cv − cv·cv DESC (sv·sv constant
+    * per group), tie to the smallest c_id — exactly the Spark side's
+    * argmax struct. */
+  private val dPqCtes: String = {
+    val m = graft.operators.Quantize.M
+    val ksub = graft.operators.Quantize.Ksub
+    val sd = graft.operators.Quantize.SubDim
+    def assign(cb: String, name: String) =
+      s"""$name AS (
+           SELECT vec_id, sub, sv, c_id AS code FROM (
+             SELECT s.vec_id, s.sub, s.sv, c.c_id,
+                    row_number() OVER (PARTITION BY s.vec_id, s.sub
+                      ORDER BY 2 * list_dot_product(s.sv, c.cv) -
+                        list_dot_product(c.cv, c.cv) DESC, c.c_id) AS rk
+             FROM pqsubs s JOIN $cb c USING (sub))
+           WHERE rk = 1)"""
+    def update(assigned: String, name: String) =
+      s"""${name}_m AS (
+           SELECT sub, code AS c_id, i AS pos,
+                  CAST(sum(CAST(sv[i] AS DECIMAL(38,18))) AS DOUBLE)
+                    / count(*) AS m
+           FROM $assigned, range(1, ${sd + 1}) t(i)
+           GROUP BY sub, code, i),
+         $name AS (
+           SELECT sub, c_id, list(m ORDER BY pos) AS cv
+           FROM ${name}_m GROUP BY sub, c_id)"""
+    s"""pqemb AS (
+           SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+                  sqrt(list_dot_product(CAST(embedding AS DOUBLE[]),
+                    CAST(embedding AS DOUBLE[]))) AS nrm
+           FROM embeddings),
+         pqsubs AS (
+           SELECT vec_id, sub, v[sub * $sd + 1 : sub * $sd + $sd] AS sv
+           FROM pqemb, range(0, $m) s(sub)),
+         pqcb0 AS (SELECT sub, vec_id AS c_id, sv AS cv
+                   FROM pqsubs WHERE vec_id < $ksub),
+         ${assign("pqcb0", "pqa1")},
+         ${update("pqa1", "pqcb1")},
+         ${assign("pqcb1", "pqa2")},
+         ${update("pqa2", "pqcb2")},
+         ${assign("pqcb2", "pqcodes")}"""
+  }
+
+  /** [[dPqCtes]] extended with the ADC scan: per-query lookup tables,
+    * decimal-exact M-addend sums, approximate-cosine ranking. Ends at
+    * `pqranked` (q_id, vec_id, cos, rk — unfiltered). */
+  private val dPqAdcCtes: String =
+    s"""$dPqCtes,
+         pqq AS (SELECT vec_id AS q_id, sub, sv AS qsv
+                 FROM pqsubs WHERE vec_id < 8),
+         pqlut AS (
+           SELECT q.q_id, c.sub, c.c_id AS code,
+                  round(list_dot_product(q.qsv, c.cv), 10) AS ip
+           FROM pqq q JOIN pqcb2 c USING (sub)),
+         pqadc AS (
+           SELECT l.q_id, cd.vec_id,
+                  CAST(sum(CAST(l.ip AS DECIMAL(38,18))) AS DOUBLE) AS ips
+           FROM pqcodes cd
+           JOIN pqlut l ON cd.sub = l.sub AND cd.code = l.code
+           WHERE cd.vec_id <> l.q_id
+           GROUP BY 1, 2),
+         pqranked AS (
+           SELECT a.q_id, a.vec_id, a.ips / (qn.nrm * n.nrm) AS cos,
+                  CAST(row_number() OVER (PARTITION BY a.q_id
+                    ORDER BY a.ips / (qn.nrm * n.nrm) DESC, a.vec_id)
+                    AS BIGINT) AS rk
+           FROM pqadc a
+           JOIN pqemb n ON a.vec_id = n.vec_id
+           JOIN pqemb qn ON a.q_id = qn.vec_id)"""
 
   /** Argmax language CASE with the Spark fold's tie order (de,en,es,fr,zh). */
   private val dLangIdSql: String = {
@@ -2032,6 +2109,36 @@ object SparkEntry {
     // in a top-k, so the oracle's scan simply excludes them
     "sim_topk_churn" -> dIvfSql(iters = 2,
       corpusPred = "a.vec_id % 10 <> 0"),
+    // the PQ encoding: per-subspace Lloyd + nearest-entry codes must be
+    // engine-identical before any ranking sits on top
+    "pq_codes" ->
+      s"""WITH $dPqCtes
+         SELECT vec_id, sub, code FROM pqcodes ORDER BY vec_id, sub""",
+    // ADC: per-query lookup tables (rounded), M-addend sums through
+    // DECIMAL(38,18) so the fold is exact and order-independent on both
+    // engines, divided by the true norms
+    "sim_topk_pq" ->
+      s"""WITH $dPqAdcCtes
+       SELECT q_id, rk, vec_id, round(cos, 6) AS cos
+       FROM pqranked WHERE rk <= 10 ORDER BY q_id, rk""",
+    // the production recipe: the ADC shortlist (rk <= 50) re-ranked by
+    // EXACT cosine over the fetched true vectors
+    "sim_topk_pq_rerank" ->
+      s"""WITH $dPqAdcCtes,
+         pqrr AS (
+           SELECT p.q_id, p.vec_id,
+                  list_dot_product(qe.v, e.v) / (qe.nrm * e.nrm) AS cos
+           FROM pqranked p
+           JOIN pqemb e ON p.vec_id = e.vec_id
+           JOIN pqemb qe ON p.q_id = qe.vec_id
+           WHERE p.rk <= 50),
+         pqrr2 AS (
+           SELECT q_id, vec_id, cos,
+                  CAST(row_number() OVER (PARTITION BY q_id
+                    ORDER BY cos DESC, vec_id) AS BIGINT) AS rk
+           FROM pqrr)
+       SELECT q_id, rk, vec_id, round(cos, 6) AS cos
+       FROM pqrr2 WHERE rk <= 10 ORDER BY q_id, rk""",
     // SemDeDup over the IVF clustering: same Lloyd chain as the ANN
     // oracles, then per-cluster pairwise cosine above the threshold
     "semantic_neardup" -> dSemanticPairsSql,

@@ -1,7 +1,8 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
 import graft.Tables
 import graft.functions.{Vectors => V}
 
@@ -11,8 +12,171 @@ import graft.functions.{Vectors => V}
   * every lambda references only its own element and row-level scalars).
   * Emits the per-vector scale, a quantized sample, and the max absolute
   * reconstruction error — oracle-checked against DuckDB list math.
+  *
+  * Plus PRODUCT QUANTIZATION (Jégou, Douze & Schmid 2011, "Product
+  * quantization for nearest neighbor search") — the memory half of the
+  * 100 TB ANN story the IVF family leaves open: a 64-dim float vector
+  * (512 B as doubles, 256 B as floats) compresses to M=8 one-byte
+  * codes + one norm, so the ADC scan in [[pqTopK]] reads ~20 B per
+  * vector — the difference between an embedding index that fits in
+  * cluster memory and one that doesn't. Per-subspace codebooks are
+  * Lloyd-trained with the same decimal-exact means as the IVF
+  * centroids (bit-deterministic, so the DuckDB oracle replays training,
+  * encoding AND the ADC scan exactly).
   */
 object Quantize {
+
+  /** PQ geometry: M subspaces of SubDim dims, Ksub centroids each —
+    * 8 bytes of code per vector, 16-entry lookup tables per subspace. */
+  val M = 8
+  val Ksub = 16
+  val SubDim = 8
+  private val NumQueries = 8
+
+  private def emb(spark: SparkSession, dir: String): DataFrame =
+    Tables.load(spark, dir, "embeddings")
+      .select(col("vec_id"), V.asDouble(col("embedding")).as("v"))
+      .withColumn("nrm", V.norm(col("v")))
+
+  /** (vec_id, sub, sv): the M subvector slices of each vector — a pure
+    * narrow generate, M rows per vector. */
+  private def subvectors(e: DataFrame): DataFrame =
+    e.select(col("vec_id"),
+        explode(sequence(lit(0), lit(M - 1))).as("sub"), col("v"))
+      .select(col("vec_id"), col("sub"),
+        slice(col("v"), col("sub") * lit(SubDim) + lit(1), lit(SubDim))
+          .as("sv"))
+
+  /** Nearest-codebook-entry assignment as ONE aggregation (the
+    * [[Similarity]] argmax-struct trick): argmin L2 distance =
+    * argmax (2·sv·cv − cv·cv) (sv·sv is constant within the group), tie
+    * broken to the smallest c_id via the negated-id struct field. The
+    * shuffle carries ~n·M combined rows, never n·M·Ksub. */
+  private def assignCodes(subs: DataFrame, cb: DataFrame): DataFrame =
+    subs.join(broadcast(cb), "sub")
+      .select(col("vec_id"), col("sub"), col("sv"),
+        struct(
+          (lit(2.0) * V.dot(col("sv"), col("cv")) -
+            V.dot(col("cv"), col("cv"))).as("score"),
+          (-col("c_id")).as("neg_id"),
+          col("c_id").as("c_id")).as("cand"))
+      .groupBy("vec_id", "sub")
+      .agg(first(col("sv")).as("sv"), max(col("cand")).as("best"))
+      .select(col("vec_id"), col("sub"), col("sv"),
+        col("best.c_id").as("code"))
+
+  /** Lloyd-trained per-subspace codebooks, all M subspaces in ONE
+    * DataFrame job per iteration (the `sub` column rides the grouping
+    * keys). Seeded from the first Ksub vectors' subvectors; means are
+    * decimal-exact like [[Similarity.trainCentroids]] so the codebook
+    * is bit-deterministic across engines and partitionings. Memoized:
+    * codebook training is a once-per-dataset index build. */
+  def trainCodebooks(spark: SparkSession, dir: String,
+      iters: Int = 2): DataFrame =
+    Memo.table(spark, dir, s"pq_cb_${M}_${Ksub}_$iters") {
+      val subs = subvectors(emb(spark, dir))
+      var cb = subs.filter(col("vec_id") < Ksub)
+        .select(col("sub"), col("vec_id").as("c_id"), col("sv").as("cv"))
+      for (_ <- 0 until iters) {
+        cb = assignCodes(subs, cb)
+          .select(col("sub"), col("code").as("c_id"),
+            posexplode(col("sv")).as(Seq("pos", "x")))
+          .groupBy("sub", "c_id", "pos")
+          .agg((sum(col("x").cast("decimal(38,18)")).cast("double") /
+            count(lit(1))).as("m"))
+          .groupBy("sub", "c_id")
+          .agg(transform(
+            array_sort(collect_list(struct(col("pos"), col("m")))),
+            s => s.getField("m")).as("cv"))
+      }
+      cb
+    }
+
+  /** The PQ-compressed index: (vec_id, nrm, sub, code) — M one-byte
+    * codes plus the true norm per vector, the ~25× smaller scan target
+    * ADC serves from. Memoized once; at 100 TB this is the bucketed
+    * catalog table, grown by the same frozen-codebook append as the
+    * IVF assignment (encoding a batch is O(batch·M·Ksub), corpus-free). */
+  def pqIndexTable(spark: SparkSession, dir: String,
+      iters: Int = 2): DataFrame =
+    Memo.table(spark, dir, s"pq_index_$iters") {
+      val e = emb(spark, dir)
+      assignCodes(subvectors(e), trainCodebooks(spark, dir, iters))
+        .join(e.select(col("vec_id"), col("nrm")), "vec_id")
+        .select("vec_id", "nrm", "sub", "code")
+    }
+
+  /** Harness query `pq_codes`: the PQ encoding itself — proves the
+    * trained codebooks and nearest-entry assignment are
+    * engine-identical before any ranking sits on top. */
+  def pqCodes(spark: SparkSession, dir: String): DataFrame =
+    pqIndexTable(spark, dir)
+      .select(col("vec_id"), col("sub").cast("long").as("sub"), col("code"))
+      .orderBy("vec_id", "sub")
+
+  /** Harness query `sim_topk_pq`: asymmetric-distance (ADC) top-k — the
+    * standard query set ranked by approximate cosine over the
+    * COMPRESSED index. Each query dots its M subvectors against all
+    * Ksub codebook entries once (M·Ksub = 128 rounded lookup-table
+    * entries per query, broadcast), the scan joins codes to table
+    * entries and sums M addends per (query, vector) — through
+    * DECIMAL(38,18), so the sum is exact and order-independent (an
+    * 8-addend double sum would hash differently per partitioning) —
+    * then divides by the true norms. The scan side reads codes + norm
+    * only: ~20 B/vector vs 512 — the point of PQ. Approximation quality
+    * vs the exact ranking is pinned in QuantizeSpec (recall@10). */
+  def pqTopK(spark: SparkSession, dir: String, k: Int = 10,
+      iters: Int = 2): DataFrame = {
+    val cb = trainCodebooks(spark, dir, iters)
+    val e = emb(spark, dir)
+    val queries = e.filter(col("vec_id") < NumQueries)
+    val qsubs = subvectors(queries)
+      .join(queries.select(col("vec_id"), col("nrm").as("q_nrm")), "vec_id")
+    val lut = qsubs.join(broadcast(cb), "sub")
+      .select(col("vec_id").as("q_id"), col("q_nrm"), col("sub"),
+        col("c_id").as("code"),
+        round(V.dot(col("sv"), col("cv")), 10).as("ip"))
+    val w = Window.partitionBy("q_id").orderBy(col("cos").desc, col("vec_id"))
+    pqIndexTable(spark, dir, iters).join(broadcast(lut), Seq("sub", "code"))
+      .filter(col("vec_id") =!= col("q_id"))
+      .groupBy("q_id", "vec_id")
+      .agg(sum(col("ip").cast("decimal(38,18)")).as("ips"),
+        first(col("nrm")).as("nrm"), first(col("q_nrm")).as("q_nrm"))
+      .withColumn("cos",
+        col("ips").cast("double") / (col("q_nrm") * col("nrm")))
+      .withColumn("rk", row_number().over(w).cast("long"))
+      .filter(col("rk") <= k)
+      .select(col("q_id"), col("rk"), col("vec_id"),
+        round(col("cos"), 6).as("cos"))
+      .orderBy("q_id", "rk")
+  }
+
+  /** Harness query `sim_topk_pq_rerank`: the production PQ recipe —
+    * the ADC shortlist (poolK per query, from the compressed scan)
+    * re-ranked by EXACT cosine. Full vectors are fetched for only
+    * |Q|·poolK candidate ids (the candidate set broadcasts against the
+    * embedding scan), so the expensive exact math touches a bounded
+    * set however big the corpus: compressed scan bounds the
+    * candidates, exact re-rank restores the ordering. QuantizeSpec
+    * pins the recall gain over raw ADC. */
+  def pqTopKRerank(spark: SparkSession, dir: String, k: Int = 10,
+      poolK: Int = 50, iters: Int = 2): DataFrame = {
+    val e = emb(spark, dir)
+    val queries = e.filter(col("vec_id") < NumQueries)
+      .select(col("vec_id").as("q_id"), col("v").as("q_v"),
+        col("nrm").as("q_nrm"))
+    val cand = pqTopK(spark, dir, poolK, iters).select("q_id", "vec_id")
+    val w = Window.partitionBy("q_id").orderBy(col("cos").desc, col("vec_id"))
+    e.join(broadcast(cand), "vec_id")
+      .join(broadcast(queries), "q_id")
+      .select(col("q_id"), col("vec_id"),
+        (V.dot(col("q_v"), col("v")) / (col("q_nrm") * col("nrm"))).as("cos"))
+      .withColumn("rk", row_number().over(w).cast("long"))
+      .filter(col("rk") <= k)
+      .select(col("q_id"), col("rk"), col("vec_id"),
+        round(col("cos"), 6).as("cos"))
+      .orderBy("q_id", "rk")
+  }
 
   def int8Quantize(spark: SparkSession, dir: String): DataFrame = {
     val emb = Tables.load(spark, dir, "embeddings")

@@ -1,0 +1,75 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.operators.{Quantize, Similarity}
+
+class QuantizeSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  val sf = TestSpark.sf
+
+  private def tops(df: org.apache.spark.sql.DataFrame) =
+    df.collect().groupBy(_.getAs[Long]("q_id"))
+      .map { case (q, g) => q -> g.map(_.getAs[Long]("vec_id")).toSet }
+
+  test("pq codes: M codes per vector, every code a trained codebook id") {
+    val codes = Quantize.pqCodes(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val n = Similarity.embeddingsWithNorm(spark, sf).count()
+    assert(codes.length === n * Quantize.M)
+    val perVec = codes.groupBy(_._1)
+    assert(perVec.values.forall(g =>
+      g.map(_._2).sorted.toSeq === (0L until Quantize.M.toLong)))
+    // codes reference entries the trained codebook actually has (empty
+    // Lloyd clusters vanish, so membership — not just range — matters)
+    val cb = Quantize.trainCodebooks(spark, sf).collect()
+      .map(r => (r.getAs[Int]("sub").toLong, r.getAs[Long]("c_id"))).toSet
+    assert(codes.forall { case (_, sub, code) => cb.contains((sub, code)) })
+  }
+
+  test("ADC serves from the compressed index memo, not the raw vectors") {
+    val plan = Quantize.pqTopK(spark, sf).queryExecution.executedPlan.toString
+    // the scan side must be the (vec_id, nrm, sub, code) memo — ~20 B
+    // per vector; embeddings may appear only as the bounded query side
+    assert(plan.contains("graft-memo-pq_index"),
+      s"ADC does not read the compressed index:\n$plan")
+  }
+
+  test("PQ recall: ADC beats nothing-burger, exact re-rank beats ADC") {
+    val brute = tops(Similarity.bruteForceTopK(spark, sf, k = 10))
+    def meanRecall(m: Map[Long, Set[Long]]): Double = {
+      val rs = brute.map { case (q, b) =>
+        m.get(q).map(i => (b & i).size.toDouble / b.size).getOrElse(0.0)
+      }
+      rs.sum / rs.size
+    }
+    val adc = meanRecall(tops(Quantize.pqTopK(spark, sf, k = 10)))
+    val rr = meanRecall(tops(Quantize.pqTopKRerank(spark, sf, k = 10)))
+    // 32-bit codes: deterministic 0.35 / 0.69 on this corpus — bounds
+    // leave slack for parameter tweaks, not for regressions
+    assert(adc >= 0.3, s"ADC recall@10 $adc")
+    assert(rr >= 0.6, s"re-ranked recall@10 $rr")
+    assert(rr > adc, "exact re-rank must improve on raw ADC")
+  }
+
+  test("re-rank top-k is the exact cosine order of the ADC shortlist") {
+    val pool = Quantize.pqTopK(spark, sf, k = 50).collect()
+      .map(r => (r.getAs[Long]("q_id"), r.getAs[Long]("vec_id"))).toSet
+    val e = Similarity.embeddingsWithNorm(spark, sf).collect()
+      .map(r => r.getAs[Long]("vec_id") ->
+        ((r.getSeq[Double](1).toArray, r.getDouble(2)))).toMap
+    val want = pool.groupBy(_._1).flatMap { case (q, keys) =>
+      val (qv, qn) = e(q)
+      keys.toSeq.map { case (_, v) =>
+        val (vv, vn) = e(v)
+        (v, qv.zip(vv).map { case (a, b) => a * b }.sum / (qn * vn))
+      }.sortBy { case (v, c) => (-c, v) }.take(10).zipWithIndex
+        .map { case ((v, c), i) =>
+          (q, (i + 1).toLong, v, math.rint(c * 1e6) / 1e6) }
+    }.toSeq.sortBy(t => (t._1, t._2))
+    val got = Quantize.pqTopKRerank(spark, sf, k = 10).collect()
+      .map(r => (r.getAs[Long]("q_id"), r.getAs[Long]("rk"),
+        r.getAs[Long]("vec_id"), r.getAs[Double]("cos"))).toSeq
+    assert(got === want, "re-rank diverged from the exact shortlist order")
+  }
+}
