@@ -94,6 +94,7 @@ object SparkEntry {
     "pq_codes"           -> ((s: SparkSession, d: String) => Quantize.pqCodes(s, d)),
     "sim_topk_pq"        -> ((s: SparkSession, d: String) => Quantize.pqTopK(s, d)),
     "sim_topk_pq_rerank" -> ((s: SparkSession, d: String) => Quantize.pqTopKRerank(s, d)),
+    "sim_topk_pq_maintained" -> ((s: SparkSession, d: String) => Quantize.pqMaintainedTopK(s, d)),
     "semantic_neardup"   -> ((s: SparkSession, d: String) => Similarity.semanticNearDupPairs(s, d)),
     "semantic_neardup_maintained" -> ((s: SparkSession, d: String) => Similarity.semanticNearDupMaintained(s, d)),
     "semantic_dedup_keep" -> ((s: SparkSession, d: String) => Similarity.semanticDedupKeep(s, d)),
@@ -2118,6 +2119,13 @@ object SparkEntry {
     // DECIMAL(38,18) so the fold is exact and order-independent on both
     // engines, divided by the true norms
     "sim_topk_pq" ->
+      s"""WITH $dPqAdcCtes
+       SELECT q_id, rk, vec_id, round(cos, 6) AS cos
+       FROM pqranked WHERE rk <= 10 ORDER BY q_id, rk""",
+    // maintained: corpus-slice encode + frozen-codebook batch append
+    // must reproduce the full encode — same oracle as sim_topk_pq, the
+    // hash-equality IS the append-correctness proof
+    "sim_topk_pq_maintained" ->
       s"""WITH $dPqAdcCtes
        SELECT q_id, rk, vec_id, round(cos, 6) AS cos
        FROM pqranked WHERE rk <= 10 ORDER BY q_id, rk""",

@@ -126,7 +126,14 @@ object Quantize {
     * only: ~20 B/vector vs 512 — the point of PQ. Approximation quality
     * vs the exact ranking is pinned in QuantizeSpec (recall@10). */
   def pqTopK(spark: SparkSession, dir: String, k: Int = 10,
-      iters: Int = 2): DataFrame = {
+      iters: Int = 2): DataFrame =
+    pqTopKOver(pqIndexTable(spark, dir, iters), spark, dir, k, iters)
+
+  /** The ADC probe tail over an EXPLICIT compressed-index frame — the
+    * memo, the maintained bucketed table, or any future churn serve
+    * view ranks through this one kernel. */
+  def pqTopKOver(index: DataFrame, spark: SparkSession, dir: String,
+      k: Int = 10, iters: Int = 2): DataFrame = {
     val cb = trainCodebooks(spark, dir, iters)
     val e = emb(spark, dir)
     val queries = e.filter(col("vec_id") < NumQueries)
@@ -137,7 +144,7 @@ object Quantize {
         col("c_id").as("code"),
         round(V.dot(col("sv"), col("cv")), 10).as("ip"))
     val w = Window.partitionBy("q_id").orderBy(col("cos").desc, col("vec_id"))
-    pqIndexTable(spark, dir, iters).join(broadcast(lut), Seq("sub", "code"))
+    index.join(broadcast(lut), Seq("sub", "code"))
       .filter(col("vec_id") =!= col("q_id"))
       .groupBy("q_id", "vec_id")
       .agg(sum(col("ip").cast("decimal(38,18)")).as("ips"),
@@ -149,6 +156,38 @@ object Quantize {
       .select(col("q_id"), col("rk"), col("vec_id"),
         round(col("cos"), 6).as("cos"))
       .orderBy("q_id", "rk")
+  }
+
+  /** Encoding of ONE corpus slice against the FROZEN memoized
+    * codebooks — the build (`newBatch = false`) and increment
+    * (`newBatch = true`) halves of the maintained PQ index
+    * ([[graft.sources.Bucketing.ensureMaintainedPqIndex]]). Encoding a
+    * batch is O(batch·M·Ksub), corpus-free — the same frozen-model
+    * append contract as the IVF assignment's
+    * [[Similarity.assignSlice]]. */
+  def encodeSlice(spark: SparkSession, dir: String, newBatch: Boolean,
+      iters: Int = 2, mod: Int = 10): DataFrame = {
+    val e = emb(spark, dir)
+    val slice =
+      if (newBatch) e.filter(col("vec_id") % mod === 0)
+      else e.filter(col("vec_id") % mod =!= 0)
+    assignCodes(subvectors(slice), trainCodebooks(spark, dir, iters))
+      .join(slice.select(col("vec_id"), col("nrm")), "vec_id")
+      .select("vec_id", "nrm", "sub", "code")
+  }
+
+  /** Harness query `sim_topk_pq_maintained`: ADC served from the
+    * MAINTAINED PQ catalog table (corpus slice encoded once, the new
+    * batch encoded against frozen codebooks and folded in by append).
+    * Equal by construction to [[pqTopK]] over the memoized full encode
+    * — the same oracle hash, which IS the append-correctness proof;
+    * stale codebooks are the same retrain story as IVF centroids
+    * ([[Similarity.retrainAssignmentIndex]] — the staged-swap machinery
+    * applies unchanged). */
+  def pqMaintainedTopK(spark: SparkSession, dir: String, k: Int = 10,
+      iters: Int = 2): DataFrame = {
+    val table = graft.sources.Bucketing.ensureMaintainedPqIndex(spark, dir, iters)
+    pqTopKOver(spark.table(table), spark, dir, k, iters)
   }
 
   /** Harness query `sim_topk_pq_rerank`: the production PQ recipe —

@@ -530,6 +530,38 @@ object Bucketing {
       .bucketBy(buckets, "c_id").sortBy("c_id")
       .saveAsTable(table)
 
+  /** MAINTAINED product-quantization index — the PQ twin of
+    * [[ensureMaintainedAssignmentIndex]]: the corpus slice encoded once
+    * against the trained codebooks, the new-vector batch encoded
+    * against the SAME FROZEN codebooks (O(batch·M·Ksub), corpus-free)
+    * and folded in by append. Bucketed by vec_id: the ADC probe join
+    * broadcasts the lookup table so bucketing buys no pruning there —
+    * vec_id bucketing positions the table for per-vector churn
+    * (tombstones would bucket-prune exactly like the assignment
+    * index's). Hash-equality of `sim_topk_pq_maintained` with the
+    * full-encode memo is the append-correctness proof. */
+  def ensureMaintainedPqIndex(spark: SparkSession, dir: String,
+      iters: Int = 2, buckets: Int = 8): String = {
+    val table = f"pq_idx_bkt_${iters}_${dir.hashCode & 0x7fffffff}%08x"
+    val Q = graft.operators.Quantize
+    ensureBucketedTable(spark, table,
+      Q.encodeSlice(spark, dir, newBatch = false, iters),
+      Seq("vec_id"), buckets) { t =>
+      appendToPqIndex(spark, t,
+        Q.encodeSlice(spark, dir, newBatch = true, iters), buckets)
+    }
+    table
+  }
+
+  /** PQ-index maintenance: bucket-preserving append of a new batch's
+    * (vec_id, nrm, sub, code) rows — no rebuild. */
+  def appendToPqIndex(spark: SparkSession, table: String,
+      newCodes: DataFrame, buckets: Int = 8): Unit =
+    newCodes.select("vec_id", "nrm", "sub", "code")
+      .write.mode("append")
+      .bucketBy(buckets, "vec_id").sortBy("vec_id")
+      .saveAsTable(table)
+
   /** CHURN-capable ANN assignment index — deletes BETWEEN retrains:
     * [[graft.operators.Similarity.retrainAssignmentIndex]] rebuilds the
     * whole index under fresh centroids, but a vector deleted mid-epoch

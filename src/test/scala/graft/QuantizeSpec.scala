@@ -52,6 +52,21 @@ class QuantizeSpec extends AnyFunSuite {
     assert(rr > adc, "exact re-rank must improve on raw ADC")
   }
 
+  test("maintained PQ index: frozen-codebook append equals the full encode") {
+    val t = graft.sources.Bucketing.ensureMaintainedPqIndex(spark, sf)
+    val got = spark.table(t).orderBy("vec_id", "sub")
+      .collect().map(_.toString).toSeq
+    val want = Quantize.pqCodes(spark, sf).count()
+    assert(got.length.toLong === want,
+      "maintained index row count diverged from the full encode")
+    // the served ADC ranking is byte-identical to the memo-served one —
+    // the append-correctness proof the oracle row also gates
+    val served = Quantize.pqMaintainedTopK(spark, sf)
+      .collect().map(_.toString).toSeq
+    val full = Quantize.pqTopK(spark, sf).collect().map(_.toString).toSeq
+    assert(served === full, "maintained-served ADC diverged")
+  }
+
   test("re-rank top-k is the exact cosine order of the ADC shortlist") {
     val pool = Quantize.pqTopK(spark, sf, k = 50).collect()
       .map(r => (r.getAs[Long]("q_id"), r.getAs[Long]("vec_id"))).toSet
