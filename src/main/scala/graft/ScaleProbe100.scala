@@ -295,6 +295,49 @@ object ScaleProbe100 {
       spark.sql(s"DROP TABLE IF EXISTS $t")
     }
 
+    // 9. PQ at factor×: codebook train + full-corpus encode cost, ADC
+    // serve and the re-rank recipe vs the brute-force exact comparator,
+    // plus the stored-bytes footprint of the compressed index vs the
+    // raw vectors (the memory story)
+    section("pq") {
+      val nv = Tables.load(spark, sf, "embeddings").count()
+      println(s"vectors: ${nv * factor} (${factor}x of $sf)")
+      time("pq index build (train codebooks + encode the corpus)") {
+        operators.Quantize.pqIndexTable(spark, dup).count()
+      }
+      time("sim_topk_pq (long-format ADC: join + n·M aggregation)") {
+        operators.Quantize.pqTopK(spark, dup).count()
+      }
+      time("pq packed index build (fold codes to one row per vector)") {
+        operators.Quantize.pqPackedIndexTable(spark, dup).count()
+      }
+      time("sim_topk_pq_packed (packed ADC: narrow fold, no join)") {
+        operators.Quantize.pqPackedTopK(spark, dup).count()
+      }
+      time("packed ADC, production double fold (no decimal oracle tax)") {
+        operators.Quantize
+          .pqPackedTopKWith(spark, dup, exactFold = false).count()
+      }
+      time("sim_topk_pq_rerank (ADC shortlist + exact re-rank)") {
+        operators.Quantize.pqTopKRerank(spark, dup).count()
+      }
+      time("sim_topk_brute (exact-scan comparator)") {
+        operators.Similarity.bruteForceTopK(spark, dup).count()
+      }
+      def dirBytes(path: String): Long = {
+        val p = new org.apache.hadoop.fs.Path(path)
+        val f = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        if (f.exists(p)) f.getContentSummary(p).getLength else -1L
+      }
+      operators.Quantize.pqPackedIndexTable(spark, dup)
+        .write.mode("overwrite").parquet(s"$dup/pq_packed.parquet")
+      val rawB = dirBytes(s"$dup/embeddings.parquet")
+      val pqB = dirBytes(s"$dup/pq_packed.parquet")
+      println(f"  stored bytes: raw embeddings ${rawB / 1e6}%.1f MB, " +
+        f"packed pq index ${pqB / 1e6}%.1f MB " +
+        f"(logical widths: 256 B float32 vs ~24 B id+norm+codes)")
+    }
+
     // 5. hot-token skew: Zipf postings (df of rank r ≈ N/r — the
     // stopword distribution), salted vs unsalted per-bucket bytes
     section("zipf") {

@@ -95,6 +95,7 @@ object SparkEntry {
     "sim_topk_pq"        -> ((s: SparkSession, d: String) => Quantize.pqTopK(s, d)),
     "sim_topk_pq_rerank" -> ((s: SparkSession, d: String) => Quantize.pqTopKRerank(s, d)),
     "sim_topk_pq_maintained" -> ((s: SparkSession, d: String) => Quantize.pqMaintainedTopK(s, d)),
+    "sim_topk_pq_packed" -> ((s: SparkSession, d: String) => Quantize.pqPackedTopK(s, d)),
     "semantic_neardup"   -> ((s: SparkSession, d: String) => Similarity.semanticNearDupPairs(s, d)),
     "semantic_neardup_maintained" -> ((s: SparkSession, d: String) => Similarity.semanticNearDupMaintained(s, d)),
     "semantic_dedup_keep" -> ((s: SparkSession, d: String) => Similarity.semanticDedupKeep(s, d)),
@@ -2119,6 +2120,14 @@ object SparkEntry {
     // DECIMAL(38,18) so the fold is exact and order-independent on both
     // engines, divided by the true norms
     "sim_topk_pq" ->
+      s"""WITH $dPqAdcCtes
+       SELECT q_id, rk, vec_id, round(cos, 6) AS cos
+       FROM pqranked WHERE rk <= 10 ORDER BY q_id, rk""",
+    // packed layout: the ordered decimal fold over per-row code lookups
+    // equals the long format's unordered decimal sum (decimal addition
+    // is exact), so the SAME oracle gates it — hash-equality proves the
+    // production scan layout serves identically
+    "sim_topk_pq_packed" ->
       s"""WITH $dPqAdcCtes
        SELECT q_id, rk, vec_id, round(cos, 6) AS cos
        FROM pqranked WHERE rk <= 10 ORDER BY q_id, rk""",

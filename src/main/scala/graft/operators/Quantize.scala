@@ -158,6 +158,103 @@ object Quantize {
       .orderBy("q_id", "rk")
   }
 
+  /** The PACKED compressed index: ONE row per vector —
+    * (vec_id, nrm, codes array ordered by subspace) — the layout PQ
+    * exists for. The long format ([[pqIndexTable]]) is the right JOIN
+    * shape for oracle replay, but it stores vec_id and nrm M times and
+    * makes the ADC scan a join + aggregation over n·M rows; packed, the
+    * scan is n rows of ~(id + norm + M codes) and scoring is a narrow
+    * per-row fold. ScaleProbe100 measured the difference at 100×: the
+    * long-format ADC LOST to the brute-force comparator; the packed
+    * layout is what restores the win. */
+  def pqPackedIndexTable(spark: SparkSession, dir: String,
+      iters: Int = 2): DataFrame =
+    Memo.table(spark, dir, s"pq_packed_$iters") {
+      pqIndexTable(spark, dir, iters)
+        .groupBy("vec_id", "nrm")
+        .agg(transform(
+          array_sort(collect_list(struct(col("sub"), col("code")))),
+          s => s.getField("code").cast("int")).as("codes"))
+    }
+
+  /** Harness query `sim_topk_pq_packed`: ADC over the PACKED index —
+    * the production scan shape. The per-query lookup tables (M·Ksub
+    * rounded doubles each) are COLLECTED to the driver and shipped back
+    * as one broadcast literal row per query (bounded by design:
+    * |Q|·M·Ksub values — the same driver round-trip as Lloyd's
+    * centroid literals), so scoring is a single narrow pass: per
+    * (vector, query) row, fold the M code lookups in fixed subspace
+    * order THROUGH DECIMAL(38,18) — decimal addition is exact, so the
+    * ordered fold equals the long format's unordered decimal sum and
+    * the row shares `sim_topk_pq`'s oracle: the hash-equality proves
+    * the packed layout serves identically. No join on (sub, code), no
+    * n·M-row aggregation — the only shuffle left is the per-query
+    * top-k window, the same one the brute-force scan pays. */
+  def pqPackedTopK(spark: SparkSession, dir: String, k: Int = 10,
+      iters: Int = 2): DataFrame =
+    pqPackedTopKWith(spark, dir, k, iters, exactFold = true)
+
+  /** [[pqPackedTopK]] with the fold arithmetic selectable: `exactFold`
+    * sums through scale-10 decimals (order-proof — the cross-engine
+    * hashing contract the oracle row runs under); `false` folds plain
+    * doubles — STILL deterministic (a left fold in fixed subspace
+    * order), just not bit-equal to an any-order sum, and measurably
+    * faster: this is what production ships, and what ScaleProbe100
+    * times as the production ADC number. */
+  def pqPackedTopKWith(spark: SparkSession, dir: String, k: Int = 10,
+      iters: Int = 2, exactFold: Boolean = true): DataFrame = {
+    val cb = trainCodebooks(spark, dir, iters)
+    val e = emb(spark, dir)
+    val queries = e.filter(col("vec_id") < NumQueries)
+    val qsubs = subvectors(queries)
+      .join(queries.select(col("vec_id"), col("nrm").as("q_nrm")), "vec_id")
+    val lutRows = qsubs.join(broadcast(cb), "sub")
+      .select(col("vec_id").as("q_id"), col("q_nrm"), col("sub"),
+        col("c_id").as("code"),
+        round(V.dot(col("sv"), col("cv")), 10).as("ip"))
+      .collect()
+    val luts: Seq[(Long, Double, Seq[Seq[Double]])] = lutRows
+      .groupBy(r => (r.getAs[Long]("q_id"), r.getAs[Double]("q_nrm")))
+      .toSeq.map { case ((q, qn), rows) =>
+        val tbl = Array.fill(M, Ksub)(0.0)
+        rows.foreach { r =>
+          tbl(r.getAs[Int]("sub"))(r.getAs[Long]("code").toInt) =
+            r.getAs[Double]("ip")
+        }
+        (q, qn, tbl.map(_.toSeq).toSeq)
+      }.sortBy(_._1)
+    import spark.implicits._
+    val lutDf = luts.toDF("q_id", "q_nrm", "tbl")
+    val w = Window.partitionBy("q_id").orderBy(col("cos").desc, col("vec_id"))
+    pqPackedIndexTable(spark, dir, iters)
+      .crossJoin(broadcast(lutDf))
+      .filter(col("vec_id") =!= col("q_id"))
+      .select(col("q_id"), col("vec_id"), {
+        def lookup(s: Column) = element_at(element_at(col("tbl"), s + 1),
+          element_at(col("codes"), s + 1) + 1)
+        val ips =
+          if (exactFold)
+            // addends are round(·,10) doubles, so scale-10 decimals
+            // hold them EXACTLY and the ordered fold equals any-order
+            // summing; the cast-back pins the accumulator type Spark's
+            // decimal promotion would otherwise widen from under the
+            // lambda
+            aggregate(sequence(lit(0), lit(M - 1)),
+              lit(BigDecimal(0)).cast("decimal(20,10)"),
+              (acc, s) => (acc + lookup(s).cast("decimal(20,10)"))
+                .cast("decimal(20,10)")).cast("double")
+          else
+            aggregate(sequence(lit(0), lit(M - 1)), lit(0.0),
+              (acc, s) => acc + lookup(s))
+        (ips / (col("q_nrm") * col("nrm"))).as("cos")
+      })
+      .withColumn("rk", row_number().over(w).cast("long"))
+      .filter(col("rk") <= k)
+      .select(col("q_id"), col("rk"), col("vec_id"),
+        round(col("cos"), 6).as("cos"))
+      .orderBy("q_id", "rk")
+  }
+
   /** Encoding of ONE corpus slice against the FROZEN memoized
     * codebooks — the build (`newBatch = false`) and increment
     * (`newBatch = true`) halves of the maintained PQ index

@@ -67,6 +67,22 @@ class QuantizeSpec extends AnyFunSuite {
     assert(served === full, "maintained-served ADC diverged")
   }
 
+  test("packed ADC equals the long-format ADC, under both folds") {
+    val long = Quantize.pqTopK(spark, sf).collect().map(_.toString).toSeq
+    val packed = Quantize.pqPackedTopK(spark, sf)
+      .collect().map(_.toString).toSeq
+    assert(packed === long, "packed layout diverged from the long format")
+    // the production double fold (fixed-order, no decimal tax) ranks
+    // identically on this corpus — exact-duplicate vectors tie exactly
+    // under BOTH folds, so the vec_id tie-break resolves them the same
+    val prod = Quantize.pqPackedTopKWith(spark, sf, exactFold = false)
+      .collect().map(_.toString).toSeq
+    assert(prod === long, "double-fold ADC diverged")
+    // the packed scan is one row per vector
+    val n = Similarity.embeddingsWithNorm(spark, sf).count()
+    assert(Quantize.pqPackedIndexTable(spark, sf).count() === n)
+  }
+
   test("re-rank top-k is the exact cosine order of the ADC shortlist") {
     val pool = Quantize.pqTopK(spark, sf, k = 50).collect()
       .map(r => (r.getAs[Long]("q_id"), r.getAs[Long]("vec_id"))).toSet
