@@ -96,6 +96,7 @@ object SparkEntry {
     "sim_topk_pq_rerank" -> ((s: SparkSession, d: String) => Quantize.pqTopKRerank(s, d)),
     "sim_topk_pq_maintained" -> ((s: SparkSession, d: String) => Quantize.pqMaintainedTopK(s, d)),
     "sim_topk_pq_packed" -> ((s: SparkSession, d: String) => Quantize.pqPackedTopK(s, d)),
+    "sim_topk_pq_churn"  -> ((s: SparkSession, d: String) => Quantize.pqChurnTopK(s, d)),
     "semantic_neardup"   -> ((s: SparkSession, d: String) => Similarity.semanticNearDupPairs(s, d)),
     "semantic_neardup_maintained" -> ((s: SparkSession, d: String) => Similarity.semanticNearDupMaintained(s, d)),
     "semantic_dedup_keep" -> ((s: SparkSession, d: String) => Similarity.semanticDedupKeep(s, d)),
@@ -453,8 +454,10 @@ object SparkEntry {
 
   /** [[dPqCtes]] extended with the ADC scan: per-query lookup tables,
     * decimal-exact M-addend sums, approximate-cosine ranking. Ends at
-    * `pqranked` (q_id, vec_id, cos, rk — unfiltered). */
-  private val dPqAdcCtes: String =
+    * `pqranked` (q_id, vec_id, cos, rk — unfiltered). `corpusPred`
+    * models index churn: the churned serve must equal an ADC whose
+    * scan never saw the deleted vectors. */
+  private def dPqAdcCtesFor(corpusPred: String): String =
     s"""$dPqCtes,
          pqq AS (SELECT vec_id AS q_id, sub, sv AS qsv
                  FROM pqsubs WHERE vec_id < 8),
@@ -467,7 +470,7 @@ object SparkEntry {
                   CAST(sum(CAST(l.ip AS DECIMAL(38,18))) AS DOUBLE) AS ips
            FROM pqcodes cd
            JOIN pqlut l ON cd.sub = l.sub AND cd.code = l.code
-           WHERE cd.vec_id <> l.q_id
+           WHERE cd.vec_id <> l.q_id AND $corpusPred
            GROUP BY 1, 2),
          pqranked AS (
            SELECT a.q_id, a.vec_id, a.ips / (qn.nrm * n.nrm) AS cos,
@@ -477,6 +480,8 @@ object SparkEntry {
            FROM pqadc a
            JOIN pqemb n ON a.vec_id = n.vec_id
            JOIN pqemb qn ON a.q_id = qn.vec_id)"""
+
+  private val dPqAdcCtes: String = dPqAdcCtesFor("TRUE")
 
   /** Argmax language CASE with the Spark fold's tie order (de,en,es,fr,zh). */
   private val dLangIdSql: String = {
@@ -2129,6 +2134,13 @@ object SparkEntry {
     // production scan layout serves identically
     "sim_topk_pq_packed" ->
       s"""WITH $dPqAdcCtes
+       SELECT q_id, rk, vec_id, round(cos, 6) AS cos
+       FROM pqranked WHERE rk <= 10 ORDER BY q_id, rk""",
+    // churned: the full encode minus the tombstoned % 10 == 0 batch —
+    // deleted vectors' codes must never reach the fold, so the oracle
+    // scan simply excludes them
+    "sim_topk_pq_churn" ->
+      s"""WITH ${dPqAdcCtesFor("cd.vec_id % 10 <> 0")}
        SELECT q_id, rk, vec_id, round(cos, 6) AS cos
        FROM pqranked WHERE rk <= 10 ORDER BY q_id, rk""",
     // maintained: corpus-slice encode + frozen-codebook batch append

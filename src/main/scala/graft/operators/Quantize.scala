@@ -287,6 +287,24 @@ object Quantize {
     pqTopKOver(spark.table(table), spark, dir, k, iters)
   }
 
+  /** Harness query `sim_topk_pq_churn`: ADC served from the
+    * CHURN-capable PQ index after a vector-batch DELETE
+    * ([[graft.sources.Bucketing.ensureChurnedPqIndex]]: full encode at
+    * seq 0, the `vec_id % 10 == 0` batch tombstoned at seq 1,
+    * bucket-local compaction). The serve view keys on (vec_id, sub),
+    * so deleted vectors' codes can never reach the fold — the result
+    * must hash-equal an ADC over an index that never contained them,
+    * which is exactly the oracle's corpus filter. Closes the PQ
+    * lifecycle: train → encode → pack → append → CHURN (→ retrain via
+    * the shared IVF machinery). */
+  def pqChurnTopK(spark: SparkSession, dir: String, k: Int = 10,
+      iters: Int = 2): DataFrame = {
+    val table = graft.sources.Bucketing.ensureChurnedPqIndex(spark, dir, iters)
+    val served = graft.sources.IndexChurn.served(spark, table,
+      Seq("vec_id", "sub"))
+    pqTopKOver(served, spark, dir, k, iters)
+  }
+
   /** Harness query `sim_topk_pq_rerank`: the production PQ recipe —
     * the ADC shortlist (poolK per query, from the compressed scan)
     * re-ranked by EXACT cosine. Full vectors are fetched for only

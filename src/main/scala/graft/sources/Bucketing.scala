@@ -597,4 +597,32 @@ object Bucketing {
     }
     table
   }
+
+  /** CHURN-capable PQ index — the last PQ lifecycle phase after
+    * build/append/pack: a deleted vector's codes must stop serving NOW,
+    * without re-encoding anything. Same shape as
+    * [[ensureChurnedAssignmentIndex]] on the LONG format (key =
+    * (vec_id, sub) under the vec_id bucketing, so a tombstone batch
+    * lands in exactly its victims' buckets and the tombstonesOnly
+    * dirty-bucket fast path applies): full encode at seq 0, the
+    * `vec_id % 10 == 0` batch tombstoned at seq 1, bucket-local
+    * compaction. ADC over the serve view must hash-equal a fresh
+    * encode that never saw the deleted vectors — deletes cannot
+    * resurface in a top-k, and the packed fold applies downstream of
+    * the serve view unchanged. */
+  def ensureChurnedPqIndex(spark: SparkSession, dir: String,
+      iters: Int = 2, buckets: Int = 8): String = {
+    import org.apache.spark.sql.functions.col
+    val table = f"pq_idx_chn_${iters}_${dir.hashCode & 0x7fffffff}%08x"
+    lazy val codes = graft.operators.Quantize.pqIndexTable(spark, dir, iters)
+      .select("vec_id", "nrm", "sub", "code")
+    ensureBucketedTable(spark, table,
+      IndexChurn.stamp(codes, "U", 0L), Seq("vec_id"), buckets) { t =>
+      IndexChurn.append(spark, t, codes.filter(col("vec_id") % 10 === 0),
+        "D", 1L, Seq("vec_id"), buckets)
+      IndexChurn.compact(spark, t, Seq("vec_id", "sub"), Seq("vec_id"),
+        buckets, tombstonesOnly = true)
+    }
+    table
+  }
 }

@@ -83,6 +83,19 @@ class QuantizeSpec extends AnyFunSuite {
     assert(Quantize.pqPackedIndexTable(spark, sf).count() === n)
   }
 
+  test("churned PQ index: deleted vectors never reach the fold") {
+    val got = Quantize.pqChurnTopK(spark, sf).collect()
+    got.foreach(r => assert(r.getAs[Long]("vec_id") % 10 !== 0L,
+      "a tombstoned vector surfaced in the churned top-k"))
+    // equals ADC over an index that never contained the deleted batch
+    val survivors = Quantize.pqIndexTable(spark, sf)
+      .filter(col("vec_id") % 10 =!= 0)
+    val want = Quantize.pqTopKOver(survivors, spark, sf)
+      .collect().map(_.toString).toSeq
+    assert(got.map(_.toString).toSeq === want,
+      "churned serve diverged from the survivor-only encode")
+  }
+
   test("re-rank top-k is the exact cosine order of the ADC shortlist") {
     val pool = Quantize.pqTopK(spark, sf, k = 50).collect()
       .map(r => (r.getAs[Long]("q_id"), r.getAs[Long]("vec_id"))).toSet
