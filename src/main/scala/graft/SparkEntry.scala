@@ -97,6 +97,8 @@ object SparkEntry {
     "sim_topk_pq_maintained" -> ((s: SparkSession, d: String) => Quantize.pqMaintainedTopK(s, d)),
     "sim_topk_pq_packed" -> ((s: SparkSession, d: String) => Quantize.pqPackedTopK(s, d)),
     "sim_topk_pq_churn"  -> ((s: SparkSession, d: String) => Quantize.pqChurnTopK(s, d)),
+    "sim_topk_ivfpq"     -> ((s: SparkSession, d: String) => Quantize.pqIvfTopK(s, d)),
+    "sim_topk_ivfpq_rerank" -> ((s: SparkSession, d: String) => Quantize.pqIvfTopKRerank(s, d)),
     "semantic_neardup"   -> ((s: SparkSession, d: String) => Similarity.semanticNearDupPairs(s, d)),
     "semantic_neardup_maintained" -> ((s: SparkSession, d: String) => Similarity.semanticNearDupMaintained(s, d)),
     "semantic_dedup_keep" -> ((s: SparkSession, d: String) => Similarity.semanticDedupKeep(s, d)),
@@ -452,19 +454,25 @@ object SparkEntry {
          ${assign("pqcb2", "pqcodes")}"""
   }
 
-  /** [[dPqCtes]] extended with the ADC scan: per-query lookup tables,
-    * decimal-exact M-addend sums, approximate-cosine ranking. Ends at
-    * `pqranked` (q_id, vec_id, cos, rk — unfiltered). `corpusPred`
-    * models index churn: the churned serve must equal an ADC whose
-    * scan never saw the deleted vectors. */
-  private def dPqAdcCtesFor(corpusPred: String): String =
+  /** [[dPqCtes]] extended with the per-query ADC lookup tables: `pqq`
+    * (query subvectors) and `pqlut` (rounded subspace inner products per
+    * codebook entry). Shared by the full-scan ADC chain and the IVF+PQ
+    * probed chain. */
+  private val dPqLutCtes: String =
     s"""$dPqCtes,
          pqq AS (SELECT vec_id AS q_id, sub, sv AS qsv
                  FROM pqsubs WHERE vec_id < 8),
          pqlut AS (
            SELECT q.q_id, c.sub, c.c_id AS code,
                   round(list_dot_product(q.qsv, c.cv), 10) AS ip
-           FROM pqq q JOIN pqcb2 c USING (sub)),
+           FROM pqq q JOIN pqcb2 c USING (sub))"""
+
+  /** [[dPqLutCtes]] extended with the ADC scan: decimal-exact M-addend
+    * sums, approximate-cosine ranking. Ends at `pqranked` (q_id, vec_id,
+    * cos, rk — unfiltered). `corpusPred` models index churn: the churned
+    * serve must equal an ADC whose scan never saw the deleted vectors. */
+  private def dPqAdcCtesFor(corpusPred: String): String =
+    s"""$dPqLutCtes,
          pqadc AS (
            SELECT l.q_id, cd.vec_id,
                   CAST(sum(CAST(l.ip AS DECIMAL(38,18))) AS DOUBLE) AS ips
@@ -482,6 +490,42 @@ object SparkEntry {
            JOIN pqemb qn ON a.q_id = qn.vec_id)"""
 
   private val dPqAdcCtes: String = dPqAdcCtesFor("TRUE")
+
+  /** IVF+PQ (Jégou et al.'s IVFADC): the Lloyd coarse-quantizer chain
+    * ([[dIvfAssignCtes]] — emb0/cent2/af) composed with the PQ lookup
+    * chain ([[dPqLutCtes]] — no CTE name collisions by construction):
+    * each query keeps its nprobe nearest coarse lists (`iprobes`), and
+    * the ADC sum runs over ONLY the codes of vectors assigned to a
+    * probed list. Ends at `ivfranked` (q_id, vec_id, cos, rk). */
+  private val dIvfPqCtes: String =
+    s"""${dIvfAssignCtes(iters = 2)},
+         iprobes AS (
+           SELECT q_id, c_id FROM (
+             SELECT q.vec_id AS q_id, c.c_id,
+                    row_number() OVER (PARTITION BY q.vec_id
+                      ORDER BY list_dot_product(q.v, c.c_v) / (q.nrm * c.c_nrm)
+                        DESC, c.c_id) AS crk
+             FROM emb0 q CROSS JOIN cent2 c WHERE q.vec_id < 8)
+           WHERE crk <= 8),
+         $dPqLutCtes,
+         ivfadc AS (
+           SELECT p.q_id, cd.vec_id,
+                  CAST(sum(CAST(l.ip AS DECIMAL(38,18))) AS DOUBLE) AS ips
+           FROM af a
+           JOIN iprobes p USING (c_id)
+           JOIN pqcodes cd ON cd.vec_id = a.vec_id
+           JOIN pqlut l ON l.q_id = p.q_id AND l.sub = cd.sub
+             AND l.code = cd.code
+           WHERE a.vec_id <> p.q_id
+           GROUP BY 1, 2),
+         ivfranked AS (
+           SELECT a.q_id, a.vec_id, a.ips / (qn.nrm * n.nrm) AS cos,
+                  CAST(row_number() OVER (PARTITION BY a.q_id
+                    ORDER BY a.ips / (qn.nrm * n.nrm) DESC, a.vec_id)
+                    AS BIGINT) AS rk
+           FROM ivfadc a
+           JOIN pqemb n ON a.vec_id = n.vec_id
+           JOIN pqemb qn ON a.q_id = qn.vec_id)"""
 
   /** Argmax language CASE with the Spark fold's tie order (de,en,es,fr,zh). */
   private val dLangIdSql: String = {
@@ -2168,6 +2212,30 @@ object SparkEntry {
            FROM pqrr)
        SELECT q_id, rk, vec_id, round(cos, 6) AS cos
        FROM pqrr2 WHERE rk <= 10 ORDER BY q_id, rk""",
+    // IVF+PQ (IVFADC): coarse-quantizer probe prunes the scan to nprobe
+    // inverted lists, ADC sums run over only those lists' codes
+    "sim_topk_ivfpq" ->
+      s"""WITH $dIvfPqCtes
+       SELECT q_id, rk, vec_id, round(cos, 6) AS cos
+       FROM ivfranked WHERE rk <= 10 ORDER BY q_id, rk""",
+    // the full production recipe: IVF probe -> ADC shortlist (rk <= 50)
+    // -> exact-cosine re-rank of the fetched true vectors
+    "sim_topk_ivfpq_rerank" ->
+      s"""WITH $dIvfPqCtes,
+         ivfrr AS (
+           SELECT p.q_id, p.vec_id,
+                  list_dot_product(qe.v, e.v) / (qe.nrm * e.nrm) AS cos
+           FROM ivfranked p
+           JOIN pqemb e ON p.vec_id = e.vec_id
+           JOIN pqemb qe ON p.q_id = qe.vec_id
+           WHERE p.rk <= 50),
+         ivfrr2 AS (
+           SELECT q_id, vec_id, cos,
+                  CAST(row_number() OVER (PARTITION BY q_id
+                    ORDER BY cos DESC, vec_id) AS BIGINT) AS rk
+           FROM ivfrr)
+       SELECT q_id, rk, vec_id, round(cos, 6) AS cos
+       FROM ivfrr2 WHERE rk <= 10 ORDER BY q_id, rk""",
     // SemDeDup over the IVF clustering: same Lloyd chain as the ANN
     // oracles, then per-cluster pairwise cosine above the threshold
     "semantic_neardup" -> dSemanticPairsSql,

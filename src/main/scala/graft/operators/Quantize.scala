@@ -314,12 +314,19 @@ object Quantize {
     * candidates, exact re-rank restores the ordering. QuantizeSpec
     * pins the recall gain over raw ADC. */
   def pqTopKRerank(spark: SparkSession, dir: String, k: Int = 10,
-      poolK: Int = 50, iters: Int = 2): DataFrame = {
+      poolK: Int = 50, iters: Int = 2): DataFrame =
+    rerankOver(spark, dir,
+      pqTopK(spark, dir, poolK, iters).select("q_id", "vec_id"), k)
+
+  /** The exact-cosine re-rank tail shared by every compressed-scan
+    * recipe: fetch the true vectors for the bounded (q_id, vec_id)
+    * candidate set and restore the exact ordering. */
+  private def rerankOver(spark: SparkSession, dir: String,
+      cand: DataFrame, k: Int): DataFrame = {
     val e = emb(spark, dir)
     val queries = e.filter(col("vec_id") < NumQueries)
       .select(col("vec_id").as("q_id"), col("v").as("q_v"),
         col("nrm").as("q_nrm"))
-    val cand = pqTopK(spark, dir, poolK, iters).select("q_id", "vec_id")
     val w = Window.partitionBy("q_id").orderBy(col("cos").desc, col("vec_id"))
     e.join(broadcast(cand), "vec_id")
       .join(broadcast(queries), "q_id")
@@ -331,6 +338,84 @@ object Quantize {
         round(col("cos"), 6).as("cos"))
       .orderBy("q_id", "rk")
   }
+
+  /** Harness query `sim_topk_ivfpq`: IVF+PQ — Jégou et al.'s IVFADC,
+    * the canonical shape of a 100 TB ANN serve, fusing the two
+    * orthogonal reductions this module and [[Similarity]] prove
+    * separately: the coarse quantizer bounds WHICH vectors are scored
+    * (nprobe inverted lists, not the corpus) and PQ bounds the BYTES
+    * per scored vector (~20 B of codes, not the full vector). Serving
+    * reads the c_id-bucketed codes table
+    * ([[graft.sources.Bucketing.ensureIvfPqIndex]]): the probe becomes
+    * a literal `c_id IN (…)` filter (collected from the bounded
+    * |Q|·nprobe probe set — the same driver round-trip as the ADC
+    * lookup tables) that BUCKET-PRUNES the scan to the probed lists'
+    * files, and the ADC aggregation groups on keys ⊇ c_id so it rides
+    * the bucketing exchange-free; the only shuffle is the per-query
+    * top-k window over the probed candidates. Oracle-gated bit-exactly:
+    * the DuckDB chain replays coarse training, PQ training, encoding,
+    * probing AND the decimal-exact ADC fold. */
+  def pqIvfTopK(spark: SparkSession, dir: String, k: Int = 10,
+      nprobe: Int = 8, iters: Int = 2): DataFrame = {
+    val table = graft.sources.Bucketing.ensureIvfPqIndex(spark, dir, iters)
+    val cb = trainCodebooks(spark, dir, iters)
+    val e = emb(spark, dir)
+    val queries = e.filter(col("vec_id") < NumQueries)
+    // coarse probe: each query ranks the centroids, keeps nprobe lists —
+    // a |Q|×C window, bounded by design, collected like the LUTs
+    val cents = Similarity.trainCentroids(spark, dir, iters = iters)
+    val wProbe = Window.partitionBy("q_id")
+      .orderBy(col("c_cos").desc, col("c_id"))
+    val probePairs = queries
+      .select(col("vec_id").as("q_id"), col("v"), col("nrm"))
+      .crossJoin(broadcast(cents))
+      .select(col("q_id"), col("c_id"),
+        (V.dot(col("v"), col("c_v")) / (col("nrm") * col("c_nrm")))
+          .as("c_cos"))
+      .withColumn("crk", row_number().over(wProbe))
+      .filter(col("crk") <= nprobe)
+      .select("q_id", "c_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    val probedLists = probePairs.map(_._2).distinct
+    // per-query subspace lookup tables, as in the full ADC scan
+    val qsubs = subvectors(queries)
+      .join(queries.select(col("vec_id"), col("nrm").as("q_nrm")), "vec_id")
+    val lut = qsubs.join(broadcast(cb), "sub")
+      .select(col("vec_id").as("q_id"), col("q_nrm"), col("sub"),
+        col("c_id").as("code"),
+        round(V.dot(col("sv"), col("cv")), 10).as("ip"))
+    import spark.implicits._
+    val probeDf = probePairs.toDF("q_id", "c_id")
+    val w = Window.partitionBy("q_id").orderBy(col("cos").desc, col("vec_id"))
+    spark.table(table)
+      .filter(col("c_id").isin(probedLists: _*)) // bucket-prunes the scan
+      .join(broadcast(probeDf), "c_id")          // per-query list pairing
+      .join(broadcast(lut), Seq("q_id", "sub", "code"))
+      .filter(col("vec_id") =!= col("q_id"))
+      // grouping keys ⊇ c_id (the bucket column): the partial+final sum
+      // runs inside the probed buckets with no exchange; (q_id, vec_id)
+      // is unique across c_id so the extra key changes nothing
+      .groupBy("c_id", "q_id", "vec_id")
+      .agg(sum(col("ip").cast("decimal(38,18)")).as("ips"),
+        first(col("nrm")).as("nrm"), first(col("q_nrm")).as("q_nrm"))
+      .withColumn("cos",
+        col("ips").cast("double") / (col("q_nrm") * col("nrm")))
+      .withColumn("rk", row_number().over(w).cast("long"))
+      .filter(col("rk") <= k)
+      .select(col("q_id"), col("rk"), col("vec_id"),
+        round(col("cos"), 6).as("cos"))
+      .orderBy("q_id", "rk")
+  }
+
+  /** Harness query `sim_topk_ivfpq_rerank`: the end-to-end production
+    * ANN recipe — coarse probe bounds the lists, ADC over codes bounds
+    * the shortlist, exact cosine over the fetched true vectors restores
+    * the ordering. Every stage's cost is independent of corpus size
+    * except the pruned code scan itself. */
+  def pqIvfTopKRerank(spark: SparkSession, dir: String, k: Int = 10,
+      poolK: Int = 50, nprobe: Int = 8, iters: Int = 2): DataFrame =
+    rerankOver(spark, dir,
+      pqIvfTopK(spark, dir, poolK, nprobe, iters).select("q_id", "vec_id"), k)
 
   def int8Quantize(spark: SparkSession, dir: String): DataFrame = {
     val emb = Tables.load(spark, dir, "embeddings")

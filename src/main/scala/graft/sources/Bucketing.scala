@@ -610,6 +610,31 @@ object Bucketing {
     * encode that never saw the deleted vectors — deletes cannot
     * resurface in a top-k, and the packed fold applies downstream of
     * the serve view unchanged. */
+  /** The IVF+PQ serving table — FAISS's IVFADC layout as a catalog
+    * table: inverted lists of PQ codes, (c_id, vec_id, nrm, sub, code)
+    * BUCKETED BY the coarse-list id. A query's nprobe probe becomes a
+    * literal `c_id IN (…)` filter that bucket-prunes the scan to the
+    * probed lists' files, and because c_id is the bucketing column, the
+    * per-candidate M-addend ADC aggregation (grouping keys ⊇ c_id)
+    * rides the bucketing with NO exchange on the index side — the only
+    * shuffle left in a serve is the bounded per-query top-k window.
+    * Built once per dataset from the two memoized halves (the IVF
+    * assignment × the PQ encode); increments compose the two existing
+    * frozen-model appends (assign O(batch·C) + encode O(batch·M·Ksub)),
+    * churn/retrain ride the shared [[IndexChurn]]/staged-swap machinery
+    * — this table only fuses the layouts. */
+  def ensureIvfPqIndex(spark: SparkSession, dir: String,
+      iters: Int = 2, buckets: Int = 8): String = {
+    val table = f"ivfpq_idx_${iters}_${dir.hashCode & 0x7fffffff}%08x"
+    lazy val lists = graft.operators.Similarity
+      .assignmentTable(spark, dir, iters).select("vec_id", "c_id")
+      .join(graft.operators.Quantize.pqIndexTable(spark, dir, iters),
+        "vec_id")
+      .select("c_id", "vec_id", "nrm", "sub", "code")
+    ensureBucketedTable(spark, table, lists, Seq("c_id"), buckets)()
+    table
+  }
+
   def ensureChurnedPqIndex(spark: SparkSession, dir: String,
       iters: Int = 2, buckets: Int = 8): String = {
     import org.apache.spark.sql.functions.col

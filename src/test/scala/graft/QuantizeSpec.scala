@@ -96,6 +96,63 @@ class QuantizeSpec extends AnyFunSuite {
       "churned serve diverged from the survivor-only encode")
   }
 
+  test("ivfpq: bucket-pruned probed-list scan, recall improves with rerank") {
+    val df = Quantize.pqIvfTopK(spark, sf, k = 10)
+    val plan = df.queryExecution.executedPlan.toString
+    // the literal c_id IN (...) probe must prune the bucketed codes
+    // table to the probed lists' buckets
+    val sel = "SelectedBucketsCount: (\\d+) out of (\\d+)".r
+      .findFirstMatchIn(plan)
+    assert(sel.isDefined, s"ivfpq scan did not bucket-prune:\n$plan")
+    // the full 8-query serve probes most lists at this tiny SF, so pin
+    // STRICT pruning with a single-list probe (one coarse list = the
+    // production shape where nprobe lists ≪ buckets)
+    val t = graft.sources.Bucketing.ensureIvfPqIndex(spark, sf)
+    val one = spark.table(t).filter(col("c_id") === 0L)
+      .groupBy("c_id").agg(count(col("vec_id")).as("n"))
+    val onePlan = one.queryExecution.executedPlan.toString
+    val oneSel = "SelectedBucketsCount: (\\d+) out of (\\d+)".r
+      .findFirstMatchIn(onePlan)
+    assert(oneSel.isDefined && oneSel.get.group(1).toInt === 1,
+      s"single-list probe opened more than its bucket:\n$onePlan")
+    // results come only from probed lists: every hit's coarse list is
+    // among its query's nprobe nearest centroids
+    val assign = Similarity.assignmentTable(spark, sf)
+      .select("vec_id", "c_id").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val cents = Similarity.trainCentroids(spark, sf, iters = 2).collect()
+      .map(r => (r.getAs[Long]("c_id"), r.getAs[Seq[Double]]("c_v").toArray,
+        r.getAs[Double]("c_nrm")))
+    val e = Similarity.embeddingsWithNorm(spark, sf).collect()
+      .map(r => r.getAs[Long]("vec_id") ->
+        ((r.getSeq[Double](1).toArray, r.getDouble(2)))).toMap
+    def probed(q: Long): Set[Long] = {
+      val (qv, qn) = e(q)
+      cents.map { case (c, cv, cn) =>
+        (c, qv.zip(cv).map { case (a, b) => a * b }.sum / (qn * cn))
+      }.sortBy { case (c, cos) => (-cos, c) }.take(8).map(_._1).toSet
+    }
+    df.collect().foreach { r =>
+      val q = r.getAs[Long]("q_id"); val v = r.getAs[Long]("vec_id")
+      assert(probed(q).contains(assign(v)),
+        s"hit $v for query $q came from an unprobed list")
+    }
+    // quality: pruning 56/64 lists costs recall vs the full ADC scan,
+    // the exact re-rank wins most of it back (bounds pin regressions)
+    val brute = tops(Similarity.bruteForceTopK(spark, sf, k = 10))
+    def meanRecall(m: Map[Long, Set[Long]]): Double = {
+      val rs = brute.map { case (q, b) =>
+        m.get(q).map(i => (b & i).size.toDouble / b.size).getOrElse(0.0)
+      }
+      rs.sum / rs.size
+    }
+    val ivfpq = meanRecall(tops(df))
+    val rr = meanRecall(tops(Quantize.pqIvfTopKRerank(spark, sf, k = 10)))
+    assert(ivfpq >= 0.25, s"ivfpq recall@10 $ivfpq")
+    assert(rr >= ivfpq, "exact re-rank must not lose recall vs raw ADC")
+    assert(rr >= 0.5, s"re-ranked ivfpq recall@10 $rr")
+  }
+
   test("re-rank top-k is the exact cosine order of the ADC shortlist") {
     val pool = Quantize.pqTopK(spark, sf, k = 50).collect()
       .map(r => (r.getAs[Long]("q_id"), r.getAs[Long]("vec_id"))).toSet
