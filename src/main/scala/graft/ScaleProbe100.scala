@@ -35,7 +35,7 @@ object ScaleProbe100 {
     val sections: Set[String] =
       if (args.length > 2) args(2).split(',').map(_.trim).toSet
       else Set("dedup", "feed", "quality", "bm25", "ann", "zipf", "churn",
-        "semdedup", "rebucket")
+        "semdedup", "rebucket", "pq", "ivfpq")
     def section(name: String)(body: => Unit): Unit =
       if (sections(name)) body
     val spark = SparkSession.builder()
@@ -65,7 +65,7 @@ object ScaleProbe100 {
       println(s"corpus: ${Tables.load(spark, dup, "documents").count()} docs " +
         s"(${factor}x of $sf)")
     }
-    if (sections.exists(Set("churn", "semdedup", "ann"))) {
+    if (sections.exists(Set("churn", "semdedup", "ann", "pq", "ivfpq"))) {
       if (!fs.exists(new org.apache.hadoop.fs.Path(s"$dup/embeddings.parquet"))) {
         val nv0 = Tables.load(spark, sf, "embeddings").count()
         Tables.load(spark, sf, "embeddings")
@@ -336,6 +336,35 @@ object ScaleProbe100 {
       println(f"  stored bytes: raw embeddings ${rawB / 1e6}%.1f MB, " +
         f"packed pq index ${pqB / 1e6}%.1f MB " +
         f"(logical widths: 256 B float32 vs ~24 B id+norm+codes)")
+    }
+
+    // 10. IVF+PQ at factor×: the fused serve. Full-scan ADC scores
+    // |Q|·n pairs; the probe bounds that to Σ_q |probed lists(q)| ≈
+    // |Q|·n·(nprobe/C) — 8× fewer scored pairs at nprobe=8, C=64 —
+    // AND each pair costs M code lookups, not d multiplies. The
+    // comparators (packed full-scan ADC, brute exact) come from the
+    // `pq` section; this one times the fused path and prints the
+    // plan's shuffle count (the exchange-free-aggregation proof at
+    // scale, not just in the spec).
+    section("ivfpq") {
+      time(s"ivfpq index build (assignment x codes, bucketed by c_id)") {
+        sources.Bucketing.ensureIvfPqIndex(spark, dup)
+      }
+      time("sim_topk_ivfpq (probed-list ADC serve, warm)") {
+        operators.Quantize.pqIvfTopK(spark, dup).count()
+      }
+      time("sim_topk_ivfpq_rerank (probe -> ADC shortlist -> exact re-rank)") {
+        operators.Quantize.pqIvfTopKRerank(spark, dup).count()
+      }
+      val plan = org.apache.spark.sql.graftshim.Shim
+        .executedPlan(operators.Quantize.pqIvfTopK(spark, dup)).toString
+      "SelectedBucketsCount: \\d+ out of \\d+".r.findFirstIn(plan)
+        .foreach(s => println(s"  ivfpq serve plan: $s"))
+      val shuffles = "Exchange hashpartitioning".r.findAllIn(plan).length
+      println(s"  ivfpq serve shuffles (hash exchanges in plan): $shuffles " +
+        "(expected 1: the bounded per-query top-k window; the ADC " +
+        "aggregation rides the c_id bucketing, the final sort is a " +
+        "bounded range exchange)")
     }
 
     // 5. hot-token skew: Zipf postings (df of rank r ≈ N/r — the
