@@ -99,6 +99,7 @@ object SparkEntry {
     "sim_topk_pq_churn"  -> ((s: SparkSession, d: String) => Quantize.pqChurnTopK(s, d)),
     "sim_topk_ivfpq"     -> ((s: SparkSession, d: String) => Quantize.pqIvfTopK(s, d)),
     "sim_topk_ivfpq_rerank" -> ((s: SparkSession, d: String) => Quantize.pqIvfTopKRerank(s, d)),
+    "sim_topk_ivfpq_res" -> ((s: SparkSession, d: String) => Quantize.pqIvfResidualTopK(s, d)),
     "semantic_neardup"   -> ((s: SparkSession, d: String) => Similarity.semanticNearDupPairs(s, d)),
     "semantic_neardup_maintained" -> ((s: SparkSession, d: String) => Similarity.semanticNearDupMaintained(s, d)),
     "semantic_dedup_keep" -> ((s: SparkSession, d: String) => Similarity.semanticDedupKeep(s, d)),
@@ -414,8 +415,12 @@ object SparkEntry {
     * codebook. Argmin L2 ranks by 2·sv·cv − cv·cv DESC (sv·sv constant
     * per group), tie to the smallest c_id — exactly the Spark side's
     * argmax struct. */
-  private val dPqCtes: String = {
-    val m = graft.operators.Quantize.M
+  /** The two-iteration Lloyd codebook-training chain over an existing
+    * `${p}subs` (vec_id, sub, sv) CTE — plain PQ trains on raw
+    * subvectors (`p = "pq"`), residual PQ on coarse residuals
+    * (`p = "pqr"`). Emits `${p}cb2` (trained codebooks) and
+    * `${p}codes` (the encoding). */
+  private def dPqTrainCtes(p: String): String = {
     val ksub = graft.operators.Quantize.Ksub
     val sd = graft.operators.Quantize.SubDim
     def assign(cb: String, name: String) =
@@ -425,7 +430,7 @@ object SparkEntry {
                     row_number() OVER (PARTITION BY s.vec_id, s.sub
                       ORDER BY 2 * list_dot_product(s.sv, c.cv) -
                         list_dot_product(c.cv, c.cv) DESC, c.c_id) AS rk
-             FROM pqsubs s JOIN $cb c USING (sub))
+             FROM ${p}subs s JOIN $cb c USING (sub))
            WHERE rk = 1)"""
     def update(assigned: String, name: String) =
       s"""${name}_m AS (
@@ -437,6 +442,18 @@ object SparkEntry {
          $name AS (
            SELECT sub, c_id, list(m ORDER BY pos) AS cv
            FROM ${name}_m GROUP BY sub, c_id)"""
+    s"""${p}cb0 AS (SELECT sub, vec_id AS c_id, sv AS cv
+                   FROM ${p}subs WHERE vec_id < $ksub),
+         ${assign(s"${p}cb0", s"${p}a1")},
+         ${update(s"${p}a1", s"${p}cb1")},
+         ${assign(s"${p}cb1", s"${p}a2")},
+         ${update(s"${p}a2", s"${p}cb2")},
+         ${assign(s"${p}cb2", s"${p}codes")}"""
+  }
+
+  private val dPqCtes: String = {
+    val m = graft.operators.Quantize.M
+    val sd = graft.operators.Quantize.SubDim
     s"""pqemb AS (
            SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
                   sqrt(list_dot_product(CAST(embedding AS DOUBLE[]),
@@ -445,13 +462,7 @@ object SparkEntry {
          pqsubs AS (
            SELECT vec_id, sub, v[sub * $sd + 1 : sub * $sd + $sd] AS sv
            FROM pqemb, range(0, $m) s(sub)),
-         pqcb0 AS (SELECT sub, vec_id AS c_id, sv AS cv
-                   FROM pqsubs WHERE vec_id < $ksub),
-         ${assign("pqcb0", "pqa1")},
-         ${update("pqa1", "pqcb1")},
-         ${assign("pqcb1", "pqa2")},
-         ${update("pqa2", "pqcb2")},
-         ${assign("pqcb2", "pqcodes")}"""
+         ${dPqTrainCtes("pq")}"""
   }
 
   /** [[dPqCtes]] extended with the per-query ADC lookup tables: `pqq`
@@ -526,6 +537,63 @@ object SparkEntry {
            FROM ivfadc a
            JOIN pqemb n ON a.vec_id = n.vec_id
            JOIN pqemb qn ON a.q_id = qn.vec_id)"""
+
+  /** Residual IVFADC: codes quantize r = v − centroid(v), codebooks
+    * Lloyd-trained on the residual subvectors, and the serve adds the
+    * per-(query, probed list) q·c scalar to the residual LUT sum
+    * (q·x = q·c + q·r). The decimal LUT sum's double image plus the
+    * rounded scalar is one IEEE add — deterministic on both engines.
+    * Ends at `pqrranked`. */
+  private val dIvfPqResCtes: String = {
+    val m = graft.operators.Quantize.M
+    val sd = graft.operators.Quantize.SubDim
+    s"""${dIvfAssignCtes(iters = 2)},
+         rprobes AS (
+           SELECT q_id, c_id, qc_ip FROM (
+             SELECT q.vec_id AS q_id, c.c_id,
+                    round(list_dot_product(q.v, c.c_v), 10) AS qc_ip,
+                    row_number() OVER (PARTITION BY q.vec_id
+                      ORDER BY list_dot_product(q.v, c.c_v) / (q.nrm * c.c_nrm)
+                        DESC, c.c_id) AS crk
+             FROM emb0 q CROSS JOIN cent2 c WHERE q.vec_id < 8)
+           WHERE crk <= 8),
+         rres AS (
+           SELECT a.vec_id, t.i AS pos, a.v[t.i] - c.c_v[t.i] AS x
+           FROM af a JOIN cent2 c USING (c_id), range(1, ${m * sd + 1}) t(i)),
+         rvec AS (SELECT vec_id, list(x ORDER BY pos) AS v
+                  FROM rres GROUP BY vec_id),
+         pqrsubs AS (
+           SELECT vec_id, sub, v[sub * $sd + 1 : sub * $sd + $sd] AS sv
+           FROM rvec, range(0, $m) s(sub)),
+         ${dPqTrainCtes("pqr")},
+         pqrq AS (
+           SELECT vec_id AS q_id, sub, v[sub * $sd + 1 : sub * $sd + $sd]
+                    AS qsv
+           FROM emb0, range(0, $m) s(sub) WHERE vec_id < 8),
+         pqrlut AS (
+           SELECT q.q_id, c.sub, c.c_id AS code,
+                  round(list_dot_product(q.qsv, c.cv), 10) AS ip
+           FROM pqrq q JOIN pqrcb2 c USING (sub)),
+         pqradc AS (
+           SELECT p.q_id, cd.vec_id,
+                  CAST(sum(CAST(l.ip AS DECIMAL(38,18))) AS DOUBLE)
+                    + p.qc_ip AS ips
+           FROM af a
+           JOIN rprobes p USING (c_id)
+           JOIN pqrcodes cd ON cd.vec_id = a.vec_id
+           JOIN pqrlut l ON l.q_id = p.q_id AND l.sub = cd.sub
+             AND l.code = cd.code
+           WHERE a.vec_id <> p.q_id
+           GROUP BY p.q_id, cd.vec_id, p.qc_ip),
+         pqrranked AS (
+           SELECT a.q_id, a.vec_id, a.ips / (qn.nrm * n.nrm) AS cos,
+                  CAST(row_number() OVER (PARTITION BY a.q_id
+                    ORDER BY a.ips / (qn.nrm * n.nrm) DESC, a.vec_id)
+                    AS BIGINT) AS rk
+           FROM pqradc a
+           JOIN emb0 n ON a.vec_id = n.vec_id
+           JOIN emb0 qn ON a.q_id = qn.vec_id)"""
+  }
 
   /** Argmax language CASE with the Spark fold's tie order (de,en,es,fr,zh). */
   private val dLangIdSql: String = {
@@ -2236,6 +2304,12 @@ object SparkEntry {
            FROM ivfrr)
        SELECT q_id, rk, vec_id, round(cos, 6) AS cos
        FROM ivfrr2 WHERE rk <= 10 ORDER BY q_id, rk""",
+    // residual IVFADC: codes quantize v - centroid(v); the serve adds
+    // the per-(query, list) q·c scalar to the residual LUT sum
+    "sim_topk_ivfpq_res" ->
+      s"""WITH $dIvfPqResCtes
+       SELECT q_id, rk, vec_id, round(cos, 6) AS cos
+       FROM pqrranked WHERE rk <= 10 ORDER BY q_id, rk""",
     // SemDeDup over the IVF clustering: same Lloyd chain as the ANN
     // oracles, then per-cluster pairwise cosine above the threshold
     "semantic_neardup" -> dSemanticPairsSql,

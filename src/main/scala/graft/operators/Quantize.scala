@@ -73,8 +73,16 @@ object Quantize {
     * codebook training is a once-per-dataset index build. */
   def trainCodebooks(spark: SparkSession, dir: String,
       iters: Int = 2): DataFrame =
-    Memo.table(spark, dir, s"pq_cb_${M}_${Ksub}_$iters") {
-      val subs = subvectors(emb(spark, dir))
+    trainCodebooksOver(spark, dir, s"pq_cb_${M}_${Ksub}_$iters", iters,
+      subvectors(emb(spark, dir)))
+
+  /** The Lloyd loop over an EXPLICIT (vec_id, sub, sv) subvector frame
+    * — plain PQ trains on raw subvectors, residual PQ (IVFADC) on
+    * coarse-quantizer residuals; the training arithmetic is one
+    * kernel. */
+  private def trainCodebooksOver(spark: SparkSession, dir: String,
+      memoKey: String, iters: Int, subs: => DataFrame): DataFrame =
+    Memo.table(spark, dir, memoKey) {
       var cb = subs.filter(col("vec_id") < Ksub)
         .select(col("sub"), col("vec_id").as("c_id"), col("sv").as("cv"))
       for (_ <- 0 until iters) {
@@ -416,6 +424,106 @@ object Quantize {
       poolK: Int = 50, nprobe: Int = 8, iters: Int = 2): DataFrame =
     rerankOver(spark, dir,
       pqIvfTopK(spark, dir, poolK, nprobe, iters).select("q_id", "vec_id"), k)
+
+  /** Coarse-quantizer residuals r = v − centroid(v): what the true
+    * IVFADC quantizes. Residual magnitudes are a fraction of vector
+    * magnitudes, so the same code budget spends its resolution on the
+    * part the coarse quantizer didn't already explain. */
+  private def residualFrame(spark: SparkSession, dir: String,
+      iters: Int): DataFrame = {
+    val cents = Similarity.trainCentroids(spark, dir, iters = iters)
+      .select(col("c_id"), col("c_v"))
+    Similarity.assignmentTable(spark, dir, iters)
+      .select("vec_id", "c_id", "v")
+      .join(broadcast(cents), "c_id")
+      .select(col("vec_id"),
+        zip_with(col("v"), col("c_v"), (a, b) => a - b).as("v"))
+  }
+
+  /** Per-subspace codebooks Lloyd-trained on RESIDUAL subvectors —
+    * same kernel as [[trainCodebooks]], different training set. */
+  def residualCodebooks(spark: SparkSession, dir: String,
+      iters: Int = 2): DataFrame =
+    trainCodebooksOver(spark, dir, s"pqr_cb_${M}_${Ksub}_$iters", iters,
+      subvectors(residualFrame(spark, dir, iters)))
+
+  /** The residual-encoded IVFPQ index: (c_id, vec_id, nrm, sub, code)
+    * where codes quantize r = v − centroid and nrm stays the TRUE
+    * vector norm (the cosine denominator). */
+  def pqResidualIndexTable(spark: SparkSession, dir: String,
+      iters: Int = 2): DataFrame =
+    Memo.table(spark, dir, s"pqr_index_$iters") {
+      val a = Similarity.assignmentTable(spark, dir, iters)
+        .select("vec_id", "c_id", "nrm")
+      assignCodes(subvectors(residualFrame(spark, dir, iters)),
+        residualCodebooks(spark, dir, iters))
+        .join(a, "vec_id")
+        .select("c_id", "vec_id", "nrm", "sub", "code")
+    }
+
+  /** Harness query `sim_topk_ivfpq_res`: IVFADC proper — PQ codes
+    * quantize the coarse-quantizer RESIDUAL, not the raw vector. For
+    * inner products the decomposition is exact in expectation and
+    * cheap in structure: q·x = q·c + q·r, so the serve adds ONE
+    * per-(query, probed list) scalar (q·c — already computed while
+    * ranking the lists, rounded like every LUT entry) to the standard
+    * M-lookup sum over the residual codebooks; no per-list lookup
+    * tables are needed, which is what keeps the oracle replay and the
+    * broadcast shapes identical to the non-residual serve. Same
+    * bucketed-scan/exchange-free-aggregation plan as [[pqIvfTopK]];
+    * QuantizeSpec pins the recall ordering between the two encodings.
+    */
+  def pqIvfResidualTopK(spark: SparkSession, dir: String, k: Int = 10,
+      nprobe: Int = 8, iters: Int = 2): DataFrame = {
+    val table =
+      graft.sources.Bucketing.ensureIvfPqResidualIndex(spark, dir, iters)
+    val cb = residualCodebooks(spark, dir, iters)
+    val e = emb(spark, dir)
+    val queries = e.filter(col("vec_id") < NumQueries)
+    val cents = Similarity.trainCentroids(spark, dir, iters = iters)
+    val wProbe = Window.partitionBy("q_id")
+      .orderBy(col("c_cos").desc, col("c_id"))
+    val probeRows = queries
+      .select(col("vec_id").as("q_id"), col("v"), col("nrm"))
+      .crossJoin(broadcast(cents))
+      .select(col("q_id"), col("c_id"),
+        (V.dot(col("v"), col("c_v")) / (col("nrm") * col("c_nrm")))
+          .as("c_cos"),
+        round(V.dot(col("v"), col("c_v")), 10).as("qc_ip"))
+      .withColumn("crk", row_number().over(wProbe))
+      .filter(col("crk") <= nprobe)
+      .select("q_id", "c_id", "qc_ip")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+    val probedLists = probeRows.map(_._2).distinct
+    val qsubs = subvectors(queries)
+      .join(queries.select(col("vec_id"), col("nrm").as("q_nrm")), "vec_id")
+    val lut = qsubs.join(broadcast(cb), "sub")
+      .select(col("vec_id").as("q_id"), col("q_nrm"), col("sub"),
+        col("c_id").as("code"),
+        round(V.dot(col("sv"), col("cv")), 10).as("ip"))
+    import spark.implicits._
+    val probeDf = probeRows.toDF("q_id", "c_id", "qc_ip")
+    val w = Window.partitionBy("q_id").orderBy(col("cos").desc, col("vec_id"))
+    spark.table(table)
+      .filter(col("c_id").isin(probedLists: _*))
+      .join(broadcast(probeDf), "c_id")
+      .join(broadcast(lut), Seq("q_id", "sub", "code"))
+      .filter(col("vec_id") =!= col("q_id"))
+      .groupBy("c_id", "q_id", "vec_id")
+      .agg(sum(col("ip").cast("decimal(38,18)")).as("lutsum"),
+        first(col("qc_ip")).as("qc_ip"),
+        first(col("nrm")).as("nrm"), first(col("q_nrm")).as("q_nrm"))
+      // the decimal LUT sum is exact; its double image + the rounded
+      // q·c scalar is one IEEE add — deterministic on both engines
+      .withColumn("cos",
+        (col("lutsum").cast("double") + col("qc_ip")) /
+          (col("q_nrm") * col("nrm")))
+      .withColumn("rk", row_number().over(w).cast("long"))
+      .filter(col("rk") <= k)
+      .select(col("q_id"), col("rk"), col("vec_id"),
+        round(col("cos"), 6).as("cos"))
+      .orderBy("q_id", "rk")
+  }
 
   def int8Quantize(spark: SparkSession, dir: String): DataFrame = {
     val emb = Tables.load(spark, dir, "embeddings")

@@ -635,6 +635,19 @@ object Bucketing {
     table
   }
 
+  /** The residual-encoded twin of [[ensureIvfPqIndex]] — same bucketed
+    * inverted-lists-of-codes layout, codes from
+    * [[graft.operators.Quantize.pqResidualIndexTable]] (IVFADC
+    * proper). */
+  def ensureIvfPqResidualIndex(spark: SparkSession, dir: String,
+      iters: Int = 2, buckets: Int = 8): String = {
+    val table = f"ivfpqr_idx_${iters}_${dir.hashCode & 0x7fffffff}%08x"
+    ensureBucketedTable(spark, table,
+      graft.operators.Quantize.pqResidualIndexTable(spark, dir, iters),
+      Seq("c_id"), buckets)()
+    table
+  }
+
   def ensureChurnedPqIndex(spark: SparkSession, dir: String,
       iters: Int = 2, buckets: Int = 8): String = {
     import org.apache.spark.sql.functions.col
