@@ -7,13 +7,21 @@ object Bench {
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
+      // pinned so timestamp results (and therefore oracle hashes) never
+      // depend on the host timezone — Verify pins it too
+      .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     // warm the two scan paths once so the first measured query doesn't
-    // absorb file-index/codegen bootstrap cost
-    Tables.load(spark, sfDir, "events").count()
-    Tables.load(spark, sfDir, "lineitem").count()
+    // absorb file-index/codegen bootstrap cost. In try: a broken table
+    // must cost its own queries, not the whole round's perf signal
+    // (r7's bench died HERE and produced zero numbers — BENCH_r07 rc:1)
+    try {
+      Tables.load(spark, sfDir, "events").count()
+      Tables.load(spark, sfDir, "lineitem").count()
+    } catch { case e: Throwable =>
+      System.err.println(s"[bench] warm-up failed (continuing): $e") }
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       // min of three runs: machine-load noise on the shared box swings a
       // single run ±100%; the min is the reproducible warm cost

@@ -18,6 +18,7 @@ object Verify {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
+    val errors = scala.collection.mutable.LinkedHashMap[String, String]()
     SparkEntry.queries
       .filter { case (name, _) => only.forall(_.contains(name)) }
       .foreach { case (name, fn) =>
@@ -25,6 +26,12 @@ object Verify {
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
+        // recorded in errors.json below: a query that errors must show
+        // up in the driver artifacts as BROKEN, not silently missing
+        // (r7: 23 vanished rows read as dropped coverage, not breakage)
+        errors(name) = s"${e.getClass.getSimpleName}: " +
+          Option(e.getMessage).getOrElse("").linesIterator
+            .take(1).mkString.take(300)
       }
       // LSH queries persist signature tables for their self-joins; keep
       // the 55-query session's cache footprint bounded
@@ -45,6 +52,9 @@ object Verify {
     val json = SparkEntry.oracleSql
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
+    val errJson = errors
+      .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
+    Files.writeString(Paths.get(s"$outDir/errors.json"), errJson)
     spark.stop()
   }
 }

@@ -105,7 +105,13 @@ object Memo {
       }
       mm
     }
-    val key = s"$dir|$name"
+    // the dataset CONTENT fingerprint is part of the key: a dataset
+    // regenerated at the same path must rebuild its memos, not serve
+    // intermediates of data that no longer exists (one dir listing per
+    // call — see SourceState for the cost argument). Superseded memo
+    // directories linger until the shutdown hook; they are small,
+    // bounded by rewrite count, and never served again.
+    val key = s"$dir|${graft.sources.SourceState.dirFingerprint(spark, dir)}|$name"
     var path = m.get(key)
     if (path == null) lock.synchronized {
       path = m.get(key)

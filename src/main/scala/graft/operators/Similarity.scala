@@ -279,7 +279,9 @@ object Similarity {
     graft.sources.Bucketing.ensureBucketedTable(spark, newTable,
       assignNearest(vectors, newCentroids)
         .select("vec_id", "c_id", "v", "nrm"),
-      Seq("c_id"), buckets)()
+      Seq("c_id"), buckets,
+      Some(graft.sources.SourceState.fingerprint(spark, dir,
+        Seq("embeddings"))))()
     newTable
   }
 

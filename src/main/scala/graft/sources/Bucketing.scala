@@ -74,9 +74,18 @@ object Bucketing {
     ensureBandIndexFrom(spark, table,
       graft.operators.Dedup.minhashCappedBands(spark, dir, maxBucket)
         .filter(col("doc_id") % 10 =!= 0),
-      buckets)
+      buckets, docsFp(spark, dir))
     table
   }
+
+  /** Source fingerprints for the two tables the index families derive
+    * from — text indexes read `documents`, ANN/PQ indexes read
+    * `embeddings`. Per-source (not whole-dir) so a re-crawl of one
+    * doesn't force rebuilding the other family's indexes. */
+  private def docsFp(spark: SparkSession, dir: String): Option[String] =
+    Some(SourceState.fingerprint(spark, dir, Seq("documents")))
+  private def embFp(spark: SparkSession, dir: String): Option[String] =
+    Some(SourceState.fingerprint(spark, dir, Seq("embeddings")))
 
   /** Clear a warehouse location left behind by a dead JVM: with the
     * local in-memory catalog a managed-table LOCATION can outlive the
@@ -96,6 +105,37 @@ object Bucketing {
     ()
   }
 
+  /** Table property carrying the SOURCE-content fingerprint an index
+    * was built from ([[SourceState.fingerprint]]). Validated on every
+    * build-guard hit: the table names carry only a PATH discriminator,
+    * and a path is not an identity — a dataset regenerated in place
+    * (the r7 testdata drift, or any production re-crawl landing at the
+    * same location) must rebuild the index, not serve the old one
+    * forever under a persistent metastore. */
+  val FingerprintProp = "graft.source.fingerprint"
+
+  private def tableFingerprint(spark: SparkSession,
+      table: String): Option[String] =
+    spark.sessionState.catalog
+      .getTableMetadata(org.apache.spark.sql.catalyst.TableIdentifier(table))
+      .properties.get(FingerprintProp)
+
+  /** True (and drops the table + companions) when `table` exists but
+    * was built from sources that no longer match `fingerprint` — or
+    * predates fingerprinting entirely, which is indistinguishable from
+    * stale and equally cheap to rebuild (derived cache). */
+  private def dropIfStale(spark: SparkSession, table: String,
+      fingerprint: Option[String], companions: Seq[String] = Nil): Unit =
+    fingerprint.foreach { fp =>
+      if (spark.catalog.tableExists(table) &&
+          !tableFingerprint(spark, table).contains(fp)) {
+        (table +: companions).foreach { t =>
+          spark.sql(s"DROP TABLE IF EXISTS $t")
+          clearOrphanedLocation(spark, t)
+        }
+      }
+    }
+
   /** Write `df` as a bucketed catalog table iff it doesn't exist yet
     * (build-once semantics; the builder is by-name so a hit costs no
     * plan construction). `andThen` runs exactly once, right after a
@@ -109,11 +149,20 @@ object Bucketing {
     * location). A crash anywhere before the rename leaves no table
     * under the final name, so the next call's tableExists guard
     * rebuilds from scratch instead of serving a corpus-slice-only
-    * index forever — completion is observable in the name itself. */
+    * index forever — completion is observable in the name itself.
+    *
+    * `fingerprint` (when given) is stamped as a table property before
+    * the rename and validated on every subsequent call: a hit whose
+    * stored fingerprint differs drops and rebuilds (see
+    * [[FingerprintProp]]). The stamp rides the same crash-atomic
+    * rename, so a table can never exist under the final name without
+    * its fingerprint. */
   def ensureBucketedTable(spark: SparkSession, table: String,
-      df: => DataFrame, bucketCols: Seq[String], buckets: Int = 8)(
+      df: => DataFrame, bucketCols: Seq[String], buckets: Int = 8,
+      fingerprint: Option[String] = None)(
       andThen: String => Unit = _ => ()): Unit =
     synchronized {
+      dropIfStale(spark, table, fingerprint)
       if (!spark.catalog.tableExists(table)) {
         val tmp = s"${table}__building"
         // a leftover temp table/location IS the crashed-build case —
@@ -126,6 +175,8 @@ object Bucketing {
           .sortBy(bucketCols.head, bucketCols.tail: _*)
           .saveAsTable(tmp)
         andThen(tmp)
+        fingerprint.foreach(fp => spark.sql(
+          s"ALTER TABLE $tmp SET TBLPROPERTIES ('$FingerprintProp'='$fp')"))
         spark.sql(s"ALTER TABLE $tmp RENAME TO $table")
         ()
       }
@@ -134,9 +185,10 @@ object Bucketing {
   /** Write `bands` as a bucketed band-index table iff it doesn't exist
     * yet. */
   def ensureBandIndexFrom(spark: SparkSession, table: String,
-      bands: => DataFrame, buckets: Int = 8): Unit =
+      bands: => DataFrame, buckets: Int = 8,
+      fingerprint: Option[String] = None): Unit =
     ensureBucketedTable(spark, table, bands,
-      Seq("band_id", "band_key"), buckets)()
+      Seq("band_id", "band_key"), buckets, fingerprint)()
 
   /** Index maintenance — the other half of the incremental-dedup loop:
     * after an increment is verified, APPEND its bands into the corpus
@@ -173,7 +225,8 @@ object Bucketing {
     val table = f"postings_bkt_${dir.hashCode & 0x7fffffff}%08x"
     lazy val posts = graft.operators.Retrieval.postingsTable(spark, dir)
     ensureBucketedTable(spark, table,
-      posts.filter(col("doc_id") % 10 =!= 0), Seq("token"), buckets) { t =>
+      posts.filter(col("doc_id") % 10 =!= 0), Seq("token"), buckets,
+      docsFp(spark, dir)) { t =>
       appendToPostingsIndex(spark, t,
         posts.filter(col("doc_id") % 10 === 0), buckets)
     }
@@ -204,7 +257,8 @@ object Bucketing {
     val table = f"positional_bkt_${dir.hashCode & 0x7fffffff}%08x"
     lazy val posts = graft.operators.Retrieval.positionalPostings(spark, dir)
     ensureBucketedTable(spark, table,
-      posts.filter(col("doc_id") % 10 =!= 0), Seq("token"), buckets) { t =>
+      posts.filter(col("doc_id") % 10 =!= 0), Seq("token"), buckets,
+      docsFp(spark, dir)) { t =>
       appendToPositionalIndex(spark, t,
         posts.filter(col("doc_id") % 10 === 0), buckets)
     }
@@ -298,6 +352,8 @@ object Bucketing {
   def ensureSaltedPostingsIndex(spark: SparkSession, dir: String,
       salts: Int = 8, buckets: Int = 8): String = synchronized {
     val table = f"postings_salt_${dir.hashCode & 0x7fffffff}%08x"
+    val fp = docsFp(spark, dir)
+    dropIfStale(spark, table, fp, companions = Seq(s"${table}_hot"))
     if (!spark.catalog.tableExists(table)) {
       clearOrphanedLocation(spark, s"${table}_hot")
       clearOrphanedLocation(spark, table)
@@ -305,6 +361,11 @@ object Bucketing {
       val nDocs = Tables.load(spark, dir, "documents").count()
       writeSaltedPostingsIndex(spark, table, posts,
         hotDf = math.max(nDocs / 20, 10), salts, buckets)
+      // stamped AFTER the main-table write completes: a crash in
+      // between leaves a fingerprint-less table, which dropIfStale
+      // treats as stale → rebuild (same safety as the temp-name path)
+      fp.foreach(f => spark.sql(
+        s"ALTER TABLE $table SET TBLPROPERTIES ('$FingerprintProp'='$f')"))
     }
     table
   }
@@ -330,6 +391,8 @@ object Bucketing {
   def ensureSaltedPositionalIndex(spark: SparkSession, dir: String,
       salts: Int = 8, buckets: Int = 8): String = synchronized {
     val table = f"positional_salt_${dir.hashCode & 0x7fffffff}%08x"
+    val fp = docsFp(spark, dir)
+    dropIfStale(spark, table, fp, companions = Seq(s"${table}_hot"))
     if (!spark.catalog.tableExists(table)) {
       clearOrphanedLocation(spark, s"${table}_hot")
       clearOrphanedLocation(spark, table)
@@ -337,6 +400,8 @@ object Bucketing {
       val nDocs = Tables.load(spark, dir, "documents").count()
       writeSaltedPostingsIndex(spark, table, posts,
         hotDf = math.max(nDocs / 20, 10), salts, buckets)
+      fp.foreach(f => spark.sql(
+        s"ALTER TABLE $table SET TBLPROPERTIES ('$FingerprintProp'='$f')"))
     }
     table
   }
@@ -384,7 +449,7 @@ object Bucketing {
           .filter(col("df") > math.max(nDocs / 20, 10))
           .write.mode("overwrite").saveAsTable(s"${table}_hot")
         saltedShards(spark, table, IndexChurn.stamp(posts, "U", 0L), salts)
-      }, Seq("shard_key"), buckets) { t =>
+      }, Seq("shard_key"), buckets, docsFp(spark, dir)) { t =>
       saltedShards(spark, table,
           IndexChurn.stamp(posts.filter(col("doc_id") % 10 === 0), "D", 1L),
           salts)
@@ -422,7 +487,8 @@ object Bucketing {
     val dt = s"doclen_chn_$h"
     lazy val posts = graft.operators.Retrieval.postingsTable(spark, dir)
     ensureBucketedTable(spark, pt,
-      IndexChurn.stamp(posts, "U", 0L), Seq("token"), buckets) { t =>
+      IndexChurn.stamp(posts, "U", 0L), Seq("token"), buckets,
+      docsFp(spark, dir)) { t =>
       // tombstones for a doc batch = its postings rows re-keyed as
       // deletes (production tokenizes the deleted docs' text or reads
       // their postings back; the memo serves the same rows here)
@@ -434,7 +500,8 @@ object Bucketing {
     lazy val dls = graft.Tables.load(spark, dir, "documents")
       .select(col("doc_id"), size(T.tokens(col("text"))).cast("long").as("dl"))
     ensureBucketedTable(spark, dt,
-      IndexChurn.stamp(dls, "U", 0L), Seq("doc_id"), buckets) { t =>
+      IndexChurn.stamp(dls, "U", 0L), Seq("doc_id"), buckets,
+      docsFp(spark, dir)) { t =>
       IndexChurn.append(spark, t,
         dls.filter(col("doc_id") % 10 === 0), "D", 1L, Seq("doc_id"), buckets)
       IndexChurn.compact(spark, t, Seq("doc_id"), Seq("doc_id"), buckets,
@@ -455,7 +522,8 @@ object Bucketing {
     val table = f"positional_chn_${dir.hashCode & 0x7fffffff}%08x"
     lazy val posts = graft.operators.Retrieval.positionalPostings(spark, dir)
     ensureBucketedTable(spark, table,
-      IndexChurn.stamp(posts, "U", 0L), Seq("token"), buckets) { t =>
+      IndexChurn.stamp(posts, "U", 0L), Seq("token"), buckets,
+      docsFp(spark, dir)) { t =>
       IndexChurn.append(spark, t,
         posts.filter(col("doc_id") % 10 === 0), "D", 1L, Seq("token"), buckets)
       IndexChurn.compact(spark, t, Seq("token", "doc_id"), Seq("token"),
@@ -488,7 +556,8 @@ object Bucketing {
     lazy val bands =
       graft.operators.Dedup.minhashCappedBands(spark, dir, maxBucket)
     ensureBucketedTable(spark, table,
-      IndexChurn.stamp(bands, "U", 0L), Seq("band_id", "band_key"), buckets) { t =>
+      IndexChurn.stamp(bands, "U", 0L), Seq("band_id", "band_key"), buckets,
+      docsFp(spark, dir)) { t =>
       IndexChurn.append(spark, t, bands.filter(col("doc_id") % 10 === 0),
         "D", 1L, Seq("band_id", "band_key"), buckets)
       IndexChurn.compact(spark, t, Seq("doc_id", "band_id", "band_key"),
@@ -513,7 +582,8 @@ object Bucketing {
     val table = f"ivf_assign_bkt_${iters}_${dir.hashCode & 0x7fffffff}%08x"
     val S = graft.operators.Similarity
     ensureBucketedTable(spark, table,
-      S.assignSlice(spark, dir, newBatch = false, iters), Seq("c_id"), buckets) { t =>
+      S.assignSlice(spark, dir, newBatch = false, iters), Seq("c_id"), buckets,
+      embFp(spark, dir)) { t =>
       appendToAssignmentIndex(spark, t,
         S.assignSlice(spark, dir, newBatch = true, iters), buckets)
     }
@@ -546,7 +616,7 @@ object Bucketing {
     val Q = graft.operators.Quantize
     ensureBucketedTable(spark, table,
       Q.encodeSlice(spark, dir, newBatch = false, iters),
-      Seq("vec_id"), buckets) { t =>
+      Seq("vec_id"), buckets, embFp(spark, dir)) { t =>
       appendToPqIndex(spark, t,
         Q.encodeSlice(spark, dir, newBatch = true, iters), buckets)
     }
@@ -589,7 +659,8 @@ object Bucketing {
       .assignmentTable(spark, dir, iters)
       .select("vec_id", "c_id", "v", "nrm")
     ensureBucketedTable(spark, table,
-      IndexChurn.stamp(assigned, "U", 0L), Seq("c_id"), buckets) { t =>
+      IndexChurn.stamp(assigned, "U", 0L), Seq("c_id"), buckets,
+      embFp(spark, dir)) { t =>
       IndexChurn.append(spark, t, assigned.filter(col("vec_id") % 10 === 0),
         "D", 1L, Seq("c_id"), buckets)
       IndexChurn.compact(spark, t, Seq("c_id", "vec_id"), Seq("c_id"),
@@ -631,7 +702,8 @@ object Bucketing {
       .join(graft.operators.Quantize.pqIndexTable(spark, dir, iters),
         "vec_id")
       .select("c_id", "vec_id", "nrm", "sub", "code")
-    ensureBucketedTable(spark, table, lists, Seq("c_id"), buckets)()
+    ensureBucketedTable(spark, table, lists, Seq("c_id"), buckets,
+      embFp(spark, dir))()
     table
   }
 
@@ -644,7 +716,7 @@ object Bucketing {
     val table = f"ivfpqr_idx_${iters}_${dir.hashCode & 0x7fffffff}%08x"
     ensureBucketedTable(spark, table,
       graft.operators.Quantize.pqResidualIndexTable(spark, dir, iters),
-      Seq("c_id"), buckets)()
+      Seq("c_id"), buckets, embFp(spark, dir))()
     table
   }
 
@@ -655,7 +727,8 @@ object Bucketing {
     lazy val codes = graft.operators.Quantize.pqIndexTable(spark, dir, iters)
       .select("vec_id", "nrm", "sub", "code")
     ensureBucketedTable(spark, table,
-      IndexChurn.stamp(codes, "U", 0L), Seq("vec_id"), buckets) { t =>
+      IndexChurn.stamp(codes, "U", 0L), Seq("vec_id"), buckets,
+      embFp(spark, dir)) { t =>
       IndexChurn.append(spark, t, codes.filter(col("vec_id") % 10 === 0),
         "D", 1L, Seq("vec_id"), buckets)
       IndexChurn.compact(spark, t, Seq("vec_id", "sub"), Seq("vec_id"),

@@ -1,0 +1,75 @@
+package graft.sources
+
+import org.apache.spark.sql.SparkSession
+import org.apache.hadoop.fs.Path
+
+/** Content fingerprints for the source datasets that derived state
+  * (catalog index tables, memo materializations, cached file indexes)
+  * is built from.
+  *
+  * Why: every derived-state key in this engine carries a DATASET-PATH
+  * discriminator, and a path is not an identity — the harness has
+  * already regenerated `/root/testdata` in place once (r7), and with
+  * the persistent metastore the Bucketing scaladoc recommends
+  * (Hive/Glue), a dataset rewritten at the same path would be served
+  * by a STALE index forever. The fingerprint is the cheap observable
+  * identity of what is actually on disk: the (name, size, mtime) of
+  * every data file, hashed. Writers can't change bytes without
+  * changing size or mtime (parquet writers always produce new part
+  * files), so validate-on-hit turns "stale forever" into "rebuild
+  * once".
+  *
+  * Cost: one filesystem listing per check — microseconds on local
+  * disk/HDFS, a LIST request on object stores. That is the right
+  * trade for a build-once index consulted a handful of times per
+  * query batch; a serving tier that probes thousands of times per
+  * second would cache this with a short TTL (the staleness window
+  * then equals the TTL, an explicit knob rather than "forever").
+  */
+object SourceState {
+
+  /** Fingerprint of `dir/<table>.parquet` for the given tables (file or
+    * directory — listed recursively). Order-insensitive; missing
+    * sources fingerprint as `absent` rather than erroring so a build
+    * over a partial layout still gets a stable identity. */
+  def fingerprint(spark: SparkSession, dir: String,
+      tables: Seq[String]): String =
+    hash(tables.sorted.flatMap(t => entries(spark, new Path(s"$dir/$t.parquet"))))
+
+  /** Fingerprint of every `*.parquet` entry directly under `dir` — the
+    * whole-dataset identity used by [[graft.operators.Memo]], where the
+    * builder's exact source set isn't visible at the call site.
+    * Over-approximating (any table's change invalidates all of the
+    * dir's memos) is safe — rebuilds are idempotent; serving stale is
+    * not. */
+  def dirFingerprint(spark: SparkSession, dir: String): String = {
+    val p = new Path(dir)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) hash(Seq(s"$dir:absent"))
+    else hash(fs.listStatus(p).toSeq
+      .filter(_.getPath.getName.endsWith(".parquet"))
+      .flatMap(s => entries(spark, s.getPath)))
+  }
+
+  private def entries(spark: SparkSession, p: Path): Seq[String] = {
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) Seq(s"${p.getName}:absent")
+    else {
+      val it = fs.listFiles(p, true)
+      val buf = scala.collection.mutable.ArrayBuffer.empty[String]
+      while (it.hasNext) {
+        val s = it.next()
+        // _SUCCESS/_metadata markers churn mtimes without content change
+        if (!s.getPath.getName.startsWith("_"))
+          buf += s"${s.getPath}:${s.getLen}:${s.getModificationTime}"
+      }
+      buf.toSeq.sorted
+    }
+  }
+
+  private def hash(parts: Seq[String]): String = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    md.digest(parts.mkString("\n").getBytes("UTF-8"))
+      .map(b => f"$b%02x").mkString
+  }
+}

@@ -20,17 +20,29 @@ import org.apache.spark.sql.Row
 object StreamingBackfill {
 
   /** File-source stream over the events table (one file per trigger =
-    * replay). Schema and ns→µs conversion shared with the batch loader
-    * ([[graft.Tables]]) so the paths can't diverge. */
-  def eventsStream(spark: SparkSession, dir: String): DataFrame = {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    graft.Tables.eventsNanosToTs(
+    * replay). File-source streams require the schema up front, so the
+    * storage era is probed with one batch footer read
+    * ([[graft.Tables.eventsStoredAsLongNanos]]) and the schema +
+    * conversion are the SAME definitions the batch loader uses — the
+    * r7 data drift (ns→µs) proved why: a stream hardcoding the nanos
+    * schema over µs data divides valid micros by 1000 into garbage. */
+  def eventsStream(spark: SparkSession, dir: String): DataFrame =
+    if (graft.Tables.eventsStoredAsLongNanos(spark, dir)) {
+      spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      graft.Tables.eventsNanosToTs(
+        spark.readStream
+          .schema(graft.Tables.eventsRawSchema)
+          .option("pathGlobFilter", "events.parquet")
+          .option("maxFilesPerTrigger", "1")
+          .parquet(dir))
+    } else {
+      // µs era: explicit LTZ schema = session-tz-independent UTC read
       spark.readStream
-        .schema(graft.Tables.eventsRawSchema)
+        .schema(graft.Tables.eventsSchema)
         .option("pathGlobFilter", "events.parquet")
         .option("maxFilesPerTrigger", "1")
-        .parquet(dir))
-  }
+        .parquet(dir)
+    }
 
   /** File-source stream over the documents table — the "new crawl"
     * ingest stream that [[incrementalDedupStream]] screens. */

@@ -31,7 +31,7 @@ class DedupSpec extends AnyFunSuite {
     }
     val dir = Files.createTempDirectory("dedupfix").toString
     docs.toDF("doc_id", "text", "lang", "source")
-      .withColumn("n_chars", length(col("text")))
+      .withColumn("n_chars", length(col("text")).cast("long"))
       .write.mode("overwrite").parquet(s"$dir/documents.parquet")
     dir
   }

@@ -56,6 +56,54 @@ class FormatsSpec extends AnyFunSuite {
     df.unpersist()
   }
 
+  test("timestamp policy: events.ts normalizes to UTC-instant TimestampType " +
+      "in both physical eras, independent of session timezone") {
+    val dir = Files.createTempDirectory("tsera").toString
+    // micros era (what the current testdata stores): write NTZ micros
+    val ntz = spark.range(3).select(
+      col("id").as("event_id"),
+      expr("make_timestamp_ntz(2024, 1, 1, 0, 0, id)").as("ts"),
+      col("id").as("user_id"), lit("a").as("event_type"),
+      lit(1.0).as("value"), lit("{}").as("props"))
+    ntz.write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val tzBefore = spark.conf.get("spark.sql.session.timeZone")
+    try {
+      // deliberately NOT UTC: the normalized instants must not move
+      spark.conf.set("spark.sql.session.timeZone", "America/New_York")
+      val loaded = Tables.load(spark, dir, "events")
+      assert(loaded.schema("ts").dataType == TimestampType)
+      val micros = loaded.selectExpr("unix_micros(ts)").as[Long](spark.implicits.newLongEncoder)
+        .collect().sorted
+      // naive 2024-01-01T00:00:0{0,1,2} read AS UTC instants
+      assert(micros.toSeq == Seq(1704067200000000L, 1704067201000000L,
+        1704067202000000L))
+    } finally spark.conf.set("spark.sql.session.timeZone", tzBefore)
+    // batch and stream read the SAME bytes to the SAME schema
+    assert(!Tables.eventsStoredAsLongNanos(spark, dir))
+    val stream = graft.streaming.StreamingBackfill.eventsStream(spark, dir)
+    assert(stream.schema("ts").dataType == TimestampType)
+  }
+
+  test("data drift fails loudly at load with a one-line message") {
+    val dir = Files.createTempDirectory("drift").toString
+    // events.ts mangled to string — neither storage era
+    spark.range(2).select(
+      col("id").as("event_id"), lit("2024-01-01").as("ts"),
+      col("id").as("user_id"), lit("a").as("event_type"),
+      lit(1.0).as("value"), lit("{}").as("props"))
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val e = intercept[IllegalStateException](Tables.load(spark, dir, "events"))
+    assert(e.getMessage.contains("data drift: events.ts"))
+    // documents with a retyped column drifts too
+    val dir2 = Files.createTempDirectory("drift2").toString
+    spark.range(2).select(
+      col("id").as("doc_id"), lit("t").as("text"), lit("en").as("lang"),
+      lit("web").as("source"), lit(1).cast("int").as("n_chars"))
+      .write.mode("overwrite").parquet(s"$dir2/documents.parquet")
+    val e2 = intercept[IllegalStateException](Tables.load(spark, dir2, "documents"))
+    assert(e2.getMessage == "data drift: documents.n_chars is now int, expected bigint")
+  }
+
   test("EventSink parquet writes per-entity partitions and reads back") {
     import graft.sinks.EventSink
     val out = Files.createTempDirectory("sink").toString + "/feed"

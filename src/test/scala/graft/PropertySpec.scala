@@ -295,7 +295,7 @@ class PropertySpec extends AnyFunSuite {
       val dir = java.nio.file.Files.createTempDirectory("phraseprop").toString
       docs.zipWithIndex.map { case (t, i) => (i.toLong, t, "en", "s") }
         .toDF("doc_id", "text", "lang", "source")
-        .withColumn("n_chars", length(col("text")))
+        .withColumn("n_chars", length(col("text")).cast("long"))
         .write.mode("overwrite").parquet(s"$dir/documents.parquet")
       val got = graft.operators.Retrieval
         .phraseFromIndexN(spark, dir, terms, topK = 100)

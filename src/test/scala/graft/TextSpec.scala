@@ -290,7 +290,7 @@ class TextSpec extends AnyFunSuite {
         variants(i % 3), l, "s")
     val dir = java.nio.file.Files.createTempDirectory("quantfix").toString
     docs.toDF("doc_id", "text", "lang", "source")
-      .withColumn("n_chars", length(col("text")))
+      .withColumn("n_chars", length(col("text")).cast("long"))
       .write.mode("overwrite").parquet(s"$dir/documents.parquet")
     for (keep <- Seq(0.25, 0.5, 0.9)) {
       val kept = TA.qualityQuantileFilter(spark, dir, keep).collect()
@@ -387,7 +387,7 @@ class TextSpec extends AnyFunSuite {
       (4L, "hash alone and join apart", "en", "s"),
       (5L, "", "en", "s"))
       .toDF("doc_id", "text", "lang", "source")
-      .withColumn("n_chars", length(col("text")))
+      .withColumn("n_chars", length(col("text")).cast("long"))
       .write.mode("overwrite").parquet(s"$dir/documents.parquet")
     val got = graft.operators.Retrieval.phraseSearch(spark, dir)
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
