@@ -52,18 +52,41 @@ object SourceState {
   }
 
   private def entries(spark: SparkSession, p: Path): Seq[String] = {
-    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (!fs.exists(p)) Seq(s"${p.getName}:absent")
+    // local fast path: Hadoop's RawLocalFileSystem materializes each
+    // FileStatus by shelling out for permission bits (~5 ms per file),
+    // which turns a 10-file listing into ~50 ms — measurable on every
+    // memo hit. NIO stats the same names+sizes+mtimes in microseconds.
+    val uri = p.toUri
+    if (uri.getScheme == null || uri.getScheme == "file") localEntries(p)
     else {
-      val it = fs.listFiles(p, true)
-      val buf = scala.collection.mutable.ArrayBuffer.empty[String]
-      while (it.hasNext) {
-        val s = it.next()
-        // _SUCCESS/_metadata markers churn mtimes without content change
-        if (!s.getPath.getName.startsWith("_"))
-          buf += s"${s.getPath}:${s.getLen}:${s.getModificationTime}"
+      val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      if (!fs.exists(p)) Seq(s"${p.getName}:absent")
+      else {
+        val it = fs.listFiles(p, true)
+        val buf = scala.collection.mutable.ArrayBuffer.empty[String]
+        while (it.hasNext) {
+          val s = it.next()
+          // _SUCCESS/_metadata markers churn mtimes without content change
+          if (!s.getPath.getName.startsWith("_"))
+            buf += s"${s.getPath}:${s.getLen}:${s.getModificationTime}"
+        }
+        buf.toSeq.sorted
       }
-      buf.toSeq.sorted
+    }
+  }
+
+  private def localEntries(p: Path): Seq[String] = {
+    import java.nio.file.{Files => NF, Paths => NP}
+    import scala.jdk.CollectionConverters._
+    val root = NP.get(p.toUri.getPath)
+    if (!NF.exists(root)) Seq(s"${p.getName}:absent")
+    else {
+      val stream = NF.walk(root)
+      try stream.iterator().asScala
+        .filter(f => NF.isRegularFile(f) && !f.getFileName.toString.startsWith("_"))
+        .map(f => s"$f:${NF.size(f)}:${NF.getLastModifiedTime(f).toMillis}")
+        .toSeq.sorted
+      finally stream.close()
     }
   }
 
