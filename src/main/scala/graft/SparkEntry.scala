@@ -100,6 +100,7 @@ object SparkEntry {
     "sim_topk_ivfpq"     -> ((s: SparkSession, d: String) => Quantize.pqIvfTopK(s, d)),
     "sim_topk_ivfpq_rerank" -> ((s: SparkSession, d: String) => Quantize.pqIvfTopKRerank(s, d)),
     "sim_topk_ivfpq_res" -> ((s: SparkSession, d: String) => Quantize.pqIvfResidualTopK(s, d)),
+    "knn_graph"          -> ((s: SparkSession, d: String) => Similarity.knnGraph(s, d)),
     "semantic_neardup"   -> ((s: SparkSession, d: String) => Similarity.semanticNearDupPairs(s, d)),
     "semantic_neardup_maintained" -> ((s: SparkSession, d: String) => Similarity.semanticNearDupMaintained(s, d)),
     "semantic_dedup_keep" -> ((s: SparkSession, d: String) => Similarity.semanticDedupKeep(s, d)),
@@ -2223,6 +2224,10 @@ object SparkEntry {
     // reproduce the full-corpus assignment — same oracle as the full
     // build, hash-equality IS the append-correctness proof
     "sim_topk_maintained" -> dIvfSql(iters = 2),
+    // knn graph: every vector is a query (queryPred TRUE) — the same
+    // trained-assignment CTE chain, k/nprobe at graph-build settings
+    "knn_graph" -> dIvfSql(iters = 2, nprobe = 4, k = 3,
+      queryPred = "TRUE"),
     // churned: the full assignment minus the tombstoned % 10 == 0 batch
     // serves the standard queries — deleted vectors must never surface
     // in a top-k, so the oracle's scan simply excludes them

@@ -190,6 +190,61 @@ object Similarity {
       .orderBy("q_id", "rk")
   }
 
+  /** k-NN GRAPH construction — every corpus vector's top-k cosine
+    * neighbors among the vectors sharing its `nprobe` nearest inverted
+    * lists: the all-vectors sibling of [[ivfTopKTrained]], and the
+    * backbone artifact of embedding-space pipelines (SemDeDup cluster
+    * sweeps, graph-based diversity sampling, kNN label propagation).
+    *
+    * |Q| = n makes the bounded-query serving tricks exactly wrong here:
+    * a driver-collected `c_id IN (…)` probe list and a broadcast probe
+    * set both cap |Q|. The graph build instead:
+    *  - ships the trained codebook (C×dim doubles — the same bounded
+    *    driver artifact as the PQ codebooks) back as LITERALS, so each
+    *    vector scores its C centroid dots and keeps its `nprobe` best
+    *    via array sort/slice — probe selection is a pure narrow map:
+    *    zero shuffle, no n×C window;
+    *  - joins the exploded (q_id, c_id) probes against the c_id-BUCKETED
+    *    maintained assignment index — one shuffle of n·nprobe probe rows
+    *    into the index's bucketing, no exchange on the index side;
+    *  - ranks candidates per q_id — the only other shuffle, bounded by
+    *    probed-list sizes (~n·nprobe·avg_list/C pairs, the irreducible
+    *    candidate set of an IVF-blocked graph build).
+    * Tie-breaks mirror the serving path: centroids by (cos DESC, c_id),
+    * neighbors by (cos DESC, vec_id) — the struct's negated id gives the
+    * ascending id under a descending sort. */
+  def knnGraph(spark: SparkSession, dir: String, k: Int = 3,
+      nprobe: Int = 4, iters: Int = 2): DataFrame = {
+    val table = graft.sources.Bucketing
+      .ensureMaintainedAssignmentIndex(spark, dir, iters)
+    val cents = trainCentroids(spark, dir, iters = iters)
+      .select(col("c_id"), col("c_v"), col("c_nrm")).collect()
+      .map(r => (r.getLong(0), r.getSeq[Double](1), r.getDouble(2)))
+      .sortBy(_._1)
+    val cand = cents.map { case (cid, cv, cnrm) =>
+      struct(
+        (V.dot(col("v"), typedlit(cv)) / (col("nrm") * lit(cnrm))).as("c_cos"),
+        lit(-cid).as("neg_id"))
+    }
+    val probes = emb(spark, dir)
+      .select(col("vec_id").as("q_id"), col("v").as("q_v"),
+        col("nrm").as("q_nrm"),
+        explode(slice(sort_array(array(cand.toSeq: _*), asc = false),
+          1, nprobe)).as("p"))
+      .select(col("q_id"), col("q_v"), col("q_nrm"),
+        (-col("p.neg_id")).as("c_id"))
+    val w = Window.partitionBy("q_id").orderBy(col("cos").desc, col("vec_id"))
+    spark.table(table).join(probes, "c_id")
+      .filter(col("vec_id") =!= col("q_id"))
+      .select(col("q_id"), col("vec_id"),
+        (V.dot(col("q_v"), col("v")) / (col("q_nrm") * col("nrm"))).as("cos"))
+      .withColumn("rk", row_number().over(w).cast("long"))
+      .filter(col("rk") <= k)
+      .select(col("q_id"), col("rk"), col("vec_id"),
+        round(col("cos"), 6).as("cos"))
+      .orderBy("q_id", "rk")
+  }
+
   /** PERSISTED per-vector centroid assignment — the index-side state an
     * incremental ANN pipeline maintains (the dedup band index's twin):
     * (vec_id, c_id, v, nrm) for every corpus vector, materialized once

@@ -32,20 +32,25 @@ class ChurnSpec extends AnyFunSuite {
     import spark.implicits._
     val table = "churn_bucket_pin_t"
     try {
+      // repartition(1) keeps the write to 8 files (one per bucket) —
+      // default parallelism would write up to partitions×buckets files
       (1L to 500L).map(i => (s"tok$i", i)).toDF("token", "doc_id")
+        .repartition(1)
         .write.mode("overwrite").bucketBy(8, "token").sortBy("token")
         .saveAsTable(table)
-      val fs = new java.io.File(location(table)).listFiles()
-        .filter(_.getName.endsWith(".parquet"))
-      assert(fs.nonEmpty)
-      fs.foreach { f =>
-        val b = IndexChurn.bucketOfFile(f.getName)
-        assert(b.isDefined, s"no bucket id in ${f.getName}")
-        val mismatch = spark.read.parquet(f.getPath)
-          .withColumn("bb", IndexChurn.bucketIdExpr(Seq(col("token")), 8))
-          .filter(col("bb") =!= b.get).count()
-        assert(mismatch === 0,
-          s"bucketIdExpr disagrees with file placement for ${f.getName}")
+      // ONE job over the whole location (input_file_name carries the
+      // bucket id) instead of a read+count per file — this test was 20 s
+      // of per-file job overhead for a 500-row fixture
+      val rows = spark.read.parquet(location(table))
+        .select(element_at(split(input_file_name(), "/"), -1).as("fname"),
+          IndexChurn.bucketIdExpr(Seq(col("token")), 8).as("bb"))
+        .collect()
+      assert(rows.nonEmpty)
+      rows.foreach { r =>
+        val b = IndexChurn.bucketOfFile(r.getString(0))
+        assert(b.isDefined, s"no bucket id in ${r.getString(0)}")
+        assert(b.get === r.getInt(1),
+          s"bucketIdExpr disagrees with file placement for ${r.getString(0)}")
       }
     } finally spark.sql(s"DROP TABLE IF EXISTS $table")
   }

@@ -182,6 +182,46 @@ class SimilaritySpec extends AnyFunSuite {
       "keep-min sanity: some pair's smaller id survives")
   }
 
+  test("knn graph: agrees with the per-query serve, probe stage is a " +
+      "narrow map, index side joins without an exchange") {
+    import org.apache.spark.sql.functions.col
+    import org.apache.spark.sql.graftshim.Shim
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    val prevBroadcast = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val g = Similarity.knnGraph(spark, sf, k = 3, nprobe = 4, iters = 2)
+      // the graph restricted to the serving path's query set IS the
+      // serving result at the same (k, nprobe, iters): same probes,
+      // same candidates, same tie-breaks
+      val sub = g.filter(col("q_id") < 8)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+      val serve = Similarity.ivfTopKTrained(spark, sf, k = 3,
+          nprobe = 4, iters = 2)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+      assert(sub == serve, "graph rows diverge from the per-query serve")
+      // every vector appears with at most k neighbors, ranks dense from 1
+      val byQ = g.collect().groupBy(_.getLong(0))
+      assert(byQ.nonEmpty && byQ.values.forall { rows =>
+        val rks = rows.map(_.getLong(1)).sorted
+        rks.length <= 3 && rks.sameElements(1L to rks.length)
+      })
+      // plan shape: the n-query probe side must not ride the bounded-|Q|
+      // tricks — no broadcast anywhere (codebook ships as literals, not
+      // a BroadcastExchange), and the only hash exchanges are the probe
+      // side aligning to the index bucketing + the per-query top-k
+      // window; the bucketed index side itself must not move
+      val plan = Shim.executedPlan(g).toString
+      assert(!plan.contains("BroadcastExchange"),
+        s"broadcast in a |Q|=n build:\n$plan")
+      val hashEx = "Exchange hashpartitioning".r.findAllIn(plan).length
+      assert(hashEx <= 2, s"index side reshuffled:\n$plan")
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevBroadcast)
+      spark.conf.set("spark.sql.adaptive.enabled", "true")
+    }
+  }
+
   test("IVF ANN recall@10 >= 0.5 vs brute force") {
     def tops(df: org.apache.spark.sql.DataFrame) =
       df.collect().groupBy(_.getAs[Long]("q_id"))
