@@ -101,6 +101,8 @@ object SparkEntry {
     "sim_topk_ivfpq_rerank" -> ((s: SparkSession, d: String) => Quantize.pqIvfTopKRerank(s, d)),
     "sim_topk_ivfpq_res" -> ((s: SparkSession, d: String) => Quantize.pqIvfResidualTopK(s, d)),
     "knn_graph"          -> ((s: SparkSession, d: String) => Similarity.knnGraph(s, d)),
+    "semantic_clusters"  -> ((s: SparkSession, d: String) => Components.semanticClusters(s, d)),
+    "cluster_quota"      -> ((s: SparkSession, d: String) => Sampling.clusterQuota(s, d)),
     "semantic_neardup"   -> ((s: SparkSession, d: String) => Similarity.semanticNearDupPairs(s, d)),
     "semantic_neardup_maintained" -> ((s: SparkSession, d: String) => Similarity.semanticNearDupMaintained(s, d)),
     "semantic_dedup_keep" -> ((s: SparkSession, d: String) => Similarity.semanticDedupKeep(s, d)),
@@ -369,12 +371,16 @@ object SparkEntry {
          ${(lloyd :+ assign(centFinal, "af")).mkString(",\n         ")}"""
   }
 
-  private def dIvfSql(iters: Int, dims: Int = 64, nCentroids: Int = 64,
-      nQueries: Int = 8, nprobe: Int = 8, k: Int = 10,
+  /** The IVF probe/scan/rank CTE chain through `ranked` — shared by the
+    * per-query serve oracles ([[dIvfSql]]) and the graph-consuming
+    * oracles (semantic_clusters), which append their own recursion on
+    * top of the same ranked candidate set. */
+  private def dIvfProbeCtes(iters: Int, dims: Int = 64, nCentroids: Int = 64,
+      nQueries: Int = 8, nprobe: Int = 8,
       queryPred: String = "", corpusPred: String = "TRUE"): String = {
     val qp = if (queryPred.nonEmpty) queryPred else s"q.vec_id < $nQueries"
     val centFinal = s"cent$iters"
-    s"""WITH ${dIvfAssignCtes(iters, dims, nCentroids)},
+    s"""${dIvfAssignCtes(iters, dims, nCentroids)},
          probes AS (
            SELECT q_id, q_v, q_nrm, c_id FROM (
              SELECT q.vec_id AS q_id, q.v AS q_v, q.nrm AS q_nrm, c.c_id,
@@ -392,10 +398,16 @@ object SparkEntry {
            SELECT q_id, vec_id, cos,
                   CAST(row_number() OVER (PARTITION BY q_id
                     ORDER BY cos DESC, vec_id) AS BIGINT) AS rk
-           FROM scan)
+           FROM scan)"""
+  }
+
+  private def dIvfSql(iters: Int, dims: Int = 64, nCentroids: Int = 64,
+      nQueries: Int = 8, nprobe: Int = 8, k: Int = 10,
+      queryPred: String = "", corpusPred: String = "TRUE"): String =
+    s"""WITH ${dIvfProbeCtes(iters, dims, nCentroids, nQueries, nprobe,
+          queryPred, corpusPred)}
        SELECT q_id, rk, vec_id, round(cos, 6) AS cos
        FROM ranked WHERE rk <= $k ORDER BY q_id, rk"""
-  }
 
   /** SemDeDup pairwise oracle: the shared Lloyd assignment chain, then
     * per-cluster pairwise cosine above the threshold. */
@@ -2228,6 +2240,35 @@ object SparkEntry {
     // trained-assignment CTE chain, k/nprobe at graph-build settings
     "knn_graph" -> dIvfSql(iters = 2, nprobe = 4, k = 3,
       queryPred = "TRUE"),
+    // semantic clusters: the knn graph's above-threshold edges (rounded
+    // cosine, exactly the graph's output filter) closed under reach —
+    // the same recursion as dedup_clusters on a different edge set
+    "semantic_clusters" ->
+      s"""WITH RECURSIVE ${dIvfProbeCtes(iters = 2, nprobe = 4,
+            queryPred = "TRUE")},
+         knn AS (SELECT q_id, vec_id FROM ranked
+                 WHERE rk <= 3 AND round(cos, 6) >= 0.4),
+         edges AS (SELECT q_id AS s, vec_id AS d FROM knn
+                   UNION SELECT vec_id, q_id FROM knn),
+         reach AS (SELECT s, d FROM edges
+                   UNION SELECT r.s, e.d FROM reach r JOIN edges e ON r.d = e.s)
+         SELECT s AS vec_id, least(s, min(d)) AS cluster_id,
+                s = least(s, min(d)) AS is_keeper
+         FROM reach GROUP BY s ORDER BY cluster_id, vec_id""",
+    // cluster quota: per-k-means-cluster deterministic cap over the
+    // shared IVF assignment (af), hash60 pick key as in source_quota
+    "cluster_quota" ->
+      s"""WITH ${dIvfAssignCtes(iters = 2)},
+         keyed AS (
+           SELECT vec_id, c_id, ${dH60("'cq:'||vec_id")} AS pick_key
+           FROM af),
+         rankedq AS (
+           SELECT vec_id, c_id, pick_key,
+                  CAST(row_number() OVER (PARTITION BY c_id
+                    ORDER BY pick_key, vec_id) AS BIGINT) AS rn
+           FROM keyed)
+         SELECT vec_id, c_id, pick_key, rn <= 12 AS kept
+         FROM rankedq ORDER BY c_id, pick_key, vec_id""",
     // churned: the full assignment minus the tombstoned % 10 == 0 batch
     // serves the standard queries — deleted vectors must never surface
     // in a top-k, so the oracle's scan simply excludes them

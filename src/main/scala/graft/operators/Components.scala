@@ -134,6 +134,29 @@ object Components {
   def dedupClusters(spark: SparkSession, dir: String): DataFrame =
     clusterTable(spark, dir).orderBy("cluster_id", "doc_id")
 
+  /** SEMANTIC clusters — connected components over the kNN graph's
+    * above-threshold edges ([[graft.operators.Similarity.knnGraph]]):
+    * the SemDeDup grouping step, upgraded from "pairs within one coarse
+    * cell" ([[graft.operators.Similarity.semanticNearDupPairs]]) to the
+    * graph the probes actually see — kNN edges cross coarse-cell
+    * boundaries (each vector probes `nprobe` lists), so chains of
+    * near-dups that straddle cells land in ONE cluster here where the
+    * in-cell sweep splits them. Same union-find machinery and output
+    * contract as [[dedupClusters]] (min-id keeper); only vectors with a
+    * qualifying edge appear. The threshold filters the ROUNDED cosine
+    * (the graph's output column) so the oracle's filter is literally
+    * identical. */
+  def semanticClusters(spark: SparkSession, dir: String,
+      minCos: Double = 0.4): DataFrame =
+    Memo.table(spark, dir, s"semantic_clusters_$minCos") {
+      val edges = Similarity.knnGraph(spark, dir)
+        .filter(col("cos") >= minCos)
+        .select(col("q_id").as("src"), col("vec_id").as("dst"))
+      connectedComponents(edges)
+        .select(col("id").as("vec_id"), col("component").as("cluster_id"),
+          (col("id") === col("component")).as("is_keeper"))
+    }.orderBy("cluster_id", "vec_id")
+
   /** Quality-aware canonical selection: instead of "keep min doc_id",
     * keep the best document per cluster (longest content, doc_id
     * tie-break) — the policy real training pipelines use so dedup

@@ -266,6 +266,29 @@ object Sampling {
     if (ordered) expanded.orderBy("doc_id", "copy_idx") else expanded
   }
 
+  /** Per-CLUSTER quota over the embedding space — [[sourceQuota]]'s
+    * learned-topic sibling: `source` labels are whatever the crawler
+    * recorded, but over-representation at 100 TB is usually TOPICAL
+    * (boilerplate genres, template families), so the cap that actually
+    * balances a mixture keys on the trained k-means cluster, not the
+    * source string. Rides the SAME memoized IVF assignment the ANN
+    * serves use (no extra clustering pass); the pick key is the
+    * deterministic [[graft.functions.Hash60]] of the vec_id — retried
+    * tasks and re-shards cannot reassign rows, and the oracle
+    * recomputes the identical sample. One shuffle (the per-cluster
+    * rank window), same shape as sourceQuota. */
+  def clusterQuota(spark: SparkSession, dir: String, quota: Int = 12,
+      iters: Int = 2): DataFrame = {
+    val w = Window.partitionBy("c_id").orderBy(col("pick_key"), col("vec_id"))
+    Similarity.assignmentTable(spark, dir, iters)
+      .select(col("vec_id"), col("c_id"))
+      .withColumn("pick_key",
+        hash60(concat(lit("cq:"), col("vec_id").cast("string"))))
+      .select(col("vec_id"), col("c_id"), col("pick_key"),
+        (row_number().over(w) <= quota).as("kept"))
+      .orderBy("c_id", "pick_key", "vec_id")
+  }
+
   /** The quota window's kept-predicate over a docs frame that already
     * carries `source` and `pick_key`. */
   private def quotaKept(quota: Int): Column = {

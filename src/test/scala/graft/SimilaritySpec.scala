@@ -222,6 +222,39 @@ class SimilaritySpec extends AnyFunSuite {
     }
   }
 
+  test("semantic clusters: min-id keepers, members linked by graph " +
+      "edges; cluster quota caps every cluster deterministically") {
+    import org.apache.spark.sql.functions.col
+    val clusters = graft.operators.Components.semanticClusters(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2)))
+    assert(clusters.nonEmpty)
+    // keeper IS the min vec_id of its cluster, exactly one per cluster
+    clusters.groupBy(_._2).foreach { case (cid, members) =>
+      assert(members.map(_._1).min == cid)
+      assert(members.count(_._3) == 1 && members.find(_._3).get._1 == cid)
+      assert(members.length >= 2, s"singleton cluster $cid from an edge set")
+    }
+    // every clustered vector has at least one above-threshold graph edge
+    val edged = Similarity.knnGraph(spark, sf)
+      .filter(col("cos") >= 0.4)
+      .select("q_id", "vec_id").collect()
+      .flatMap(r => Seq(r.getLong(0), r.getLong(1))).toSet
+    assert(clusters.map(_._1).toSet == edged)
+
+    // quota = 4 so the cap BINDS on the sf0.001 fixture's ~8-member
+    // clusters (the sf0.01 oracle run binds at the default 12)
+    val quota = graft.operators.Sampling.clusterQuota(spark, sf, quota = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getBoolean(3)))
+    val byCluster = quota.groupBy(_._2)
+    // the cap binds: every cluster keeps min(quota, size), nothing more
+    byCluster.foreach { case (cid, rows) =>
+      assert(rows.count(_._3) == math.min(4, rows.length),
+        s"cluster $cid kept ${rows.count(_._3)} of ${rows.length}")
+    }
+    // and at least one cluster is actually capped at this fixture size
+    assert(byCluster.values.exists(_.length > 4))
+  }
+
   test("IVF ANN recall@10 >= 0.5 vs brute force") {
     def tops(df: org.apache.spark.sql.DataFrame) =
       df.collect().groupBy(_.getAs[Long]("q_id"))
