@@ -34,14 +34,23 @@ object ScaleProbe100 {
     val factor = if (args.length > 1) args(1).toInt else 100
     val sections: Set[String] =
       if (args.length > 2) args(2).split(',').map(_.trim).toSet
-      else Set("dedup", "feed", "quality", "bm25", "ann", "zipf", "churn",
-        "semdedup", "rebucket", "pq", "ivfpq")
+      else Set("dedup", "feed", "quality", "bm25", "ann", "knn", "zipf",
+        "churn", "semdedup", "rebucket", "pq", "ivfpq")
     def section(name: String)(body: => Unit): Unit =
       if (sections(name)) body
     val spark = SparkSession.builder()
       .appName("graft-scale-probe-100").master("local[32]")
       .config("spark.sql.shuffle.partitions", 32)
       .config("spark.sql.session.timeZone", "UTC")
+      // TypedImperativeAggregates (TopK, BottomK) run under
+      // ObjectHashAggregateExec, which silently falls back to
+      // SORT-based aggregation once a partition sees >128 distinct
+      // groups — for the kNN graph (one group per query vector) that
+      // re-sorts the billions-row candidate table the aggregate exists
+      // to avoid. Production clusters set this alongside memory sizing;
+      // the k-element buffers make even millions of groups cheap.
+      .config("spark.sql.objectHashAggregate.sortBased.fallbackThreshold",
+        "4194304")
       .config("spark.ui.enabled", false)
       .getOrCreate()
     def time[A](label: String)(f: => A): A = {
@@ -65,7 +74,7 @@ object ScaleProbe100 {
       println(s"corpus: ${Tables.load(spark, dup, "documents").count()} docs " +
         s"(${factor}x of $sf)")
     }
-    if (sections.exists(Set("churn", "semdedup", "ann", "pq", "ivfpq"))) {
+    if (sections.exists(Set("churn", "semdedup", "ann", "knn", "pq", "ivfpq"))) {
       if (!fs.exists(new org.apache.hadoop.fs.Path(s"$dup/embeddings.parquet"))) {
         val nv0 = Tables.load(spark, sf, "embeddings").count()
         Tables.load(spark, sf, "embeddings")
@@ -143,6 +152,24 @@ object ScaleProbe100 {
       }
       time("sim_topk_maintained (warm: nprobe-list serve)") {
         operators.Similarity.maintainedTopK(spark, dup).count()
+      }
+    }
+
+    // kNN graph at factor×: |Q| = n, so the driver-IN and broadcast-
+    // probe serving tricks are out by design — the probe side is a
+    // narrow map over the literal codebook and the build cost must be
+    // dominated by the bounded candidate set (n·nprobe·avg_list/C
+    // scored pairs), not by n×C windows or an index reshuffle.
+    section("knn") {
+      time("knn graph (cold: shares the maintained index build)") {
+        println("  edges: " + operators.Similarity.knnGraph(spark, dup).count())
+      }
+      time("knn graph (warm: narrow-map probe + bucketed join + top-k)") {
+        operators.Similarity.knnGraph(spark, dup).count()
+      }
+      time("semantic clusters over the graph (union-find)") {
+        println("  clustered: " +
+          operators.Components.semanticClusters(spark, dup).count())
       }
     }
 

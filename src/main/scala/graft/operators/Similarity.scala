@@ -207,14 +207,33 @@ object Similarity {
     *  - joins the exploded (q_id, c_id) probes against the c_id-BUCKETED
     *    maintained assignment index — one shuffle of n·nprobe probe rows
     *    into the index's bucketing, no exchange on the index side;
-    *  - ranks candidates per q_id — the only other shuffle, bounded by
-    *    probed-list sizes (~n·nprobe·avg_list/C pairs, the irreducible
-    *    candidate set of an IVF-blocked graph build).
+    *  - takes each query's top-k via the bounded-state
+    *    [[graft.functions.TopK]] aggregate, NOT a window: the scored
+    *    candidate table (~n·nprobe·avg_list pairs) is the irreducible
+    *    scoring work, but a row_number window would also SORT and
+    *    SHUFFLE all of it — measured as a 2.5-billion-row sort at the
+    *    100× probe. The aggregate's map-side partials cap the shuffle
+    *    at one k-element buffer per (query, partition).
     * Tie-breaks mirror the serving path: centroids by (cos DESC, c_id),
     * neighbors by (cos DESC, vec_id) — the struct's negated id gives the
-    * ascending id under a descending sort. */
+    * ascending id under a descending sort.
+    *
+    * Honest geometry note (NOTES.md): with C FIXED the candidate set
+    * grows as n²·nprobe/C — production scales C ~ √n (so probed work is
+    * n·nprobe·√n), exactly like the IVF serve; the harness C=64 is a
+    * toy geometry, the plan shape is what transfers. */
   def knnGraph(spark: SparkSession, dir: String, k: Int = 3,
-      nprobe: Int = 4, iters: Int = 2): DataFrame = {
+      nprobe: Int = 4, iters: Int = 2): DataFrame =
+    // the graph is a once-per-corpus ARTIFACT (n·k edges — tiny next to
+    // the scoring that produced it); consumers (semantic clusters,
+    // diversity sampling) re-read it instead of re-scoring ~n²·nprobe/C
+    // candidate pairs
+    Memo.table(spark, dir, s"knn_graph_${k}_${nprobe}_$iters") {
+      knnGraphBuild(spark, dir, k, nprobe, iters)
+    }.orderBy("q_id", "rk")
+
+  private[graft] def knnGraphBuild(spark: SparkSession, dir: String, k: Int,
+      nprobe: Int, iters: Int): DataFrame = {
     val table = graft.sources.Bucketing
       .ensureMaintainedAssignmentIndex(spark, dir, iters)
     val cents = trainCentroids(spark, dir, iters = iters)
@@ -233,15 +252,16 @@ object Similarity {
           1, nprobe)).as("p"))
       .select(col("q_id"), col("q_v"), col("q_nrm"),
         (-col("p.neg_id")).as("c_id"))
-    val w = Window.partitionBy("q_id").orderBy(col("cos").desc, col("vec_id"))
     spark.table(table).join(probes, "c_id")
       .filter(col("vec_id") =!= col("q_id"))
       .select(col("q_id"), col("vec_id"),
         (V.dot(col("q_v"), col("v")) / (col("q_nrm") * col("nrm"))).as("cos"))
-      .withColumn("rk", row_number().over(w).cast("long"))
-      .filter(col("rk") <= k)
-      .select(col("q_id"), col("rk"), col("vec_id"),
-        round(col("cos"), 6).as("cos"))
+      .groupBy("q_id")
+      .agg(graft.functions.TopK.top_k_by_score(
+        struct(col("cos"), col("vec_id")), k).as("nn"))
+      .select(col("q_id"), posexplode(col("nn")).as(Seq("pos", "s")))
+      .select(col("q_id"), (col("pos") + 1).cast("long").as("rk"),
+        col("s.id").as("vec_id"), round(col("s.score"), 6).as("cos"))
       .orderBy("q_id", "rk")
   }
 

@@ -206,14 +206,19 @@ class SimilaritySpec extends AnyFunSuite {
         val rks = rows.map(_.getLong(1)).sorted
         rks.length <= 3 && rks.sameElements(1L to rks.length)
       })
-      // plan shape: the n-query probe side must not ride the bounded-|Q|
-      // tricks — no broadcast anywhere (codebook ships as literals, not
-      // a BroadcastExchange), and the only hash exchanges are the probe
-      // side aligning to the index bucketing + the per-query top-k
-      // window; the bucketed index side itself must not move
-      val plan = Shim.executedPlan(g).toString
+      // plan shape OF THE BUILD (the public entry memoizes — its plan is
+      // a parquet read): the n-query probe side must not ride the
+      // bounded-|Q| tricks — no broadcast anywhere (codebook ships as
+      // literals, not a BroadcastExchange), the top-k is the bounded
+      // TopK aggregate (no row_number window sorting the pair table),
+      // and the only hash exchanges are the probe side aligning to the
+      // index bucketing + the aggregate's final merge
+      val plan = Shim.executedPlan(
+        Similarity.knnGraphBuild(spark, sf, 3, 4, 2)).toString
       assert(!plan.contains("BroadcastExchange"),
         s"broadcast in a |Q|=n build:\n$plan")
+      assert(plan.contains("ObjectHashAggregate") && !plan.contains("Window"),
+        s"top-k not aggregate-based:\n$plan")
       val hashEx = "Exchange hashpartitioning".r.findAllIn(plan).length
       assert(hashEx <= 2, s"index side reshuffled:\n$plan")
     } finally {
