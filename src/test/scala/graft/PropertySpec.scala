@@ -25,6 +25,36 @@ class PropertySpec extends AnyFunSuite {
     Gen.listOfN(16, Gen.chooseNum(-10.0, 10.0))
       .suchThat(v => v.exists(math.abs(_) > 1e-9))
 
+  test("top_k_by_score == row_number window replay on random groups, " +
+      "any partitioning") {
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val gen = Gen.listOfN(300, Gen.zip(
+      Gen.chooseNum(0L, 11L),             // group
+      Gen.chooseNum(-5.0, 5.0),           // score (collisions likely at
+      Gen.chooseNum(0L, 400L)))           //   1dp below) and ids that repeat
+      .map(_.map { case (g, s, id) => (g, math.rint(s * 10) / 10, id) })
+    forSamples(gen, 5) { rows =>
+      val df = rows.toDF("grp", "score", "id")
+        .repartition(7)                   // arrival order ≠ rank order
+      val got = df.groupBy("grp")
+        .agg(graft.functions.TopK.top_k_by_score(
+          struct(col("score"), col("id")), 4).as("nn"))
+        .select(col("grp"), posexplode(col("nn")).as(Seq("pos", "s")))
+        .select(col("grp"), (col("pos") + 1).as("rk"),
+          col("s.score").as("score"), col("s.id").as("id"))
+        .collect().map(r => (r.getLong(0), r.getInt(1), r.getDouble(2),
+          r.getLong(3))).toSet
+      val w = Window.partitionBy("grp").orderBy(col("score").desc, col("id"))
+      val want = df.withColumn("rk", row_number().over(w))
+        .filter(col("rk") <= 4)
+        .select("grp", "rk", "score", "id")
+        .collect().map(r => (r.getLong(0), r.getInt(1), r.getDouble(2),
+          r.getLong(3))).toSet
+      assert(got == want, "aggregate diverged from the window replay")
+    }
+  }
+
   test("cosine is symmetric, in [-1,1], and 1 on self") {
     import spark.implicits._
     forSamples(Gen.zip(vecGen, vecGen), 20) { case (a, b) =>
