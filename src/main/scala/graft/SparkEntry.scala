@@ -101,6 +101,7 @@ object SparkEntry {
     "sim_topk_ivfpq_rerank" -> ((s: SparkSession, d: String) => Quantize.pqIvfTopKRerank(s, d)),
     "sim_topk_ivfpq_res" -> ((s: SparkSession, d: String) => Quantize.pqIvfResidualTopK(s, d)),
     "knn_graph"          -> ((s: SparkSession, d: String) => Similarity.knnGraph(s, d)),
+    "mutual_knn"         -> ((s: SparkSession, d: String) => Similarity.mutualKnn(s, d)),
     "semantic_clusters"  -> ((s: SparkSession, d: String) => Components.semanticClusters(s, d)),
     "cluster_quota"      -> ((s: SparkSession, d: String) => Sampling.clusterQuota(s, d)),
     "semantic_neardup"   -> ((s: SparkSession, d: String) => Similarity.semanticNearDupPairs(s, d)),
@@ -2240,6 +2241,15 @@ object SparkEntry {
     // trained-assignment CTE chain, k/nprobe at graph-build settings
     "knn_graph" -> dIvfSql(iters = 2, nprobe = 4, k = 3,
       queryPred = "TRUE"),
+    // mutual knn: both directions present in the ranked top-3 — a
+    // self-join of the knn CTE, cosine from the a<b direction
+    "mutual_knn" ->
+      s"""WITH ${dIvfProbeCtes(iters = 2, nprobe = 4, queryPred = "TRUE")},
+         knn AS (SELECT q_id, vec_id, round(cos, 6) AS cos FROM ranked
+                 WHERE rk <= 3)
+         SELECT a.q_id AS vec_a, a.vec_id AS vec_b, a.cos
+         FROM knn a JOIN knn b ON a.q_id = b.vec_id AND a.vec_id = b.q_id
+         WHERE a.q_id < a.vec_id ORDER BY vec_a, vec_b""",
     // semantic clusters: the knn graph's above-threshold edges (rounded
     // cosine, exactly the graph's output filter) closed under reach —
     // the same recursion as dedup_clusters on a different edge set

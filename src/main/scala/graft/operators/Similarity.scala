@@ -232,6 +232,25 @@ object Similarity {
       knnGraphBuild(spark, dir, k, nprobe, iters)
     }.orderBy("q_id", "rk")
 
+  /** Mutual-kNN edges — (a, b) kept only when each is in the OTHER's
+    * top-k: the standard precision filter before graph clustering
+    * (one-directional kNN edges chain hubs into giant components;
+    * mutuality prunes the hub spokes). Pure post-processing of the
+    * memoized graph artifact: a self-join of n·k edges, nothing
+    * re-scored. The cosine is taken from the a<b direction; the two
+    * directions are bitwise equal anyway (element-wise multiply
+    * commutes, the sum runs in the same element order). */
+  def mutualKnn(spark: SparkSession, dir: String, k: Int = 3,
+      nprobe: Int = 4, iters: Int = 2): DataFrame = {
+    val g = knnGraph(spark, dir, k, nprobe, iters)
+      .select(col("q_id"), col("vec_id"), col("cos"))
+    val rev = g.select(col("vec_id").as("q_id"), col("q_id").as("vec_id"))
+    g.join(rev, Seq("q_id", "vec_id"))
+      .filter(col("q_id") < col("vec_id"))
+      .select(col("q_id").as("vec_a"), col("vec_id").as("vec_b"), col("cos"))
+      .orderBy("vec_a", "vec_b")
+  }
+
   private[graft] def knnGraphBuild(spark: SparkSession, dir: String, k: Int,
       nprobe: Int, iters: Int): DataFrame = {
     val table = graft.sources.Bucketing

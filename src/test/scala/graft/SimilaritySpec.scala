@@ -246,6 +246,17 @@ class SimilaritySpec extends AnyFunSuite {
       .flatMap(r => Seq(r.getLong(0), r.getLong(1))).toSet
     assert(clusters.map(_._1).toSet == edged)
 
+    // mutual edges are exactly the symmetric subset of the graph
+    val directed = Similarity.knnGraph(spark, sf)
+      .select("q_id", "vec_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val mutual = Similarity.mutualKnn(spark, sf)
+      .select("vec_a", "vec_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(mutual.nonEmpty && mutual.size < directed.size / 2 + 1)
+    assert(mutual == directed.filter { case (a, b) =>
+      a < b && directed((b, a)) })
+
     // quota = 4 so the cap BINDS on the sf0.001 fixture's ~8-member
     // clusters (the sf0.01 oracle run binds at the default 12)
     val quota = graft.operators.Sampling.clusterQuota(spark, sf, quota = 4)
