@@ -1,5 +1,6 @@
 package graft
 import org.apache.spark.sql.SparkSession
+import scala.util.control.NonFatal
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -10,32 +11,54 @@ object Bench {
       // pinned so timestamp results (and therefore oracle hashes) never
       // depend on the host timezone — Verify pins it too
       .config("spark.sql.session.timeZone", "UTC")
+      // TypedImperativeAggregates (TopK/BottomK) run under
+      // ObjectHashAggregateExec, whose default 128-groups-per-partition
+      // fallback silently reverts to sort-based aggregation — the bench
+      // must measure the intended hash plan, not the fallback sort
+      // (same setting ScaleProbe100 uses)
+      .config("spark.sql.objectHashAggregate.sortBased.fallbackThreshold",
+        "4194304")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     // warm the two scan paths once so the first measured query doesn't
     // absorb file-index/codegen bootstrap cost. In try: a broken table
     // must cost its own queries, not the whole round's perf signal
-    // (r7's bench died HERE and produced zero numbers — BENCH_r07 rc:1)
+    // (r7's bench died HERE and produced zero numbers — BENCH_r07 rc:1).
+    // NonFatal only: an OOM-doomed JVM must not limp into the timed loop
     try {
       Tables.load(spark, sfDir, "events").count()
       Tables.load(spark, sfDir, "lineitem").count()
-    } catch { case e: Throwable =>
+    } catch { case NonFatal(e) =>
       System.err.println(s"[bench] warm-up failed (continuing): $e") }
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      // min of three runs: machine-load noise on the shared box swings a
-      // single run ±100%; the min is the reproducible warm cost
-      val times = (0 until 3).map { _ =>
+    val queries = SparkEntry.queries.toSeq.sortBy(_._1)
+    // Three ROUND-ROBIN passes over the whole set, per-query min across
+    // passes. Back-to-back repeats (the old scheme) are contention-blind:
+    // a box-load spike lasting longer than one query's three consecutive
+    // runs defeats the min and fabricates a phantom regression (official
+    // r8 carried ngram_jaccard at 12.13 s vs 0.31 s reproducible). With
+    // passes, a spike must span the ENTIRE run to poison any one query.
+    val passes = 3
+    val times = scala.collection.mutable.LinkedHashMap[String, Array[Double]]()
+    queries.foreach { case (n, _) => times(n) = Array.fill(passes)(-1.0) }
+    val passTotals = Array.fill(passes)(0.0)
+    (0 until passes).foreach { p =>
+      queries.foreach { case (name, fn) =>
         val t0 = System.nanoTime()
         val ok = try { fn(spark, sfDir).count(); true }
-          catch { case _: Throwable => false }
+          catch { case NonFatal(_) => false }
         val elapsed = (System.nanoTime() - t0) / 1e9
         // cache cleanup OUTSIDE the timed window (LSH queries persist
         // signature tables; later queries shouldn't inherit the pressure)
         spark.catalog.clearCache()
-        if (ok) elapsed else -1.0 // visible failure marker, not a fast "win"
+        if (ok) { times(name)(p) = elapsed; passTotals(p) += elapsed }
       }
-      name -> (if (times.contains(-1.0)) -1.0 else times.min)
+    }
+    val results = queries.map { case (name, _) =>
+      val ts = times(name).filter(_ >= 0)
+      // a query must succeed in EVERY pass to count; any failure is the
+      // visible -1 marker, never a fast "win"
+      name -> (if (ts.length < passes) -1.0 else ts.min)
     }
     def r4(v: Double): String = if (v < 0) "-1"
       else String.format(java.util.Locale.ROOT, "%.4f", Double.box(v))
@@ -47,18 +70,24 @@ object Bench {
     val (bad, good) = results.partition(_._2 < 0)
     val failed = bad.map("\"" + _._1 + "\"").mkString("[", ",", "]")
     val total = good.map(_._2).sum
+    // per-pass totals expose contention: a quiet box shows three similar
+    // totals; a spiked pass stands out and explains any residual skew
+    val pt = passTotals.map(r4).mkString("[", ",", "]")
     // queries first, metric/total LAST: a tail-truncating capture keeps
     // the headline number either way
-    val line = s"""{"queries":$qs,"sf":"$sfDir","failed":$failed,"metric":"total","unit":"sec","value":${r4(total)}}"""
+    val line = s"""{"queries":$qs,"sf":"$sfDir","failed":$failed,"pass_totals":$pt,"metric":"total","unit":"sec","value":${r4(total)}}"""
     println(line)
     // the stdout capture has truncated per-query numbers in past rounds;
-    // the same JSON goes to a file so every query's time survives review
-    try java.nio.file.Files.write(
-      java.nio.file.Paths.get(sys.env.getOrElse("SPARK_GRAFT_BENCH_DETAIL",
-        "BENCH_DETAIL.json")),
-      (line + "\n").getBytes("UTF-8"))
-    catch { case e: Exception =>
-      System.err.println(s"BENCH_DETAIL write failed: $e") }
+    // the same JSON goes to a file so every query's time survives review.
+    // Default is an UNTRACKED path: the driver's run must not overwrite
+    // the committed quiet-box BENCH_DETAIL.json evidence (r8 finding #2)
+    try {
+      val p = java.nio.file.Paths.get(sys.env.getOrElse(
+        "SPARK_GRAFT_BENCH_DETAIL", "target/bench_detail.json"))
+      Option(p.getParent).foreach(java.nio.file.Files.createDirectories(_))
+      java.nio.file.Files.write(p, (line + "\n").getBytes("UTF-8"))
+    } catch { case NonFatal(e) =>
+      System.err.println(s"bench detail write failed: $e") }
     spark.stop()
   }
 }

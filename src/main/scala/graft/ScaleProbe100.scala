@@ -34,8 +34,8 @@ object ScaleProbe100 {
     val factor = if (args.length > 1) args(1).toInt else 100
     val sections: Set[String] =
       if (args.length > 2) args(2).split(',').map(_.trim).toSet
-      else Set("dedup", "feed", "quality", "bm25", "ann", "knn", "zipf",
-        "churn", "semdedup", "rebucket", "pq", "ivfpq")
+      else Set("dedup", "feed", "quality", "bm25", "ann", "knn", "knnlife",
+        "zipf", "churn", "semdedup", "rebucket", "pq", "ivfpq")
     def section(name: String)(body: => Unit): Unit =
       if (sections(name)) body
     val spark = SparkSession.builder()
@@ -170,6 +170,44 @@ object ScaleProbe100 {
       time("semantic clusters over the graph (union-find)") {
         println("  clustered: " +
           operators.Components.semanticClusters(spark, dup).count())
+      }
+      // union-find convergence at factor×: the rounds must track the
+      // PARTITION count (DedupSpec pins the law on adversarial chains);
+      // this prints the observed rounds on the real factor× edge set so
+      // NOTES records the measured number next to the pinned bound
+      time("union-find rounds on the factor-scaled edge set") {
+        val edges = operators.Similarity.knnGraph(spark, dup)
+          .filter(col("cos") >= 0.4)
+          .select(col("q_id").as("src"), col("vec_id").as("dst"))
+        val (labels, rounds) =
+          operators.Components.connectedComponentsStats(edges)
+        println(s"  nodes: ${labels.count()}, propagation rounds: $rounds")
+        labels.unpersist()
+      }
+      time("mutual knn (pure self-join of the n·k artifact)") {
+        println("  mutual edges: " +
+          operators.Similarity.mutualKnn(spark, dup).count())
+      }
+    }
+
+    // 5b. kNN-graph lifecycle at factor×: the maintained fold-in must
+    // cost O(batch-driven work), not a rebuild — the base build IS a
+    // rebuild by definition (timed apart), so the fold-in's marginal
+    // cost is (maintained total − base). The churn repair's bound is
+    // the deleted vectors' reverse degree, not the corpus.
+    section("knnlife") {
+      time("knn graph BASE build (old 90% slice — rebuild-sized)") {
+        println("  base edges: " +
+          operators.Similarity.knnGraphBase(spark, dup).count())
+      }
+      time("maintained graph fold-in (10% batch: forward probe + " +
+          "dirty-cell reverse update)") {
+        println("  edges: " +
+          operators.Similarity.knnGraphMaintained(spark, dup).count())
+      }
+      time("churned graph (tombstone both directions + bounded repair)") {
+        println("  edges: " +
+          operators.Similarity.knnGraphChurn(spark, dup).count())
       }
     }
 

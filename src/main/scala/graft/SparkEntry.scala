@@ -21,6 +21,7 @@ object SparkEntry {
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // §2.1–§2.5 reference-parity relational surface
     "backfill_scan"      -> (Relational.backfillScan _),
+    "backfill_scan_inlist" -> (Relational.backfillScanInList _),
     "count_keystores"    -> (Relational.countKeystores _),
     "count_per_merchant" -> (Relational.countPerMerchant _),
     "keystore_in_list"   -> (Relational.keystoreInList _),
@@ -101,6 +102,8 @@ object SparkEntry {
     "sim_topk_ivfpq_rerank" -> ((s: SparkSession, d: String) => Quantize.pqIvfTopKRerank(s, d)),
     "sim_topk_ivfpq_res" -> ((s: SparkSession, d: String) => Quantize.pqIvfResidualTopK(s, d)),
     "knn_graph"          -> ((s: SparkSession, d: String) => Similarity.knnGraph(s, d)),
+    "knn_graph_maintained" -> ((s: SparkSession, d: String) => Similarity.knnGraphMaintained(s, d)),
+    "knn_graph_churn"    -> ((s: SparkSession, d: String) => Similarity.knnGraphChurn(s, d)),
     "mutual_knn"         -> ((s: SparkSession, d: String) => Similarity.mutualKnn(s, d)),
     "semantic_clusters"  -> ((s: SparkSession, d: String) => Components.semanticClusters(s, d)),
     "cluster_quota"      -> ((s: SparkSession, d: String) => Sampling.clusterQuota(s, d)),
@@ -162,6 +165,8 @@ object SparkEntry {
     "audio_features"     -> (Multimodal.audioFeatures _),
     "image_resize"       -> ((s: SparkSession, d: String) => Multimodal.imageResize(s, d)),
     "image_decode"       -> ((s: SparkSession, d: String) => Multimodal.imageDecode(s, d)),
+    "image_phash"        -> ((s: SparkSession, d: String) => Multimodal.imagePhash(s, d)),
+    "image_neardup"      -> ((s: SparkSession, d: String) => Multimodal.imageNearDup(s, d)),
     "audio_decode"       -> (Multimodal.audioDecode _),
     "video_decode"       -> (Multimodal.videoDecode _),
     // SQL front door + sketch quantiles
@@ -297,6 +302,44 @@ object SparkEntry {
                            JOIN grams gb ON gb.doc_id = cand.doc_b),
          mh_pairs AS (SELECT doc_a, doc_b, jaccard FROM jac
                       WHERE jaccard >= 0.5)"""
+
+  /** Perceptual-hash CTE chain: the grouped raster's closed form →
+    * 10×6 aHash (integer mean, ≥ bit) + 11×6 dHash (right-neighbor
+    * strictly brighter) — bit-identical to the DECODED-pixel hashes of
+    * `Multimodal.imagePhash` (PNG is lossless). Ends in
+    * `phash (doc_id, width, height, ahash, dhash)`. */
+  private lazy val dPhashCtes: String =
+    """pg AS (
+           SELECT doc_id, doc_id // 4 AS gid, doc_id % 4 AS v,
+                  16 + (doc_id // 4) % 9 AS w, 12 + (doc_id // 4) % 7 AS h
+           FROM documents),
+         ppx AS (
+           SELECT doc_id, w, h,
+                  [((gid*37 + i*11) % 256 +
+                     CASE WHEN (i+1) % (7+v) = 0 THEN 48 ELSE 0 END) % 256
+                   for i in range(0, 432)] AS px
+           FROM pg),
+         psamp AS (
+           SELECT doc_id, w, h, px,
+                  [px[((b//10)*h//6)*w + ((b%10)*w//10) + 1]
+                   for b in range(0, 60)] AS sa
+           FROM ppx),
+         pmean AS (
+           SELECT doc_id, w, h, px, sa, list_sum(sa) // 60 AS amean
+           FROM psamp),
+         phash AS (
+           SELECT doc_id,
+                  CAST(w AS BIGINT) AS width, CAST(h AS BIGINT) AS height,
+                  CAST(list_sum([CASE WHEN sa[b+1] >= amean
+                      THEN (1::BIGINT << b) ELSE 0 END
+                    for b in range(0, 60)]) AS BIGINT) AS ahash,
+                  CAST(list_sum(flatten(
+                    [[CASE WHEN px[(y*h//6)*w + ((x+1)*w//11) + 1] >
+                             px[(y*h//6)*w + (x*w//11) + 1]
+                        THEN (1::BIGINT << (y*10+x)) ELSE 0 END
+                      for x in range(0, 10)] for y in range(0, 6)]))
+                    AS BIGINT) AS dhash
+           FROM pmean)"""
 
   /** Per-doc 60-bit simhash (nested bit-vote comprehension). */
   private val dSimhashCtes: String =
@@ -835,6 +878,11 @@ object SparkEntry {
     "backfill_scan" ->
       """SELECT * FROM orders
          WHERE o_custkey = 42
+           AND o_orderdate BETWEEN TIMESTAMP '1995-01-01' AND TIMESTAMP '1999-12-31'
+         ORDER BY o_orderkey""",
+    "backfill_scan_inlist" ->
+      """SELECT * FROM orders
+         WHERE o_custkey IN (7, 42, 99, 1234)
            AND o_orderdate BETWEEN TIMESTAMP '1995-01-01' AND TIMESTAMP '1999-12-31'
          ORDER BY o_orderkey""",
     "count_keystores" ->
@@ -1563,6 +1611,38 @@ object SparkEntry {
                       FROM range(8) a(yy), range(8) b(xx)) AS BIGINT)
                   AS resized_sum
          FROM g ORDER BY doc_id""",
+    // closed form of the perceptual-hash raster (grouped variants:
+    // gid = doc_id/4 shares dims + base pattern, v = doc_id%4 perturbs
+    // every (7+v)-th pixel) — the Spark side round-trips it through a
+    // real PNG codec and hashes the DECODED pixels, so these bit
+    // patterns only match if the codec path is lossless and the
+    // resample/mean/compare arithmetic is engine-identical. px is built
+    // over the constant max raster size (24×18 = 432; range() rejects
+    // lateral bounds) — samples only ever index below w*h
+    "image_phash" -> (s"WITH $dPhashCtes" +
+      """ SELECT doc_id, width, height, ahash, dhash
+         FROM phash ORDER BY doc_id"""),
+    // image near-dup: the aHash banded through the SAME 4×15-bit chunk
+    // join as simhash_pairs (skew cap included), exact Hamming verify,
+    // dHash Hamming carried as the second signal
+    "image_neardup" -> (s"WITH $dPhashCtes," +
+      """ ichunks AS (SELECT doc_id, ahash, dhash,
+             unnest([0, 1, 2, 3]) AS chunk_id,
+             unnest([(ahash >> 0) & 32767, (ahash >> 15) & 32767,
+                     (ahash >> 30) & 32767, (ahash >> 45) & 32767])
+               AS chunk_val
+           FROM phash),
+         ibig AS (SELECT chunk_id, chunk_val FROM ichunks
+                  GROUP BY 1, 2 HAVING count(*) > 200),
+         icf AS (SELECT ichunks.* FROM ichunks
+                 ANTI JOIN ibig USING (chunk_id, chunk_val)),
+         ipairs AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+             CAST(bit_count(xor(a.ahash, b.ahash)) AS BIGINT) AS hamming_a,
+             CAST(bit_count(xor(a.dhash, b.dhash)) AS BIGINT) AS hamming_d
+           FROM icf a JOIN icf b USING (chunk_id, chunk_val)
+           WHERE a.doc_id < b.doc_id)
+         SELECT doc_a, doc_b, hamming_a, hamming_d FROM ipairs
+         WHERE hamming_a <= 3 ORDER BY doc_a, doc_b"""),
     // closed form of the WAV round-trip: n = 400 + id % 1600 samples at
     // 16 kHz mono s16le, sample i = (id*31 + i*7) % 2003 - 1001; WAV is
     // lossless so the DECODED stats must equal these exactly
@@ -2241,6 +2321,18 @@ object SparkEntry {
     // trained-assignment CTE chain, k/nprobe at graph-build settings
     "knn_graph" -> dIvfSql(iters = 2, nprobe = 4, k = 3,
       queryPred = "TRUE"),
+    // maintained graph: old-slice build + bounded batch fold-in must
+    // reproduce the full-corpus graph — SAME oracle as knn_graph;
+    // hash-equality IS the append-correctness proof (the merge law
+    // top_k(top_k(old) ∪ new) = top_k(old ∪ new) under the k-th-score
+    // prune)
+    "knn_graph_maintained" -> dIvfSql(iters = 2, nprobe = 4, k = 3,
+      queryPred = "TRUE"),
+    // churned graph: tombstoned vectors vanish both as queries and as
+    // neighbors, affected survivors re-rank over the remaining
+    // candidates — the oracle is a fresh build over survivors only
+    "knn_graph_churn" -> dIvfSql(iters = 2, nprobe = 4, k = 3,
+      queryPred = "q.vec_id % 10 <> 0", corpusPred = "a.vec_id % 10 <> 0"),
     // mutual knn: both directions present in the ranked top-3 — a
     // self-join of the knn CTE, cosine from the a<b direction
     "mutual_knn" ->

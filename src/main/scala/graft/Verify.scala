@@ -14,6 +14,11 @@ object Verify {
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
+      // keep TopK/BottomK queries on the intended ObjectHashAggregate
+      // plan (not the 128-group sort fallback) — results are identical
+      // either way, but Verify should exercise the production plan
+      .config("spark.sql.objectHashAggregate.sortBased.fallbackThreshold",
+        "4194304")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

@@ -52,7 +52,7 @@ case class BottomK(
     val v = child.eval(input)
     if (v != null) {
       val row = v.asInstanceOf[InternalRow]
-      if (!row.isNullAt(0)) {
+      if (!row.isNullAt(0) && !row.isNullAt(1)) {
         val e = (row.getUTF8String(0).toString, row.getLong(1))
         if (buf.size < k) buf.enqueue(e)
         else if (ord.lt(e, buf.head)) { buf.dequeue(); buf.enqueue(e) }

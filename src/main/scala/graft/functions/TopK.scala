@@ -70,8 +70,14 @@ case class TopK(
     val v = child.eval(input)
     if (v != null) {
       val row = v.asInstanceOf[InternalRow]
-      if (!row.isNullAt(0)) {
-        val e = (row.getDouble(0), row.getLong(1))
+      // both fields must be present: a null id read via getLong would
+      // fabricate vector id 0 instead of being skipped
+      if (!row.isNullAt(0) && !row.isNullAt(1)) {
+        // canonicalize -0.0 → 0.0 so the heap's total order agrees with
+        // Spark SQL double comparison (which treats them equal) at a
+        // k-boundary tie — the window-replay law depends on this
+        val s0 = row.getDouble(0)
+        val e = (if (s0 == 0.0) 0.0 else s0, row.getLong(1))
         if (buf.size < k) buf.enqueue(e)
         else if (stronger(e, buf.head)) { buf.dequeue(); buf.enqueue(e) }
       }

@@ -48,7 +48,19 @@ object Components {
     * materialization); callers that are done with it should
     * `.unpersist()` — the harness mains clear the cache between
     * queries. */
-  def connectedComponents(edges: DataFrame, maxIter: Int = 20): DataFrame = {
+  def connectedComponents(edges: DataFrame, maxIter: Int = 20): DataFrame =
+    connectedComponentsStats(edges, maxIter)._1
+
+  /** [[connectedComponents]] plus the number of label-propagation
+    * rounds phase 2 ran (0 when a single-partition contraction solved
+    * the graph outright). `edgesPerPartition` is overridable so a spec
+    * can force a small graph across many partitions and PIN the
+    * convergence behavior on adversarial chain-structured components —
+    * the shape where rounds ≈ partition boundaries spanned, which is
+    * what must stay bounded at 100× scale. */
+  private[graft] def connectedComponentsStats(edges: DataFrame,
+      maxIter: Int = 20,
+      edgesPerPartition: Long = EdgesPerPartition): (DataFrame, Int) = {
     val spark = edges.sparkSession
     import spark.implicits._
 
@@ -57,7 +69,7 @@ object Components {
     val m = e0.count()
     val parts = math.max(1L, math.min(
       spark.sparkContext.defaultParallelism.toLong,
-      m / EdgesPerPartition + 1)).toInt
+      m / edgesPerPartition + 1)).toInt
 
     // Phase 1: per-partition union-find → spanning forest (node, root).
     val forest = e0.coalesce(parts).mapPartitions { it =>
@@ -83,7 +95,7 @@ object Components {
     // A single-partition contraction saw every edge, so its forest is
     // already the exact component map — no propagation to run.
     if (parts == 1)
-      return forest.select(col("src").as("id"), col("dst").as("component"))
+      return (forest.select(col("src").as("id"), col("dst").as("component")), 0)
 
     // Phase 2: min-label propagation over the symmetric forest.
     val sym = forest
@@ -99,11 +111,19 @@ object Components {
       val nbrMin = sym
         .join(labels.select(col("id").as("src"), col("component").as("c_src")), "src")
         .groupBy(col("dst").as("id")).agg(min("c_src").as("nbr_min"))
+      // localCheckpoint, not persist: `labels` feeds BOTH join inputs,
+      // so the logical plan doubles per round — persist() truncates
+      // re-execution but not the plan, and an adversarial chain
+      // component (rounds ≈ partition boundaries) OOMs the DRIVER on
+      // plan strings alone after ~15 rounds (found by the DedupSpec
+      // convergence pin). Eager lineage truncation caps the plan at one
+      // round's depth; losing an executor mid-loop restarts the loop,
+      // the standard trade every iterative graph engine makes.
       val next = labels.join(nbrMin, Seq("id"), "left")
         .select(col("id"),
           least(col("component"), coalesce(col("nbr_min"), col("component")))
             .as("new_component"), col("component").as("old_component"))
-        .persist(StorageLevel.MEMORY_AND_DISK)
+        .localCheckpoint(true)
       val changed = next.filter(col("new_component") =!= col("old_component")).count()
       labels.unpersist()
       labels = next.select(col("id"), col("new_component").as("component"))
@@ -112,7 +132,7 @@ object Components {
     }
     sym.unpersist()
     forest.unpersist()
-    labels
+    (labels, iter)
   }
 
   /** Unordered cluster map, materialized once per (session, dir): the
@@ -145,11 +165,15 @@ object Components {
     * contract as [[dedupClusters]] (min-id keeper); only vectors with a
     * qualifying edge appear. The threshold filters the ROUNDED cosine
     * (the graph's output column) so the oracle's filter is literally
-    * identical. */
+    * identical. The memo key carries the FULL parameter vector — the
+    * underlying graph's (k, nprobe, iters) as well as the threshold —
+    * so two parameterizations can never collide (r8 finding #3). */
   def semanticClusters(spark: SparkSession, dir: String,
-      minCos: Double = 0.4): DataFrame =
-    Memo.table(spark, dir, s"semantic_clusters_$minCos") {
-      val edges = Similarity.knnGraph(spark, dir)
+      minCos: Double = 0.4, k: Int = 3, nprobe: Int = 4,
+      iters: Int = 2): DataFrame =
+    Memo.table(spark, dir,
+      s"semantic_clusters_${k}_${nprobe}_${iters}_$minCos") {
+      val edges = Similarity.knnGraph(spark, dir, k, nprobe, iters)
         .filter(col("cos") >= minCos)
         .select(col("q_id").as("src"), col("vec_id").as("dst"))
       connectedComponents(edges)

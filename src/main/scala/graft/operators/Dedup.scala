@@ -392,17 +392,32 @@ object Dedup {
     * (pigeonhole: hamming ≤ 3 ⇒ some chunk equal), join per chunk,
     * verify exact hamming distance via bit_count(xor). */
   def simhashPairs(spark: SparkSession, dir: String,
-      maxHamming: Int = 3, maxBucket: Int = 200): DataFrame = {
+      maxHamming: Int = 3, maxBucket: Int = 200): DataFrame =
     // both self-join sides read the memoized signature parquet — the
     // 60-vote aggregate runs once per dataset, not once per branch
-    val sh = simhashTable(spark, dir)
-    val allChunked = sh.select(col("doc_id"), col("simhash"),
+    bandedHammingPairs(simhashTable(spark, dir), "doc_id", "simhash",
+      maxHamming, maxBucket)
+      .select(col("id_a").as("doc_a"), col("id_b").as("doc_b"),
+        col("hamming"))
+      .orderBy("doc_a", "doc_b")
+
+  /** The chunk-banding Hamming join, factored so any 60-bit fingerprint
+    * column rides it (SimHash text near-dup here; perceptual image
+    * hashes in [[Multimodal.imageNearDup]]). `sigs` must carry (`idCol`,
+    * `sigCol`); returns (id_a, id_b, hamming) with id_a < id_b and
+    * hamming ≤ `maxHamming`, unordered. Pigeonhole recall: 4 chunks of
+    * 15 bits find every pair at hamming ≤ 3 exactly; the skew cap drops
+    * over-full chunk buckets (same O(bucket²) containment rationale as
+    * minhashPairs — documented precision loss, bounded work). */
+  def bandedHammingPairs(sigs: DataFrame, idCol: String, sigCol: String,
+      maxHamming: Int = 3, maxBucket: Int = 200): DataFrame = {
+    val allChunked = sigs.select(col(idCol).as("id"), col(sigCol).as("sig"),
         explode(array((0 until 4).map { c =>
           struct(lit(c).as("chunk_id"),
-            shiftright(col("simhash"), c * ChunkBits)
+            shiftright(col(sigCol), c * ChunkBits)
               .bitwiseAND(lit((1L << ChunkBits) - 1)).as("chunk_val"))
         }: _*)).as("ck"))
-      .select(col("doc_id"), col("simhash"),
+      .select(col("id"), col("sig"),
         col("ck.chunk_id").as("chunk_id"), col("ck.chunk_val").as("chunk_val"))
     // skew cap (same rationale as minhashPairs): near-uniform corpora
     // collapse many docs into the same 16-bit chunk — O(bucket²) pairs
@@ -412,13 +427,12 @@ object Dedup {
     val chunked = allChunked.join(broadcast(big),
       Seq("chunk_id", "chunk_val"), "left_anti")
     chunked.as("a").join(chunked.as("b"), Seq("chunk_id", "chunk_val"))
-      .filter(col("a.doc_id") < col("b.doc_id"))
-      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
-        bit_count(col("a.simhash").bitwiseXOR(col("b.simhash"))).cast("long")
+      .filter(col("a.id") < col("b.id"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
+        bit_count(col("a.sig").bitwiseXOR(col("b.sig"))).cast("long")
           .as("hamming"))
       .distinct()
       .filter(col("hamming") <= maxHamming)
-      .orderBy("doc_a", "doc_b")
   }
 
   // -------------------------------------------------- n-gram Jaccard

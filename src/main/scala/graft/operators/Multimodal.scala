@@ -398,4 +398,118 @@ object Multimodal {
     }.toDF("doc_id", "frame_idx", "n_frames")
       .orderBy("doc_id", "frame_idx")
   }
+
+  /** Perceptual image hashes from DECODED pixels. */
+  case class ImagePhash(doc_id: Long, width: Long, height: Long,
+      ahash: Long, dhash: Long)
+
+  /** The synthetic grouped raster behind [[imagePhash]]: images come in
+    * GROUPS of four variants (gid = doc_id / 4, v = doc_id % 4) sharing
+    * one base pattern — the group simulates near-duplicate image
+    * copies (same photo re-encoded with small edits), which is what a
+    * perceptual hash must collapse and the uniform per-doc gradient of
+    * [[imageDecode]] cannot exercise. Dims and pixels are closed-form
+    * in (gid, v, i) so DuckDB regenerates them; the variant perturbs
+    * every (7+v)-th pixel by +48 — ~14% of pixels, enough to move a few
+    * hash bits but not the perceptual identity. */
+  private def phashRaster(id: Long): (Int, Int, Array[Int]) = {
+    val gid = id / 4; val v = (id % 4).toInt
+    val w = (16 + gid % 9).toInt
+    val h = (12 + gid % 7).toInt
+    val px = Array.tabulate(w * h) { i =>
+      val base = ((gid * 37 + i.toLong * 11) % 256).toInt
+      if ((i + 1) % (7 + v) == 0) (base + 48) % 256 else base
+    }
+    (w, h, px)
+  }
+
+  /** aHash + dHash over DECODED PNG pixels — the image twin of the text
+    * SimHash: each doc's grouped raster ([[phashRaster]]) rides the same
+    * real `javax.imageio` PNG encode→decode round trip as
+    * [[imageDecode]], and both hashes are computed from the DECODED
+    * raster (a codec bug breaks the oracle hash, same guarantee as
+    * image_decode):
+    *  - '''aHash''': nearest-neighbor resample to 10×6 (60 samples — the
+    *    engine-wide 60-bit fingerprint ceiling that keeps bit-packing
+    *    inside BIGINT on both engines, like [[Dedup.SimhashBits]]),
+    *    integer mean, bit b = y·10+x set iff sample ≥ mean;
+    *  - '''dHash''': resample to 11×6, bit set iff the right neighbor is
+    *    strictly brighter — gradient direction, robust to uniform
+    *    brightness shifts where aHash is robust to local noise.
+    * Same 100 TB shape as every decode: mapPartitions batches, codec
+    * state per partition, two longs per image cross the shuffle.
+    * Memoized — [[imageNearDup]]'s self-join reads the signature
+    * parquet twice instead of decoding twice. */
+  def imagePhash(spark: SparkSession, dir: String): DataFrame =
+    Memo.table(spark, dir, "image_phash") {
+      import spark.implicits._
+      Tables.load(spark, dir, "documents")
+        .select(col("doc_id")).as[Long]
+        .mapPartitions { it =>
+          it.map { id =>
+            val (w, h, src) = phashRaster(id)
+            val img = new java.awt.image.BufferedImage(
+              w, h, java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+            val raster = img.getRaster
+            var i = 0
+            while (i < w * h) {
+              raster.setSample(i % w, i / w, 0, src(i)); i += 1
+            }
+            val bos = new java.io.ByteArrayOutputStream()
+            val ios = new javax.imageio.stream.MemoryCacheImageOutputStream(bos)
+            javax.imageio.ImageIO.write(img, "png", ios)
+            ios.close()
+            val dec = javax.imageio.ImageIO.read(
+              new javax.imageio.stream.MemoryCacheImageInputStream(
+                new java.io.ByteArrayInputStream(bos.toByteArray)))
+            val dw = dec.getWidth; val dh = dec.getHeight
+            val dr = dec.getRaster
+            // aHash: 10×6 nearest-neighbor samples, integer mean, ≥ bit
+            val s = Array.tabulate(60) { b =>
+              dr.getSample((b % 10) * dw / 10, (b / 10) * dh / 6, 0)
+            }
+            val mean = s.sum / 60
+            var ah = 0L
+            var b = 0
+            while (b < 60) { if (s(b) >= mean) ah |= 1L << b; b += 1 }
+            // dHash: 11×6 samples, right-neighbor-brighter bits
+            val g = Array.tabulate(6, 11)((y, x) =>
+              dr.getSample(x * dw / 11, y * dh / 6, 0))
+            var dhsh = 0L
+            var y = 0
+            while (y < 6) {
+              var x = 0
+              while (x < 10) {
+                if (g(y)(x + 1) > g(y)(x)) dhsh |= 1L << (y * 10 + x)
+                x += 1
+              }
+              y += 1
+            }
+            ImagePhash(id, dw.toLong, dh.toLong, ah, dhsh)
+          }
+        }.toDF()
+    }.orderBy("doc_id")
+
+  /** Image near-duplicates: band the aHash through the SAME 4×15-bit
+    * chunk machinery as text SimHash ([[Dedup.bandedHammingPairs]] —
+    * pigeonhole-complete at hamming ≤ 3, skew-capped buckets), verify
+    * exact aHash Hamming, and carry the dHash Hamming as the
+    * second-signal column downstream policy filters on (two hashes
+    * disagreeing flags a borderline pair — the standard aHash+dHash
+    * practice). Pure post-processing of the memoized signature table:
+    * nothing re-decodes. */
+  def imageNearDup(spark: SparkSession, dir: String,
+      maxHamming: Int = 3): DataFrame = {
+    val sigs = imagePhash(spark, dir)
+    val pairs = Dedup.bandedHammingPairs(sigs, "doc_id", "ahash", maxHamming)
+    val d = sigs.select(col("doc_id"), col("dhash"))
+    pairs
+      .join(d.select(col("doc_id").as("id_a"), col("dhash").as("dh_a")), "id_a")
+      .join(d.select(col("doc_id").as("id_b"), col("dhash").as("dh_b")), "id_b")
+      .select(col("id_a").as("doc_a"), col("id_b").as("doc_b"),
+        col("hamming").as("hamming_a"),
+        bit_count(col("dh_a").bitwiseXOR(col("dh_b"))).cast("long")
+          .as("hamming_d"))
+      .orderBy("doc_a", "doc_b")
+  }
 }

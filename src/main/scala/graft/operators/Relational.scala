@@ -38,6 +38,21 @@ object Relational {
                                    lit("1999-12-31").cast("timestamp")))
       .orderBy("o_orderkey")
 
+  /** S1+P3+P4: the multi-merchant backfill scan — the reference renders
+    * its merchant list into the WHERE clause by hand
+    * (`payment_intent.rs:63-64`); here the `isin` stays a Catalyst `In`
+    * that reaches BOTH storage flavors' scans: parquet `PushedFilters`
+    * and the compiled JDBC `IN (…)` WHERE fragment (PipelineSpec pins
+    * the latter against a live Derby database). A short merchant list
+    * therefore costs only the selected stripes/rows at the source —
+    * never a full-range scan with a post-filter. */
+  def backfillScanInList(spark: SparkSession, dir: String): DataFrame =
+    Tables.load(spark, dir, "orders")
+      .filter(col("o_custkey").isin(7L, 42L, 99L, 1234L) &&
+        col("o_orderdate").between(lit("1995-01-01").cast("timestamp"),
+                                   lit("1999-12-31").cast("timestamp")))
+      .orderBy("o_orderkey")
+
   /** A1: COUNT(*) of the key-store table (`src/main.rs:323-329`). */
   def countKeystores(spark: SparkSession, dir: String): DataFrame =
     Tables.load(spark, dir, "customer").agg(count(lit(1)).as("cnt"))

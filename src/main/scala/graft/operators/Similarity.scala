@@ -239,50 +239,224 @@ object Similarity {
     * memoized graph artifact: a self-join of n·k edges, nothing
     * re-scored. The cosine is taken from the a<b direction; the two
     * directions are bitwise equal anyway (element-wise multiply
-    * commutes, the sum runs in the same element order). */
+    * commutes, the sum runs in the same element order). Memoized under
+    * the FULL parameter vector (r8 finding: a threshold-only or absent
+    * memo key invites silent collisions once a second parameterization
+    * appears). */
   def mutualKnn(spark: SparkSession, dir: String, k: Int = 3,
-      nprobe: Int = 4, iters: Int = 2): DataFrame = {
-    val g = knnGraph(spark, dir, k, nprobe, iters)
-      .select(col("q_id"), col("vec_id"), col("cos"))
-    val rev = g.select(col("vec_id").as("q_id"), col("q_id").as("vec_id"))
-    g.join(rev, Seq("q_id", "vec_id"))
-      .filter(col("q_id") < col("vec_id"))
-      .select(col("q_id").as("vec_a"), col("vec_id").as("vec_b"), col("cos"))
-      .orderBy("vec_a", "vec_b")
+      nprobe: Int = 4, iters: Int = 2): DataFrame =
+    Memo.table(spark, dir, s"mutual_knn_${k}_${nprobe}_$iters") {
+      val g = knnGraph(spark, dir, k, nprobe, iters)
+        .select(col("q_id"), col("vec_id"), col("cos"))
+      val rev = g.select(col("vec_id").as("q_id"), col("q_id").as("vec_id"))
+      g.join(rev, Seq("q_id", "vec_id"))
+        .filter(col("q_id") < col("vec_id"))
+        .select(col("q_id").as("vec_a"), col("vec_id").as("vec_b"), col("cos"))
+    }.orderBy("vec_a", "vec_b")
+
+  /** The trained codebook collected to the driver — a bounded C×dim
+    * artifact (the same shape the PQ codebooks ship), sorted by c_id so
+    * the literal array below is deterministic. */
+  private def centroidLiterals(spark: SparkSession, dir: String,
+      iters: Int): Array[(Long, Seq[Double], Double)] =
+    trainCentroids(spark, dir, iters = iters)
+      .select(col("c_id"), col("c_v"), col("c_nrm")).collect()
+      .map(r => (r.getLong(0), r.getSeq[Double](1), r.getDouble(2)))
+      .sortBy(_._1)
+
+  /** Each query row's `nprobe` nearest centroids as exploded
+    * (q_id, q_v, q_nrm, c_id) rows, with the codebook shipped as
+    * LITERALS — probe selection is a pure narrow map: zero shuffle, no
+    * n×C window. Input must carry (q_id, q_v, q_nrm). */
+  private def withProbes(queries: DataFrame,
+      cents: Array[(Long, Seq[Double], Double)], nprobe: Int): DataFrame = {
+    val cand = cents.map { case (cid, cv, cnrm) =>
+      struct(
+        (V.dot(col("q_v"), typedlit(cv)) / (col("q_nrm") * lit(cnrm)))
+          .as("c_cos"),
+        lit(-cid).as("neg_id"))
+    }
+    queries.select(col("q_id"), col("q_v"), col("q_nrm"),
+      explode(slice(sort_array(array(cand.toSeq: _*), asc = false),
+        1, nprobe)).as("p"))
+      .select(col("q_id"), col("q_v"), col("q_nrm"),
+        (-col("p.neg_id")).as("c_id"))
   }
+
+  /** Score probed inverted lists and keep each query's top-k via the
+    * bounded-state [[graft.functions.TopK]] aggregate (window-free — see
+    * [[knnGraph]]). Returns RAW (unrounded) scores so merge-law callers
+    * ([[knnGraphMaintained]]) can compare against freshly scored
+    * candidates without a rounding seam; presentation paths round at
+    * the edge. */
+  private def scoreTopK(index: DataFrame, probes: DataFrame,
+      k: Int): DataFrame =
+    index.join(probes, "c_id")
+      .filter(col("vec_id") =!= col("q_id"))
+      .select(col("q_id"), col("vec_id"),
+        (V.dot(col("q_v"), col("v")) / (col("q_nrm") * col("nrm")))
+          .as("score"))
+      .groupBy("q_id")
+      .agg(graft.functions.TopK.top_k_by_score(
+        struct(col("score"), col("vec_id")), k).as("nn"))
+      .select(col("q_id"), posexplode(col("nn")).as(Seq("pos", "s")))
+      .select(col("q_id"), (col("pos") + 1).cast("long").as("rk"),
+        col("s.id").as("vec_id"), col("s.score").as("score"))
 
   private[graft] def knnGraphBuild(spark: SparkSession, dir: String, k: Int,
       nprobe: Int, iters: Int): DataFrame = {
     val table = graft.sources.Bucketing
       .ensureMaintainedAssignmentIndex(spark, dir, iters)
-    val cents = trainCentroids(spark, dir, iters = iters)
-      .select(col("c_id"), col("c_v"), col("c_nrm")).collect()
-      .map(r => (r.getLong(0), r.getSeq[Double](1), r.getDouble(2)))
-      .sortBy(_._1)
-    val cand = cents.map { case (cid, cv, cnrm) =>
-      struct(
-        (V.dot(col("v"), typedlit(cv)) / (col("nrm") * lit(cnrm))).as("c_cos"),
-        lit(-cid).as("neg_id"))
-    }
-    val probes = emb(spark, dir)
-      .select(col("vec_id").as("q_id"), col("v").as("q_v"),
-        col("nrm").as("q_nrm"),
-        explode(slice(sort_array(array(cand.toSeq: _*), asc = false),
-          1, nprobe)).as("p"))
-      .select(col("q_id"), col("q_v"), col("q_nrm"),
-        (-col("p.neg_id")).as("c_id"))
-    spark.table(table).join(probes, "c_id")
-      .filter(col("vec_id") =!= col("q_id"))
-      .select(col("q_id"), col("vec_id"),
-        (V.dot(col("q_v"), col("v")) / (col("q_nrm") * col("nrm"))).as("cos"))
-      .groupBy("q_id")
-      .agg(graft.functions.TopK.top_k_by_score(
-        struct(col("cos"), col("vec_id")), k).as("nn"))
-      .select(col("q_id"), posexplode(col("nn")).as(Seq("pos", "s")))
-      .select(col("q_id"), (col("pos") + 1).cast("long").as("rk"),
-        col("s.id").as("vec_id"), round(col("s.score"), 6).as("cos"))
+    val cents = centroidLiterals(spark, dir, iters)
+    val probes = withProbes(
+      emb(spark, dir).select(col("vec_id").as("q_id"), col("v").as("q_v"),
+        col("nrm").as("q_nrm")),
+      cents, nprobe)
+    scoreTopK(spark.table(table), probes, k)
+      .select(col("q_id"), col("rk"), col("vec_id"),
+        round(col("score"), 6).as("cos"))
       .orderBy("q_id", "rk")
   }
+
+  /** MAINTAINED kNN graph — the append lifecycle the other index
+    * families (bands, postings, assignment, PQ) already have, closing
+    * the one artifact without one. A new-vector batch (the
+    * `vec_id % mod == 0` slice plays the arrivals) folds into the
+    * existing graph WITHOUT re-scoring the corpus's ~n²·nprobe/C
+    * candidate pairs:
+    *
+    *  (i) FORWARD — each new vector probes its `nprobe` lists in the
+    *      full maintained assignment index for its own top-k:
+    *      O(batch·nprobe·avg_list), the existing incremental-serve
+    *      cost shape.
+    *  (ii) REVERSE, bounded — only edges (old q → new b) where b lands
+    *      in one of q's probed cells can exist, and only those scoring
+    *      at or above q's current k-th score can displace an edge. The
+    *      probe map re-derives as the same literal-codebook narrow map
+    *      the build uses (O(n_old·C) dots, zero shuffle), pre-filtered
+    *      to the batch's DIRTY CELLS (≤ C distinct c_ids, a bounded
+    *      driver-collected IN-list — at production geometry the batch
+    *      touches few of the √n cells, so most probe rows never
+    *      shuffle); the k-th-score prune comes from the base artifact
+    *      itself (its rk=k edge IS the per-vector k-th-score column).
+    *      Untouched vectors' edges pass through byte-identical; only
+    *      touched vectors re-merge, via the same TopK order, using the
+    *      top-k merge law top_k(top_k(old) ∪ new) = top_k(old ∪ new).
+    *
+    * The base graph memo stores RAW scores (`knn_base_*`): the merge
+    * compares stored edges against freshly scored candidates, and a
+    * round-then-compare seam could flip a 6-decimal tie against the
+    * rebuild. Output rounds at the edge like every serve path.
+    * Hash-equal by construction to [[knnGraph]] over the full corpus —
+    * the same oracle, which IS the append-correctness proof. */
+  def knnGraphMaintained(spark: SparkSession, dir: String, k: Int = 3,
+      nprobe: Int = 4, iters: Int = 2, mod: Int = 10): DataFrame =
+    Memo.table(spark, dir, s"knn_graph_maint_${k}_${nprobe}_${iters}_$mod") {
+      val idx = spark.table(graft.sources.Bucketing
+        .ensureMaintainedAssignmentIndex(spark, dir, iters))
+      val newIdx = idx.filter(col("vec_id") % mod === 0)
+      val e = emb(spark, dir)
+      def q(df: DataFrame) = df.select(col("vec_id").as("q_id"),
+        col("v").as("q_v"), col("nrm").as("q_nrm"))
+      val oldQ = q(e.filter(col("vec_id") % mod =!= 0))
+      val newQ = q(e.filter(col("vec_id") % mod === 0))
+      val cents = centroidLiterals(spark, dir, iters)
+      // the pre-batch graph, built once over the old slice only
+      val base = knnGraphBase(spark, dir, k, nprobe, iters, mod)
+      // (ii) candidate pairs old-q → new-b, dirty-cell-pruned
+      val dirtyCells = newIdx.select("c_id").distinct()
+        .collect().map(_.getLong(0)).sorted // bounded by C
+      val newPairs = newIdx.join(
+          withProbes(oldQ, cents, nprobe)
+            .filter(col("c_id").isin(dirtyCells: _*)), "c_id")
+        .filter(col("vec_id") =!= col("q_id"))
+        .select(col("q_id"), col("vec_id"),
+          (V.dot(col("q_v"), col("v")) / (col("q_nrm") * col("nrm")))
+            .as("score"))
+      // per-vector k-th score from the artifact: a full top-k's weakest
+      // edge; vectors with fewer than k edges can always absorb more
+      val kth = base.groupBy("q_id")
+        .agg(count(lit(1)).as("cnt"), min(col("score")).as("mn"))
+        .select(col("q_id"),
+          when(col("cnt") >= k, col("mn"))
+            .otherwise(lit(Double.NegativeInfinity)).as("kth"))
+      // >= keeps score ties: an equal-score smaller-id arrival displaces
+      val surviving = newPairs.join(kth, Seq("q_id"), "left")
+        .filter(col("kth").isNull || col("score") >= col("kth"))
+        .select("q_id", "vec_id", "score")
+      val touched = surviving.select("q_id").distinct()
+      val untouched = base.join(touched, Seq("q_id"), "left_anti")
+      val remerged = base.join(touched, "q_id")
+        .select("q_id", "vec_id", "score")
+        .unionByName(surviving)
+        .groupBy("q_id")
+        .agg(graft.functions.TopK.top_k_by_score(
+          struct(col("score"), col("vec_id")), k).as("nn"))
+        .select(col("q_id"), posexplode(col("nn")).as(Seq("pos", "s")))
+        .select(col("q_id"), (col("pos") + 1).cast("long").as("rk"),
+          col("s.id").as("vec_id"), col("s.score").as("score"))
+      // (i) the batch's own edges, probed against the full index
+      val newEdges = scoreTopK(idx, withProbes(newQ, cents, nprobe), k)
+      untouched.unionByName(remerged).unionByName(newEdges)
+        .select(col("q_id"), col("rk"), col("vec_id"),
+          round(col("score"), 6).as("cos"))
+    }.orderBy("q_id", "rk")
+
+  /** The pre-batch graph memo behind [[knnGraphMaintained]] — the old
+    * slice's kNN edges with RAW scores. Package-visible so the scale
+    * probe can time the base build APART from the bounded fold-in (the
+    * fold-in is the claim; the base costs a rebuild by definition). */
+  private[graft] def knnGraphBase(spark: SparkSession, dir: String,
+      k: Int = 3, nprobe: Int = 4, iters: Int = 2,
+      mod: Int = 10): DataFrame =
+    Memo.table(spark, dir, s"knn_base_${k}_${nprobe}_${iters}_$mod") {
+      val oldIdx = spark.table(graft.sources.Bucketing
+        .ensureMaintainedAssignmentIndex(spark, dir, iters))
+        .filter(col("vec_id") % mod =!= 0)
+      val oldQ = emb(spark, dir).filter(col("vec_id") % mod =!= 0)
+        .select(col("vec_id").as("q_id"), col("v").as("q_v"),
+          col("nrm").as("q_nrm"))
+      scoreTopK(oldIdx,
+        withProbes(oldQ, centroidLiterals(spark, dir, iters), nprobe), k)
+    }
+
+  /** CHURNED kNN graph — delete-through for the graph artifact: the
+    * `vec_id % mod == 0` batch is deleted (the same tombstone set as
+    * [[churnedTopK]]'s churned assignment index), and a deleted
+    * vector's edges disappear in BOTH directions:
+    *  - as queries, its rows drop (a filter on the artifact);
+    *  - as neighbors, every surviving vector holding an edge TO a
+    *    deleted one is repaired by re-probing its lists against the
+    *    churned serve view — the affected set is bounded by the deleted
+    *    vectors' reverse degree (≤ n_del·k vectors), never the corpus.
+    * Unaffected vectors keep their edges byte-identical: deletion only
+    * REMOVES candidates, and a top-k whose members all survive is the
+    * top-k of the surviving candidate set. Hash-equal by construction
+    * to a fresh graph build over only the surviving vectors — the
+    * delete-through proof, same oracle shape as [[churnedTopK]]. */
+  def knnGraphChurn(spark: SparkSession, dir: String, k: Int = 3,
+      nprobe: Int = 4, iters: Int = 2, mod: Int = 10): DataFrame =
+    Memo.table(spark, dir, s"knn_graph_churn_${k}_${nprobe}_${iters}_$mod") {
+      val g = knnGraph(spark, dir, k, nprobe, iters)
+      val survivors = g.filter(col("q_id") % mod =!= 0)
+      val affected = survivors.filter(col("vec_id") % mod === 0)
+        .select("q_id").distinct()
+      val untouched = survivors.join(affected, Seq("q_id"), "left_anti")
+        .select("q_id", "rk", "vec_id", "cos")
+      val served = graft.sources.IndexChurn.served(spark,
+          graft.sources.Bucketing.ensureChurnedAssignmentIndex(
+            spark, dir, iters), Seq("c_id", "vec_id"))
+        .select("c_id", "vec_id", "v", "nrm")
+      val affQ = emb(spark, dir)
+        .join(affected.withColumnRenamed("q_id", "vec_id"), "vec_id")
+        .select(col("vec_id").as("q_id"), col("v").as("q_v"),
+          col("nrm").as("q_nrm"))
+      val repaired = scoreTopK(served,
+          withProbes(affQ, centroidLiterals(spark, dir, iters), nprobe), k)
+        .select(col("q_id"), col("rk"), col("vec_id"),
+          round(col("score"), 6).as("cos"))
+      untouched.unionByName(repaired)
+    }.orderBy("q_id", "rk")
 
   /** PERSISTED per-vector centroid assignment — the index-side state an
     * incremental ANN pipeline maintains (the dedup band index's twin):

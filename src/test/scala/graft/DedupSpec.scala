@@ -127,6 +127,39 @@ class DedupSpec extends AnyFunSuite {
     assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 4L, 5L -> 4L, 9L -> 9L))
   }
 
+  test("union-find convergence pin: propagation rounds scale with the " +
+      "partition count, NOT the component's chain length") {
+    import spark.implicits._
+    import graft.operators.Components
+    // adversarial shape: ONE chain component spanning every partition.
+    // Phase 1 contracts each partition's segment to a star, so phase 2
+    // rounds track the number of partition boundaries the min label
+    // must cross (the contracted forest chains stars root↔boundary↔root
+    // — about two hops per boundary). At 100× edges with the same
+    // partition COUNT the round count is unchanged; growing the cluster
+    // (more partitions) grows rounds linearly with executors, never
+    // with data. That invariance is the scale law this test pins.
+    def chain(n: Int, epp: Long): Int = {
+      val edges = (0L until (n - 1).toLong).map(i => (i, i + 1))
+        .toDF("src", "dst")
+      val (labels, rounds) =
+        Components.connectedComponentsStats(edges, maxIter = 40,
+          edgesPerPartition = epp)
+      val lab = labels.collect().map(r => (r.getLong(0), r.getLong(1)))
+      labels.unpersist()
+      assert(lab.length == n && lab.forall(_._2 == 0L),
+        s"chain($n) did not converge to one component")
+      rounds
+    }
+    // both runs use parts = min(8, (n-1)/epp + 1) = 8
+    val r200 = chain(200, 25)
+    val r400 = chain(400, 50)
+    assert(r200 == r400,
+      s"rounds grew with chain length at fixed partitions: $r200 vs $r400")
+    // ≈ two hops per boundary (7 boundaries) + 1 convergence round
+    assert(r200 <= 2 * 8 + 1, s"rounds=$r200 exceeds the 2·parts bound")
+  }
+
   test("dedup clusters group the planted near-dups with min-id keeper") {
     import graft.operators.Components
     val rows = Components.dedupClusters(spark, fixtureDir).collect()

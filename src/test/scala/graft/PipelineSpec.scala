@@ -109,6 +109,38 @@ class PipelineSpec extends AnyFunSuite {
     }
   }
 
+  test("image phash: grouped variants land at small aHash distance, " +
+      "near-dup pairs surface them and every pair verifies") {
+    val sigs = Multimodal.imagePhash(spark, sf).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Long]("ahash"), r.getAs[Long]("dhash"))).toMap
+    assert(sigs.nonEmpty)
+    def ham(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
+    // variants of one group stay perceptually close (the ~14% pixel
+    // perturbation moves a few bits); unrelated groups sit far apart
+    val g0 = (0L to 3L).filter(sigs.contains).map(sigs(_)._1)
+    for (a <- g0; b <- g0) assert(ham(a, b) <= 12,
+      "group-0 variants drifted apart in aHash")
+    val far = for (g <- 0L to 20L if sigs.contains(4 * g) &&
+      sigs.contains(4 * g + 40)) yield
+      ham(sigs(4 * g)._1, sigs(4 * g + 40)._1)
+    assert(far.count(_ > 12) >= far.size / 2,
+      s"cross-group aHash distances collapsed: $far")
+    val nd = Multimodal.imageNearDup(spark, sf).collect()
+      .map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b"),
+        r.getAs[Long]("hamming_a"), r.getAs[Long]("hamming_d")))
+    assert(nd.nonEmpty, "no image near-dups at all")
+    // every reported pair re-verifies against the signature table, both
+    // hamming columns and the banded threshold
+    nd.foreach { case (a, b, ha, hd) =>
+      assert(a < b && ha <= 3)
+      assert(ha == ham(sigs(a)._1, sigs(b)._1).toLong)
+      assert(hd == ham(sigs(a)._2, sigs(b)._2).toLong)
+    }
+    // the intended positives are found: at least one same-group pair
+    assert(nd.exists { case (a, b, _, _) => a / 4 == b / 4 })
+  }
+
   test("incremental backfill: first run emits all, idle re-run emits zero") {
     val state = java.nio.file.Files.createTempDirectory("hwm").toString
     val sf = TestSpark.sf
@@ -239,6 +271,42 @@ class PipelineSpec extends AnyFunSuite {
         .orderBy("key").collect()
       assert(viaJdbc.length == 25)
       assert(viaJdbc.map(_.toString).toSeq == viaParquet.map(_.toString).toSeq)
+    } finally conn.close()
+  }
+
+  test("merchant IN-list compiles into the JDBC query, not a post-filter") {
+    // the reference hand-renders its merchant list into the WHERE
+    // clause (payment_intent.rs:63-64); Spark must do the same through
+    // predicate pushdown — a short merchant list against a 100 TB
+    // replica that arrives as a full-range scan + post-filter is the
+    // difference between milliseconds and hours
+    val url = "jdbc:derby:memory:graftjdbcin;create=true"
+    val conn = java.sql.DriverManager.getConnection(url)
+    try {
+      val st = conn.createStatement()
+      st.executeUpdate(
+        "CREATE TABLE t_in (MERCHANT_ID BIGINT, AMOUNT BIGINT)")
+      val ps = conn.prepareStatement("INSERT INTO t_in VALUES (?,?)")
+      (0 until 40).foreach { i =>
+        ps.setLong(1, (i % 10).toLong); ps.setLong(2, i.toLong)
+        ps.executeUpdate()
+      }
+      import org.apache.spark.sql.functions.col
+      val df = Jdbc.load(spark, Jdbc.JdbcConfig(
+          url = url, table = "t_in", partitionColumn = None))
+        .filter(col("MERCHANT_ID").isin(1L, 3L, 5L))
+      // the plan pin: the In filter is HANDLED BY the jdbc source (the
+      // scan's PushedFilters carries it), so the generated SQL includes
+      // the IN — not a Spark-side Filter over a full scan
+      val scan = df.queryExecution.executedPlan.toString
+      assert(scan.contains("PushedFilters") && scan.contains("MERCHANT_ID"),
+        s"no pushed filters on the JDBC scan:\n$scan")
+      assert("In\\(.?MERCHANT_ID".r.findFirstIn(scan).isDefined,
+        s"merchant IN-list not pushed into the JDBC scan:\n$scan")
+      // and it executes correctly against the live database
+      assert(df.count() == 12)
+      assert(df.select("MERCHANT_ID").distinct().collect()
+        .map(_.getLong(0)).toSet == Set(1L, 3L, 5L))
     } finally conn.close()
   }
 

@@ -310,4 +310,72 @@ class SimilaritySpec extends AnyFunSuite {
         s"vec $id admitted=$admitted but best probed cos=${best.get(id)}")
     }
   }
+
+  test("maintained knn graph: bounded batch fold-in reproduces the full " +
+      "rebuild; the batch genuinely perturbs old vectors' edges") {
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getDouble(3))).toSet
+    val full = rows(Similarity.knnGraph(spark, sf))
+    val maint = rows(Similarity.knnGraphMaintained(spark, sf))
+    assert(maint == full, "maintained graph diverges from the rebuild")
+    // non-vacuity: some old vector's top-k contains a batch vector, so
+    // the reverse bounded update did real work (otherwise this test
+    // would pass with a fold-in that ignores the batch entirely)
+    assert(full.exists { case (q, _, v, _) => q % 10 != 0 && v % 10 == 0 },
+      "fixture has no old→new edge; the reverse-update path is untested")
+    // and some old vector's edges must ALSO have survived untouched for
+    // the kth-score prune to be exercised on both branches
+    assert(full.exists { case (q, _, v, _) => q % 10 != 0 && v % 10 != 0 })
+  }
+
+  test("churned knn graph: tombstoned vectors vanish both directions, " +
+      "unaffected vectors keep their edges byte-identical") {
+    val full = Similarity.knnGraph(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    val churned = Similarity.knnGraphChurn(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    // both directions gone
+    assert(churned.forall { case (q, _, v, _) => q % 10 != 0 && v % 10 != 0 })
+    // the repair path ran: some survivor held an edge to a deleted vector
+    val affected = full.collect {
+      case (q, _, v, _) if q % 10 != 0 && v % 10 == 0 => q
+    }.toSet
+    assert(affected.nonEmpty, "fixture exercises no edge repair")
+    // unaffected survivors keep their exact rows (rank, neighbor, cosine)
+    val fullByQ = full.groupBy(_._1)
+    val churnByQ = churned.groupBy(_._1)
+    fullByQ.foreach { case (q, rows) =>
+      if (q % 10 != 0 && !affected(q))
+        assert(churnByQ.getOrElse(q, Array.empty[(Long, Long, Long, Double)])
+          .toSet == rows.toSet, s"unaffected q=$q rows changed")
+    }
+    // affected survivors were repaired, not just truncated: every one
+    // still ranks densely from 1 over the surviving candidate set
+    churnByQ.foreach { case (_, rows) =>
+      val rks = rows.map(_._2).sorted
+      assert(rks.sameElements(1L to rks.length))
+    }
+  }
+
+  test("memoized graph artifacts: different parameterizations coexist " +
+      "without collision, re-reads serve the original") {
+    def pairs(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val m3 = pairs(Similarity.mutualKnn(spark, sf))
+    val m2 = pairs(Similarity.mutualKnn(spark, sf, k = 2))
+    // mutual-top-2 is a strict refinement of mutual-top-3 here: a
+    // colliding memo key would return m3 for the k=2 call and fail this
+    assert(m2.subsetOf(m3) && m2 != m3,
+      s"k=2 mutual set (${m2.size}) does not refine k=3 (${m3.size})")
+    assert(pairs(Similarity.mutualKnn(spark, sf)) == m3,
+      "re-read after a second parameterization lost the original")
+    def clus(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val c4 = clus(graft.operators.Components.semanticClusters(spark, sf))
+    val c7 = clus(graft.operators.Components.semanticClusters(spark, sf,
+      minCos = 0.7))
+    assert(c4 != c7, "threshold is not part of the cluster memo key")
+    assert(clus(graft.operators.Components.semanticClusters(spark, sf)) == c4)
+  }
 }
