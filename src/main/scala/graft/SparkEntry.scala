@@ -105,6 +105,8 @@ object SparkEntry {
     "knn_graph_maintained" -> ((s: SparkSession, d: String) => Similarity.knnGraphMaintained(s, d)),
     "knn_graph_churn"    -> ((s: SparkSession, d: String) => Similarity.knnGraphChurn(s, d)),
     "mutual_knn"         -> ((s: SparkSession, d: String) => Similarity.mutualKnn(s, d)),
+    "knn_density"        -> ((s: SparkSession, d: String) => Similarity.knnDensity(s, d)),
+    "density_prune"      -> ((s: SparkSession, d: String) => Similarity.densityPrune(s, d)),
     "semantic_clusters"  -> ((s: SparkSession, d: String) => Components.semanticClusters(s, d)),
     "cluster_quota"      -> ((s: SparkSession, d: String) => Sampling.clusterQuota(s, d)),
     "semantic_neardup"   -> ((s: SparkSession, d: String) => Similarity.semanticNearDupPairs(s, d)),
@@ -148,6 +150,7 @@ object SparkEntry {
     "leakage_safe_split" -> (Sampling.leakageSafeSplit _),
     "contamination"      -> (Sampling.contamination _),
     "contamination_ngram" -> ((s: SparkSession, d: String) => Sampling.contaminationNgram(s, d)),
+    "contamination_bloom" -> ((s: SparkSession, d: String) => Sampling.contaminationBloom(s, d)),
     "unigram_logprob"    -> (TextAnalysis.unigramLogprob _),
     "bigram_logprob"     -> (TextAnalysis.bigramLogprob _),
     "source_quota"       -> ((s: SparkSession, d: String) => Sampling.sourceQuota(s, d)),
@@ -168,7 +171,11 @@ object SparkEntry {
     "image_phash"        -> ((s: SparkSession, d: String) => Multimodal.imagePhash(s, d)),
     "image_neardup"      -> ((s: SparkSession, d: String) => Multimodal.imageNearDup(s, d)),
     "audio_decode"       -> (Multimodal.audioDecode _),
+    "audio_fingerprint"  -> ((s: SparkSession, d: String) => Multimodal.audioFingerprint(s, d)),
+    "audio_neardup"      -> ((s: SparkSession, d: String) => Multimodal.audioNearDup(s, d)),
     "video_decode"       -> (Multimodal.videoDecode _),
+    "video_phash"        -> ((s: SparkSession, d: String) => Multimodal.videoPhash(s, d)),
+    "video_neardup"      -> ((s: SparkSession, d: String) => Multimodal.videoNearDup(s, d)),
     // SQL front door + sketch quantiles
     "sql_backfill_scan"  -> (SqlInterface.sqlBackfillScan _),
     "sql_merchant_revenue" -> (SqlInterface.sqlMerchantRevenue _),
@@ -340,6 +347,130 @@ object SparkEntry {
                       for x in range(0, 10)] for y in range(0, 6)]))
                     AS BIGINT) AS dhash
            FROM pmean)"""
+
+  /** Video perceptual-hash CTE chain: the grouped clip's closed-form
+    * frames → per-frame 10×6 aHash (the image-phash arithmetic) →
+    * per-bit MAJORITY across frames (`vhash`) + frame 0's aHash
+    * (`f0hash`) — bit-identical to the DECODED-frame hashes of
+    * `Multimodal.videoPhash` (the gray-palette GIF is lossless). Frame
+    * index unrolls over the constant max frame count (5; range()
+    * rejects lateral bounds) and filters to nf; px over the constant
+    * max raster 16×13 = 208. Ends in
+    * `vph (doc_id, n_frames, vhash, f0hash)`. */
+  private lazy val dVphashCtes: String =
+    """vg AS (
+           SELECT doc_id, doc_id // 4 AS gid, doc_id % 4 AS v,
+                  3 + (doc_id // 4) % 3 AS nf,
+                  12 + (doc_id // 4) % 5 AS w, 10 + (doc_id // 4) % 4 AS h
+           FROM documents),
+         vfr AS (SELECT doc_id, gid, v, nf, w, h,
+                        unnest(range(0, 5)) AS f
+                 FROM vg),
+         vpx AS (
+           SELECT doc_id, nf, f, w, h,
+                  [((gid*37 + f*53 + i*11) % 256 +
+                     CASE WHEN (i+1) % (7+v) = 0 THEN 48 ELSE 0 END) % 256
+                   for i in range(0, 208)] AS px
+           FROM vfr WHERE f < nf),
+         vsa AS (
+           SELECT doc_id, nf, f,
+                  [px[((b//10)*h//6)*w + ((b%10)*w//10) + 1]
+                   for b in range(0, 60)] AS sa
+           FROM vpx),
+         vfh AS (SELECT doc_id, nf, f, sa, list_sum(sa) // 60 AS m
+                 FROM vsa),
+         vbit AS (
+           SELECT doc_id, nf,
+                  unnest([CASE WHEN sa[b+1] >= m THEN 1 ELSE 0 END
+                          for b in range(0, 60)]) AS bv,
+                  unnest(range(0, 60)) AS b
+           FROM vfh),
+         vcnt AS (SELECT doc_id, nf, b, sum(bv) AS cnt
+                  FROM vbit GROUP BY 1, 2, 3),
+         vmh AS (
+           SELECT doc_id,
+                  CAST(sum(CASE WHEN 2*cnt > nf THEN (1::BIGINT << b)
+                           ELSE 0 END) AS BIGINT) AS vhash
+           FROM vcnt GROUP BY doc_id, nf),
+         vkf AS (
+           SELECT doc_id,
+                  CAST(list_sum([CASE WHEN sa[b+1] >= m
+                      THEN (1::BIGINT << b) ELSE 0 END
+                    for b in range(0, 60)]) AS BIGINT) AS f0hash
+           FROM vfh WHERE f = 0),
+         vph AS (
+           SELECT vg.doc_id, CAST(vg.nf AS BIGINT) AS n_frames,
+                  vmh.vhash, vkf.f0hash
+           FROM vg JOIN vmh ON vmh.doc_id = vg.doc_id
+                   JOIN vkf ON vkf.doc_id = vg.doc_id)"""
+
+  /** Audio-fingerprint CTE chain: the grouped waveform's closed form →
+    * 61 window energies (20-sample sums of squares) → the 60-bit
+    * envelope hash (≥ integer mean of the first 60 windows) and the
+    * 60-bit temporal-delta hash (next window strictly more energetic) —
+    * bit-identical to the DECODED-sample hashes of
+    * `Multimodal.audioFingerprint` (WAV PCM is lossless). Ends in
+    * `afp (doc_id, n_samples, energy_total, ehash, thash)`. */
+  private lazy val dAfpCtes: String =
+    """ag AS (SELECT doc_id, doc_id // 4 AS gid, doc_id % 4 AS v
+           FROM documents),
+         asmp AS (
+           SELECT doc_id,
+                  [CAST((gid*31 + i*7) % 2003 - 1001 +
+                     CASE WHEN (i+1) % (13+v) = 0 THEN 97 ELSE 0 END
+                     AS BIGINT) for i in range(0, 1220)] AS s
+           FROM ag),
+         aen AS (
+           SELECT doc_id,
+                  [list_sum([s[w*20+j+1]*s[w*20+j+1]
+                     for j in range(0, 20)]) for w in range(0, 61)] AS e
+           FROM asmp),
+         aem AS (
+           SELECT doc_id, e,
+                  list_sum([e[w+1] for w in range(0, 60)]) // 60 AS em
+           FROM aen),
+         afp AS (
+           SELECT doc_id,
+                  CAST(1220 AS BIGINT) AS n_samples,
+                  CAST(list_sum(e) AS BIGINT) AS energy_total,
+                  CAST(list_sum([CASE WHEN e[b+1] >= em
+                      THEN (1::BIGINT << b) ELSE 0 END
+                    for b in range(0, 60)]) AS BIGINT) AS ehash,
+                  CAST(list_sum([CASE WHEN e[b+2] > e[b+1]
+                      THEN (1::BIGINT << b) ELSE 0 END
+                    for b in range(0, 60)]) AS BIGINT) AS thash
+           FROM aem)"""
+
+  /** GPT-3-style n-gram decontamination oracle — shared VERBATIM by the
+    * exact operator (`contamination_ngram`) and its bloom-screened twin
+    * (`contamination_bloom`): the screen must change the exchange, never
+    * the answer. */
+  private lazy val dContamNgramSql: String =
+    s"""WITH ${dSpanCtes(8)},
+         split AS (
+           SELECT doc_id,
+                  CASE WHEN b < 90 THEN 'train'
+                       WHEN b < 95 THEN 'val'
+                       ELSE 'test' END AS split
+           FROM (SELECT doc_id, ${dH60("'split:'||doc_id")} % 100 AS b
+                 FROM documents)),
+         ex AS (SELECT spanx.doc_id, split.split, span_h
+                FROM spanx JOIN split USING (doc_id)),
+         train AS (SELECT DISTINCT span_h FROM ex WHERE split = 'train'),
+         per AS (SELECT ex.doc_id, count(*) AS n_spans,
+                        CAST(sum(CASE WHEN train.span_h IS NOT NULL
+                                      THEN 1 ELSE 0 END) AS BIGINT) AS n_hit
+                 FROM ex LEFT JOIN train ON ex.span_h = train.span_h
+                 WHERE ex.split <> 'train' GROUP BY 1)
+         SELECT s.doc_id, s.split,
+                coalesce(n_spans, 0) AS n_spans,
+                coalesce(n_hit, 0) AS n_hit,
+                CASE WHEN coalesce(n_spans, 0) = 0 THEN 0.0
+                     ELSE round(n_hit / CAST(n_spans AS DOUBLE), 6)
+                END AS hit_frac
+         FROM split s LEFT JOIN per USING (doc_id)
+         WHERE s.split <> 'train'
+         ORDER BY doc_id"""
 
   /** Per-doc 60-bit simhash (nested bit-vote comprehension). */
   private val dSimhashCtes: String =
@@ -1658,6 +1789,59 @@ object SparkEntry {
                       FROM range(2000) t(i) WHERE i < n) AS BIGINT)
                   AS sample_sum
          FROM g ORDER BY doc_id""",
+    // video phash: closed form of the grouped clip's GIF round-trip
+    // (lossless) → per-frame aHash → majority vhash + keyframe hash
+    "video_phash" -> (s"WITH $dVphashCtes" +
+      """ SELECT doc_id, n_frames, vhash, f0hash
+         FROM vph ORDER BY doc_id"""),
+    // video near-dup: the majority hash banded through the SAME 4×15-bit
+    // chunk join as the other modalities (skew cap included), exact
+    // Hamming verify, keyframe-hash Hamming as the second signal
+    "video_neardup" -> (s"WITH $dVphashCtes," +
+      """ vchunks AS (SELECT doc_id, vhash, f0hash,
+             unnest([0, 1, 2, 3]) AS chunk_id,
+             unnest([(vhash >> 0) & 32767, (vhash >> 15) & 32767,
+                     (vhash >> 30) & 32767, (vhash >> 45) & 32767])
+               AS chunk_val
+           FROM vph),
+         vbig AS (SELECT chunk_id, chunk_val FROM vchunks
+                  GROUP BY 1, 2 HAVING count(*) > 200),
+         vcf AS (SELECT vchunks.* FROM vchunks
+                 ANTI JOIN vbig USING (chunk_id, chunk_val)),
+         vpairs AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+             CAST(bit_count(xor(a.vhash, b.vhash)) AS BIGINT) AS hamming_v,
+             CAST(bit_count(xor(a.f0hash, b.f0hash)) AS BIGINT)
+               AS hamming_kf
+           FROM vcf a JOIN vcf b USING (chunk_id, chunk_val)
+           WHERE a.doc_id < b.doc_id)
+         SELECT doc_a, doc_b, hamming_v, hamming_kf FROM vpairs
+         WHERE hamming_v <= 3 ORDER BY doc_a, doc_b"""),
+    // audio fingerprint: closed form of the grouped waveform's WAV
+    // round-trip (lossless) → window energies → envelope + delta hashes
+    "audio_fingerprint" -> (s"WITH $dAfpCtes" +
+      """ SELECT doc_id, n_samples, energy_total, ehash, thash
+         FROM afp ORDER BY doc_id"""),
+    // audio near-dup: the envelope hash banded through the SAME 4×15-bit
+    // chunk join as simhash_pairs/image_neardup (skew cap included),
+    // exact Hamming verify, temporal-delta Hamming as the second signal
+    "audio_neardup" -> (s"WITH $dAfpCtes," +
+      """ achunks AS (SELECT doc_id, ehash, thash,
+             unnest([0, 1, 2, 3]) AS chunk_id,
+             unnest([(ehash >> 0) & 32767, (ehash >> 15) & 32767,
+                     (ehash >> 30) & 32767, (ehash >> 45) & 32767])
+               AS chunk_val
+           FROM afp),
+         abig AS (SELECT chunk_id, chunk_val FROM achunks
+                  GROUP BY 1, 2 HAVING count(*) > 200),
+         acf AS (SELECT achunks.* FROM achunks
+                 ANTI JOIN abig USING (chunk_id, chunk_val)),
+         apairs AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+             CAST(bit_count(xor(a.ehash, b.ehash)) AS BIGINT) AS hamming_e,
+             CAST(bit_count(xor(a.thash, b.thash)) AS BIGINT) AS hamming_t
+           FROM acf a JOIN acf b USING (chunk_id, chunk_val)
+           WHERE a.doc_id < b.doc_id)
+         SELECT doc_a, doc_b, hamming_e, hamming_t FROM apairs
+         WHERE hamming_e <= 3 ORDER BY doc_a, doc_b"""),
     // closed form of the animated-GIF round trip: nf = 2 + id % 4
     // frames of w×h gray pixels, pixel(f, i) = (id*31 + f*17 + i) % 256;
     // the indexed non-interlaced GIF is lossless so the DECODED frame
@@ -1995,32 +2179,11 @@ object SparkEntry {
                      WHEN bucket < 95 THEN 'val'
                      ELSE 'test' END AS split
          FROM b ORDER BY doc_id""",
-    "contamination_ngram" ->
-      s"""WITH ${dSpanCtes(8)},
-         split AS (
-           SELECT doc_id,
-                  CASE WHEN b < 90 THEN 'train'
-                       WHEN b < 95 THEN 'val'
-                       ELSE 'test' END AS split
-           FROM (SELECT doc_id, ${dH60("'split:'||doc_id")} % 100 AS b
-                 FROM documents)),
-         ex AS (SELECT spanx.doc_id, split.split, span_h
-                FROM spanx JOIN split USING (doc_id)),
-         train AS (SELECT DISTINCT span_h FROM ex WHERE split = 'train'),
-         per AS (SELECT ex.doc_id, count(*) AS n_spans,
-                        CAST(sum(CASE WHEN train.span_h IS NOT NULL
-                                      THEN 1 ELSE 0 END) AS BIGINT) AS n_hit
-                 FROM ex LEFT JOIN train ON ex.span_h = train.span_h
-                 WHERE ex.split <> 'train' GROUP BY 1)
-         SELECT s.doc_id, s.split,
-                coalesce(n_spans, 0) AS n_spans,
-                coalesce(n_hit, 0) AS n_hit,
-                CASE WHEN coalesce(n_spans, 0) = 0 THEN 0.0
-                     ELSE round(n_hit / CAST(n_spans AS DOUBLE), 6)
-                END AS hit_frac
-         FROM split s LEFT JOIN per USING (doc_id)
-         WHERE s.split <> 'train'
-         ORDER BY doc_id""",
+    "contamination_ngram" -> dContamNgramSql,
+    // bloom pre-screen + exact verify ≡ exact operator: SAME oracle —
+    // hash-equality proves the screen admits no false positive into the
+    // counts and drops no true hit
+    "contamination_bloom" -> dContamNgramSql,
     "inverted_index" ->
       s"""WITH toks AS (SELECT doc_id, $dToks AS ts FROM documents),
          tok AS (SELECT doc_id, unnest(list_distinct(ts)) AS token FROM toks),
@@ -2342,6 +2505,38 @@ object SparkEntry {
          SELECT a.q_id AS vec_a, a.vec_id AS vec_b, a.cos
          FROM knn a JOIN knn b ON a.q_id = b.vec_id AND a.vec_id = b.q_id
          WHERE a.q_id < a.vec_id ORDER BY vec_a, vec_b""",
+    // knn density: mean rounded cosine to the k graph neighbors
+    // (decimal-exact sum, one IEEE division) + the coarse cluster id
+    "knn_density" ->
+      s"""WITH ${dIvfProbeCtes(iters = 2, nprobe = 4, queryPred = "TRUE")},
+         knn AS (SELECT q_id, vec_id, round(cos, 6) AS cos FROM ranked
+                 WHERE rk <= 3),
+         dens AS (SELECT q_id AS vec_id,
+             CAST(sum(CAST(cos AS DECIMAL(38,18))) AS DOUBLE) / count(*)
+               AS density,
+             CAST(count(*) AS BIGINT) AS deg
+           FROM knn GROUP BY q_id)
+         SELECT d.vec_id, a.c_id, round(d.density, 6) AS density, d.deg
+         FROM dens d JOIN af a USING (vec_id) ORDER BY vec_id""",
+    // density prune: within each coarse cluster drop the densest 25%
+    // (rank by density DESC, vec_id; cut at ceil(0.25·|cluster|))
+    "density_prune" ->
+      s"""WITH ${dIvfProbeCtes(iters = 2, nprobe = 4, queryPred = "TRUE")},
+         knn AS (SELECT q_id, vec_id, round(cos, 6) AS cos FROM ranked
+                 WHERE rk <= 3),
+         dens AS (SELECT q_id AS vec_id,
+             CAST(sum(CAST(cos AS DECIMAL(38,18))) AS DOUBLE) / count(*)
+               AS density
+           FROM knn GROUP BY q_id),
+         da AS (SELECT d.vec_id, a.c_id, round(d.density, 6) AS density
+                FROM dens d JOIN af a USING (vec_id)),
+         dr AS (SELECT vec_id, c_id, density,
+             row_number() OVER (PARTITION BY c_id
+               ORDER BY density DESC, vec_id) AS drk,
+             count(*) OVER (PARTITION BY c_id) AS csz
+           FROM da)
+         SELECT vec_id, c_id, density FROM dr
+         WHERE drk > ceil(csz * 0.25) ORDER BY vec_id""",
     // semantic clusters: the knn graph's above-threshold edges (rounded
     // cosine, exactly the graph's output filter) closed under reach —
     // the same recursion as dedup_clusters on a different edge set

@@ -490,6 +490,260 @@ object Multimodal {
         }.toDF()
     }.orderBy("doc_id")
 
+  /** Per-clip perceptual video hashes from DECODED GIF frames. */
+  case class VideoPhash(doc_id: Long, n_frames: Long, vhash: Long,
+      f0hash: Long)
+
+  /** The synthetic grouped clip behind [[videoPhash]]: clips come in
+    * GROUPS of four variants (gid = doc_id / 4, v = doc_id % 4) sharing
+    * one base frame sequence — the same footage re-encoded with small
+    * per-frame edits, the video twin of [[phashRaster]]. The variant
+    * perturbs every (7+v)-th pixel of EVERY frame by +48 (~14% of
+    * pixels). Closed-form in (gid, v, f, i) so DuckDB regenerates every
+    * frame; dims sized ≥ the 10×6 resample grid. */
+  private def vclipFrame(id: Long, f: Int): (Int, Int, Array[Int]) = {
+    val gid = id / 4; val v = (id % 4).toInt
+    val w = (12 + gid % 5).toInt
+    val h = (10 + gid % 4).toInt
+    val px = Array.tabulate(w * h) { i =>
+      val base = ((gid * 37 + f * 53L + i.toLong * 11) % 256).toInt
+      if ((i + 1) % (7 + v) == 0) (base + 48) % 256 else base
+    }
+    (w, h, px)
+  }
+  private def vclipFrames(id: Long): Int = (3 + (id / 4) % 3).toInt
+
+  /** Video perceptual hash — the video member of the near-dup family:
+    * each clip's grouped frames ride the same REAL multi-frame
+    * `javax.imageio` animated-GIF encode→demux→decode round trip as
+    * [[videoDecode]] (lossless with the explicit gray palette), each
+    * DECODED frame gets the 10×6 aHash of [[imagePhash]], and the
+    * per-frame hashes fold into:
+    *  - '''vhash''': per-bit MAJORITY vote across frames (bit set iff
+    *    2·votes > n_frames) — the temporal signature: stable under
+    *    frame-local noise AND under losing/adding a minority of frames,
+    *    which is what re-encoded video copies do;
+    *  - '''f0hash''': frame 0's aHash — the keyframe signal carried
+    *    alongside, cheap to compare and order-sensitive where the
+    *    majority hash deliberately is not.
+    * Codec objects are per-PARTITION (the library-init shape a real
+    * ffmpeg-class decoder needs); two longs per clip cross the shuffle;
+    * memoized so [[videoNearDup]] reads signatures, not pixels. */
+  def videoPhash(spark: SparkSession, dir: String): DataFrame =
+    Memo.table(spark, dir, "video_phash") {
+      import spark.implicits._
+      Tables.load(spark, dir, "documents")
+        .select(col("doc_id")).as[Long]
+        .mapPartitions { it =>
+          val gray = Array.tabulate(256)(_.toByte)
+          val cm = new java.awt.image.IndexColorModel(8, 256, gray, gray, gray)
+          val writer = javax.imageio.ImageIO
+            .getImageWritersByFormatName("gif").next()
+          val reader = javax.imageio.ImageIO
+            .getImageReadersByFormatName("gif").next()
+          val wp = writer.getDefaultWriteParam
+          wp.setProgressiveMode(javax.imageio.ImageWriteParam.MODE_DISABLED)
+          it.map { id =>
+            val nf = vclipFrames(id)
+            val bos = new java.io.ByteArrayOutputStream()
+            val ios = new javax.imageio.stream.MemoryCacheImageOutputStream(bos)
+            writer.setOutput(ios)
+            writer.prepareWriteSequence(null)
+            var f = 0
+            while (f < nf) {
+              val (w, h, px) = vclipFrame(id, f)
+              val img = new java.awt.image.BufferedImage(
+                w, h, java.awt.image.BufferedImage.TYPE_BYTE_INDEXED, cm)
+              val r = img.getRaster
+              var i = 0
+              while (i < w * h) {
+                r.setSample(i % w, i / w, 0, px(i)); i += 1
+              }
+              writer.writeToSequence(
+                new javax.imageio.IIOImage(img, null, null), wp)
+              f += 1
+            }
+            writer.endWriteSequence()
+            ios.close()
+            reader.setInput(
+              new javax.imageio.stream.MemoryCacheImageInputStream(
+                new java.io.ByteArrayInputStream(bos.toByteArray)))
+            val frames = reader.getNumImages(true)
+            val votes = new Array[Int](60)
+            var f0 = 0L
+            var df = 0
+            while (df < frames) {
+              val d = reader.read(df)
+              val dw = d.getWidth; val dh = d.getHeight
+              val dr = d.getRaster
+              // the 10×6 aHash of imagePhash, from the DECODED raster
+              val s = Array.tabulate(60) { b =>
+                dr.getSample((b % 10) * dw / 10, (b / 10) * dh / 6, 0)
+              }
+              val mean = s.sum / 60
+              var b = 0
+              while (b < 60) {
+                if (s(b) >= mean) {
+                  votes(b) += 1
+                  if (df == 0) f0 |= 1L << b
+                }
+                b += 1
+              }
+              df += 1
+            }
+            var vh = 0L
+            var b = 0
+            while (b < 60) {
+              if (2 * votes(b) > frames) vh |= 1L << b
+              b += 1
+            }
+            reader.reset()
+            writer.reset()
+            VideoPhash(id, frames.toLong, vh, f0)
+          }
+        }.toDF()
+    }.orderBy("doc_id")
+
+  /** Video near-duplicates: the majority hash banded through the SAME
+    * 4×15-bit chunk machinery as text/image/audio
+    * ([[Dedup.bandedHammingPairs]]), exact vhash-Hamming verify, with
+    * the keyframe-hash Hamming as the second-signal column. Pure
+    * post-processing of the memoized signature table. */
+  def videoNearDup(spark: SparkSession, dir: String,
+      maxHamming: Int = 3): DataFrame = {
+    val sigs = videoPhash(spark, dir)
+    val pairs = Dedup.bandedHammingPairs(sigs, "doc_id", "vhash", maxHamming)
+    val kf = sigs.select(col("doc_id"), col("f0hash"))
+    pairs
+      .join(kf.select(col("doc_id").as("id_a"), col("f0hash").as("kf_a")),
+        "id_a")
+      .join(kf.select(col("doc_id").as("id_b"), col("f0hash").as("kf_b")),
+        "id_b")
+      .select(col("id_a").as("doc_a"), col("id_b").as("doc_b"),
+        col("hamming").as("hamming_v"),
+        bit_count(col("kf_a").bitwiseXOR(col("kf_b"))).cast("long")
+          .as("hamming_kf"))
+      .orderBy("doc_a", "doc_b")
+  }
+
+  /** Audio energy-envelope fingerprints from DECODED WAV samples. */
+  case class AudioFprint(doc_id: Long, n_samples: Long, energy_total: Long,
+      ehash: Long, thash: Long)
+
+  /** The synthetic grouped waveform behind [[audioFingerprint]]: clips
+    * come in GROUPS of four variants (gid = doc_id / 4, v = doc_id % 4)
+    * sharing one base waveform — re-encodes of the same recording with
+    * small sample-level edits, the audio twin of [[phashRaster]]'s
+    * grouped raster. The variant adds +97 to every (13+v)-th sample
+    * (~7% of samples) — enough to move a few fingerprint bits, not the
+    * perceptual identity. Closed-form in (gid, v, i) so DuckDB
+    * regenerates the waveform; fixed length 1220 = 61 windows × 20
+    * samples so window boundaries are range sums on both engines. */
+  private def afingerSamples(id: Long): Array[Int] = {
+    val gid = id / 4; val v = (id % 4).toInt
+    Array.tabulate(1220) { i =>
+      val base = ((gid * 31 + i.toLong * 7) % 2003 - 1001).toInt
+      if ((i + 1) % (13 + v) == 0) base + 97 else base
+    }
+  }
+
+  /** Audio fingerprint — the audio member of the engine's perceptual
+    * near-dup family (text SimHash, image aHash/dHash): each clip's
+    * grouped waveform rides the same REAL `javax.sound` WAV
+    * encode→decode round trip as [[audioDecode]] (PCM is lossless, so a
+    * codec bug breaks the oracle hash), then 61 consecutive 20-sample
+    * windows yield integer energies (sum of squares) and two 60-bit
+    * fingerprints:
+    *  - '''ehash''' (energy envelope): bit b set iff window b's energy ≥
+    *    the integer mean of the first 60 windows — loudness-profile
+    *    identity, the audio aHash;
+    *  - '''thash''' (temporal delta): bit b set iff window b+1 is
+    *    strictly more energetic than window b — the
+    *    energy-difference sign bits classic audio fingerprinting keys
+    *    on (robust to uniform gain where the envelope hash is robust
+    *    to local noise), the audio dHash.
+    * Same 100 TB shape as every decode: mapPartitions batches, two longs
+    * per clip cross the shuffle, memoized so [[audioNearDup]]'s
+    * self-join reads the signature parquet twice instead of decoding
+    * twice. `energy_total` pins the full decoded-sample stream. */
+  def audioFingerprint(spark: SparkSession, dir: String): DataFrame =
+    Memo.table(spark, dir, "audio_fprint") {
+      import spark.implicits._
+      Tables.load(spark, dir, "documents")
+        .select(col("doc_id")).as[Long]
+        .mapPartitions { it =>
+          it.map { id =>
+            val src = afingerSamples(id)
+            val n = src.length
+            val pcm = new Array[Byte](n * 2)
+            var i = 0
+            while (i < n) {
+              pcm(2 * i) = (src(i) & 0xff).toByte
+              pcm(2 * i + 1) = ((src(i) >> 8) & 0xff).toByte
+              i += 1
+            }
+            val fmt = new javax.sound.sampled.AudioFormat(
+              16000f, 16, 1, true, false)
+            val bos = new java.io.ByteArrayOutputStream()
+            javax.sound.sampled.AudioSystem.write(
+              new javax.sound.sampled.AudioInputStream(
+                new java.io.ByteArrayInputStream(pcm), fmt, n.toLong),
+              javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
+            val decoded = javax.sound.sampled.AudioSystem.getAudioInputStream(
+              new java.io.ByteArrayInputStream(bos.toByteArray))
+            val bytes = decoded.readAllBytes()
+            // energies from the DECODED samples (16-bit little-endian)
+            val e = new Array[Long](61)
+            var j = 0
+            while (j < n) {
+              val s = ((bytes(2 * j + 1).toInt << 8) |
+                (bytes(2 * j) & 0xff)).toLong
+              e(j / 20) += s * s
+              j += 1
+            }
+            var eTotal = 0L
+            var mSum = 0L
+            var w = 0
+            while (w < 61) {
+              eTotal += e(w); if (w < 60) mSum += e(w); w += 1
+            }
+            val mean = mSum / 60
+            var eh = 0L
+            var th = 0L
+            var b = 0
+            while (b < 60) {
+              if (e(b) >= mean) eh |= 1L << b
+              if (e(b + 1) > e(b)) th |= 1L << b
+              b += 1
+            }
+            AudioFprint(id, n.toLong, eTotal, eh, th)
+          }
+        }.toDF()
+    }.orderBy("doc_id")
+
+  /** Audio near-duplicates: the envelope hash banded through the SAME
+    * 4×15-bit chunk machinery as text SimHash and image aHash
+    * ([[Dedup.bandedHammingPairs]] — pigeonhole-complete at hamming ≤ 3,
+    * skew-capped buckets), exact ehash-Hamming verify, with the
+    * temporal-delta Hamming carried as the second-signal column (two
+    * fingerprints disagreeing flags a borderline pair, the same policy
+    * seam as [[imageNearDup]]'s dHash column). Pure post-processing of
+    * the memoized signature table: nothing re-decodes. */
+  def audioNearDup(spark: SparkSession, dir: String,
+      maxHamming: Int = 3): DataFrame = {
+    val sigs = audioFingerprint(spark, dir)
+    val pairs = Dedup.bandedHammingPairs(sigs, "doc_id", "ehash", maxHamming)
+    val t = sigs.select(col("doc_id"), col("thash"))
+    pairs
+      .join(t.select(col("doc_id").as("id_a"), col("thash").as("th_a")), "id_a")
+      .join(t.select(col("doc_id").as("id_b"), col("thash").as("th_b")), "id_b")
+      .select(col("id_a").as("doc_a"), col("id_b").as("doc_b"),
+        col("hamming").as("hamming_e"),
+        bit_count(col("th_a").bitwiseXOR(col("th_b"))).cast("long")
+          .as("hamming_t"))
+      .orderBy("doc_a", "doc_b")
+  }
+
   /** Image near-duplicates: band the aHash through the SAME 4×15-bit
     * chunk machinery as text SimHash ([[Dedup.bandedHammingPairs]] —
     * pigeonhole-complete at hamming ≤ 3, skew-capped buckets), verify

@@ -119,6 +119,52 @@ object Sampling {
       .orderBy("doc_id")
   }
 
+  /** Bloom-accelerated n-gram decontamination — the exchange-cutting
+    * form of [[contaminationNgram]] its scaladoc promises: the DISTINCT
+    * train span-hash set folds into an executor-built Bloom filter
+    * ([[graft.functions.BloomBuildAgg]] — per-partition bit arrays OR
+    * together, only the final `words·8`-byte array reaches the driver,
+    * never anything proportional to the span count), and eval spans
+    * pre-screen with the codegen'd `bloom_might_contain` BEFORE the
+    * exact membership join. The shuffle then carries only bloom
+    * survivors (true hits + ~fpp of misses) instead of every eval
+    * span — on a decontamination run the hit rate is low, so the join
+    * exchange shrinks ~100×. The exact semi-join over survivors removes
+    * the false positives, so the result is IDENTICAL to the exact
+    * operator — same oracle, which IS the fpp-independence proof.
+    * `n_spans` still counts ALL eval spans (the denominator never
+    * rides the screen). Past ~10^10 distinct train spans the capped
+    * filter's fpp degrades gracefully (more survivors, same answer) —
+    * the verify join, not the bloom, owns correctness. */
+  def contaminationBloom(spark: SparkSession, dir: String, n: Int = 8,
+      fpp: Double = 0.01): DataFrame = {
+    import graft.functions.GraftBloom
+    val docs = Tables.load(spark, dir, "documents")
+      .withColumn("split", splitLabel(splitBucket(col("doc_id"))))
+    val spans = Dedup.spanTable(spark, dir, n)
+      .withColumn("split", splitLabel(splitBucket(col("doc_id"))))
+    val train = spans.filter(col("split") === "train")
+      .select("span_h").distinct()
+    val bloom = GraftBloom.fromColumn(train, "span_h", fpp)
+    val evalSpans = spans.filter(col("split") =!= "train")
+    val hitPerDoc = evalSpans
+      .filter(GraftBloom.might_contain(col("span_h"), bloom))
+      .join(train, Seq("span_h"), "left_semi")
+      .groupBy("doc_id").agg(count(lit(1)).as("n_hit"))
+    val spanPerDoc = evalSpans.groupBy("doc_id")
+      .agg(count(lit(1)).as("n_spans"))
+    docs.filter(col("split") =!= "train").select("doc_id", "split")
+      .join(spanPerDoc, Seq("doc_id"), "left")
+      .join(hitPerDoc, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("split"),
+        coalesce(col("n_spans"), lit(0L)).as("n_spans"),
+        coalesce(col("n_hit"), lit(0L)).as("n_hit"))
+      .withColumn("hit_frac",
+        when(col("n_spans") === 0, 0.0d)
+          .otherwise(round(col("n_hit").cast("double") / col("n_spans"), 6)))
+      .orderBy("doc_id")
+  }
+
   /** Sequence packing: assign documents to ~`capacity`-token training
     * bins — the "pack short docs into fixed-length sequences" step
     * before batching. Contiguous fill by running token count in

@@ -254,6 +254,56 @@ object Similarity {
         .select(col("q_id").as("vec_a"), col("vec_id").as("vec_b"), col("cos"))
     }.orderBy("vec_a", "vec_b")
 
+  /** Per-vector kNN DENSITY — the mean cosine to the vector's k graph
+    * neighbors, joined with its coarse cluster id: the prototypicality
+    * signal density-based pruning (D4, Tirumala et al. 2023; SSL
+    * prototypes, Sorscher et al. 2022) keys on. High density = the
+    * vector sits in a tight semantic neighborhood (redundant); low
+    * density = an outlier/diverse example. Pure post-processing of the
+    * memoized graph artifact (n·k edges aggregated to n rows — nothing
+    * re-scored) joined once with the memoized assignment.
+    * Cross-engine determinism: the k rounded cosines sum through
+    * DECIMAL(38,18) (exact, order-free) and convert to double for ONE
+    * IEEE division by the neighbor count — the same mixed fold every
+    * Lloyd oracle uses — so `density` is bit-identical in DuckDB. */
+  def knnDensity(spark: SparkSession, dir: String, k: Int = 3,
+      nprobe: Int = 4, iters: Int = 2): DataFrame =
+    Memo.table(spark, dir, s"knn_density_${k}_${nprobe}_$iters") {
+      val g = knnGraph(spark, dir, k, nprobe, iters)
+      val dens = g.groupBy(col("q_id").as("vec_id"))
+        .agg(
+          (sum(col("cos").cast("decimal(38,18)")).cast("double") /
+            count(lit(1))).as("density"),
+          count(lit(1)).cast("long").as("deg"))
+      dens.join(assignmentTable(spark, dir, iters).select("vec_id", "c_id"),
+          "vec_id")
+        .select(col("vec_id"), col("c_id"),
+          round(col("density"), 6).as("density"), col("deg"))
+    }.orderBy("vec_id")
+
+  /** DENSITY-BASED PRUNING (the D4 "diversify" step): within each
+    * coarse cluster, drop the densest `frac` of vectors — the most
+    * redundant examples, the ones semantic dedup's pairwise threshold
+    * missed but that still crowd the cluster core — and keep the rest.
+    * Rank is (density DESC, vec_id), cut at ceil(frac·|cluster|), both
+    * deterministic on the bit-identical rounded density. The windows
+    * partition by c_id (C ~ √n groups at production geometry, bounded
+    * skew = bounded cluster size), over n density rows — NOT the n·k
+    * edge table and NOT the vectors: the heavy scoring stays in the
+    * memoized graph build. */
+  def densityPrune(spark: SparkSession, dir: String, frac: Double = 0.25,
+      k: Int = 3, nprobe: Int = 4, iters: Int = 2): DataFrame = {
+    val d = knnDensity(spark, dir, k, nprobe, iters)
+    val byCluster = Window.partitionBy("c_id")
+    d.withColumn("drk",
+        row_number().over(byCluster.orderBy(col("density").desc,
+          col("vec_id"))))
+      .withColumn("csz", count(lit(1)).over(byCluster))
+      .filter(col("drk") > ceil(col("csz") * lit(frac)))
+      .select(col("vec_id"), col("c_id"), col("density"))
+      .orderBy("vec_id")
+  }
+
   /** The trained codebook collected to the driver — a bounded C×dim
     * artifact (the same shape the PQ codebooks ship), sorted by c_id so
     * the literal array below is deterministic. */
@@ -363,44 +413,71 @@ object Similarity {
       val cents = centroidLiterals(spark, dir, iters)
       // the pre-batch graph, built once over the old slice only
       val base = knnGraphBase(spark, dir, k, nprobe, iters, mod)
-      // (ii) candidate pairs old-q → new-b, dirty-cell-pruned
-      val dirtyCells = newIdx.select("c_id").distinct()
-        .collect().map(_.getLong(0)).sorted // bounded by C
-      val newPairs = newIdx.join(
-          withProbes(oldQ, cents, nprobe)
-            .filter(col("c_id").isin(dirtyCells: _*)), "c_id")
-        .filter(col("vec_id") =!= col("q_id"))
-        .select(col("q_id"), col("vec_id"),
-          (V.dot(col("q_v"), col("v")) / (col("q_nrm") * col("nrm")))
-            .as("score"))
-      // per-vector k-th score from the artifact: a full top-k's weakest
-      // edge; vectors with fewer than k edges can always absorb more
-      val kth = base.groupBy("q_id")
-        .agg(count(lit(1)).as("cnt"), min(col("score")).as("mn"))
-        .select(col("q_id"),
-          when(col("cnt") >= k, col("mn"))
-            .otherwise(lit(Double.NegativeInfinity)).as("kth"))
-      // >= keeps score ties: an equal-score smaller-id arrival displaces
-      val surviving = newPairs.join(kth, Seq("q_id"), "left")
-        .filter(col("kth").isNull || col("score") >= col("kth"))
-        .select("q_id", "vec_id", "score")
-      val touched = surviving.select("q_id").distinct()
-      val untouched = base.join(touched, Seq("q_id"), "left_anti")
-      val remerged = base.join(touched, "q_id")
-        .select("q_id", "vec_id", "score")
-        .unionByName(surviving)
-        .groupBy("q_id")
-        .agg(graft.functions.TopK.top_k_by_score(
-          struct(col("score"), col("vec_id")), k).as("nn"))
-        .select(col("q_id"), posexplode(col("nn")).as(Seq("pos", "s")))
-        .select(col("q_id"), (col("pos") + 1).cast("long").as("rk"),
-          col("s.id").as("vec_id"), col("s.score").as("score"))
+      val (untouched, remerged) =
+        graphReverseMerge(base, newIdx, oldQ, cents, k, nprobe)
       // (i) the batch's own edges, probed against the full index
       val newEdges = scoreTopK(idx, withProbes(newQ, cents, nprobe), k)
       untouched.unionByName(remerged).unionByName(newEdges)
         .select(col("q_id"), col("rk"), col("vec_id"),
           round(col("score"), 6).as("cos"))
     }.orderBy("q_id", "rk")
+
+  /** The bounded REVERSE half of the graph fold-in, factored so the
+    * batch-maintained graph ([[knnGraphMaintained]]) and the streaming
+    * maintenance loop
+    * ([[graft.streaming.StreamingBackfill.graphIngestLoop]]) share one
+    * merge law. Inputs: the current RAW-score graph `base`
+    * (q_id, rk, vec_id, score), the arriving batch's index rows
+    * `batchIdx` (c_id, vec_id, v, nrm), and the established-vector
+    * query set `oldQ` (q_id, q_v, q_nrm) — which must NOT contain the
+    * batch's own ids (their forward top-k is the caller's other half).
+    * Returns (untouched, remerged): base rows whose top-k no batch
+    * vector can enter, and the re-merged rows of touched vectors —
+    * top_k(top_k(old) ∪ new) = top_k(old ∪ new) under the k-th-score
+    * prune. The pre-TopK dropDuplicates is a no-op on a first
+    * delivery (base edges point at pre-batch vectors, surviving
+    * candidates are batch vectors — disjoint) and exists for
+    * at-least-once REDELIVERY, where base may already contain the
+    * batch's edges and a duplicate (q, v) struct could otherwise crowd
+    * a genuine neighbor out of the k-buffer. */
+  private[graft] def graphReverseMerge(base: DataFrame, batchIdx: DataFrame,
+      oldQ: DataFrame, cents: Array[(Long, Seq[Double], Double)],
+      k: Int, nprobe: Int): (DataFrame, DataFrame) = {
+    // (ii) candidate pairs old-q → new-b, dirty-cell-pruned
+    val dirtyCells = batchIdx.select("c_id").distinct()
+      .collect().map(_.getLong(0)).sorted // bounded by C
+    val newPairs = batchIdx.join(
+        withProbes(oldQ, cents, nprobe)
+          .filter(col("c_id").isin(dirtyCells.toSeq: _*)), "c_id")
+      .filter(col("vec_id") =!= col("q_id"))
+      .select(col("q_id"), col("vec_id"),
+        (V.dot(col("q_v"), col("v")) / (col("q_nrm") * col("nrm")))
+          .as("score"))
+    // per-vector k-th score from the artifact: a full top-k's weakest
+    // edge; vectors with fewer than k edges can always absorb more
+    val kth = base.groupBy("q_id")
+      .agg(count(lit(1)).as("cnt"), min(col("score")).as("mn"))
+      .select(col("q_id"),
+        when(col("cnt") >= k, col("mn"))
+          .otherwise(lit(Double.NegativeInfinity)).as("kth"))
+    // >= keeps score ties: an equal-score smaller-id arrival displaces
+    val surviving = newPairs.join(kth, Seq("q_id"), "left")
+      .filter(col("kth").isNull || col("score") >= col("kth"))
+      .select("q_id", "vec_id", "score")
+    val touched = surviving.select("q_id").distinct()
+    val untouched = base.join(touched, Seq("q_id"), "left_anti")
+    val remerged = base.join(touched, "q_id")
+      .select("q_id", "vec_id", "score")
+      .unionByName(surviving)
+      .dropDuplicates("q_id", "vec_id")
+      .groupBy("q_id")
+      .agg(graft.functions.TopK.top_k_by_score(
+        struct(col("score"), col("vec_id")), k).as("nn"))
+      .select(col("q_id"), posexplode(col("nn")).as(Seq("pos", "s")))
+      .select(col("q_id"), (col("pos") + 1).cast("long").as("rk"),
+        col("s.id").as("vec_id"), col("s.score").as("score"))
+    (untouched, remerged)
+  }
 
   /** The pre-batch graph memo behind [[knnGraphMaintained]] — the old
     * slice's kNN edges with RAW scores. Package-visible so the scale

@@ -141,6 +141,62 @@ class PipelineSpec extends AnyFunSuite {
     assert(nd.exists { case (a, b, _, _) => a / 4 == b / 4 })
   }
 
+  test("video phash: per-frame aHash majority holds grouped variants " +
+      "close, near-dup pairs re-verify against the signature table") {
+    val sigs = Multimodal.videoPhash(spark, sf).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Long]("vhash"), r.getAs[Long]("f0hash"),
+          r.getAs[Long]("n_frames"))).toMap
+    assert(sigs.nonEmpty)
+    // frame count survives the container demux
+    sigs.foreach { case (id, (_, _, nf)) =>
+      assert(nf == 3 + (id / 4) % 3, s"clip $id lost frames in the demux")
+    }
+    def ham(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
+    val g0 = (0L to 3L).filter(sigs.contains).map(sigs(_)._1)
+    for (a <- g0; b <- g0) assert(ham(a, b) <= 12,
+      "group-0 variants drifted apart in the majority hash")
+    val nd = Multimodal.videoNearDup(spark, sf).collect()
+      .map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b"),
+        r.getAs[Long]("hamming_v"), r.getAs[Long]("hamming_kf")))
+    assert(nd.nonEmpty, "no video near-dups at all")
+    nd.foreach { case (a, b, hv, hkf) =>
+      assert(a < b && hv <= 3)
+      assert(hv == ham(sigs(a)._1, sigs(b)._1).toLong)
+      assert(hkf == ham(sigs(a)._2, sigs(b)._2).toLong)
+    }
+    assert(nd.exists { case (a, b, _, _) => a / 4 == b / 4 })
+  }
+
+  test("audio fingerprint: grouped variants stay close in the envelope " +
+      "hash, near-dup pairs re-verify, decode stats pin the codec") {
+    val sigs = Multimodal.audioFingerprint(spark, sf).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Long]("ehash"), r.getAs[Long]("thash"),
+          r.getAs[Long]("n_samples"), r.getAs[Long]("energy_total"))).toMap
+    assert(sigs.nonEmpty)
+    sigs.values.foreach { case (_, _, n, e) =>
+      assert(n == 1220L && e > 0L, "WAV round-trip lost samples")
+    }
+    def ham(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
+    // variants of one group share the base waveform — the sparse +97
+    // perturbation moves a few envelope bits, not the identity
+    val g0 = (0L to 3L).filter(sigs.contains).map(sigs(_)._1)
+    for (a <- g0; b <- g0) assert(ham(a, b) <= 12,
+      "group-0 variants drifted apart in the envelope hash")
+    val nd = Multimodal.audioNearDup(spark, sf).collect()
+      .map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b"),
+        r.getAs[Long]("hamming_e"), r.getAs[Long]("hamming_t")))
+    assert(nd.nonEmpty, "no audio near-dups at all")
+    nd.foreach { case (a, b, he, ht) =>
+      assert(a < b && he <= 3)
+      assert(he == ham(sigs(a)._1, sigs(b)._1).toLong)
+      assert(ht == ham(sigs(a)._2, sigs(b)._2).toLong)
+    }
+    // the intended positives are found: at least one same-group pair
+    assert(nd.exists { case (a, b, _, _) => a / 4 == b / 4 })
+  }
+
   test("incremental backfill: first run emits all, idle re-run emits zero") {
     val state = java.nio.file.Files.createTempDirectory("hwm").toString
     val sf = TestSpark.sf

@@ -271,6 +271,41 @@ class SimilaritySpec extends AnyFunSuite {
     assert(byCluster.values.exists(_.length > 4))
   }
 
+  test("knn density replays the graph's per-vector mean cosine; density " +
+      "prune drops exactly the densest ceil(frac·|cluster|) per cluster") {
+    val g = Similarity.knnGraph(spark, sf).collect()
+      .map(r => (r.getAs[Long]("q_id"), r.getAs[Double]("cos")))
+    // decimal-exact sum + one IEEE division + HALF_UP round — the same
+    // fold the operator and the oracle both run
+    val expected = g.groupBy(_._1).map { case (q, rows) =>
+      val mean = rows.map(r => BigDecimal(r._2)).sum.toDouble / rows.length
+      q -> (BigDecimal(mean).setScale(6, BigDecimal.RoundingMode.HALF_UP)
+        .toDouble, rows.length.toLong)
+    }
+    val dens = Similarity.knnDensity(spark, sf).collect()
+      .map(r => (r.getAs[Long]("vec_id"), r.getAs[Long]("c_id"),
+        r.getAs[Double]("density"), r.getAs[Long]("deg")))
+    assert(dens.nonEmpty && dens.map(_._1).toSet == expected.keySet)
+    dens.foreach { case (v, _, d, deg) =>
+      assert((d, deg) == expected(v), s"vec $v density/deg mismatch")
+    }
+    val pruned = Similarity.densityPrune(spark, sf).collect()
+      .map(r => (r.getAs[Long]("vec_id"), r.getAs[Long]("c_id"),
+        r.getAs[Double]("density")))
+    val prunedByCluster = pruned.groupBy(_._2)
+    dens.groupBy(_._2).foreach { case (cid, all) =>
+      val kept = prunedByCluster.getOrElse(cid,
+        Array.empty[(Long, Long, Double)]).map(_._1).toSet
+      val cut = math.ceil(all.length * 0.25).toInt
+      // exactly the top-cut by (density DESC, vec_id) is gone
+      val dropped = all.sortBy(t => (-t._3, t._1)).take(cut).map(_._1).toSet
+      assert(kept == all.map(_._1).toSet -- dropped,
+        s"cluster $cid pruned the wrong vectors")
+    }
+    // non-vacuity: the cut binds somewhere
+    assert(pruned.length < dens.length)
+  }
+
   test("IVF ANN recall@10 >= 0.5 vs brute force") {
     def tops(df: org.apache.spark.sql.DataFrame) =
       df.collect().groupBy(_.getAs[Long]("q_id"))

@@ -232,6 +232,25 @@ class TextSpec extends AnyFunSuite {
     }
   }
 
+  test("contaminationBloom: row-identical to the exact operator, and the " +
+      "eval side actually rides the bloom screen") {
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[String]("split"),
+        r.getAs[Long]("n_spans"), r.getAs[Long]("n_hit"),
+        r.getAs[Double]("hit_frac"))).toSet
+    val bloom = graft.operators.Sampling.contaminationBloom(spark, TestSpark.sf)
+    // the screen must change the exchange, never the answer: any bloom
+    // false positive surviving into n_hit, or any true hit the screen
+    // dropped, breaks this set equality
+    assert(rows(bloom) ==
+      rows(graft.operators.Sampling.contaminationNgram(spark, TestSpark.sf)))
+    // the pre-screen is really in the plan (a build that silently falls
+    // back to the unscreened join would also pass the equality above)
+    val plan = bloom.queryExecution.executedPlan.toString
+    assert(plan.contains("bloom_might_contain"),
+      s"no bloom probe in the plan:\n$plan")
+  }
+
   test("invertedIndex: postings ascending, bounded, never exceed df") {
     val rows = graft.operators.Retrieval.invertedIndex(spark, TestSpark.sf)
       .collect()
