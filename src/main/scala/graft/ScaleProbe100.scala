@@ -34,7 +34,7 @@ object ScaleProbe100 {
     val factor = if (args.length > 1) args(1).toInt else 100
     val sections: Set[String] =
       if (args.length > 2) args(2).split(',').map(_.trim).toSet
-      else Set("dedup", "feed", "quality", "bm25", "ann", "knn", "knnlife",
+      else Set("dedup", "feed", "quality", "bloomdecon", "bm25", "ann", "knn", "knnlife",
         "zipf", "churn", "semdedup", "rebucket", "pq", "ivfpq")
     def section(name: String)(body: => Unit): Unit =
       if (sections(name)) body
@@ -63,7 +63,7 @@ object ScaleProbe100 {
     val fs = new org.apache.hadoop.fs.Path(dup)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
 
-    if (sections.exists(Set("dedup", "quality", "bm25", "churn", "rebucket"))) {
+    if (sections.exists(Set("dedup", "quality", "bloomdecon", "bm25", "churn", "rebucket"))) {
       if (!fs.exists(new org.apache.hadoop.fs.Path(s"$dup/documents.parquet"))) {
         val docs = Tables.load(spark, sf, "documents")
         docs.crossJoin(spark.range(factor).select(col("id").as("copy")))
@@ -124,6 +124,40 @@ object ScaleProbe100 {
     section("quality") {
       time(s"quality_quantile_filter (${factor}x corpus, cold memos)") {
         println(s"  kept rows: ${operators.TextAnalysis.qualityQuantileFilter(spark, dup).count()}")
+      }
+    }
+
+    // 3c. bloom-screened decontamination: the probe's join exchange
+    // must carry only bloom survivors; the replicated corpus is the
+    // ADVERSARIAL case (every eval doc's spans sit in train via its
+    // copies — survivors ~ 100%, the screen degenerates to one narrow
+    // filter and the exact join still owns the answer), so the
+    // realistic selectivity is ALSO measured on the un-replicated sf
+    section("bloomdecon") {
+      import graft.functions.GraftBloom
+      def screenStats(dir: String, label: String): Unit = {
+        val spans = operators.Dedup.spanTable(spark, dir, 8)
+          .withColumn("split", operators.Sampling.splitLabel(
+            operators.Sampling.splitBucket(col("doc_id"))))
+        val train = spans.filter(col("split") === "train")
+          .select("span_h").distinct()
+        val bloom = time(s"bloom build ($label, executor-side OR-fold)") {
+          GraftBloom.fromColumn(train, "span_h")
+        }
+        val ev = spans.filter(col("split") =!= "train")
+        val total = ev.count()
+        val surv = ev.filter(
+          GraftBloom.might_contain(col("span_h"), bloom)).count()
+        println(f"  $label eval spans: $total, bloom survivors: $surv " +
+          f"(${if (total == 0) 0.0 else 100.0 * surv / total}%.1f%%)")
+      }
+      screenStats(sf, "1x")
+      screenStats(dup, s"${factor}x")
+      time(s"contamination_bloom end-to-end (${factor}x corpus)") {
+        println(s"  eval docs: ${operators.Sampling.contaminationBloom(spark, dup).count()}")
+      }
+      time(s"contamination_ngram exact end-to-end (${factor}x corpus)") {
+        println(s"  eval docs: ${operators.Sampling.contaminationNgram(spark, dup).count()}")
       }
     }
 

@@ -153,6 +153,7 @@ object SparkEntry {
     "contamination_bloom" -> ((s: SparkSession, d: String) => Sampling.contaminationBloom(s, d)),
     "unigram_logprob"    -> (TextAnalysis.unigramLogprob _),
     "bigram_logprob"     -> (TextAnalysis.bigramLogprob _),
+    "phrase_pmi"         -> ((s: SparkSession, d: String) => TextAnalysis.phrasePmi(s, d)),
     "source_quota"       -> ((s: SparkSession, d: String) => Sampling.sourceQuota(s, d)),
     "doc_pack"           -> ((s: SparkSession, d: String) => Sampling.docPack(s, d)),
     "corpus_manifest"    -> (Sampling.corpusManifest _),
@@ -2268,6 +2269,26 @@ object SparkEntry {
                      ELSE round(s / n_bigrams, 6) END AS avg_logprob
          FROM documents d LEFT JOIN per USING (doc_id)
          ORDER BY doc_id""",
+    // PMI collocations: the same double-cast division association as
+    // the Spark side, one ln rounded at 6 (bigram-LM precedent)
+    "phrase_pmi" ->
+      s"""WITH ptoks AS (SELECT doc_id, $dToks AS ts FROM documents),
+         pbig AS (SELECT unnest(${dShinglesN(2)}) AS bigram FROM ptoks),
+         pbf AS (SELECT bigram, count(*) AS pair_cnt FROM pbig GROUP BY 1),
+         puni AS (SELECT unnest(ts) AS token FROM ptoks),
+         puf AS (SELECT token, count(*) AS cnt FROM puni GROUP BY 1),
+         ptot AS (SELECT (SELECT sum(pair_cnt) FROM pbf) AS np,
+                         (SELECT sum(cnt) FROM puf) AS nu)
+         SELECT bigram, pair_cnt, c1, c2,
+                round(ln((CAST(pair_cnt AS DOUBLE) / CAST(np AS DOUBLE)) /
+                  ((CAST(c1 AS DOUBLE) / CAST(nu AS DOUBLE)) *
+                   (CAST(c2 AS DOUBLE) / CAST(nu AS DOUBLE)))), 6) AS pmi
+         FROM (SELECT b.bigram, b.pair_cnt, u1.cnt AS c1, u2.cnt AS c2
+               FROM pbf b
+               JOIN puf u1 ON split_part(b.bigram, ' ', 1) = u1.token
+               JOIN puf u2 ON split_part(b.bigram, ' ', 2) = u2.token
+               WHERE b.pair_cnt >= 5) CROSS JOIN ptot
+         ORDER BY pair_cnt DESC, pmi DESC, bigram LIMIT 50""",
     "source_quota" ->
       """SELECT doc_id, source, pick_key, rn <= 30 AS kept FROM (
            SELECT doc_id, source, md5(text) AS pick_key,

@@ -542,7 +542,7 @@ object Dedup {
     * reads it from more than one plan branch). Same economics as the
     * `token-tf` memo: one tokenize pass ever, every span query after
     * reads a compact (doc_id, 8-byte hash) parquet. */
-  private[operators] def spanTable(spark: SparkSession, dir: String,
+  private[graft] def spanTable(spark: SparkSession, dir: String,
       n: Int): DataFrame =
     Memo.table(spark, dir, s"span$n") {
       Tables.load(spark, dir, "documents")

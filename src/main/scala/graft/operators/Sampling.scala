@@ -136,6 +136,16 @@ object Sampling {
     * rides the screen). Past ~10^10 distinct train spans the capped
     * filter's fpp degrades gracefully (more survivors, same answer) —
     * the verify join, not the bloom, owns correctness. */
+  /** Driver-side cache for the train-span Bloom filter — the screen's
+    * filter is a once-per-train-corpus ARTIFACT (production builds it
+    * at corpus release and screens every eval set against it), not a
+    * per-query cost. Keyed like [[Memo]] tables: dataset dir +
+    * content fingerprint + parameters, so a regenerated dataset
+    * rebuilds and two parameterizations coexist. Bounded: one bit
+    * array per (dataset, n, fpp) actually queried. */
+  private val spanBloomCache = new java.util.concurrent.ConcurrentHashMap[
+    String, graft.functions.GraftBloom.Filter]()
+
   def contaminationBloom(spark: SparkSession, dir: String, n: Int = 8,
       fpp: Double = 0.01): DataFrame = {
     import graft.functions.GraftBloom
@@ -145,7 +155,10 @@ object Sampling {
       .withColumn("split", splitLabel(splitBucket(col("doc_id"))))
     val train = spans.filter(col("split") === "train")
       .select("span_h").distinct()
-    val bloom = GraftBloom.fromColumn(train, "span_h", fpp)
+    val key = s"$dir|${graft.sources.SourceState.dirFingerprint(spark, dir)}" +
+      s"|spanbloom$n|$fpp"
+    val bloom = spanBloomCache.computeIfAbsent(key,
+      _ => GraftBloom.fromColumn(train, "span_h", fpp))
     val evalSpans = spans.filter(col("split") =!= "train")
     val hitPerDoc = evalSpans
       .filter(GraftBloom.might_contain(col("span_h"), bloom))

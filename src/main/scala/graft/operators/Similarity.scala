@@ -309,16 +309,26 @@ object Similarity {
     * the literal array below is deterministic. */
   private def centroidLiterals(spark: SparkSession, dir: String,
       iters: Int): Array[(Long, Seq[Double], Double)] =
-    trainCentroids(spark, dir, iters = iters)
-      .select(col("c_id"), col("c_v"), col("c_nrm")).collect()
+    centroidArtifact(trainCentroids(spark, dir, iters = iters))
+
+  /** Collect an arbitrary centroid frame to the driver-side literal
+    * artifact (the streaming loop holds its frozen codebook this way). */
+  private[graft] def centroidArtifact(
+      centroids: DataFrame): Array[(Long, Seq[Double], Double)] =
+    centroids.select(col("c_id"), col("c_v"), col("c_nrm")).collect()
       .map(r => (r.getLong(0), r.getSeq[Double](1), r.getDouble(2)))
       .sortBy(_._1)
+
+  /** (vec_id, v, nrm) of an arbitrary embeddings-schema frame — the
+    * stream-batch twin of [[embeddingsWithNorm]]. */
+  private[graft] def vectorsOf(df: DataFrame): DataFrame =
+    withNorm(df.select(col("vec_id"), V.asDouble(col("embedding")).as("v")))
 
   /** Each query row's `nprobe` nearest centroids as exploded
     * (q_id, q_v, q_nrm, c_id) rows, with the codebook shipped as
     * LITERALS — probe selection is a pure narrow map: zero shuffle, no
     * n×C window. Input must carry (q_id, q_v, q_nrm). */
-  private def withProbes(queries: DataFrame,
+  private[graft] def withProbes(queries: DataFrame,
       cents: Array[(Long, Seq[Double], Double)], nprobe: Int): DataFrame = {
     val cand = cents.map { case (cid, cv, cnrm) =>
       struct(
@@ -339,7 +349,7 @@ object Similarity {
     * ([[knnGraphMaintained]]) can compare against freshly scored
     * candidates without a rounding seam; presentation paths round at
     * the edge. */
-  private def scoreTopK(index: DataFrame, probes: DataFrame,
+  private[graft] def scoreTopK(index: DataFrame, probes: DataFrame,
       k: Int): DataFrame =
     index.join(probes, "c_id")
       .filter(col("vec_id") =!= col("q_id"))

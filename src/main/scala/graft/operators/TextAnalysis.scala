@@ -14,6 +14,52 @@ import graft.functions.BottomK.bottom_k
   */
 object TextAnalysis {
 
+  /** PMI collocation mining — the phrase/vocab-induction step a
+    * tokenizer pipeline runs before committing multi-word units to the
+    * vocabulary: adjacent-token pairs scored by pointwise mutual
+    * information, PMI(a,b) = ln( P(ab) / (P(a)·P(b)) ), the standard
+    * collocation statistic (Church & Hanks 1990). High-count,
+    * high-PMI pairs are phrases ("bound together" far above chance);
+    * high-count low-PMI pairs are grammar.
+    *
+    * Shape: two hash aggregates (pair counts over the 2-shingles,
+    * unigram counts over the tokens), two broadcast-able joins of the
+    * pair table against the unigram table, totals as single-row
+    * broadcast scalars — no window over the corpus, no pair explosion
+    * beyond the adjacent pairs the text already contains, O(total
+    * tokens) end to end. `minCount` floors the support (PMI of rare
+    * pairs is noise — the classic failure mode), the top-`topN` cut
+    * keys on (pair_cnt DESC, pmi DESC, bigram) so the result is
+    * deterministic. The PMI division chain is written with explicit
+    * double casts in the same association on both engines; the single
+    * `ln` rounds at 6, inside the harness's 10-significant-digit
+    * normalization (the bigram-LM oracle rides the same precedent). */
+  def phrasePmi(spark: SparkSession, dir: String, minCount: Int = 5,
+      topN: Int = 50): DataFrame = {
+    val docs = Tables.load(spark, dir, "documents")
+    val pairs = docs
+      .select(explode(T.wordShingles(col("text"), 2)).as("bigram"))
+      .groupBy("bigram").agg(count(lit(1)).as("pair_cnt"))
+    val uni = docs.select(explode(T.tokens(col("text"))).as("token"))
+      .groupBy("token").agg(count(lit(1)).as("cnt"))
+    val np = pairs.agg(sum(col("pair_cnt")).as("np"))
+    val nu = uni.agg(sum(col("cnt")).as("nu"))
+    pairs.filter(col("pair_cnt") >= minCount)
+      .withColumn("w1", split(col("bigram"), " ").getItem(0))
+      .withColumn("w2", split(col("bigram"), " ").getItem(1))
+      .join(uni.select(col("token").as("w1"), col("cnt").as("c1")), "w1")
+      .join(uni.select(col("token").as("w2"), col("cnt").as("c2")), "w2")
+      .crossJoin(broadcast(np)).crossJoin(broadcast(nu))
+      .select(col("bigram"), col("pair_cnt"), col("c1"), col("c2"),
+        round(log(
+          (col("pair_cnt").cast("double") / col("np").cast("double")) /
+            ((col("c1").cast("double") / col("nu").cast("double")) *
+              (col("c2").cast("double") / col("nu").cast("double")))), 6)
+          .as("pmi"))
+      .orderBy(col("pair_cnt").desc, col("pmi").desc, col("bigram"))
+      .limit(topN)
+  }
+
   /** Per-doc language-ID heuristic vs the labeled lang column. */
   def langId(spark: SparkSession, dir: String): DataFrame =
     Tables.load(spark, dir, "documents")

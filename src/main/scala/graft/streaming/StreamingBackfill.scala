@@ -565,6 +565,261 @@ object StreamingBackfill {
     * writes to a batch-id-suffixed directory, so replays after failure
     * overwrite rather than duplicate — the exactly-once file-sink
     * pattern (upgrades the reference's at-least-once X6 story). */
+  // ---------------------------------------------- kNN-graph maintenance
+
+  /** Serve view of the streaming-maintained kNN graph at `graphDir`:
+    * union of the COMMITTED batch deltas (dirs carrying the `_done`
+    * marker — a half-written crash victim is invisible), latest writer
+    * per q_id wins WHOLESALE: a delta always rewrites a touched
+    * vector's full k rows, so (q_id → max seq) then a join-back selects
+    * complete top-k sets, never a row-level mix of generations. Raw
+    * scores round at this edge, like every serve path. */
+  def servedGraph(spark: SparkSession, graphDir: String): DataFrame =
+    servedGraphRaw(spark, graphDir)
+      .select(col("q_id"), col("rk"), col("vec_id"),
+        round(col("score"), 6).as("cos"))
+
+  private def committedDeltas(graphDir: String): Seq[String] = {
+    val root = new java.io.File(graphDir)
+    if (!root.isDirectory) Seq.empty
+    else root.listFiles().toSeq
+      .filter(d => d.isDirectory && new java.io.File(d, "_done").exists())
+      .map(_.getAbsolutePath).sorted
+  }
+
+  /** Latest generation per q_id, sentinels INCLUDED (the churn loop's
+    * rk = −1 delete markers must keep suppressing older generations
+    * until [[servedGraphRaw]]'s final filter — and through
+    * [[compactGraph]], whose winners carry them forward so a
+    * mid-compaction crash can never resurrect a deleted vector's
+    * rows). The leading dropDuplicates makes a compacted copy
+    * coexisting with its source deltas harmless: winner rows are
+    * byte-identical in both, so the (q_id, seq) join can't double
+    * them. */
+  private def latestWins(all: DataFrame): DataFrame = {
+    val d = all.dropDuplicates()
+    val latest = d.groupBy("q_id").agg(max(col("seq")).as("seq"))
+    d.join(latest, Seq("q_id", "seq"))
+  }
+
+  private[graft] def servedGraphRaw(spark: SparkSession,
+      graphDir: String): DataFrame = {
+    val dirs = committedDeltas(graphDir)
+    if (dirs.isEmpty)
+      spark.createDataFrame(spark.sparkContext.emptyRDD[Row],
+        StructType(Seq(StructField("q_id", LongType),
+          StructField("rk", LongType), StructField("vec_id", LongType),
+          StructField("score", DoubleType))))
+    else
+      latestWins(spark.read.parquet(dirs: _*))
+        .filter(col("rk") > 0).drop("seq")
+  }
+
+  /** Fold the graph store's committed deltas into ONE — the debt-
+    * bounding compaction tick of the graph lifecycle (the store
+    * otherwise accretes one directory per microbatch forever). Winners
+    * keep their ORIGINAL seq stamps and their delete sentinels, so
+    * every instant of the fold is serve-consistent: before the
+    * `_done` marker the compacted copy is invisible; after it, its
+    * rows coexist with the source deltas as exact duplicates (collapsed
+    * by [[latestWins]]); source deltas are deleted only after the
+    * marker commits. Requires the checkpointed-batch-id contract (a
+    * post-compaction run restarting ids at 0 would no longer find its
+    * markers — same contract as every batch-keyed store here). */
+  def compactGraph(spark: SparkSession, graphDir: String): Unit = {
+    val dirs = committedDeltas(graphDir)
+    if (dirs.length <= 1) return
+    val winners = latestWins(spark.read.parquet(dirs: _*))
+    val maxSeq = winners.agg(max(col("seq"))).head().getLong(0)
+    val target = new java.io.File(s"$graphDir/compact_$maxSeq")
+    if (target.exists()) deleteRec(target)
+    winners.write.mode("overwrite").parquet(target.getAbsolutePath)
+    new java.io.File(target, "_done").createNewFile()
+    dirs.filterNot(_ == target.getAbsolutePath)
+      .foreach(d => deleteRec(new java.io.File(d)))
+  }
+
+  private def deleteRec(f: java.io.File): Unit = {
+    if (f.isDirectory) f.listFiles().foreach(deleteRec)
+    f.delete(); ()
+  }
+
+  /** STREAMING kNN-graph maintenance — the E7 twin for the one corpus
+    * artifact that still folded in by batch job only
+    * ([[graft.operators.Similarity.knnGraphMaintained]]). Per
+    * microbatch of arriving vectors:
+    *
+    *  1. assign the batch against the FROZEN centroids (O(batch·C) —
+    *     the codebook travels as the same driver-literal artifact the
+    *     batch build ships);
+    *  2. fold into the served graph via the shared merge kernel
+    *     ([[graft.operators.Similarity.graphReverseMerge]]): forward —
+    *     the batch probes the full index (established ∪ batch) for its
+    *     own top-k; reverse — only established vectors whose probed
+    *     cells the batch dirtied AND whose artifact k-th score is
+    *     beaten re-merge;
+    *  3. write ONLY touched + new vectors' rows as a batch DELTA under
+    *     `graphDir/batch_id=<id>` with `seq = batchId`, committed by a
+    *     `_done` marker — [[servedGraph]] resolves latest-wins per
+    *     q_id, so untouched vectors keep serving from older deltas and
+    *     a delta is O(touched + batch), never O(n);
+    *  4. append the batch to the churn-schema assignment index — the
+    *     serving ANN index and the graph advance in lockstep.
+    *
+    * At-least-once discipline: a replayed batch id finds its `_done`
+    * marker and SKIPS the graph fold (the fold reads prior state, so
+    * re-running it against post-fold state is not idempotent by
+    * arithmetic — the marker makes it idempotent by protocol, the same
+    * pattern as the band-index append); an UNMARKED half-written delta
+    * is deleted before the redo reads its base (serve never saw it —
+    * crash-atomic like the retrain epoch swap). The assignment append
+    * needs no marker: identical re-appended rows collapse in the
+    * latest-wins serve view. The redelivery `left_anti` below keeps the
+    * fold correct when the prior attempt died AFTER the index append
+    * (batch rows already serve as established vectors — they must not
+    * be double-counted as both index rows and arrivals). */
+  def graphIngestLoop(spark: SparkSession, newVecs: DataFrame,
+      assignIndexTable: String, centroids: DataFrame, graphDir: String,
+      k: Int = 3, nprobe: Int = 4, buckets: Int = 8): Unit = {
+    import graft.operators.{Memo, Similarity}
+    import graft.sources.IndexChurn
+    val cents = Similarity.centroidArtifact(centroids)
+    val q = newVecs.writeStream
+      .outputMode("append")
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[Row], id: Long) =>
+        if (!batch.isEmpty) {
+          val s = batch.sparkSession
+          val vecs = Similarity.vectorsOf(batch.toDF())
+          val batchIdx = Memo.scratch(s, s"graph_bidx_$id")(
+            Similarity.assignVectors(vecs, centroids)
+              .select("c_id", "vec_id", "v", "nrm"))
+          val deltaDir = new java.io.File(s"$graphDir/batch_id=$id")
+          val marker = new java.io.File(deltaDir, "_done")
+          if (!marker.exists()) {
+            if (deltaDir.exists()) deleteRec(deltaDir)
+            s.sql(s"REFRESH TABLE $assignIndexTable")
+            val oldIdx = IndexChurn
+              .served(s, assignIndexTable, Seq("c_id", "vec_id"))
+              .select("c_id", "vec_id", "v", "nrm")
+              .join(batchIdx.select("vec_id"), Seq("vec_id"), "left_anti")
+            val oldQ = oldIdx.select(col("vec_id").as("q_id"),
+              col("v").as("q_v"), col("nrm").as("q_nrm"))
+            val newQ = batchIdx.select(col("vec_id").as("q_id"),
+              col("v").as("q_v"), col("nrm").as("q_nrm"))
+            val base = servedGraphRaw(s, graphDir)
+            val (_, remerged) = Similarity.graphReverseMerge(
+              base, batchIdx, oldQ, cents, k, nprobe)
+            val newEdges = Similarity.scoreTopK(
+              oldIdx.unionByName(batchIdx),
+              Similarity.withProbes(newQ, cents, nprobe), k)
+            remerged.unionByName(newEdges)
+              .withColumn("seq", lit(id))
+              .write.mode("overwrite").parquet(deltaDir.getAbsolutePath)
+            marker.createNewFile()
+            ()
+          }
+          IndexChurn.append(s, assignIndexTable, batchIdx, "U", id,
+            Seq("c_id"), buckets)
+        }
+      }
+      .trigger(Trigger.ProcessingTime(0))
+      .start()
+    q.processAllAvailable()
+    q.stop()
+  }
+
+  /** STREAMING kNN-graph CHURN — deletes reaching the graph artifact at
+    * ingest latency, completing the graph's streaming lifecycle
+    * ([[graphIngestLoop]] grows, [[compactGraph]] folds debt, this
+    * retracts). Each microbatch carries the deleted vectors WITH their
+    * payload (the frozen-centroid contract every churn path here
+    * shares: a tombstone must land under its victim's c_id, which only
+    * the vector itself determines). Per batch:
+    *
+    *  1. tombstone the assignment index first (op='D', seq in the
+    *     churn domain) — the graph repair below then probes the
+    *     already-churned serve view, so a repaired top-k can never
+    *     re-admit a vector deleted in the same batch;
+    *  2. deleted vectors vanish from the graph BOTH ways: as queries, a
+    *     per-q sentinel row (rk = −1) supersedes their whole
+    *     generation in the latest-wins serve ([[servedGraphRaw]]
+    *     filters rk > 0 after the generation pick — an rk = −1 winner
+    *     means "serve nothing"); as neighbors, exactly the survivors
+    *     holding an edge to a deleted vector re-probe and re-rank
+    *     against the churned index — the affected set is bounded by
+    *     the batch's reverse degree (≤ n_del·k), never the corpus;
+    *  3. the delta (repaired rows + sentinels) commits under a `_done`
+    *     marker with `seq = seqBase + batchId` — the churn seq domain
+    *     (2^40) outranks every ingest batchId, so a churn stream
+    *     restarting its ids at 0 can never lose the latest-wins race
+    *     to earlier ingest deltas (the same domain-split as
+    *     [[churnIngestLoop]]); replay skips on the marker like the
+    *     ingest loop.
+    *
+    * StreamingSpec pins the end state hash-equal to the batch
+    * [[graft.operators.Similarity.knnGraphChurn]] — a fresh build over
+    * survivors only. */
+  def graphChurnLoop(spark: SparkSession, deletes: DataFrame,
+      assignIndexTable: String, centroids: DataFrame, graphDir: String,
+      k: Int = 3, nprobe: Int = 4, buckets: Int = 8,
+      seqBase: Long = ChurnSeqBase): Unit = {
+    import graft.operators.{Memo, Similarity}
+    import graft.sources.IndexChurn
+    val cents = Similarity.centroidArtifact(centroids)
+    val q = deletes.writeStream
+      .outputMode("append")
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[Row], id: Long) =>
+        if (!batch.isEmpty) {
+          val s = batch.sparkSession
+          val seq = seqBase + id
+          val vecs = Similarity.vectorsOf(batch.toDF())
+          val delIdx = Memo.scratch(s, s"graph_del_$id")(
+            Similarity.assignVectors(vecs, centroids)
+              .select("c_id", "vec_id", "v", "nrm"))
+          s.sql(s"REFRESH TABLE $assignIndexTable")
+          IndexChurn.append(s, assignIndexTable, delIdx, "D", seq,
+            Seq("c_id"), buckets)
+          val deltaDir = new java.io.File(s"$graphDir/churn_id=$id")
+          val marker = new java.io.File(deltaDir, "_done")
+          if (!marker.exists()) {
+            if (deltaDir.exists()) deleteRec(deltaDir)
+            val base = servedGraphRaw(s, graphDir)
+            val delQ = delIdx.select(col("vec_id").as("q_id"))
+            // deleted as queries: one sentinel per currently-served q
+            val gone = base.join(delQ, Seq("q_id"), "left_semi")
+              .select("q_id").distinct()
+              .select(col("q_id"), lit(-1L).as("rk"),
+                lit(-1L).as("vec_id"), lit(0.0).as("score"))
+            // deleted as neighbors: survivors holding an edge to a
+            // deleted vector re-rank over the churned candidate set
+            val affected = base
+              .join(delIdx.select("vec_id"), Seq("vec_id"), "left_semi")
+              .select("q_id").distinct()
+              .join(delQ, Seq("q_id"), "left_anti")
+            val servedIdx = IndexChurn
+              .served(s, assignIndexTable, Seq("c_id", "vec_id"))
+              .select("c_id", "vec_id", "v", "nrm")
+            val affQ = servedIdx
+              .join(affected.withColumnRenamed("q_id", "vec_id"),
+                Seq("vec_id"))
+              .select(col("vec_id").as("q_id"), col("v").as("q_v"),
+                col("nrm").as("q_nrm"))
+            val repaired = Similarity.scoreTopK(servedIdx,
+              Similarity.withProbes(affQ, cents, nprobe), k)
+            repaired.unionByName(gone)
+              .withColumn("seq", lit(seq))
+              .write.mode("overwrite").parquet(deltaDir.getAbsolutePath)
+            marker.createNewFile()
+            ()
+          }
+        }
+      }
+      .trigger(Trigger.ProcessingTime(0))
+      .start()
+    q.processAllAvailable()
+    q.stop()
+  }
+
   def runForeachBatchParquet(spark: SparkSession, df: DataFrame,
       outDir: String): Unit = {
     val q = df.writeStream

@@ -107,6 +107,20 @@ class PlanSpec extends AnyFunSuite {
       s"per-query corpus scan leaked into the index-served path:\n$p")
   }
 
+  test("knn_density and density_prune serve from memoized artifacts, " +
+      "never re-score embeddings") {
+    // the graph build is the heavy path; its consumers must read the
+    // n·k edge artifact + the assignment memo, not re-probe the corpus
+    val pd = planOf("knn_density")
+    assert(pd.contains("graft-memo-knn_density"), pd)
+    assert(!pd.contains("embeddings.parquet"),
+      s"density re-scored the corpus:\n$pd")
+    val pp = planOf("density_prune")
+    assert(pp.contains("graft-memo-knn_density"), pp)
+    assert(!pp.contains("embeddings.parquet"),
+      s"prune re-scored the corpus:\n$pp")
+  }
+
   test("bloom pruning filters the fact side BELOW the join") {
     val p = planOf("bloom_join_prune")
     val filterIdx = p.indexOf("bloom_might_contain")

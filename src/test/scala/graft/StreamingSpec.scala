@@ -640,4 +640,132 @@ class StreamingSpec extends AnyFunSuite {
       spark.sql(s"DROP TABLE IF EXISTS $assignTable")
     }
   }
+
+  test("graph ingest loop: streamed arrival waves fold into a served " +
+      "graph hash-equal to the batch rebuild; deltas stay bounded; " +
+      "whole-stream replay is a no-op") {
+    import java.nio.file.Files
+    import graft.operators.Similarity
+    import graft.sources.IndexChurn
+    val assignTable = "graph_assign_t"
+    val graphDir = Files.createTempDirectory("graphdeltas").toString
+    val streamDir = Files.createTempDirectory("vecstream").toString
+    try {
+      val centroids = Similarity.trainCentroids(spark, sf, iters = 2)
+      // EMPTY churn-schema assignment index: the stream builds the
+      // corpus (and the graph) from nothing
+      IndexChurn.stamp(
+          Similarity.assignVectors(
+            Similarity.embeddingsWithNorm(spark, sf).limit(0), centroids),
+          "U", -1L)
+        .write.mode("overwrite").bucketBy(8, "c_id").sortBy("c_id")
+        .saveAsTable(assignTable)
+      // three arrival waves, ordered by mtime
+      val embRaw = Tables.load(spark, sf, "embeddings")
+      Seq(0, 1, 2).foreach { w =>
+        embRaw.filter(col("vec_id") % 3 === w)
+          .coalesce(1).write.mode("overwrite").parquet(s"$streamDir/b$w")
+        new java.io.File(s"$streamDir/b$w").listFiles()
+          .filter(_.getName.endsWith(".parquet"))
+          .foreach(f => assert(f.setLastModified(1000000000000L + w * 60000L)))
+      }
+      def mkStream() = spark.readStream
+        .schema(Tables.load(spark, sf, "embeddings").schema)
+        .option("maxFilesPerTrigger", "1")
+        .option("recursiveFileLookup", "true")
+        .parquet(streamDir)
+      StreamingBackfill.graphIngestLoop(spark, mkStream(), assignTable,
+        centroids, graphDir)
+      def servedRows() = StreamingBackfill.servedGraph(spark, graphDir)
+        .collect().map(_.toString).sorted.toSeq
+      val got = servedRows()
+      val want = Similarity.knnGraph(spark, sf)
+        .collect().map(_.toString).sorted.toSeq
+      assert(got === want, "streamed graph diverged from the batch rebuild")
+      // deltas are bounded: a later wave rewrites touched + batch rows,
+      // never the whole graph (delta 2's q set < the full vector set)
+      val d2 = spark.read.parquet(s"$graphDir/batch_id=2")
+      assert(d2.select("q_id").distinct().count() <
+        Similarity.embeddingsWithNorm(spark, sf).count(),
+        "delta 2 rewrote the whole graph")
+      // every wave committed its marker
+      Seq(0, 1, 2).foreach { b =>
+        assert(new java.io.File(s"$graphDir/batch_id=$b/_done").exists()) }
+      // whole-stream replay (fresh query, batch ids restart at 0): the
+      // markers skip every fold, the assignment re-appends collapse in
+      // the latest-wins serve — nothing changes, nothing doubles
+      StreamingBackfill.graphIngestLoop(spark, mkStream(), assignTable,
+        centroids, graphDir)
+      assert(servedRows() === got, "replay changed the served graph")
+      assert(IndexChurn.served(spark, assignTable, Seq("c_id", "vec_id"))
+        .count() === Similarity.embeddingsWithNorm(spark, sf).count(),
+        "replay inflated the served assignment index")
+    } finally {
+      spark.sql(s"DROP TABLE IF EXISTS $assignTable")
+    }
+  }
+
+  test("graph churn loop: streamed deletes vanish both directions, end " +
+      "state hash-equal to the batch churn build; compaction folds the " +
+      "store to one delta without changing the serve") {
+    import java.nio.file.Files
+    import graft.operators.Similarity
+    import graft.sources.IndexChurn
+    val assignTable = "graph_churn_assign_t"
+    val graphDir = Files.createTempDirectory("graphchurn").toString
+    val streamDir = Files.createTempDirectory("vecingest").toString
+    val delDir = Files.createTempDirectory("vecdeletes").toString
+    try {
+      val centroids = Similarity.trainCentroids(spark, sf, iters = 2)
+      IndexChurn.stamp(
+          Similarity.assignVectors(
+            Similarity.embeddingsWithNorm(spark, sf).limit(0), centroids),
+          "U", -1L)
+        .write.mode("overwrite").bucketBy(8, "c_id").sortBy("c_id")
+        .saveAsTable(assignTable)
+      val embRaw = Tables.load(spark, sf, "embeddings")
+      // one ingest wave covering the whole corpus
+      embRaw.coalesce(1).write.mode("overwrite").parquet(s"$streamDir/all")
+      StreamingBackfill.graphIngestLoop(spark,
+        spark.readStream.schema(embRaw.schema)
+          .option("maxFilesPerTrigger", "1")
+          .option("recursiveFileLookup", "true").parquet(streamDir),
+        assignTable, centroids, graphDir)
+      // two delete waves covering vec_id % 10 == 0 (the batch churn set)
+      Seq(0, 10).foreach { r =>
+        embRaw.filter(col("vec_id") % 20 === r)
+          .coalesce(1).write.mode("overwrite").parquet(s"$delDir/d$r")
+        new java.io.File(s"$delDir/d$r").listFiles()
+          .filter(_.getName.endsWith(".parquet"))
+          .foreach(f => assert(f.setLastModified(1000000000000L + r * 6000L)))
+      }
+      StreamingBackfill.graphChurnLoop(spark,
+        spark.readStream.schema(embRaw.schema)
+          .option("maxFilesPerTrigger", "1")
+          .option("recursiveFileLookup", "true").parquet(delDir),
+        assignTable, centroids, graphDir)
+      def servedRows() = StreamingBackfill.servedGraph(spark, graphDir)
+        .collect().map(_.toString).sorted.toSeq
+      val got = servedRows()
+      val want = Similarity.knnGraphChurn(spark, sf)
+        .collect().map(_.toString).sorted.toSeq
+      assert(got === want, "streamed churn diverged from the batch build")
+      // the churned assignment serve forgot the deleted vectors too
+      assert(IndexChurn.served(spark, assignTable, Seq("c_id", "vec_id"))
+        .filter(col("vec_id") % 10 === 0).count() === 0L,
+        "assignment index still serves deleted vectors")
+      // compaction folds ingest delta + churn deltas into one, keeps
+      // the serve byte-identical (sentinels ride along), and a second
+      // tick is a no-op
+      StreamingBackfill.compactGraph(spark, graphDir)
+      assert(servedRows() === got, "compaction changed the serve")
+      val dirs = new java.io.File(graphDir).listFiles()
+        .filter(d => d.isDirectory && new java.io.File(d, "_done").exists())
+      assert(dirs.length === 1, s"compaction left ${dirs.length} deltas")
+      StreamingBackfill.compactGraph(spark, graphDir)
+      assert(servedRows() === got)
+    } finally {
+      spark.sql(s"DROP TABLE IF EXISTS $assignTable")
+    }
+  }
 }

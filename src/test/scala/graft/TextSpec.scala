@@ -232,6 +232,36 @@ class TextSpec extends AnyFunSuite {
     }
   }
 
+  test("phrasePmi: support floor, deterministic ordering, PMI replays " +
+      "from independently-recomputed counts") {
+    import org.apache.spark.sql.functions._
+    import graft.functions.{TextFunctions => T}
+    val rows = graft.operators.TextAnalysis
+      .phrasePmi(spark, TestSpark.sf, minCount = 2).collect()
+    assert(rows.nonEmpty && rows.length <= 50)
+    val cnts = rows.map(_.getAs[Long]("pair_cnt")).toSeq
+    assert(cnts === cnts.sorted.reverse, "not ordered by support")
+    val docs = Tables.load(spark, TestSpark.sf, "documents")
+    val toks = docs.select(explode(T.tokens(col("text"))).as("t"))
+      .groupBy("t").agg(count(lit(1)).as("c")).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val nu = toks.values.sum.toDouble
+    val bigs = docs.select(explode(T.wordShingles(col("text"), 2)).as("b"))
+      .groupBy("b").agg(count(lit(1)).as("c")).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val np = bigs.values.sum.toDouble
+    rows.foreach { r =>
+      val b = r.getAs[String]("bigram")
+      val pc = r.getAs[Long]("pair_cnt")
+      assert(pc >= 2 && bigs(b) == pc)
+      val Array(w1, w2) = b.split(" ")
+      assert(r.getAs[Long]("c1") == toks(w1) && r.getAs[Long]("c2") == toks(w2))
+      val want = math.log((pc / np) / ((toks(w1) / nu) * (toks(w2) / nu)))
+      assert(math.abs(r.getAs[Double]("pmi") - want) < 1e-5,
+        s"PMI of '$b' diverged from the raw-count replay")
+    }
+  }
+
   test("contaminationBloom: row-identical to the exact operator, and the " +
       "eval side actually rides the bloom screen") {
     def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
