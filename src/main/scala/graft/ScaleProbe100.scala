@@ -34,7 +34,7 @@ object ScaleProbe100 {
     val factor = if (args.length > 1) args(1).toInt else 100
     val sections: Set[String] =
       if (args.length > 2) args(2).split(',').map(_.trim).toSet
-      else Set("dedup", "feed", "quality", "bloomdecon", "bm25", "ann", "knn", "knnlife",
+      else Set("dedup", "feed", "quality", "bloomdecon", "phash", "bm25", "ann", "knn", "knnlife",
         "zipf", "churn", "semdedup", "rebucket", "pq", "ivfpq")
     def section(name: String)(body: => Unit): Unit =
       if (sections(name)) body
@@ -63,7 +63,7 @@ object ScaleProbe100 {
     val fs = new org.apache.hadoop.fs.Path(dup)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
 
-    if (sections.exists(Set("dedup", "quality", "bloomdecon", "bm25", "churn", "rebucket"))) {
+    if (sections.exists(Set("dedup", "quality", "bloomdecon", "phash", "bm25", "churn", "rebucket"))) {
       if (!fs.exists(new org.apache.hadoop.fs.Path(s"$dup/documents.parquet"))) {
         val docs = Tables.load(spark, sf, "documents")
         docs.crossJoin(spark.range(factor).select(col("id").as("copy")))
@@ -158,6 +158,25 @@ object ScaleProbe100 {
       }
       time(s"contamination_ngram exact end-to-end (${factor}x corpus)") {
         println(s"  eval docs: ${operators.Sampling.contaminationNgram(spark, dup).count()}")
+      }
+    }
+
+    // 3d. multimodal perceptual near-dup at factor x: the signature
+    // builds are codec-bound NARROW maps (linear in docs — the claim),
+    // and the banded self-joins stay bounded because the skew cap
+    // drops over-full chunk buckets (at factor x the synthetic
+    // corpora alias heavily, so the cap BINDS and the pair yield
+    // drops — the documented precision-for-bounded-work trade, visible
+    // here instead of an O(bucket^2) blowup)
+    section("phash") {
+      time(s"image phash + near-dup (${factor}x corpus)") {
+        println(s"  image pairs: ${operators.Multimodal.imageNearDup(spark, dup).count()}")
+      }
+      time(s"audio fingerprint + near-dup (${factor}x corpus)") {
+        println(s"  audio pairs: ${operators.Multimodal.audioNearDup(spark, dup).count()}")
+      }
+      time(s"video phash + near-dup (${factor}x corpus)") {
+        println(s"  video pairs: ${operators.Multimodal.videoNearDup(spark, dup).count()}")
       }
     }
 
