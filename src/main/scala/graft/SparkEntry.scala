@@ -154,6 +154,7 @@ object SparkEntry {
     "unigram_logprob"    -> (TextAnalysis.unigramLogprob _),
     "bigram_logprob"     -> (TextAnalysis.bigramLogprob _),
     "phrase_pmi"         -> ((s: SparkSession, d: String) => TextAnalysis.phrasePmi(s, d)),
+    "bpe_merges"         -> ((s: SparkSession, d: String) => TextAnalysis.bpeMerges(s, d)),
     "source_quota"       -> ((s: SparkSession, d: String) => Sampling.sourceQuota(s, d)),
     "doc_pack"           -> ((s: SparkSession, d: String) => Sampling.docPack(s, d)),
     "corpus_manifest"    -> (Sampling.corpusManifest _),
@@ -441,6 +442,59 @@ object SparkEntry {
                       THEN (1::BIGINT << b) ELSE 0 END
                     for b in range(0, 60)]) AS BIGINT) AS thash
            FROM aem)"""
+
+  /** BPE merge-learning oracle: replay all `m` rounds bit-exactly —
+    * per round, adjacent-pair counts over the current encoding, the
+    * (count DESC, left, right) argmax, and the greedy left-to-right
+    * non-overlapping merge pass as a per-document RECURSIVE walk
+    * (state = (position, out, skip); a fusion consumes the next
+    * position, exactly `TextAnalysis.mergePass`'s aggregate). Out-of-
+    * bounds `ts[i+1]` is NULL in DuckDB and null-safe-false on the
+    * Spark side — same lookahead semantics at the list end. */
+  private def dBpeSql(m: Int): String = {
+    // m$k/t$k MATERIALIZED and the merge pair carried as recursion-state
+    // columns (ml, mr): a correlated `(SELECT l FROM m$k)` inside the
+    // recursion re-derives the entire upstream CTE chain per row under
+    // DuckDB's inlining — measured as a >10-min hang at 6 rounds vs
+    // seconds materialized
+    def round(src: String, k: Int) =
+      s"""p$k AS (SELECT unnest([{'l': ts[i], 'r': ts[i+1]}
+               for i in range(1, len(ts))]) AS p
+             FROM $src WHERE len(ts) >= 2),
+         c$k AS (SELECT p.l AS l, p.r AS r, count(*) AS cnt
+                 FROM p$k GROUP BY 1, 2),
+         m$k AS MATERIALIZED (
+           SELECT CAST($k AS BIGINT) AS merge_rank, l, r,
+                  CAST(cnt AS BIGINT) AS cnt
+           FROM c$k ORDER BY cnt DESC, l, r LIMIT 1),
+         r$k AS (
+           SELECT doc_id, ts, CAST(1 AS BIGINT) AS i, len(ts) AS n,
+                  CAST([] AS VARCHAR[]) AS out, false AS skip,
+                  m.l AS ml, m.r AS mr
+           FROM $src CROSS JOIN m$k m
+           UNION ALL
+           SELECT doc_id, ts, i + 1, n,
+                  CASE WHEN skip THEN out
+                       WHEN i < n AND ts[i] = ml AND ts[i+1] = mr
+                         THEN list_append(out, ts[i] || ' ' || ts[i+1])
+                       ELSE list_append(out, ts[i]) END,
+                  CASE WHEN skip THEN false
+                       WHEN i < n AND ts[i] = ml AND ts[i+1] = mr
+                         THEN true ELSE false END,
+                  ml, mr
+           FROM r$k WHERE i <= n),
+         t$k AS MATERIALIZED (
+           SELECT doc_id, out AS ts FROM r$k WHERE i = n + 1)"""
+    val rounds = (1 to m).map(k =>
+      round(if (k == 1) "t0" else s"t${k - 1}", k)).mkString(",\n         ")
+    val sel = (1 to m).map(k =>
+      s"SELECT merge_rank, l AS left_sym, r AS right_sym, cnt AS pair_cnt FROM m$k")
+      .mkString("\n         UNION ALL ")
+    s"""WITH RECURSIVE t0 AS (SELECT doc_id, $dToks AS ts FROM documents),
+         $rounds
+         $sel
+         ORDER BY merge_rank"""
+  }
 
   /** GPT-3-style n-gram decontamination oracle — shared VERBATIM by the
     * exact operator (`contamination_ngram`) and its bloom-screened twin
@@ -2269,6 +2323,9 @@ object SparkEntry {
                      ELSE round(s / n_bigrams, 6) END AS avg_logprob
          FROM documents d LEFT JOIN per USING (doc_id)
          ORDER BY doc_id""",
+    // BPE merge learning: full m-round replay (greedy recursive merge
+    // walk per doc, argmax per round)
+    "bpe_merges" -> dBpeSql(6),
     // PMI collocations: the same double-cast division association as
     // the Spark side, one ln rounded at 6 (bigram-LM precedent)
     "phrase_pmi" ->

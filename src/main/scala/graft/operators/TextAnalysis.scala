@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 import graft.Tables
@@ -59,6 +59,92 @@ object TextAnalysis {
       .orderBy(col("pair_cnt").desc, col("pmi").desc, col("bigram"))
       .limit(topN)
   }
+
+  /** One greedy left-to-right merge pass: every non-overlapping
+    * occurrence of the adjacent symbol pair (`l`, `r`) fuses into one
+    * symbol (the two joined by a space — unambiguous for display; the
+    * ALGORITHM keys on the (left, right) pair, never the joined
+    * string). Pure Catalyst: `aggregate` over the index sequence with
+    * a (out, skip) state — after a fusion the next index is consumed,
+    * so "a a a" under merge (a, a) yields ["a a", "a"], the standard
+    * BPE greedy scan. `try_element_at` for the lookahead (ANSI mode
+    * throws on out-of-bounds `element_at`). */
+  private def mergePass(ts: Column, l: String, r: String): Column =
+    when(size(ts) < 2, ts).otherwise(
+      aggregate(
+        sequence(lit(1), size(ts)),
+        struct(array().cast("array<string>").as("out"),
+          lit(false).as("skip")),
+        (acc, i) => {
+          val cur = try_element_at(ts, i)
+          val nxt = try_element_at(ts, i + 1)
+          val fuse = !acc.getField("skip") && cur === lit(l) &&
+            (nxt <=> lit(r))
+          struct(
+            when(acc.getField("skip"), acc.getField("out"))
+              .when(fuse, concat(acc.getField("out"),
+                array(concat_ws(" ", cur, nxt))))
+              .otherwise(concat(acc.getField("out"), array(cur)))
+              .as("out"),
+            when(acc.getField("skip"), lit(false)).otherwise(fuse)
+              .as("skip"))
+        },
+        acc => acc.getField("out")))
+
+  /** BPE merge learning — the tokenizer-TRAINING step (Sennrich et al.
+    * 2016), run here over the word stream (merges learn multi-word
+    * units; the algorithm is byte-pair coding at whatever symbol
+    * granularity it is fed): `m` rounds of
+    *
+    *  1. count adjacent symbol pairs across the corpus — one hash
+    *     aggregate with map-side combine, the shuffle carries distinct
+    *     pairs, never positions;
+    *  2. pick the most frequent pair on the driver (ORDER BY count
+    *     DESC, left, right LIMIT 1 — a bounded 1-row collect, the
+    *     merge-table round-trip every distributed BPE trainer does);
+    *  3. re-encode every document with [[mergePass]] — a pure NARROW
+    *     map, no shuffle.
+    *
+    * Each round's encoding materializes once (scratch parquet), so
+    * round k+1 reads round k's output instead of replaying a k-deep
+    * transform chain — total cost O(m · corpus), the irreducible BPE
+    * training work. The learned table is the corpus artifact
+    * (memoized): (merge_rank, left_sym, right_sym, pair_cnt), with
+    * pair counts provably non-increasing in rank (a merge can only
+    * remove old occurrences, and every pair it creates is capped by
+    * its own count — TextSpec pins the invariant). The DuckDB oracle
+    * replays all `m` rounds bit-exactly: the same greedy scan as a
+    * per-document recursive CTE, the same (count DESC, left, right)
+    * tie-break. */
+  def bpeMerges(spark: SparkSession, dir: String, m: Int = 6): DataFrame =
+    Memo.table(spark, dir, s"bpe_merges_$m") {
+      import spark.implicits._
+      var cur = Memo.scratch(spark, "bpe_round_0")(
+        Tables.load(spark, dir, "documents")
+          .select(col("doc_id"), T.tokens(col("text")).as("ts")))
+      val merges = Seq.newBuilder[(Long, String, String, Long)]
+      for (k <- 1 to m) {
+        val best = cur
+          .filter(size(col("ts")) >= 2)
+          .select(explode(zip_with(
+            slice(col("ts"), lit(1), size(col("ts")) - 1),
+            slice(col("ts"), lit(2), size(col("ts")) - 1),
+            (a, b) => struct(a.as("l"), b.as("r")))).as("p"))
+          .groupBy(col("p.l").as("l"), col("p.r").as("r"))
+          .agg(count(lit(1)).as("cnt"))
+          .orderBy(col("cnt").desc, col("l"), col("r"))
+          .limit(1).collect()
+        if (best.nonEmpty) {
+          val (l, r, cnt) = (best(0).getString(0), best(0).getString(1),
+            best(0).getLong(2))
+          merges += ((k.toLong, l, r, cnt))
+          cur = Memo.scratch(spark, s"bpe_round_$k")(
+            cur.select(col("doc_id"), mergePass(col("ts"), l, r).as("ts")))
+        }
+      }
+      merges.result()
+        .toDF("merge_rank", "left_sym", "right_sym", "pair_cnt")
+    }.orderBy("merge_rank")
 
   /** Per-doc language-ID heuristic vs the labeled lang column. */
   def langId(spark: SparkSession, dir: String): DataFrame =

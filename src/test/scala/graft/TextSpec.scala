@@ -262,6 +262,58 @@ class TextSpec extends AnyFunSuite {
     }
   }
 
+  test("bpeMerges: ranks dense, counts non-increasing, first merge is " +
+      "the raw adjacent-pair argmax, greedy pass replays by hand") {
+    import org.apache.spark.sql.functions._
+    import graft.functions.{TextFunctions => T}
+    val rows = graft.operators.TextAnalysis.bpeMerges(spark, TestSpark.sf)
+      .collect().map(r => (r.getAs[Long]("merge_rank"),
+        r.getAs[String]("left_sym"), r.getAs[String]("right_sym"),
+        r.getAs[Long]("pair_cnt")))
+    assert(rows.map(_._1).toSeq == (1L to 6L))
+    // a merge can only remove old occurrences, and every pair it
+    // creates is capped by its own count — so the max is non-increasing
+    val cnts = rows.map(_._4).toSeq
+    assert(cnts === cnts.sorted.reverse, s"counts increased: $cnts")
+    // round 1 must be the argmax of the raw adjacent-pair counts under
+    // the (count DESC, l, r) tie-break, recomputed independently
+    val docs = Tables.load(spark, TestSpark.sf, "documents")
+      .select(T.tokens(col("text")).as("ts")).collect()
+      .map(_.getSeq[String](0))
+    val raw = scala.collection.mutable.Map[(String, String), Long]()
+    docs.foreach { ts =>
+      ts.sliding(2).foreach {
+        case Seq(a, b) => raw((a, b)) = raw.getOrElse((a, b), 0L) + 1
+        case _ =>
+      }
+    }
+    val best = raw.toSeq.sortBy { case ((a, b), c) => (-c, a, b) }.head
+    assert((rows(0)._2, rows(0)._3) == best._1 && rows(0)._4 == best._2)
+    // greedy left-to-right replay of round 1 on the raw corpus gives
+    // round 2's argmax
+    def merge(ts: Seq[String], l: String, r: String): Seq[String] = {
+      val out = scala.collection.mutable.ArrayBuffer[String]()
+      var i = 0
+      while (i < ts.length) {
+        if (i + 1 < ts.length && ts(i) == l && ts(i + 1) == r) {
+          out += s"$l $r"; i += 2
+        } else { out += ts(i); i += 1 }
+      }
+      out.toSeq
+    }
+    val merged = docs.map(merge(_, rows(0)._2, rows(0)._3))
+    val raw2 = scala.collection.mutable.Map[(String, String), Long]()
+    merged.foreach { ts =>
+      ts.sliding(2).foreach {
+        case Seq(a, b) => raw2((a, b)) = raw2.getOrElse((a, b), 0L) + 1
+        case _ =>
+      }
+    }
+    val best2 = raw2.toSeq.sortBy { case ((a, b), c) => (-c, a, b) }.head
+    assert((rows(1)._2, rows(1)._3) == best2._1 && rows(1)._4 == best2._2,
+      "round-2 merge diverged from the hand replay of the greedy pass")
+  }
+
   test("contaminationBloom: row-identical to the exact operator, and the " +
       "eval side actually rides the bloom screen") {
     def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
