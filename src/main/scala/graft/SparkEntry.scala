@@ -106,6 +106,8 @@ object SparkEntry {
     "knn_graph_churn"    -> ((s: SparkSession, d: String) => Similarity.knnGraphChurn(s, d)),
     "mutual_knn"         -> ((s: SparkSession, d: String) => Similarity.mutualKnn(s, d)),
     "knn_density"        -> ((s: SparkSession, d: String) => Similarity.knnDensity(s, d)),
+    "knn_classify"       -> ((s: SparkSession, d: String) => Similarity.knnClassify(s, d)),
+    "knn_centrality"     -> ((s: SparkSession, d: String) => Similarity.knnCentrality(s, d)),
     "density_prune"      -> ((s: SparkSession, d: String) => Similarity.densityPrune(s, d)),
     "semantic_clusters"  -> ((s: SparkSession, d: String) => Components.semanticClusters(s, d)),
     "cluster_quota"      -> ((s: SparkSession, d: String) => Sampling.clusterQuota(s, d)),
@@ -155,6 +157,7 @@ object SparkEntry {
     "bigram_logprob"     -> (TextAnalysis.bigramLogprob _),
     "phrase_pmi"         -> ((s: SparkSession, d: String) => TextAnalysis.phrasePmi(s, d)),
     "bpe_merges"         -> ((s: SparkSession, d: String) => TextAnalysis.bpeMerges(s, d)),
+    "bpe_encode"         -> ((s: SparkSession, d: String) => TextAnalysis.bpeEncode(s, d)),
     "source_quota"       -> ((s: SparkSession, d: String) => Sampling.sourceQuota(s, d)),
     "doc_pack"           -> ((s: SparkSession, d: String) => Sampling.docPack(s, d)),
     "corpus_manifest"    -> (Sampling.corpusManifest _),
@@ -451,7 +454,7 @@ object SparkEntry {
     * position, exactly `TextAnalysis.mergePass`'s aggregate). Out-of-
     * bounds `ts[i+1]` is NULL in DuckDB and null-safe-false on the
     * Spark side — same lookahead semantics at the list end. */
-  private def dBpeSql(m: Int): String = {
+  private def dBpeCtes(m: Int): String = {
     // m$k/t$k MATERIALIZED and the merge pair carried as recursion-state
     // columns (ml, mr): a correlated `(SELECT l FROM m$k)` inside the
     // recursion re-derives the entire upstream CTE chain per row under
@@ -487,11 +490,15 @@ object SparkEntry {
            SELECT doc_id, out AS ts FROM r$k WHERE i = n + 1)"""
     val rounds = (1 to m).map(k =>
       round(if (k == 1) "t0" else s"t${k - 1}", k)).mkString(",\n         ")
+    s"""t0 AS (SELECT doc_id, $dToks AS ts FROM documents),
+         $rounds"""
+  }
+
+  private def dBpeSql(m: Int): String = {
     val sel = (1 to m).map(k =>
       s"SELECT merge_rank, l AS left_sym, r AS right_sym, cnt AS pair_cnt FROM m$k")
       .mkString("\n         UNION ALL ")
-    s"""WITH RECURSIVE t0 AS (SELECT doc_id, $dToks AS ts FROM documents),
-         $rounds
+    s"""WITH RECURSIVE ${dBpeCtes(m)}
          $sel
          ORDER BY merge_rank"""
   }
@@ -2326,6 +2333,14 @@ object SparkEntry {
     // BPE merge learning: full m-round replay (greedy recursive merge
     // walk per doc, argmax per round)
     "bpe_merges" -> dBpeSql(6),
+    // BPE encode: the learned merges applied in rank order; fingerprint
+    // of the chr(1)-joined encoding pins the exact segmentation
+    "bpe_encode" ->
+      s"""WITH RECURSIVE ${dBpeCtes(6)}
+         SELECT t0.doc_id, CAST(len(t0.ts) AS BIGINT) AS n_raw,
+                CAST(len(t6.ts) AS BIGINT) AS n_tokens,
+                ${dH60("array_to_string(t6.ts, chr(1))")} AS enc_h
+         FROM t0 JOIN t6 USING (doc_id) ORDER BY doc_id""",
     // PMI collocations: the same double-cast division association as
     // the Spark side, one ln rounded at 6 (bigram-LM precedent)
     "phrase_pmi" ->
@@ -2583,6 +2598,52 @@ object SparkEntry {
          SELECT a.q_id AS vec_a, a.vec_id AS vec_b, a.cos
          FROM knn a JOIN knn b ON a.q_id = b.vec_id AND a.vec_id = b.q_id
          WHERE a.q_id < a.vec_id ORDER BY vec_a, vec_b""",
+    // knn classifier: majority neighbor label, (votes DESC, label) argmax
+    "knn_classify" ->
+      s"""WITH ${dIvfProbeCtes(iters = 2, nprobe = 4, queryPred = "TRUE")},
+         knn AS (SELECT q_id, vec_id FROM ranked WHERE rk <= 3),
+         lbl AS (SELECT vec_id, CAST(label AS BIGINT) AS label
+                 FROM embeddings),
+         votes AS (SELECT k.q_id, l.label AS nb_label, count(*) AS votes
+                   FROM knn k JOIN lbl l ON l.vec_id = k.vec_id
+                   GROUP BY 1, 2),
+         pred AS (SELECT q_id AS vec_id, nb_label AS pred_label,
+                         CAST(votes AS BIGINT) AS votes
+                  FROM (SELECT q_id, nb_label, votes,
+                               row_number() OVER (PARTITION BY q_id
+                                 ORDER BY votes DESC, nb_label) AS vr
+                        FROM votes) WHERE vr = 1)
+         SELECT p.vec_id, l.label, p.pred_label, p.votes,
+                l.label = p.pred_label AS correct
+         FROM pred p JOIN lbl l USING (vec_id) ORDER BY vec_id""",
+    // knn centrality: 3 unrolled damped power iterations; per-edge IEEE
+    // division, decimal-exact per-vertex sum, explicit DOUBLE literals
+    // (DuckDB decimal literals would change the arithmetic)
+    "knn_centrality" -> {
+      val iters3 = (1 to 3).map { i =>
+        s"""c$i AS (SELECT e.vec_id,
+                 CAST(sum(CAST(p.p / od.outdeg AS DECIMAL(38,18)))
+                   AS DOUBLE) AS c
+             FROM e JOIN p${i - 1} p ON p.vec_id = e.q_id
+                    JOIN od ON od.q_id = e.q_id
+             GROUP BY 1),
+         p$i AS (SELECT v.vec_id,
+                 CAST(0.15 AS DOUBLE) / nn.n + CAST(0.85 AS DOUBLE) *
+                   coalesce(c$i.c, CAST(0.0 AS DOUBLE)) AS p
+             FROM vtx v LEFT JOIN c$i ON c$i.vec_id = v.vec_id
+             CROSS JOIN nn)"""
+      }.mkString(",\n         ")
+      s"""WITH ${dIvfProbeCtes(iters = 2, nprobe = 4, queryPred = "TRUE")},
+         e AS (SELECT q_id, vec_id FROM ranked WHERE rk <= 3),
+         od AS (SELECT q_id, count(*) AS outdeg FROM e GROUP BY 1),
+         vtx AS (SELECT q_id AS vec_id FROM od),
+         nn AS (SELECT count(*) AS n FROM vtx),
+         p0 AS (SELECT vec_id, CAST(1.0 AS DOUBLE) / nn.n AS p
+                FROM vtx CROSS JOIN nn),
+         $iters3
+         SELECT vec_id, round(p, 9) AS centrality FROM p3
+         ORDER BY vec_id"""
+    },
     // knn density: mean rounded cosine to the k graph neighbors
     // (decimal-exact sum, one IEEE division) + the coarse cluster id
     "knn_density" ->

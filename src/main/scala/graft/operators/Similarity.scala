@@ -304,6 +304,76 @@ object Similarity {
       .orderBy("vec_id")
   }
 
+  /** kNN CLASSIFIER over the graph artifact — the classic
+    * embedding-quality / weak-labeling consumer: each vector's
+    * predicted label is the MAJORITY label among its k graph
+    * neighbors (tie → smallest label, the deterministic argmax), with
+    * the agreement flag against its own label. Pure post-processing:
+    * the n·k edge artifact joins the (vec_id, label) projection twice
+    * — one aggregation, no re-scoring, no window (the argmax is a
+    * `max` over a lexicographic (votes, −label) struct, so it gets
+    * map-side partial aggregation like the centroid assignment). */
+  def knnClassify(spark: SparkSession, dir: String, k: Int = 3,
+      nprobe: Int = 4, iters: Int = 2): DataFrame = {
+    val labels = Tables.load(spark, dir, "embeddings")
+      .select(col("vec_id"), col("label").cast("long").as("label"))
+    val g = knnGraph(spark, dir, k, nprobe, iters)
+    g.join(labels.select(col("vec_id"), col("label").as("nb_label")),
+        "vec_id")
+      .groupBy(col("q_id"), col("nb_label"))
+      .agg(count(lit(1)).as("votes"))
+      .groupBy(col("q_id"))
+      .agg(max(struct(col("votes"), (-col("nb_label")).as("neg_label")))
+        .as("best"))
+      .select(col("q_id").as("vec_id"),
+        (-col("best.neg_label")).as("pred_label"),
+        col("best.votes").as("votes"))
+      .join(labels, "vec_id")
+      .select(col("vec_id"), col("label"), col("pred_label"), col("votes"),
+        (col("label") === col("pred_label")).as("correct"))
+      .orderBy("vec_id")
+  }
+
+  /** PageRank CENTRALITY over the kNN graph — the representativeness
+    * signal graph-based curation ranks on (a vector many neighbors
+    * point AT anchors its semantic region): `iters` damped power
+    * iterations p' = 0.15/n + 0.85·Σ_{q→v} p(q)/outdeg(q) over the
+    * directed n·k edge artifact. Every iteration is ONE join of the
+    * edge list with the rank table + one aggregation — no vertex ever
+    * sees more than its in-edges, the classic scalable PageRank shape
+    * (no dangling mass: every graph query has outdeg ≥ 1 by
+    * construction). Cross-engine determinism: each edge's contribution
+    * p/outdeg is one IEEE division, the per-vertex sum folds through
+    * DECIMAL(38,18) (exact, order-free), and the damping update is the
+    * same two-op IEEE expression on both engines; ranks round at the
+    * edge. Vertices are the graph's query set; n is a broadcast
+    * scalar, never a driver constant. */
+  def knnCentrality(spark: SparkSession, dir: String, rounds: Int = 3,
+      k: Int = 3, nprobe: Int = 4, iters: Int = 2): DataFrame = {
+    val g = knnGraph(spark, dir, k, nprobe, iters)
+      .select(col("q_id"), col("vec_id"))
+    val outdeg = g.groupBy("q_id").agg(count(lit(1)).as("outdeg"))
+    val verts = outdeg.select(col("q_id").as("vec_id"))
+    val n = verts.agg(count(lit(1)).as("n"))
+    var p = verts.crossJoin(broadcast(n))
+      .select(col("vec_id"), (lit(1.0) / col("n")).as("p"))
+    for (_ <- 1 to rounds) {
+      val contrib = g
+        .join(p.select(col("vec_id").as("q_id"), col("p")), "q_id")
+        .join(outdeg, "q_id")
+        .groupBy(col("vec_id"))
+        .agg(sum((col("p") / col("outdeg")).cast("decimal(38,18)"))
+          .cast("double").as("c"))
+      p = verts.join(contrib, Seq("vec_id"), "left")
+        .crossJoin(broadcast(n))
+        .select(col("vec_id"),
+          (lit(0.15) / col("n") +
+            lit(0.85) * coalesce(col("c"), lit(0.0))).as("p"))
+    }
+    p.select(col("vec_id"), round(col("p"), 9).as("centrality"))
+      .orderBy("vec_id")
+  }
+
   /** The trained codebook collected to the driver — a bounded C×dim
     * artifact (the same shape the PQ codebooks ship), sorted by c_id so
     * the literal array below is deterministic. */

@@ -146,6 +146,34 @@ object TextAnalysis {
         .toDF("merge_rank", "left_sym", "right_sym", "pair_cnt")
     }.orderBy("merge_rank")
 
+  /** BPE ENCODE — the inference twin of [[bpeMerges]]: apply the
+    * learned merge table, in rank order, to every document. The merge
+    * table is the bounded driver artifact (m rows — the same shape as
+    * the IVF codebook literals), each merge one [[mergePass]] narrow
+    * map, so the whole encode is a zero-shuffle chain over one corpus
+    * scan. Output pins the compression (n_raw → n_tokens) and a
+    * 60-bit fingerprint of the exact encoded sequence (tokens joined
+    * by chr(1) — a separator no token contains, so the fingerprint
+    * distinguishes segmentations that a space-join would collapse:
+    * ["a b","c"] vs ["a","b c"]). The oracle replays training AND
+    * encoding bit-exactly. */
+  def bpeEncode(spark: SparkSession, dir: String, m: Int = 6): DataFrame = {
+    val merges = bpeMerges(spark, dir, m).collect()
+      .sortBy(_.getAs[Long]("merge_rank"))
+      .map(r => (r.getAs[String]("left_sym"), r.getAs[String]("right_sym")))
+    val base = Tables.load(spark, dir, "documents")
+      .select(col("doc_id"), T.tokens(col("text")).as("ts"))
+      .withColumn("n_raw", size(col("ts")).cast("long"))
+    val encoded = merges.foldLeft(base) { case (df, (l, r)) =>
+      df.withColumn("ts", mergePass(col("ts"), l, r))
+    }
+    encoded.select(col("doc_id"), col("n_raw"),
+      size(col("ts")).cast("long").as("n_tokens"),
+      graft.functions.Hash60.hash60(
+        concat_ws("", col("ts"))).as("enc_h"))
+      .orderBy("doc_id")
+  }
+
   /** Per-doc language-ID heuristic vs the labeled lang column. */
   def langId(spark: SparkSession, dir: String): DataFrame =
     Tables.load(spark, dir, "documents")

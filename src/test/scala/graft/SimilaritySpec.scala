@@ -306,6 +306,40 @@ class SimilaritySpec extends AnyFunSuite {
     assert(pruned.length < dens.length)
   }
 
+  test("knn classifier takes the majority neighbor label; centrality " +
+      "conserves rank mass and floors at the damping term") {
+    import org.apache.spark.sql.functions.col
+    val g = Similarity.knnGraph(spark, sf)
+      .select("q_id", "vec_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val labels = Tables.load(spark, sf, "embeddings")
+      .select(col("vec_id"), col("label").cast("long")).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toMap
+    val cls = Similarity.knnClassify(spark, sf).collect()
+      .map(r => (r.getAs[Long]("vec_id"), r.getAs[Long]("label"),
+        r.getAs[Long]("pred_label"), r.getAs[Long]("votes"),
+        r.getAs[Boolean]("correct")))
+    assert(cls.nonEmpty && cls.map(_._1).toSet == g.map(_._1).toSet)
+    val nbrs = g.groupBy(_._1)
+    cls.foreach { case (v, lbl, pred, votes, correct) =>
+      assert(lbl == labels(v) && correct == (lbl == pred))
+      val counts = nbrs(v).map(e => labels(e._2))
+        .groupBy(identity).view.mapValues(_.size.toLong).toMap
+      val best = counts.toSeq.sortBy { case (l, c) => (-c, l) }.head
+      assert((pred, votes) == best, s"vec $v wrong majority")
+    }
+    val cent = Similarity.knnCentrality(spark, sf).collect()
+      .map(r => (r.getAs[Long]("vec_id"), r.getAs[Double]("centrality")))
+    assert(cent.map(_._1).toSet == g.map(_._1).toSet)
+    val n = cent.length.toDouble
+    cent.foreach { case (_, c) => assert(c >= 0.15 / n - 1e-9) }
+    // conservation: total mass <= 1 (strict only if edges leak to
+    // vertices outside the query set) and the ranks genuinely spread
+    val total = cent.map(_._2).sum
+    assert(total <= 1.0 + 1e-6 && total > 0.5, s"mass $total")
+    assert(cent.map(_._2).max > cent.map(_._2).min)
+  }
+
   test("IVF ANN recall@10 >= 0.5 vs brute force") {
     def tops(df: org.apache.spark.sql.DataFrame) =
       df.collect().groupBy(_.getAs[Long]("q_id"))

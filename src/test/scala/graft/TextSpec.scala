@@ -314,6 +314,43 @@ class TextSpec extends AnyFunSuite {
       "round-2 merge diverged from the hand replay of the greedy pass")
   }
 
+  test("bpeEncode: per-doc token counts replay the learned merges by hand") {
+    import org.apache.spark.sql.functions._
+    import graft.functions.{TextFunctions => T}
+    val merges = graft.operators.TextAnalysis.bpeMerges(spark, TestSpark.sf)
+      .collect().sortBy(_.getAs[Long]("merge_rank"))
+      .map(r => (r.getAs[String]("left_sym"), r.getAs[String]("right_sym")))
+    def merge(ts: Seq[String], l: String, r: String): Seq[String] = {
+      val out = scala.collection.mutable.ArrayBuffer[String]()
+      var i = 0
+      while (i < ts.length) {
+        if (i + 1 < ts.length && ts(i) == l && ts(i + 1) == r) {
+          out += s"$l $r"; i += 2
+        } else { out += ts(i); i += 1 }
+      }
+      out.toSeq
+    }
+    val want = Tables.load(spark, TestSpark.sf, "documents")
+      .select(col("doc_id"), T.tokens(col("text")).as("ts")).collect()
+      .map { r =>
+        val ts = r.getSeq[String](1)
+        r.getLong(0) -> (ts.length.toLong,
+          merges.foldLeft(ts) { case (t, (l, rr)) => merge(t, l, rr) }
+            .length.toLong)
+      }.toMap
+    val got = graft.operators.TextAnalysis.bpeEncode(spark, TestSpark.sf)
+      .collect()
+    assert(got.nonEmpty && got.length == want.size)
+    got.foreach { r =>
+      val (nRaw, nTok) = want(r.getAs[Long]("doc_id"))
+      assert(r.getAs[Long]("n_raw") == nRaw)
+      assert(r.getAs[Long]("n_tokens") == nTok,
+        s"doc ${r.getAs[Long]("doc_id")} encode diverged from hand replay")
+    }
+    // the merges actually compress somewhere
+    assert(got.exists(r => r.getAs[Long]("n_tokens") < r.getAs[Long]("n_raw")))
+  }
+
   test("contaminationBloom: row-identical to the exact operator, and the " +
       "eval side actually rides the bloom screen") {
     def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
