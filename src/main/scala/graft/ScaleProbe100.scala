@@ -34,7 +34,7 @@ object ScaleProbe100 {
     val factor = if (args.length > 1) args(1).toInt else 100
     val sections: Set[String] =
       if (args.length > 2) args(2).split(',').map(_.trim).toSet
-      else Set("dedup", "feed", "quality", "bloomdecon", "phash", "bm25", "ann", "knn", "knnlife",
+      else Set("dedup", "feed", "quality", "bloomdecon", "phash", "bpe", "bm25", "ann", "knn", "knnlife",
         "zipf", "churn", "semdedup", "rebucket", "pq", "ivfpq")
     def section(name: String)(body: => Unit): Unit =
       if (sections(name)) body
@@ -63,7 +63,7 @@ object ScaleProbe100 {
     val fs = new org.apache.hadoop.fs.Path(dup)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
 
-    if (sections.exists(Set("dedup", "quality", "bloomdecon", "phash", "bm25", "churn", "rebucket"))) {
+    if (sections.exists(Set("dedup", "quality", "bloomdecon", "phash", "bpe", "bm25", "churn", "rebucket"))) {
       if (!fs.exists(new org.apache.hadoop.fs.Path(s"$dup/documents.parquet"))) {
         val docs = Tables.load(spark, sf, "documents")
         docs.crossJoin(spark.range(factor).select(col("id").as("copy")))
@@ -177,6 +177,24 @@ object ScaleProbe100 {
       }
       time(s"video phash + near-dup (${factor}x corpus)") {
         println(s"  video pairs: ${operators.Multimodal.videoNearDup(spark, dup).count()}")
+      }
+    }
+
+    // 3e. BPE training at factor x: 6 rounds of pair-count aggregate +
+    // narrow greedy re-encode, each round's encoding scratch-
+    // materialized — the claim is linear-in-corpus per round
+    section("bpe") {
+      time(s"bpe_merges 6-round train (${factor}x corpus, cold)") {
+        operators.TextAnalysis.bpeMerges(spark, dup).collect()
+          .foreach(r => println(s"  merge ${r.getLong(0)}: " +
+            s"'${r.getString(1)}' + '${r.getString(2)}' x ${r.getLong(3)}"))
+      }
+      time(s"bpe_encode (${factor}x corpus, merges memoized)") {
+        // sum over n_tokens FORCES the 6-pass re-encode; a bare count()
+        // lets column pruning delete the merge chain entirely
+        val t = operators.TextAnalysis.bpeEncode(spark, dup)
+          .agg(sum(col("n_tokens"))).head().getLong(0)
+        println(s"  total encoded tokens: $t")
       }
     }
 

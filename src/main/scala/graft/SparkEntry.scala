@@ -158,6 +158,7 @@ object SparkEntry {
     "phrase_pmi"         -> ((s: SparkSession, d: String) => TextAnalysis.phrasePmi(s, d)),
     "bpe_merges"         -> ((s: SparkSession, d: String) => TextAnalysis.bpeMerges(s, d)),
     "bpe_encode"         -> ((s: SparkSession, d: String) => TextAnalysis.bpeEncode(s, d)),
+    "cluster_labels"     -> ((s: SparkSession, d: String) => TextAnalysis.clusterLabels(s, d)),
     "source_quota"       -> ((s: SparkSession, d: String) => Sampling.sourceQuota(s, d)),
     "doc_pack"           -> ((s: SparkSession, d: String) => Sampling.docPack(s, d)),
     "corpus_manifest"    -> (Sampling.corpusManifest _),
@@ -2598,6 +2599,31 @@ object SparkEntry {
          SELECT a.q_id AS vec_a, a.vec_id AS vec_b, a.cos
          FROM knn a JOIN knn b ON a.q_id = b.vec_id AND a.vec_id = b.q_id
          WHERE a.q_id < a.vec_id ORDER BY vec_a, vec_b""",
+    // cluster labels: the tfidf_top_terms scoring folded per k-means
+    // cluster (decimal-exact sum of the per-(doc,term) rounded scores)
+    "cluster_labels" ->
+      s"""WITH ${dIvfAssignCtes(iters = 2)},
+         cltoks AS (
+           SELECT doc_id, unnest(list_filter(string_split_regex(lower(text), '\\s+'),
+             t -> len(t) > 0)) AS term
+           FROM documents),
+         cltf AS (SELECT doc_id, term, count(*) AS tf FROM cltoks GROUP BY 1, 2),
+         cldf AS (SELECT term, count(*) AS df FROM cltf GROUP BY 1),
+         cln AS (SELECT count(*) AS n FROM documents),
+         clsc AS (
+           SELECT doc_id, term,
+                  round(tf * ln((n + 1.0) / (df + 1.0)), 6) AS tfidf
+           FROM cltf JOIN cldf USING (term), cln),
+         clsum AS (SELECT af.c_id, s.term,
+                  CAST(sum(CAST(s.tfidf AS DECIMAL(38,18))) AS DOUBLE) AS wsum
+                FROM clsc s JOIN af ON af.vec_id = s.doc_id GROUP BY 1, 2),
+         clw AS (SELECT c_id, term, round(wsum, 6) AS weight FROM clsum),
+         clr AS (SELECT c_id, term, weight,
+                  CAST(row_number() OVER (PARTITION BY c_id
+                    ORDER BY weight DESC, term) AS BIGINT) AS rk
+                FROM clw)
+         SELECT c_id, rk, term, weight FROM clr
+         WHERE rk <= 3 ORDER BY c_id, rk""",
     // knn classifier: majority neighbor label, (votes DESC, label) argmax
     "knn_classify" ->
       s"""WITH ${dIvfProbeCtes(iters = 2, nprobe = 4, queryPred = "TRUE")},

@@ -64,32 +64,33 @@ object TextAnalysis {
     * occurrence of the adjacent symbol pair (`l`, `r`) fuses into one
     * symbol (the two joined by a space — unambiguous for display; the
     * ALGORITHM keys on the (left, right) pair, never the joined
-    * string). Pure Catalyst: `aggregate` over the index sequence with
-    * a (out, skip) state — after a fusion the next index is consumed,
-    * so "a a a" under merge (a, a) yields ["a a", "a"], the standard
-    * BPE greedy scan. `try_element_at` for the lookahead (ANSI mode
-    * throws on out-of-bounds `element_at`). */
-  private def mergePass(ts: Column, l: String, r: String): Column =
-    when(size(ts) < 2, ts).otherwise(
-      aggregate(
-        sequence(lit(1), size(ts)),
-        struct(array().cast("array<string>").as("out"),
-          lit(false).as("skip")),
-        (acc, i) => {
-          val cur = try_element_at(ts, i)
-          val nxt = try_element_at(ts, i + 1)
-          val fuse = !acc.getField("skip") && cur === lit(l) &&
-            (nxt <=> lit(r))
-          struct(
-            when(acc.getField("skip"), acc.getField("out"))
-              .when(fuse, concat(acc.getField("out"),
-                array(concat_ws(" ", cur, nxt))))
-              .otherwise(concat(acc.getField("out"), array(cur)))
-              .as("out"),
-            when(acc.getField("skip"), lit(false)).otherwise(fuse)
-              .as("skip"))
-        },
-        acc => acc.getField("out")))
+    * string). After a fusion the next index is consumed, so "a a a"
+    * under merge (a, a) yields ["a a", "a"] — the standard BPE greedy
+    * scan.
+    *
+    * This is a deliberate IMPERATIVE kernel (driven via typed
+    * `mapPartitions`), not a Catalyst expression — measured, not
+    * assumed: the first implementation was a pure-Catalyst `aggregate`
+    * over the index sequence with an (out, skip) struct state, and at
+    * the 100× probe it was QUADRATIC-BY-COPY (each step's
+    * `concat(out, array(x))` re-copies the whole immutable accumulator
+    * array) and interpreter-bound when chained (the 6-pass encode put
+    * six nested array-lambda aggregates in one projection): 444 s for
+    * the 6-pass encode over 27M tokens vs seconds for this scan. A
+    * per-document mutable left-to-right scan is exactly the
+    * "genuine per-partition imperative logic" mapPartitions exists
+    * for. */
+  private def mergeOnce(ts: Array[String], l: String,
+      r: String): Array[String] = {
+    val out = new scala.collection.mutable.ArrayBuffer[String](ts.length)
+    var i = 0
+    while (i < ts.length) {
+      if (i + 1 < ts.length && ts(i) == l && ts(i + 1) == r) {
+        out += (l + " " + r); i += 2
+      } else { out += ts(i); i += 1 }
+    }
+    out.toArray
+  }
 
   /** BPE merge learning — the tokenizer-TRAINING step (Sennrich et al.
     * 2016), run here over the word stream (merges learn multi-word
@@ -102,7 +103,7 @@ object TextAnalysis {
     *  2. pick the most frequent pair on the driver (ORDER BY count
     *     DESC, left, right LIMIT 1 — a bounded 1-row collect, the
     *     merge-table round-trip every distributed BPE trainer does);
-    *  3. re-encode every document with [[mergePass]] — a pure NARROW
+    *  3. re-encode every document with [[mergeOnce]] — a pure NARROW
     *     map, no shuffle.
     *
     * Each round's encoding materializes once (scratch parquet), so
@@ -139,7 +140,10 @@ object TextAnalysis {
             best(0).getLong(2))
           merges += ((k.toLong, l, r, cnt))
           cur = Memo.scratch(spark, s"bpe_round_$k")(
-            cur.select(col("doc_id"), mergePass(col("ts"), l, r).as("ts")))
+            cur.select(col("doc_id"), col("ts")).as[(Long, Seq[String])]
+              .mapPartitions(_.map { case (id, ts) =>
+                (id, mergeOnce(ts.toArray, l, r).toSeq) })
+              .toDF("doc_id", "ts"))
         }
       }
       merges.result()
@@ -149,7 +153,7 @@ object TextAnalysis {
   /** BPE ENCODE — the inference twin of [[bpeMerges]]: apply the
     * learned merge table, in rank order, to every document. The merge
     * table is the bounded driver artifact (m rows — the same shape as
-    * the IVF codebook literals), each merge one [[mergePass]] narrow
+    * the IVF codebook literals), each merge one [[mergeOnce]] narrow
     * map, so the whole encode is a zero-shuffle chain over one corpus
     * scan. Output pins the compression (n_raw → n_tokens) and a
     * 60-bit fingerprint of the exact encoded sequence (tokens joined
@@ -161,17 +165,62 @@ object TextAnalysis {
     val merges = bpeMerges(spark, dir, m).collect()
       .sortBy(_.getAs[Long]("merge_rank"))
       .map(r => (r.getAs[String]("left_sym"), r.getAs[String]("right_sym")))
+    import spark.implicits._
     val base = Tables.load(spark, dir, "documents")
       .select(col("doc_id"), T.tokens(col("text")).as("ts"))
       .withColumn("n_raw", size(col("ts")).cast("long"))
-    val encoded = merges.foldLeft(base) { case (df, (l, r)) =>
-      df.withColumn("ts", mergePass(col("ts"), l, r))
-    }
+    val encoded = base.select(col("doc_id"), col("n_raw"), col("ts"))
+      .as[(Long, Long, Seq[String])]
+      .mapPartitions(_.map { case (id, nRaw, ts0) =>
+        var ts = ts0.toArray
+        merges.foreach { case (l, r) => ts = mergeOnce(ts, l, r) }
+        (id, nRaw, ts.toSeq)
+      })
+      .toDF("doc_id", "n_raw", "ts")
     encoded.select(col("doc_id"), col("n_raw"),
       size(col("ts")).cast("long").as("n_tokens"),
       graft.functions.Hash60.hash60(
         concat_ws("", col("ts"))).as("enc_h"))
       .orderBy("doc_id")
+  }
+
+  /** CLUSTER LABELING — the human-readable face of the learned
+    * k-means clustering (the step a curation UI or a mixture report
+    * needs): per coarse cluster, the top-`k` terms by summed TF-IDF
+    * over member documents (vec_id ≅ doc_id, the repo-wide
+    * identification hybrid_search serves under). Reuses the
+    * [[tfidfTopTerms]] scoring verbatim (same tf·ln((N+1)/(df+1)),
+    * rounded per (doc, term) before the cluster fold so the oracle
+    * replays it), sums through DECIMAL(38,18) (order-free), and ranks
+    * per cluster by (weight DESC, term). The window partitions by
+    * c_id over the (cluster, term) aggregate — C ~ √n groups at
+    * production geometry, the aggregated table is vocabulary-bounded
+    * per cluster, never the corpus. */
+  def clusterLabels(spark: SparkSession, dir: String, k: Int = 3,
+      iters: Int = 2): DataFrame = {
+    val docs = Tables.load(spark, dir, "documents")
+    val terms = docs.select(col("doc_id"),
+      explode(T.tokens(col("text"))).as("term"))
+    val tf = terms.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+    val dfreq = tf.groupBy("term").agg(count(lit(1)).as("df"))
+    val total = docs.agg(count(lit(1)).as("n"))
+    val scored = tf.join(dfreq, "term")
+      .crossJoin(broadcast(total))
+      .withColumn("tfidf", round(col("tf") *
+        log((col("n") + 1.0) / (col("df") + 1.0)), 6))
+    val asg = Similarity.assignmentTable(spark, dir, iters)
+      .select(col("vec_id").as("doc_id"), col("c_id"))
+    val byCluster = scored.join(asg, "doc_id")
+      .groupBy("c_id", "term")
+      .agg(sum(col("tfidf").cast("decimal(38,18)")).cast("double")
+        .as("wsum"))
+      .withColumn("weight", round(col("wsum"), 6))
+    val w = Window.partitionBy("c_id")
+      .orderBy(col("weight").desc, col("term"))
+    byCluster.withColumn("rk", row_number().over(w).cast("long"))
+      .filter(col("rk") <= k)
+      .select("c_id", "rk", "term", "weight")
+      .orderBy("c_id", "rk")
   }
 
   /** Per-doc language-ID heuristic vs the labeled lang column. */

@@ -351,6 +351,29 @@ class TextSpec extends AnyFunSuite {
     assert(got.exists(r => r.getAs[Long]("n_tokens") < r.getAs[Long]("n_raw")))
   }
 
+  test("clusterLabels: dense ranks, weights descending, labels cover " +
+      "exactly the clusters the assignment serves") {
+    import org.apache.spark.sql.functions.col
+    val rows = graft.operators.TextAnalysis
+      .clusterLabels(spark, TestSpark.sf).collect()
+      .map(r => (r.getAs[Long]("c_id"), r.getAs[Long]("rk"),
+        r.getAs[String]("term"), r.getAs[Double]("weight")))
+    assert(rows.nonEmpty)
+    rows.groupBy(_._1).foreach { case (cid, g) =>
+      val sorted = g.sortBy(_._2)
+      assert(sorted.map(_._2).toSeq == (1L to sorted.length) &&
+        sorted.length <= 3, s"cluster $cid ranks not dense")
+      val ws = sorted.map(_._4).toSeq
+      assert(ws === ws.sorted.reverse, s"cluster $cid weights ascend")
+      assert(g.map(_._3).distinct.length == g.length)
+    }
+    val asgClusters = graft.operators.Similarity
+      .assignmentTable(spark, TestSpark.sf)
+      .select(col("c_id")).distinct().collect().map(_.getLong(0)).toSet
+    assert(rows.map(_._1).toSet == asgClusters,
+      "labels missing for a served cluster (or labeling a ghost one)")
+  }
+
   test("contaminationBloom: row-identical to the exact operator, and the " +
       "eval side actually rides the bloom screen") {
     def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
