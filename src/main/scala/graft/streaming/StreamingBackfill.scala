@@ -680,7 +680,8 @@ object StreamingBackfill {
     * be double-counted as both index rows and arrivals). */
   def graphIngestLoop(spark: SparkSession, newVecs: DataFrame,
       assignIndexTable: String, centroids: DataFrame, graphDir: String,
-      k: Int = 3, nprobe: Int = 4, buckets: Int = 8): Unit = {
+      k: Int = 3, nprobe: Int = 4, buckets: Int = 8,
+      compactEvery: Int = 0): Unit = {
     import graft.operators.{Memo, Similarity}
     import graft.sources.IndexChurn
     val cents = Similarity.centroidArtifact(centroids)
@@ -720,6 +721,16 @@ object StreamingBackfill {
           }
           IndexChurn.append(s, assignIndexTable, batchIdx, "U", id,
             Seq("c_id"), buckets)
+          // debt-gated maintenance tick (the graph twin of
+          // churnIngestLoop's compactIfNeeded): the delta store grows
+          // one directory per microbatch; past the threshold, fold —
+          // serve-consistent at every instant, so it can run inside
+          // the loop at ingest cadence. 0 = off (the replay-no-op spec
+          // relies on markers surviving, which compaction removes —
+          // production runs checkpointed, where ids never restart).
+          if (compactEvery > 0 &&
+            committedDeltas(graphDir).length >= compactEvery)
+            compactGraph(s, graphDir)
         }
       }
       .trigger(Trigger.ProcessingTime(0))

@@ -768,4 +768,48 @@ class StreamingSpec extends AnyFunSuite {
       spark.sql(s"DROP TABLE IF EXISTS $assignTable")
     }
   }
+
+  test("graph ingest loop with the debt-gated compaction tick: the " +
+      "delta store stays folded and the serve still matches the batch " +
+      "rebuild") {
+    import java.nio.file.Files
+    import graft.operators.Similarity
+    import graft.sources.IndexChurn
+    val assignTable = "graph_tick_assign_t"
+    val graphDir = Files.createTempDirectory("graphtick").toString
+    val streamDir = Files.createTempDirectory("vectick").toString
+    try {
+      val centroids = Similarity.trainCentroids(spark, sf, iters = 2)
+      IndexChurn.stamp(
+          Similarity.assignVectors(
+            Similarity.embeddingsWithNorm(spark, sf).limit(0), centroids),
+          "U", -1L)
+        .write.mode("overwrite").bucketBy(8, "c_id").sortBy("c_id")
+        .saveAsTable(assignTable)
+      val embRaw = Tables.load(spark, sf, "embeddings")
+      Seq(0, 1, 2).foreach { w =>
+        embRaw.filter(col("vec_id") % 3 === w)
+          .coalesce(1).write.mode("overwrite").parquet(s"$streamDir/b$w")
+        new java.io.File(s"$streamDir/b$w").listFiles()
+          .filter(_.getName.endsWith(".parquet"))
+          .foreach(f => assert(f.setLastModified(1000000000000L + w * 60000L)))
+      }
+      StreamingBackfill.graphIngestLoop(spark,
+        spark.readStream.schema(embRaw.schema)
+          .option("maxFilesPerTrigger", "1")
+          .option("recursiveFileLookup", "true").parquet(streamDir),
+        assignTable, centroids, graphDir, compactEvery = 2)
+      // the tick folded mid-stream: never more than compactEvery dirs
+      val dirs = new java.io.File(graphDir).listFiles()
+        .filter(d => d.isDirectory && new java.io.File(d, "_done").exists())
+      assert(dirs.length <= 2, s"tick left ${dirs.length} deltas")
+      val got = StreamingBackfill.servedGraph(spark, graphDir)
+        .collect().map(_.toString).sorted.toSeq
+      val want = Similarity.knnGraph(spark, sf)
+        .collect().map(_.toString).sorted.toSeq
+      assert(got === want, "compacted stream diverged from the rebuild")
+    } finally {
+      spark.sql(s"DROP TABLE IF EXISTS $assignTable")
+    }
+  }
 }
