@@ -74,7 +74,7 @@ object ScaleProbe100 {
       println(s"corpus: ${Tables.load(spark, dup, "documents").count()} docs " +
         s"(${factor}x of $sf)")
     }
-    if (sections.exists(Set("churn", "semdedup", "ann", "knn", "pq", "ivfpq"))) {
+    if (sections.exists(Set("churn", "semdedup", "ann", "knn", "knnlife", "pq", "ivfpq"))) {
       if (!fs.exists(new org.apache.hadoop.fs.Path(s"$dup/embeddings.parquet"))) {
         val nv0 = Tables.load(spark, sf, "embeddings").count()
         Tables.load(spark, sf, "embeddings")

@@ -44,10 +44,13 @@ object Components {
   /** `edges`: (src, dst) long pairs, undirected (either orientation).
     * Returns (id, component) where component = min id reachable.
     *
-    * The returned DataFrame is persisted (it was the loop's last
-    * materialization); callers that are done with it should
-    * `.unpersist()` — the harness mains clear the cache between
-    * queries. */
+    * The returned DataFrame is backed by the loop's final
+    * localCheckpoint: ONE round's blocks, freed by the ContextCleaner
+    * once the Dataset is GC'd (`unpersist()`/`clearCache()` cannot
+    * touch checkpoint blocks — superseded rounds inside the loop are
+    * freed explicitly via [[org.apache.spark.sql.graftshim.Shim
+    * .freeLocalCheckpoint]]). Harness callers materialize it into a
+    * memo parquet immediately, so the residency is transient. */
   def connectedComponents(edges: DataFrame, maxIter: Int = 20): DataFrame =
     connectedComponentsStats(edges, maxIter)._1
 
@@ -125,7 +128,13 @@ object Components {
             .as("new_component"), col("component").as("old_component"))
         .localCheckpoint(true)
       val changed = next.filter(col("new_component") =!= col("old_component")).count()
+      // round 1's `labels` is a plain persist (real unpersist); later
+      // rounds are localCheckpoints, whose blocks Dataset.unpersist
+      // CANNOT free (CacheManager no-op) — release the superseded
+      // round's RDD blocks explicitly, AFTER `next` eagerly
+      // materialized from them
       labels.unpersist()
+      org.apache.spark.sql.graftshim.Shim.freeLocalCheckpoint(labels)
       labels = next.select(col("id"), col("new_component").as("component"))
       converged = changed == 0
       iter += 1

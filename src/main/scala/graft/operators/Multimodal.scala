@@ -446,6 +446,15 @@ object Multimodal {
       Tables.load(spark, dir, "documents")
         .select(col("doc_id")).as[Long]
         .mapPartitions { it =>
+          // codec objects per PARTITION, reset per item (the
+          // library-init shape of videoPhash/videoDecode): the
+          // ImageIO.write/read statics re-scan the service registry
+          // and instantiate a writer/reader PER IMAGE — pure overhead
+          // on the hot decode path
+          val writer = javax.imageio.ImageIO
+            .getImageWritersByFormatName("png").next()
+          val reader = javax.imageio.ImageIO
+            .getImageReadersByFormatName("png").next()
           it.map { id =>
             val (w, h, src) = phashRaster(id)
             val img = new java.awt.image.BufferedImage(
@@ -457,11 +466,15 @@ object Multimodal {
             }
             val bos = new java.io.ByteArrayOutputStream()
             val ios = new javax.imageio.stream.MemoryCacheImageOutputStream(bos)
-            javax.imageio.ImageIO.write(img, "png", ios)
+            writer.setOutput(ios)
+            writer.write(img)
             ios.close()
-            val dec = javax.imageio.ImageIO.read(
+            reader.setInput(
               new javax.imageio.stream.MemoryCacheImageInputStream(
                 new java.io.ByteArrayInputStream(bos.toByteArray)))
+            val dec = reader.read(0)
+            writer.reset()
+            reader.reset()
             val dw = dec.getWidth; val dh = dec.getHeight
             val dr = dec.getRaster
             // aHash: 10×6 nearest-neighbor samples, integer mean, ≥ bit
@@ -672,6 +685,12 @@ object Multimodal {
       Tables.load(spark, dir, "documents")
         .select(col("doc_id")).as[Long]
         .mapPartitions { it =>
+          // format descriptor per PARTITION (it is immutable); the
+          // javax.sound read/write entry points are static services,
+          // so unlike the ImageIO paths there is no per-partition
+          // codec object to hoist beyond this
+          val fmt = new javax.sound.sampled.AudioFormat(
+            16000f, 16, 1, true, false)
           it.map { id =>
             val src = afingerSamples(id)
             val n = src.length
@@ -682,8 +701,6 @@ object Multimodal {
               pcm(2 * i + 1) = ((src(i) >> 8) & 0xff).toByte
               i += 1
             }
-            val fmt = new javax.sound.sampled.AudioFormat(
-              16000f, 16, 1, true, false)
             val bos = new java.io.ByteArrayOutputStream()
             javax.sound.sampled.AudioSystem.write(
               new javax.sound.sampled.AudioInputStream(

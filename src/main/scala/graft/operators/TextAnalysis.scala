@@ -180,7 +180,7 @@ object TextAnalysis {
     encoded.select(col("doc_id"), col("n_raw"),
       size(col("ts")).cast("long").as("n_tokens"),
       graft.functions.Hash60.hash60(
-        concat_ws("", col("ts"))).as("enc_h"))
+        concat_ws("\u0001", col("ts"))).as("enc_h"))
       .orderBy("doc_id")
   }
 

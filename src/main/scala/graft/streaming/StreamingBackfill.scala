@@ -631,12 +631,22 @@ object StreamingBackfill {
     if (dirs.length <= 1) return
     val winners = latestWins(spark.read.parquet(dirs: _*))
     val maxSeq = winners.agg(max(col("seq"))).head().getLong(0)
-    val target = new java.io.File(s"$graphDir/compact_$maxSeq")
+    // the target must be a FRESH directory, never one of the inputs: a
+    // second compaction can see the SAME maxSeq (churn seqs outrank
+    // every later ingest id), and deleting an input dir before the
+    // lazy `winners` plan re-reads it would crash the write AND
+    // destroy the only copy of the previously-compacted rows. A
+    // deterministic suffix probe finds an unused name; a leftover
+    // unmarked dir from a crashed attempt is invisible to the serve
+    // (no `_done`) and safe to clear.
+    val target = Iterator.from(0)
+      .map(i => new java.io.File(s"$graphDir/compact_${maxSeq}_$i"))
+      .find(f => !new java.io.File(f, "_done").exists())
+      .get
     if (target.exists()) deleteRec(target)
     winners.write.mode("overwrite").parquet(target.getAbsolutePath)
     new java.io.File(target, "_done").createNewFile()
-    dirs.filterNot(_ == target.getAbsolutePath)
-      .foreach(d => deleteRec(new java.io.File(d)))
+    dirs.foreach(d => deleteRec(new java.io.File(d)))
   }
 
   private def deleteRec(f: java.io.File): Unit = {

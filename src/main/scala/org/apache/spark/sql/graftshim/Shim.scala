@@ -46,6 +46,22 @@ object Shim {
   /** Block until the async listener bus has delivered all queued events
     * (`LiveListenerBus.waitUntilEmpty` is private[spark]) — needed to
     * snapshot listener-fed metrics right after an action returns. */
+  /** Free the storage blocks behind a `localCheckpoint()`ed Dataset.
+    * `Dataset.unpersist` is a CacheManager operation and a NO-OP for
+    * checkpoint blocks (they are persisted directly on the underlying
+    * RDD, outside the cache manager), so an iterative loop that
+    * checkpoints per round needs this to reclaim superseded rounds
+    * promptly instead of waiting for the ContextCleaner to notice the
+    * RDD was GC'd. After this call the Dataset is UNRECOVERABLE (the
+    * checkpoint truncated its lineage) — only free state that nothing
+    * will read again. */
+  def freeLocalCheckpoint(df: org.apache.spark.sql.DataFrame): Unit =
+    df.queryExecution.analyzed.foreach {
+      case lr: org.apache.spark.sql.execution.LogicalRDD =>
+        lr.rdd.unpersist(blocking = false)
+      case _ => ()
+    }
+
   def drainListenerBus(spark: SparkSession): Unit =
     spark.sparkContext.listenerBus.waitUntilEmpty()
 }
