@@ -759,11 +759,30 @@ class StreamingSpec extends AnyFunSuite {
       // tick is a no-op
       StreamingBackfill.compactGraph(spark, graphDir)
       assert(servedRows() === got, "compaction changed the serve")
-      val dirs = new java.io.File(graphDir).listFiles()
+      def committed() = new java.io.File(graphDir).listFiles()
         .filter(d => d.isDirectory && new java.io.File(d, "_done").exists())
-      assert(dirs.length === 1, s"compaction left ${dirs.length} deltas")
+      assert(committed().length === 1,
+        s"compaction left ${committed().length} deltas")
       StreamingBackfill.compactGraph(spark, graphDir)
       assert(servedRows() === got)
+      // REPEAT compaction at the SAME maxSeq (the churn-domain seq
+      // outranks any later small-seq delta): the target name must be
+      // FRESH — the original implementation reused the existing
+      // compact dir as its own input, deleted it before the lazy
+      // winners plan re-read it, and destroyed the store
+      val oldCompact = committed().head
+      val extra = new java.io.File(s"$graphDir/batch_id=999")
+      // verbatim copy of one winner row (original seq kept): an exact
+      // duplicate the serve collapses, so only the collision path is
+      // under test, not the latest-wins outcome
+      spark.read.parquet(oldCompact.getAbsolutePath)
+        .filter(col("rk") > 0).limit(1)
+        .write.mode("overwrite").parquet(extra.getAbsolutePath)
+      new java.io.File(extra, "_done").createNewFile()
+      StreamingBackfill.compactGraph(spark, graphDir)
+      assert(servedRows() === got,
+        "repeat compaction at the same maxSeq corrupted the store")
+      assert(committed().length === 1)
     } finally {
       spark.sql(s"DROP TABLE IF EXISTS $assignTable")
     }
