@@ -24,6 +24,7 @@ object SparkEntry {
     "backfill_scan_inlist" -> (Relational.backfillScanInList _),
     "count_keystores"    -> (Relational.countKeystores _),
     "count_per_merchant" -> (Relational.countPerMerchant _),
+    "numeric_moments"    -> ((s: SparkSession, d: String) => Aggregates.numericMoments(s, d)),
     "keystore_in_list"   -> (Relational.keystoreInList _),
     "backfill_join"      -> (Relational.backfillJoin _),
     "bloom_join_prune"   -> (Relational.bloomJoinPrune _),
@@ -2362,6 +2363,29 @@ object SparkEntry {
                JOIN puf u2 ON split_part(b.bigram, ' ', 2) = u2.token
                WHERE b.pair_cnt >= 5) CROSS JOIN ptot
          ORDER BY pair_cnt DESC, pmi DESC, bigram LIMIT 50""",
+    // moments/corr from decimal-exact sums, scalars in one identically-
+    // associated double expression (the anomaly_hours discipline)
+    "numeric_moments" ->
+      """WITH mo AS (
+           SELECT l_returnflag,
+                  CAST(count(*) AS BIGINT) AS n,
+                  CAST(sum(CAST(l_quantity AS DECIMAL(38,18))) AS DOUBLE) AS sq,
+                  CAST(sum(CAST(l_extendedprice AS DECIMAL(38,18))) AS DOUBLE) AS sp,
+                  CAST(sum(CAST(l_quantity * l_quantity AS DECIMAL(38,18))) AS DOUBLE) AS sqq,
+                  CAST(sum(CAST(l_extendedprice * l_extendedprice AS DECIMAL(38,18))) AS DOUBLE) AS spp,
+                  CAST(sum(CAST(l_quantity * l_extendedprice AS DECIMAL(38,18))) AS DOUBLE) AS sqp
+           FROM lineitem GROUP BY 1)
+         SELECT l_returnflag, n,
+                round(sq / n, 6) AS mean_qty,
+                round(sqrt((n * sqq - sq * sq) / (n * (n - 1))), 6)
+                  AS stddev_qty,
+                round(sp / n, 6) AS mean_price,
+                round(sqrt((n * spp - sp * sp) / (n * (n - 1))), 6)
+                  AS stddev_price,
+                round((n * sqp - sq * sp) /
+                  sqrt((n * sqq - sq * sq) * (n * spp - sp * sp)), 6)
+                  AS corr_qty_price
+         FROM mo ORDER BY l_returnflag""",
     "source_quota" ->
       """SELECT doc_id, source, pick_key, rn <= 30 AS kept FROM (
            SELECT doc_id, source, md5(text) AS pick_key,

@@ -214,4 +214,41 @@ object Aggregates {
       .withColumn("is_anomaly", abs(col("z")) > 2.0)
       .orderBy("ws", "event_type")
   }
+
+  /** Grouped statistical MOMENTS + correlation — the descriptive-stats
+    * aggregate family (mean/stddev/corr) done the only way that is
+    * hash-stable across engines AND across shuffle orders: every
+    * aggregate is a DECIMAL(38,18)-exact moment sum (the per-row
+    * double products are IEEE-deterministic, the decimal fold is
+    * order-free), and the mean/stddev/corr scalars derive from those
+    * sums in ONE double expression written with identical association
+    * on both engines. The naive `stddev`/`corr` built-ins fold doubles
+    * in partition order — same-engine re-runs can hash-differ, let
+    * alone DuckDB vs Spark (the [[anomalyHours]] pattern, extended to
+    * second cross-moments). One hash aggregate, map-side combined. */
+  def numericMoments(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables.load(spark, dir, "lineitem")
+    def dsum(c: org.apache.spark.sql.Column) =
+      sum(c.cast("decimal(38,18)")).cast("double")
+    li.groupBy("l_returnflag")
+      .agg(
+        count(lit(1)).as("n"),
+        dsum(col("l_quantity")).as("sq"),
+        dsum(col("l_extendedprice")).as("sp"),
+        dsum(col("l_quantity") * col("l_quantity")).as("sqq"),
+        dsum(col("l_extendedprice") * col("l_extendedprice")).as("spp"),
+        dsum(col("l_quantity") * col("l_extendedprice")).as("sqp"))
+      .select(col("l_returnflag"), col("n"),
+        round(col("sq") / col("n"), 6).as("mean_qty"),
+        round(sqrt((col("n") * col("sqq") - col("sq") * col("sq")) /
+          (col("n") * (col("n") - lit(1)))), 6).as("stddev_qty"),
+        round(col("sp") / col("n"), 6).as("mean_price"),
+        round(sqrt((col("n") * col("spp") - col("sp") * col("sp")) /
+          (col("n") * (col("n") - lit(1)))), 6).as("stddev_price"),
+        round((col("n") * col("sqp") - col("sq") * col("sp")) /
+          sqrt((col("n") * col("sqq") - col("sq") * col("sq")) *
+            (col("n") * col("spp") - col("sp") * col("sp"))), 6)
+          .as("corr_qty_price"))
+      .orderBy("l_returnflag")
+  }
 }

@@ -32,6 +32,31 @@ class CoreSpec extends AnyFunSuite {
     assert(s <= n && a + active96 == n)
   }
 
+  test("numericMoments agrees with Spark's built-in stddev/corr within " +
+      "float tolerance and stays in range") {
+    import org.apache.spark.sql.functions._
+    val got = graft.operators.Aggregates
+      .numericMoments(spark, TestSpark.sf).collect()
+      .map(r => r.getAs[String]("l_returnflag") ->
+        (r.getAs[Double]("stddev_qty"), r.getAs[Double]("corr_qty_price")))
+      .toMap
+    assert(got.nonEmpty)
+    // independent check: the order-dependent built-ins land within
+    // float noise of the decimal-exact moment derivation
+    val ref = Tables.load(spark, TestSpark.sf, "lineitem")
+      .groupBy("l_returnflag")
+      .agg(stddev_samp(col("l_quantity")).as("sd"),
+        corr(col("l_quantity"), col("l_extendedprice")).as("co"))
+      .collect()
+      .map(r => r.getString(0) -> (r.getDouble(1), r.getDouble(2))).toMap
+    got.foreach { case (flag, (sd, co)) =>
+      assert(co >= -1.0 && co <= 1.0 && sd > 0.0)
+      val (rsd, rco) = ref(flag)
+      assert(math.abs(sd - rsd) < 1e-6 && math.abs(co - rco) < 1e-6,
+        s"$flag: ($sd,$co) vs built-in ($rsd,$rco)")
+    }
+  }
+
   test("pagination window returns exactly page rows with dense rn") {
     val rows = Relational.paginationWindow(spark, sf).collect()
     assert(rows.length == 100)
