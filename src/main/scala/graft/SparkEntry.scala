@@ -124,6 +124,7 @@ object SparkEntry {
       TextAnalysis.qualityQuantileFilter(s, d)),
     "text_term_freq"     -> (TextAnalysis.termFrequencies _),
     "approx_top_terms"   -> ((s: SparkSession, d: String) => TextAnalysis.approxTopTerms(s, d)),
+    "count_min_freq"     -> ((s: SparkSession, d: String) => TextAnalysis.countMinFreq(s, d)),
     "text_fingerprint"   -> (TextAnalysis.fingerprints _),
     "inverted_index"     -> ((s: SparkSession, d: String) => Retrieval.invertedIndex(s, d)),
     "bm25_search"        -> ((s: SparkSession, d: String) => Retrieval.bm25Search(s, d)),
@@ -1618,6 +1619,26 @@ object SparkEntry {
            FROM documents)
          GROUP BY token
          ORDER BY freq DESC, token LIMIT 50""",
+    // count-min replayed exactly: same md5-derived buckets, same
+    // (d x w) counter aggregate, min over depth per probe token
+    "count_min_freq" ->
+      s"""WITH cmt AS (
+           SELECT unnest(list_filter(string_split_regex(lower(text), '\\s+'),
+             t -> len(t) > 0)) AS token
+           FROM documents),
+         cm AS (SELECT d, ${dH60("'cm'||d||':'||token")} % 256 AS b,
+                       count(*) AS c
+                FROM cmt CROSS JOIN range(0, 4) t(d) GROUP BY 1, 2),
+         pr AS (SELECT token, count(*) AS freq FROM cmt GROUP BY 1
+                ORDER BY freq DESC, token LIMIT 30),
+         est AS (SELECT pr.token, pr.freq, min(cm.c) AS est
+                 FROM pr CROSS JOIN range(0, 4) t(d)
+                 JOIN cm ON cm.d = t.d
+                   AND cm.b = ${dH60("'cm'||t.d||':'||pr.token")} % 256
+                 GROUP BY 1, 2)
+         SELECT token, freq, CAST(est AS BIGINT) AS est,
+                CAST(est - freq AS BIGINT) AS overestimate
+         FROM est ORDER BY freq DESC, token""",
     "text_fingerprint" ->
       s"""WITH toks AS (SELECT doc_id, $dToks AS ts FROM documents)
          SELECT doc_id,

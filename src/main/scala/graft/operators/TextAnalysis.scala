@@ -459,6 +459,47 @@ object TextAnalysis {
       .select(col("e.item").as("token"), col("e.count").as("freq"))
       .orderBy(col("freq").desc, col("token"))
 
+  /** COUNT-MIN frequency sketch — the sketch family's frequency
+    * member (Cormode & Muthukrishnan 2005), built the honest
+    * distributed way: the sketch IS a (depth × width) counter table
+    * produced by ONE hash aggregate over the token stream replicated
+    * `depth` ways (4·n narrow rows in, d·w counter rows out — map-side
+    * combined, the counter table is the bounded artifact a streaming
+    * heavy-hitter pipeline merges across shards by simple addition).
+    * Estimates: each probe token reads its `depth` buckets and takes
+    * the min — CM never underestimates, so `est >= freq` is a hard
+    * invariant the spec and the oracle both see. Probes are the top-30
+    * true-frequency tokens (the heavy hitters the sketch exists for);
+    * hashes are the cross-engine md5-derived hash60, so DuckDB replays
+    * the whole sketch bit-exactly. */
+  def countMinFreq(spark: SparkSession, dir: String, depth: Int = 4,
+      width: Int = 256, topN: Int = 30): DataFrame = {
+    import graft.functions.Hash60.hash60
+    val toks = Tables.load(spark, dir, "documents")
+      .select(explode(T.tokens(col("text"))).as("token"))
+    def bucket(d: org.apache.spark.sql.Column,
+        tok: org.apache.spark.sql.Column) =
+      pmod(hash60(concat(lit("cm"), d.cast("string"), lit(":"), tok)),
+        lit(width.toLong))
+    val cm = toks
+      .select(col("token"),
+        explode(sequence(lit(0), lit(depth - 1))).as("d"))
+      .groupBy(col("d"), bucket(col("d"), col("token")).as("b"))
+      .agg(count(lit(1)).as("c"))
+    val probes = toks.groupBy("token").agg(count(lit(1)).as("freq"))
+      .orderBy(col("freq").desc, col("token")).limit(topN)
+    probes
+      .select(col("token"), col("freq"),
+        explode(sequence(lit(0), lit(depth - 1))).as("d"))
+      .withColumn("b", bucket(col("d"), col("token")))
+      .join(cm, Seq("d", "b"))
+      .groupBy("token", "freq")
+      .agg(min(col("c")).as("est"))
+      .select(col("token"), col("freq"), col("est"),
+        (col("est") - col("freq")).as("overestimate"))
+      .orderBy(col("freq").desc, col("token"))
+  }
+
   /** PII redaction — the scrub-before-training corpus step: emails,
     * IPv4s and phone-ish digit runs replaced by typed placeholder
     * tokens (in that order — the chain is deterministic), with

@@ -10,6 +10,26 @@ class SketchSpec extends AnyFunSuite {
   lazy val spark = TestSpark.spark
   val sf = TestSpark.sf
 
+  test("countMinFreq: estimates never underestimate, probes are the " +
+      "true heavy hitters, and a wider sketch only tightens") {
+    val rows = graft.operators.TextAnalysis
+      .countMinFreq(spark, TestSpark.sf).collect()
+      .map(r => (r.getAs[String]("token"), r.getAs[Long]("freq"),
+        r.getAs[Long]("est"), r.getAs[Long]("overestimate")))
+    assert(rows.length == 30)
+    rows.foreach { case (t, f, e, o) =>
+      assert(e >= f && o == e - f, s"CM underestimated '$t'")
+    }
+    // monotonicity in width: more buckets -> fewer collisions -> the
+    // per-token estimate can only stay or drop
+    val wide = graft.operators.TextAnalysis
+      .countMinFreq(spark, TestSpark.sf, width = 4096).collect()
+      .map(r => r.getAs[String]("token") -> r.getAs[Long]("est")).toMap
+    rows.foreach { case (t, _, e, _) =>
+      assert(wide(t) <= e, s"wider sketch worsened '$t'")
+    }
+  }
+
   test("bloom filter: no false negatives, bounded false positives") {
     val keys = (0L until 5000L).map(_ * 7 + 3)
     val f = GraftBloom.create(keys, fpp = 0.01)
