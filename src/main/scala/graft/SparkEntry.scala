@@ -24,7 +24,7 @@ object SparkEntry {
     "backfill_scan_inlist" -> (Relational.backfillScanInList _),
     "count_keystores"    -> (Relational.countKeystores _),
     "count_per_merchant" -> (Relational.countPerMerchant _),
-    "numeric_moments"    -> ((s: SparkSession, d: String) => Aggregates.numericMoments(s, d)),
+    "numeric_moments"    -> (Aggregates.numericMoments _),
     "keystore_in_list"   -> (Relational.keystoreInList _),
     "backfill_join"      -> (Relational.backfillJoin _),
     "bloom_join_prune"   -> (Relational.bloomJoinPrune _),
@@ -1622,10 +1622,7 @@ object SparkEntry {
     // count-min replayed exactly: same md5-derived buckets, same
     // (d x w) counter aggregate, min over depth per probe token
     "count_min_freq" ->
-      s"""WITH cmt AS (
-           SELECT unnest(list_filter(string_split_regex(lower(text), '\\s+'),
-             t -> len(t) > 0)) AS token
-           FROM documents),
+      s"""WITH cmt AS (SELECT unnest($dToks) AS token FROM documents),
          cm AS (SELECT d, ${dH60("'cm'||d||':'||token")} % 256 AS b,
                        count(*) AS c
                 FROM cmt CROSS JOIN range(0, 4) t(d) GROUP BY 1, 2),

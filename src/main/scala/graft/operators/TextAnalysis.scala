@@ -475,18 +475,23 @@ object TextAnalysis {
   def countMinFreq(spark: SparkSession, dir: String, depth: Int = 4,
       width: Int = 256, topN: Int = 30): DataFrame = {
     import graft.functions.Hash60.hash60
-    val toks = Tables.load(spark, dir, "documents")
+    // ONE corpus tokenize: the per-token count relation feeds both the
+    // sketch (counter = SUM of member-token frequencies — identical to
+    // counting raw occurrences, but the depth-replication fans out over
+    // vocabulary rows, not corpus rows) and the heavy-hitter probes
+    val tokCounts = Tables.load(spark, dir, "documents")
       .select(explode(T.tokens(col("text"))).as("token"))
+      .groupBy("token").agg(count(lit(1)).as("freq"))
     def bucket(d: org.apache.spark.sql.Column,
         tok: org.apache.spark.sql.Column) =
       pmod(hash60(concat(lit("cm"), d.cast("string"), lit(":"), tok)),
         lit(width.toLong))
-    val cm = toks
-      .select(col("token"),
+    val cm = tokCounts
+      .select(col("token"), col("freq"),
         explode(sequence(lit(0), lit(depth - 1))).as("d"))
       .groupBy(col("d"), bucket(col("d"), col("token")).as("b"))
-      .agg(count(lit(1)).as("c"))
-    val probes = toks.groupBy("token").agg(count(lit(1)).as("freq"))
+      .agg(sum(col("freq")).as("c"))
+    val probes = tokCounts
       .orderBy(col("freq").desc, col("token")).limit(topN)
     probes
       .select(col("token"), col("freq"),
