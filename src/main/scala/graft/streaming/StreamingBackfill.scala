@@ -649,6 +649,24 @@ object StreamingBackfill {
     dirs.foreach(d => deleteRec(new java.io.File(d)))
   }
 
+  /** Next delta seq for the graph store: one past the max committed
+    * seq. The store's generations must be MONOTONE IN WRITE ORDER
+    * regardless of which loop writes: a fixed per-loop seq domain
+    * (batchId for ingest, 2^40+id for churn) breaks the moment an
+    * ingest batch touches a vector a churn repair already rewrote —
+    * the fold computes the right rows from the served base, then its
+    * delta LOSES the latest-wins race to the older churn generation
+    * and the new vector's edges silently vanish for that query.
+    * Replay stays idempotent by the marker protocol (a skipped batch
+    * never reads this), and a crash-redo recomputes against the same
+    * committed state it re-reads as base. */
+  private def nextGraphSeq(spark: SparkSession, graphDir: String): Long = {
+    val dirs = committedDeltas(graphDir)
+    if (dirs.isEmpty) 0L
+    else spark.read.parquet(dirs: _*)
+      .agg(max(col("seq"))).head().getLong(0) + 1L
+  }
+
   private def deleteRec(f: java.io.File): Unit = {
     if (f.isDirectory) f.listFiles().foreach(deleteRec)
     f.delete(); ()
@@ -724,7 +742,7 @@ object StreamingBackfill {
               oldIdx.unionByName(batchIdx),
               Similarity.withProbes(newQ, cents, nprobe), k)
             remerged.unionByName(newEdges)
-              .withColumn("seq", lit(id))
+              .withColumn("seq", lit(nextGraphSeq(s, graphDir)))
               .write.mode("overwrite").parquet(deltaDir.getAbsolutePath)
             marker.createNewFile()
             ()
@@ -770,12 +788,13 @@ object StreamingBackfill {
     *     against the churned index — the affected set is bounded by
     *     the batch's reverse degree (≤ n_del·k), never the corpus;
     *  3. the delta (repaired rows + sentinels) commits under a `_done`
-    *     marker with `seq = seqBase + batchId` — the churn seq domain
-    *     (2^40) outranks every ingest batchId, so a churn stream
-    *     restarting its ids at 0 can never lose the latest-wins race
-    *     to earlier ingest deltas (the same domain-split as
-    *     [[churnIngestLoop]]); replay skips on the marker like the
-    *     ingest loop.
+    *     marker with a MONOTONE store seq ([[nextGraphSeq]] — one past
+    *     the max committed generation, so any later write from EITHER
+    *     loop supersedes; a fixed churn domain would instead doom
+    *     every subsequent ingest fold that touches a repaired vector);
+    *     the assignment-index tombstones still ride the 2^40 churn
+    *     domain of [[churnIngestLoop]]. Replay skips on the marker
+    *     like the ingest loop.
     *
     * StreamingSpec pins the end state hash-equal to the batch
     * [[graft.operators.Similarity.knnGraphChurn]] — a fresh build over
@@ -792,13 +811,15 @@ object StreamingBackfill {
       .foreachBatch { (batch: org.apache.spark.sql.Dataset[Row], id: Long) =>
         if (!batch.isEmpty) {
           val s = batch.sparkSession
-          val seq = seqBase + id
           val vecs = Similarity.vectorsOf(batch.toDF())
           val delIdx = Memo.scratch(s, s"graph_del_$id")(
             Similarity.assignVectors(vecs, centroids)
               .select("c_id", "vec_id", "v", "nrm"))
           s.sql(s"REFRESH TABLE $assignIndexTable")
-          IndexChurn.append(s, assignIndexTable, delIdx, "D", seq,
+          // the ASSIGNMENT index keeps the 2^40 churn seq domain (its
+          // grow side appends at raw batch ids); the GRAPH delta seq
+          // is monotone per store — see nextGraphSeq
+          IndexChurn.append(s, assignIndexTable, delIdx, "D", seqBase + id,
             Seq("c_id"), buckets)
           val deltaDir = new java.io.File(s"$graphDir/churn_id=$id")
           val marker = new java.io.File(deltaDir, "_done")
@@ -828,7 +849,7 @@ object StreamingBackfill {
             val repaired = Similarity.scoreTopK(servedIdx,
               Similarity.withProbes(affQ, cents, nprobe), k)
             repaired.unionByName(gone)
-              .withColumn("seq", lit(seq))
+              .withColumn("seq", lit(nextGraphSeq(s, graphDir)))
               .write.mode("overwrite").parquet(deltaDir.getAbsolutePath)
             marker.createNewFile()
             ()
