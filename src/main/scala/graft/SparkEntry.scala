@@ -155,6 +155,7 @@ object SparkEntry {
     "contamination"      -> (Sampling.contamination _),
     "contamination_ngram" -> ((s: SparkSession, d: String) => Sampling.contaminationNgram(s, d)),
     "contamination_bloom" -> ((s: SparkSession, d: String) => Sampling.contaminationBloom(s, d)),
+    "stratified_split"   -> (Sampling.stratifiedSplit _),
     "unigram_logprob"    -> (TextAnalysis.unigramLogprob _),
     "bigram_logprob"     -> (TextAnalysis.bigramLogprob _),
     "phrase_pmi"         -> ((s: SparkSession, d: String) => TextAnalysis.phrasePmi(s, d)),
@@ -2404,6 +2405,21 @@ object SparkEntry {
                   sqrt((n * sqq - sq * sq) * (n * spp - sp * sp)), 6)
                   AS corr_qty_price
          FROM mo ORDER BY l_returnflag""",
+    // stratified split: exact per-language cuts on the total
+    // (hash, doc_id) order, integer division on both engines
+    "stratified_split" ->
+      s"""WITH sd AS (SELECT doc_id, lang,
+                  ${dH60("'split:'||doc_id")} AS h FROM documents),
+         sr AS (SELECT doc_id, lang,
+                  CAST(row_number() OVER (PARTITION BY lang
+                    ORDER BY h, doc_id) AS BIGINT) AS r,
+                  CAST(count(*) OVER (PARTITION BY lang) AS BIGINT) AS n
+                FROM sd)
+         SELECT doc_id, lang,
+                CASE WHEN r <= (n * 90) // 100 THEN 'train'
+                     WHEN r <= (n * 95) // 100 THEN 'val'
+                     ELSE 'test' END AS split
+         FROM sr ORDER BY doc_id""",
     "source_quota" ->
       """SELECT doc_id, source, pick_key, rn <= 30 AS kept FROM (
            SELECT doc_id, source, md5(text) AS pick_key,

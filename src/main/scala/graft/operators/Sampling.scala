@@ -58,6 +58,34 @@ object Sampling {
       .orderBy("doc_id")
   }
 
+  /** STRATIFIED 90/5/5 split — exact per-language proportions where
+    * [[trainSplit]]'s global hash gives only expected ones: within each
+    * language, rank by the content-free split hash (doc_id tiebreak —
+    * a TOTAL order, so the cuts are exact with no tie machinery) and
+    * cut at (n·90)//100 and (n·95)//100. Small-language eval splits are
+    * the point: a 40-doc language gets exactly 36/2/2 instead of a
+    * coin-flip 40/0/0. Edits still never move a document (the rank key
+    * hashes the id, not the text). The window partitions by language —
+    * at extreme per-language sizes the rank-threshold machinery of
+    * `quality_quantile_filter` is the documented window-free
+    * alternative; integer cuts are written with integer division on
+    * both engines. */
+  def stratifiedSplit(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("lang")
+      .orderBy(col("h"), col("doc_id"))
+    Tables.load(spark, dir, "documents")
+      .select(col("doc_id"), col("lang"),
+        hash60(concat(lit("split:"), col("doc_id").cast("string"))).as("h"))
+      .withColumn("r", row_number().over(w).cast("long"))
+      .withColumn("n",
+        count(lit(1)).over(Window.partitionBy("lang")))
+      .select(col("doc_id"), col("lang"),
+        when(col("r") <= expr("(n * 90) div 100"), "train")
+          .when(col("r") <= expr("(n * 95) div 100"), "val")
+          .otherwise("test").as("split"))
+      .orderBy("doc_id")
+  }
+
   /** Eval-contamination check: near-duplicate pairs that CROSS the
     * train/val/test boundary — a test doc near-dup to a train doc
     * leaks the benchmark into training. Composes the MinHash/LSH pair

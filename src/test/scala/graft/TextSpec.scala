@@ -374,6 +374,25 @@ class TextSpec extends AnyFunSuite {
       "labels missing for a served cluster (or labeling a ghost one)")
   }
 
+  test("stratifiedSplit: exact per-language 90/5/5 cuts") {
+    val rows = graft.operators.Sampling
+      .stratifiedSplit(spark, TestSpark.sf).collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[String]("lang"),
+        r.getAs[String]("split")))
+    assert(rows.nonEmpty)
+    rows.groupBy(_._2).foreach { case (lang, g) =>
+      val n = g.length.toLong
+      val want = Map("train" -> n * 90 / 100,
+        "val" -> (n * 95 / 100 - n * 90 / 100),
+        "test" -> (n - n * 95 / 100))
+      val got = g.groupBy(_._3).view.mapValues(_.length.toLong).toMap
+      want.foreach { case (k, v) =>
+        assert(got.getOrElse(k, 0L) == v,
+          s"$lang: $k got ${got.getOrElse(k, 0L)} want $v (n=$n)")
+      }
+    }
+  }
+
   test("contaminationBloom: row-identical to the exact operator, and the " +
       "eval side actually rides the bloom screen") {
     def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
