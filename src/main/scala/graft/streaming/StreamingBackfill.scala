@@ -86,7 +86,6 @@ object StreamingBackfill {
       : DataFrame = {
     import spark.implicits._
     import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
-    case class In(user_id: Long, event_id: Long, value: Double)
     val typed = events.select(col("user_id"), col("event_id"), col("value"))
       .as[(Long, Long, Double)]
     typed.groupByKey(_._1)
@@ -121,7 +120,12 @@ object StreamingBackfill {
 
   /** Streaming exact-dedup with watermarked state eviction: duplicates
     * within the watermark horizon are dropped, state for expired event
-    * times is reclaimed — the streaming twin of Dedup.exactByKey. */
+    * times is reclaimed. FIRST-ARRIVAL-wins semantics — the contract
+    * `dropDuplicatesWithinWatermark` offers (a stream cannot wait to
+    * learn a smaller (ts, event_id) may still arrive); the batch
+    * Dedup.exactByKey keeps min-(ts, event_id) instead, so the two
+    * agree only on arrival-ordered input. The spec accordingly pins
+    * the count bound, not row equality. */
   def dedupStream(events: DataFrame): DataFrame =
     events
       .withWatermark("ts", "1 hour")
@@ -227,28 +231,52 @@ object StreamingBackfill {
   def ingestDedupLoop(spark: SparkSession, newDocs: DataFrame,
       corpusDir: String, indexTable: String, outDir: String,
       threshold: Double = 0.5): Unit = {
-    import graft.operators.{Dedup, Memo}
-    import graft.sources.Bucketing
     val q = newDocs.writeStream
       .outputMode("append")
       .foreachBatch { (batch: org.apache.spark.sql.Dataset[Row], id: Long) =>
         if (!batch.isEmpty) {
           val s = batch.sparkSession
-          val bands = Memo.scratch(s, s"ingest_bands_$id")(
-            Dedup.minhashBandsPerRow(batch.toDF()))
-          val cand = Memo.scratch(s, s"ingest_cand_$id")(
-            Bucketing.incrementalProbeColocated(s, bands, indexTable)
-              .withColumnRenamed("doc_id", "new_id").distinct())
-          Dedup.verifyCandidatesFrom(cand, batch.toDF(),
-              corpusDocs(s, corpusDir), threshold)
-            .write.mode("overwrite").parquet(s"$outDir/batch_id=$id")
-          growCorpus(s, corpusDir, indexTable, batch.toDF(), bands, id)
+          applyDedupScreenBatch(s, batch.toDF(), id, "ingest",
+            corpusDir, indexTable, outDir, threshold)
+          ()
         }
       }
       .trigger(Trigger.ProcessingTime(0))
       .start()
     q.processAllAvailable()
     q.stop()
+  }
+
+  /** One microbatch's dedup screen + store/index growth — the SHARED
+    * foreachBatch body of [[ingestDedupLoop]] and [[fullIngestLoop]]
+    * (one definition, like [[appendPostingsBatch]], so a fix applies
+    * once). The `new_id =!= corpus_id` filter is the REPLAY guard: an
+    * at-least-once redelivered batch finds its own prior copy in the
+    * corpus store and band index (growCorpus already committed), and
+    * without the filter every doc would collide with itself at
+    * jaccard 1.0 — the rewritten report would flag the whole batch as
+    * duplicates of their own earlier copies (the same self-match case
+    * [[graft.operators.Similarity.semanticScreenFrom]] filters with
+    * `vec_id =!= q_id`). Returns the batch's bands so the full loop
+    * can reuse them. */
+  private def applyDedupScreenBatch(s: SparkSession, docs: DataFrame,
+      id: Long, scratchPrefix: String, corpusDir: String,
+      bandIndexTable: String, outDir: String,
+      threshold: Double): DataFrame = {
+    import graft.operators.{Dedup, Memo}
+    import graft.sources.Bucketing
+    val bands = Memo.scratch(s, s"${scratchPrefix}_bands_$id")(
+      Dedup.minhashBandsPerRow(docs))
+    val cand = Memo.scratch(s, s"${scratchPrefix}_cand_$id")(
+      Bucketing.incrementalProbeColocated(s, bands, bandIndexTable)
+        .withColumnRenamed("doc_id", "new_id")
+        .filter(col("new_id") =!= col("corpus_id"))
+        .distinct())
+    Dedup.verifyCandidatesFrom(cand, docs,
+        corpusDocs(s, corpusDir), threshold)
+      .write.mode("overwrite").parquet(s"$outDir/batch_id=$id")
+    growCorpus(s, corpusDir, bandIndexTable, docs, bands, id)
+    bands
   }
 
   /** Replay-idempotent corpus-store + band-index growth for one ingest
@@ -373,23 +401,27 @@ object StreamingBackfill {
         if (!batch.isEmpty) {
           val s = batch.sparkSession
           val docs = batch.toDF()
-          val bands = Memo.scratch(s, s"full_bands_$id")(
-            Dedup.minhashBandsPerRow(docs))
-          val cand = Memo.scratch(s, s"full_cand_$id")(
-            Bucketing.incrementalProbeColocated(s, bands, bandIndexTable)
-              .withColumnRenamed("doc_id", "new_id").distinct())
-          Dedup.verifyCandidatesFrom(cand, docs,
-              corpusDocs(s, corpusDir), threshold)
-            .write.mode("overwrite").parquet(s"$outDir/batch_id=$id")
-          growCorpus(s, corpusDir, bandIndexTable, docs, bands, id)
+          applyDedupScreenBatch(s, docs, id, "full",
+            corpusDir, bandIndexTable, outDir, threshold)
           appendPostingsBatch(s, postingsIndexTable, docs, id, buckets)
-          val vecs = embedder(docs)
+          // the embedder (the embedding model in production) runs ONCE:
+          // uncached, the screen write and the index append would each
+          // re-execute it — the most expensive step of the loop
+          val vecs = Memo.scratch(s, s"full_vecs_$id")(embedder(docs))
           // REFRESH first: the index pre-dates this stream (another
           // session built it), and the clone session's relation cache
           // would otherwise miss its files — see IndexChurn.compact
           s.sql(s"REFRESH TABLE $assignIndexTable")
+          // screen against the corpus EXCLUDING this batch's own ids:
+          // batch-mode at-ingest semantics (the probe sees the corpus
+          // as of before the batch), and the REPLAY guard — after a
+          // crash between the append and the checkpoint commit, the
+          // serve view already holds the batch, and without the
+          // anti-join two within-batch near-dups would reject each
+          // other on redelivery, flipping their reported verdicts
           Similarity.semanticScreenFrom(vecs,
-              IndexChurn.served(s, assignIndexTable, Seq("c_id", "vec_id")),
+              IndexChurn.served(s, assignIndexTable, Seq("c_id", "vec_id"))
+                .join(vecs.select("vec_id"), Seq("vec_id"), "left_anti"),
               centroids, simThreshold)
             .write.mode("overwrite").parquet(s"$outDir/semscreen/batch_id=$id")
           IndexChurn.append(s, assignIndexTable,
@@ -579,12 +611,27 @@ object StreamingBackfill {
       .select(col("q_id"), col("rk"), col("vec_id"),
         round(col("score"), 6).as("cos"))
 
-  private def committedDeltas(graphDir: String): Seq[String] = {
-    val root = new java.io.File(graphDir)
-    if (!root.isDirectory) Seq.empty
-    else root.listFiles().toSeq
-      .filter(d => d.isDirectory && new java.io.File(d, "_done").exists())
-      .map(_.getAbsolutePath).sorted
+  // The graph-store protocol runs on the HADOOP filesystem API (resolved
+  // from the path's scheme), never java.io.File: the parquet deltas are
+  // written through Spark's Hadoop FS, so on a cluster whose graphDir is
+  // hdfs://S3a:// a local-disk marker protocol would silently diverge —
+  // committedDeltas would list nothing and every batch would re-fold
+  // against an empty base. growCorpus set this precedent for its band
+  // marker.
+  private def graphFs(spark: SparkSession, graphDir: String)
+      : (org.apache.hadoop.fs.FileSystem, org.apache.hadoop.fs.Path) = {
+    val root = new org.apache.hadoop.fs.Path(graphDir)
+    (root.getFileSystem(spark.sparkContext.hadoopConfiguration), root)
+  }
+
+  private def committedDeltas(spark: SparkSession,
+      graphDir: String): Seq[String] = {
+    val (fs, root) = graphFs(spark, graphDir)
+    if (!fs.exists(root)) Seq.empty
+    else fs.listStatus(root).toSeq
+      .filter(st => st.isDirectory &&
+        fs.exists(new org.apache.hadoop.fs.Path(st.getPath, "_done")))
+      .map(_.getPath.toString).sorted
   }
 
   /** Latest generation per q_id, sentinels INCLUDED (the churn loop's
@@ -602,18 +649,21 @@ object StreamingBackfill {
     d.join(latest, Seq("q_id", "seq"))
   }
 
+  private def emptyGraph(spark: SparkSession): DataFrame =
+    spark.createDataFrame(spark.sparkContext.emptyRDD[Row],
+      StructType(Seq(StructField("q_id", LongType),
+        StructField("rk", LongType), StructField("vec_id", LongType),
+        StructField("score", DoubleType))))
+
+  private def servedFromDirs(spark: SparkSession,
+      dirs: Seq[String]): DataFrame =
+    if (dirs.isEmpty) emptyGraph(spark)
+    else latestWins(spark.read.parquet(dirs: _*))
+      .filter(col("rk") > 0).drop("seq")
+
   private[graft] def servedGraphRaw(spark: SparkSession,
-      graphDir: String): DataFrame = {
-    val dirs = committedDeltas(graphDir)
-    if (dirs.isEmpty)
-      spark.createDataFrame(spark.sparkContext.emptyRDD[Row],
-        StructType(Seq(StructField("q_id", LongType),
-          StructField("rk", LongType), StructField("vec_id", LongType),
-          StructField("score", DoubleType))))
-    else
-      latestWins(spark.read.parquet(dirs: _*))
-        .filter(col("rk") > 0).drop("seq")
-  }
+      graphDir: String): DataFrame =
+    servedFromDirs(spark, committedDeltas(spark, graphDir))
 
   /** Fold the graph store's committed deltas into ONE — the debt-
     * bounding compaction tick of the graph lifecycle (the store
@@ -627,26 +677,32 @@ object StreamingBackfill {
     * post-compaction run restarting ids at 0 would no longer find its
     * markers — same contract as every batch-keyed store here). */
   def compactGraph(spark: SparkSession, graphDir: String): Unit = {
-    val dirs = committedDeltas(graphDir)
+    val (fs, _) = graphFs(spark, graphDir)
+    val dirs = committedDeltas(spark, graphDir)
     if (dirs.length <= 1) return
     val winners = latestWins(spark.read.parquet(dirs: _*))
-    val maxSeq = winners.agg(max(col("seq"))).head().getLong(0)
+    // all-empty stores have no max seq — name under 0, fold anyway
+    // (the result is one empty committed delta, the folded form)
+    val maxSeq = Option(winners.agg(max(col("seq"))).head().get(0))
+      .map(_.asInstanceOf[Long]).getOrElse(0L)
     // the target must be a FRESH directory, never one of the inputs: a
-    // second compaction can see the SAME maxSeq (churn seqs outrank
-    // every later ingest id), and deleting an input dir before the
-    // lazy `winners` plan re-reads it would crash the write AND
-    // destroy the only copy of the previously-compacted rows. A
-    // deterministic suffix probe finds an unused name; a leftover
-    // unmarked dir from a crashed attempt is invisible to the serve
-    // (no `_done`) and safe to clear.
+    // repeat compaction can see the SAME maxSeq (a later batch may not
+    // have raised it), and deleting an input dir before the lazy
+    // `winners` plan re-reads it would crash the write AND destroy the
+    // only copy of the previously-compacted rows. A deterministic
+    // suffix probe finds an unused name; a leftover unmarked dir from
+    // a crashed attempt is invisible to the serve (no `_done`) and
+    // safe to clear.
     val target = Iterator.from(0)
-      .map(i => new java.io.File(s"$graphDir/compact_${maxSeq}_$i"))
-      .find(f => !new java.io.File(f, "_done").exists())
+      .map(i => new org.apache.hadoop.fs.Path(
+        s"$graphDir/compact_${maxSeq}_$i"))
+      .find(t => !fs.exists(new org.apache.hadoop.fs.Path(t, "_done")))
       .get
-    if (target.exists()) deleteRec(target)
-    winners.write.mode("overwrite").parquet(target.getAbsolutePath)
-    new java.io.File(target, "_done").createNewFile()
-    dirs.foreach(d => deleteRec(new java.io.File(d)))
+    if (fs.exists(target)) fs.delete(target, true)
+    winners.write.mode("overwrite").parquet(target.toString)
+    fs.create(new org.apache.hadoop.fs.Path(target, "_done"), true).close()
+    dirs.foreach(d =>
+      fs.delete(new org.apache.hadoop.fs.Path(d), true))
   }
 
   /** Next delta seq for the graph store: one past the max committed
@@ -660,17 +716,16 @@ object StreamingBackfill {
     * Replay stays idempotent by the marker protocol (a skipped batch
     * never reads this), and a crash-redo recomputes against the same
     * committed state it re-reads as base. */
-  private def nextGraphSeq(spark: SparkSession, graphDir: String): Long = {
-    val dirs = committedDeltas(graphDir)
+  private def nextSeqFromDirs(spark: SparkSession,
+      dirs: Seq[String]): Long =
     if (dirs.isEmpty) 0L
-    else spark.read.parquet(dirs: _*)
-      .agg(max(col("seq"))).head().getLong(0) + 1L
-  }
-
-  private def deleteRec(f: java.io.File): Unit = {
-    if (f.isDirectory) f.listFiles().foreach(deleteRec)
-    f.delete(); ()
-  }
+    else Option(spark.read.parquet(dirs: _*).select("seq")
+        .agg(max(col("seq"))).head().get(0))
+      .map(_.asInstanceOf[Long] + 1L)
+      // committed deltas can all be EMPTY (a first batch whose single
+      // vector has no scorable neighbor writes a schema-only delta) —
+      // max(seq) is then null, and the store's next generation is 0
+      .getOrElse(0L)
 
   /** STREAMING kNN-graph maintenance — the E7 twin for the one corpus
     * artifact that still folded in by batch job only
@@ -687,8 +742,9 @@ object StreamingBackfill {
     *     cells the batch dirtied AND whose artifact k-th score is
     *     beaten re-merge;
     *  3. write ONLY touched + new vectors' rows as a batch DELTA under
-    *     `graphDir/batch_id=<id>` with `seq = batchId`, committed by a
-    *     `_done` marker — [[servedGraph]] resolves latest-wins per
+    *     `graphDir/batch_id=<id>` with a MONOTONE store seq
+    *     ([[nextSeqFromDirs]] — never a per-loop seq domain, see its
+    *     note), committed by a `_done` marker — [[servedGraph]] resolves latest-wins per
     *     q_id, so untouched vectors keep serving from older deltas and
     *     a delta is O(touched + batch), never O(n);
     *  4. append the batch to the churn-schema assignment index — the
@@ -722,10 +778,12 @@ object StreamingBackfill {
           val batchIdx = Memo.scratch(s, s"graph_bidx_$id")(
             Similarity.assignVectors(vecs, centroids)
               .select("c_id", "vec_id", "v", "nrm"))
-          val deltaDir = new java.io.File(s"$graphDir/batch_id=$id")
-          val marker = new java.io.File(deltaDir, "_done")
-          if (!marker.exists()) {
-            if (deltaDir.exists()) deleteRec(deltaDir)
+          val (fs, _) = graphFs(s, graphDir)
+          val deltaDir = new org.apache.hadoop.fs.Path(
+            s"$graphDir/batch_id=$id")
+          val marker = new org.apache.hadoop.fs.Path(deltaDir, "_done")
+          if (!fs.exists(marker)) {
+            if (fs.exists(deltaDir)) fs.delete(deltaDir, true)
             s.sql(s"REFRESH TABLE $assignIndexTable")
             val oldIdx = IndexChurn
               .served(s, assignIndexTable, Seq("c_id", "vec_id"))
@@ -735,16 +793,19 @@ object StreamingBackfill {
               col("v").as("q_v"), col("nrm").as("q_nrm"))
             val newQ = batchIdx.select(col("vec_id").as("q_id"),
               col("v").as("q_v"), col("nrm").as("q_nrm"))
-            val base = servedGraphRaw(s, graphDir)
+            // ONE store listing serves both the fold's base and the next
+            // monotone seq (the seq read is a single-column scan)
+            val dirs = committedDeltas(s, graphDir)
+            val base = servedFromDirs(s, dirs)
             val (_, remerged) = Similarity.graphReverseMerge(
               base, batchIdx, oldQ, cents, k, nprobe)
             val newEdges = Similarity.scoreTopK(
               oldIdx.unionByName(batchIdx),
               Similarity.withProbes(newQ, cents, nprobe), k)
             remerged.unionByName(newEdges)
-              .withColumn("seq", lit(nextGraphSeq(s, graphDir)))
-              .write.mode("overwrite").parquet(deltaDir.getAbsolutePath)
-            marker.createNewFile()
+              .withColumn("seq", lit(nextSeqFromDirs(s, dirs)))
+              .write.mode("overwrite").parquet(deltaDir.toString)
+            fs.create(marker, true).close()
             ()
           }
           IndexChurn.append(s, assignIndexTable, batchIdx, "U", id,
@@ -757,7 +818,7 @@ object StreamingBackfill {
           // relies on markers surviving, which compaction removes —
           // production runs checkpointed, where ids never restart).
           if (compactEvery > 0 &&
-            committedDeltas(graphDir).length >= compactEvery)
+            committedDeltas(s, graphDir).length >= compactEvery)
             compactGraph(s, graphDir)
         }
       }
@@ -788,7 +849,7 @@ object StreamingBackfill {
     *     against the churned index — the affected set is bounded by
     *     the batch's reverse degree (≤ n_del·k), never the corpus;
     *  3. the delta (repaired rows + sentinels) commits under a `_done`
-    *     marker with a MONOTONE store seq ([[nextGraphSeq]] — one past
+    *     marker with a MONOTONE store seq ([[nextSeqFromDirs]] — one past
     *     the max committed generation, so any later write from EITHER
     *     loop supersedes; a fixed churn domain would instead doom
     *     every subsequent ingest fold that touches a repaired vector);
@@ -821,11 +882,14 @@ object StreamingBackfill {
           // is monotone per store — see nextGraphSeq
           IndexChurn.append(s, assignIndexTable, delIdx, "D", seqBase + id,
             Seq("c_id"), buckets)
-          val deltaDir = new java.io.File(s"$graphDir/churn_id=$id")
-          val marker = new java.io.File(deltaDir, "_done")
-          if (!marker.exists()) {
-            if (deltaDir.exists()) deleteRec(deltaDir)
-            val base = servedGraphRaw(s, graphDir)
+          val (fs, _) = graphFs(s, graphDir)
+          val deltaDir = new org.apache.hadoop.fs.Path(
+            s"$graphDir/churn_id=$id")
+          val marker = new org.apache.hadoop.fs.Path(deltaDir, "_done")
+          if (!fs.exists(marker)) {
+            if (fs.exists(deltaDir)) fs.delete(deltaDir, true)
+            val dirs = committedDeltas(s, graphDir)
+            val base = servedFromDirs(s, dirs)
             val delQ = delIdx.select(col("vec_id").as("q_id"))
             // deleted as queries: one sentinel per currently-served q
             val gone = base.join(delQ, Seq("q_id"), "left_semi")
@@ -849,9 +913,9 @@ object StreamingBackfill {
             val repaired = Similarity.scoreTopK(servedIdx,
               Similarity.withProbes(affQ, cents, nprobe), k)
             repaired.unionByName(gone)
-              .withColumn("seq", lit(nextGraphSeq(s, graphDir)))
-              .write.mode("overwrite").parquet(deltaDir.getAbsolutePath)
-            marker.createNewFile()
+              .withColumn("seq", lit(nextSeqFromDirs(s, dirs)))
+              .write.mode("overwrite").parquet(deltaDir.toString)
+            fs.create(marker, true).close()
             ()
           }
         }

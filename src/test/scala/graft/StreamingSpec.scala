@@ -119,6 +119,25 @@ class StreamingSpec extends AnyFunSuite {
       // and the corpus store accreted both batches
       assert(StreamingBackfill.corpusDocs(spark, corpusDir).count() ==
         corpus.count() + 3)
+      // at-least-once REPLAY of the whole stream: the batches' own
+      // earlier copies now sit in the corpus store and band index.
+      // Without the self-pair guard every doc would collide with
+      // ITSELF at jaccard 1.0 (the regression under test); what a
+      // replayed EARLIER batch legitimately does see is LATER batches'
+      // corpus — so batch 0's filler (1010) now also pairs with its
+      // batch-2 near-dup (2000), and the expected reports are exact
+      val stream2 = spark.readStream.schema(Tables.documentsSchema)
+        .option("maxFilesPerTrigger", "1")
+        .option("recursiveFileLookup", "true")
+        .parquet(streamDir)
+      StreamingBackfill.ingestDedupLoop(spark, stream2, corpusDir, table,
+        outDir)
+      assert(pairsOf(0) == Set((1000L, 1L), (1010L, 2000L)),
+        s"replayed batch 0 report wrong (self-pairs?): ${pairsOf(0)}")
+      assert(pairsOf(1) == Set((2000L, 1010L)),
+        s"replayed batch 1 report changed: ${pairsOf(1)}")
+      assert(StreamingBackfill.corpusDocs(spark, corpusDir).count() ==
+        corpus.count() + 3, "replay grew the corpus store")
     } finally spark.sql(s"DROP TABLE IF EXISTS $table")
   }
 
@@ -627,13 +646,18 @@ class StreamingSpec extends AnyFunSuite {
           IndexChurn.served(spark, assignTable, Seq("vec_id")), iters = 2)
         .collect().map(_.toString).toSeq === wantAnn,
         "replayed stream changed the served ANN")
-      // replayed screen reports overwrite batch-keyed: the replayed
-      // batch sees MORE corpus (its own first run's append), but the
-      // verdict for every vector is derived fresh — the report dirs
-      // must still exist and cover the same vectors
-      assert(verdictsAt(0).keySet === want0.keySet &&
-        verdictsAt(1).keySet === want1.keySet,
-        "replayed screen reports lost or gained vectors")
+      // replayed screen reports overwrite batch-keyed. The anti-join
+      // guard keeps a replayed batch from screening against ITSELF
+      // (batch-0's verdicts can no longer flip on its own re-appended
+      // vectors), but batch 0 replayed DOES now see batch 1's corpus —
+      // cross-batch visibility on replay is inherent to redelivery
+      // against later state, so the pin is coverage + batch-1 exact
+      // (batch 1's replay view ⊇ relation is unchanged: base ∪ b1's
+      // own ids removed ∪ b0 = its first-run view)
+      assert(verdictsAt(0).keySet === want0.keySet,
+        "replayed screen report 0 lost or gained vectors")
+      assert(verdictsAt(1) === want1,
+        "replayed batch-1 screen diverged from its first delivery")
     } finally {
       spark.sql(s"DROP TABLE IF EXISTS $bandTable")
       spark.sql(s"DROP TABLE IF EXISTS $postTable")
