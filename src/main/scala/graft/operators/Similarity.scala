@@ -164,20 +164,28 @@ object Similarity {
   /** The IVF probe tail, shared by the one-shot and incremental paths:
     * each query ranks its `nprobe` nearest centroids, then scans only
     * those inverted lists of `assigned` for the exact cosine top-k. */
-  private def probeTopK(assigned: DataFrame, queries: DataFrame,
-      centroids: DataFrame, k: Int, nprobe: Int): DataFrame = {
-    // queries probe their nprobe nearest centroids — a top-nprobe, so a
-    // window stays; it runs over |Q|×C rows (both bounded by design:
-    // the query batch is small, C is fixed), never over n
+  /** Each query's `nprobe` nearest centroids as exploded probe rows —
+    * the ONE definition of probe selection for every bounded-query path
+    * (probeTopK's serve, the at-ingest screen): a top-nprobe window
+    * over |Q|×C rows (both bounded by design — the query set is small,
+    * C fixed), tie-broken (c_cos DESC, c_id) exactly like
+    * [[withProbes]]' literal-codebook form. Factored so a tie-break or
+    * NaN fix can never fork the serve and screening probe sets. */
+  private def probesOf(queries: DataFrame, centroids: DataFrame,
+      nprobe: Int): DataFrame = {
     val wProbe = Window.partitionBy("q_id")
       .orderBy(col("c_cos").desc, col("c_id"))
-    val probes = queries.crossJoin(broadcast(centroids))
+    queries.crossJoin(broadcast(centroids))
       .select(col("q_id"), col("q_v"), col("q_nrm"), col("c_id"),
         (V.dot(col("q_v"), col("c_v")) / (col("q_nrm") * col("c_nrm"))).as("c_cos"))
       .withColumn("crk", row_number().over(wProbe))
       .filter(col("crk") <= nprobe)
       .select(col("q_id"), col("q_v"), col("q_nrm"), col("c_id"))
+  }
 
+  private def probeTopK(assigned: DataFrame, queries: DataFrame,
+      centroids: DataFrame, k: Int, nprobe: Int): DataFrame = {
+    val probes = probesOf(queries, centroids, nprobe)
     // scan only the probed inverted lists
     val w = Window.partitionBy("q_id").orderBy(col("cos").desc, col("vec_id"))
     assigned.join(broadcast(probes), "c_id")
@@ -266,6 +274,13 @@ object Similarity {
     * DECIMAL(38,18) (exact, order-free) and convert to double for ONE
     * IEEE division by the neighbor count — the same mixed fold every
     * Lloyd oracle uses — so `density` is bit-identical in DuckDB. */
+  /** DOMAIN NOTE (also [[knnClassify]]/[[knnCentrality]]/
+    * [[densityPrune]]): rows cover the GRAPH'S QUERY SET — vectors
+    * with at least one scorable candidate in their probed cells. A
+    * zero-degree vector (empty neighboring lists) has no density by
+    * definition and is ABSENT here; a keep-set consumer must union
+    * those back in (they are maximally diverse — exactly what
+    * density pruning keeps). */
   def knnDensity(spark: SparkSession, dir: String, k: Int = 3,
       nprobe: Int = 4, iters: Int = 2): DataFrame =
     Memo.table(spark, dir, s"knn_density_${k}_${nprobe}_$iters") {
@@ -445,7 +460,9 @@ object Similarity {
     scoreTopK(spark.table(table), probes, k)
       .select(col("q_id"), col("rk"), col("vec_id"),
         round(col("score"), 6).as("cos"))
-      .orderBy("q_id", "rk")
+    // no orderBy here: the caller materializes this through the memo
+    // parquet (row order not preserved) and sorts on the read side —
+    // an inner sort would range-shuffle the n·k edges for nothing
   }
 
   /** MAINTAINED kNN graph — the append lifecycle the other index
@@ -602,7 +619,7 @@ object Similarity {
         .select("q_id", "rk", "vec_id", "cos")
       val served = graft.sources.IndexChurn.served(spark,
           graft.sources.Bucketing.ensureChurnedAssignmentIndex(
-            spark, dir, iters), Seq("c_id", "vec_id"))
+            spark, dir, iters, mod = mod), Seq("c_id", "vec_id"))
         .select("c_id", "vec_id", "v", "nrm")
       val affQ = emb(spark, dir)
         .join(affected.withColumnRenamed("q_id", "vec_id"), "vec_id")
@@ -681,7 +698,8 @@ object Similarity {
       oldIters: Int = 2, newIters: Int = 3, buckets: Int = 8): String = {
     val oldTable = graft.sources.Bucketing
       .ensureMaintainedAssignmentIndex(spark, dir, oldIters)
-    val newTable = f"ivf_assign_bkt_${newIters}_${dir.hashCode & 0x7fffffff}%08x"
+    val newTable =
+      graft.sources.Bucketing.maintainedAssignmentTableName(dir, newIters)
     retrainFrom(spark, dir, oldTable, newTable, newIters, buckets)
   }
 
@@ -694,6 +712,12 @@ object Similarity {
     * churn-debt-free: winners only, plain schema; subsequent deletes
     * tombstone against the new table. SimilaritySpec pins the
     * no-resurrection property. */
+  // TRAINING-SET CAVEAT: the new epoch's centroids train over the FULL
+  // embeddings table (the harness fixture has no deletions in the
+  // retrain scenario, and the DuckDB oracle replays the same full-table
+  // Lloyd). A production retrain AFTER churn should train on the old
+  // index's SERVE VIEW instead, or deleted regions keep attracting
+  // centroids — the assignment side below already reads survivors only.
   def retrainFrom(spark: SparkSession, dir: String, oldTable: String,
       newTable: String, newIters: Int, buckets: Int = 8): String = {
     val newCentroids = trainCentroids(spark, dir, iters = newIters)
@@ -845,13 +869,24 @@ object Similarity {
     * scan of the assignment memo (SimilaritySpec pins the plan). */
   def incrementalTopK(spark: SparkSession, dir: String, k: Int = 10,
       nprobe: Int = 8, iters: Int = 2, mod: Int = 10): DataFrame = {
-    val centroids = trainCentroids(spark, dir, iters = iters)
+    // the arrival batch GROWS WITH THE CORPUS (a fixed corpus slice,
+    // not a fixed query set), so this is the one serve that must not
+    // ride probeTopK's broadcast(probes) — a batch-sized forced
+    // broadcast is the r5 OOM shape. The graph build's literal-codebook
+    // probe map (narrow, zero shuffle) + bounded-state TopK serve the
+    // unbounded-|Q| case; values are tie-for-tie identical to the
+    // window form, so the oracle is unchanged.
+    val cents = centroidLiterals(spark, dir, iters)
     val corpus = assignmentTable(spark, dir, iters)
       .filter(col("vec_id") % mod =!= 0)
+      .select("c_id", "vec_id", "v", "nrm")
     val batch = emb(spark, dir).filter(col("vec_id") % mod === 0)
       .select(col("vec_id").as("q_id"), col("v").as("q_v"),
         col("nrm").as("q_nrm"))
-    probeTopK(corpus, batch, centroids, k, nprobe)
+    scoreTopK(corpus, withProbes(batch, cents, nprobe), k)
+      .select(col("q_id"), col("rk"), col("vec_id"),
+        round(col("score"), 6).as("cos"))
+      .orderBy("q_id", "rk")
   }
 
   /** Harness query `semantic_dedup_incremental`: AT-INGEST semantic
@@ -916,15 +951,7 @@ object Similarity {
       nprobe: Int = 8): DataFrame = {
     val q = batch.select(col("vec_id").as("q_id"), col("v").as("q_v"),
       col("nrm").as("q_nrm"))
-    val wProbe = Window.partitionBy("q_id")
-      .orderBy(col("c_cos").desc, col("c_id"))
-    val probes = q.crossJoin(broadcast(centroids))
-      .select(col("q_id"), col("q_v"), col("q_nrm"), col("c_id"),
-        (V.dot(col("q_v"), col("c_v")) / (col("q_nrm") * col("c_nrm")))
-          .as("c_cos"))
-      .withColumn("crk", row_number().over(wProbe))
-      .filter(col("crk") <= nprobe)
-      .select(col("q_id"), col("q_v"), col("q_nrm"), col("c_id"))
+    val probes = probesOf(q, centroids, nprobe)
     // vec_id != q_id mirrors probeTopK: under at-least-once replay the
     // index already holds the batch's own first-run append, and a
     // vector must not be rejected for matching ITSELF

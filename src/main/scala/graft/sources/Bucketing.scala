@@ -579,7 +579,7 @@ object Bucketing {
     * Returns the table name. */
   def ensureMaintainedAssignmentIndex(spark: SparkSession, dir: String,
       iters: Int = 2, buckets: Int = 8): String = {
-    val table = f"ivf_assign_bkt_${iters}_${dir.hashCode & 0x7fffffff}%08x"
+    val table = maintainedAssignmentTableName(dir, iters)
     val S = graft.operators.Similarity
     ensureBucketedTable(spark, table,
       S.assignSlice(spark, dir, newBatch = false, iters), Seq("c_id"), buckets,
@@ -651,17 +651,27 @@ object Bucketing {
     * batch at seq=1, bucket-local compact; `sim_topk_churn`'s
     * hash-equality with IVF over the surviving vectors proves deleted
     * vectors never surface in top-k. Returns the table name. */
+  /** THE maintained-assignment table name — shared with
+    * [[graft.operators.Similarity.retrainAssignmentIndex]]'s staged
+    * epoch flip, whose cutover works only because the retrained table
+    * lands under exactly this name for the new iters: a one-sided
+    * rename would silently rebuild a second, divergent table. */
+  def maintainedAssignmentTableName(dir: String, iters: Int): String =
+    f"ivf_assign_bkt_${iters}_${dir.hashCode & 0x7fffffff}%08x"
+
   def ensureChurnedAssignmentIndex(spark: SparkSession, dir: String,
-      iters: Int = 2, buckets: Int = 8): String = {
+      iters: Int = 2, buckets: Int = 8, mod: Int = 10): String = {
     import org.apache.spark.sql.functions.col
-    val table = f"ivf_assign_chn_${iters}_${dir.hashCode & 0x7fffffff}%08x"
+    // mod is part of the name: two parameterizations are two tables
+    val table =
+      f"ivf_assign_chn_${iters}_${mod}_${dir.hashCode & 0x7fffffff}%08x"
     lazy val assigned = graft.operators.Similarity
       .assignmentTable(spark, dir, iters)
       .select("vec_id", "c_id", "v", "nrm")
     ensureBucketedTable(spark, table,
       IndexChurn.stamp(assigned, "U", 0L), Seq("c_id"), buckets,
       embFp(spark, dir)) { t =>
-      IndexChurn.append(spark, t, assigned.filter(col("vec_id") % 10 === 0),
+      IndexChurn.append(spark, t, assigned.filter(col("vec_id") % mod === 0),
         "D", 1L, Seq("c_id"), buckets)
       IndexChurn.compact(spark, t, Seq("c_id", "vec_id"), Seq("c_id"),
         buckets, tombstonesOnly = true)
