@@ -34,7 +34,7 @@ object ScaleProbe100 {
     val factor = if (args.length > 1) args(1).toInt else 100
     val sections: Set[String] =
       if (args.length > 2) args(2).split(',').map(_.trim).toSet
-      else Set("dedup", "feed", "quality", "bloomdecon", "phash", "bpe", "bm25", "ann", "knn", "knnlife",
+      else Set("dedup", "feed", "quality", "stratsplit", "bloomdecon", "phash", "bpe", "bm25", "ann", "knn", "knnlife",
         "zipf", "churn", "semdedup", "rebucket", "pq", "ivfpq")
     def section(name: String)(body: => Unit): Unit =
       if (sections(name)) body
@@ -63,7 +63,7 @@ object ScaleProbe100 {
     val fs = new org.apache.hadoop.fs.Path(dup)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
 
-    if (sections.exists(Set("dedup", "quality", "bloomdecon", "phash", "bpe", "bm25", "churn", "rebucket"))) {
+    if (sections.exists(Set("dedup", "quality", "stratsplit", "bloomdecon", "phash", "bpe", "bm25", "churn", "rebucket"))) {
       if (!fs.exists(new org.apache.hadoop.fs.Path(s"$dup/documents.parquet"))) {
         val docs = Tables.load(spark, sf, "documents")
         docs.crossJoin(spark.range(factor).select(col("id").as("copy")))
@@ -124,6 +124,30 @@ object ScaleProbe100 {
     section("quality") {
       time(s"quality_quantile_filter (${factor}x corpus, cold memos)") {
         println(s"  kept rows: ${operators.TextAnalysis.qualityQuantileFilter(spark, dup).count()}")
+      }
+    }
+
+    // 3b. stratified split at factor× on an ADVERSARIALLY skewed mix
+    // (90% of documents forced into one language): the distributed
+    // exact rank must keep the dominant language spread across its
+    // (lang, hash-bucket) windows — the old per-language
+    // single-partition window would funnel it into one task
+    section("stratsplit") {
+      val skew = s"/tmp/graft_scale${factor}_skewdocs"
+      if (!fs.exists(new org.apache.hadoop.fs.Path(
+          s"$skew/documents.parquet"))) {
+        Tables.load(spark, dup, "documents")
+          .withColumn("lang",
+            when(pmod(col("doc_id"), lit(10L)) < 9, lit("zz"))
+              .otherwise(col("lang")))
+          .write.mode("overwrite").parquet(s"$skew/documents.parquet")
+      }
+      time(s"stratified_split (${factor}x corpus, 90% one language)") {
+        val cuts = operators.Sampling.stratifiedSplit(spark, skew)
+          .groupBy("lang", "split").count()
+          .orderBy("lang", "split").collect()
+        cuts.foreach(r => println(s"  ${r.getString(0)} ${r.getString(1)}: " +
+          r.getLong(2)))
       }
     }
 

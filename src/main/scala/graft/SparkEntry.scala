@@ -155,7 +155,7 @@ object SparkEntry {
     "contamination"      -> (Sampling.contamination _),
     "contamination_ngram" -> ((s: SparkSession, d: String) => Sampling.contaminationNgram(s, d)),
     "contamination_bloom" -> ((s: SparkSession, d: String) => Sampling.contaminationBloom(s, d)),
-    "stratified_split"   -> (Sampling.stratifiedSplit _),
+    "stratified_split"   -> ((s: SparkSession, d: String) => Sampling.stratifiedSplit(s, d)),
     "unigram_logprob"    -> (TextAnalysis.unigramLogprob _),
     "bigram_logprob"     -> (TextAnalysis.bigramLogprob _),
     "phrase_pmi"         -> ((s: SparkSession, d: String) => TextAnalysis.phrasePmi(s, d)),

@@ -132,7 +132,12 @@ object Components {
       // rounds are localCheckpoints, whose blocks Dataset.unpersist
       // CANNOT free (CacheManager no-op) — release the superseded
       // round's RDD blocks explicitly, AFTER `next` eagerly
-      // materialized from them
+      // materialized from them. freeLocalCheckpoint matches only a
+      // ROOT-level LogicalRDD (through Projects), so the round-1 call —
+      // whose plan root is the aggregate over sym/forest, with the
+      // caller's `edges` (possibly itself checkpoint-backed) deeper
+      // inside — is a guaranteed no-op rather than a traversal that
+      // could free an input's blocks.
       labels.unpersist()
       org.apache.spark.sql.graftshim.Shim.freeLocalCheckpoint(labels)
       labels = next.select(col("id"), col("new_component").as("component"))

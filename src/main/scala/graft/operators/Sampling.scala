@@ -65,20 +65,45 @@ object Sampling {
     * cut at (n·90)//100 and (n·95)//100. Small-language eval splits are
     * the point: a 40-doc language gets exactly 36/2/2 instead of a
     * coin-flip 40/0/0. Edits still never move a document (the rank key
-    * hashes the id, not the text). The window partitions by language —
-    * at extreme per-language sizes the rank-threshold machinery of
-    * `quality_quantile_filter` is the documented window-free
-    * alternative; integer cuts are written with integer division on
-    * both engines. */
-  def stratifiedSplit(spark: SparkSession, dir: String): DataFrame = {
-    val w = Window.partitionBy("lang")
-      .orderBy(col("h"), col("doc_id"))
-    Tables.load(spark, dir, "documents")
+    * hashes the id, not the text).
+    *
+    * The rank is a DISTRIBUTED exact rank, never a per-language
+    * single-partition window (a dominant language at 100 TB would be a
+    * multi-TB single task): the hash's high bits pre-bucket each
+    * language into 2^(60−`bucketShift`) ORDER-PRESERVING range buckets
+    * (the key is uniform by construction — it IS a hash — so buckets
+    * are balanced with no sampling pass), a tiny (lang × bucket)
+    * histogram aggregate yields per-bucket rank offsets via a cumsum
+    * over the BOUNDED bucket axis, and each document's rank =
+    * its bucket's offset + row_number within the (lang, bucket)
+    * window — partitions of ~n_lang/buckets rows. This is the classic
+    * range-partitioned-sort + partition-offset-cumsum exact rank with
+    * the range boundaries known a priori. One corpus shuffle (the
+    * bounded window) + one map-side-combined histogram; the offset
+    * table broadcasts. At 100 TB drop `bucketShift` (e.g. 40 ⇒ 2^20
+    * buckets) to cap bucket size; the histogram stays ≪ corpus.
+    * Integer cuts are written with integer division on both engines;
+    * the oracle replays the straightforward one-window form — same
+    * total order, identical output. */
+  def stratifiedSplit(spark: SparkSession, dir: String,
+      bucketShift: Int = 50): DataFrame = {
+    val keyed = Tables.load(spark, dir, "documents")
       .select(col("doc_id"), col("lang"),
         hash60(concat(lit("split:"), col("doc_id").cast("string"))).as("h"))
-      .withColumn("r", row_number().over(w).cast("long"))
-      .withColumn("n",
-        count(lit(1)).over(Window.partitionBy("lang")))
+      .withColumn("hb", shiftright(col("h"), bucketShift))
+    val hist = keyed.groupBy("lang", "hb").agg(count(lit(1)).as("cnt"))
+    // both windows run over the HISTOGRAM (≤ langs × buckets rows),
+    // never the corpus
+    val wCum = Window.partitionBy("lang").orderBy("hb")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = hist
+      .withColumn("off", coalesce(sum("cnt").over(wCum), lit(0L)))
+      .withColumn("n", sum("cnt").over(Window.partitionBy("lang")))
+      .select("lang", "hb", "off", "n")
+    val wBucket = Window.partitionBy("lang", "hb")
+      .orderBy(col("h"), col("doc_id"))
+    keyed.join(broadcast(offsets), Seq("lang", "hb"))
+      .withColumn("r", col("off") + row_number().over(wBucket).cast("long"))
       .select(col("doc_id"), col("lang"),
         when(col("r") <= expr("(n * 90) div 100"), "train")
           .when(col("r") <= expr("(n * 95) div 100"), "val")
@@ -169,8 +194,12 @@ object Sampling {
     * at corpus release and screens every eval set against it), not a
     * per-query cost. Keyed like [[Memo]] tables: dataset dir +
     * content fingerprint + parameters, so a regenerated dataset
-    * rebuilds and two parameterizations coexist. Bounded: one bit
-    * array per (dataset, n, fpp) actually queried. */
+    * rebuilds and two parameterizations coexist. Bounded the same way
+    * [[Memo]] supersedes stale tables: inserting a filter for a NEW
+    * content fingerprint of a dir evicts every filter of that dir's
+    * older fingerprints — a long-lived session that regenerates or
+    * iterates over a dataset holds at most the live generation's
+    * filters, never an unbounded fingerprint history. */
   private val spanBloomCache = new java.util.concurrent.ConcurrentHashMap[
     String, graft.functions.GraftBloom.Filter]()
 
@@ -183,10 +212,20 @@ object Sampling {
       .withColumn("split", splitLabel(splitBucket(col("doc_id"))))
     val train = spans.filter(col("split") === "train")
       .select("span_h").distinct()
-    val key = s"$dir|${graft.sources.SourceState.dirFingerprint(spark, dir)}" +
-      s"|spanbloom$n|$fpp"
-    val bloom = spanBloomCache.computeIfAbsent(key,
-      _ => GraftBloom.fromColumn(train, "span_h", fpp))
+    val fpr = graft.sources.SourceState.dirFingerprint(spark, dir)
+    val key = s"$dir|$fpr|spanbloom$n|$fpp"
+    val bloom = spanBloomCache.computeIfAbsent(key, _ => {
+      // supersede: a new fingerprint of this dir means the data was
+      // regenerated — the old generation's filters can never be served
+      // again (their key embeds the dead fingerprint), so drop them
+      // rather than pinning multi-MB bit arrays per rewrite forever
+      val it = spanBloomCache.keySet.iterator()
+      while (it.hasNext) {
+        val k = it.next()
+        if (k.startsWith(s"$dir|") && !k.startsWith(s"$dir|$fpr|")) it.remove()
+      }
+      GraftBloom.fromColumn(train, "span_h", fpp)
+    })
     val evalSpans = spans.filter(col("split") =!= "train")
     val hitPerDoc = evalSpans
       .filter(GraftBloom.might_contain(col("span_h"), bloom))

@@ -641,12 +641,23 @@ object StreamingBackfill {
     * mid-compaction crash can never resurrect a deleted vector's
     * rows). The leading dropDuplicates makes a compacted copy
     * coexisting with its source deltas harmless: winner rows are
-    * byte-identical in both, so the (q_id, seq) join can't double
-    * them. */
+    * byte-identical in both, so the (q_id, seq, wsrc) join can't
+    * double them.
+    *
+    * Generation order is (seq, wsrc) — seq first, the delta DIRECTORY
+    * name as tiebreak. Under the single-writer contract (see
+    * [[graphIngestLoop]]) seqs never tie and wsrc is inert; if two
+    * writers ever DO race one graphDir and mint the same seq
+    * ([[nextSeqFromDirs]] is list-then-write, not atomic), the
+    * tiebreak makes the outcome deterministic and per-q_id WHOLESALE —
+    * one delta's top-k set wins intact — instead of serving a
+    * row-level mix of two generations' rows for a shared q_id. */
   private def latestWins(all: DataFrame): DataFrame = {
     val d = all.dropDuplicates()
-    val latest = d.groupBy("q_id").agg(max(col("seq")).as("seq"))
-    d.join(latest, Seq("q_id", "seq"))
+    val latest = d.groupBy("q_id")
+      .agg(max(struct(col("seq"), col("wsrc"))).as("w"))
+      .select(col("q_id"), col("w.seq").as("seq"), col("w.wsrc").as("wsrc"))
+    d.join(latest, Seq("q_id", "seq", "wsrc"))
   }
 
   private def emptyGraph(spark: SparkSession): DataFrame =
@@ -659,15 +670,18 @@ object StreamingBackfill {
       dirs: Seq[String]): DataFrame =
     if (dirs.isEmpty) emptyGraph(spark)
     else latestWins(spark.read.parquet(dirs: _*))
-      .filter(col("rk") > 0).drop("seq")
+      .filter(col("rk") > 0).drop("seq", "wsrc")
 
   private[graft] def servedGraphRaw(spark: SparkSession,
       graphDir: String): DataFrame =
     servedFromDirs(spark, committedDeltas(spark, graphDir))
 
-  /** Fold the graph store's committed deltas into ONE — the debt-
-    * bounding compaction tick of the graph lifecycle (the store
-    * otherwise accretes one directory per microbatch forever). Winners
+  /** Fold the graph store's committed deltas — the debt-bounding
+    * compaction tick of the graph lifecycle (the store otherwise
+    * accretes one directory per microbatch forever). A dominant delta
+    * (≥ half the store's rows, the leftover of a previous fold) is
+    * kept in place and only the rest folds — see the tiered-fast-path
+    * note in the body; otherwise everything folds to one. Winners
     * keep their ORIGINAL seq stamps and their delete sentinels, so
     * every instant of the fold is serve-consistent: before the
     * `_done` marker the compacted copy is invisible; after it, its
@@ -680,7 +694,30 @@ object StreamingBackfill {
     val (fs, _) = graphFs(spark, graphDir)
     val dirs = committedDeltas(spark, graphDir)
     if (dirs.length <= 1) return
-    val winners = latestWins(spark.read.parquet(dirs: _*))
+    // TIERED fast path — fold cost must scale with the rows written
+    // since the last fold, not the store: folding ANY subset S of the
+    // committed deltas into latestWins(S) is serve-preserving (a row
+    // losing within S is beaten by a same-q_id higher-generation row
+    // that also beats it globally; winners within S are carried
+    // verbatim, so latestWins over the untouched rest ∪ fold(S) picks
+    // identical rows). So when one delta DOMINATES the store — the
+    // steady state right after a previous full fold — leave it in
+    // place and fold only the rest. Monotone seqs mean the dominant
+    // (earlier) delta can never hold the winning generation of a q_id
+    // a later delta touched, so skipping its scan loses nothing; its
+    // superseded rows for touched q_ids linger as latest-wins losers
+    // until the next FULL fold (triggered automatically once the
+    // folded tier outgrows it). Dir row counts are parquet
+    // metadata-counts — cheap next to the fold itself.
+    val counts = dirs.map(d => d -> spark.read.parquet(d).count())
+    val total = counts.map(_._2).sum
+    val baseDir = counts.maxBy { case (d, n) => (n, d) }._1
+    val baseRows = counts.toMap.apply(baseDir)
+    val foldDirs =
+      if (2 * baseRows >= total && dirs.length >= 3)
+        dirs.filterNot(_ == baseDir)
+      else dirs
+    val winners = latestWins(spark.read.parquet(foldDirs: _*))
     // all-empty stores have no max seq — name under 0, fold anyway
     // (the result is one empty committed delta, the folded form)
     val maxSeq = Option(winners.agg(max(col("seq"))).head().get(0))
@@ -701,7 +738,7 @@ object StreamingBackfill {
     if (fs.exists(target)) fs.delete(target, true)
     winners.write.mode("overwrite").parquet(target.toString)
     fs.create(new org.apache.hadoop.fs.Path(target, "_done"), true).close()
-    dirs.foreach(d =>
+    foldDirs.foreach(d =>
       fs.delete(new org.apache.hadoop.fs.Path(d), true))
   }
 
@@ -715,7 +752,15 @@ object StreamingBackfill {
     * and the new vector's edges silently vanish for that query.
     * Replay stays idempotent by the marker protocol (a skipped batch
     * never reads this), and a crash-redo recomputes against the same
-    * committed state it re-reads as base. */
+    * committed state it re-reads as base.
+    *
+    * This list-then-write is NOT atomic: it assumes the
+    * SINGLE-WRITER-per-graphDir contract documented on
+    * [[graphIngestLoop]]/[[graphChurnLoop]]. Two concurrent writers
+    * could mint the same seq; [[latestWins]]'s (seq, wsrc) order keeps
+    * even that failure deterministic and unmixed per q_id, but the
+    * losing delta's fold was computed against a base missing the
+    * winner — run the loops against one store sequentially. */
   private def nextSeqFromDirs(spark: SparkSession,
       dirs: Seq[String]): Long =
     if (dirs.isEmpty) 0L
@@ -761,7 +806,16 @@ object StreamingBackfill {
     * latest-wins serve view. The redelivery `left_anti` below keeps the
     * fold correct when the prior attempt died AFTER the index append
     * (batch rows already serve as established vectors — they must not
-    * be double-counted as both index rows and arrivals). */
+    * be double-counted as both index rows and arrivals).
+    *
+    * CONTRACT — one writer per graphDir at a time: this loop,
+    * [[graphChurnLoop]] and [[compactGraph]] each do a non-atomic
+    * list-then-write against the store ([[nextSeqFromDirs]]), so
+    * interleaving two of them concurrently on one graphDir is
+    * unsupported (run them sequentially, as StreamingSpec's lifecycle
+    * does). The (seq, wsrc) generation order degrades a violated
+    * contract to a deterministic wholesale winner rather than a
+    * row-mixed serve, but the loser's work is silently discarded. */
   def graphIngestLoop(spark: SparkSession, newVecs: DataFrame,
       assignIndexTable: String, centroids: DataFrame, graphDir: String,
       k: Int = 3, nprobe: Int = 4, buckets: Int = 8,
@@ -804,6 +858,7 @@ object StreamingBackfill {
               Similarity.withProbes(newQ, cents, nprobe), k)
             remerged.unionByName(newEdges)
               .withColumn("seq", lit(nextSeqFromDirs(s, dirs)))
+              .withColumn("wsrc", lit(s"batch_id=$id"))
               .write.mode("overwrite").parquet(deltaDir.toString)
             fs.create(marker, true).close()
             ()
@@ -859,7 +914,11 @@ object StreamingBackfill {
     *
     * StreamingSpec pins the end state hash-equal to the batch
     * [[graft.operators.Similarity.knnGraphChurn]] — a fresh build over
-    * survivors only. */
+    * survivors only.
+    *
+    * Same SINGLE-WRITER-per-graphDir contract as [[graphIngestLoop]]:
+    * never run two graph loops (or a loop and [[compactGraph]])
+    * concurrently against one store. */
   def graphChurnLoop(spark: SparkSession, deletes: DataFrame,
       assignIndexTable: String, centroids: DataFrame, graphDir: String,
       k: Int = 3, nprobe: Int = 4, buckets: Int = 8,
@@ -891,17 +950,28 @@ object StreamingBackfill {
             val dirs = committedDeltas(s, graphDir)
             val base = servedFromDirs(s, dirs)
             val delQ = delIdx.select(col("vec_id").as("q_id"))
-            // deleted as queries: one sentinel per currently-served q
-            val gone = base.join(delQ, Seq("q_id"), "left_semi")
+            // deleted as queries: their whole generation must vanish
+            val goneQ = base.join(delQ, Seq("q_id"), "left_semi")
               .select("q_id").distinct()
-              .select(col("q_id"), lit(-1L).as("rk"),
-                lit(-1L).as("vec_id"), lit(0.0).as("score"))
             // deleted as neighbors: survivors holding an edge to a
             // deleted vector re-rank over the churned candidate set
             val affected = base
               .join(delIdx.select("vec_id"), Seq("vec_id"), "left_semi")
               .select("q_id").distinct()
               .join(delQ, Seq("q_id"), "left_anti")
+            // rk = −1 sentinel for EVERY q_id this delta rewrites —
+            // deleted queries AND re-ranked survivors. A survivor whose
+            // probed cells hold no surviving candidate (all neighbors
+            // deleted) yields ZERO repaired rows; without its own
+            // sentinel in the same generation, its OLD rows would keep
+            // winning latest-wins and serve edges into deleted vectors.
+            // Sentinel and repaired rows share one (seq, wsrc), so the
+            // generation pick keeps both and the rk > 0 serve filter
+            // leaves exactly the repaired rows — or nothing, matching
+            // the batch knnGraphChurn (which drops the vector).
+            val sentinels = goneQ.unionByName(affected).distinct()
+              .select(col("q_id"), lit(-1L).as("rk"),
+                lit(-1L).as("vec_id"), lit(0.0).as("score"))
             val servedIdx = IndexChurn
               .served(s, assignIndexTable, Seq("c_id", "vec_id"))
               .select("c_id", "vec_id", "v", "nrm")
@@ -912,8 +982,9 @@ object StreamingBackfill {
                 col("nrm").as("q_nrm"))
             val repaired = Similarity.scoreTopK(servedIdx,
               Similarity.withProbes(affQ, cents, nprobe), k)
-            repaired.unionByName(gone)
+            repaired.unionByName(sentinels)
               .withColumn("seq", lit(nextSeqFromDirs(s, dirs)))
+              .withColumn("wsrc", lit(s"churn_id=$id"))
               .write.mode("overwrite").parquet(deltaDir.toString)
             fs.create(marker, true).close()
             ()

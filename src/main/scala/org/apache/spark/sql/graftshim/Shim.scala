@@ -54,13 +54,27 @@ object Shim {
     * promptly instead of waiting for the ContextCleaner to notice the
     * RDD was GC'd. After this call the Dataset is UNRECOVERABLE (the
     * checkpoint truncated its lineage) — only free state that nothing
-    * will read again. */
-  def freeLocalCheckpoint(df: org.apache.spark.sql.DataFrame): Unit =
-    df.queryExecution.analyzed.foreach {
-      case lr: org.apache.spark.sql.execution.LogicalRDD =>
-        lr.rdd.unpersist(blocking = false)
-      case _ => ()
-    }
+    * will read again.
+    *
+    * Deliberately matches ONLY a root-level `LogicalRDD` (looking
+    * through column-pruning `Project`s, the shape `localCheckpoint()`
+    * followed by a `select` produces): a whole-plan traversal would
+    * also free any checkpoint-backed or createDataFrame-from-RDD input
+    * buried deeper in the caller's plan — blocks the caller may still
+    * need, and a freed localCheckpoint is unrecoverable. A DataFrame
+    * that is not itself a checkpoint is a safe no-op here. */
+  def freeLocalCheckpoint(df: org.apache.spark.sql.DataFrame): Unit = {
+    @annotation.tailrec
+    def root(p: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan): Unit =
+      p match {
+        case lr: org.apache.spark.sql.execution.LogicalRDD =>
+          lr.rdd.unpersist(blocking = false)
+        case pr: org.apache.spark.sql.catalyst.plans.logical.Project =>
+          root(pr.child)
+        case _ => ()
+      }
+    root(df.queryExecution.analyzed)
+  }
 
   def drainListenerBus(spark: SparkSession): Unit =
     spark.sparkContext.listenerBus.waitUntilEmpty()

@@ -144,6 +144,24 @@ class PlanSpec extends AnyFunSuite {
       s"top-k should sit below the window: $p")
   }
 
+  test("stratified_split ranks in bounded (lang, bucket) windows, never " +
+      "a per-language single-partition window over the corpus") {
+    val p = planOf("stratified_split")
+    // the corpus rank must partition by (lang, hash-bucket): a window
+    // whose spec is (lang) alone ordering by the split hash is the
+    // single-partition-per-language scan that dies on a dominant
+    // language at 100 TB
+    val badRank = """windowspecdefinition\(lang#\d+, h#\d+""".r
+    assert(badRank.findFirstIn(p).isEmpty,
+      s"corpus rank window partitions by lang alone:\n$p")
+    val bucketed = """windowspecdefinition\(lang#\d+, hb#\d+L?, h#\d+""".r
+    assert(bucketed.findFirstIn(p).nonEmpty,
+      s"bucketed rank window missing:\n$p")
+    // the offset table reaches the corpus side as a broadcast, not a
+    // shuffle join
+    assert(p.contains("BroadcastHashJoin"), p)
+  }
+
   test("ivf centroid assignment aggregates instead of windowing n×C rows") {
     val p = planOf("sim_topk_ivf")
     // remaining windows partition by q_id (bounded query set); the

@@ -778,15 +778,35 @@ class StreamingSpec extends AnyFunSuite {
       assert(IndexChurn.served(spark, assignTable, Seq("c_id", "vec_id"))
         .filter(col("vec_id") % 10 === 0).count() === 0L,
         "assignment index still serves deleted vectors")
-      // compaction folds ingest delta + churn deltas into one, keeps
-      // the serve byte-identical (sentinels ride along), and a second
-      // tick is a no-op
-      StreamingBackfill.compactGraph(spark, graphDir)
-      assert(servedRows() === got, "compaction changed the serve")
+      // tick 1 — TIERED fast path: the whole-corpus ingest delta
+      // dominates the store (≥ half its rows), so the fold touches
+      // ONLY the two churn deltas (cost scales with delta rows, not
+      // store rows) and leaves the dominant delta byte-untouched
       def committed() = new java.io.File(graphDir).listFiles()
         .filter(d => d.isDirectory && new java.io.File(d, "_done").exists())
+      val ingestDelta = new java.io.File(s"$graphDir/batch_id=0")
+      def ingestFiles() = ingestDelta.listFiles().map(f =>
+        (f.getName, f.lastModified, f.length)).sortBy(_._1).toSeq
+      val ingestBefore = ingestFiles()
+      val churnRows = spark.read
+        .parquet(s"$graphDir/churn_id=0", s"$graphDir/churn_id=1").count()
+      StreamingBackfill.compactGraph(spark, graphDir)
+      assert(servedRows() === got, "fast-path compaction changed the serve")
+      assert(committed().length === 2,
+        s"tiered tick left ${committed().length} deltas (want base + fold)")
+      assert(ingestFiles() === ingestBefore,
+        "fast path rewrote the dominant delta it promised to keep")
+      val folded = committed().filter(_.getName.startsWith("compact_"))
+      assert(folded.length === 1)
+      assert(spark.read.parquet(folded.head.getAbsolutePath).count()
+        <= churnRows,
+        "fold output exceeded the churn deltas' rows — it read the store")
+      // tick 2 — two dirs left, no dominant majority split to keep:
+      // full fold to ONE delta; tick 3 is a no-op
+      StreamingBackfill.compactGraph(spark, graphDir)
+      assert(servedRows() === got, "full-fold compaction changed the serve")
       assert(committed().length === 1,
-        s"compaction left ${committed().length} deltas")
+        s"full fold left ${committed().length} deltas")
       StreamingBackfill.compactGraph(spark, graphDir)
       assert(servedRows() === got)
       // REPEAT compaction at the SAME maxSeq (the churn-domain seq
@@ -932,6 +952,84 @@ class StreamingSpec extends AnyFunSuite {
           col("vec_id") % 3 === 2)
       assert(repaired.count() > 0, "fixture never exercised the " +
         "churn-then-ingest supersede path")
+    } finally {
+      spark.sql(s"DROP TABLE IF EXISTS $assignTable")
+    }
+  }
+
+  test("graph churn loop: a survivor whose ENTIRE candidate set is " +
+      "deleted serves nothing (its own rk sentinel), never its stale " +
+      "edges into deleted vectors") {
+    import java.nio.file.Files
+    import graft.operators.Similarity
+    import graft.sources.IndexChurn
+    val assignTable = "graph_orphan_assign_t"
+    val graphDir = Files.createTempDirectory("graphorphan").toString
+    val streamDir = Files.createTempDirectory("vecorphan").toString
+    val delDir = Files.createTempDirectory("vecorphandel").toString
+    try {
+      val centroids = Similarity.trainCentroids(spark, sf, iters = 2)
+      IndexChurn.stamp(
+          Similarity.assignVectors(
+            Similarity.embeddingsWithNorm(spark, sf).limit(0), centroids),
+          "U", -1L)
+        .write.mode("overwrite").bucketBy(8, "c_id").sortBy("c_id")
+        .saveAsTable(assignTable)
+      val embRaw = Tables.load(spark, sf, "embeddings")
+      embRaw.coalesce(1).write.mode("overwrite").parquet(s"$streamDir/all")
+      StreamingBackfill.graphIngestLoop(spark,
+        spark.readStream.schema(embRaw.schema)
+          .option("maxFilesPerTrigger", "1")
+          .option("recursiveFileLookup", "true").parquet(streamDir),
+        assignTable, centroids, graphDir)
+      // survivor A = min vec_id; the delete wave takes EVERY vector in
+      // A's nprobe probed cells except A itself, so A's repair has no
+      // scorable candidate and emits zero rows — exactly the shape
+      // where only A's own sentinel can retire its old generation
+      val e = Similarity.embeddingsWithNorm(spark, sf)
+      val cents = Similarity.centroidArtifact(centroids)
+      val aId = e.agg(min("vec_id")).head().getLong(0)
+      val aQ = e.filter(col("vec_id") === aId)
+        .select(col("vec_id").as("q_id"), col("v").as("q_v"),
+          col("nrm").as("q_nrm"))
+      val aCells = Similarity.withProbes(aQ, cents, 4)
+        .select("c_id").distinct()
+      val delIds = Similarity.assignVectors(e, centroids)
+        .join(aCells, Seq("c_id"), "left_semi")
+        .filter(col("vec_id") =!= aId)
+        .select("vec_id")
+      // non-vacuity: A served edges before the churn
+      val preA = StreamingBackfill.servedGraph(spark, graphDir)
+        .filter(col("q_id") === aId).count()
+      assert(preA > 0, "fixture gave survivor A no pre-churn edges")
+      embRaw.join(delIds, Seq("vec_id"), "left_semi")
+        .coalesce(1).write.mode("overwrite").parquet(s"$delDir/d0")
+      StreamingBackfill.graphChurnLoop(spark,
+        spark.readStream.schema(embRaw.schema)
+          .option("maxFilesPerTrigger", "1")
+          .option("recursiveFileLookup", "true").parquet(delDir),
+        assignTable, centroids, graphDir)
+      val served = StreamingBackfill.servedGraph(spark, graphDir)
+      assert(served.filter(col("q_id") === aId).count() === 0L,
+        "orphaned survivor still serves stale edges into deleted vectors")
+      // and nothing anywhere serves an edge INTO a deleted vector
+      assert(served.join(delIds, Seq("vec_id"), "left_semi").count() === 0L,
+        "served graph keeps edges pointing at deleted vectors")
+      // whole serve == fresh batch build over the survivor set
+      val survivors = e.join(delIds.withColumnRenamed("vec_id", "d"),
+        col("vec_id") === col("d"), "left_anti")
+      val idx = Similarity.assignVectors(survivors, centroids)
+        .select("c_id", "vec_id", "v", "nrm")
+      val q = survivors.select(col("vec_id").as("q_id"),
+        col("v").as("q_v"), col("nrm").as("q_nrm"))
+      val want = Similarity.scoreTopK(idx,
+          Similarity.withProbes(q, cents, 4), 3)
+        .select(col("q_id"), col("rk"), col("vec_id"),
+          round(col("score"), 6).as("cos"))
+        .collect().map(_.toString).sorted.toSeq
+      val got = served.collect().map(_.toString).sorted.toSeq
+      assert(got === want,
+        "orphan-churn serve diverged from the fresh build over survivors")
     } finally {
       spark.sql(s"DROP TABLE IF EXISTS $assignTable")
     }
