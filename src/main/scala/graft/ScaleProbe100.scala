@@ -220,6 +220,21 @@ object ScaleProbe100 {
           .agg(sum(col("n_tokens"))).head().getLong(0)
         println(s"  total encoded tokens: $t")
       }
+      // the word-table trainer: rounds are O(vocab), so its cost is
+      // corpus-size-INVARIANT past the one opening aggregate — m=64
+      // here vs 6 corpus-granularity rounds above makes the per-round
+      // gap explicit (the replicated corpus has the same vocabulary)
+      time(s"bpe_merges_vocab 64-round train (${factor}x corpus, cold)") {
+        val r = operators.TextAnalysis.bpeMergesVocab(spark, dup, m = 64)
+          .collect()
+        println(s"  ${r.length} merges, last: '${r.last.getString(1)}' + " +
+          s"'${r.last.getString(2)}' x ${r.last.getLong(3)}")
+      }
+      time(s"bpe_encode_vocab (${factor}x corpus, m=64 memoized)") {
+        val t = operators.TextAnalysis.bpeEncodeVocab(spark, dup, m = 64)
+          .agg(sum(col("n_tokens"))).head().getLong(0)
+        println(s"  total encoded tokens: $t")
+      }
     }
 
     // 4a. maintained BM25 serving index: one-time build, then warm serve

@@ -161,6 +161,8 @@ object SparkEntry {
     "phrase_pmi"         -> ((s: SparkSession, d: String) => TextAnalysis.phrasePmi(s, d)),
     "bpe_merges"         -> ((s: SparkSession, d: String) => TextAnalysis.bpeMerges(s, d)),
     "bpe_encode"         -> ((s: SparkSession, d: String) => TextAnalysis.bpeEncode(s, d)),
+    "bpe_merges_vocab"   -> ((s: SparkSession, d: String) => TextAnalysis.bpeMergesVocab(s, d)),
+    "bpe_encode_vocab"   -> ((s: SparkSession, d: String) => TextAnalysis.bpeEncodeVocab(s, d)),
     "cluster_labels"     -> ((s: SparkSession, d: String) => TextAnalysis.clusterLabels(s, d)),
     "source_quota"       -> ((s: SparkSession, d: String) => Sampling.sourceQuota(s, d)),
     "doc_pack"           -> ((s: SparkSession, d: String) => Sampling.docPack(s, d)),
@@ -503,6 +505,61 @@ object SparkEntry {
       s"SELECT merge_rank, l AS left_sym, r AS right_sym, cnt AS pair_cnt FROM m$k")
       .mkString("\n         UNION ALL ")
     s"""WITH RECURSIVE ${dBpeCtes(m)}
+         $sel
+         ORDER BY merge_rank"""
+  }
+
+  /** Word-table BPE oracle CTEs (the `TextAnalysis.bpeMergesVocab`
+    * replay): ONE corpus aggregate to the (word, freq) table, words
+    * split to character symbol lists, then per round the word-internal
+    * adjacent-pair counts WEIGHTED BY word freq, the (sum DESC, l, r)
+    * argmax, and the same greedy recursive merge walk as [[dBpeCtes]]
+    * run per DISTINCT WORD — every round is vocab-bounded on this
+    * engine too. Ends in `vt$m (word, freq, ts)` + `vm1..vm$m`. */
+  private def dBpeVocabCtes(m: Int): String = {
+    def round(src: String, k: Int) =
+      s"""vp$k AS (SELECT freq, unnest([{'l': ts[i], 'r': ts[i+1]}
+               for i in range(1, len(ts))]) AS p
+             FROM $src WHERE len(ts) >= 2),
+         vc$k AS (SELECT p.l AS l, p.r AS r, sum(freq) AS cnt
+                 FROM vp$k GROUP BY 1, 2),
+         vm$k AS MATERIALIZED (
+           SELECT CAST($k AS BIGINT) AS merge_rank, l, r,
+                  CAST(cnt AS BIGINT) AS cnt
+           FROM vc$k ORDER BY cnt DESC, l, r LIMIT 1),
+         vr$k AS (
+           SELECT word, freq, ts, CAST(1 AS BIGINT) AS i, len(ts) AS n,
+                  CAST([] AS VARCHAR[]) AS out, false AS skip,
+                  m.l AS ml, m.r AS mr
+           FROM $src CROSS JOIN vm$k m
+           UNION ALL
+           SELECT word, freq, ts, i + 1, n,
+                  CASE WHEN skip THEN out
+                       WHEN i < n AND ts[i] = ml AND ts[i+1] = mr
+                         THEN list_append(out, ts[i] || ' ' || ts[i+1])
+                       ELSE list_append(out, ts[i]) END,
+                  CASE WHEN skip THEN false
+                       WHEN i < n AND ts[i] = ml AND ts[i+1] = mr
+                         THEN true ELSE false END,
+                  ml, mr
+           FROM vr$k WHERE i <= n),
+         vt$k AS MATERIALIZED (
+           SELECT word, freq, out AS ts FROM vr$k WHERE i = n + 1)"""
+    val rounds = (1 to m).map(k =>
+      round(if (k == 1) "vt0" else s"vt${k - 1}", k)).mkString(",\n         ")
+    s"""wv0 AS (SELECT word, CAST(count(*) AS BIGINT) AS freq
+           FROM (SELECT unnest($dToks) AS word FROM documents) GROUP BY 1),
+         vt0 AS (SELECT word, freq,
+                  [word[i] for i in range(1, len(word)+1)] AS ts
+                 FROM wv0),
+         $rounds"""
+  }
+
+  private def dBpeVocabSql(m: Int): String = {
+    val sel = (1 to m).map(k =>
+      s"SELECT merge_rank, l AS left_sym, r AS right_sym, cnt AS pair_cnt FROM vm$k")
+      .mkString("\n         UNION ALL ")
+    s"""WITH RECURSIVE ${dBpeVocabCtes(m)}
          $sel
          ORDER BY merge_rank"""
   }
@@ -2354,6 +2411,32 @@ object SparkEntry {
     // BPE merge learning: full m-round replay (greedy recursive merge
     // walk per doc, argmax per round)
     "bpe_merges" -> dBpeSql(6),
+    // word-table BPE training: freq-weighted word-internal pair
+    // counts, every round vocab-bounded on both engines
+    "bpe_merges_vocab" -> dBpeVocabSql(8),
+    // word-table BPE encode: each distinct word encodes once, the
+    // positional token stream joins its encoding back; fingerprint =
+    // h60 of all subword symbols in document order, chr(1)-joined
+    "bpe_encode_vocab" ->
+      (s"""WITH RECURSIVE ${dBpeVocabCtes(8)},
+         etoks AS (SELECT doc_id, $dToks AS dts FROM documents),
+         epos AS (SELECT doc_id, i AS pos, dts[i] AS word
+                  FROM etoks, LATERAL unnest(range(1, len(dts)+1)) AS t(i)),
+         eenc AS (SELECT doc_id, pos, len(epos.word) AS nch,
+                         len(vt8.ts) AS nsub,
+                         array_to_string(vt8.ts, chr(1)) AS encw
+                  FROM epos JOIN vt8 USING (word)),
+         eagg AS (SELECT doc_id,
+                         CAST(sum(nch) AS BIGINT) AS n_raw,
+                         CAST(sum(nsub) AS BIGINT) AS n_tokens,
+                         string_agg(encw, chr(1) ORDER BY pos) AS encstr
+                  FROM eenc GROUP BY 1)
+         SELECT d.doc_id,
+                coalesce(n_raw, 0) AS n_raw,
+                coalesce(n_tokens, 0) AS n_tokens,
+                ${dH60("coalesce(encstr, '')")} AS enc_h
+         FROM documents d LEFT JOIN eagg USING (doc_id)
+         ORDER BY doc_id"""),
     // BPE encode: the learned merges applied in rank order; fingerprint
     // of the chr(1)-joined encoding pins the exact segmentation
     "bpe_encode" ->

@@ -184,6 +184,126 @@ object TextAnalysis {
       .orderBy("doc_id")
   }
 
+  /** BPE merge learning over the WORD-FREQUENCY table — the form real
+    * tokenizer training takes (Sennrich et al. 2016 train on the
+    * distinct-word count table, not the corpus): ONE corpus aggregate
+    * up front collapses the token stream to (word, freq) — the only
+    * corpus-sized pass — then every merge round runs over the VOCAB:
+    * word-internal adjacent character pairs weighted by word
+    * frequency, the (sum DESC, left, right) argmax, and the greedy
+    * [[mergeOnce]] re-encode as a narrow map over vocabulary rows.
+    * Each round is O(vocab), not O(corpus) — the property that makes
+    * 32k–64k-merge vocabularies feasible where the corpus-granularity
+    * trainer ([[bpeMerges]], which learns multi-WORD units and must
+    * re-encode documents) pays m full corpus scans: at 100 TB the
+    * word table is megabytes against terabytes of text, and the
+    * per-round cost does not grow with the corpus AT ALL (a 100×
+    * corpus has the same vocabulary with scaled freqs — the probe in
+    * NOTES measures exactly that invariance).
+    *
+    * Rounds materialize by eager `localCheckpoint` (vocab-sized; the
+    * superseded round's blocks are freed explicitly — plan depth and
+    * storage both stay O(1) across 64 rounds) instead of scratch
+    * parquet: the loop re-reads each round twice (pair count +
+    * re-encode), never across queries. The learned table is the memo
+    * artifact: (merge_rank, left_sym, right_sym, pair_cnt) with
+    * pair_cnt the FREQ-WEIGHTED occurrence count; the same
+    * non-increasing-in-rank invariant as [[bpeMerges]] holds (a merge
+    * only removes old pair occurrences; every pair it creates is
+    * capped by its own count). The DuckDB oracle replays all rounds
+    * bit-exactly over the same word table (recursive greedy walk per
+    * DISTINCT WORD — vocab-bounded there too). */
+  def bpeMergesVocab(spark: SparkSession, dir: String, m: Int = 8): DataFrame =
+    Memo.table(spark, dir, s"bpe_merges_vocab_$m") {
+      import spark.implicits._
+      val vocab0 = Tables.load(spark, dir, "documents")
+        .select(explode(T.tokens(col("text"))).as("word"))
+        .groupBy("word").agg(count(lit(1)).as("freq"))
+        .as[(String, Long)]
+        .map { case (w, f) => (w, f, w.toCharArray.map(_.toString).toSeq) }
+        .toDF("word", "freq", "ts")
+      var cur = vocab0.localCheckpoint(true)
+      val merges = Seq.newBuilder[(Long, String, String, Long)]
+      for (k <- 1 to m) {
+        val best = cur
+          .filter(size(col("ts")) >= 2)
+          .select(col("freq"), explode(zip_with(
+            slice(col("ts"), lit(1), size(col("ts")) - 1),
+            slice(col("ts"), lit(2), size(col("ts")) - 1),
+            (a, b) => struct(a.as("l"), b.as("r")))).as("p"))
+          .groupBy(col("p.l").as("l"), col("p.r").as("r"))
+          .agg(sum(col("freq")).as("cnt"))
+          .orderBy(col("cnt").desc, col("l"), col("r"))
+          .limit(1).collect()
+        if (best.nonEmpty) {
+          val (l, r, cnt) = (best(0).getString(0), best(0).getString(1),
+            best(0).getLong(2))
+          merges += ((k.toLong, l, r, cnt))
+          val next = cur.select(col("word"), col("freq"), col("ts"))
+            .as[(String, Long, Seq[String])]
+            .mapPartitions(_.map { case (w, f, ts) =>
+              (w, f, mergeOnce(ts.toArray, l, r).toSeq) })
+            .toDF("word", "freq", "ts")
+            .localCheckpoint(true)
+          org.apache.spark.sql.graftshim.Shim.freeLocalCheckpoint(cur)
+          cur = next
+        }
+      }
+      org.apache.spark.sql.graftshim.Shim.freeLocalCheckpoint(cur)
+      merges.result()
+        .toDF("merge_rank", "left_sym", "right_sym", "pair_cnt")
+    }.orderBy("merge_rank")
+
+  /** Encode with the [[bpeMergesVocab]] table — and the encode itself
+    * is vocab-bounded: each DISTINCT word encodes once (m merge passes
+    * over vocabulary rows, narrow), then one hash join maps the
+    * corpus's positional token stream onto its per-word encodings and
+    * a per-doc aggregate reassembles counts and the exact-segmentation
+    * fingerprint in token order. The m·corpus re-encode chain of
+    * [[bpeEncode]] becomes m·vocab + one join — the only corpus-sized
+    * steps are the tokenize and the final aggregate, independent of
+    * m. Fingerprint = hash60 of all subword symbols in document order
+    * joined by chr(1) (per-word encodings are chr(1)-joined, then
+    * words chr(1)-joined — associatively identical to the flat join,
+    * so the oracle reassembles the same string). */
+  def bpeEncodeVocab(spark: SparkSession, dir: String, m: Int = 8): DataFrame = {
+    val merges = bpeMergesVocab(spark, dir, m).collect()
+      .sortBy(_.getAs[Long]("merge_rank"))
+      .map(r => (r.getAs[String]("left_sym"), r.getAs[String]("right_sym")))
+    import spark.implicits._
+    val wordEnc = Tables.load(spark, dir, "documents")
+      .select(explode(T.tokens(col("text"))).as("word"))
+      .distinct()
+      .as[String]
+      .mapPartitions(_.map { w =>
+        var ts: Array[String] = w.toCharArray.map(_.toString)
+        merges.foreach { case (l, r) => ts = mergeOnce(ts, l, r) }
+        (w, w.length.toLong, ts.length.toLong, ts.mkString("\u0001"))
+      })
+      .toDF("word", "n_chars", "n_sub", "enc")
+    val perDoc = Tables.load(spark, dir, "documents")
+      .select(col("doc_id"), posexplode(T.tokens(col("text")))
+        .as(Seq("pos", "word")))
+      .join(wordEnc, "word")
+      .groupBy("doc_id")
+      .agg(sum(col("n_chars")).as("n_raw"),
+        sum(col("n_sub")).as("n_tokens"),
+        graft.functions.Hash60.hash60(concat_ws("\u0001",
+          transform(array_sort(collect_list(struct(col("pos"), col("enc")))),
+            e => e.getField("enc")))).as("enc_h"))
+    // token-less documents have no exploded rows: complete them with
+    // zero counts and the empty-stream fingerprint (bpeEncode keeps
+    // them through its narrow map, so this surface must too)
+    Tables.load(spark, dir, "documents").select("doc_id")
+      .join(perDoc, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_raw"), lit(0L)).as("n_raw"),
+        coalesce(col("n_tokens"), lit(0L)).as("n_tokens"),
+        coalesce(col("enc_h"),
+          graft.functions.Hash60.hash60(lit(""))).as("enc_h"))
+      .orderBy("doc_id")
+  }
+
   /** CLUSTER LABELING — the human-readable face of the learned
     * k-means clustering (the step a curation UI or a mixture report
     * needs): per coarse cluster, the top-`k` terms by summed TF-IDF

@@ -351,6 +351,72 @@ class TextSpec extends AnyFunSuite {
     assert(got.exists(r => r.getAs[Long]("n_tokens") < r.getAs[Long]("n_raw")))
   }
 
+  test("bpeMergesVocab + bpeEncodeVocab: the word-table trainer replays " +
+      "by hand (freq-weighted word-internal pairs), counts " +
+      "non-increasing, encode counts match the per-word encoding") {
+    import org.apache.spark.sql.functions._
+    import graft.functions.{TextFunctions => T}
+    val m = 8
+    val rows = graft.operators.TextAnalysis
+      .bpeMergesVocab(spark, TestSpark.sf, m).collect()
+      .map(r => (r.getAs[Long]("merge_rank"), r.getAs[String]("left_sym"),
+        r.getAs[String]("right_sym"), r.getAs[Long]("pair_cnt")))
+    assert(rows.map(_._1).toSeq == (1L to m.toLong))
+    val cnts = rows.map(_._4).toSeq
+    assert(cnts === cnts.sorted.reverse, s"counts increased: $cnts")
+    // hand replay over the word-frequency table: ONE corpus pass to
+    // (word, freq), then every round is vocab-only — weighted
+    // word-internal pair counts, (cnt DESC, l, r) argmax, greedy merge
+    def merge(ts: Seq[String], l: String, r: String): Seq[String] = {
+      val out = scala.collection.mutable.ArrayBuffer[String]()
+      var i = 0
+      while (i < ts.length) {
+        if (i + 1 < ts.length && ts(i) == l && ts(i + 1) == r) {
+          out += s"$l $r"; i += 2
+        } else { out += ts(i); i += 1 }
+      }
+      out.toSeq
+    }
+    val wordFreq = Tables.load(spark, TestSpark.sf, "documents")
+      .select(explode(T.tokens(col("text"))).as("w"))
+      .groupBy("w").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    var vocab: Map[String, (Long, Seq[String])] =
+      wordFreq.map { case (w, f) => w -> (f, w.map(_.toString)) }
+    val handMerges = Seq.newBuilder[(String, String, Long)]
+    (1 to m).foreach { _ =>
+      val pc = scala.collection.mutable.Map[(String, String), Long]()
+      vocab.values.foreach { case (f, ts) =>
+        ts.sliding(2).foreach {
+          case Seq(a, b) => pc((a, b)) = pc.getOrElse((a, b), 0L) + f
+          case _ =>
+        }
+      }
+      val ((l, r), c) = pc.toSeq.sortBy { case ((a, b), n) => (-n, a, b) }.head
+      handMerges += ((l, r, c))
+      vocab = vocab.map { case (w, (f, ts)) => w -> (f, merge(ts, l, r)) }
+    }
+    assert(rows.map(t => (t._2, t._3, t._4)).toSeq ===
+      handMerges.result(),
+      "vocab-table merges diverged from the hand replay")
+    // encode: per-doc n_tokens = sum of encoded-word lengths in token
+    // order, n_raw = sum of word char counts
+    val got = graft.operators.TextAnalysis
+      .bpeEncodeVocab(spark, TestSpark.sf, m).collect()
+    val docs = Tables.load(spark, TestSpark.sf, "documents")
+      .select(col("doc_id"), T.tokens(col("text")).as("ts")).collect()
+      .map(r => r.getLong(0) -> r.getSeq[String](1)).toMap
+    assert(got.length == docs.size)
+    got.foreach { r =>
+      val ts = docs(r.getAs[Long]("doc_id"))
+      assert(r.getAs[Long]("n_raw") == ts.map(_.length.toLong).sum)
+      assert(r.getAs[Long]("n_tokens") ==
+        ts.map(w => vocab(w)._2.length.toLong).sum,
+        s"doc ${r.getAs[Long]("doc_id")} vocab encode diverged")
+    }
+    assert(got.exists(r => r.getAs[Long]("n_tokens") < r.getAs[Long]("n_raw")))
+  }
+
   test("clusterLabels: dense ranks, weights descending, labels cover " +
       "exactly the clusters the assignment serves") {
     import org.apache.spark.sql.functions.col
