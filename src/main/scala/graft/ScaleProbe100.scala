@@ -319,6 +319,68 @@ object ScaleProbe100 {
         println("  edges: " +
           operators.Similarity.knnGraphChurn(spark, dup).count())
       }
+
+      // ---- the SAME lifecycle at production geometry C ≈ √n: at
+      // C=64 a 10% batch dirties EVERY cell (the reverse update scans
+      // the whole base) and the fold-in's advantage compresses; at
+      // C=√n a batch dirties ~its own cell share, the reverse merge
+      // prunes to those cells, and fold/churn isolate to O(batch +
+      // reverse degree). Pre-built artifacts (centroids, assignment,
+      // base graph) are timed APART so the increment numbers are pure.
+      {
+        import operators.{Memo, Similarity}
+        val e = Similarity.embeddingsWithNorm(spark, dup)
+        val n = e.count()
+        val c = math.max(64, math.sqrt(n.toDouble).toInt)
+        val cents = time(s"sqrtC: centroid train (C=$c, 2 Lloyd iters, " +
+            "one-time)") {
+          Similarity.trainCentroids(spark, dup, c = c, iters = 2)
+        }
+        val art = Similarity.centroidArtifact(cents)
+        val idxDf = time(s"sqrtC: assignment index build (one-time)") {
+          Memo.scratch(spark, "sqrtc_idx")(
+            Similarity.assignVectors(e, cents)
+              .select("c_id", "vec_id", "v", "nrm"))
+        }
+        def q(df: org.apache.spark.sql.DataFrame) =
+          df.select(col("vec_id").as("q_id"), col("v").as("q_v"),
+            col("nrm").as("q_nrm"))
+        val oldIdx = idxDf.filter(col("vec_id") % 10 =!= 0)
+        val newIdx = idxDf.filter(col("vec_id") % 10 === 0)
+        val oldQ = q(e.filter(col("vec_id") % 10 =!= 0))
+        val newQ = q(e.filter(col("vec_id") % 10 === 0))
+        val base = time(s"sqrtC: BASE graph build (old 90% — " +
+            "rebuild-sized comparator)") {
+          val b = Memo.scratch(spark, "sqrtc_base")(
+            Similarity.scoreTopK(oldIdx,
+              Similarity.withProbes(oldQ, art, 4), 3))
+          println(s"  base edges: ${b.count()}")
+          b
+        }
+        val full = time("sqrtC: fold-in (10% batch: dirty-cell reverse " +
+            "merge + batch forward probe)") {
+          val (untouched, remerged) =
+            Similarity.graphReverseMerge(base, newIdx, oldQ, art, 3, 4)
+          val newEdges = Similarity.scoreTopK(idxDf,
+            Similarity.withProbes(newQ, art, 4), 3)
+          val f = Memo.scratch(spark, "sqrtc_full")(
+            untouched.unionByName(remerged).unionByName(newEdges))
+          println(s"  full edges after fold: ${f.count()}")
+          f
+        }
+        time("sqrtC: churn repair (10% delete: sentinel + reverse-" +
+            "degree-bounded re-rank)") {
+          val affected = full.filter(col("vec_id") % 7 === 0)
+            .select("q_id").distinct().filter(col("q_id") % 7 =!= 0)
+          val survIdx = idxDf.filter(col("vec_id") % 7 =!= 0)
+          val affQ = q(e.filter(col("vec_id") % 7 =!= 0))
+            .join(affected, Seq("q_id"), "left_semi")
+          val repaired = Similarity.scoreTopK(survIdx,
+            Similarity.withProbes(affQ, art, 4), 3)
+          println(s"  affected queries: ${affected.count()}, repaired " +
+            s"edges: ${repaired.count()}")
+        }
+      }
     }
 
     // 6. churn lifecycle economics at factor×: tombstone-append cost

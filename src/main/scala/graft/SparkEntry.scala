@@ -184,6 +184,9 @@ object SparkEntry {
     "audio_decode"       -> (Multimodal.audioDecode _),
     "audio_fingerprint"  -> ((s: SparkSession, d: String) => Multimodal.audioFingerprint(s, d)),
     "audio_neardup"      -> ((s: SparkSession, d: String) => Multimodal.audioNearDup(s, d)),
+    "audio_band_saturation" -> ((s: SparkSession, d: String) =>
+      Dedup.bandingSaturation(
+        Multimodal.audioFingerprint(s, d), "doc_id", "ehash")),
     "video_decode"       -> (Multimodal.videoDecode _),
     "video_phash"        -> ((s: SparkSession, d: String) => Multimodal.videoPhash(s, d)),
     "video_neardup"      -> ((s: SparkSession, d: String) => Multimodal.videoNearDup(s, d)),
@@ -1982,6 +1985,27 @@ object SparkEntry {
            WHERE a.doc_id < b.doc_id)
          SELECT doc_a, doc_b, hamming_e, hamming_t FROM apairs
          WHERE hamming_e <= 3 ORDER BY doc_a, doc_b"""),
+    // banding saturation guard over the audio envelope hash: per
+    // 15-bit chunk, distinct values and the id mass the skew cap drops
+    "audio_band_saturation" -> (s"WITH $dAfpCtes," +
+      """ gchunks AS (SELECT doc_id,
+             unnest([0, 1, 2, 3]) AS chunk_id,
+             unnest([(ehash >> 0) & 32767, (ehash >> 15) & 32767,
+                     (ehash >> 30) & 32767, (ehash >> 45) & 32767])
+               AS chunk_val
+           FROM afp),
+         gbsz AS (SELECT chunk_id, chunk_val, count(*) AS bs
+                  FROM gchunks GROUP BY 1, 2)
+         SELECT CAST(chunk_id AS BIGINT) AS chunk_id,
+                CAST(sum(bs) AS BIGINT) AS n_ids,
+                CAST(count(*) AS BIGINT) AS n_vals,
+                CAST(sum(CASE WHEN bs > 200 THEN 1 ELSE 0 END) AS BIGINT)
+                  AS n_capped,
+                CAST(sum(CASE WHEN bs > 200 THEN bs ELSE 0 END) AS BIGINT)
+                  AS n_dropped,
+                round(sum(CASE WHEN bs > 200 THEN bs ELSE 0 END) /
+                  CAST(sum(bs) AS DOUBLE), 6) AS drop_frac
+         FROM gbsz GROUP BY chunk_id ORDER BY chunk_id"""),
     // closed form of the animated-GIF round trip: nf = 2 + id % 4
     // frames of w×h gray pixels, pixel(f, i) = (id*31 + f*17 + i) % 256;
     // the indexed non-interlaced GIF is lossless so the DECODED frame

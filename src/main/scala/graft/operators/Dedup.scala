@@ -435,6 +435,40 @@ object Dedup {
       .filter(col("hamming") <= maxHamming)
   }
 
+  /** Banding-saturation diagnostics for a 60-bit fingerprint table —
+    * the loud guard [[bandedHammingPairs]]'s silent skew cap needs: a
+    * low-entropy signature column (every clip of a quiet corpus
+    * hashing to a handful of envelope values) pushes whole chunk
+    * buckets past `maxBucket`, and the pair join then returns ZERO
+    * rows with nothing saying why. This emits, per chunk, the distinct
+    * chunk-value count, how many buckets the cap dropped, and the
+    * fraction of ids those buckets held — `drop_frac` near 1.0 means
+    * the detector is blind (widen the fingerprint or raise the cap),
+    * near 0.0 means the cap is trimming only true hot spots. ONE hash
+    * aggregate over the (4·n)-row chunk table, 4-row result — cheap
+    * enough to run alongside every banded near-dup at any scale. */
+  def bandingSaturation(sigs: DataFrame, idCol: String, sigCol: String,
+      maxBucket: Int = 200): DataFrame =
+    sigs.select(explode(array((0 until 4).map { c =>
+        struct(lit(c.toLong).as("chunk_id"),
+          shiftright(col(sigCol), c * ChunkBits)
+            .bitwiseAND(lit((1L << ChunkBits) - 1)).as("chunk_val"))
+      }: _*)).as("ck"))
+      .select(col("ck.chunk_id").as("chunk_id"),
+        col("ck.chunk_val").as("chunk_val"))
+      .groupBy("chunk_id", "chunk_val").agg(count(lit(1)).as("bs"))
+      .groupBy("chunk_id")
+      .agg(sum(col("bs")).as("n_ids"),
+        count(lit(1)).as("n_vals"),
+        sum(when(col("bs") > maxBucket, 1L).otherwise(0L)).as("n_capped"),
+        sum(when(col("bs") > maxBucket, col("bs")).otherwise(0L))
+          .as("n_dropped"))
+      .select(col("chunk_id"), col("n_ids"), col("n_vals"), col("n_capped"),
+        col("n_dropped"),
+        round(col("n_dropped").cast("double") / col("n_ids"), 6)
+          .as("drop_frac"))
+      .orderBy("chunk_id")
+
   // -------------------------------------------------- n-gram Jaccard
 
   /** E2c: exact char-4-gram Jaccard over a bounded pair set (all pairs

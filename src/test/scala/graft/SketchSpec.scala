@@ -30,6 +30,40 @@ class SketchSpec extends AnyFunSuite {
     }
   }
 
+  test("countMinFreq: the quantitative CM guarantee — overestimate " +
+      "<= (e/width)·N with frequency >= 1 − e^-depth, measured over " +
+      "the whole Zipf token stream at two widths") {
+    // the claim a user actually sizes the sketch by (Cormode &
+    // Muthukrishnan 2005): P[est − freq > ε·N] <= δ with ε = e/width,
+    // δ = e^−depth, N the stream length. Probe EVERY vocabulary token
+    // (topN ≫ vocab) so the violation rate has statistical mass; the
+    // corpus token distribution is the Zipf-ish stream the sketch is
+    // built for, heavy hitters and tail both probed.
+    val depth = 4
+    var narrowCollides = false
+    // width 16 forces real collisions even on the small-SF vocabulary
+    // (distinct tokens ≫ 16), width 1024 is the production-ish shape
+    Seq(16, 1024).foreach { w =>
+      val rows = graft.operators.TextAnalysis
+        .countMinFreq(spark, TestSpark.sf, depth = depth, width = w,
+          topN = 1000000)
+        .collect()
+        .map(r => (r.getAs[Long]("freq"), r.getAs[Long]("overestimate")))
+      val n = rows.map(_._1).sum // probes cover the vocab, so Σfreq = N
+      val bound = math.E / w * n
+      val violations = rows.count(_._2.toDouble > bound)
+      val rate = violations.toDouble / rows.length
+      assert(rate <= math.exp(-depth.toDouble),
+        s"width $w: $violations/${rows.length} tokens exceed ε·N = $bound " +
+          s"(rate $rate > δ = ${math.exp(-depth.toDouble)})")
+      if (w == 16) narrowCollides = rows.exists(_._2 > 0)
+    }
+    // non-vacuity: the narrow sketch actually collides somewhere, so
+    // the bound above was tested against real overestimates
+    assert(narrowCollides, "width-16 sketch had zero collisions — " +
+      "the bound check never saw an overestimate")
+  }
+
   test("bloom filter: no false negatives, bounded false positives") {
     val keys = (0L until 5000L).map(_ * 7 + 3)
     val f = GraftBloom.create(keys, fpp = 0.01)
