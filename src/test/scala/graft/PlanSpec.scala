@@ -162,6 +162,17 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("BroadcastHashJoin"), p)
   }
 
+  test("source_quota / cluster_quota rank without ANY window: bounded " +
+      "bottom_k threshold + broadcast join") {
+    Seq("source_quota", "cluster_quota").foreach { q =>
+      val p = planOf(q)
+      assert(!p.contains("windowspecdefinition"),
+        s"$q still ranks through a per-group window:\n$p")
+      assert(p.contains("bottomk"), s"$q lost the bounded aggregate:\n$p")
+      assert(p.contains("BroadcastHashJoin"), p)
+    }
+  }
+
   test("ivf centroid assignment aggregates instead of windowing n×C rows") {
     val p = planOf("sim_topk_ivf")
     // remaining windows partition by q_id (bounded query set); the
