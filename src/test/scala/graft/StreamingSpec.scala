@@ -957,6 +957,32 @@ class StreamingSpec extends AnyFunSuite {
     }
   }
 
+  test("graph store seq tie (violated single-writer contract): one " +
+      "delta wins WHOLESALE per q_id, deterministically by dir name — " +
+      "never a row-level mix of two generations") {
+    import java.nio.file.Files
+    import spark.implicits._
+    val graphDir = Files.createTempDirectory("graphtie").toString
+    def writeDelta(name: String, rows: Seq[(Long, Long, Long, Double)]): Unit = {
+      rows.map { case (q, rk, v, s) => (q, rk, v, s, 0L, name) }
+        .toDF("q_id", "rk", "vec_id", "score", "seq", "wsrc")
+        .write.mode("overwrite").parquet(s"$graphDir/$name")
+      new java.io.File(s"$graphDir/$name", "_done").createNewFile()
+    }
+    // two writers minted seq 0 for the same q_id with DIFFERENT top-k
+    // sets; q 2 exists only in the earlier delta and must still serve
+    writeDelta("batch_id=0",
+      Seq((1L, 1L, 10L, 0.5), (1L, 2L, 11L, 0.4), (2L, 1L, 30L, 0.9)))
+    writeDelta("churn_id=0", Seq((1L, 1L, 20L, 0.8)))
+    val got = StreamingBackfill.servedGraph(spark, graphDir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      .sortBy(identity).toSeq
+    // "churn_id=0" > "batch_id=0" lexicographically: q 1 serves the
+    // churn delta's SET intact (one row), not 3 mixed rows
+    assert(got === Seq((1L, 1L, 20L), (2L, 1L, 30L)),
+      s"tie resolution mixed or lost generations: $got")
+  }
+
   test("graph churn loop: a survivor whose ENTIRE candidate set is " +
       "deleted serves nothing (its own rk sentinel), never its stale " +
       "edges into deleted vectors") {
