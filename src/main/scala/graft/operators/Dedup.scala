@@ -449,7 +449,13 @@ object Dedup {
     * enough to run alongside every banded near-dup at any scale. */
   def bandingSaturation(sigs: DataFrame, idCol: String, sigCol: String,
       maxBucket: Int = 200): DataFrame =
-    sigs.select(explode(array((0 until 4).map { c =>
+    // one row per (id, chunk): the projection through idCol both prunes
+    // the scan to the two live columns and asserts the caller's id
+    // column exists — `n_ids` below counts these rows, which equals
+    // distinct ids per chunk under the one-row-per-id signature-table
+    // contract every fingerprint memo here satisfies
+    sigs.select(col(idCol), col(sigCol))
+      .select(explode(array((0 until 4).map { c =>
         struct(lit(c.toLong).as("chunk_id"),
           shiftright(col(sigCol), c * ChunkBits)
             .bitwiseAND(lit((1L << ChunkBits) - 1)).as("chunk_val"))

@@ -214,18 +214,20 @@ object Sampling {
       .select("span_h").distinct()
     val fpr = graft.sources.SourceState.dirFingerprint(spark, dir)
     val key = s"$dir|$fpr|spanbloom$n|$fpp"
-    val bloom = spanBloomCache.computeIfAbsent(key, _ => {
-      // supersede: a new fingerprint of this dir means the data was
-      // regenerated — the old generation's filters can never be served
-      // again (their key embeds the dead fingerprint), so drop them
-      // rather than pinning multi-MB bit arrays per rewrite forever
-      val it = spanBloomCache.keySet.iterator()
-      while (it.hasNext) {
-        val k = it.next()
-        if (k.startsWith(s"$dir|") && !k.startsWith(s"$dir|$fpr|")) it.remove()
-      }
-      GraftBloom.fromColumn(train, "span_h", fpp)
-    })
+    // supersede BEFORE the computeIfAbsent, never inside its mapping
+    // function (the CHM contract forbids mutating the map from within
+    // — a cross-bin remove() under another key's bin lock can deadlock
+    // or corrupt the insert): a new fingerprint of this dir means the
+    // data was regenerated and the old generation's filters can never
+    // be served again (their key embeds the dead fingerprint), so drop
+    // them rather than pinning multi-MB bit arrays per rewrite forever
+    val it = spanBloomCache.keySet.iterator()
+    while (it.hasNext) {
+      val k = it.next()
+      if (k.startsWith(s"$dir|") && !k.startsWith(s"$dir|$fpr|")) it.remove()
+    }
+    val bloom = spanBloomCache.computeIfAbsent(key,
+      _ => GraftBloom.fromColumn(train, "span_h", fpp))
     val evalSpans = spans.filter(col("split") =!= "train")
     val hitPerDoc = evalSpans
       .filter(GraftBloom.might_contain(col("span_h"), bloom))
@@ -274,12 +276,17 @@ object Sampling {
     * (cluster keeper by quality, or untouched by any cluster), whether
     * the per-source quota keeps it, and the final selection. This is
     * what the [[Memo]] layer exists for: the keeper map is a join
-    * against a materialized table, and split/quota are computed as
-    * COLUMNS on the single docs scan (split a narrow expression, quota
-    * a bounded aggregate + broadcast threshold) — one scan, one
-    * map-side-combined aggregate, two small-table joins; never a
-    * pipeline re-run, never a second corpus scan, never a
-    * single-partition-per-source window. */
+    * against a materialized table, and split/quota come from the docs
+    * scan itself (split a narrow expression; quota a bounded aggregate
+    * whose threshold broadcasts back onto the probe side) — never a
+    * pipeline re-run, never a single-partition-per-source window. The
+    * quota's threshold build DOES read the docs columns a second time
+    * (aggregate side + probe side — Spark plans two column-pruned
+    * scans): the deliberate trade of the window-free form, since at
+    * 100 TB a second columnar pass over (doc_id, source, text-hash)
+    * is far cheaper than the full-corpus range shuffle the
+    * per-source rank window would pay — and the window's dominant-
+    * source single task does not exist at any scale. */
   def corpusManifest(spark: SparkSession, dir: String): DataFrame = {
     val keepers = Components.dedupKeepBest(spark, dir)
       .select(col("doc_id"), col("is_keeper"))
@@ -430,19 +437,27 @@ object Sampling {
     * is a multi-TB single task, the exact shape `stratified_split`
     * and `quality_quantile_filter` already refuse. Groups smaller than
     * the quota keep everything (the threshold is their max). Output
-    * adds a boolean `kept`. */
+    * adds a boolean `kept`. Assumes a NON-NULL group key (true for
+    * `source` and `c_id` under the schema pins) — the threshold join
+    * is a plain equi-join, so a null-keyed row would drop where the
+    * window form would have ranked it. */
   private def quotaThresholdKept(keyed: DataFrame, grpCol: String,
       skCol: String, idCol: Column, quota: Int): DataFrame = {
     import graft.functions.BottomK.bottom_k
+    // null sort keys coalesce to "" — first in the order, matching the
+    // nulls-first ASC of the window form this replaces (BottomK skips
+    // null keys and struct-compare against null yields NULL `kept`,
+    // so a raw null would silently fall out of the sample)
+    val sk = coalesce(col(skCol), lit(""))
     val thr = keyed.groupBy(grpCol)
-      .agg(bottom_k(struct(col(skCol).as("sort_key"), idCol.as("id")),
+      .agg(bottom_k(struct(sk.as("sort_key"), idCol.as("id")),
         quota).as("bk"))
       .select(col(grpCol),
         element_at(col("bk"), -1).getField("sort_key").as("thr_sk"),
         element_at(col("bk"), -1).getField("id").as("thr_id"))
     keyed.join(broadcast(thr), grpCol)
       .withColumn("kept",
-        struct(col(skCol).as("sort_key"), idCol.as("id")) <=
+        struct(sk.as("sort_key"), idCol.as("id")) <=
           struct(col("thr_sk").as("sort_key"), col("thr_id").as("id")))
   }
 

@@ -92,6 +92,24 @@ object TextAnalysis {
     out.toArray
   }
 
+  /** Split a word into CODEPOINT symbols (one String per Unicode code
+    * point) — NOT UTF-16 code units: DuckDB's `word[i]` / `len(word)`
+    * are codepoint-indexed, so a `toCharArray` split would diverge on
+    * any astral character (an emoji becomes two lone surrogates, which
+    * UTF8String then mangles to '?', collapsing distinct symbols).
+    * Codepoint symbols keep the merge tables, counts and fingerprints
+    * identical across engines on full Unicode, not just the BMP. */
+  private def codepointSyms(w: String): Array[String] = {
+    val out = new scala.collection.mutable.ArrayBuffer[String](w.length)
+    var i = 0
+    while (i < w.length) {
+      val cp = w.codePointAt(i)
+      out += new String(Character.toChars(cp))
+      i += Character.charCount(cp)
+    }
+    out.toArray
+  }
+
   /** BPE merge learning — the tokenizer-TRAINING step (Sennrich et al.
     * 2016), run here over the word stream (merges learn multi-word
     * units; the algorithm is byte-pair coding at whatever symbol
@@ -220,7 +238,7 @@ object TextAnalysis {
         .select(explode(T.tokens(col("text"))).as("word"))
         .groupBy("word").agg(count(lit(1)).as("freq"))
         .as[(String, Long)]
-        .map { case (w, f) => (w, f, w.toCharArray.map(_.toString).toSeq) }
+        .map { case (w, f) => (w, f, codepointSyms(w).toSeq) }
         .toDF("word", "freq", "ts")
       var cur = vocab0.localCheckpoint(true)
       val merges = Seq.newBuilder[(Long, String, String, Long)]
@@ -276,9 +294,10 @@ object TextAnalysis {
       .distinct()
       .as[String]
       .mapPartitions(_.map { w =>
-        var ts: Array[String] = w.toCharArray.map(_.toString)
+        var ts: Array[String] = codepointSyms(w)
+        val nch = ts.length.toLong
         merges.foreach { case (l, r) => ts = mergeOnce(ts, l, r) }
-        (w, w.length.toLong, ts.length.toLong, ts.mkString("\u0001"))
+        (w, nch, ts.length.toLong, ts.mkString("\u0001"))
       })
       .toDF("word", "n_chars", "n_sub", "enc")
     val perDoc = Tables.load(spark, dir, "documents")

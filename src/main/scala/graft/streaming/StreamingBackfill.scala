@@ -709,7 +709,14 @@ object StreamingBackfill {
     // until the next FULL fold (triggered automatically once the
     // folded tier outgrows it). Dir row counts are parquet
     // metadata-counts — cheap next to the fold itself.
-    val counts = dirs.map(d => d -> spark.read.parquet(d).count())
+    // a committed delta can be schema-only (documented: a first batch
+    // whose vector has no scorable neighbor) — if its parquet footers
+    // are absent a PER-DIR read cannot infer a schema and throws where
+    // the union read (schema from siblings) would not; such a dir
+    // holds zero rows by definition, so count it as such
+    val counts = dirs.map(d => d ->
+      (try spark.read.parquet(d).count()
+      catch { case scala.util.control.NonFatal(_) => 0L }))
     val total = counts.map(_._2).sum
     val baseDir = counts.maxBy { case (d, n) => (n, d) }._1
     val baseRows = counts.toMap.apply(baseDir)
