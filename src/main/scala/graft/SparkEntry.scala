@@ -71,6 +71,8 @@ object SparkEntry {
     "dedup_content_hash" -> (Dedup.exactByContentHash _),
     "minhash_signatures" -> (Dedup.minhashSignatures _),
     "minhash_buckets"    -> (Dedup.minhashBuckets _),
+    "minhash_band_saturation" -> ((s: SparkSession, d: String) =>
+      Dedup.minhashBandSaturation(s, d)),
     "minhash_pairs"      -> ((s: SparkSession, d: String) => Dedup.minhashPairs(s, d)),
     "dedup_incremental"  -> ((s: SparkSession, d: String) => Dedup.incrementalPairs(s, d)),
     "dedup_incremental_bucketed" ->
@@ -2581,6 +2583,23 @@ object SparkEntry {
     "minhash_pairs" ->
       s"""WITH $dMinhashPairsCtes
          SELECT doc_a, doc_b, jaccard FROM mh_pairs ORDER BY doc_a, doc_b""",
+    // band-level saturation guard over the UNCAPPED band table: per
+    // band, distinct keys + the doc mass the skew cap would drop
+    "minhash_band_saturation" ->
+      s"""WITH ${minhashCtes(0 until 64)},
+         $dBandsCte,
+         mbsz AS (SELECT band_id, band_key, count(*) AS bs
+                  FROM bands GROUP BY 1, 2)
+         SELECT CAST(band_id AS BIGINT) AS band_id,
+                CAST(sum(bs) AS BIGINT) AS n_docs,
+                CAST(count(*) AS BIGINT) AS n_keys,
+                CAST(sum(CASE WHEN bs > 200 THEN 1 ELSE 0 END) AS BIGINT)
+                  AS n_capped,
+                CAST(sum(CASE WHEN bs > 200 THEN bs ELSE 0 END) AS BIGINT)
+                  AS n_dropped,
+                round(sum(CASE WHEN bs > 200 THEN bs ELSE 0 END) /
+                  CAST(sum(bs) AS DOUBLE), 6) AS drop_frac
+         FROM mbsz GROUP BY band_id ORDER BY band_id""",
     // one-sided band probe: the "new crawl" (doc_id % 10 = 0) against
     // the corpus — same skew-capped buckets (bf) and exact verify as
     // minhash_pairs, but candidates orient new→corpus, either order

@@ -167,6 +167,32 @@ object Dedup {
       allBanded.join(broadcast(big), Seq("band_id", "band_key"), "left_anti")
     }
 
+  /** Banding saturation for the MinHash LSH band index — the text twin
+    * of the Hamming-chunk guard [[bandingSaturation]]: per band, the
+    * distinct band-key count and the doc mass the skew cap silently
+    * removes before pairing. A boilerplate-saturated corpus (every
+    * page sharing header/footer shingles) caps band buckets exactly
+    * the way low-entropy audio envelopes did — candidate recall decays
+    * with nothing saying why; `drop_frac` per band is the alarm and
+    * the capacity signal (raise `maxBucket`, lengthen shingles, or
+    * collapse exact dups first). Deliberately reads the UNCAPPED
+    * memoized band table: the stat must see what the cap removes. */
+  def minhashBandSaturation(spark: SparkSession, dir: String,
+      maxBucket: Int = 200): DataFrame =
+    minhashBandTable(spark, dir)
+      .groupBy("band_id", "band_key").agg(count(lit(1)).as("bs"))
+      .groupBy("band_id")
+      .agg(sum(col("bs")).as("n_docs"),
+        count(lit(1)).as("n_keys"),
+        sum(when(col("bs") > maxBucket, 1L).otherwise(0L)).as("n_capped"),
+        sum(when(col("bs") > maxBucket, col("bs")).otherwise(0L))
+          .as("n_dropped"))
+      .select(col("band_id").cast("long").as("band_id"), col("n_docs"),
+        col("n_keys"), col("n_capped"), col("n_dropped"),
+        round(col("n_dropped").cast("double") / col("n_docs"), 6)
+          .as("drop_frac"))
+      .orderBy("band_id")
+
   def minhashPairs(spark: SparkSession, dir: String,
       threshold: Double = 0.5, maxBucket: Int = 200): DataFrame =
     Memo.table(spark, dir, s"minhash_pairs_${threshold}_$maxBucket") {
