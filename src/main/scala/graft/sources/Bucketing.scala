@@ -70,7 +70,7 @@ object Bucketing {
   def ensureCorpusBandIndex(spark: SparkSession, dir: String,
       maxBucket: Int = 200, buckets: Int = 8): String = {
     import org.apache.spark.sql.functions.col
-    val table = f"corpus_bands_bkt_${dir.hashCode & 0x7fffffff}%08x"
+    val table = s"corpus_bands_bkt_${maxBucket}_${dirTag(dir)}"
     ensureBandIndexFrom(spark, table,
       graft.operators.Dedup.minhashCappedBands(spark, dir, maxBucket)
         .filter(col("doc_id") % 10 =!= 0),
@@ -82,6 +82,19 @@ object Bucketing {
     * from — text indexes read `documents`, ANN/PQ indexes read
     * `embeddings`. Per-source (not whole-dir) so a re-crawl of one
     * doesn't force rebuilding the other family's indexes. */
+  /** Canonical 12-hex-char PATH tag for index table names: md5 of the
+    * trailing-slash-normalized dir. `String.hashCode` (32 bits) can
+    * realistically collide across dataset dirs, and a collision makes
+    * two datasets fight over one table name — the fingerprint check
+    * saves correctness, but every alternation then pays a full
+    * O(corpus) index rebuild; 48 md5 bits make that a non-event, and
+    * the normalization stops `data` vs `data/` duplicating every
+    * index. */
+  private[graft] def dirTag(dir: String): String =
+    java.security.MessageDigest.getInstance("MD5")
+      .digest(dir.stripSuffix("/").getBytes("UTF-8"))
+      .take(6).map("%02x".format(_)).mkString
+
   private def docsFp(spark: SparkSession, dir: String): Option[String] =
     Some(SourceState.fingerprint(spark, dir, Seq("documents")))
   private def embFp(spark: SparkSession, dir: String): Option[String] =
@@ -97,9 +110,13 @@ object Bucketing {
     * only copy. A persistent catalog (Hive/Glue) never needs this: the
     * table resolves via tableExists across sessions. */
   private def clearOrphanedLocation(spark: SparkSession, table: String): Unit = {
+    // resolved through the session catalog, NOT "<warehouse>/<table>":
+    // with a non-default current database the managed location is
+    // <warehouse>/<db>.db/<table>, and the hardcoded guess would
+    // silently no-op — leaving exactly the LOCATION_ALREADY_EXISTS
+    // crash this helper exists to prevent
     val loc = new org.apache.hadoop.fs.Path(
-      spark.conf.get("spark.sql.warehouse.dir"),
-      table.toLowerCase(java.util.Locale.ROOT))
+      org.apache.spark.sql.graftshim.Shim.defaultTablePath(spark, table))
     val fs = loc.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (fs.exists(loc)) fs.delete(loc, true)
     ()
@@ -222,7 +239,7 @@ object Bucketing {
   def ensureMaintainedPostingsIndex(spark: SparkSession, dir: String,
       buckets: Int = 8): String = {
     import org.apache.spark.sql.functions.col
-    val table = f"postings_bkt_${dir.hashCode & 0x7fffffff}%08x"
+    val table = s"postings_bkt_${dirTag(dir)}"
     lazy val posts = graft.operators.Retrieval.postingsTable(spark, dir)
     ensureBucketedTable(spark, table,
       posts.filter(col("doc_id") % 10 =!= 0), Seq("token"), buckets,
@@ -254,7 +271,7 @@ object Bucketing {
   def ensureMaintainedPositionalIndex(spark: SparkSession, dir: String,
       buckets: Int = 8): String = {
     import org.apache.spark.sql.functions.col
-    val table = f"positional_bkt_${dir.hashCode & 0x7fffffff}%08x"
+    val table = s"positional_bkt_${dirTag(dir)}"
     lazy val posts = graft.operators.Retrieval.positionalPostings(spark, dir)
     ensureBucketedTable(spark, table,
       posts.filter(col("doc_id") % 10 =!= 0), Seq("token"), buckets,
@@ -350,20 +367,33 @@ object Bucketing {
     * the guard checks the MAIN table, written after the hot table, so a
     * partial build rebuilds both. Returns the table name. */
   def ensureSaltedPostingsIndex(spark: SparkSession, dir: String,
-      salts: Int = 8, buckets: Int = 8): String = synchronized {
-    val table = f"postings_salt_${dir.hashCode & 0x7fffffff}%08x"
+      salts: Int = 8, buckets: Int = 8): String =
+    ensureSaltedIndex(spark, s"postings_salt_${salts}_${dirTag(dir)}", dir,
+      graft.operators.Retrieval.postingsTable(spark, dir), salts, buckets)
+
+  /** The ONE hot-token policy every salted build freezes (5% of the
+    * corpus, floored at 10): the serve-side expansion reads the frozen
+    * `_hot` table, so the policy must come from one place or the
+    * salted indexes drift from their own expansion. */
+  private def hotDfThreshold(nDocs: Long): Long = math.max(nDocs / 20, 10)
+
+  /** Shared build-once guard for the salted postings/positional
+    * catalogs: stale-drop, orphan-clear, salted write under the frozen
+    * hot policy, fingerprint stamped AFTER the main-table write (a
+    * crash in between leaves a fingerprint-less table, which
+    * dropIfStale treats as stale → rebuild — same safety as the
+    * temp-name path). */
+  private def ensureSaltedIndex(spark: SparkSession, table: String,
+      dir: String, posts: => DataFrame, salts: Int,
+      buckets: Int): String = synchronized {
     val fp = docsFp(spark, dir)
     dropIfStale(spark, table, fp, companions = Seq(s"${table}_hot"))
     if (!spark.catalog.tableExists(table)) {
       clearOrphanedLocation(spark, s"${table}_hot")
       clearOrphanedLocation(spark, table)
-      val posts = graft.operators.Retrieval.postingsTable(spark, dir)
       val nDocs = Tables.load(spark, dir, "documents").count()
       writeSaltedPostingsIndex(spark, table, posts,
-        hotDf = math.max(nDocs / 20, 10), salts, buckets)
-      // stamped AFTER the main-table write completes: a crash in
-      // between leaves a fingerprint-less table, which dropIfStale
-      // treats as stale → rebuild (same safety as the temp-name path)
+        hotDf = hotDfThreshold(nDocs), salts, buckets)
       fp.foreach(f => spark.sql(
         s"ALTER TABLE $table SET TBLPROPERTIES ('$FingerprintProp'='$f')"))
     }
@@ -389,22 +419,10 @@ object Bucketing {
     * as bucket-skewing as its tf postings. Serves `phrase_salted`.
     * Returns the table name. */
   def ensureSaltedPositionalIndex(spark: SparkSession, dir: String,
-      salts: Int = 8, buckets: Int = 8): String = synchronized {
-    val table = f"positional_salt_${dir.hashCode & 0x7fffffff}%08x"
-    val fp = docsFp(spark, dir)
-    dropIfStale(spark, table, fp, companions = Seq(s"${table}_hot"))
-    if (!spark.catalog.tableExists(table)) {
-      clearOrphanedLocation(spark, s"${table}_hot")
-      clearOrphanedLocation(spark, table)
-      val posts = graft.operators.Retrieval.positionalPostings(spark, dir)
-      val nDocs = Tables.load(spark, dir, "documents").count()
-      writeSaltedPostingsIndex(spark, table, posts,
-        hotDf = math.max(nDocs / 20, 10), salts, buckets)
-      fp.foreach(f => spark.sql(
-        s"ALTER TABLE $table SET TBLPROPERTIES ('$FingerprintProp'='$f')"))
-    }
-    table
-  }
+      salts: Int = 8, buckets: Int = 8): String =
+    ensureSaltedIndex(spark, s"positional_salt_${salts}_${dirTag(dir)}", dir,
+      graft.operators.Retrieval.positionalPostings(spark, dir), salts,
+      buckets)
 
   /** The shard-expanded IN filter over a salted table, churn metadata
     * (if any) retained — shared by the plain and churn serve paths. */
@@ -415,7 +433,13 @@ object Bucketing {
       .collect().map(_.getString(0)).toSet
     val keys = tokens.flatMap(t =>
       if (hot(t)) (0 until salts).map(i => s"$t#$i") else Seq(t))
-    spark.table(table).filter(col("shard_key").isin(keys: _*))
+    // the shard-key IN is the bucket-pruning layer ONLY; the exact
+    // token IN owns correctness: '#' is legal inside a token (the
+    // tokenizer is whitespace-split), so a cold token literally named
+    // "<hot>#<digit>" collides with a hot shard key and would
+    // otherwise be scored as the hot token's postings
+    spark.table(table).filter(col("shard_key").isin(keys: _*) &&
+      col("token").isin(tokens: _*))
   }
 
   /** CHURN-capable SALTED postings index — the two skew/lifecycle
@@ -434,7 +458,7 @@ object Bucketing {
   def ensureChurnedSaltedIndex(spark: SparkSession, dir: String,
       salts: Int = 8, buckets: Int = 8): String = {
     import org.apache.spark.sql.functions.{col, count, lit}
-    val table = f"postings_saltchn_${dir.hashCode & 0x7fffffff}%08x"
+    val table = s"postings_saltchn_${salts}_${dirTag(dir)}"
     lazy val posts = graft.operators.Retrieval.postingsTable(spark, dir)
     // the whole lifecycle (hot policy, seq-0 build, seq-1 tombstones,
     // compaction) runs under ensureBucketedTable's temp-name + rename,
@@ -446,7 +470,7 @@ object Bucketing {
         clearOrphanedLocation(spark, s"${table}_hot")
         val nDocs = Tables.load(spark, dir, "documents").count()
         posts.groupBy("token").agg(count(lit(1)).as("df"))
-          .filter(col("df") > math.max(nDocs / 20, 10))
+          .filter(col("df") > hotDfThreshold(nDocs))
           .write.mode("overwrite").saveAsTable(s"${table}_hot")
         saltedShards(spark, table, IndexChurn.stamp(posts, "U", 0L), salts)
       }, Seq("shard_key"), buckets, docsFp(spark, dir)) { t =>
@@ -482,7 +506,7 @@ object Bucketing {
       buckets: Int = 8): (String, String) = {
     import org.apache.spark.sql.functions.{col, size}
     import graft.functions.{TextFunctions => T}
-    val h = f"${dir.hashCode & 0x7fffffff}%08x"
+    val h = dirTag(dir)
     val pt = s"postings_chn_$h"
     val dt = s"doclen_chn_$h"
     lazy val posts = graft.operators.Retrieval.postingsTable(spark, dir)
@@ -519,7 +543,7 @@ object Bucketing {
   def ensureChurnedPositionalIndex(spark: SparkSession, dir: String,
       buckets: Int = 8): String = {
     import org.apache.spark.sql.functions.col
-    val table = f"positional_chn_${dir.hashCode & 0x7fffffff}%08x"
+    val table = s"positional_chn_${dirTag(dir)}"
     lazy val posts = graft.operators.Retrieval.positionalPostings(spark, dir)
     ensureBucketedTable(spark, table,
       IndexChurn.stamp(posts, "U", 0L), Seq("token"), buckets,
@@ -552,7 +576,7 @@ object Bucketing {
   def ensureChurnedBandIndex(spark: SparkSession, dir: String,
       maxBucket: Int = 200, buckets: Int = 8): String = {
     import org.apache.spark.sql.functions.col
-    val table = f"corpus_bands_chn_${dir.hashCode & 0x7fffffff}%08x"
+    val table = s"corpus_bands_chn_${maxBucket}_${dirTag(dir)}"
     lazy val bands =
       graft.operators.Dedup.minhashCappedBands(spark, dir, maxBucket)
     ensureBucketedTable(spark, table,
@@ -612,7 +636,7 @@ object Bucketing {
     * full-encode memo is the append-correctness proof. */
   def ensureMaintainedPqIndex(spark: SparkSession, dir: String,
       iters: Int = 2, buckets: Int = 8): String = {
-    val table = f"pq_idx_bkt_${iters}_${dir.hashCode & 0x7fffffff}%08x"
+    val table = s"pq_idx_bkt_${iters}_${dirTag(dir)}"
     val Q = graft.operators.Quantize
     ensureBucketedTable(spark, table,
       Q.encodeSlice(spark, dir, newBatch = false, iters),
@@ -631,6 +655,14 @@ object Bucketing {
       .write.mode("append")
       .bucketBy(buckets, "vec_id").sortBy("vec_id")
       .saveAsTable(table)
+
+  /** THE maintained-assignment table name — shared with
+    * [[graft.operators.Similarity.retrainAssignmentIndex]]'s staged
+    * epoch flip, whose cutover works only because the retrained table
+    * lands under exactly this name for the new iters: a one-sided
+    * rename would silently rebuild a second, divergent table. */
+  def maintainedAssignmentTableName(dir: String, iters: Int): String =
+    s"ivf_assign_bkt_${iters}_${dirTag(dir)}"
 
   /** CHURN-capable ANN assignment index — deletes BETWEEN retrains:
     * [[graft.operators.Similarity.retrainAssignmentIndex]] rebuilds the
@@ -651,20 +683,12 @@ object Bucketing {
     * batch at seq=1, bucket-local compact; `sim_topk_churn`'s
     * hash-equality with IVF over the surviving vectors proves deleted
     * vectors never surface in top-k. Returns the table name. */
-  /** THE maintained-assignment table name — shared with
-    * [[graft.operators.Similarity.retrainAssignmentIndex]]'s staged
-    * epoch flip, whose cutover works only because the retrained table
-    * lands under exactly this name for the new iters: a one-sided
-    * rename would silently rebuild a second, divergent table. */
-  def maintainedAssignmentTableName(dir: String, iters: Int): String =
-    f"ivf_assign_bkt_${iters}_${dir.hashCode & 0x7fffffff}%08x"
-
   def ensureChurnedAssignmentIndex(spark: SparkSession, dir: String,
       iters: Int = 2, buckets: Int = 8, mod: Int = 10): String = {
     import org.apache.spark.sql.functions.col
     // mod is part of the name: two parameterizations are two tables
     val table =
-      f"ivf_assign_chn_${iters}_${mod}_${dir.hashCode & 0x7fffffff}%08x"
+      s"ivf_assign_chn_${iters}_${mod}_${dirTag(dir)}"
     lazy val assigned = graft.operators.Similarity
       .assignmentTable(spark, dir, iters)
       .select("vec_id", "c_id", "v", "nrm")
@@ -679,18 +703,6 @@ object Bucketing {
     table
   }
 
-  /** CHURN-capable PQ index — the last PQ lifecycle phase after
-    * build/append/pack: a deleted vector's codes must stop serving NOW,
-    * without re-encoding anything. Same shape as
-    * [[ensureChurnedAssignmentIndex]] on the LONG format (key =
-    * (vec_id, sub) under the vec_id bucketing, so a tombstone batch
-    * lands in exactly its victims' buckets and the tombstonesOnly
-    * dirty-bucket fast path applies): full encode at seq 0, the
-    * `vec_id % 10 == 0` batch tombstoned at seq 1, bucket-local
-    * compaction. ADC over the serve view must hash-equal a fresh
-    * encode that never saw the deleted vectors — deletes cannot
-    * resurface in a top-k, and the packed fold applies downstream of
-    * the serve view unchanged. */
   /** The IVF+PQ serving table — FAISS's IVFADC layout as a catalog
     * table: inverted lists of PQ codes, (c_id, vec_id, nrm, sub, code)
     * BUCKETED BY the coarse-list id. A query's nprobe probe becomes a
@@ -706,7 +718,7 @@ object Bucketing {
     * — this table only fuses the layouts. */
   def ensureIvfPqIndex(spark: SparkSession, dir: String,
       iters: Int = 2, buckets: Int = 8): String = {
-    val table = f"ivfpq_idx_${iters}_${dir.hashCode & 0x7fffffff}%08x"
+    val table = s"ivfpq_idx_${iters}_${dirTag(dir)}"
     lazy val lists = graft.operators.Similarity
       .assignmentTable(spark, dir, iters).select("vec_id", "c_id")
       .join(graft.operators.Quantize.pqIndexTable(spark, dir, iters),
@@ -723,17 +735,29 @@ object Bucketing {
     * proper). */
   def ensureIvfPqResidualIndex(spark: SparkSession, dir: String,
       iters: Int = 2, buckets: Int = 8): String = {
-    val table = f"ivfpqr_idx_${iters}_${dir.hashCode & 0x7fffffff}%08x"
+    val table = s"ivfpqr_idx_${iters}_${dirTag(dir)}"
     ensureBucketedTable(spark, table,
       graft.operators.Quantize.pqResidualIndexTable(spark, dir, iters),
       Seq("c_id"), buckets, embFp(spark, dir))()
     table
   }
 
+  /** CHURN-capable PQ index — the last PQ lifecycle phase after
+    * build/append/pack: a deleted vector's codes must stop serving NOW,
+    * without re-encoding anything. Same shape as
+    * [[ensureChurnedAssignmentIndex]] on the LONG format (key =
+    * (vec_id, sub) under the vec_id bucketing, so a tombstone batch
+    * lands in exactly its victims' buckets and the tombstonesOnly
+    * dirty-bucket fast path applies): full encode at seq 0, the
+    * `vec_id % 10 == 0` batch tombstoned at seq 1, bucket-local
+    * compaction. ADC over the serve view must hash-equal a fresh
+    * encode that never saw the deleted vectors — deletes cannot
+    * resurface in a top-k, and the packed fold applies downstream of
+    * the serve view unchanged. */
   def ensureChurnedPqIndex(spark: SparkSession, dir: String,
       iters: Int = 2, buckets: Int = 8): String = {
     import org.apache.spark.sql.functions.col
-    val table = f"pq_idx_chn_${iters}_${dir.hashCode & 0x7fffffff}%08x"
+    val table = s"pq_idx_chn_${iters}_${dirTag(dir)}"
     lazy val codes = graft.operators.Quantize.pqIndexTable(spark, dir, iters)
       .select("vec_id", "nrm", "sub", "code")
     ensureBucketedTable(spark, table,

@@ -78,4 +78,16 @@ object Shim {
 
   def drainListenerBus(spark: SparkSession): Unit =
     spark.sparkContext.listenerBus.waitUntilEmpty()
+
+  /** The catalog-resolved default managed-table location for `table`
+    * in the CURRENT database (`SessionCatalog.defaultTablePath` is
+    * private[sql]) — "<warehouse>/<db>.db/<table>" when the session
+    * database is not `default`, which a hardcoded warehouse join gets
+    * wrong. */
+  def defaultTablePath(spark: SparkSession, table: String): String =
+    spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
+      .sessionState.catalog
+      .defaultTablePath(
+        org.apache.spark.sql.catalyst.TableIdentifier(table))
+      .toString
 }

@@ -254,6 +254,41 @@ class BucketingSpec extends AnyFunSuite {
     }
   }
 
+  test("salted serve: a cold token literally named '<hot>#<digit>' is " +
+      "never served as the hot token's shard (exact token re-filter)") {
+    import org.apache.spark.sql.functions._
+    val salted = "salted_hash_t"
+    try {
+      // hot token "the" shards to the#0..the#7; the ADVERSARIAL cold
+      // token is literally "the#3" — its shard key IS its own name,
+      // byte-identical to one of the hot token's shard keys (the
+      // tokenizer is whitespace-split, so '#' inside tokens is legal)
+      val posts = spark.range(2000)
+        .select(lit("the").as("token"), col("id").as("doc_id"),
+          lit(5L).as("tf"))
+        .union(spark.range(9000, 9010)
+          .select(lit("the#3").as("token"), col("id").as("doc_id"),
+            lit(1L).as("tf")))
+      graft.sources.Bucketing.writeSaltedPostingsIndex(
+        spark, salted, posts, hotDf = 100, salts = 8)
+      // serving the hot token must NOT pick up the impostor's postings
+      val hotServe = graft.sources.Bucketing
+        .saltedPostings(spark, salted, Seq("the"))
+        .collect().map(r => (r.getString(0), r.getLong(1))).toSet
+      assert(hotServe.forall(_._1 == "the"),
+        s"foreign token served as hot shard: $hotServe")
+      assert(hotServe.size == 2000)
+      // and the impostor itself serves exactly its own rows
+      val coldServe = graft.sources.Bucketing
+        .saltedPostings(spark, salted, Seq("the#3"))
+        .collect().map(r => (r.getString(0), r.getLong(1))).toSet
+      assert(coldServe === (9000L until 9010L).map(("the#3", _)).toSet)
+    } finally {
+      spark.sql(s"DROP TABLE IF EXISTS $salted")
+      spark.sql(s"DROP TABLE IF EXISTS ${salted}_hot")
+    }
+  }
+
   test("ensureBucketedTable crash window: partial __building leftover is discarded") {
     import org.apache.spark.sql.functions.col
     val posts = graft.operators.Retrieval.postingsTable(spark, sf)
