@@ -182,9 +182,20 @@ object Retrieval {
     val dl = docLengths(spark, dir)
     val stats = corpusStats(spark, dir)
       .crossJoin(broadcast(dl.agg(avg(col("dl")).as("avgdl"))))
+    bm25Tail(tf, dl, broadcast(stats), topK)
+  }
+
+  /** The ONE single-query BM25 scoring tail both stat sources rank
+    * through (df aggregate, broadcast joins, per-doc fold, round-6,
+    * (score DESC, doc_id) top-k) — the round-8 "one definition so
+    * handling can never drift" discipline applied to the scoring
+    * itself: a tie-break or rounding tweak edited in one twin but not
+    * the other would silently desynchronize oracle-equal paths.
+    * `stats` arrives already broadcast. */
+  private def bm25Tail(tf: DataFrame, dl: DataFrame, stats: DataFrame,
+      topK: Int): DataFrame = {
     val dfreq = tf.groupBy("token").agg(count(lit(1)).as("df"))
-    val scored = tf.join(broadcast(dfreq), "token")
-      .crossJoin(broadcast(stats))
+    val scored = tf.join(broadcast(dfreq), "token").crossJoin(stats)
     dl.join(scored, "doc_id")
       .groupBy("doc_id")
       .agg(count(lit(1)).as("n_terms"), sum(termScore).as("s"))
@@ -240,15 +251,7 @@ object Retrieval {
       topK: Int): DataFrame = {
     val stats = broadcast(dlAll.agg(count(lit(1)).as("n_docs"),
       avg(when(col("dl") > 0, col("dl"))).as("avgdl")))
-    val dl = dlAll.filter(col("dl") > 0)
-    val dfreq = tf.groupBy("token").agg(count(lit(1)).as("df"))
-    val scored = tf.join(broadcast(dfreq), "token").crossJoin(stats)
-    dl.join(scored, "doc_id")
-      .groupBy("doc_id")
-      .agg(count(lit(1)).as("n_terms"), sum(termScore).as("s"))
-      .select(col("doc_id"), col("n_terms"), round(col("s"), 6).as("score"))
-      .orderBy(col("score").desc, col("doc_id"))
-      .limit(topK)
+    bm25Tail(tf, dlAll.filter(col("dl") > 0), stats, topK)
   }
 
   /** Harness query `bm25_salted`: BM25 served from the HOT-TOKEN-SALTED
@@ -281,7 +284,9 @@ object Retrieval {
       query: Seq[String] = Seq("hash", "join", "scan"),
       topK: Int = 20): DataFrame = {
     val pt = graft.sources.Bucketing.ensureChurnedSaltedIndex(spark, dir)
-    val (_, dt) = graft.sources.Bucketing.ensureChurnedBm25Index(spark, dir)
+    // doc lengths only: tf comes from the salted index above, so the
+    // full unsalted churned-postings build would be paid and discarded
+    val dt = graft.sources.Bucketing.ensureChurnedDocLengths(spark, dir)
     val tf = graft.sources.IndexChurn.servedFrom(
         graft.sources.Bucketing.saltedFilter(spark, pt, query),
         Seq("token", "doc_id"))
@@ -337,8 +342,13 @@ object Retrieval {
       batch: Seq[(Long, Seq[String])] = QueryBatch,
       topK: Int = 20): DataFrame = {
     import spark.implicits._
+    // dedup (query_id, term): bm25Search's `isin` dedups repeated
+    // query terms implicitly, and a duplicated pair here would join
+    // every matching posting twice — doubling n_terms and the score
+    // sum, silently breaking the identical-ranking contract
     val queryTerms = batch
-      .flatMap { case (qid, ts) => ts.map(qid -> _) }
+      .flatMap { case (qid, ts) => ts.distinct.map(qid -> _) }
+      .distinct
       .toDF("query_id", "token")
     val allTerms = batch.flatMap(_._2).distinct
     val post = postingsTable(spark, dir).filter(col("token").isin(allTerms: _*))

@@ -321,7 +321,19 @@ object Bucketing {
       .write.mode("overwrite")
       .bucketBy(buckets, "shard_key").sortBy("shard_key")
       .saveAsTable(table)
+    // the shard count is part of the TABLE's identity, recorded on the
+    // table itself: the serve-side hot-token expansion must enumerate
+    // exactly the build's shard keys, and a parallel default argument
+    // would silently drop shards the moment one side's default moved
+    spark.sql(s"ALTER TABLE $table SET TBLPROPERTIES " +
+      s"('$SaltsProp'='$salts')")
+    ()
   }
+
+  /** Table property recording a salted index's shard count — written
+    * at build, read by [[saltedFilter]], so serve and build can never
+    * disagree on the hot-token expansion. */
+  val SaltsProp = "graft.salts"
 
   /** Shard-key a postings frame under `table`'s hot policy: hot tokens
     * split by doc hash, cold tokens keep their own key. Payload columns
@@ -427,8 +439,15 @@ object Bucketing {
   /** The shard-expanded IN filter over a salted table, churn metadata
     * (if any) retained — shared by the plain and churn serve paths. */
   def saltedFilter(spark: SparkSession, table: String,
-      tokens: Seq[String], salts: Int = 8): DataFrame = {
+      tokens: Seq[String], saltsFallback: Int = 8): DataFrame = {
     import org.apache.spark.sql.functions.col
+    // the BUILD's shard count, read off the table itself ([[SaltsProp]]);
+    // the parameter is only the fallback for tables predating the
+    // property. Expanding with fewer salts than the build silently
+    // drops hot-token shards from every scan.
+    val salts = org.apache.spark.sql.graftshim.Shim
+      .tableProperty(spark, table, SaltsProp)
+      .map(_.toInt).getOrElse(saltsFallback)
     val hot = spark.table(s"${table}_hot").select("token")
       .collect().map(_.getString(0)).toSet
     val keys = tokens.flatMap(t =>
@@ -483,6 +502,12 @@ object Bucketing {
       IndexChurn.compact(spark, t, Seq("token", "doc_id"),
         Seq("shard_key"), buckets, tombstonesOnly = true)
     }
+    // idempotent identity stamp (the guarded build runs under a temp
+    // name, so the property is set on the final table here)
+    if (org.apache.spark.sql.graftshim.Shim
+        .tableProperty(spark, table, SaltsProp).isEmpty)
+      spark.sql(s"ALTER TABLE $table SET TBLPROPERTIES " +
+        s"('$SaltsProp'='$salts')")
     table
   }
 
@@ -508,7 +533,6 @@ object Bucketing {
     import graft.functions.{TextFunctions => T}
     val h = dirTag(dir)
     val pt = s"postings_chn_$h"
-    val dt = s"doclen_chn_$h"
     lazy val posts = graft.operators.Retrieval.postingsTable(spark, dir)
     ensureBucketedTable(spark, pt,
       IndexChurn.stamp(posts, "U", 0L), Seq("token"), buckets,
@@ -521,6 +545,21 @@ object Bucketing {
       IndexChurn.compact(spark, t, Seq("token", "doc_id"), Seq("token"),
         buckets, tombstonesOnly = true)
     }
+    (pt, ensureChurnedDocLengths(spark, dir, buckets))
+  }
+
+  /** The churned DOC-LENGTH table ALONE — split out of
+    * [[ensureChurnedBm25Index]] so a serve path that takes tf from its
+    * own index (the salted churn serve) can get churn-correct
+    * N/avgdl/dl stats without triggering — and discarding — the full
+    * unsalted churned-postings build. Same lifecycle: full lengths at
+    * seq=0, the `doc_id % 10 == 0` batch tombstoned at seq=1,
+    * bucket-local compact. Returns the table name. */
+  def ensureChurnedDocLengths(spark: SparkSession, dir: String,
+      buckets: Int = 8): String = {
+    import org.apache.spark.sql.functions.{col, size}
+    import graft.functions.{TextFunctions => T}
+    val dt = s"doclen_chn_${dirTag(dir)}"
     lazy val dls = graft.Tables.load(spark, dir, "documents")
       .select(col("doc_id"), size(T.tokens(col("text"))).cast("long").as("dl"))
     ensureBucketedTable(spark, dt,
@@ -531,7 +570,7 @@ object Bucketing {
       IndexChurn.compact(spark, t, Seq("doc_id"), Seq("doc_id"), buckets,
         tombstonesOnly = true)
     }
-    (pt, dt)
+    dt
   }
 
   /** CHURN-capable positional phrase index — the [[IndexChurn]] twin of

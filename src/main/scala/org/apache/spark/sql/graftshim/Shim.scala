@@ -84,6 +84,15 @@ object Shim {
     * private[sql]) — "<warehouse>/<db>.db/<table>" when the session
     * database is not `default`, which a hardcoded warehouse join gets
     * wrong. */
+  /** A catalog table property, if set (`getTableMetadata` is behind
+    * the private[sql] session state). */
+  def tableProperty(spark: SparkSession, table: String,
+      key: String): Option[String] =
+    spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
+      .sessionState.catalog
+      .getTableMetadata(org.apache.spark.sql.catalyst.TableIdentifier(table))
+      .properties.get(key)
+
   def defaultTablePath(spark: SparkSession, table: String): String =
     spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
       .sessionState.catalog

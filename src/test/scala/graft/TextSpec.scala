@@ -566,6 +566,14 @@ class TextSpec extends AnyFunSuite {
       .filter(col("query_id") === 1L).orderBy("rk")
       .collect().map(r => (r.getAs[Long]("doc_id"), r.getAs[Double]("score")))
     assert(batch.toSeq === single.toSeq)
+    // a REPEATED term in one query's list must not double its postings:
+    // bm25Search dedups via isin, so the batch path must dedup too
+    val dup = graft.operators.Retrieval.bm25Batch(spark, TestSpark.sf,
+        batch = Seq(7L -> Seq("hash", "hash", "join", "scan")))
+      .orderBy("rk")
+      .collect().map(r => (r.getAs[Long]("doc_id"), r.getAs[Double]("score")))
+    assert(dup.toSeq === single.toSeq,
+      "duplicated query term double-counted in the batch ranking")
   }
 
   test("hybridSearch: fused ranking equals an RRF recompute of both sides") {
