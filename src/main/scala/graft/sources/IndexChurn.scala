@@ -40,8 +40,18 @@ import org.apache.spark.sql.expressions.Window
   *
   * Single-writer contract: appends, deletes, and compaction of ONE
   * index table must not run concurrently with each other (same contract
-  * as [[graft.operators.Cdc.mergeIntoStore]]'s staging recovery);
-  * concurrent READS are safe at every point, including mid-compaction.
+  * as [[graft.operators.Cdc.mergeIntoStore]]'s staging recovery).
+  * Concurrent READS are SET-consistent at every point — the winner set
+  * a reader computes is correct mid-compaction — but not physically
+  * wait-free: a reader in another session holding a STALE cached file
+  * listing can hit FileNotFoundException after compaction deletes a
+  * superseded file (standard Spark behavior for any rewritten table;
+  * `REFRESH TABLE` / retry resolves, or set
+  * `spark.sql.files.ignoreMissingFiles` for serving sessions), and
+  * [[rebucket]]'s two-rename swap has an instant where the catalog
+  * name resolves to neither table (a concurrent read at that instant
+  * fails fast with TABLE_OR_VIEW_NOT_FOUND and succeeds on retry —
+  * rename is metadata-only, so the window is milliseconds).
   *
   * Reference tie-in: the reference delegates exactly this churn problem
   * to ClickHouse's ReplacingMergeTree (latest row per key wins at merge
@@ -59,9 +69,21 @@ object IndexChurn {
   def bucketIdExpr(bucketCols: Seq[Column], buckets: Int): Column =
     pmod(hash(bucketCols: _*), lit(buckets))
 
-  /** Stamp payload rows with churn metadata. */
-  def stamp(payload: DataFrame, op: String, seq: Long): DataFrame =
+  /** Stamp payload rows with churn metadata. Rejects payload columns
+    * that collide with the churn schema's own names: `op`/`seq` would
+    * be shadowed here, and `rk`/`b` are used internally by the serve
+    * window and the dirty-bucket computation — a payload column named
+    * `rk` would otherwise be silently clobbered by [[servedFrom]] and
+    * physically DROPPED from any bucket [[compact]] ever rewrites. */
+  def stamp(payload: DataFrame, op: String, seq: Long): DataFrame = {
+    val clash = payload.columns.toSeq.intersect(ReservedCols)
+    require(clash.isEmpty,
+      s"churn payload uses reserved column name(s): ${clash.mkString(", ")}")
     payload.withColumn("op", lit(op)).withColumn("seq", lit(seq))
+  }
+
+  /** Column names the churn machinery owns (schema + internals). */
+  val ReservedCols: Seq[String] = Seq("op", "seq", "rk", "b")
 
   /** The table's actual bucket count, from the catalog. Maintenance
     * entry points resolve the count through this (a `buckets` argument
@@ -85,8 +107,10 @@ object IndexChurn {
     * rows cluster into new per-bucket files next to the existing ones,
     * which are untouched. `seq` must be strictly greater than any seq
     * already in the table for the same keys (the monotonic-batch
-    * contract; on a seq tie the serve view lets the tombstone win, so
-    * a violated contract fails deterministically, not randomly). */
+    * contract; on a seq tie the serve view lets the tombstone win, and
+    * [[winnersOf]]'s row-hash tiebreak makes even a same-op tie pick
+    * one winner reproducibly — a violated contract fails
+    * deterministically, not randomly). */
   def append(spark: SparkSession, table: String, payload: DataFrame,
       op: String, seq: Long, bucketCols: Seq[String], buckets: Int = -1): Unit = {
     val b = resolveBuckets(spark, table, buckets)
@@ -109,12 +133,29 @@ object IndexChurn {
 
   /** [[served]] over an arbitrary churn-schema frame (the testable
     * kernel). */
-  def servedFrom(df: DataFrame, keyCols: Seq[String]): DataFrame = {
+  def servedFrom(df: DataFrame, keyCols: Seq[String]): DataFrame =
+    winnersOf(df, keyCols).drop("op", "seq")
+
+  /** THE latest-wins winner selection — the one definition
+    * [[servedFrom]], [[compact]] and [[rebucket]] all rank through
+    * (three hand-rolled copies of this window would let a tie-break
+    * edit desynchronize serve from compaction, breaking the
+    * move-in-first crash argument, which depends on compact picking
+    * exactly the serve view's winners). Order: seq DESC (latest batch
+    * wins), op ASC ('D' < 'U' — a tombstone wins a seq tie, so a
+    * violated monotonic-seq contract fails closed), then a hash of the
+    * whole row as the final tiebreak so even a DOUBLE violation (two
+    * distinct U payloads at one (key, seq)) picks the same winner on
+    * every execution — serve before compaction, the compacted rewrite,
+    * and every retry agree. For contract-compliant data the hash never
+    * decides anything (remaining ties are byte-identical rows). */
+  private def winnersOf(df: DataFrame, keyCols: Seq[String]): DataFrame = {
     val w = Window.partitionBy(keyCols.map(col): _*)
-      .orderBy(col("seq").desc, col("op").asc)
+      .orderBy(col("seq").desc, col("op").asc,
+        xxhash64(struct(df.columns.map(col): _*)))
     df.withColumn("rk", row_number().over(w))
       .filter(col("rk") === 1 && col("op") =!= "D")
-      .drop("rk", "op", "seq")
+      .drop("rk")
   }
 
   /** Rewrite ONLY the buckets holding churn debt (a superseded version
@@ -166,25 +207,24 @@ object IndexChurn {
     val hconf = spark.sparkContext.hadoopConfiguration
     val loc = tableLocation(spark, table)
     val fs = loc.getFileSystem(hconf)
-    val oldFiles = dataFiles(fs, loc)
+    val oldFiles = dataFiles(fs, loc).map(_.getPath)
       .filter(p => bucketOfFile(p.getName).exists(affected.contains))
     // winners keep their original (op, seq) — they are byte-equal rows
     // to ones already present, which is what makes move-in-first safe
-    val w = Window.partitionBy(keyCols.map(col): _*)
-      .orderBy(col("seq").desc, col("op").asc)
-    val winners = spark.read.schema(t.schema)
-      .parquet(oldFiles.map(_.toString): _*)
-      .withColumn("rk", row_number().over(w))
-      .filter(col("rk") === 1 && col("op") =!= "D")
-      .drop("rk")
-    val stg = s"${table.split('.').last}__compact"
+    val winners = winnersOf(spark.read.schema(t.schema)
+      .parquet(oldFiles.map(_.toString): _*), keyCols)
+    // staging keeps the FULL qualified name (like rebucket's): stripping
+    // the database would make same-named indexes in two databases share
+    // one staging table in the CURRENT database — two concurrent
+    // compactions could then move each other's winner files
+    val stg = s"${table}__compact"
     spark.sql(s"DROP TABLE IF EXISTS $stg")
     winners.write.mode("overwrite")
       .bucketBy(b, bucketCols.head, bucketCols.tail: _*)
       .sortBy(bucketCols.head, bucketCols.tail: _*)
       .saveAsTable(stg)
     val stgLoc = tableLocation(spark, stg)
-    dataFiles(fs, stgLoc).foreach { p =>
+    dataFiles(fs, stgLoc).map(_.getPath).foreach { p =>
       val dst = new org.apache.hadoop.fs.Path(loc, p.getName)
       require(fs.rename(p, dst), s"compaction move failed: $p -> $dst")
     }
@@ -208,10 +248,13 @@ object IndexChurn {
     * silently hides fresh tombstones from the debt count. */
   def debtFraction(spark: SparkSession, table: String): Double = {
     spark.sql(s"REFRESH TABLE $table")
-    val t = spark.table(table)
-    val total = t.count()
-    if (total == 0L) 0.0
-    else t.filter(col("op") === "D").count().toDouble / total
+    // one aggregate pass for both counts — this gates EVERY streaming
+    // maintenance tick (x3 tables per microbatch), so two separate
+    // count() jobs would double the hot path's scheduling + scan cost
+    val r = spark.table(table).agg(count(lit(1)).as("n"),
+      sum(when(col("op") === "D", 1L).otherwise(0L)).as("d")).head()
+    val total = r.getLong(0)
+    if (total == 0L) 0.0 else r.getLong(1).toDouble / total
   }
 
   /** The maintenance-tick policy: compact (fast, tombstone-derived
@@ -224,6 +267,11 @@ object IndexChurn {
   def compactIfNeeded(spark: SparkSession, table: String,
       keyCols: Seq[String], bucketCols: Seq[String], buckets: Int = -1,
       threshold: Double = 0.05): Boolean = {
+    // heal a crashed rebucket swap FIRST: after a crash between its two
+    // renames the live name resolves to nothing, and the debt probe
+    // below would throw TABLE_OR_VIEW_NOT_FOUND on every tick — the
+    // documented self-healing must not depend on reaching rebucket()
+    recoverRebucket(spark, table)
     val run = debtFraction(spark, table) >= threshold
     if (run) compact(spark, table, keyCols, bucketCols, buckets,
       tombstonesOnly = true)
@@ -260,12 +308,7 @@ object IndexChurn {
     val stg = s"${table}__rebucket"
     val retired = s"${table}__retired"
     spark.sql(s"DROP TABLE IF EXISTS $stg")
-    val w = Window.partitionBy(keyCols.map(col): _*)
-      .orderBy(col("seq").desc, col("op").asc)
-    spark.table(table)
-      .withColumn("rk", row_number().over(w))
-      .filter(col("rk") === 1 && col("op") =!= "D")
-      .drop("rk")
+    winnersOf(spark.table(table), keyCols)
       .write.mode("overwrite")
       .bucketBy(newBuckets, bucketCols.head, bucketCols.tail: _*)
       .sortBy(bucketCols.head, bucketCols.tail: _*)
@@ -282,8 +325,10 @@ object IndexChurn {
   def maxBucketBytes(spark: SparkSession, table: String): Long = {
     val loc = tableLocation(spark, table)
     val fs = loc.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // the listing already carries each file's length — a per-file
+    // getFileStatus would be an N+1 RPC storm on an object store
     val per = dataFiles(fs, loc)
-      .flatMap(p => bucketOfFile(p.getName).map(_ -> fs.getFileStatus(p).getLen))
+      .flatMap(st => bucketOfFile(st.getPath.getName).map(_ -> st.getLen))
       .groupBy(_._1).map(_._2.map(_._2).sum)
     if (per.isEmpty) 0L else per.max
   }
@@ -298,6 +343,7 @@ object IndexChurn {
   def rebucketIfNeeded(spark: SparkSession, table: String,
       keyCols: Seq[String], bucketCols: Seq[String], buckets: Int = -1,
       maxBytes: Long): Int = {
+    recoverRebucket(spark, table) // see compactIfNeeded: heal BEFORE touching
     val b = resolveBuckets(spark, table, buckets)
     if (maxBucketBytes(spark, table) > maxBytes) {
       rebucket(spark, table, keyCols, bucketCols, b * 2)
@@ -324,15 +370,15 @@ object IndexChurn {
         .filter(col("col_name") === "Location")
         .head().getString(1))
 
-  /** Visible data files of a bucketed table directory. */
+  /** Visible data files of a bucketed table directory, WITH their
+    * statuses (one listing serves both paths and sizes). */
   private def dataFiles(fs: org.apache.hadoop.fs.FileSystem,
-      loc: org.apache.hadoop.fs.Path): Seq[org.apache.hadoop.fs.Path] =
+      loc: org.apache.hadoop.fs.Path): Seq[org.apache.hadoop.fs.FileStatus] =
     fs.listStatus(loc).toSeq
       .filter(st => st.isFile && {
         val n = st.getPath.getName
         !n.startsWith("_") && !n.startsWith(".")
       })
-      .map(_.getPath)
 
   private val BucketInName = "_(\\d{5})\\.".r
 
