@@ -975,8 +975,10 @@ object SparkEntry {
 
   /** The consolidated feed + per-entity checksum. */
   private val dChecksumSql: String = {
-    val canon = "len(key)||':'||key||'|'||len(tenant)||':'||tenant||'|'||" +
-      "len(value)||':'||value||'|'"
+    // per-component null marker mirrors Backfill.feedChecksum's canon
+    def comp(c: String) =
+      s"CASE WHEN $c IS NULL THEN 'n|' ELSE len($c)||':'||$c||'|' END"
+    val canon = s"${comp("key")}||${comp("tenant")}||${comp("value")}"
     s"""WITH $dFeedCte
        SELECT entity, count(*) AS n_rows,
               bit_xor(${dH60(s"($canon)")}) AS checksum

@@ -71,10 +71,16 @@ object Backfill {
     val m = cfg.merchantIds
       .map(ids => col(e.merchantCol).isin(ids: _*))
       .getOrElse(lit(true))
+    // both sides cast to NTZ: comparing an NTZ column against an LTZ
+    // literal (plain "timestamp") coerces through the session timezone
+    // — boundary rows would move with the host zone (DST gaps make the
+    // shift non-monotonic), violating the engine-independence policy
     val lo = cfg.start
-      .map(s => col(e.timeCol) >= lit(s).cast("timestamp")).getOrElse(lit(true))
+      .map(s => col(e.timeCol).cast("timestamp_ntz") >=
+        lit(s).cast("timestamp_ntz")).getOrElse(lit(true))
     val hi = cfg.end
-      .map(s => col(e.timeCol) <= lit(s).cast("timestamp")).getOrElse(lit(true))
+      .map(s => col(e.timeCol).cast("timestamp_ntz") <=
+        lit(s).cast("timestamp_ntz")).getOrElse(lit(true))
     m && lo && hi
   }
 
@@ -91,9 +97,23 @@ object Backfill {
           s"payload column '$c' missing from entity '${e.name}' source"))
         .dataType
       val v = dt.typeName match {
-        case "double" => format_string("%.2f", col(c))
+        // null-guarded: format_string feeds java.util.Formatter, which
+        // renders a null arg as the STRING "null" (precision-truncated
+        // to "nu" by %.2f) instead of propagating — the explicit-null
+        // contract below requires a real JSON null for a null amount
+        case "double" => when(col(c).isNotNull, format_string("%.2f", col(c)))
+        // the JDBC seam delivers money as DECIMAL/FLOAT: same 2-dp
+        // canonical rendering as double, or the JSON becomes
+        // engine/scale-dependent (trailing zeros, scientific notation)
+        case t if t == "float" || t.startsWith("decimal") =>
+          when(col(c).isNotNull,
+            format_string("%.2f", col(c).cast("double")))
+        // cast to NTZ first: an LTZ-typed column (JDBC TIMESTAMP, or a
+        // data generation Tables.acceptable admits as LTZ) would render
+        // in the session timezone; the naive cast is deterministic
+        // under the repo's pinned-UTC discipline
         case t if t.startsWith("timestamp") =>
-          date_format(col(c), "yyyy-MM-dd HH:mm:ss")
+          date_format(col(c).cast("timestamp_ntz"), "yyyy-MM-dd HH:mm:ss")
         case _ => col(c)
       }
       v.as(c)
@@ -263,8 +283,14 @@ object Backfill {
     * checksum). Row hash = md5-prefix over a length-prefixed concat
     * (separator-proof), cross-engine so the oracle recomputes it. */
   def feedChecksum(feed: DataFrame): DataFrame = {
+    // a null component gets an explicit marker: concat null-propagates,
+    // hash60 is null-intolerant and bit_xor SKIPS nulls — a null-key
+    // row would otherwise contribute nothing to the checksum while
+    // still counting in n_rows, and source-vs-sink certification would
+    // pass with different null-row content on the two sides
     val canon = concat(Seq(col("key"), col("tenant"), col("value")).map(c =>
-      concat(length(c).cast("string"), lit(":"), c, lit("|"))): _*)
+      when(c.isNull, lit("n|"))
+        .otherwise(concat(length(c).cast("string"), lit(":"), c, lit("|")))): _*)
     feed.groupBy("entity").agg(
       count(lit(1)).as("n_rows"),
       bit_xor(graft.functions.Hash60.hash60(canon)).as("checksum"))
@@ -300,10 +326,19 @@ object Backfill {
     val statePath = s"$stateDir/hwm.parquet"
     val stateSchema = StructType(Seq(
       StructField("entity", StringType), StructField("hwm", TimestampNTZType)))
+    // ONLY a missing path means "no state": a transient read failure
+    // (FS hiccup, corrupt footer) must propagate — swallowing it would
+    // silently reset the mark, re-emit all history as duplicates, and
+    // then commit over the still-intact state file
     def readState(p: String): Option[Map[String, java.time.LocalDateTime]] =
       try Some(spark.read.schema(stateSchema).parquet(p).collect()
         .map(r => r.getString(0) -> r.getAs[java.time.LocalDateTime](1)).toMap)
-      catch { case _: Exception => None }
+      catch {
+        case _: java.io.FileNotFoundException => None
+        case e: org.apache.spark.sql.AnalysisException
+            if e.getMessage.contains("PATH_NOT_FOUND") ||
+              e.getMessage.contains("Path does not exist") => None
+      }
     // crash recovery: if the committed state is missing but a `.next`
     // exists, a commit died between delete and rename — `.next` was
     // written only after its increment was durably sunk, so it IS the
@@ -313,17 +348,28 @@ object Backfill {
       readState(statePath).orElse(readState(s"$statePath.next"))
         .getOrElse(Map.empty)
 
+    // the CLI-parity predicates (merchants, range) scope the increment
+    // exactly as they scope the batch run — accepted-and-dropped
+    // parameters would silently emit unscoped data. The marks below
+    // are computed over the SAME scoped source, so the mark tracks the
+    // stream actually emitted; runs with DIFFERENT scopes must use
+    // different stateDirs (a mark advanced by one scope would skip the
+    // other scope's older rows).
     val feed = cfg.entities.map { e =>
-      val base = cfg.source(spark, dir, e)
+      val base = cfg.source(spark, dir, e).filter(predicates(e, cfg))
       val src = prior.get(e.name)
-        .map(h => base.filter(col(e.timeCol) > lit(h)))
+        .map(h => base.filter(col(e.timeCol).cast("timestamp_ntz") > lit(h)))
         .getOrElse(base)
       envelope(src, e, lit(cfg.tenant))
     }.reduce(_ unionAll _)
 
+    // max over the NTZ cast: an LTZ-typed timeCol (JDBC TIMESTAMP)
+    // would otherwise collect as java.sql.Timestamp and explode the
+    // (String, LocalDateTime) state encoder AFTER the sink write —
+    // wedging the increment permanently (mark never advances)
     val newHwm = cfg.entities.map { e =>
-      val m = cfg.source(spark, dir, e)
-        .agg(max(col(e.timeCol))).collect().head
+      val m = cfg.source(spark, dir, e).filter(predicates(e, cfg))
+        .agg(max(col(e.timeCol).cast("timestamp_ntz"))).collect().head
       (e.name, if (m.isNullAt(0)) prior.get(e.name).orNull
                else m.getAs[java.time.LocalDateTime](0))
     }.filter(_._2 != null)
@@ -337,7 +383,10 @@ object Backfill {
     val commit = () => {
       import spark.implicits._
       val next = s"$statePath.next"
-      newHwm.toDF("entity", "hwm").coalesce(1)
+      // MERGE with the prior marks: this run's cfg.entities may be a
+      // subset — overwriting the state wholesale would delete every
+      // other entity's mark and re-emit its entire history next run
+      (prior ++ newHwm.toMap).toSeq.toDF("entity", "hwm").coalesce(1)
         .write.mode("overwrite").parquet(next)
       val conf = spark.sparkContext.hadoopConfiguration
       val fs = new org.apache.hadoop.fs.Path(statePath).getFileSystem(conf)
@@ -356,7 +405,11 @@ object Backfill {
     * committer rolls failed attempts back). A before/after count of the
     * sink would pay two full O(sink) scans, so the Nth increment would
     * cost O(all prior increments) — the opposite of incremental; the
-    * metrics count is O(this increment) and never reads the sink. */
+    * metrics count is O(this increment) and never reads the sink.
+    * The listener is session-global, so the returned count assumes no
+    * OTHER write job runs on this SparkSession concurrently with the
+    * append (same single-writer-per-session scope as the state
+    * commit protocol itself). */
   def runIncremental(spark: SparkSession, dir: String, stateDir: String,
       sinkDir: String, cfg: Config = Config()): Long = {
     val inc = planIncremental(spark, dir, stateDir, cfg)
