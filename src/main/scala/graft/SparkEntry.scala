@@ -1581,9 +1581,14 @@ object SparkEntry {
          FROM documents d LEFT JOIN per USING (doc_id)
          ORDER BY doc_id""",
     "dedup_content_hash" ->
-      """SELECT sha256(len(text) || ':' || text || '|' ||
-                       len(lang) || ':' || lang || '|' ||
-                       len(source) || ':' || source || '|') AS content_sha,
+      """SELECT sha256(
+                  CASE WHEN text IS NULL THEN 'n|'
+                       ELSE len(text) || ':' || text || '|' END ||
+                  CASE WHEN lang IS NULL THEN 'n|'
+                       ELSE len(lang) || ':' || lang || '|' END ||
+                  CASE WHEN source IS NULL THEN 'n|'
+                       ELSE len(source) || ':' || source || '|' END)
+                  AS content_sha,
                 min(doc_id) AS keep_doc_id, count(*) AS dup_count
          FROM documents GROUP BY 1 ORDER BY keep_doc_id""",
     "ngram_jaccard" ->
@@ -3061,9 +3066,11 @@ object SparkEntry {
       s"""WITH $dEmbBucketCtes,
          nrm AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm
                  FROM emb0),
+         ebig AS (SELECT bucket FROM bkt GROUP BY 1 HAVING count(*) > 200),
+         ecf AS (SELECT bkt.* FROM bkt ANTI JOIN ebig USING (bucket)),
          nd AS (SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
              round(list_dot_product(na.v, nb.v) / (na.nrm * nb.nrm), 6) AS cos
-           FROM bkt a JOIN bkt b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+           FROM ecf a JOIN ecf b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
            JOIN nrm na ON na.vec_id = a.vec_id
            JOIN nrm nb ON nb.vec_id = b.vec_id)
          SELECT vec_a, vec_b, cos FROM nd

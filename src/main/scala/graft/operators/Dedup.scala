@@ -43,12 +43,19 @@ object Dedup {
 
   /** E1b: full-content hash dedup — sha256 over a length-prefixed
     * canonicalization (`len:value|len:value|…`): separator-proof (a '|'
-    * inside a value can't collide with the delimiter) and null-strict
-    * (`concat` nulls the whole key, unlike concat_ws's silent skip).
-    * One shuffle on the digest; keep min id per group. */
+    * inside a value can't collide with the delimiter) and null-TYPED —
+    * a null field contributes an explicit `n|` marker. A bare
+    * null-propagating concat would hash every row with ANY null field
+    * to a null digest, and groupBy then merges all of them into ONE
+    * "duplicate" group (doc "alpha"/null-lang and doc "beta"/null-lang
+    * falsely deduped together, the non-keeper dropped); the marker
+    * keeps null a value, distinct from every real string (no real
+    * field encodes as `n|` — lengths are digits). One shuffle on the
+    * digest; keep min id per group. */
   def exactByContentHash(spark: SparkSession, dir: String): DataFrame = {
     val canon = concat(Seq(col("text"), col("lang"), col("source")).map(c =>
-      concat(length(c).cast("string"), lit(":"), c, lit("|"))): _*)
+      when(c.isNull, lit("n|"))
+        .otherwise(concat(length(c).cast("string"), lit(":"), c, lit("|")))): _*)
     Tables.load(spark, dir, "documents")
       .withColumn("content_sha", sha2(canon, 256))
       .groupBy("content_sha").agg(
@@ -200,18 +207,18 @@ object Dedup {
       val pairs = banded.as("a")
         .join(banded.as("b"), Seq("band_id", "band_key"))
         .filter(col("a.doc_id") < col("b.doc_id"))
-        .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+        .select(col("a.doc_id").as("new_id"), col("b.doc_id").as("corpus_id"))
         .distinct()
-      val shingles = Tables.load(spark, dir, "documents")
-        .select(col("doc_id"), T.wordShingles(col("text"), 3).as("shingles"))
-      pairs
-        .join(shingles.select(col("doc_id").as("doc_a"), col("shingles").as("sh_a")), "doc_a")
-        .join(shingles.select(col("doc_id").as("doc_b"), col("shingles").as("sh_b")), "doc_b")
-        .withColumn("jaccard",
-          size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
-            size(array_union(col("sh_a"), col("sh_b"))))
-        .filter(col("jaccard") >= threshold)
-        .select("doc_a", "doc_b", "jaccard")
+      // the ONE candidate-pruned exact-Jaccard verify (shared with the
+      // incremental paths): only docs appearing in a candidate pair are
+      // re-read and re-shingled — the previous inline verify tokenized
+      // the WHOLE corpus on both join sides, ~2 full tokenize passes of
+      // waste on a mostly-unique corpus, with a second copy of the
+      // jaccard expression to keep in sync
+      val docs = Tables.load(spark, dir, "documents")
+      verifyCandidatesFrom(pairs, docs, docs, threshold)
+        .select(col("new_id").as("doc_a"), col("corpus_id").as("doc_b"),
+          col("jaccard"))
     }.orderBy("doc_a", "doc_b")
 
   /** Per-ROW band computation — the stream-safe twin of
@@ -233,7 +240,7 @@ object Dedup {
       struct(lit(b).as("band_id"),
         concat_ws(":", (0 until BandRows).map { r =>
           val i = b * BandRows + r
-          array_min(transform(col("hs"), h => pmod(h * lit(permA(i)) + lit(permB(i)), lit(P))))
+          array_min(transform(col("hs"), h => permApply(i, h)))
         }: _*).as("band_key"))
     }
     docs.withColumn("hs", hs)
@@ -434,17 +441,29 @@ object Dedup {
     * hamming ≤ `maxHamming`, unordered. Pigeonhole recall: 4 chunks of
     * 15 bits find every pair at hamming ≤ 3 exactly; the skew cap drops
     * over-full chunk buckets (same O(bucket²) containment rationale as
-    * minhashPairs — documented precision loss, bounded work). */
-  def bandedHammingPairs(sigs: DataFrame, idCol: String, sigCol: String,
-      maxHamming: Int = 3, maxBucket: Int = 200): DataFrame = {
-    val allChunked = sigs.select(col(idCol).as("id"), col(sigCol).as("sig"),
+    * minhashPairs — documented RECALL loss: true pairs inside a
+    * dropped bucket are missed, [[bandingSaturation]] makes the drop
+    * visible; bounded work). */
+  /** The ONE 4×15-bit chunk explode both the detector
+    * ([[bandedHammingPairs]]) and its diagnostic ([[bandingSaturation]])
+    * band through — two copies could drift (chunk count, [[ChunkBits]],
+    * widening) and the stat would then report saturation for buckets
+    * the pair join doesn't use: the exact blind spot it exists to
+    * prevent. One row per (id, chunk). */
+  private def hammingChunks(sigs: DataFrame, idCol: String,
+      sigCol: String): DataFrame =
+    sigs.select(col(idCol).as("id"), col(sigCol).as("sig"),
         explode(array((0 until 4).map { c =>
-          struct(lit(c).as("chunk_id"),
+          struct(lit(c.toLong).as("chunk_id"),
             shiftright(col(sigCol), c * ChunkBits)
               .bitwiseAND(lit((1L << ChunkBits) - 1)).as("chunk_val"))
         }: _*)).as("ck"))
       .select(col("id"), col("sig"),
         col("ck.chunk_id").as("chunk_id"), col("ck.chunk_val").as("chunk_val"))
+
+  def bandedHammingPairs(sigs: DataFrame, idCol: String, sigCol: String,
+      maxHamming: Int = 3, maxBucket: Int = 200): DataFrame = {
+    val allChunked = hammingChunks(sigs, idCol, sigCol)
     // skew cap (same rationale as minhashPairs): near-uniform corpora
     // collapse many docs into the same 16-bit chunk — O(bucket²) pairs
     val big = allChunked.groupBy("chunk_id", "chunk_val")
@@ -475,19 +494,12 @@ object Dedup {
     * enough to run alongside every banded near-dup at any scale. */
   def bandingSaturation(sigs: DataFrame, idCol: String, sigCol: String,
       maxBucket: Int = 200): DataFrame =
-    // one row per (id, chunk): the projection through idCol both prunes
-    // the scan to the two live columns and asserts the caller's id
-    // column exists — `n_ids` below counts these rows, which equals
-    // distinct ids per chunk under the one-row-per-id signature-table
-    // contract every fingerprint memo here satisfies
-    sigs.select(col(idCol), col(sigCol))
-      .select(explode(array((0 until 4).map { c =>
-        struct(lit(c.toLong).as("chunk_id"),
-          shiftright(col(sigCol), c * ChunkBits)
-            .bitwiseAND(lit((1L << ChunkBits) - 1)).as("chunk_val"))
-      }: _*)).as("ck"))
-      .select(col("ck.chunk_id").as("chunk_id"),
-        col("ck.chunk_val").as("chunk_val"))
+    // rides the SAME chunk explode as the detector ([[hammingChunks]]);
+    // `n_ids` counts (id, chunk) rows, which equals distinct ids per
+    // chunk under the one-row-per-id signature-table contract every
+    // fingerprint memo here satisfies
+    hammingChunks(sigs.select(col(idCol), col(sigCol)), idCol, sigCol)
+      .select("chunk_id", "chunk_val")
       .groupBy("chunk_id", "chunk_val").agg(count(lit(1)).as("bs"))
       .groupBy("chunk_id")
       .agg(sum(col("bs")).as("n_ids"),
@@ -564,10 +576,22 @@ object Dedup {
 
   /** E2d: embedding-cosine near-dup via 16-bit hyperplane buckets
     * (O(n) shuffle on the bucket id), exact cosine within buckets —
-    * one codegen'd dot per pair, norms precomputed per side. */
+    * one codegen'd dot per pair, norms precomputed per side. The
+    * bucket self-join carries the SAME skew cap as every other
+    * banded near-dup here: real embedding models emit clustered
+    * vectors (cosine-similar by construction ⇒ same hyperplane
+    * bucket), so an uncapped join degenerates toward O(n²) on exactly
+    * the corpora near-dup detection targets — and all-zero vectors
+    * all land in one bucket whose pairs are then discarded as
+    * null-cosine. Dropped-bucket mass is observable through
+    * [[bandingSaturation]]'s sibling discipline (recall, not
+    * precision, is what the cap trades). */
   def embeddingNearDup(spark: SparkSession, dir: String,
-      threshold: Double = 0.95): DataFrame = {
-    val emb = embWithBuckets(spark, dir)
+      threshold: Double = 0.95, maxBucket: Int = 200): DataFrame = {
+    val all = embWithBuckets(spark, dir)
+    val big = all.groupBy("bucket").agg(count(lit(1)).as("bs"))
+      .filter(col("bs") > maxBucket).select("bucket")
+    val emb = all.join(broadcast(big), Seq("bucket"), "left_anti")
     emb.as("a").join(emb.as("b"), "bucket")
       .filter(col("a.vec_id") < col("b.vec_id"))
       .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"),
