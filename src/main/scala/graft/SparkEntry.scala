@@ -1729,14 +1729,17 @@ object SparkEntry {
     "int8_quantize" ->
       """WITH e AS (
            SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
-                  127.0 / list_max([abs(x) for x in CAST(embedding AS DOUBLE[])]) AS scale
+                  CASE WHEN list_max([abs(x) for x in CAST(embedding AS DOUBLE[])]) > 0
+                       THEN 127.0 / list_max([abs(x) for x in CAST(embedding AS DOUBLE[])])
+                       ELSE 0.0 END AS scale
            FROM embeddings)
          SELECT vec_id, round(scale, 6) AS scale,
                 CAST(round(v[1] * scale) AS INT) AS q0,
                 CAST(round(v[2] * scale) AS INT) AS q1,
                 CAST(round(v[3] * scale) AS INT) AS q2,
-                round(list_max([abs(x - round(x * scale) / scale) for x in v]), 6)
-                  AS max_abs_err
+                CASE WHEN scale > 0
+                     THEN round(list_max([abs(x - round(x * scale) / scale) for x in v]), 6)
+                     ELSE 0.0 END AS max_abs_err
          FROM e ORDER BY vec_id""",
     "tfidf_top_terms" ->
       """WITH toks AS (

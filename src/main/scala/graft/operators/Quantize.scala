@@ -31,12 +31,35 @@ object Quantize {
   val M = 8
   val Ksub = 16
   val SubDim = 8
-  private val NumQueries = 8
+  // ONE query-set size across the ANN family: recall comparisons
+  // between the exact, IVF and PQ serves assume identical query sets,
+  // and a privately duplicated constant could silently fork them
+  private def NumQueries = Similarity.NumQueries
 
+  // THE (vec_id, v, nrm) vector frame — Similarity's, not a private
+  // re-implementation: PQ codes and IVF assignments join on vec_id
+  // under hash-equality contracts, so the two modules must read the
+  // identical frame (including its zero-norm exclusion)
   private def emb(spark: SparkSession, dir: String): DataFrame =
-    Tables.load(spark, dir, "embeddings")
-      .select(col("vec_id"), V.asDouble(col("embedding")).as("v"))
-      .withColumn("nrm", V.norm(col("v")))
+    Similarity.embeddingsWithNorm(spark, dir)
+
+  /** Fail LOUD when the corpus dimensionality is not the PQ geometry's
+    * M·SubDim: `slice` past the end returns short/empty arrays, so a
+    * 32-dim corpus would silently drop half the subspaces from the
+    * codebook and every ADC sum would run over fewer addends — wrong
+    * top-k with no error — while a 128-dim corpus would silently
+    * quantize only its first 64 dims. One 1-row driver peek, called
+    * once per memoized codebook build. */
+  private def requireDim(e: DataFrame): DataFrame = {
+    e.select(size(col("v")).as("d")).limit(1).collect()
+      .headOption.foreach { r =>
+        val d = r.getInt(0)
+        require(d == M * SubDim,
+          s"PQ geometry expects ${M * SubDim}-dim embeddings " +
+            s"(M=$M x SubDim=$SubDim); corpus has $d dims")
+      }
+    e
+  }
 
   /** (vec_id, sub, sv): the M subvector slices of each vector — a pure
     * narrow generate, M rows per vector. */
@@ -74,7 +97,7 @@ object Quantize {
   def trainCodebooks(spark: SparkSession, dir: String,
       iters: Int = 2): DataFrame =
     trainCodebooksOver(spark, dir, s"pq_cb_${M}_${Ksub}_$iters", iters,
-      subvectors(emb(spark, dir)))
+      subvectors(requireDim(emb(spark, dir))))
 
   /** The Lloyd loop over an EXPLICIT (vec_id, sub, sv) subvector frame
     * — plain PQ trains on raw subvectors, residual PQ (IVFADC) on
@@ -83,8 +106,17 @@ object Quantize {
   private def trainCodebooksOver(spark: SparkSession, dir: String,
       memoKey: String, iters: Int, subs: => DataFrame): DataFrame =
     Memo.table(spark, dir, memoKey) {
-      var cb = subs.filter(col("vec_id") < Ksub)
-        .select(col("sub"), col("vec_id").as("c_id"), col("sv").as("cv"))
+      // seed from the Ksub LOWEST ids with DENSE c_ids 0..Ksub−1 (the
+      // packed layout indexes code arrays by c_id) — a `vec_id < Ksub`
+      // filter would silently yield an empty seed codebook, and with
+      // it empty indexes and rankings, on any corpus whose ids don't
+      // start at 0; identical to that rule when they do
+      val seedIds = subs.select("vec_id").distinct()
+        .orderBy("vec_id").limit(Ksub)
+        .withColumn("c_id",
+          (row_number().over(Window.orderBy("vec_id")) - 1).cast("long"))
+      var cb = subs.join(broadcast(seedIds), "vec_id")
+        .select(col("sub"), col("c_id"), col("sv").as("cv"))
       for (_ <- 0 until iters) {
         cb = assignCodes(subs, cb)
           .select(col("sub"), col("code").as("c_id"),
@@ -122,6 +154,36 @@ object Quantize {
       .select(col("vec_id"), col("sub").cast("long").as("sub"), col("code"))
       .orderBy("vec_id", "sub")
 
+  /** The standard query set with norms — shared by every serve. */
+  private def queriesOf(e: DataFrame): DataFrame =
+    e.filter(col("vec_id") < NumQueries)
+
+  /** THE per-query ADC lookup table: each query's M subvectors dotted
+    * against all Ksub codebook entries, rounded at 10 — factored so
+    * the long, packed, IVFPQ and residual serves (which are
+    * contractually hash-equal) can never fork the LUT arithmetic. */
+  private def lutOf(queries: DataFrame, cb: DataFrame): DataFrame =
+    subvectors(queries)
+      .join(queries.select(col("vec_id"), col("nrm").as("q_nrm")), "vec_id")
+      .join(broadcast(cb), "sub")
+      .select(col("vec_id").as("q_id"), col("q_nrm"), col("sub"),
+        col("c_id").as("code"),
+        round(V.dot(col("sv"), col("cv")), 10).as("ip"))
+
+  /** THE per-query top-k tail every serve ranks through: (cos DESC,
+    * vec_id) window, k-cut, round-6, (q_id, rk) order — one definition
+    * so a tie-break or rounding tweak cannot desynchronize serves that
+    * must hash-equal each other. Input: (q_id, vec_id, cos). */
+  private def topKTail(scored: DataFrame, k: Int): DataFrame = {
+    val w = Window.partitionBy("q_id").orderBy(col("cos").desc, col("vec_id"))
+    scored
+      .withColumn("rk", row_number().over(w).cast("long"))
+      .filter(col("rk") <= k)
+      .select(col("q_id"), col("rk"), col("vec_id"),
+        round(col("cos"), 6).as("cos"))
+      .orderBy("q_id", "rk")
+  }
+
   /** Harness query `sim_topk_pq`: asymmetric-distance (ADC) top-k — the
     * standard query set ranked by approximate cosine over the
     * COMPRESSED index. Each query dots its M subvectors against all
@@ -142,28 +204,16 @@ object Quantize {
     * view ranks through this one kernel. */
   def pqTopKOver(index: DataFrame, spark: SparkSession, dir: String,
       k: Int = 10, iters: Int = 2): DataFrame = {
-    val cb = trainCodebooks(spark, dir, iters)
-    val e = emb(spark, dir)
-    val queries = e.filter(col("vec_id") < NumQueries)
-    val qsubs = subvectors(queries)
-      .join(queries.select(col("vec_id"), col("nrm").as("q_nrm")), "vec_id")
-    val lut = qsubs.join(broadcast(cb), "sub")
-      .select(col("vec_id").as("q_id"), col("q_nrm"), col("sub"),
-        col("c_id").as("code"),
-        round(V.dot(col("sv"), col("cv")), 10).as("ip"))
-    val w = Window.partitionBy("q_id").orderBy(col("cos").desc, col("vec_id"))
-    index.join(broadcast(lut), Seq("sub", "code"))
-      .filter(col("vec_id") =!= col("q_id"))
-      .groupBy("q_id", "vec_id")
-      .agg(sum(col("ip").cast("decimal(38,18)")).as("ips"),
-        first(col("nrm")).as("nrm"), first(col("q_nrm")).as("q_nrm"))
-      .withColumn("cos",
-        col("ips").cast("double") / (col("q_nrm") * col("nrm")))
-      .withColumn("rk", row_number().over(w).cast("long"))
-      .filter(col("rk") <= k)
-      .select(col("q_id"), col("rk"), col("vec_id"),
-        round(col("cos"), 6).as("cos"))
-      .orderBy("q_id", "rk")
+    val lut = lutOf(queriesOf(emb(spark, dir)),
+      trainCodebooks(spark, dir, iters))
+    topKTail(
+      index.join(broadcast(lut), Seq("sub", "code"))
+        .filter(col("vec_id") =!= col("q_id"))
+        .groupBy("q_id", "vec_id")
+        .agg(sum(col("ip").cast("decimal(38,18)")).as("ips"),
+          first(col("nrm")).as("nrm"), first(col("q_nrm")).as("q_nrm"))
+        .withColumn("cos",
+          col("ips").cast("double") / (col("q_nrm") * col("nrm"))), k)
   }
 
   /** The PACKED compressed index: ONE row per vector —
@@ -211,16 +261,8 @@ object Quantize {
     * times as the production ADC number. */
   def pqPackedTopKWith(spark: SparkSession, dir: String, k: Int = 10,
       iters: Int = 2, exactFold: Boolean = true): DataFrame = {
-    val cb = trainCodebooks(spark, dir, iters)
-    val e = emb(spark, dir)
-    val queries = e.filter(col("vec_id") < NumQueries)
-    val qsubs = subvectors(queries)
-      .join(queries.select(col("vec_id"), col("nrm").as("q_nrm")), "vec_id")
-    val lutRows = qsubs.join(broadcast(cb), "sub")
-      .select(col("vec_id").as("q_id"), col("q_nrm"), col("sub"),
-        col("c_id").as("code"),
-        round(V.dot(col("sv"), col("cv")), 10).as("ip"))
-      .collect()
+    val lutRows = lutOf(queriesOf(emb(spark, dir)),
+      trainCodebooks(spark, dir, iters)).collect()
     val luts: Seq[(Long, Double, Seq[Seq[Double]])] = lutRows
       .groupBy(r => (r.getAs[Long]("q_id"), r.getAs[Double]("q_nrm")))
       .toSeq.map { case ((q, qn), rows) =>
@@ -233,8 +275,7 @@ object Quantize {
       }.sortBy(_._1)
     import spark.implicits._
     val lutDf = luts.toDF("q_id", "q_nrm", "tbl")
-    val w = Window.partitionBy("q_id").orderBy(col("cos").desc, col("vec_id"))
-    pqPackedIndexTable(spark, dir, iters)
+    topKTail(pqPackedIndexTable(spark, dir, iters)
       .crossJoin(broadcast(lutDf))
       .filter(col("vec_id") =!= col("q_id"))
       .select(col("q_id"), col("vec_id"), {
@@ -255,12 +296,7 @@ object Quantize {
             aggregate(sequence(lit(0), lit(M - 1)), lit(0.0),
               (acc, s) => acc + lookup(s))
         (ips / (col("q_nrm") * col("nrm"))).as("cos")
-      })
-      .withColumn("rk", row_number().over(w).cast("long"))
-      .filter(col("rk") <= k)
-      .select(col("q_id"), col("rk"), col("vec_id"),
-        round(col("cos"), 6).as("cos"))
-      .orderBy("q_id", "rk")
+      }), k)
   }
 
   /** Encoding of ONE corpus slice against the FROZEN memoized
@@ -332,19 +368,14 @@ object Quantize {
   private def rerankOver(spark: SparkSession, dir: String,
       cand: DataFrame, k: Int): DataFrame = {
     val e = emb(spark, dir)
-    val queries = e.filter(col("vec_id") < NumQueries)
+    val queries = queriesOf(e)
       .select(col("vec_id").as("q_id"), col("v").as("q_v"),
         col("nrm").as("q_nrm"))
-    val w = Window.partitionBy("q_id").orderBy(col("cos").desc, col("vec_id"))
-    e.join(broadcast(cand), "vec_id")
+    topKTail(e.join(broadcast(cand), "vec_id")
       .join(broadcast(queries), "q_id")
       .select(col("q_id"), col("vec_id"),
-        (V.dot(col("q_v"), col("v")) / (col("q_nrm") * col("nrm"))).as("cos"))
-      .withColumn("rk", row_number().over(w).cast("long"))
-      .filter(col("rk") <= k)
-      .select(col("q_id"), col("rk"), col("vec_id"),
-        round(col("cos"), 6).as("cos"))
-      .orderBy("q_id", "rk")
+        (V.dot(col("q_v"), col("v")) / (col("q_nrm") * col("nrm")))
+          .as("cos")), k)
   }
 
   /** Harness query `sim_topk_ivfpq`: IVF+PQ — Jégou et al.'s IVFADC,
@@ -366,36 +397,22 @@ object Quantize {
   def pqIvfTopK(spark: SparkSession, dir: String, k: Int = 10,
       nprobe: Int = 8, iters: Int = 2): DataFrame = {
     val table = graft.sources.Bucketing.ensureIvfPqIndex(spark, dir, iters)
-    val cb = trainCodebooks(spark, dir, iters)
-    val e = emb(spark, dir)
-    val queries = e.filter(col("vec_id") < NumQueries)
-    // coarse probe: each query ranks the centroids, keeps nprobe lists —
-    // a |Q|×C window, bounded by design, collected like the LUTs
+    val queries = queriesOf(emb(spark, dir))
+    // coarse probe through Similarity.probesOf — the ONE definition of
+    // probe selection, so IVFPQ can never probe different lists than
+    // IVF for the same query; bounded |Q|·nprobe rows, collected like
+    // the LUTs
     val cents = Similarity.trainCentroids(spark, dir, iters = iters)
-    val wProbe = Window.partitionBy("q_id")
-      .orderBy(col("c_cos").desc, col("c_id"))
-    val probePairs = queries
-      .select(col("vec_id").as("q_id"), col("v"), col("nrm"))
-      .crossJoin(broadcast(cents))
-      .select(col("q_id"), col("c_id"),
-        (V.dot(col("v"), col("c_v")) / (col("nrm") * col("c_nrm")))
-          .as("c_cos"))
-      .withColumn("crk", row_number().over(wProbe))
-      .filter(col("crk") <= nprobe)
+    val probePairs = Similarity.probesOf(
+        queries.select(col("vec_id").as("q_id"), col("v").as("q_v"),
+          col("nrm").as("q_nrm")), cents, nprobe)
       .select("q_id", "c_id")
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
     val probedLists = probePairs.map(_._2).distinct
-    // per-query subspace lookup tables, as in the full ADC scan
-    val qsubs = subvectors(queries)
-      .join(queries.select(col("vec_id"), col("nrm").as("q_nrm")), "vec_id")
-    val lut = qsubs.join(broadcast(cb), "sub")
-      .select(col("vec_id").as("q_id"), col("q_nrm"), col("sub"),
-        col("c_id").as("code"),
-        round(V.dot(col("sv"), col("cv")), 10).as("ip"))
+    val lut = lutOf(queries, trainCodebooks(spark, dir, iters))
     import spark.implicits._
     val probeDf = probePairs.toDF("q_id", "c_id")
-    val w = Window.partitionBy("q_id").orderBy(col("cos").desc, col("vec_id"))
-    spark.table(table)
+    topKTail(spark.table(table)
       .filter(col("c_id").isin(probedLists: _*)) // bucket-prunes the scan
       .join(broadcast(probeDf), "c_id")          // per-query list pairing
       .join(broadcast(lut), Seq("q_id", "sub", "code"))
@@ -407,12 +424,7 @@ object Quantize {
       .agg(sum(col("ip").cast("decimal(38,18)")).as("ips"),
         first(col("nrm")).as("nrm"), first(col("q_nrm")).as("q_nrm"))
       .withColumn("cos",
-        col("ips").cast("double") / (col("q_nrm") * col("nrm")))
-      .withColumn("rk", row_number().over(w).cast("long"))
-      .filter(col("rk") <= k)
-      .select(col("q_id"), col("rk"), col("vec_id"),
-        round(col("cos"), 6).as("cos"))
-      .orderBy("q_id", "rk")
+        col("ips").cast("double") / (col("q_nrm") * col("nrm"))), k)
   }
 
   /** Harness query `sim_topk_ivfpq_rerank`: the end-to-end production
@@ -445,7 +457,7 @@ object Quantize {
   def residualCodebooks(spark: SparkSession, dir: String,
       iters: Int = 2): DataFrame =
     trainCodebooksOver(spark, dir, s"pqr_cb_${M}_${Ksub}_$iters", iters,
-      subvectors(residualFrame(spark, dir, iters)))
+      subvectors(requireDim(residualFrame(spark, dir, iters))))
 
   /** The residual-encoded IVFPQ index: (c_id, vec_id, nrm, sub, code)
     * where codes quantize r = v − centroid and nrm stays the TRUE
@@ -477,34 +489,21 @@ object Quantize {
       nprobe: Int = 8, iters: Int = 2): DataFrame = {
     val table =
       graft.sources.Bucketing.ensureIvfPqResidualIndex(spark, dir, iters)
-    val cb = residualCodebooks(spark, dir, iters)
-    val e = emb(spark, dir)
-    val queries = e.filter(col("vec_id") < NumQueries)
+    val queries = queriesOf(emb(spark, dir))
     val cents = Similarity.trainCentroids(spark, dir, iters = iters)
-    val wProbe = Window.partitionBy("q_id")
-      .orderBy(col("c_cos").desc, col("c_id"))
-    val probeRows = queries
-      .select(col("vec_id").as("q_id"), col("v"), col("nrm"))
-      .crossJoin(broadcast(cents))
-      .select(col("q_id"), col("c_id"),
-        (V.dot(col("v"), col("c_v")) / (col("nrm") * col("c_nrm")))
-          .as("c_cos"),
-        round(V.dot(col("v"), col("c_v")), 10).as("qc_ip"))
-      .withColumn("crk", row_number().over(wProbe))
-      .filter(col("crk") <= nprobe)
+    // probesOf already emits the rounded q·centroid inner product the
+    // residual decomposition needs (q·x = q·c + q·r) — same window,
+    // same tie-break as every other probe path
+    val probeRows = Similarity.probesOf(
+        queries.select(col("vec_id").as("q_id"), col("v").as("q_v"),
+          col("nrm").as("q_nrm")), cents, nprobe)
       .select("q_id", "c_id", "qc_ip")
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
     val probedLists = probeRows.map(_._2).distinct
-    val qsubs = subvectors(queries)
-      .join(queries.select(col("vec_id"), col("nrm").as("q_nrm")), "vec_id")
-    val lut = qsubs.join(broadcast(cb), "sub")
-      .select(col("vec_id").as("q_id"), col("q_nrm"), col("sub"),
-        col("c_id").as("code"),
-        round(V.dot(col("sv"), col("cv")), 10).as("ip"))
+    val lut = lutOf(queries, residualCodebooks(spark, dir, iters))
     import spark.implicits._
     val probeDf = probeRows.toDF("q_id", "c_id", "qc_ip")
-    val w = Window.partitionBy("q_id").orderBy(col("cos").desc, col("vec_id"))
-    spark.table(table)
+    topKTail(spark.table(table)
       .filter(col("c_id").isin(probedLists: _*))
       .join(broadcast(probeDf), "c_id")
       .join(broadcast(lut), Seq("q_id", "sub", "code"))
@@ -517,24 +516,24 @@ object Quantize {
       // q·c scalar is one IEEE add — deterministic on both engines
       .withColumn("cos",
         (col("lutsum").cast("double") + col("qc_ip")) /
-          (col("q_nrm") * col("nrm")))
-      .withColumn("rk", row_number().over(w).cast("long"))
-      .filter(col("rk") <= k)
-      .select(col("q_id"), col("rk"), col("vec_id"),
-        round(col("cos"), 6).as("cos"))
-      .orderBy("q_id", "rk")
+          (col("q_nrm") * col("nrm"))), k)
   }
 
   def int8Quantize(spark: SparkSession, dir: String): DataFrame = {
     val emb = Tables.load(spark, dir, "embeddings")
       .select(col("vec_id"), V.asDouble(col("embedding")).as("v"))
     val maxAbs = array_max(transform(col("v"), x => abs(x)))
-    val scale = lit(127.0) / maxAbs
+    // zero-vector guard: 127/0 is Infinity and 0·Inf is NaN — the
+    // degenerate row would emit NaN codes and a NaN error instead of
+    // the honest answer (a zero vector quantizes to zeros, exactly);
+    // scale 0 marks the degenerate row
+    val scale = when(maxAbs > 0, lit(127.0) / maxAbs).otherwise(lit(0.0))
     emb
       .withColumn("scale", scale)
       .withColumn("maxerr",
-        array_max(transform(col("v"),
+        when(col("scale") > 0, array_max(transform(col("v"),
           x => abs(x - round(x * col("scale")) / col("scale")))))
+          .otherwise(lit(0.0)))
       .select(col("vec_id"), round(col("scale"), 6).as("scale"),
         round(element_at(col("v"), 1) * col("scale")).cast("int").as("q0"),
         round(element_at(col("v"), 2) * col("scale")).cast("int").as("q1"),

@@ -26,15 +26,23 @@ import graft.functions.{Vectors => V}
   */
 object Similarity {
 
-  private val NumQueries = 8
+  private[operators] val NumQueries = 8
   private val NumCentroids = 64
 
   private def withNorm(df: DataFrame): DataFrame =
     df.withColumn("nrm", V.norm(col("v")))
 
+  // zero-norm (all-zero) vectors are excluded at the source: cosine
+  // against them is 0/0 = NaN, and Spark's ordering ranks NaN ABOVE
+  // every real value — one degenerate vector would otherwise occupy a
+  // top-k slot for EVERY query across the whole serving family (and a
+  // NaN in a rounded output column breaks cross-engine hash parity).
+  // "Not representable in cosine space" is the principled exclusion;
+  // the stream-batch twin vectorsOf applies the same rule.
   private def emb(spark: SparkSession, dir: String): DataFrame =
     withNorm(Tables.load(spark, dir, "embeddings")
       .select(col("vec_id"), V.asDouble(col("embedding")).as("v")))
+      .filter(col("nrm") > 0)
 
   /** Argmax-cosine centroid assignment as ONE aggregation instead of a
     * `row_number` window over the n×C exploded table: `max` over a
@@ -71,9 +79,7 @@ object Similarity {
   def trainCentroids(spark: SparkSession, dir: String, c: Int = NumCentroids,
       iters: Int = 3): DataFrame = Memo.table(spark, dir, s"ivf_cent_${c}_$iters") {
     val e = emb(spark, dir)
-    var centroids = e.filter(col("vec_id") < c)
-      .select(col("vec_id").as("c_id"), col("v").as("c_v"),
-        col("nrm").as("c_nrm"))
+    var centroids = seedCentroids(e, c)
     for (_ <- 0 until iters) {
       val assigned = assignNearest(e, centroids)
       // decimal-exact mean: float sums are partial-aggregation-order
@@ -116,6 +122,21 @@ object Similarity {
       .orderBy("vec_id", "out_dim")
   }
 
+  /** The `c` lowest-vec_id vectors as a seed codebook with DENSE ids
+    * 0..c−1 — a `vec_id < c` filter would silently yield an EMPTY (or
+    * undersized) seed set on a corpus whose ids don't start at 0, and
+    * every downstream join then returns empty results with no error.
+    * Identical to the old id-filter rule whenever ids ARE 0-based
+    * (then c_id == vec_id), so trained artifacts and their oracles are
+    * unchanged on such corpora; the tiny sort-limit is once per
+    * memoized training run. Shared with the PQ codebook seeding. */
+  private[operators] def seedCentroids(e: DataFrame, c: Int): DataFrame = {
+    val w = Window.orderBy("vec_id")
+    e.orderBy("vec_id").limit(c)
+      .withColumn("c_id", (row_number().over(w) - 1).cast("long"))
+      .select(col("c_id"), col("v").as("c_v"), col("nrm").as("c_nrm"))
+  }
+
   /** Seed offset separating projection planes from the LSH bucketer's
     * (`plane:<ProjSeedOffset+p>:<d>` vs `plane:<p>:<d>`). */
   val ProjSeedOffset = 1000
@@ -141,8 +162,7 @@ object Similarity {
   def ivfTopK(spark: SparkSession, dir: String, k: Int = 10,
       nprobe: Int = 8): DataFrame = {
     val e = emb(spark, dir)
-    val centroids = e.filter(col("vec_id") < NumCentroids)
-      .select(col("vec_id").as("c_id"), col("v").as("c_v"), col("nrm").as("c_nrm"))
+    val centroids = seedCentroids(e, NumCentroids)
     ivfWith(e, centroids, k, nprobe)
   }
 
@@ -171,16 +191,22 @@ object Similarity {
     * C fixed), tie-broken (c_cos DESC, c_id) exactly like
     * [[withProbes]]' literal-codebook form. Factored so a tie-break or
     * NaN fix can never fork the serve and screening probe sets. */
-  private def probesOf(queries: DataFrame, centroids: DataFrame,
+  private[operators] def probesOf(queries: DataFrame, centroids: DataFrame,
       nprobe: Int): DataFrame = {
     val wProbe = Window.partitionBy("q_id")
       .orderBy(col("c_cos").desc, col("c_id"))
     queries.crossJoin(broadcast(centroids))
       .select(col("q_id"), col("q_v"), col("q_nrm"), col("c_id"),
-        (V.dot(col("q_v"), col("c_v")) / (col("q_nrm") * col("c_nrm"))).as("c_cos"))
+        (V.dot(col("q_v"), col("c_v")) / (col("q_nrm") * col("c_nrm"))).as("c_cos"),
+        // the raw query·centroid inner product, rounded like every LUT
+        // entry: the residual-IVFADC serve consumes it (q·x = q·c + q·r)
+        // — emitted here so Quantize's probe paths ride THIS definition
+        // instead of hand-rolling the window (the "ONE definition of
+        // probe selection" contract)
+        round(V.dot(col("q_v"), col("c_v")), 10).as("qc_ip"))
       .withColumn("crk", row_number().over(wProbe))
       .filter(col("crk") <= nprobe)
-      .select(col("q_id"), col("q_v"), col("q_nrm"), col("c_id"))
+      .select(col("q_id"), col("q_v"), col("q_nrm"), col("c_id"), col("qc_ip"))
   }
 
   private def probeTopK(assigned: DataFrame, queries: DataFrame,
@@ -408,6 +434,7 @@ object Similarity {
     * stream-batch twin of [[embeddingsWithNorm]]. */
   private[graft] def vectorsOf(df: DataFrame): DataFrame =
     withNorm(df.select(col("vec_id"), V.asDouble(col("embedding")).as("v")))
+      .filter(col("nrm") > 0) // same zero-norm exclusion as emb
 
   /** Each query row's `nprobe` nearest centroids as exploded
     * (q_id, q_v, q_nrm, c_id) rows, with the codebook shipped as
