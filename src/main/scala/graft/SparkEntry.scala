@@ -1857,8 +1857,8 @@ object SparkEntry {
       """SELECT doc_id, 'txt' AS format,
                 CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
                 sha256(text) AS sha256,
-                octet_length(encode(text)) % 640 AS width,
-                (octet_length(encode(text)) * 7) % 480 AS height,
+                greatest(1, octet_length(encode(text)) % 640) AS width,
+                greatest(1, (octet_length(encode(text)) * 7) % 480) AS height,
                 octet_length(encode(text)) % 16 AS n_frames
          FROM documents ORDER BY doc_id""",
     "audio_features" ->

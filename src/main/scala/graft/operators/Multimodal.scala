@@ -31,6 +31,21 @@ object Multimodal {
   case class MediaFeatures(doc_id: Long, format: String, n_bytes: Long,
       sha256: String, width: Long, height: Long, n_frames: Long)
 
+  /** THE MediaRow source every stub pipeline reads — one definition
+    * (it was copy-pasted four times), and null-safe: `documents.text`
+    * is nullable by schema, and a null payload would NPE inside the
+    * per-partition kernels (MessageDigest.digest, payload.length). A
+    * null text is an EMPTY media payload — the same explicit-empty
+    * semantics the resize stub already documents for n = 0. */
+  private def mediaRows(spark: SparkSession, dir: String,
+      fmt: String): org.apache.spark.sql.Dataset[MediaRow] = {
+    import spark.implicits._
+    Tables.load(spark, dir, "documents")
+      .select(col("doc_id"), lit(fmt).as("format"),
+        encode(coalesce(col("text"), lit("")), "UTF-8").as("payload"))
+      .as[MediaRow]
+  }
+
   /** STUB — stands in for a real image/audio decode (libs absent in this
     * container). Deterministic pure function of the bytes so the
     * pipeline is testable end-to-end; swap the body for a real codec
@@ -39,8 +54,12 @@ object Multimodal {
     val md = java.security.MessageDigest.getInstance("SHA-256")
     val hex = md.digest(r.payload).map("%02x".format(_)).mkString
     val n = r.payload.length.toLong
+    // dims clamped to >= 1 exactly like resizeStub derives them — the
+    // two stubs must agree on a payload's source dimensions, and a
+    // 0-dimension image record is nonsense either way
     MediaFeatures(r.doc_id, r.format, n, hex,
-      width = n % 640, height = (n * 7) % 480, n_frames = n % 16)
+      width = math.max(1L, n % 640), height = math.max(1L, (n * 7) % 480),
+      n_frames = n % 16)
   }
 
   /** Build the media table (text bytes as the stand-in payload), run the
@@ -49,11 +68,8 @@ object Multimodal {
     * like a Pandas UDF would. */
   def mediaFeatures(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    val media = Tables.load(spark, dir, "documents")
-      .select(col("doc_id"), lit("txt").as("format"),
-        encode(col("text"), "UTF-8").as("payload"))
-      .as[MediaRow]
-    media.mapPartitions { it => it.map(decodeStub) }
+    mediaRows(spark, dir, "txt")
+      .mapPartitions(_.map(decodeStub))
       .toDF()
       .orderBy("doc_id")
   }
@@ -82,10 +98,7 @@ object Multimodal {
     * and hop). */
   def audioFeatures(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    Tables.load(spark, dir, "documents")
-      .select(col("doc_id"), lit("pcm16").as("format"),
-        encode(col("text"), "UTF-8").as("payload"))
-      .as[MediaRow]
+    mediaRows(spark, dir, "pcm16")
       .mapPartitions(_.map(audioStub))
       .toDF()
       .orderBy("doc_id")
@@ -134,10 +147,7 @@ object Multimodal {
   def imageResize(spark: SparkSession, dir: String,
       outW: Int = 8, outH: Int = 8): DataFrame = {
     import spark.implicits._
-    Tables.load(spark, dir, "documents")
-      .select(col("doc_id"), lit("img").as("format"),
-        encode(col("text"), "UTF-8").as("payload"))
-      .as[MediaRow]
+    mediaRows(spark, dir, "img")
       .mapPartitions(_.map(resizeStub(_, outW, outH)))
       .toDF()
       .orderBy("doc_id")
@@ -167,6 +177,15 @@ object Multimodal {
     Tables.load(spark, dir, "documents")
       .select(col("doc_id")).as[Long]
       .mapPartitions { it =>
+        // codec objects hoisted per PARTITION, reset per item — the
+        // ImageIO.write/read statics re-scan the service registry and
+        // instantiate a fresh writer+reader per image, the exact
+        // per-row overhead imagePhash/videoDecode already avoid (and
+        // what this operator's own docstring promises)
+        val writer = javax.imageio.ImageIO
+          .getImageWritersByFormatName("png").next()
+        val reader = javax.imageio.ImageIO
+          .getImageReadersByFormatName("png").next()
         it.map { id =>
           val w = (4 + id % 5).toInt
           val h = (3 + id % 4).toInt
@@ -183,11 +202,14 @@ object Multimodal {
           // InputStream overloads wrap a FILE-backed cache stream — a
           // temp file per image in the hot decode path)
           val ios = new javax.imageio.stream.MemoryCacheImageOutputStream(bos)
-          javax.imageio.ImageIO.write(img, "png", ios)
+          writer.setOutput(ios)
+          writer.write(img)
           ios.close()
-          val decoded = javax.imageio.ImageIO.read(
-            new javax.imageio.stream.MemoryCacheImageInputStream(
-              new java.io.ByteArrayInputStream(bos.toByteArray)))
+          reader.setInput(new javax.imageio.stream.MemoryCacheImageInputStream(
+            new java.io.ByteArrayInputStream(bos.toByteArray)))
+          val decoded = reader.read(0)
+          reader.reset()
+          writer.reset()
           val dw = decoded.getWidth
           val dh = decoded.getHeight
           val dr = decoded.getRaster
@@ -268,7 +290,11 @@ object Multimodal {
           val bytes = decoded.readAllBytes()
           var sum = 0L
           var j = 0
-          while (j < bytes.length) {
+          // j+1 bound: a truncated decode (odd byte count) must surface
+          // as a SUM MISMATCH against the oracle, not an
+          // ArrayIndexOutOfBounds that kills the stage — the codec-bug
+          // class this round trip exists to catch
+          while (j + 1 < bytes.length) {
             // 16-bit little-endian: low byte unsigned, high byte signed
             sum += ((bytes(j + 1).toInt << 8) | (bytes(j) & 0xff)).toLong
             j += 2
@@ -352,26 +378,35 @@ object Multimodal {
           var sum = 0L
           var f0 = 0L
           var sampled = 0L
+          var dw = 0L
+          var dh = 0L
           var df = 0
           while (df < frames) {
             val d = reader.read(df)
+            // getSample reads the index raster directly — getRGB would
+            // route every pixel through the palette (and is only
+            // correct because the palette happens to be identity gray),
+            // the same access the phash siblings already use
+            val dr = d.getRaster
             var fsum = 0L
             var y = 0
             while (y < d.getHeight) {
               var x = 0
               while (x < d.getWidth) {
-                fsum += (d.getRGB(x, y) & 0xff); x += 1
+                fsum += dr.getSample(x, y, 0); x += 1
               }
               y += 1
             }
             sum += fsum
-            if (df == 0) f0 = fsum
+            if (df == 0) {
+              // dims captured here — a separate reader.read(0) after the
+              // loop would re-decode frame 0 per clip just for them
+              f0 = fsum; dw = d.getWidth.toLong; dh = d.getHeight.toLong
+            }
             if (df % 2 == 0) sampled += fsum
             df += 1
           }
-          val first = reader.read(0)
-          val out = DecodedVideo(id, frames.toLong, first.getWidth.toLong,
-            first.getHeight.toLong, sum, f0, sampled)
+          val out = DecodedVideo(id, frames.toLong, dw, dh, sum, f0, sampled)
           reader.reset()
           writer.reset()
           out
@@ -386,14 +421,13 @@ object Multimodal {
     * shape of video frame extraction, with stub frame ids. */
   def frameSample(spark: SparkSession, dir: String, stride: Int = 4): DataFrame = {
     import spark.implicits._
-    val media = Tables.load(spark, dir, "documents")
-      .select(col("doc_id"), lit("txt").as("format"),
-        encode(col("text"), "UTF-8").as("payload"))
-      .as[MediaRow]
-    media.mapPartitions { it =>
+    mediaRows(spark, dir, "txt").mapPartitions { it =>
       it.flatMap { r =>
-        val f = decodeStub(r)
-        (0L until f.n_frames by stride.toLong).map(i => (r.doc_id, i, f.n_frames))
+        // only the frame count is needed — running the full decodeStub
+        // here paid a SHA-256 over every payload byte and threw the
+        // digest away (a whole wasted hash pass over the corpus)
+        val nFrames = r.payload.length.toLong % 16
+        (0L until nFrames by stride.toLong).map(i => (r.doc_id, i, nFrames))
       }
     }.toDF("doc_id", "frame_idx", "n_frames")
       .orderBy("doc_id", "frame_idx")
@@ -617,27 +651,38 @@ object Multimodal {
         }.toDF()
     }.orderBy("doc_id")
 
+  /** THE banded near-dup pairing every modality shares: band `primary`
+    * through [[Dedup.bandedHammingPairs]] (pigeonhole-complete at
+    * hamming ≤ 3, skew-capped), then join back the `second` fingerprint
+    * and emit its Hamming as the second-signal column downstream
+    * policy filters on. One definition — three per-modality copies of
+    * this plumbing could drift (cap handling, join shape) and the
+    * modalities are documented as sharing one discipline. */
+  private def secondSignalNearDup(sigs: DataFrame, primary: String,
+      second: String, hamA: String, hamB: String,
+      maxHamming: Int): DataFrame = {
+    val pairs = Dedup.bandedHammingPairs(sigs, "doc_id", primary, maxHamming)
+    val sec = sigs.select(col("doc_id"), col(second))
+    pairs
+      .join(sec.select(col("doc_id").as("id_a"), col(second).as("s_a")),
+        "id_a")
+      .join(sec.select(col("doc_id").as("id_b"), col(second).as("s_b")),
+        "id_b")
+      .select(col("id_a").as("doc_a"), col("id_b").as("doc_b"),
+        col("hamming").as(hamA),
+        bit_count(col("s_a").bitwiseXOR(col("s_b"))).cast("long").as(hamB))
+      .orderBy("doc_a", "doc_b")
+  }
+
   /** Video near-duplicates: the majority hash banded through the SAME
     * 4×15-bit chunk machinery as text/image/audio
     * ([[Dedup.bandedHammingPairs]]), exact vhash-Hamming verify, with
     * the keyframe-hash Hamming as the second-signal column. Pure
     * post-processing of the memoized signature table. */
   def videoNearDup(spark: SparkSession, dir: String,
-      maxHamming: Int = 3): DataFrame = {
-    val sigs = videoPhash(spark, dir)
-    val pairs = Dedup.bandedHammingPairs(sigs, "doc_id", "vhash", maxHamming)
-    val kf = sigs.select(col("doc_id"), col("f0hash"))
-    pairs
-      .join(kf.select(col("doc_id").as("id_a"), col("f0hash").as("kf_a")),
-        "id_a")
-      .join(kf.select(col("doc_id").as("id_b"), col("f0hash").as("kf_b")),
-        "id_b")
-      .select(col("id_a").as("doc_a"), col("id_b").as("doc_b"),
-        col("hamming").as("hamming_v"),
-        bit_count(col("kf_a").bitwiseXOR(col("kf_b"))).cast("long")
-          .as("hamming_kf"))
-      .orderBy("doc_a", "doc_b")
-  }
+      maxHamming: Int = 3): DataFrame =
+    secondSignalNearDup(videoPhash(spark, dir), "vhash", "f0hash",
+      "hamming_v", "hamming_kf", maxHamming)
 
   /** Audio energy-envelope fingerprints from DECODED WAV samples. */
   case class AudioFprint(doc_id: Long, n_samples: Long, energy_total: Long,
@@ -742,7 +787,10 @@ object Multimodal {
             // energies from the DECODED samples (16-bit little-endian)
             val e = new Array[Long](61)
             var j = 0
-            while (j < n) {
+            // 2j+1 bound, same rationale as audioDecode: a short decoded
+            // stream becomes an energy (hence hash) mismatch, not a
+            // stage-killing ArrayIndexOutOfBounds
+            while (j < n && 2 * j + 1 < bytes.length) {
               val s = ((bytes(2 * j + 1).toInt << 8) |
                 (bytes(2 * j) & 0xff)).toLong
               e(j / 20) += s * s
@@ -789,19 +837,9 @@ object Multimodal {
     * seam as [[imageNearDup]]'s dHash column). Pure post-processing of
     * the memoized signature table: nothing re-decodes. */
   def audioNearDup(spark: SparkSession, dir: String,
-      maxHamming: Int = 3): DataFrame = {
-    val sigs = audioFingerprint(spark, dir)
-    val pairs = Dedup.bandedHammingPairs(sigs, "doc_id", "ehash", maxHamming)
-    val t = sigs.select(col("doc_id"), col("thash"))
-    pairs
-      .join(t.select(col("doc_id").as("id_a"), col("thash").as("th_a")), "id_a")
-      .join(t.select(col("doc_id").as("id_b"), col("thash").as("th_b")), "id_b")
-      .select(col("id_a").as("doc_a"), col("id_b").as("doc_b"),
-        col("hamming").as("hamming_e"),
-        bit_count(col("th_a").bitwiseXOR(col("th_b"))).cast("long")
-          .as("hamming_t"))
-      .orderBy("doc_a", "doc_b")
-  }
+      maxHamming: Int = 3): DataFrame =
+    secondSignalNearDup(audioFingerprint(spark, dir), "ehash", "thash",
+      "hamming_e", "hamming_t", maxHamming)
 
   /** Image near-duplicates: band the aHash through the SAME 4×15-bit
     * chunk machinery as text SimHash ([[Dedup.bandedHammingPairs]] —
@@ -812,17 +850,7 @@ object Multimodal {
     * practice). Pure post-processing of the memoized signature table:
     * nothing re-decodes. */
   def imageNearDup(spark: SparkSession, dir: String,
-      maxHamming: Int = 3): DataFrame = {
-    val sigs = imagePhash(spark, dir)
-    val pairs = Dedup.bandedHammingPairs(sigs, "doc_id", "ahash", maxHamming)
-    val d = sigs.select(col("doc_id"), col("dhash"))
-    pairs
-      .join(d.select(col("doc_id").as("id_a"), col("dhash").as("dh_a")), "id_a")
-      .join(d.select(col("doc_id").as("id_b"), col("dhash").as("dh_b")), "id_b")
-      .select(col("id_a").as("doc_a"), col("id_b").as("doc_b"),
-        col("hamming").as("hamming_a"),
-        bit_count(col("dh_a").bitwiseXOR(col("dh_b"))).cast("long")
-          .as("hamming_d"))
-      .orderBy("doc_a", "doc_b")
-  }
+      maxHamming: Int = 3): DataFrame =
+    secondSignalNearDup(imagePhash(spark, dir), "ahash", "dhash",
+      "hamming_a", "hamming_d", maxHamming)
 }
