@@ -1766,7 +1766,7 @@ object SparkEntry {
                   row_number() OVER (PARTITION BY lang
                     ORDER BY md5(text), doc_id) AS rk
            FROM documents)
-         WHERE rk <= 5 ORDER BY lang, sort_key""",
+         WHERE rk <= 5 ORDER BY lang, sort_key, doc_id""",
     "text_normalize" ->
       """SELECT doc_id,
                 array_to_string(list_filter(
@@ -2425,7 +2425,8 @@ object SparkEntry {
          tf AS (SELECT token, count(*) AS freq FROM tok GROUP BY 1),
          tot AS (SELECT CAST(sum(freq) AS BIGINT) AS total FROM tf),
          per AS (SELECT doc_id, count(*) AS n_tokens,
-                        sum(round(ln(freq / CAST(total AS DOUBLE)), 8)) AS s
+                        CAST(sum(CAST(round(ln(freq / CAST(total AS DOUBLE)), 8)
+                          AS DECIMAL(38,18))) AS DOUBLE) AS s
                  FROM tok JOIN tf USING (token) CROSS JOIN tot
                  GROUP BY 1)
          SELECT d.doc_id,
@@ -2443,8 +2444,9 @@ object SparkEntry {
                  FROM toks),
          bf AS (SELECT bigram, count(*) AS bfreq FROM big GROUP BY 1),
          per AS (SELECT doc_id, count(*) AS n_bigrams,
-                        sum(round(ln((bfreq + 1) /
-                          CAST(freq + v AS DOUBLE)), 8)) AS s
+                        CAST(sum(CAST(round(ln((bfreq + 1) /
+                          CAST(freq + v AS DOUBLE)), 8)
+                          AS DECIMAL(38,18))) AS DOUBLE) AS s
                  FROM big JOIN bf USING (bigram)
                  JOIN tf ON split_part(bigram, ' ', 1) = tf.token
                  CROSS JOIN v
@@ -2471,12 +2473,13 @@ object SparkEntry {
                   FROM etoks, LATERAL unnest(range(1, len(dts)+1)) AS t(i)),
          eenc AS (SELECT doc_id, pos, len(epos.word) AS nch,
                          len(vt8.ts) AS nsub,
-                         array_to_string(vt8.ts, chr(1)) AS encw
+                         array_to_string(list_transform(vt8.ts,
+                           t -> len(t)||':'||t), '') AS encw
                   FROM epos JOIN vt8 USING (word)),
          eagg AS (SELECT doc_id,
                          CAST(sum(nch) AS BIGINT) AS n_raw,
                          CAST(sum(nsub) AS BIGINT) AS n_tokens,
-                         string_agg(encw, chr(1) ORDER BY pos) AS encstr
+                         string_agg(encw, '' ORDER BY pos) AS encstr
                   FROM eenc GROUP BY 1)
          SELECT d.doc_id,
                 coalesce(n_raw, 0) AS n_raw,
@@ -2490,7 +2493,7 @@ object SparkEntry {
       s"""WITH RECURSIVE ${dBpeCtes(6)}
          SELECT t0.doc_id, CAST(len(t0.ts) AS BIGINT) AS n_raw,
                 CAST(len(t6.ts) AS BIGINT) AS n_tokens,
-                ${dH60("array_to_string(t6.ts, chr(1))")} AS enc_h
+                ${dH60("array_to_string(list_transform(t6.ts, t -> len(t)||':'||t), '')")} AS enc_h
          FROM t0 JOIN t6 USING (doc_id) ORDER BY doc_id""",
     // PMI collocations: the same double-cast division association as
     // the Spark side, one ln rounded at 6 (bigram-LM precedent)

@@ -36,12 +36,16 @@ object TextAnalysis {
     * normalization (the bigram-LM oracle rides the same precedent). */
   def phrasePmi(spark: SparkSession, dir: String, minCount: Int = 5,
       topN: Int = 50): DataFrame = {
-    val docs = Tables.load(spark, dir, "documents")
-    val pairs = docs
-      .select(explode(T.wordShingles(col("text"), 2)).as("bigram"))
-      .groupBy("bigram").agg(count(lit(1)).as("pair_cnt"))
-    val uni = docs.select(explode(T.tokens(col("text"))).as("token"))
-      .groupBy("token").agg(count(lit(1)).as("cnt"))
+    // both frequency tables are the SHARED memos (token-tf /
+    // bigram-tf) other vocab-prep queries read — a private re-build
+    // here paid two redundant corpus scans per run
+    val pairs = Memo.table(spark, dir, "bigram-tf") {
+      Tables.load(spark, dir, "documents")
+        .select(explode(T.wordShingles(col("text"), 2)).as("bigram"))
+        .groupBy("bigram").agg(count(lit(1)).as("bfreq"))
+    }.select(col("bigram"), col("bfreq").as("pair_cnt"))
+    val uni = tokenTf(spark, dir)
+      .select(col("token"), col("freq").as("cnt"))
     val np = pairs.agg(sum(col("pair_cnt")).as("np"))
     val nu = uni.agg(sum(col("cnt")).as("nu"))
     pairs.filter(col("pair_cnt") >= minCount)
@@ -197,8 +201,15 @@ object TextAnalysis {
       .toDF("doc_id", "n_raw", "ts")
     encoded.select(col("doc_id"), col("n_raw"),
       size(col("ts")).cast("long").as("n_tokens"),
-      graft.functions.Hash60.hash60(
-        concat_ws("\u0001", col("ts"))).as("enc_h"))
+      // LENGTH-PREFIXED symbols, not a separator join: the tokenizer
+      // splits on \s+ only, so a token CAN contain \u0001 and a
+      // separator-joined fingerprint would equate segmentations the
+      // fingerprint exists to distinguish; len:sym concatenation is
+      // prefix-free for any symbol content (length() and DuckDB's
+      // len() both count codepoints)
+      graft.functions.Hash60.hash60(concat_ws("",
+        transform(col("ts"),
+          t => concat(length(t), lit(":"), t)))).as("enc_h"))
       .orderBy("doc_id")
   }
 
@@ -297,7 +308,10 @@ object TextAnalysis {
         var ts: Array[String] = codepointSyms(w)
         val nch = ts.length.toLong
         merges.foreach { case (l, r) => ts = mergeOnce(ts, l, r) }
-        (w, nch, ts.length.toLong, ts.mkString("\u0001"))
+        // length-prefixed (codepoint counts — the engines' shared
+        // length unit), prefix-free under concatenation: see bpeEncode
+        (w, nch, ts.length.toLong,
+          ts.map(t => s"${t.codePointCount(0, t.length)}:$t").mkString(""))
       })
       .toDF("word", "n_chars", "n_sub", "enc")
     val perDoc = Tables.load(spark, dir, "documents")
@@ -307,7 +321,10 @@ object TextAnalysis {
       .groupBy("doc_id")
       .agg(sum(col("n_chars")).as("n_raw"),
         sum(col("n_sub")).as("n_tokens"),
-        graft.functions.Hash60.hash60(concat_ws("\u0001",
+        // word encodings concatenate bare: each is already a
+        // prefix-free len:sym stream, so the doc fingerprint equals
+        // the flat symbol stream's
+        graft.functions.Hash60.hash60(concat_ws("",
           transform(array_sort(collect_list(struct(col("pos"), col("enc")))),
             e => e.getField("enc")))).as("enc_h"))
     // token-less documents have no exploded rows: complete them with
@@ -337,16 +354,7 @@ object TextAnalysis {
     * per cluster, never the corpus. */
   def clusterLabels(spark: SparkSession, dir: String, k: Int = 3,
       iters: Int = 2): DataFrame = {
-    val docs = Tables.load(spark, dir, "documents")
-    val terms = docs.select(col("doc_id"),
-      explode(T.tokens(col("text"))).as("term"))
-    val tf = terms.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
-    val dfreq = tf.groupBy("term").agg(count(lit(1)).as("df"))
-    val total = docs.agg(count(lit(1)).as("n"))
-    val scored = tf.join(dfreq, "term")
-      .crossJoin(broadcast(total))
-      .withColumn("tfidf", round(col("tf") *
-        log((col("n") + 1.0) / (col("df") + 1.0)), 6))
+    val scored = scoredTerms(spark, dir)
     val asg = Similarity.assignmentTable(spark, dir, iters)
       .select(col("vec_id").as("doc_id"), col("c_id"))
     val byCluster = scored.join(asg, "doc_id")
@@ -451,26 +459,36 @@ object TextAnalysis {
       .orderBy(col("freq").desc, col("token"))
       .limit(50)
 
+  /** THE per-(doc, term) TF-IDF scoring — tf·ln((N+1)/(df+1)) rounded
+    * at 6 BEFORE any ranking or cluster fold, one definition shared by
+    * [[tfidfTopTerms]] and [[clusterLabels]] (whose oracles both
+    * assume identical scores; a smoothing or rounding tweak applied to
+    * one copy would silently desynchronize them). tf feeds both the
+    * score join and the df aggregate; the branch IS recomputed (two
+    * streaming tokenize scans). Measured: persisting tf here is a wash
+    * at sf0.1 and a liability at scale — the (doc, term) table is
+    * larger than the corpus, so two cheap streaming scans beat caching
+    * it. */
+  private def scoredTerms(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.load(spark, dir, "documents")
+    val terms = docs.select(col("doc_id"),
+      explode(T.tokens(col("text"))).as("term"))
+    val tf = terms.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+    val dfreq = tf.groupBy("term").agg(count(lit(1)).as("df"))
+    val total = docs.agg(count(lit(1)).as("n"))
+    tf.join(dfreq, "term")
+      .crossJoin(broadcast(total))
+      .withColumn("tfidf", round(col("tf") *
+        log((col("n") + 1.0) / (col("df") + 1.0)), 6))
+  }
+
   /** TF-IDF top-3 terms per document: term frequencies and document
     * frequencies in two hash aggregates, smoothed idf = ln((N+1)/(df+1)),
     * per-doc top-k window. Ranking is on the ROUNDED score (ties broken
     * by term) so cross-engine libm ulp differences can't flip ranks. */
   def tfidfTopTerms(spark: SparkSession, dir: String, k: Int = 3): DataFrame = {
-    val docs = Tables.load(spark, dir, "documents")
-    val terms = docs.select(col("doc_id"), explode(T.tokens(col("text"))).as("term"))
-    // tf feeds both the score join and the df aggregate; the branch IS
-    // recomputed (two streaming tokenize scans). Measured: persisting tf
-    // here is a wash at sf0.1 and a liability at scale — the (doc, term)
-    // table is larger than the corpus, so two cheap streaming scans beat
-    // caching it.
-    val tf = terms.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
-    val dfreq = tf.groupBy("term").agg(count(lit(1)).as("df"))
-    val total = docs.agg(count(lit(1)).as("n"))
     val w = Window.partitionBy("doc_id").orderBy(col("tfidf").desc, col("term"))
-    tf.join(dfreq, "term")
-      .crossJoin(broadcast(total))
-      .withColumn("tfidf", round(col("tf") *
-        log((col("n") + 1.0) / (col("df") + 1.0)), 6))
+    scoredTerms(spark, dir)
       .withColumn("rk", row_number().over(w).cast("long"))
       .filter(col("rk") <= k)
       .select("doc_id", "rk", "term", "tfidf")
@@ -488,14 +506,19 @@ object TextAnalysis {
       .select(col("lang"), explode(col("sample")).as("s"))
       .select(col("lang"), col("s.sort_key").as("sort_key"),
         col("s.id").as("doc_id"))
-      .orderBy("lang", "sort_key")
+      // doc_id tiebreak: two exact-duplicate docs share a sort_key, and
+      // an ambiguous order would emit them in nondeterministic row
+      // order (the sibling quota orders by (key, id) for the same
+      // reason — oracle mirrored)
+      .orderBy("lang", "sort_key", "doc_id")
 
   /** Normalization pipeline: lowercase → strip punctuation → collapse
     * whitespace → drop English stopwords — the canonical pre-tokenizer
     * cleanup, all codegen'd string/array expressions. */
   def normalize(spark: SparkSession, dir: String): DataFrame = {
-    val sw = array(Seq("the", "a", "and", "of", "to", "in", "is", "that",
-      "it", "for").map(lit): _*)
+    // the declared single source (the oracle-SQL generator re-emits
+    // it) — a second hand-typed copy here could silently drift
+    val sw = array(T.stopwords("en").map(lit): _*)
     Tables.load(spark, dir, "documents")
       .withColumn("cleaned",
         trim(regexp_replace(regexp_replace(lower(col("text")),
@@ -549,6 +572,17 @@ object TextAnalysis {
         col("c.chunk_sha"))
       .orderBy("doc_id", "chunk_idx")
 
+  /** THE memoized corpus token-frequency table — one definition of the
+    * "token-tf" memo (it was built inline, byte-identically, in three
+    * places: an edit to one copy would silently change what the shared
+    * memo contains depending on which query ran first). */
+  private def tokenTf(spark: SparkSession, dir: String): DataFrame =
+    Memo.table(spark, dir, "token-tf") {
+      Tables.load(spark, dir, "documents")
+        .select(explode(T.tokens(col("text"))).as("token"))
+        .groupBy("token").agg(count(lit(1)).as("freq"))
+    }
+
   /** Vocabulary coverage — tokenizer-prep telemetry: how much of the
     * corpus the top-k vocabulary covers. Two hash aggregates (term
     * counts, then total), then a top-k BEFORE any global window: the
@@ -565,11 +599,7 @@ object TextAnalysis {
     // token table. Memoized once per dataset, the branches read the
     // (vocabulary-sized) parquet instead — and any other vocab-prep
     // query in the same run shares it
-    val tf = Memo.table(spark, dir, "token-tf") {
-      Tables.load(spark, dir, "documents")
-        .select(explode(T.tokens(col("text"))).as("token"))
-        .groupBy("token").agg(count(lit(1)).as("freq"))
-    }
+    val tf = tokenTf(spark, dir)
     val top = tf.orderBy(col("freq").desc, col("token")).limit(topK)
     val w = Window.orderBy(col("freq").desc, col("token"))
     top.crossJoin(broadcast(tf.agg(sum("freq").as("total"))))
@@ -593,10 +623,17 @@ object TextAnalysis {
   def approxTopTerms(spark: SparkSession, dir: String, k: Int = 50): DataFrame =
     Tables.load(spark, dir, "documents")
       .select(explode(T.tokens(col("text"))).as("token"))
-      .agg(expr(s"approx_top_k(token, $k)").as("tk"))
+      // track 4k items but CUT at k deterministically below: the sketch
+      // itself breaks a frequency tie at the boundary arbitrarily, and
+      // an arbitrary member of a tie would flip the cross-engine hash
+      // against the oracle's (freq DESC, token) order — the wider
+      // budget makes the boundary's true tie-group visible so the
+      // deterministic cut owns the selection
+      .agg(expr(s"approx_top_k(token, ${4 * k})").as("tk"))
       .select(explode(col("tk")).as("e"))
       .select(col("e.item").as("token"), col("e.count").as("freq"))
       .orderBy(col("freq").desc, col("token"))
+      .limit(k)
 
   /** COUNT-MIN frequency sketch — the sketch family's frequency
     * member (Cormode & Muthukrishnan 2005), built the honest
@@ -614,13 +651,12 @@ object TextAnalysis {
   def countMinFreq(spark: SparkSession, dir: String, depth: Int = 4,
       width: Int = 256, topN: Int = 30): DataFrame = {
     import graft.functions.Hash60.hash60
-    // ONE corpus tokenize: the per-token count relation feeds both the
-    // sketch (counter = SUM of member-token frequencies — identical to
-    // counting raw occurrences, but the depth-replication fans out over
-    // vocabulary rows, not corpus rows) and the heavy-hitter probes
-    val tokCounts = Tables.load(spark, dir, "documents")
-      .select(explode(T.tokens(col("text"))).as("token"))
-      .groupBy("token").agg(count(lit(1)).as("freq"))
+    // the per-token count relation feeds both the sketch (counter =
+    // SUM of member-token frequencies — identical to counting raw
+    // occurrences, but the depth-replication fans out over vocabulary
+    // rows, not corpus rows) and the heavy-hitter probes — read from
+    // the SHARED token-tf memo, never a private corpus re-tokenize
+    val tokCounts = tokenTf(spark, dir)
     def bucket(d: org.apache.spark.sql.Column,
         tok: org.apache.spark.sql.Column) =
       pmod(hash60(concat(lit("cm"), d.cast("string"), lit(":"), tok)),
@@ -686,11 +722,7 @@ object TextAnalysis {
     * rounded per-token logprob so cross-engine libm/summation ulp
     * differences cannot move the 6-decimal result. */
   def unigramLogprob(spark: SparkSession, dir: String): DataFrame = {
-    val tf = Memo.table(spark, dir, "token-tf") {
-      Tables.load(spark, dir, "documents")
-        .select(explode(T.tokens(col("text"))).as("token"))
-        .groupBy("token").agg(count(lit(1)).as("freq"))
-    }
+    val tf = tokenTf(spark, dir)
     val total = tf.agg(sum("freq").as("total"))
     val docs = Tables.load(spark, dir, "documents")
     val perDoc = docs
@@ -699,7 +731,11 @@ object TextAnalysis {
       .crossJoin(broadcast(total))
       .groupBy("doc_id")
       .agg(count(lit(1)).cast("long").as("n_tokens"),
-        sum(round(log(col("freq").cast("double") / col("total")), 8)).as("s"))
+        // summed through decimal: the round-8 terms are exact decimals,
+        // so the sum is order-free (a raw double sum depends on the
+        // partial-aggregate merge order — clusterLabels' discipline)
+        sum(round(log(col("freq").cast("double") / col("total")), 8)
+          .cast("decimal(38,18)")).cast("double").as("s"))
     docs.select(col("doc_id")).join(perDoc, Seq("doc_id"), "left")
       .select(col("doc_id"),
         coalesce(col("n_tokens"), lit(0L)).as("n_tokens"),
@@ -722,11 +758,7 @@ object TextAnalysis {
     * before the sum, mean on the rounded sum) so the cross-engine hash
     * holds. */
   def bigramLogprob(spark: SparkSession, dir: String): DataFrame = {
-    val tf = Memo.table(spark, dir, "token-tf") {
-      Tables.load(spark, dir, "documents")
-        .select(explode(T.tokens(col("text"))).as("token"))
-        .groupBy("token").agg(count(lit(1)).as("freq"))
-    }
+    val tf = tokenTf(spark, dir)
     val bf = Memo.table(spark, dir, "bigram-tf") {
       Tables.load(spark, dir, "documents")
         .select(explode(T.wordShingles(col("text"), 2)).as("bigram"))
@@ -744,8 +776,10 @@ object TextAnalysis {
       .crossJoin(broadcast(vocab))
       .groupBy("doc_id")
       .agg(count(lit(1)).cast("long").as("n_bigrams"),
+        // decimal-exact sum, as in unigramLogprob
         sum(round(log((col("bfreq") + 1).cast("double") /
-          (col("freq") + col("v")).cast("double")), 8)).as("s"))
+          (col("freq") + col("v")).cast("double")), 8)
+          .cast("decimal(38,18)")).cast("double").as("s"))
     docs.select(col("doc_id")).join(perDoc, Seq("doc_id"), "left")
       .select(col("doc_id"),
         coalesce(col("n_bigrams"), lit(0L)).as("n_bigrams"),
