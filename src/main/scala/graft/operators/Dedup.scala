@@ -589,8 +589,14 @@ object Dedup {
   def embeddingNearDup(spark: SparkSession, dir: String,
       threshold: Double = 0.95, maxBucket: Int = 200): DataFrame = {
     val all = embWithBuckets(spark, dir)
-    val big = all.groupBy("bucket").agg(count(lit(1)).as("bs"))
-      .filter(col("bs") > maxBucket).select("bucket")
+    // bucket sizes memoized: the 16-plane bucket projection is the
+    // expensive part of this frame, and computing it a THIRD time just
+    // to find over-cap buckets (the join sides already pay it twice)
+    // measurably dented the serve — the tiny (bucket, count) table is
+    // a once-per-dataset artifact
+    val big = Memo.table(spark, dir, "emb_bucket_sizes16") {
+      all.groupBy("bucket").agg(count(lit(1)).as("bs"))
+    }.filter(col("bs") > maxBucket).select("bucket")
     val emb = all.join(broadcast(big), Seq("bucket"), "left_anti")
     emb.as("a").join(emb.as("b"), "bucket")
       .filter(col("a.vec_id") < col("b.vec_id"))

@@ -111,10 +111,15 @@ object Quantize {
       // filter would silently yield an empty seed codebook, and with
       // it empty indexes and rankings, on any corpus whose ids don't
       // start at 0; identical to that rule when they do
-      val seedIds = subs.select("vec_id").distinct()
+      // dense ids via a bounded Ksub-row driver round-trip — see
+      // Similarity.seedCentroids for why not a global-order window
+      val sparkS = spark
+      import sparkS.implicits._
+      val ids = subs.select("vec_id").distinct()
         .orderBy("vec_id").limit(Ksub)
-        .withColumn("c_id",
-          (row_number().over(Window.orderBy("vec_id")) - 1).cast("long"))
+        .collect().map(_.getLong(0))
+      val seedIds = ids.zipWithIndex
+        .map { case (v, i) => (v, i.toLong) }.toSeq.toDF("vec_id", "c_id")
       var cb = subs.join(broadcast(seedIds), "vec_id")
         .select(col("sub"), col("c_id"), col("sv").as("cv"))
       for (_ <- 0 until iters) {

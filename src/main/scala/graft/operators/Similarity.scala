@@ -130,12 +130,18 @@ object Similarity {
     * (then c_id == vec_id), so trained artifacts and their oracles are
     * unchanged on such corpora; the tiny sort-limit is once per
     * memoized training run. Shared with the PQ codebook seeding. */
-  private[operators] def seedCentroids(e: DataFrame, c: Int): DataFrame = {
-    val w = Window.orderBy("vec_id")
+  private[operators] def seedCentroids(e: DataFrame, c: Int): DataFrame =
+    // pure plan (TakeOrdered over the vector scan): no window, no
+    // driver round-trip — seeding runs per call on the UNMEMOIZED
+    // sample-centroid serve, so even a tiny extra job is a measured
+    // per-query cost. Centroid ids stay the seed vectors' OWN ids
+    // (opaque join keys downstream — density is only a PQ packed-
+    // layout need, handled by the codebook trainer's own mapping);
+    // identical to the old `vec_id < c` rule on 0-based corpora,
+    // and the c lowest ids on any other.
     e.orderBy("vec_id").limit(c)
-      .withColumn("c_id", (row_number().over(w) - 1).cast("long"))
-      .select(col("c_id"), col("v").as("c_v"), col("nrm").as("c_nrm"))
-  }
+      .select(col("vec_id").as("c_id"), col("v").as("c_v"),
+        col("nrm").as("c_nrm"))
 
   /** Seed offset separating projection planes from the LSH bucketer's
     * (`plane:<ProjSeedOffset+p>:<d>` vs `plane:<p>:<d>`). */
