@@ -198,22 +198,31 @@ object Components {
   /** Quality-aware canonical selection: instead of "keep min doc_id",
     * keep the best document per cluster (longest content, doc_id
     * tie-break) — the policy real training pipelines use so dedup
-    * doesn't discard the richest copy. Broadcast the (tiny) cluster
-    * map onto the doc table, rank within cluster. */
+    * doesn't discard the richest copy.
+    *
+    * The per-cluster argmax is a BOUNDED-STATE aggregate
+    * (`max(struct(n_chars, -doc_id))` — lexicographic struct order is
+    * exactly "longest, then lowest id"; O(1) state per cluster,
+    * map-side combined), never a per-cluster `row_number` window:
+    * near-dup cluster sizes are unbounded, and a boilerplate-saturated
+    * corpus (the scenario `minhash_band_saturation` exists to flag) can
+    * put a large fraction of the corpus in ONE cluster = one giant
+    * window partition. The one-row-per-cluster winner table broadcasts
+    * back for the keeper flag — the same aggregate-plus-broadcast
+    * rewrite the quota family uses ([[graft.operators.Sampling]]). */
   def dedupKeepBest(spark: SparkSession, dir: String): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     val clusters = clusterTable(spark, dir).select("doc_id", "cluster_id")
     val docs = graft.Tables.load(spark, dir, "documents")
       .select(col("doc_id"), col("n_chars"))
-    val w = Window.partitionBy("cluster_id")
-      .orderBy(col("n_chars").desc, col("doc_id"))
-    clusters.join(docs, "doc_id")
-      .withColumn("rk", org.apache.spark.sql.functions.row_number().over(w))
-      .withColumn("keep_doc_id",
-        org.apache.spark.sql.functions.first(col("doc_id")).over(
-          w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)))
+    val joined = clusters.join(docs, "doc_id")
+    val best = joined.groupBy("cluster_id")
+      .agg(max(struct(col("n_chars"), (-col("doc_id")).as("neg_id")))
+        .as("b"))
+      .select(col("cluster_id"), (-col("b.neg_id")).as("keep_doc_id"))
+    joined.join(broadcast(best), "cluster_id")
       .select(col("doc_id"), col("cluster_id"), col("n_chars"),
-        col("keep_doc_id"), (col("rk") === 1).as("is_keeper"))
+        col("keep_doc_id"),
+        (col("doc_id") === col("keep_doc_id")).as("is_keeper"))
       .orderBy("cluster_id", "doc_id")
   }
 }

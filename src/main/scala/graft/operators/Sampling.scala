@@ -250,22 +250,48 @@ object Sampling {
   /** Sequence packing: assign documents to ~`capacity`-token training
     * bins — the "pack short docs into fixed-length sequences" step
     * before batching. Contiguous fill by running token count in
-    * deterministic (doc_id) order, packed per source: the window
-    * partitions by source, so no single-partition global scan — each
-    * source packs independently (at 100 TB, sub-shard the source key
-    * the same way; packing is embarrassingly parallel across shards
-    * because bins never need to cross the domain boundary). A doc
-    * larger than `capacity` gets a bin of its own (contiguous fill
-    * never splits a document). */
-  def docPack(spark: SparkSession, dir: String, capacity: Int = 512): DataFrame = {
-    val w = Window.partitionBy("source").orderBy("doc_id")
-    Tables.load(spark, dir, "documents")
+    * deterministic (doc_id) order, packed per source. A doc larger
+    * than `capacity` gets a bin of its own (contiguous fill never
+    * splits a document).
+    *
+    * The running sum is DISTRIBUTED, never a per-source
+    * single-partition window (a dominant source at 100 TB is a
+    * multi-TB single task): the same histogram-offset exact-prefix-sum
+    * machinery as [[stratifiedSplit]], keyed on doc_id itself because
+    * doc_id IS the pack order — `doc_id >> bucketShift` range-buckets
+    * each source into ORDER-PRESERVING runs (the shift is monotone in
+    * doc_id), a small (source × bucket) token histogram yields each
+    * bucket's token offset via a cumsum over the BOUNDED bucket axis,
+    * and a document's exclusive prefix sum = its bucket's offset + a
+    * local running sum inside the (source, bucket) window — partitions
+    * of ≤2^bucketShift rows regardless of source skew. One corpus
+    * shuffle + one map-side-combined histogram; the offset table
+    * broadcasts. Ids need not be dense or start at 0 — only monotone
+    * bucketing matters; RAISE `bucketShift` if ids are sparse enough
+    * that the histogram (≤ sources × max_id/2^shift rows) gets big.
+    * The oracle replays the straightforward one-window form — same
+    * total (source, doc_id) order, identical bin assignment. */
+  def docPack(spark: SparkSession, dir: String, capacity: Int = 512,
+      bucketShift: Int = 8): DataFrame = {
+    val toks = Tables.load(spark, dir, "documents")
       .select(col("doc_id"), col("source"),
         size(graft.functions.TextFunctions.tokens(col("text")))
           .cast("long").as("n_tokens"))
+      .withColumn("db", shiftright(col("doc_id"), bucketShift))
+    // both windows below run over the HISTOGRAM (≤ sources × buckets
+    // rows) or a ≤2^bucketShift-row bucket — never a whole source
+    val hist = toks.groupBy("source", "db")
+      .agg(sum("n_tokens").as("btok"))
+    val wCum = Window.partitionBy("source").orderBy("db")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = hist
+      .withColumn("off", coalesce(sum("btok").over(wCum), lit(0L)))
+      .select("source", "db", "off")
+    val wBucket = Window.partitionBy("source", "db").orderBy("doc_id")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    toks.join(broadcast(offsets), Seq("source", "db"))
       .withColumn("tokens_before",
-        coalesce(sum(col("n_tokens")).over(
-          w.rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+        col("off") + coalesce(sum(col("n_tokens")).over(wBucket), lit(0L)))
       .select(col("doc_id"), col("source"), col("n_tokens"),
         (col("tokens_before") / capacity).cast("long").as("pack_id"))
       .orderBy("source", "doc_id")

@@ -162,6 +162,35 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("BroadcastHashJoin"), p)
   }
 
+  test("doc_pack prefix-sums in bounded (source, bucket) windows, never " +
+      "a per-source corpus window") {
+    val p = planOf("doc_pack")
+    // the corpus running sum must partition by (source, doc-id bucket):
+    // a window whose spec is (source) alone ordering by doc_id is the
+    // single-partition-per-source scan that dies on a dominant source
+    // at 100 TB
+    val badSum = """windowspecdefinition\(source#\d+, doc_id#\d+""".r
+    assert(badSum.findFirstIn(p).isEmpty,
+      s"corpus prefix-sum window partitions by source alone:\n$p")
+    val bucketed = """windowspecdefinition\(source#\d+, db#\d+L?, doc_id#\d+""".r
+    assert(bucketed.findFirstIn(p).nonEmpty,
+      s"bucketed prefix-sum window missing:\n$p")
+    // the offset table reaches the corpus side as a broadcast
+    assert(p.contains("BroadcastHashJoin"), p)
+  }
+
+  test("dedup_keep_best picks keepers without ANY window: bounded argmax " +
+      "aggregate + broadcast join") {
+    val p = planOf("dedup_keep_best")
+    // near-dup cluster sizes are unbounded — a per-cluster row_number
+    // window is a giant single task on a boilerplate-saturated corpus
+    assert(!p.contains("windowspecdefinition"),
+      s"dedup_keep_best still ranks through a per-cluster window:\n$p")
+    assert(p.contains("partial_max"),
+      s"dedup_keep_best lost the map-side-combined argmax:\n$p")
+    assert(p.contains("BroadcastHashJoin"), p)
+  }
+
   test("source_quota / cluster_quota rank without ANY window: bounded " +
       "bottom_k threshold + broadcast join") {
     Seq("source_quota", "cluster_quota").foreach { q =>
