@@ -189,9 +189,15 @@ object SparkEntry {
     "audio_band_saturation" -> ((s: SparkSession, d: String) =>
       Dedup.bandingSaturation(
         Multimodal.audioFingerprint(s, d), "doc_id", "ehash")),
+    "image_band_saturation" -> ((s: SparkSession, d: String) =>
+      Dedup.bandingSaturation(
+        Multimodal.imagePhash(s, d), "doc_id", "ahash")),
     "video_decode"       -> (Multimodal.videoDecode _),
     "video_phash"        -> ((s: SparkSession, d: String) => Multimodal.videoPhash(s, d)),
     "video_neardup"      -> ((s: SparkSession, d: String) => Multimodal.videoNearDup(s, d)),
+    "video_band_saturation" -> ((s: SparkSession, d: String) =>
+      Dedup.bandingSaturation(
+        Multimodal.videoPhash(s, d), "doc_id", "vhash")),
     // SQL front door + sketch quantiles
     "sql_backfill_scan"  -> (SqlInterface.sqlBackfillScan _),
     "sql_merchant_revenue" -> (SqlInterface.sqlMerchantRevenue _),
@@ -1940,6 +1946,49 @@ object SparkEntry {
            WHERE a.doc_id < b.doc_id)
          SELECT doc_a, doc_b, hamming_a, hamming_d FROM ipairs
          WHERE hamming_a <= 3 ORDER BY doc_a, doc_b"""),
+    // banding saturation guard over the image aHash: per 15-bit chunk,
+    // distinct values and the id mass the skew cap drops — same kernel
+    // (and same alarm contract) as the audio/minhash guards
+    "image_band_saturation" -> (s"WITH $dPhashCtes," +
+      """ ischunks AS (SELECT doc_id,
+             unnest([0, 1, 2, 3]) AS chunk_id,
+             unnest([(ahash >> 0) & 32767, (ahash >> 15) & 32767,
+                     (ahash >> 30) & 32767, (ahash >> 45) & 32767])
+               AS chunk_val
+           FROM phash),
+         isbsz AS (SELECT chunk_id, chunk_val, count(*) AS bs
+                   FROM ischunks GROUP BY 1, 2)
+         SELECT CAST(chunk_id AS BIGINT) AS chunk_id,
+                CAST(sum(bs) AS BIGINT) AS n_ids,
+                CAST(count(*) AS BIGINT) AS n_vals,
+                CAST(sum(CASE WHEN bs > 200 THEN 1 ELSE 0 END) AS BIGINT)
+                  AS n_capped,
+                CAST(sum(CASE WHEN bs > 200 THEN bs ELSE 0 END) AS BIGINT)
+                  AS n_dropped,
+                round(sum(CASE WHEN bs > 200 THEN bs ELSE 0 END) /
+                  CAST(sum(bs) AS DOUBLE), 6) AS drop_frac
+         FROM isbsz GROUP BY chunk_id ORDER BY chunk_id"""),
+    // banding saturation guard over the video majority hash — the same
+    // kernel over the vph signature table
+    "video_band_saturation" -> (s"WITH $dVphashCtes," +
+      """ vschunks AS (SELECT doc_id,
+             unnest([0, 1, 2, 3]) AS chunk_id,
+             unnest([(vhash >> 0) & 32767, (vhash >> 15) & 32767,
+                     (vhash >> 30) & 32767, (vhash >> 45) & 32767])
+               AS chunk_val
+           FROM vph),
+         vsbsz AS (SELECT chunk_id, chunk_val, count(*) AS bs
+                   FROM vschunks GROUP BY 1, 2)
+         SELECT CAST(chunk_id AS BIGINT) AS chunk_id,
+                CAST(sum(bs) AS BIGINT) AS n_ids,
+                CAST(count(*) AS BIGINT) AS n_vals,
+                CAST(sum(CASE WHEN bs > 200 THEN 1 ELSE 0 END) AS BIGINT)
+                  AS n_capped,
+                CAST(sum(CASE WHEN bs > 200 THEN bs ELSE 0 END) AS BIGINT)
+                  AS n_dropped,
+                round(sum(CASE WHEN bs > 200 THEN bs ELSE 0 END) /
+                  CAST(sum(bs) AS DOUBLE), 6) AS drop_frac
+         FROM vsbsz GROUP BY chunk_id ORDER BY chunk_id"""),
     // closed form of the WAV round-trip: n = 400 + id % 1600 samples at
     // 16 kHz mono s16le, sample i = (id*31 + i*7) % 2003 - 1001; WAV is
     // lossless so the DECODED stats must equal these exactly
