@@ -682,12 +682,14 @@ object SparkEntry {
     }
     val centFinal = s"cent$iters"
     s"""emb0 AS (
-           SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
-                  sqrt(list_dot_product(CAST(embedding AS DOUBLE[]),
-                    CAST(embedding AS DOUBLE[]))) AS nrm
-           FROM embeddings),
+           SELECT * FROM (
+             SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+                    sqrt(list_dot_product(CAST(embedding AS DOUBLE[]),
+                      CAST(embedding AS DOUBLE[]))) AS nrm
+             FROM embeddings)
+           WHERE nrm > 0),
          cent0 AS (SELECT vec_id AS c_id, v AS c_v, nrm AS c_nrm
-                   FROM emb0 WHERE vec_id < $nCentroids),
+                   FROM emb0 ORDER BY vec_id LIMIT $nCentroids),
          ${(lloyd :+ assign(centFinal, "af")).mkString(",\n         ")}"""
   }
 
@@ -1861,26 +1863,26 @@ object SparkEntry {
          FROM spine LEFT JOIN h USING (hour) ORDER BY hour""",
     "media_features" ->
       """SELECT doc_id, 'txt' AS format,
-                CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
-                sha256(text) AS sha256,
-                greatest(1, octet_length(encode(text)) % 640) AS width,
-                greatest(1, (octet_length(encode(text)) * 7) % 480) AS height,
-                octet_length(encode(text)) % 16 AS n_frames
+                CAST(octet_length(encode(coalesce(text, ''))) AS BIGINT) AS n_bytes,
+                sha256(coalesce(text, '')) AS sha256,
+                greatest(1, octet_length(encode(coalesce(text, ''))) % 640) AS width,
+                greatest(1, (octet_length(encode(coalesce(text, ''))) * 7) % 480) AS height,
+                octet_length(encode(coalesce(text, ''))) % 16 AS n_frames
          FROM documents ORDER BY doc_id""",
     "audio_features" ->
       """SELECT doc_id,
-                CAST(octet_length(encode(text)) // 2 AS BIGINT) AS n_samples,
-                CAST((octet_length(encode(text)) // 2) * 1000 // 16000 AS BIGINT)
+                CAST(octet_length(encode(coalesce(text, ''))) // 2 AS BIGINT) AS n_samples,
+                CAST((octet_length(encode(coalesce(text, ''))) // 2) * 1000 // 16000 AS BIGINT)
                   AS duration_ms,
-                CAST(CASE WHEN (octet_length(encode(text)) // 2) * 1000 // 16000 < 25
+                CAST(CASE WHEN (octet_length(encode(coalesce(text, ''))) // 2) * 1000 // 16000 < 25
                           THEN 0
-                          ELSE ((octet_length(encode(text)) // 2) * 1000 // 16000 - 25)
+                          ELSE ((octet_length(encode(coalesce(text, ''))) // 2) * 1000 // 16000 - 25)
                                // 10 + 1 END AS BIGINT) AS n_audio_frames
          FROM documents ORDER BY doc_id""",
     "image_resize" ->
       """WITH m AS (
-           SELECT doc_id, hex(encode(text)) AS hx,
-                  octet_length(encode(text)) AS n
+           SELECT doc_id, hex(encode(coalesce(text, ''))) AS hx,
+                  octet_length(encode(coalesce(text, ''))) AS n
            FROM documents),
          d AS (
            SELECT doc_id, n, hx,
@@ -2102,9 +2104,9 @@ object SparkEntry {
          FROM g ORDER BY doc_id""",
     "media_frame_sample" ->
       """SELECT doc_id, CAST(f AS BIGINT) AS frame_idx,
-                CAST(octet_length(encode(text)) % 16 AS BIGINT) AS n_frames
+                CAST(octet_length(encode(coalesce(text, ''))) % 16 AS BIGINT) AS n_frames
          FROM documents,
-              LATERAL unnest(range(0, octet_length(encode(text)) % 16, 4)) AS t(f)
+              LATERAL unnest(range(0, octet_length(encode(coalesce(text, ''))) % 16, 4)) AS t(f)
          ORDER BY doc_id, frame_idx""",
     "sql_backfill_scan" ->
       """SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice, o_orderdate

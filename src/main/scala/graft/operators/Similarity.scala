@@ -122,14 +122,16 @@ object Similarity {
       .orderBy("vec_id", "out_dim")
   }
 
-  /** The `c` lowest-vec_id vectors as a seed codebook with DENSE ids
-    * 0..c−1 — a `vec_id < c` filter would silently yield an EMPTY (or
-    * undersized) seed set on a corpus whose ids don't start at 0, and
-    * every downstream join then returns empty results with no error.
-    * Identical to the old id-filter rule whenever ids ARE 0-based
-    * (then c_id == vec_id), so trained artifacts and their oracles are
-    * unchanged on such corpora; the tiny sort-limit is once per
-    * memoized training run. Shared with the PQ codebook seeding. */
+  /** The `c` lowest-vec_id vectors as a seed codebook, keeping the
+    * seed vectors' OWN ids as centroid ids — a `vec_id < c` filter
+    * would silently yield an EMPTY (or undersized) seed set on a
+    * corpus whose ids don't start at 0, and every downstream join then
+    * returns empty results with no error. Identical to the old
+    * id-filter rule whenever ids ARE 0-based (then c_id == vec_id), so
+    * trained artifacts and their oracles are unchanged on such
+    * corpora; the tiny sort-limit is once per memoized training run.
+    * Shared with the PQ codebook seeding (which densifies ids itself
+    * where a packed layout needs them). */
   private[operators] def seedCentroids(e: DataFrame, c: Int): DataFrame =
     // pure plan (TakeOrdered over the vector scan): no window, no
     // driver round-trip — seeding runs per call on the UNMEMOIZED

@@ -441,13 +441,20 @@ object Bucketing {
   def saltedFilter(spark: SparkSession, table: String,
       tokens: Seq[String], saltsFallback: Int = 8): DataFrame = {
     import org.apache.spark.sql.functions.col
-    // the BUILD's shard count, read off the table itself ([[SaltsProp]]);
-    // the parameter is only the fallback for tables predating the
-    // property. Expanding with fewer salts than the build silently
-    // drops hot-token shards from every scan.
+    // the BUILD's shard count, read off the table itself ([[SaltsProp]])
+    // — with the count EMBEDDED IN THE TABLE NAME as the second source
+    // (every builder here names tables `*_salt[chn]_<salts>_<tag>`): a
+    // crash between a churned build's rename and its ALTER leaves a
+    // property-less table, and falling straight to the parameter
+    // default would silently drop hot-token shards from every scan of
+    // a non-default-salts build. The parameter is only the last-resort
+    // fallback for externally-built tables predating both.
     val salts = org.apache.spark.sql.graftshim.Shim
       .tableProperty(spark, table, SaltsProp)
-      .map(_.toInt).getOrElse(saltsFallback)
+      .map(_.toInt)
+      .orElse("_salt(?:chn)?_(\\d+)_".r.findFirstMatchIn(table)
+        .map(_.group(1).toInt))
+      .getOrElse(saltsFallback)
     val hot = spark.table(s"${table}_hot").select("token")
       .collect().map(_.getString(0)).toSet
     val keys = tokens.flatMap(t =>

@@ -653,7 +653,17 @@ object StreamingBackfill {
     * one delta's top-k set wins intact — instead of serving a
     * row-level mix of two generations' rows for a shared q_id. */
   private def latestWins(all: DataFrame): DataFrame = {
-    val d = all.dropDuplicates()
+    // tolerate pre-wsrc stores (the column was added in a later store
+    // generation): a delta written without it reads as a MISSING column
+    // when every file predates it, or as NULLs in a mixed store (the
+    // parquet reader null-fills absent columns). Default both to "" —
+    // ordered below every real delta-dir name, and equi-joinable where
+    // a raw null would silently DROP its rows at the join-back.
+    val withW =
+      if (all.columns.contains("wsrc"))
+        all.withColumn("wsrc", coalesce(col("wsrc"), lit("")))
+      else all.withColumn("wsrc", lit(""))
+    val d = withW.dropDuplicates()
     val latest = d.groupBy("q_id")
       .agg(max(struct(col("seq"), col("wsrc"))).as("w"))
       .select(col("q_id"), col("w.seq").as("seq"), col("w.wsrc").as("wsrc"))
@@ -716,7 +726,16 @@ object StreamingBackfill {
     // holds zero rows by definition, so count it as such
     val counts = dirs.map(d => d ->
       (try spark.read.parquet(d).count()
-      catch { case scala.util.control.NonFatal(_) => 0L }))
+      catch {
+        // ONLY the documented footer-less/schema-only case counts as
+        // zero; a transient FS or corruption error on a POPULATED
+        // delta must propagate — counting it as 0 would silently
+        // mis-pick the dominant tier and defer the real failure to
+        // the union read
+        case e: org.apache.spark.sql.AnalysisException
+            if Option(e.getMessage)
+              .exists(_.contains("UNABLE_TO_INFER_SCHEMA")) => 0L
+      }))
     val total = counts.map(_._2).sum
     val baseDir = counts.maxBy { case (d, n) => (n, d) }._1
     val baseRows = counts.toMap.apply(baseDir)

@@ -360,6 +360,42 @@ class BucketingSpec extends AnyFunSuite {
     }
   }
 
+  test("saltedFilter salts fallback: a property-less table recovers the " +
+      "shard count from its name (crash window between rename and ALTER)") {
+    import org.apache.spark.sql.functions._
+    // salts=16 > the parameter default of 8: if the fallback ignored
+    // the name and used the default, shard keys the#8..the#15 would
+    // never be enumerated and the hot token would silently lose half
+    // its postings on every scan
+    val salted = "postings_salt_16_fbt"
+    try {
+      val posts = spark.range(500)
+        .select(lit("the").as("token"), col("id").as("doc_id"),
+          lit(5L).as("tf"))
+        .union(spark.range(500)
+          .select(concat(lit("t"), col("id") % 50).as("token"),
+            col("id").as("doc_id"), lit(1L).as("tf")))
+      Bucketing.writeSaltedPostingsIndex(
+        spark, salted, posts, hotDf = 100, salts = 16)
+      // simulate the crash: the table became visible but the identity
+      // property was never stamped
+      spark.sql(s"ALTER TABLE $salted UNSET TBLPROPERTIES " +
+        s"('${Bucketing.SaltsProp}')")
+      assert(Shim.tableProperty(spark, salted, Bucketing.SaltsProp).isEmpty)
+      val got = Bucketing.saltedPostings(spark, salted, Seq("the", "t5"))
+        .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+        .toSet
+      val want = posts.filter(col("token").isin("the", "t5"))
+        .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+        .toSet
+      assert(got === want,
+        "name-derived salts fallback dropped hot-token shards")
+    } finally {
+      spark.sql(s"DROP TABLE IF EXISTS $salted")
+      spark.sql(s"DROP TABLE IF EXISTS ${salted}_hot")
+    }
+  }
+
   test("streaming session windows and stateful totals run end to end") {
     import graft.streaming.StreamingBackfill
     val ev = StreamingBackfill.eventsStream(spark, sf)

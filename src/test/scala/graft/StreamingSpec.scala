@@ -1060,4 +1060,33 @@ class StreamingSpec extends AnyFunSuite {
       spark.sql(s"DROP TABLE IF EXISTS $assignTable")
     }
   }
+
+  test("pre-wsrc graph store: deltas written before the wsrc column " +
+      "serve, mix with new-format deltas, and survive compaction") {
+    import java.nio.file.Files
+    import spark.implicits._
+    val graphDir = Files.createTempDirectory("grapholdfmt").toString
+    // OLD-format delta (no wsrc): the on-disk shape every store wrote
+    // before the writer-source tiebreak existed — must keep reading
+    Seq((1L, 1L, 10L, 0.9, 0L), (2L, 1L, 20L, 0.8, 0L))
+      .toDF("q_id", "rk", "vec_id", "score", "seq")
+      .coalesce(1).write.parquet(s"$graphDir/batch_id=0")
+    new java.io.File(s"$graphDir/batch_id=0", "_done").createNewFile()
+    def served() = StreamingBackfill.servedGraph(spark, graphDir)
+      .collect().map(r => (r.getLong(0), r.getLong(2))).toSet
+    assert(served() === Set((1L, 10L), (2L, 20L)),
+      "whole-store old format failed to serve (unresolved wsrc)")
+    // NEW-format delta supersedes q_id=1; q_id=2's old rows must
+    // survive the MIXED read — a null-filled wsrc would silently drop
+    // them at the latest-wins join-back
+    Seq((1L, 1L, 30L, 0.7, 1L, "batch_id=1"))
+      .toDF("q_id", "rk", "vec_id", "score", "seq", "wsrc")
+      .coalesce(1).write.parquet(s"$graphDir/batch_id=1")
+    new java.io.File(s"$graphDir/batch_id=1", "_done").createNewFile()
+    assert(served() === Set((1L, 30L), (2L, 20L)),
+      "mixed-format store lost rows")
+    StreamingBackfill.compactGraph(spark, graphDir)
+    assert(served() === Set((1L, 30L), (2L, 20L)),
+      "compaction over a mixed-format store lost rows")
+  }
 }
