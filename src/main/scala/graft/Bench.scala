@@ -38,11 +38,13 @@ object Bench {
     // runs defeats the min and fabricates a phantom regression (official
     // r8 carried ngram_jaccard at 12.13 s vs 0.31 s reproducible). With
     // passes, a spike must span the ENTIRE run to poison any one query.
-    val passes = 3
-    val times = scala.collection.mutable.LinkedHashMap[String, Array[Double]]()
-    queries.foreach { case (n, _) => times(n) = Array.fill(passes)(-1.0) }
-    val passTotals = Array.fill(passes)(0.0)
-    (0 until passes).foreach { p =>
+    val times = scala.collection.mutable.LinkedHashMap[
+      String, scala.collection.mutable.ArrayBuffer[Double]]()
+    queries.foreach { case (n, _) =>
+      times(n) = scala.collection.mutable.ArrayBuffer[Double]() }
+    val passTotals = scala.collection.mutable.ArrayBuffer[Double]()
+    def runPass(): Unit = {
+      var tot = 0.0
       queries.foreach { case (name, fn) =>
         val t0 = System.nanoTime()
         val ok = try { fn(spark, sfDir).count(); true }
@@ -51,14 +53,29 @@ object Bench {
         // cache cleanup OUTSIDE the timed window (LSH queries persist
         // signature tables; later queries shouldn't inherit the pressure)
         spark.catalog.clearCache()
-        if (ok) { times(name)(p) = elapsed; passTotals(p) += elapsed }
+        times(name) += (if (ok) elapsed else -1.0)
+        if (ok) tot += elapsed
       }
+      passTotals += tot
     }
+    (0 until 3).foreach(_ => runPass())
+    // contention guard: with three passes, a load spike spanning one of
+    // the two WARMED passes still inflates the per-query min (r10's
+    // official run carried pass totals [158.0, 70.8, 129.6] — the third
+    // sample dirty, and the min can't cut through with only one clean
+    // warmed pass). Pass 1 is excluded from the spread test — it
+    // structurally carries JIT/codegen warm-up and would trip the guard
+    // on a perfectly quiet box (its per-query times still feed the min,
+    // which only helps). When the warmed passes disagree by >1.5×, buy
+    // ONE more clean-box chance; quiet boxes sit near 1.1×
+    val warmed = passTotals.drop(1)
+    if (warmed.nonEmpty && warmed.min > 0 &&
+        warmed.max > 1.5 * warmed.min) runPass()
     val results = queries.map { case (name, _) =>
-      val ts = times(name).filter(_ >= 0)
+      val ts = times(name)
       // a query must succeed in EVERY pass to count; any failure is the
       // visible -1 marker, never a fast "win"
-      name -> (if (ts.length < passes) -1.0 else ts.min)
+      name -> (if (ts.isEmpty || ts.exists(_ < 0)) -1.0 else ts.min)
     }
     def r4(v: Double): String = if (v < 0) "-1"
       else String.format(java.util.Locale.ROOT, "%.4f", Double.box(v))
