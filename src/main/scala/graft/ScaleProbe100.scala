@@ -34,8 +34,8 @@ object ScaleProbe100 {
     val factor = if (args.length > 1) args(1).toInt else 100
     val sections: Set[String] =
       if (args.length > 2) args(2).split(',').map(_.trim).toSet
-      else Set("dedup", "feed", "quality", "stratsplit", "bloomdecon", "phash", "bpe", "bm25", "ann", "knn", "knnlife",
-        "zipf", "churn", "semdedup", "rebucket", "pq", "ivfpq")
+      else Set("dedup", "feed", "quality", "stratsplit", "docpack", "keepbest", "bloomdecon", "phash", "bpe", "bm25", "ann", "knn", "knnlife",
+        "zipf", "churn", "semdedup", "rebucket", "pq", "ivfpq", "streamloop")
     def section(name: String)(body: => Unit): Unit =
       if (sections(name)) body
     val spark = SparkSession.builder()
@@ -63,7 +63,7 @@ object ScaleProbe100 {
     val fs = new org.apache.hadoop.fs.Path(dup)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
 
-    if (sections.exists(Set("dedup", "quality", "stratsplit", "bloomdecon", "phash", "bpe", "bm25", "churn", "rebucket"))) {
+    if (sections.exists(Set("dedup", "quality", "stratsplit", "docpack", "keepbest", "bloomdecon", "phash", "bpe", "bm25", "churn", "rebucket", "streamloop"))) {
       if (!fs.exists(new org.apache.hadoop.fs.Path(s"$dup/documents.parquet"))) {
         val docs = Tables.load(spark, sf, "documents")
         docs.crossJoin(spark.range(factor).select(col("id").as("copy")))
@@ -148,6 +148,74 @@ object ScaleProbe100 {
           .orderBy("lang", "split").collect()
         cuts.foreach(r => println(s"  ${r.getString(0)} ${r.getString(1)}: " +
           r.getLong(2)))
+      }
+    }
+
+    // 3f. doc_pack at factor× with 90% of documents (and so ~90% of
+    // tokens) forced into ONE source: the histogram-offset prefix sum
+    // must keep the dominant source spread over its (source, doc-id
+    // bucket) windows — the old per-source running-sum window funnels
+    // it into a single multi-GB task
+    section("docpack") {
+      val skewSrc = s"/tmp/graft_scale${factor}_skewsrc"
+      if (!fs.exists(new org.apache.hadoop.fs.Path(
+          s"$skewSrc/documents.parquet"))) {
+        Tables.load(spark, dup, "documents")
+          .withColumn("source",
+            when(pmod(col("doc_id"), lit(10L)) < 9, lit("megasrc"))
+              .otherwise(col("source")))
+          .write.mode("overwrite").parquet(s"$skewSrc/documents.parquet")
+      }
+      time(s"doc_pack (${factor}x corpus, 90% one source)") {
+        val stats = operators.Sampling.docPack(spark, skewSrc)
+          .groupBy("source")
+          .agg(countDistinct("pack_id").as("bins"), count(lit(1)).as("docs"))
+          .orderBy(desc("docs")).collect()
+        stats.take(3).foreach(r => println(
+          s"  ${r.getString(0)}: ${r.getLong(2)} docs, ${r.getLong(1)} bins"))
+      }
+    }
+
+    // 3g. keep-best keeper selection when ONE near-dup cluster holds
+    // HALF the corpus (boilerplate saturation): the bounded-state
+    // argmax + broadcast winner join must not care — the old
+    // per-cluster row_number window funnels half the corpus into one
+    // task. The cluster map is synthetic by design: a real boilerplate
+    // corpus saturates the banding caps (second timing below shows the
+    // alarm firing loudly on exactly that corpus), so the giant
+    // cluster can only reach the keeper kernel via an uncapped
+    // upstream — which is what the probe simulates.
+    section("keepbest") {
+      val docs = Tables.load(spark, dup, "documents")
+        .select(col("doc_id"), col("n_chars"))
+      val n = docs.count()
+      val clusters = docs.select(col("doc_id"),
+        when(pmod(col("doc_id"), lit(2L)) === 0, lit(0L))
+          .otherwise(col("doc_id")).as("cluster_id"))
+      time(s"dedup_keep_best kernel ($n docs, one cluster = 50% of corpus)") {
+        val out = operators.Components.keepBestFrom(clusters, docs)
+        println(s"  keepers: ${out.filter(col("is_keeper")).count()}")
+      }
+      // the boilerplate corpus itself: 50% of docs share one text —
+      // the banding caps refuse the mega-bucket (documented recall
+      // trade) and the saturation alarm is what makes that refusal
+      // visible instead of silent
+      val boiler = s"/tmp/graft_scale${factor}_boilerdocs"
+      if (!fs.exists(new org.apache.hadoop.fs.Path(
+          s"$boiler/documents.parquet"))) {
+        Tables.load(spark, dup, "documents")
+          .withColumn("text",
+            when(pmod(col("doc_id"), lit(2L)) === 0,
+              lit("standard boilerplate header terms of service apply " +
+                "to all content reproduced in this document"))
+              .otherwise(col("text")))
+          .write.mode("overwrite").parquet(s"$boiler/documents.parquet")
+      }
+      time(s"minhash band saturation alarm (50% boilerplate corpus)") {
+        operators.Dedup.minhashBandSaturation(spark, boiler).collect()
+          .take(4).foreach(r => println(s"  band ${r.getLong(0)}: " +
+            s"${r.getLong(2)} distinct vals, ${r.getLong(3)} capped, " +
+            s"drop_frac ${r.getDouble(5)}"))
       }
     }
 
@@ -470,6 +538,152 @@ object ScaleProbe100 {
           sources.IndexChurn.served(spark, "probe_churn_assign",
             Seq("c_id", "vec_id")), iters = 2).count()
       }
+    }
+
+    // 6b. E7 streaming-loop throughput at factor×: ~50 microbatches of
+    // new documents through fullIngestLoop against serving indexes
+    // covering the factor× corpus — per-batch trigger latency (p50/p95
+    // off the StreamingQueryListener), sustained docs/s, then the
+    // delete path (churnIngestLoop) at the same geometry, then the
+    // compaction tick's amortized cost. The embedder is a synthetic
+    // deterministic doc_id→R^16 map (the production seam is a model
+    // call; the loop's cost shape is what's probed, and a narrow map
+    // under-counts nothing the INDEX work owns).
+    section("streamloop") {
+      import java.nio.file.Files
+      import graft.sources.{Bucketing, IndexChurn}
+      import graft.operators.{Dedup, Retrieval, Similarity}
+      import graft.functions.{Vectors => V}
+      val dims = 16
+      def synthEmbed(docs: org.apache.spark.sql.DataFrame)
+          : org.apache.spark.sql.DataFrame = {
+        val comps = (0 until dims).map(i =>
+          pmod(functions.Hash60.hash60(
+            concat(col("doc_id").cast("string"), lit(s":e$i"))), lit(1000L))
+            .cast("double") / 500.0 - 1.0)
+        docs.select(col("doc_id").as("vec_id"), array(comps: _*).as("v"))
+          .withColumn("nrm", V.norm(col("v")))
+      }
+      val bandTable = "probe_loop_band"
+      val postTable = "probe_loop_post"
+      val assignTable = "probe_loop_assign"
+      Seq(bandTable, postTable, assignTable).foreach { t =>
+        spark.sql(s"DROP TABLE IF EXISTS $t")
+        val p = new org.apache.hadoop.fs.Path(
+          spark.conf.get("spark.sql.warehouse.dir"), t)
+        val wfs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        if (wfs.exists(p)) wfs.delete(p, true)
+      }
+      val corpusDir = Files.createTempDirectory("probeloopcorpus").toString
+      val streamDir = Files.createTempDirectory("probeloopstream").toString
+      val delDir = Files.createTempDirectory("probeloopdel").toString
+      val outDir = Files.createTempDirectory("probeloopout").toString
+      val all = Tables.load(spark, dup, "documents")
+      val corpus = all.filter(pmod(col("doc_id"), lit(100L)) =!= 0)
+      val incoming = all.filter(pmod(col("doc_id"), lit(100L)) === 0)
+        .persist()
+      val nIncoming = incoming.count()
+      val nBatches = 50
+      // frozen centroids: the 64 lowest-id corpus docs' synthetic
+      // embeddings (the same seed rule the real IVF family uses)
+      val cents = synthEmbed(corpus.orderBy("doc_id").limit(64))
+        .select(col("vec_id").as("c_id"), col("v").as("c_v"),
+          col("nrm").as("c_nrm"))
+      time(s"streamloop: one-time base state (corpus store + band + " +
+          "postings + assignment indexes over the 99% slice)") {
+        corpus.write.mode("overwrite").parquet(s"$corpusDir/documents.parquet")
+        Bucketing.ensureBandIndexFrom(spark, bandTable,
+          Dedup.minhashCappedBands(spark, corpusDir))
+        IndexChurn.stamp(Retrieval.postingsTable(spark, corpusDir), "U", -1L)
+          .write.mode("overwrite").bucketBy(8, "token").sortBy("token")
+          .saveAsTable(postTable)
+        IndexChurn.stamp(
+            Similarity.assignVectors(synthEmbed(corpus), cents), "U", -1L)
+          .write.mode("overwrite").bucketBy(8, "c_id").sortBy("c_id")
+          .saveAsTable(assignTable)
+      }
+      // 50 arrival waves, mtime-ordered so maxFilesPerTrigger=1 replays
+      // them as 50 microbatches of ~nIncoming/50 docs
+      (0 until nBatches).foreach { b =>
+        incoming.filter(pmod(expr("doc_id div 100"), lit(nBatches.toLong)) === b)
+          .coalesce(1).write.mode("overwrite").parquet(s"$streamDir/b$b")
+        new java.io.File(s"$streamDir/b$b").listFiles()
+          .filter(_.getName.endsWith(".parquet"))
+          .foreach(f => f.setLastModified(1000000000000L + b * 60000L))
+      }
+      val durs = scala.collection.mutable.ArrayBuffer[Double]()
+      val listener = new org.apache.spark.sql.streaming.StreamingQueryListener {
+        override def onQueryStarted(e: org.apache.spark.sql.streaming
+            .StreamingQueryListener.QueryStartedEvent): Unit = ()
+        override def onQueryProgress(e: org.apache.spark.sql.streaming
+            .StreamingQueryListener.QueryProgressEvent): Unit = {
+          val d = e.progress.durationMs.get("triggerExecution")
+          if (d != null && e.progress.numInputRows > 0)
+            durs.synchronized { durs += d.toDouble / 1000.0 }
+        }
+        override def onQueryTerminated(e: org.apache.spark.sql.streaming
+            .StreamingQueryListener.QueryTerminatedEvent): Unit = ()
+      }
+      def pct(xs: Seq[Double], p: Double): Double =
+        xs.sorted.apply(math.min(xs.size - 1, (p * xs.size).toInt))
+      spark.streams.addListener(listener)
+      time(s"streamloop: fullIngestLoop ($nBatches batches, " +
+          s"$nIncoming docs, dedup screen + corpus grow + BM25 + " +
+          "semantic screen + ANN per batch)") {
+        streaming.StreamingBackfill.fullIngestLoop(spark,
+          spark.readStream.schema(Tables.documentsSchema)
+            .option("maxFilesPerTrigger", "1")
+            .option("recursiveFileLookup", "true").parquet(streamDir),
+          corpusDir, bandTable, postTable, assignTable, cents,
+          synthEmbed, outDir)
+      }
+      spark.streams.removeListener(listener)
+      val ingest = durs.toSeq
+      println(f"  ingest batches: ${ingest.size}, per-batch p50 " +
+        f"${pct(ingest, 0.5)}%.2f s, p95 ${pct(ingest, 0.95)}%.2f s, " +
+        f"sustained ${nIncoming / ingest.sum}%.0f docs/s")
+      // the delete path at the same geometry: 10 CDC batches of ~50
+      // before-image deletes each — "deletes reach every serving index
+      // at ingest latency" measured, not asserted
+      val dels = incoming.filter(pmod(expr("doc_id div 100"), lit(10L)) === 0)
+        .withColumn("op", lit("D")).persist()
+      val nDel = dels.count()
+      (0 until 10).foreach { b =>
+        dels.filter(pmod(expr("doc_id div 100 div 10"), lit(10L)) === b)
+          .coalesce(1).write.mode("overwrite").parquet(s"$delDir/d$b")
+        new java.io.File(s"$delDir/d$b").listFiles()
+          .filter(_.getName.endsWith(".parquet"))
+          .foreach(f => f.setLastModified(1000000000000L + b * 60000L))
+      }
+      durs.clear()
+      spark.streams.addListener(listener)
+      time(s"streamloop: churnIngestLoop (10 delete batches, $nDel docs, " +
+          "tombstones to BM25 + ANN per batch)") {
+        streaming.StreamingBackfill.churnIngestLoop(spark,
+          spark.readStream.schema(dels.schema)
+            .option("maxFilesPerTrigger", "1")
+            .option("recursiveFileLookup", "true").parquet(delDir),
+          postTable, assignTable, cents, synthEmbed, 8)
+      }
+      spark.streams.removeListener(listener)
+      val churn = durs.toSeq
+      if (churn.nonEmpty)
+        println(f"  churn batches: ${churn.size}, per-batch p50 " +
+          f"${pct(churn, 0.5)}%.2f s, p95 ${pct(churn, 0.95)}%.2f s")
+      // the debt fold the stream accreted (one delta per batch): its
+      // wall / batches is the compaction tick's amortized per-batch tax
+      val tCompact0 = System.nanoTime()
+      IndexChurn.compact(spark, postTable, Seq("token", "doc_id"),
+        Seq("token"), 8)
+      IndexChurn.compact(spark, assignTable, Seq("c_id", "vec_id"),
+        Seq("c_id"), 8)
+      val tc = (System.nanoTime() - tCompact0) / 1e9
+      println(f"  compaction fold of ${ingest.size + churn.size} batch " +
+        f"deltas: $tc%.1f s total, ${tc / (ingest.size + churn.size)}%.2f " +
+        "s/batch amortized")
+      incoming.unpersist(); dels.unpersist()
+      Seq(bandTable, postTable, assignTable)
+        .foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
     }
 
     // 7. SemDeDup at factor×: the per-centroid-list pairwise sweep is

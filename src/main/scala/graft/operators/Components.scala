@@ -210,10 +210,18 @@ object Components {
     * window partition. The one-row-per-cluster winner table broadcasts
     * back for the keeper flag — the same aggregate-plus-broadcast
     * rewrite the quota family uses ([[graft.operators.Sampling]]). */
-  def dedupKeepBest(spark: SparkSession, dir: String): DataFrame = {
-    val clusters = clusterTable(spark, dir).select("doc_id", "cluster_id")
-    val docs = graft.Tables.load(spark, dir, "documents")
-      .select(col("doc_id"), col("n_chars"))
+  def dedupKeepBest(spark: SparkSession, dir: String): DataFrame =
+    keepBestFrom(clusterTable(spark, dir).select("doc_id", "cluster_id"),
+      graft.Tables.load(spark, dir, "documents")
+        .select(col("doc_id"), col("n_chars")))
+
+  /** The keeper-selection kernel over an explicit (doc_id, cluster_id)
+    * map and a (doc_id, n_chars) doc slice — split out so the scale
+    * probe can feed it an adversarial cluster map (one cluster = half
+    * the corpus) without fabricating a pair table that banding's skew
+    * caps would refuse to produce. */
+  private[graft] def keepBestFrom(clusters: DataFrame,
+      docs: DataFrame): DataFrame = {
     val joined = clusters.join(docs, "doc_id")
     val best = joined.groupBy("cluster_id")
       .agg(max(struct(col("n_chars"), (-col("doc_id")).as("neg_id")))
