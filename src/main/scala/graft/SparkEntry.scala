@@ -2926,7 +2926,9 @@ object SparkEntry {
          p0 AS (SELECT vec_id, CAST(1.0 AS DOUBLE) / nn.n AS p
                 FROM vtx CROSS JOIN nn),
          $iters3
-         SELECT vec_id, round(p, 9) AS centrality FROM p3
+         SELECT p3.vec_id, round(p3.p, 9) AS centrality,
+                round(abs(p3.p - p2.p), 9) AS residual
+         FROM p3 JOIN p2 USING (vec_id)
          ORDER BY vec_id"""
     },
     // knn density: mean rounded cosine to the k graph neighbors

@@ -396,7 +396,13 @@ object Similarity {
     * DECIMAL(38,18) (exact, order-free), and the damping update is the
     * same two-op IEEE expression on both engines; ranks round at the
     * edge. Vertices are the graph's query set; n is a broadcast
-    * scalar, never a driver constant. */
+    * scalar, never a driver constant.
+    *
+    * `rounds` is the convergence knob, and the output carries the
+    * per-vertex `residual` |p_rounds − p_{rounds−1}| alongside the
+    * rank — the user-visible distance from the fixed point, so "are 3
+    * damped iterations enough for this graph" is answered by the
+    * result itself (sum or max the column) instead of by faith. */
   def knnCentrality(spark: SparkSession, dir: String, rounds: Int = 3,
       k: Int = 3, nprobe: Int = 4, iters: Int = 2): DataFrame = {
     val g = knnGraph(spark, dir, k, nprobe, iters)
@@ -406,7 +412,9 @@ object Similarity {
     val n = verts.agg(count(lit(1)).as("n"))
     var p = verts.crossJoin(broadcast(n))
       .select(col("vec_id"), (lit(1.0) / col("n")).as("p"))
+    var prev = p
     for (_ <- 1 to rounds) {
+      prev = p
       val contrib = g
         .join(p.select(col("vec_id").as("q_id"), col("p")), "q_id")
         .join(outdeg, "q_id")
@@ -419,7 +427,9 @@ object Similarity {
           (lit(0.15) / col("n") +
             lit(0.85) * coalesce(col("c"), lit(0.0))).as("p"))
     }
-    p.select(col("vec_id"), round(col("p"), 9).as("centrality"))
+    p.join(prev.select(col("vec_id"), col("p").as("p_prev")), "vec_id")
+      .select(col("vec_id"), round(col("p"), 9).as("centrality"),
+        round(abs(col("p") - col("p_prev")), 9).as("residual"))
       .orderBy("vec_id")
   }
 

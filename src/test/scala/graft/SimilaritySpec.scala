@@ -329,15 +329,27 @@ class SimilaritySpec extends AnyFunSuite {
       assert((pred, votes) == best, s"vec $v wrong majority")
     }
     val cent = Similarity.knnCentrality(spark, sf).collect()
-      .map(r => (r.getAs[Long]("vec_id"), r.getAs[Double]("centrality")))
+      .map(r => (r.getAs[Long]("vec_id"), r.getAs[Double]("centrality"),
+        r.getAs[Double]("residual")))
     assert(cent.map(_._1).toSet == g.map(_._1).toSet)
     val n = cent.length.toDouble
-    cent.foreach { case (_, c) => assert(c >= 0.15 / n - 1e-9) }
+    cent.foreach { case (_, c, res) =>
+      assert(c >= 0.15 / n - 1e-9)
+      assert(res >= 0.0, "residual is an absolute delta")
+    }
     // conservation: total mass <= 1 (strict only if edges leak to
     // vertices outside the query set) and the ranks genuinely spread
     val total = cent.map(_._2).sum
     assert(total <= 1.0 + 1e-6 && total > 0.5, s"mass $total")
     assert(cent.map(_._2).max > cent.map(_._2).min)
+    // the convergence knob converges: the damped iteration is a 0.85-
+    // contraction, so the worst per-vertex residual after 3 rounds must
+    // sit at or under the round-1 residual (strictly under on any graph
+    // whose ranks actually move)
+    val r1 = Similarity.knnCentrality(spark, sf, rounds = 1).collect()
+      .map(_.getAs[Double]("residual")).max
+    val r3 = cent.map(_._3).max
+    assert(r3 <= r1 + 1e-12, s"residual grew: r1=$r1 r3=$r3")
   }
 
   test("IVF ANN recall@10 >= 0.5 vs brute force") {
