@@ -215,6 +215,19 @@ object Components {
       graft.Tables.load(spark, dir, "documents")
         .select(col("doc_id"), col("n_chars")))
 
+  /** Clustered-doc count up to which the winner table is broadcast.
+    * The winner table has one row per CLUSTER — bounded by the cluster
+    * map's row count, which this cap tests with one cheap count (the
+    * map is a memoized parquet on the production path, so the count is
+    * near-free). Below the cap the winner join broadcasts (the
+    * mega-cluster case: few clusters, one huge — broadcast makes the
+    * skew irrelevant); above it the join is left to AQE, which still
+    * broadcasts a small-at-runtime winner table and skew-splits a big
+    * one — a FORCED broadcast there would collect O(#clusters) rows to
+    * the driver, the 10^9-tiny-clusters OOM. Same adaptive discipline
+    * as Dedup's `VerifyIsinMaxIds` IN-pushdown cap. */
+  private val KeepBestBroadcastMaxClusters = 4000000L
+
   /** The keeper-selection kernel over an explicit (doc_id, cluster_id)
     * map and a (doc_id, n_chars) doc slice — split out so the scale
     * probe can feed it an adversarial cluster map (one cluster = half
@@ -227,7 +240,10 @@ object Components {
       .agg(max(struct(col("n_chars"), (-col("doc_id")).as("neg_id")))
         .as("b"))
       .select(col("cluster_id"), (-col("b.neg_id")).as("keep_doc_id"))
-    joined.join(broadcast(best), "cluster_id")
+    val winners =
+      if (clusters.count() <= KeepBestBroadcastMaxClusters) broadcast(best)
+      else best
+    joined.join(winners, "cluster_id")
       .select(col("doc_id"), col("cluster_id"), col("n_chars"),
         col("keep_doc_id"),
         (col("doc_id") === col("keep_doc_id")).as("is_keeper"))
