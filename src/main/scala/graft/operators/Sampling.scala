@@ -266,7 +266,12 @@ object Sampling {
     * local running sum inside the (source, bucket) window — partitions
     * of ≤2^bucketShift rows regardless of source skew. One corpus
     * shuffle + one map-side-combined histogram; the offset table
-    * broadcasts. Ids need not be dense or start at 0 — only monotone
+    * broadcasts. Like the quota family's threshold build, the token
+    * projection IS scanned twice (histogram side + window side — Spark
+    * plans two column-pruned scans): the deliberate trade of the
+    * window-free form, since a second narrow pass is far cheaper at
+    * 100 TB than the dominant-source single task that no longer
+    * exists. Ids need not be dense or start at 0 — only monotone
     * bucketing matters; RAISE `bucketShift` if ids are sparse enough
     * that the histogram (≤ sources × max_id/2^shift rows) gets big.
     * The oracle replays the straightforward one-window form — same
