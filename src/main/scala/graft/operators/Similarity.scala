@@ -165,29 +165,46 @@ object Similarity {
       .orderBy("q_id", "rk")
   }
 
-  /** IVF-style ANN with sample centroids (vec_id < NumCentroids) —
-    * same plumbing as the trained variant below. */
+  /** Memoized SAMPLE-centroid assignment — the untrained IVF's
+    * persisted index state. Like [[assignmentTable]] (the trained
+    * twin): an IVF serve reads an index someone built once, it does
+    * not re-run the O(n·C) corpus assignment per query — recomputing
+    * it per serve was the one remaining per-call assignment pass in
+    * the ANN family. */
+  private def sampleAssignmentTable(spark: SparkSession,
+      dir: String): DataFrame =
+    Memo.table(spark, dir, s"ivf_assign_sample_$NumCentroids") {
+      val e = emb(spark, dir)
+      assignNearest(e, seedCentroids(e, NumCentroids))
+    }
+
+  /** IVF-style ANN with sample centroids (the `NumCentroids` lowest
+    * vec_ids) — the untrained baseline, served from the memoized
+    * sample assignment like every other serve path. */
   def ivfTopK(spark: SparkSession, dir: String, k: Int = 10,
       nprobe: Int = 8): DataFrame = {
     val e = emb(spark, dir)
-    val centroids = seedCentroids(e, NumCentroids)
-    ivfWith(e, centroids, k, nprobe)
+    probeTopK(sampleAssignmentTable(spark, dir), queriesOf(e),
+      seedCentroids(e, NumCentroids), k, nprobe)
   }
 
-  /** IVF over Lloyd-trained spherical k-means centroids. */
+  /** IVF over Lloyd-trained spherical k-means centroids, served from
+    * the memoized [[assignmentTable]] of the same centroid epoch (the
+    * serve never re-assigns the corpus — `ivf_assign_<iters>` is the
+    * persisted index state, shared with the incremental/maintained
+    * family). */
   def ivfTopKTrained(spark: SparkSession, dir: String, k: Int = 10,
-      nprobe: Int = 8, iters: Int = 3): DataFrame = {
-    val e = emb(spark, dir)
-    ivfWith(e, trainCentroids(spark, dir, iters = iters), k, nprobe)
-  }
+      nprobe: Int = 8, iters: Int = 3): DataFrame =
+    probeTopK(assignmentTable(spark, dir, iters),
+      queriesOf(emb(spark, dir)),
+      trainCentroids(spark, dir, iters = iters), k, nprobe)
 
-  private def ivfWith(e: DataFrame, centroids: DataFrame, k: Int,
-      nprobe: Int): DataFrame =
-    probeTopK(assignNearest(e, centroids),
-      e.filter(col("vec_id") < NumQueries)
-        .select(col("vec_id").as("q_id"), col("v").as("q_v"),
-          col("nrm").as("q_nrm")),
-      centroids, k, nprobe)
+  /** The standard bounded serving query set of a (vec_id, v, nrm)
+    * frame. */
+  private def queriesOf(e: DataFrame): DataFrame =
+    e.filter(col("vec_id") < NumQueries)
+      .select(col("vec_id").as("q_id"), col("v").as("q_v"),
+        col("nrm").as("q_nrm"))
 
   /** The IVF probe tail, shared by the one-shot and incremental paths:
     * each query ranks its `nprobe` nearest centroids, then scans only

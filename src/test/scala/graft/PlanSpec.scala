@@ -203,12 +203,28 @@ class PlanSpec extends AnyFunSuite {
   }
 
   test("ivf centroid assignment aggregates instead of windowing n×C rows") {
-    val p = planOf("sim_topk_ivf")
-    // remaining windows partition by q_id (bounded query set); the
-    // vector→centroid argmax must NOT be a window over vec_id — that
-    // shuffles+sorts the n×C exploded table
+    // the BUILD kernel (what assignmentTable materializes): the
+    // vector→centroid argmax must be a map-side-combined aggregate,
+    // never a window over vec_id — that shuffles+sorts the n×C
+    // exploded table
+    val S = graft.operators.Similarity
+    val p = Shim.executedPlan(S.assignVectors(
+      S.embeddingsWithNorm(spark, sf),
+      S.trainCentroids(spark, sf, iters = 2))).toString
     assert(!p.contains("windowspecdefinition(vec_id"), p)
     assert(p.contains("partial_"), p)
+  }
+
+  test("ivf serves read the persisted assignment, never re-assigning " +
+      "the corpus per query") {
+    Seq("sim_topk_ivf", "sim_topk_ivf_kmeans").foreach { q =>
+      val p = planOf(q)
+      // remaining windows partition by q_id (bounded query set); an
+      // n×C argmax aggregate in a SERVE plan means the per-call corpus
+      // assignment came back
+      assert(!p.contains("windowspecdefinition(vec_id"), s"$q:\n$p")
+      assert(!p.contains("partial_max"), s"$q re-assigns the corpus:\n$p")
+    }
   }
 
   test("doc_chunks stays a single narrow stage (no shuffle before sort)") {
