@@ -88,11 +88,47 @@ object Memo {
     * them under a (session, dir) key would serve stale batches. Same
     * conf-rooted placement and shutdown cleanup as memo tables. */
   def scratch(spark: SparkSession, name: String)
-      (build: => DataFrame): DataFrame = {
+      (build: => DataFrame): DataFrame =
+    scratchHandle(spark, name)(build)._1
+
+  /** [[scratch]] plus the materialization path as an explicit release
+    * handle — for builders that supersede their own scratches in a
+    * loop (the BPE merge rounds) and can free each one as soon as its
+    * successor materialized, instead of accreting every round until
+    * JVM shutdown. */
+  private[graft] def scratchHandle(spark: SparkSession, name: String)
+      (build: => DataFrame): (DataFrame, String) = {
     val p = newPath(spark, name)
     allPaths.put(p, spark.sparkContext.hadoopConfiguration)
     build.write.mode("overwrite").parquet(p)
-    spark.read.parquet(p)
+    (spark.read.parquet(p), p)
+  }
+
+  /** Delete a scratch materialization NOW (same best-effort semantics
+    * as the shutdown hook). Callers must have fully consumed every
+    * DataFrame backed by it — a later action on one would read a
+    * deleted path. */
+  private[graft] def release(spark: SparkSession, path: String): Unit = {
+    try {
+      val hp = new org.apache.hadoop.fs.Path(path)
+      hp.getFileSystem(allPaths.getOrDefault(path,
+        spark.sparkContext.hadoopConfiguration)).delete(hp, true)
+      ()
+    } catch { case scala.util.control.NonFatal(_) => () }
+    allPaths.remove(path)
+    ()
+  }
+
+  /** Scoped scratch: materialize, run `use`, DELETE the scratch — the
+    * per-microbatch form. A long-lived streaming loop makes several
+    * scratches per batch, and shutdown-hook-only cleanup would accrete
+    * one directory per scratch for the stream's whole lifetime (days
+    * of one-per-second microbatches = hundreds of thousands of dirs).
+    * `use` must fully consume the frame (all its actions inside). */
+  def withScratch[A](spark: SparkSession, name: String)
+      (build: => DataFrame)(use: DataFrame => A): A = {
+    val (df, p) = scratchHandle(spark, name)(build)
+    try use(df) finally release(spark, p)
   }
 
   def table(spark: SparkSession, dir: String, name: String)

@@ -142,7 +142,10 @@ object TextAnalysis {
   def bpeMerges(spark: SparkSession, dir: String, m: Int = 6): DataFrame =
     Memo.table(spark, dir, s"bpe_merges_$m") {
       import spark.implicits._
-      var cur = Memo.scratch(spark, "bpe_round_0")(
+      // superseded rounds are RELEASED as soon as their successor
+      // materialized (scratchHandle + release) — only two round tables
+      // ever exist at once, not m+1 until JVM shutdown
+      var (cur, curPath) = Memo.scratchHandle(spark, "bpe_round_0")(
         Tables.load(spark, dir, "documents")
           .select(col("doc_id"), T.tokens(col("text")).as("ts")))
       val merges = Seq.newBuilder[(Long, String, String, Long)]
@@ -161,13 +164,16 @@ object TextAnalysis {
           val (l, r, cnt) = (best(0).getString(0), best(0).getString(1),
             best(0).getLong(2))
           merges += ((k.toLong, l, r, cnt))
-          cur = Memo.scratch(spark, s"bpe_round_$k")(
+          val (next, nextPath) = Memo.scratchHandle(spark, s"bpe_round_$k")(
             cur.select(col("doc_id"), col("ts")).as[(Long, Seq[String])]
               .mapPartitions(_.map { case (id, ts) =>
                 (id, mergeOnce(ts.toArray, l, r).toSeq) })
               .toDF("doc_id", "ts"))
+          Memo.release(spark, curPath)
+          cur = next; curPath = nextPath
         }
       }
+      Memo.release(spark, curPath)
       merges.result()
         .toDF("merge_rank", "left_sym", "right_sym", "pair_cnt")
     }.orderBy("merge_rank")

@@ -257,26 +257,29 @@ object StreamingBackfill {
     * jaccard 1.0 — the rewritten report would flag the whole batch as
     * duplicates of their own earlier copies (the same self-match case
     * [[graft.operators.Similarity.semanticScreenFrom]] filters with
-    * `vec_id =!= q_id`). Returns the batch's bands so the full loop
-    * can reuse them. */
+    * `vec_id =!= q_id`). Scratches are SCOPED ([[graft.operators.Memo
+    * .withScratch]]) — fully consumed and deleted within the batch, so
+    * a stream running for days cannot accrete one scratch dir per
+    * batch until shutdown. */
   private def applyDedupScreenBatch(s: SparkSession, docs: DataFrame,
       id: Long, scratchPrefix: String, corpusDir: String,
       bandIndexTable: String, outDir: String,
-      threshold: Double): DataFrame = {
+      threshold: Double): Unit = {
     import graft.operators.{Dedup, Memo}
     import graft.sources.Bucketing
-    val bands = Memo.scratch(s, s"${scratchPrefix}_bands_$id")(
-      Dedup.minhashBandsPerRow(docs))
-    val cand = Memo.scratch(s, s"${scratchPrefix}_cand_$id")(
-      Bucketing.incrementalProbeColocated(s, bands, bandIndexTable)
-        .withColumnRenamed("doc_id", "new_id")
-        .filter(col("new_id") =!= col("corpus_id"))
-        .distinct())
-    Dedup.verifyCandidatesFrom(cand, docs,
-        corpusDocs(s, corpusDir), threshold)
-      .write.mode("overwrite").parquet(s"$outDir/batch_id=$id")
-    growCorpus(s, corpusDir, bandIndexTable, docs, bands, id)
-    bands
+    Memo.withScratch(s, s"${scratchPrefix}_bands_$id")(
+        Dedup.minhashBandsPerRow(docs)) { bands =>
+      Memo.withScratch(s, s"${scratchPrefix}_cand_$id")(
+          Bucketing.incrementalProbeColocated(s, bands, bandIndexTable)
+            .withColumnRenamed("doc_id", "new_id")
+            .filter(col("new_id") =!= col("corpus_id"))
+            .distinct()) { cand =>
+        Dedup.verifyCandidatesFrom(cand, docs,
+            corpusDocs(s, corpusDir), threshold)
+          .write.mode("overwrite").parquet(s"$outDir/batch_id=$id")
+      }
+      growCorpus(s, corpusDir, bandIndexTable, docs, bands, id)
+    }
   }
 
   /** Replay-idempotent corpus-store + band-index growth for one ingest
@@ -406,27 +409,29 @@ object StreamingBackfill {
           appendPostingsBatch(s, postingsIndexTable, docs, id, buckets)
           // the embedder (the embedding model in production) runs ONCE:
           // uncached, the screen write and the index append would each
-          // re-execute it — the most expensive step of the loop
-          val vecs = Memo.scratch(s, s"full_vecs_$id")(embedder(docs))
-          // REFRESH first: the index pre-dates this stream (another
-          // session built it), and the clone session's relation cache
-          // would otherwise miss its files — see IndexChurn.compact
-          s.sql(s"REFRESH TABLE $assignIndexTable")
-          // screen against the corpus EXCLUDING this batch's own ids:
-          // batch-mode at-ingest semantics (the probe sees the corpus
-          // as of before the batch), and the REPLAY guard — after a
-          // crash between the append and the checkpoint commit, the
-          // serve view already holds the batch, and without the
-          // anti-join two within-batch near-dups would reject each
-          // other on redelivery, flipping their reported verdicts
-          Similarity.semanticScreenFrom(vecs,
-              IndexChurn.served(s, assignIndexTable, Seq("c_id", "vec_id"))
-                .join(vecs.select("vec_id"), Seq("vec_id"), "left_anti"),
-              centroids, simThreshold)
-            .write.mode("overwrite").parquet(s"$outDir/semscreen/batch_id=$id")
-          IndexChurn.append(s, assignIndexTable,
-            Similarity.assignVectors(vecs, centroids),
-            "U", id, Seq("c_id"), buckets)
+          // re-execute it — the most expensive step of the loop. Scoped
+          // scratch: consumed and deleted within the batch
+          Memo.withScratch(s, s"full_vecs_$id")(embedder(docs)) { vecs =>
+            // REFRESH first: the index pre-dates this stream (another
+            // session built it), and the clone session's relation cache
+            // would otherwise miss its files — see IndexChurn.compact
+            s.sql(s"REFRESH TABLE $assignIndexTable")
+            // screen against the corpus EXCLUDING this batch's own ids:
+            // batch-mode at-ingest semantics (the probe sees the corpus
+            // as of before the batch), and the REPLAY guard — after a
+            // crash between the append and the checkpoint commit, the
+            // serve view already holds the batch, and without the
+            // anti-join two within-batch near-dups would reject each
+            // other on redelivery, flipping their reported verdicts
+            Similarity.semanticScreenFrom(vecs,
+                IndexChurn.served(s, assignIndexTable, Seq("c_id", "vec_id"))
+                  .join(vecs.select("vec_id"), Seq("vec_id"), "left_anti"),
+                centroids, simThreshold)
+              .write.mode("overwrite").parquet(s"$outDir/semscreen/batch_id=$id")
+            IndexChurn.append(s, assignIndexTable,
+              Similarity.assignVectors(vecs, centroids),
+              "U", id, Seq("c_id"), buckets)
+          }
         }
       }
       .trigger(Trigger.ProcessingTime(0))
@@ -855,42 +860,43 @@ object StreamingBackfill {
         if (!batch.isEmpty) {
           val s = batch.sparkSession
           val vecs = Similarity.vectorsOf(batch.toDF())
-          val batchIdx = Memo.scratch(s, s"graph_bidx_$id")(
-            Similarity.assignVectors(vecs, centroids)
-              .select("c_id", "vec_id", "v", "nrm"))
-          val (fs, _) = graphFs(s, graphDir)
-          val deltaDir = new org.apache.hadoop.fs.Path(
-            s"$graphDir/batch_id=$id")
-          val marker = new org.apache.hadoop.fs.Path(deltaDir, "_done")
-          if (!fs.exists(marker)) {
-            if (fs.exists(deltaDir)) fs.delete(deltaDir, true)
-            s.sql(s"REFRESH TABLE $assignIndexTable")
-            val oldIdx = IndexChurn
-              .served(s, assignIndexTable, Seq("c_id", "vec_id"))
-              .select("c_id", "vec_id", "v", "nrm")
-              .join(batchIdx.select("vec_id"), Seq("vec_id"), "left_anti")
-            val oldQ = oldIdx.select(col("vec_id").as("q_id"),
-              col("v").as("q_v"), col("nrm").as("q_nrm"))
-            val newQ = batchIdx.select(col("vec_id").as("q_id"),
-              col("v").as("q_v"), col("nrm").as("q_nrm"))
-            // ONE store listing serves both the fold's base and the next
-            // monotone seq (the seq read is a single-column scan)
-            val dirs = committedDeltas(s, graphDir)
-            val base = servedFromDirs(s, dirs)
-            val (_, remerged) = Similarity.graphReverseMerge(
-              base, batchIdx, oldQ, cents, k, nprobe)
-            val newEdges = Similarity.scoreTopK(
-              oldIdx.unionByName(batchIdx),
-              Similarity.withProbes(newQ, cents, nprobe), k)
-            remerged.unionByName(newEdges)
-              .withColumn("seq", lit(nextSeqFromDirs(s, dirs)))
-              .withColumn("wsrc", lit(s"batch_id=$id"))
-              .write.mode("overwrite").parquet(deltaDir.toString)
-            fs.create(marker, true).close()
-            ()
+          Memo.withScratch(s, s"graph_bidx_$id")(
+              Similarity.assignVectors(vecs, centroids)
+                .select("c_id", "vec_id", "v", "nrm")) { batchIdx =>
+            val (fs, _) = graphFs(s, graphDir)
+            val deltaDir = new org.apache.hadoop.fs.Path(
+              s"$graphDir/batch_id=$id")
+            val marker = new org.apache.hadoop.fs.Path(deltaDir, "_done")
+            if (!fs.exists(marker)) {
+              if (fs.exists(deltaDir)) fs.delete(deltaDir, true)
+              s.sql(s"REFRESH TABLE $assignIndexTable")
+              val oldIdx = IndexChurn
+                .served(s, assignIndexTable, Seq("c_id", "vec_id"))
+                .select("c_id", "vec_id", "v", "nrm")
+                .join(batchIdx.select("vec_id"), Seq("vec_id"), "left_anti")
+              val oldQ = oldIdx.select(col("vec_id").as("q_id"),
+                col("v").as("q_v"), col("nrm").as("q_nrm"))
+              val newQ = batchIdx.select(col("vec_id").as("q_id"),
+                col("v").as("q_v"), col("nrm").as("q_nrm"))
+              // ONE store listing serves both the fold's base and the next
+              // monotone seq (the seq read is a single-column scan)
+              val dirs = committedDeltas(s, graphDir)
+              val base = servedFromDirs(s, dirs)
+              val (_, remerged) = Similarity.graphReverseMerge(
+                base, batchIdx, oldQ, cents, k, nprobe)
+              val newEdges = Similarity.scoreTopK(
+                oldIdx.unionByName(batchIdx),
+                Similarity.withProbes(newQ, cents, nprobe), k)
+              remerged.unionByName(newEdges)
+                .withColumn("seq", lit(nextSeqFromDirs(s, dirs)))
+                .withColumn("wsrc", lit(s"batch_id=$id"))
+                .write.mode("overwrite").parquet(deltaDir.toString)
+              fs.create(marker, true).close()
+              ()
+            }
+            IndexChurn.append(s, assignIndexTable, batchIdx, "U", id,
+              Seq("c_id"), buckets)
           }
-          IndexChurn.append(s, assignIndexTable, batchIdx, "U", id,
-            Seq("c_id"), buckets)
           // debt-gated maintenance tick (the graph twin of
           // churnIngestLoop's compactIfNeeded): the delta store grows
           // one directory per microbatch; past the threshold, fold —
@@ -958,62 +964,63 @@ object StreamingBackfill {
         if (!batch.isEmpty) {
           val s = batch.sparkSession
           val vecs = Similarity.vectorsOf(batch.toDF())
-          val delIdx = Memo.scratch(s, s"graph_del_$id")(
-            Similarity.assignVectors(vecs, centroids)
-              .select("c_id", "vec_id", "v", "nrm"))
-          s.sql(s"REFRESH TABLE $assignIndexTable")
-          // the ASSIGNMENT index keeps the 2^40 churn seq domain (its
-          // grow side appends at raw batch ids); the GRAPH delta seq
-          // is monotone per store — see nextGraphSeq
-          IndexChurn.append(s, assignIndexTable, delIdx, "D", seqBase + id,
-            Seq("c_id"), buckets)
-          val (fs, _) = graphFs(s, graphDir)
-          val deltaDir = new org.apache.hadoop.fs.Path(
-            s"$graphDir/churn_id=$id")
-          val marker = new org.apache.hadoop.fs.Path(deltaDir, "_done")
-          if (!fs.exists(marker)) {
-            if (fs.exists(deltaDir)) fs.delete(deltaDir, true)
-            val dirs = committedDeltas(s, graphDir)
-            val base = servedFromDirs(s, dirs)
-            val delQ = delIdx.select(col("vec_id").as("q_id"))
-            // deleted as queries: their whole generation must vanish
-            val goneQ = base.join(delQ, Seq("q_id"), "left_semi")
-              .select("q_id").distinct()
-            // deleted as neighbors: survivors holding an edge to a
-            // deleted vector re-rank over the churned candidate set
-            val affected = base
-              .join(delIdx.select("vec_id"), Seq("vec_id"), "left_semi")
-              .select("q_id").distinct()
-              .join(delQ, Seq("q_id"), "left_anti")
-            // rk = −1 sentinel for EVERY q_id this delta rewrites —
-            // deleted queries AND re-ranked survivors. A survivor whose
-            // probed cells hold no surviving candidate (all neighbors
-            // deleted) yields ZERO repaired rows; without its own
-            // sentinel in the same generation, its OLD rows would keep
-            // winning latest-wins and serve edges into deleted vectors.
-            // Sentinel and repaired rows share one (seq, wsrc), so the
-            // generation pick keeps both and the rk > 0 serve filter
-            // leaves exactly the repaired rows — or nothing, matching
-            // the batch knnGraphChurn (which drops the vector).
-            val sentinels = goneQ.unionByName(affected).distinct()
-              .select(col("q_id"), lit(-1L).as("rk"),
-                lit(-1L).as("vec_id"), lit(0.0).as("score"))
-            val servedIdx = IndexChurn
-              .served(s, assignIndexTable, Seq("c_id", "vec_id"))
-              .select("c_id", "vec_id", "v", "nrm")
-            val affQ = servedIdx
-              .join(affected.withColumnRenamed("q_id", "vec_id"),
-                Seq("vec_id"))
-              .select(col("vec_id").as("q_id"), col("v").as("q_v"),
-                col("nrm").as("q_nrm"))
-            val repaired = Similarity.scoreTopK(servedIdx,
-              Similarity.withProbes(affQ, cents, nprobe), k)
-            repaired.unionByName(sentinels)
-              .withColumn("seq", lit(nextSeqFromDirs(s, dirs)))
-              .withColumn("wsrc", lit(s"churn_id=$id"))
-              .write.mode("overwrite").parquet(deltaDir.toString)
-            fs.create(marker, true).close()
-            ()
+          Memo.withScratch(s, s"graph_del_$id")(
+              Similarity.assignVectors(vecs, centroids)
+                .select("c_id", "vec_id", "v", "nrm")) { delIdx =>
+            s.sql(s"REFRESH TABLE $assignIndexTable")
+            // the ASSIGNMENT index keeps the 2^40 churn seq domain (its
+            // grow side appends at raw batch ids); the GRAPH delta seq
+            // is monotone per store — see nextGraphSeq
+            IndexChurn.append(s, assignIndexTable, delIdx, "D", seqBase + id,
+              Seq("c_id"), buckets)
+            val (fs, _) = graphFs(s, graphDir)
+            val deltaDir = new org.apache.hadoop.fs.Path(
+              s"$graphDir/churn_id=$id")
+            val marker = new org.apache.hadoop.fs.Path(deltaDir, "_done")
+            if (!fs.exists(marker)) {
+              if (fs.exists(deltaDir)) fs.delete(deltaDir, true)
+              val dirs = committedDeltas(s, graphDir)
+              val base = servedFromDirs(s, dirs)
+              val delQ = delIdx.select(col("vec_id").as("q_id"))
+              // deleted as queries: their whole generation must vanish
+              val goneQ = base.join(delQ, Seq("q_id"), "left_semi")
+                .select("q_id").distinct()
+              // deleted as neighbors: survivors holding an edge to a
+              // deleted vector re-rank over the churned candidate set
+              val affected = base
+                .join(delIdx.select("vec_id"), Seq("vec_id"), "left_semi")
+                .select("q_id").distinct()
+                .join(delQ, Seq("q_id"), "left_anti")
+              // rk = −1 sentinel for EVERY q_id this delta rewrites —
+              // deleted queries AND re-ranked survivors. A survivor whose
+              // probed cells hold no surviving candidate (all neighbors
+              // deleted) yields ZERO repaired rows; without its own
+              // sentinel in the same generation, its OLD rows would keep
+              // winning latest-wins and serve edges into deleted vectors.
+              // Sentinel and repaired rows share one (seq, wsrc), so the
+              // generation pick keeps both and the rk > 0 serve filter
+              // leaves exactly the repaired rows — or nothing, matching
+              // the batch knnGraphChurn (which drops the vector).
+              val sentinels = goneQ.unionByName(affected).distinct()
+                .select(col("q_id"), lit(-1L).as("rk"),
+                  lit(-1L).as("vec_id"), lit(0.0).as("score"))
+              val servedIdx = IndexChurn
+                .served(s, assignIndexTable, Seq("c_id", "vec_id"))
+                .select("c_id", "vec_id", "v", "nrm")
+              val affQ = servedIdx
+                .join(affected.withColumnRenamed("q_id", "vec_id"),
+                  Seq("vec_id"))
+                .select(col("vec_id").as("q_id"), col("v").as("q_v"),
+                  col("nrm").as("q_nrm"))
+              val repaired = Similarity.scoreTopK(servedIdx,
+                Similarity.withProbes(affQ, cents, nprobe), k)
+              repaired.unionByName(sentinels)
+                .withColumn("seq", lit(nextSeqFromDirs(s, dirs)))
+                .withColumn("wsrc", lit(s"churn_id=$id"))
+                .write.mode("overwrite").parquet(deltaDir.toString)
+              fs.create(marker, true).close()
+              ()
+            }
           }
         }
       }
