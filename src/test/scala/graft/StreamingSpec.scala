@@ -580,6 +580,15 @@ class StreamingSpec extends AnyFunSuite {
         docs.count())
       assert(new java.io.File(s"$outDir/batch_id=0").exists())
       assert(new java.io.File(s"$outDir/batch_id=1").exists())
+      // --- per-batch scratches are SCOPED: a long-lived stream must
+      // not accrete one scratch dir per microbatch until JVM shutdown
+      // (Memo.withScratch deletes them as each batch completes)
+      val leftoverScratch = new java.io.File(
+          System.getProperty("java.io.tmpdir")).listFiles()
+        .filter(_.getName.matches(
+          "graft-memo-(full_(bands|cand|vecs)|graph_(bidx|del))_\\d+-.*"))
+      assert(leftoverScratch.isEmpty,
+        s"batch scratches outlived their batch: ${leftoverScratch.toSeq}")
       // --- each batch's semantic-screen verdicts equal a batch-mode
       // recompute against the PRE-batch assignment (report-then-append:
       // batch 0 screens against the base index, batch 1 against
