@@ -1770,9 +1770,9 @@ object SparkEntry {
          WHERE rk <= 3 ORDER BY doc_id, rk""",
     "sample_per_lang" ->
       """SELECT lang, sort_key, doc_id FROM (
-           SELECT lang, md5(text) AS sort_key, doc_id,
+           SELECT lang, coalesce(md5(text), '') AS sort_key, doc_id,
                   row_number() OVER (PARTITION BY lang
-                    ORDER BY md5(text), doc_id) AS rk
+                    ORDER BY coalesce(md5(text), ''), doc_id) AS rk
            FROM documents)
          WHERE rk <= 5 ORDER BY lang, sort_key, doc_id""",
     "text_normalize" ->
@@ -2273,7 +2273,8 @@ object SparkEntry {
                      FROM jj),
          q AS (SELECT doc_id,
                  row_number() OVER (PARTITION BY source
-                   ORDER BY md5(text), doc_id) <= 30 AS quota_kept
+                   ORDER BY coalesce(md5(text), ''), doc_id) <= 30
+                   AS quota_kept
                FROM documents)
          SELECT d.doc_id, ${splitCase("d.doc_id")} AS split,
                 coalesce(k.is_keeper, true) AS dedup_keeper,
@@ -2608,7 +2609,8 @@ object SparkEntry {
       """SELECT doc_id, source, pick_key, rn <= 30 AS kept FROM (
            SELECT doc_id, source, md5(text) AS pick_key,
                   CAST(row_number() OVER (PARTITION BY source
-                    ORDER BY md5(text), doc_id) AS BIGINT) AS rn
+                    ORDER BY coalesce(md5(text), ''), doc_id) AS BIGINT)
+                    AS rn
            FROM documents)
          ORDER BY source, pick_key, doc_id""",
     "bloom_join_prune" ->

@@ -503,12 +503,16 @@ object TextAnalysis {
 
   /** Deterministic uniform sample of 5 docs per language via the custom
     * [[graft.functions.BottomK]] aggregate over md5(content) — O(k)
-    * state per group, order-insensitive, mergeable. */
+    * state per group, order-insensitive, mergeable. Null text
+    * coalesces to the empty sort key (first in the order — the quota
+    * family's discipline; BottomK SKIPS null keys, so a raw null
+    * would silently drop the doc from the sample where the window
+    * form would rank it first). Oracle mirrors the coalesce. */
   def sampleKPerLang(spark: SparkSession, dir: String): DataFrame =
     Tables.load(spark, dir, "documents")
       .groupBy("lang")
-      .agg(bottom_k(struct(md5(col("text")).as("sort_key"),
-        col("doc_id").as("id")), 5).as("sample"))
+      .agg(bottom_k(struct(coalesce(md5(col("text")), lit(""))
+        .as("sort_key"), col("doc_id").as("id")), 5).as("sample"))
       .select(col("lang"), explode(col("sample")).as("s"))
       .select(col("lang"), col("s.sort_key").as("sort_key"),
         col("s.id").as("doc_id"))

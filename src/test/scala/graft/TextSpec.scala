@@ -683,4 +683,33 @@ class TextSpec extends AnyFunSuite {
       else assert(r.getAs[Double]("avg_logprob") === 0.0)
     }
   }
+
+  test("sampleKPerLang on a null-text corpus: the null doc samples FIRST " +
+      "(empty sort key), never silently dropped by the aggregate") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("nulldocs").toString
+    try {
+      // 7 docs in one language, doc 3 has NULL text. BottomK skips null
+      // keys, so without the coalesce-to-'' discipline the null doc
+      // would vanish from the 5-sample where the quota family (and the
+      // oracle's nulls-first window replay) ranks it first.
+      (0L until 7L).map(i =>
+          (i, if (i == 3) null else s"alpha beta doc $i",
+            "en", "web", 20L))
+        .toDF("doc_id", "text", "lang", "source", "n_chars")
+        .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+      val got = graft.operators.TextAnalysis.sampleKPerLang(spark, dir)
+        .collect()
+        .map(r => (r.getString(1), r.getLong(2)))
+      assert(got.length == 5, s"sample size: ${got.toSeq}")
+      assert(got.head == ("", 3L),
+        s"null-text doc not first with empty sort key: ${got.toSeq}")
+      // and the quota family agrees: the null doc is kept under the
+      // same nulls-first-as-'' order
+      val q = graft.operators.Sampling.sourceQuota(spark, dir, quota = 5)
+        .collect().map(r => (r.getLong(0), r.getBoolean(3))).toMap
+      assert(q(3L), "quota dropped the null-text doc the sample kept")
+    } finally org.apache.commons.io.FileUtils
+      .deleteDirectory(new java.io.File(dir))
+  }
 }
