@@ -102,7 +102,14 @@ object Sampling {
       .select("lang", "hb", "off", "n")
     val wBucket = Window.partitionBy("lang", "hb")
       .orderBy(col("h"), col("doc_id"))
-    keyed.join(broadcast(offsets), Seq("lang", "hb"))
+    // NULL-SAFE group-key join: a null lang is its own stratum in the
+    // histogram groupBy, the bounded window AND the oracle's window
+    // replay — a plain equi-join would silently DROP its docs from the
+    // split (the row-loss failure mode, worse than misranking)
+    val off2 = offsets.select(col("lang").as("o_lang"), col("hb").as("o_hb"),
+      col("off"), col("n"))
+    keyed.join(broadcast(off2),
+        col("lang") <=> col("o_lang") && col("hb") === col("o_hb"))
       .withColumn("r", col("off") + row_number().over(wBucket).cast("long"))
       .select(col("doc_id"), col("lang"),
         when(col("r") <= expr("(n * 90) div 100"), "train")
@@ -294,7 +301,14 @@ object Sampling {
       .select("source", "db", "off")
     val wBucket = Window.partitionBy("source", "db").orderBy("doc_id")
       .rowsBetween(Window.unboundedPreceding, -1)
-    toks.join(broadcast(offsets), Seq("source", "db"))
+    // null-safe on source for the same row-loss reason as
+    // [[stratifiedSplit]]: a null-source doc packs in its own domain
+    // (its own histogram group and window partition on both engines),
+    // it does not vanish
+    val off2 = offsets.select(col("source").as("o_source"),
+      col("db").as("o_db"), col("off"))
+    toks.join(broadcast(off2),
+        col("source") <=> col("o_source") && col("db") === col("o_db"))
       .withColumn("tokens_before",
         col("off") + coalesce(sum(col("n_tokens")).over(wBucket), lit(0L)))
       .select(col("doc_id"), col("source"), col("n_tokens"),
@@ -468,10 +482,10 @@ object Sampling {
     * is a multi-TB single task, the exact shape `stratified_split`
     * and `quality_quantile_filter` already refuse. Groups smaller than
     * the quota keep everything (the threshold is their max). Output
-    * adds a boolean `kept`. Assumes a NON-NULL group key (true for
-    * `source` and `c_id` under the schema pins) — the threshold join
-    * is a plain equi-join, so a null-keyed row would drop where the
-    * window form would have ranked it. */
+    * adds a boolean `kept`. The threshold joins back NULL-SAFELY: a
+    * null group key is its own group in the aggregate, the window
+    * form this replaces, and the oracle's replay — a plain equi-join
+    * would silently DROP its rows instead of ranking them. */
   private def quotaThresholdKept(keyed: DataFrame, grpCol: String,
       skCol: String, idCol: Column, quota: Int): DataFrame = {
     import graft.functions.BottomK.bottom_k
@@ -483,13 +497,14 @@ object Sampling {
     val thr = keyed.groupBy(grpCol)
       .agg(bottom_k(struct(sk.as("sort_key"), idCol.as("id")),
         quota).as("bk"))
-      .select(col(grpCol),
+      .select(col(grpCol).as("thr_grp"),
         element_at(col("bk"), -1).getField("sort_key").as("thr_sk"),
         element_at(col("bk"), -1).getField("id").as("thr_id"))
-    keyed.join(broadcast(thr), grpCol)
+    keyed.join(broadcast(thr), col(grpCol) <=> col("thr_grp"))
       .withColumn("kept",
         struct(sk.as("sort_key"), idCol.as("id")) <=
           struct(col("thr_sk").as("sort_key"), col("thr_id").as("id")))
+      .drop("thr_grp")
   }
 
   /** Per-source quota: keep at most `quota` docs per source, preferring

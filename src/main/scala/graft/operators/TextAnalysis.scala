@@ -432,9 +432,13 @@ object TextAnalysis {
       .withColumn("n", sum(col("cnt")).over(Window.partitionBy("lang")))
       .withColumn("k", floor(lit(1.0) + lit(keep) * (col("n") - 1)))
       .filter(col("cum") >= col("k") && (col("cum") - col("cnt")) < col("k"))
-      .select(col("lang"), col("score").as("thr"),
+      .select(col("lang").as("thr_lang"), col("score").as("thr"),
         (col("k") - (col("cum") - col("cnt"))).as("quota"))
-    val joined = q.join(broadcast(thr), "lang")
+    // null-safe on lang: a null-lang stratum is its own group in the
+    // threshold windows (and the oracle's PARTITION BY) — a plain
+    // equi-join would silently drop its docs from the kept set
+    val joined = q.join(broadcast(thr), col("lang") <=> col("thr_lang"))
+      .drop("thr_lang")
     val above = joined.filter(col("score") > col("thr"))
       .select("lang", "doc_id", "score")
     val wTie = Window.partitionBy("lang").orderBy("doc_id")

@@ -712,4 +712,50 @@ class TextSpec extends AnyFunSuite {
     } finally org.apache.commons.io.FileUtils
       .deleteDirectory(new java.io.File(dir))
   }
+
+  test("null GROUP keys (lang/source) are their own group, never dropped: " +
+      "stratified split, doc_pack and the quota all rank them") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("nullgrp").toString
+    try {
+      // 10 docs; docs 4 and 7 have NULL lang AND NULL source. The
+      // histogram-offset joins key on the group column — a plain
+      // equi-join silently LOSES the null-group docs where the window
+      // forms (and the DuckDB oracles' PARTITION BY) rank them.
+      (0L until 10L).map(i =>
+          (i, s"alpha beta gamma doc $i words",
+            if (i == 4 || i == 7) null else "en",
+            if (i == 4 || i == 7) null else "web", 25L))
+        .toDF("doc_id", "text", "lang", "source", "n_chars")
+        .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+      val S = graft.operators.Sampling
+      val split = S.stratifiedSplit(spark, dir).collect()
+      assert(split.length == 10, "stratified split lost null-lang docs")
+      // the two null-lang docs form their own 2-doc stratum: exact
+      // 90/5/5 cuts at n=2 give (2*90)//100 = 1 train, 1 val... wait:
+      // r<=1 train, r<=(2*95)//100=1 val unreachable, rest test — so
+      // exactly one train and one test
+      val nullStratum = split.filter(_.isNullAt(1)).map(_.getString(2))
+      assert(nullStratum.length == 2 &&
+        nullStratum.count(_ == "train") == 1,
+        s"null-lang stratum miscut: ${nullStratum.toSeq}")
+      val pack = S.docPack(spark, dir).collect()
+      assert(pack.length == 10, "doc_pack lost null-source docs")
+      assert(pack.filter(_.isNullAt(1)).length == 2)
+      val quota = S.sourceQuota(spark, dir, quota = 1).collect()
+        .map(r => (r.getLong(0), r.getBoolean(3)))
+      assert(quota.length == 10, "quota lost null-source docs")
+      // the null-source group keeps exactly its quota of 1
+      val nullKept = split.filter(_.isNullAt(1)).map(_.getLong(0)).toSet
+      assert(quota.filter(t => nullKept.contains(t._1))
+        .count(_._2) == 1, "null-source group did not rank to quota")
+      // the quality quantile keep ranks the null-lang stratum too:
+      // keep=0.5 over its 2 docs keeps floor(1 + 0.5·1) = 1 of them
+      val qual = graft.operators.TextAnalysis
+        .qualityQuantileFilter(spark, dir).collect()
+      assert(qual.count(_.isNullAt(0)) == 1,
+        s"null-lang stratum not quantile-kept: ${qual.toSeq}")
+    } finally org.apache.commons.io.FileUtils
+      .deleteDirectory(new java.io.File(dir))
+  }
 }
