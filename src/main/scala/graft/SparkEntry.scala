@@ -518,7 +518,9 @@ object SparkEntry {
            SELECT doc_id, out AS ts FROM r$k WHERE i = n + 1)"""
     val rounds = (1 to m).map(k =>
       round(if (k == 1) "t0" else s"t${k - 1}", k)).mkString(",\n         ")
-    s"""t0 AS (SELECT doc_id, $dToks AS ts FROM documents),
+    s"""t0 AS (SELECT doc_id,
+                    coalesce($dToks, CAST([] AS VARCHAR[])) AS ts
+             FROM documents),
          $rounds"""
   }
 
@@ -1726,9 +1728,11 @@ object SparkEntry {
                 CAST(est - freq AS BIGINT) AS overestimate
          FROM est ORDER BY freq DESC, token""",
     "text_fingerprint" ->
-      s"""WITH toks AS (SELECT doc_id, $dToks AS ts FROM documents)
+      s"""WITH toks AS (SELECT doc_id,
+                        coalesce($dToks, CAST([] AS VARCHAR[])) AS ts
+                 FROM documents)
          SELECT doc_id,
-                md5(array_to_string(list_sort(list_distinct(ts)), ' ')) AS fp,
+                md5(coalesce(array_to_string(list_sort(list_distinct(ts)), ' '), '')) AS fp,
                 list_reduce(
                   list_prepend(0::BIGINT,
                     list_transform(ts, t -> ${dH60("t")} % 1000000007)),
@@ -1777,12 +1781,12 @@ object SparkEntry {
          WHERE rk <= 5 ORDER BY lang, sort_key, doc_id""",
     "text_normalize" ->
       """SELECT doc_id,
-                array_to_string(list_filter(
-                  string_split(trim(regexp_replace(regexp_replace(lower(text),
+                coalesce(array_to_string(list_filter(
+                  string_split(trim(regexp_replace(regexp_replace(lower(coalesce(text, '')),
                     '[^a-z0-9\s]', ' ', 'g'), '\s+', ' ', 'g')), ' '),
                   t -> len(t) > 0 AND NOT list_contains(
                     ['the','a','and','of','to','in','is','that','it','for'], t)),
-                  ' ') AS normalized
+                  ' '), '') AS normalized
          FROM documents ORDER BY doc_id""",
     "text_repetition" ->
       """WITH t AS (
@@ -2169,8 +2173,9 @@ object SparkEntry {
                 count(*) FILTER (source = 'src7') AS src7,
                 count(*) FILTER (source = 'src8') AS src8,
                 count(*) FILTER (source = 'src9') AS src9,
-                count(*) FILTER (source NOT IN ('src0','src1','src2','src3',
-                  'src4','src5','src6','src7','src8','src9')) AS other
+                count(*) FILTER (source IS NULL OR source NOT IN ('src0','src1',
+                  'src2','src3','src4','src5','src6','src7','src8','src9'))
+                  AS other
          FROM documents GROUP BY lang ORDER BY lang""",
     "quantiles" ->
       """SELECT o_orderstatus,
@@ -2332,9 +2337,13 @@ object SparkEntry {
       """SELECT 'documents' AS entity, CAST(doc_id AS VARCHAR) AS key,
                 'public' AS tenant,
                 '{"doc_id":' || doc_id ||
-                ',"lang":"' || lang ||
-                '","source":"' || source ||
-                '","n_chars":' || n_chars ||
+                ',"lang":' ||
+                CASE WHEN lang IS NULL THEN 'null'
+                     ELSE '"' || lang || '"' END ||
+                ',"source":' ||
+                CASE WHEN source IS NULL THEN 'null'
+                     ELSE '"' || source || '"' END ||
+                ',"n_chars":' || n_chars ||
                 ',"status":"' ||
                 CASE doc_id % 5 WHEN 0 THEN 'created' WHEN 1 THEN 'processing'
                      WHEN 2 THEN 'succeeded' WHEN 3 THEN 'failed'
@@ -2388,15 +2397,21 @@ object SparkEntry {
                 '","description":' ||
                 CASE WHEN doc_id % 29 = 0 THEN 'null'
                      ELSE '"order ' || doc_id || '"' END ||
-                ',"statement_name":"STMT-' || upper(lang) ||
-                '","created_by":"svc_backfill"' ||
+                ',"statement_name":' ||
+                CASE WHEN lang IS NULL THEN 'null'
+                     ELSE '"STMT-' || upper(lang) || '"' END ||
+                ',"created_by":"svc_backfill"' ||
                 ',"version":' || (doc_id % 3) ||
-                ',"metadata":{"src":"' || source ||
-                '","bucket":' || (n_chars % 10) ||
+                ',"metadata":{"src":' ||
+                CASE WHEN source IS NULL THEN 'null'
+                     ELSE '"' || source || '"' END ||
+                ',"bucket":' || (n_chars % 10) ||
                 ',"flags":{"priority":' ||
                 CASE WHEN doc_id % 2 = 1 THEN 'true' ELSE 'false' END ||
                 ',"region":"r' || (doc_id % 4) || '"}}' ||
-                ',"tags":["t' || (doc_id % 3) || '","' || lang || '"]}' AS value
+                ',"tags":["t' || (doc_id % 3) || '",' ||
+                CASE WHEN lang IS NULL THEN 'null'
+                     ELSE '"' || lang || '"' END || ']}' AS value
          FROM documents ORDER BY key""",
     "approx_distinct" ->
       """SELECT count(DISTINCT l_orderkey) AS exact_orders,
@@ -2545,7 +2560,7 @@ object SparkEntry {
       s"""WITH RECURSIVE ${dBpeCtes(6)}
          SELECT t0.doc_id, CAST(len(t0.ts) AS BIGINT) AS n_raw,
                 CAST(len(t6.ts) AS BIGINT) AS n_tokens,
-                ${dH60("array_to_string(list_transform(t6.ts, t -> len(t)||':'||t), '')")} AS enc_h
+                ${dH60("coalesce(array_to_string(list_transform(t6.ts, t -> len(t)||':'||t), ''), '')")} AS enc_h
          FROM t0 JOIN t6 USING (doc_id) ORDER BY doc_id""",
     // PMI collocations: the same double-cast division association as
     // the Spark side, one ln rounded at 6 (bigram-LM precedent)
@@ -2757,11 +2772,13 @@ object SparkEntry {
          FROM b ORDER BY doc_id""",
     "doc_chunks" -> {
       val rng = "range(1, greatest(len(ts), 1)+1, 48)"
-      s"""WITH toks AS (SELECT doc_id, $dToks AS ts FROM documents),
+      s"""WITH toks AS (SELECT doc_id,
+                        coalesce($dToks, CAST([] AS VARCHAR[])) AS ts
+                 FROM documents),
          ch AS (SELECT doc_id,
              unnest([(i-1)//48 for i in $rng]) AS chunk_idx,
              unnest([len(ts[i:i+63]) for i in $rng]) AS n_chunk_tokens,
-             unnest([md5(array_to_string(ts[i:i+63], ' ')) for i in $rng])
+             unnest([md5(coalesce(array_to_string(ts[i:i+63], ' '), '')) for i in $rng])
                AS chunk_sha
            FROM toks)
          SELECT doc_id, chunk_idx,

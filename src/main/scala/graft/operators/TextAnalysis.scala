@@ -145,9 +145,14 @@ object TextAnalysis {
       // superseded rounds are RELEASED as soon as their successor
       // materialized (scratchHandle + release) — only two round tables
       // ever exist at once, not m+1 until JVM shutdown
+      // null text = empty token stream (the media-stub discipline):
+      // a raw null ts would NPE the typed merge map and silently drop
+      // the doc from the oracle's recursive replay
       var (cur, curPath) = Memo.scratchHandle(spark, "bpe_round_0")(
         Tables.load(spark, dir, "documents")
-          .select(col("doc_id"), T.tokens(col("text")).as("ts")))
+          .select(col("doc_id"),
+            coalesce(T.tokens(col("text")),
+              typedlit(Seq.empty[String])).as("ts")))
       val merges = Seq.newBuilder[(Long, String, String, Long)]
       for (k <- 1 to m) {
         val best = cur
@@ -195,7 +200,10 @@ object TextAnalysis {
       .map(r => (r.getAs[String]("left_sym"), r.getAs[String]("right_sym")))
     import spark.implicits._
     val base = Tables.load(spark, dir, "documents")
-      .select(col("doc_id"), T.tokens(col("text")).as("ts"))
+      .select(col("doc_id"),
+        // null text = empty token stream, like the trainer
+        coalesce(T.tokens(col("text")),
+          typedlit(Seq.empty[String])).as("ts"))
       .withColumn("n_raw", size(col("ts")).cast("long"))
     val encoded = base.select(col("doc_id"), col("n_raw"), col("ts"))
       .as[(Long, Long, Seq[String])]
@@ -573,7 +581,11 @@ object TextAnalysis {
   def docChunks(spark: SparkSession, dir: String,
       chunkSize: Int = 64, stride: Int = 48): DataFrame =
     Tables.load(spark, dir, "documents")
-      .select(col("doc_id"), T.tokens(col("text")).as("ts"))
+      // null text chunks like an empty doc: one (0, 0, md5('')) chunk
+      // — total output, no null sha (oracle mirrors the coalesce)
+      .select(col("doc_id"),
+        coalesce(T.tokens(col("text")), typedlit(Seq.empty[String]))
+          .as("ts"))
       .select(col("doc_id"),
         explode(transform(
           sequence(lit(1), greatest(size(col("ts")), lit(1)), lit(stride)),
@@ -808,7 +820,11 @@ object TextAnalysis {
     * both oracle-checked. */
   def fingerprints(spark: SparkSession, dir: String): DataFrame =
     Tables.load(spark, dir, "documents")
-      .select(col("doc_id"), T.fingerprint(col("text")).as("fp"),
-        T.rollingHash(col("text")).as("rhash"))
+      // null text fingerprints as the empty doc (fp = md5(''), rhash =
+      // 0) — a raw null yields the half-null (md5(''), null) row the
+      // oracle can't reproduce
+      .select(col("doc_id"),
+        T.fingerprint(coalesce(col("text"), lit(""))).as("fp"),
+        T.rollingHash(coalesce(col("text"), lit(""))).as("rhash"))
       .orderBy("doc_id")
 }
