@@ -73,9 +73,15 @@ object Bench {
         warmed.max > 1.5 * warmed.min) runPass()
     val results = queries.map { case (name, _) =>
       val ts = times(name)
-      // a query must succeed in EVERY pass to count; any failure is the
-      // visible -1 marker, never a fast "win"
-      name -> (if (ts.isEmpty || ts.exists(_ < 0)) -1.0 else ts.min)
+      // a query must succeed in every STANDARD pass to count; any
+      // standard-pass failure is the visible -1 marker, never a fast
+      // "win". The contention-triggered BONUS pass only ever adds
+      // evidence: its successes feed the min, its transient failures
+      // are ignored — a query that succeeded 3/3 must not be erased
+      // by the extra pass the guard bought to protect it
+      val std = ts.take(3)
+      name -> (if (std.isEmpty || std.exists(_ < 0)) -1.0
+        else (std ++ ts.drop(3).filter(_ >= 0)).min)
     }
     def r4(v: Double): String = if (v < 0) "-1"
       else String.format(java.util.Locale.ROOT, "%.4f", Double.box(v))

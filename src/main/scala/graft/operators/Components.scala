@@ -210,38 +210,53 @@ object Components {
     * window partition. The one-row-per-cluster winner table broadcasts
     * back for the keeper flag — the same aggregate-plus-broadcast
     * rewrite the quota family uses ([[graft.operators.Sampling]]). */
-  def dedupKeepBest(spark: SparkSession, dir: String): DataFrame =
-    keepBestFrom(clusterTable(spark, dir).select("doc_id", "cluster_id"),
+  def dedupKeepBest(spark: SparkSession, dir: String): DataFrame = {
+    val map = clusterTable(spark, dir).select("doc_id", "cluster_id")
+    // exact CLUSTER count (not clustered-doc rows) for the broadcast
+    // cap — a one-column scan of the memoized parquet, so near-free
+    // here, and only the production path pays it: kernel/probe callers
+    // pass no count and ride AQE (see keepBestFrom)
+    val nClusters = map.select("cluster_id").distinct().count()
+    keepBestFrom(map,
       graft.Tables.load(spark, dir, "documents")
-        .select(col("doc_id"), col("n_chars")))
+        .select(col("doc_id"), col("n_chars")),
+      knownClusters = Some(nClusters))
+  }
 
-  /** Clustered-doc count up to which the winner table is broadcast.
-    * The winner table has one row per CLUSTER — bounded by the cluster
-    * map's row count, which this cap tests with one cheap count (the
-    * map is a memoized parquet on the production path, so the count is
-    * near-free). Below the cap the winner join broadcasts (the
-    * mega-cluster case: few clusters, one huge — broadcast makes the
-    * skew irrelevant); above it the join is left to AQE, which still
-    * broadcasts a small-at-runtime winner table and skew-splits a big
-    * one — a FORCED broadcast there would collect O(#clusters) rows to
-    * the driver, the 10^9-tiny-clusters OOM. Same adaptive discipline
-    * as Dedup's `VerifyIsinMaxIds` IN-pushdown cap. */
+  /** Cluster count up to which the winner table is force-broadcast.
+    * The winner table has one row per CLUSTER; below the cap the
+    * winner join broadcasts (the mega-cluster case: few clusters, one
+    * huge — broadcast makes the skew irrelevant); above it the join is
+    * left to AQE, which still broadcasts a small-at-runtime winner
+    * table and skew-splits a big one — a FORCED broadcast there would
+    * collect O(#clusters) rows to the driver, the 10^9-tiny-clusters
+    * OOM. Same adaptive discipline as Dedup's `VerifyIsinMaxIds`
+    * IN-pushdown cap. */
   private val KeepBestBroadcastMaxClusters = 4000000L
 
   /** The keeper-selection kernel over an explicit (doc_id, cluster_id)
     * map and a (doc_id, n_chars) doc slice — split out so the scale
     * probe can feed it an adversarial cluster map (one cluster = half
     * the corpus) without fabricating a pair table that banding's skew
-    * caps would refuse to produce. */
+    * caps would refuse to produce.
+    *
+    * `knownClusters` gates the forced winner broadcast: the MEMOIZED
+    * production path ([[dedupKeepBest]]) passes its exact cluster
+    * count (near-free off the parquet map); ad-hoc callers whose
+    * cluster map is an unevaluated lineage pass None — an eager count
+    * here would compute that whole lineage twice per call, so they
+    * skip the fast path and let AQE pick broadcast-vs-shuffle from the
+    * winner table's RUNTIME size (correct either way). */
   private[graft] def keepBestFrom(clusters: DataFrame,
-      docs: DataFrame): DataFrame = {
+      docs: DataFrame, knownClusters: Option[Long] = None): DataFrame = {
     val joined = clusters.join(docs, "doc_id")
     val best = joined.groupBy("cluster_id")
       .agg(max(struct(col("n_chars"), (-col("doc_id")).as("neg_id")))
         .as("b"))
       .select(col("cluster_id"), (-col("b.neg_id")).as("keep_doc_id"))
     val winners =
-      if (clusters.count() <= KeepBestBroadcastMaxClusters) broadcast(best)
+      if (knownClusters.exists(_ <= KeepBestBroadcastMaxClusters))
+        broadcast(best)
       else best
     joined.join(winners, "cluster_id")
       .select(col("doc_id"), col("cluster_id"), col("n_chars"),

@@ -452,8 +452,13 @@ object Bucketing {
     val salts = org.apache.spark.sql.graftshim.Shim
       .tableProperty(spark, table, SaltsProp)
       .map(_.toInt)
-      .orElse("_salt(?:chn)?_(\\d+)_".r.findFirstMatchIn(table)
-        .map(_.group(1).toInt))
+      // anchored to the full builder convention — `..._salt[chn]_<n>_
+      // <12-hex dirTag>` at END of name — so a coincidental
+      // '_salt_<n>_' substring inside an EXTERNALLY-built table's name
+      // (the stated audience of saltsFallback) can't override the
+      // caller's explicit shard count with a wrong one
+      .orElse("_salt(?:chn)?_(\\d+)_[0-9a-f]{12}$".r
+        .findFirstMatchIn(table).map(_.group(1).toInt))
       .getOrElse(saltsFallback)
     val hot = spark.table(s"${table}_hot").select("token")
       .collect().map(_.getString(0)).toSet

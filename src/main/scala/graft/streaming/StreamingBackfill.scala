@@ -681,10 +681,23 @@ object StreamingBackfill {
         StructField("rk", LongType), StructField("vec_id", LongType),
         StructField("score", DoubleType))))
 
+  /** Multi-delta read of a graph store. mergeSchema is MANDATORY
+    * here: without it the union read infers its schema from ONE
+    * footer — typically the lexicographically-first delta, i.e. the
+    * oldest, pre-wsrc-format one in a mixed-generation store — and
+    * the wsrc column silently vanishes from every NEW-format row,
+    * degrading [[latestWins]]'s same-seq writer-source tiebreak to a
+    * row-level mix of two generations (the exact failure wsrc was
+    * added to prevent). With it, pre-wsrc rows read as wsrc = null
+    * and coalesce to "" as documented on [[latestWins]]. */
+  private def readDeltas(spark: SparkSession,
+      dirs: Seq[String]): DataFrame =
+    spark.read.option("mergeSchema", "true").parquet(dirs: _*)
+
   private def servedFromDirs(spark: SparkSession,
       dirs: Seq[String]): DataFrame =
     if (dirs.isEmpty) emptyGraph(spark)
-    else latestWins(spark.read.parquet(dirs: _*))
+    else latestWins(readDeltas(spark, dirs))
       .filter(col("rk") > 0).drop("seq", "wsrc")
 
   private[graft] def servedGraphRaw(spark: SparkSession,
@@ -748,7 +761,7 @@ object StreamingBackfill {
       if (2 * baseRows >= total && dirs.length >= 3)
         dirs.filterNot(_ == baseDir)
       else dirs
-    val winners = latestWins(spark.read.parquet(foldDirs: _*))
+    val winners = latestWins(readDeltas(spark, foldDirs))
     // all-empty stores have no max seq — name under 0, fold anyway
     // (the result is one empty committed delta, the folded form)
     val maxSeq = Option(winners.agg(max(col("seq"))).head().get(0))

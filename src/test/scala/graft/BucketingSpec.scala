@@ -367,7 +367,10 @@ class BucketingSpec extends AnyFunSuite {
     // the name and used the default, shard keys the#8..the#15 would
     // never be enumerated and the hot token would silently lose half
     // its postings on every scan
-    val salted = "postings_salt_16_fbt"
+    // the builder convention's shape: `_salt_<n>_<12-hex dirTag>$` —
+    // the fallback regex is anchored to exactly this, so the tag here
+    // must look like a real dirTag
+    val salted = "postings_salt_16_0123456789ab"
     try {
       val posts = spark.range(500)
         .select(lit("the").as("token"), col("id").as("doc_id"),
@@ -390,6 +393,41 @@ class BucketingSpec extends AnyFunSuite {
         .toSet
       assert(got === want,
         "name-derived salts fallback dropped hot-token shards")
+    } finally {
+      spark.sql(s"DROP TABLE IF EXISTS $salted")
+      spark.sql(s"DROP TABLE IF EXISTS ${salted}_hot")
+    }
+  }
+
+  test("saltedFilter salts fallback: a coincidental '_salt_<n>_' inside " +
+      "an EXTERNALLY-named table must NOT override the explicit " +
+      "parameter (regex anchored to the builder convention)") {
+    import org.apache.spark.sql.functions._
+    // external name whose middle coincidentally contains _salt_2_ —
+    // the un-anchored fallback would derive salts=2 and enumerate only
+    // shards the#0..the#1, silently dropping 14 of the 16 real shards
+    val salted = "ext_salt_2_corpus_postings"
+    try {
+      val posts = spark.range(500)
+        .select(lit("the").as("token"), col("id").as("doc_id"),
+          lit(5L).as("tf"))
+        .union(spark.range(500)
+          .select(concat(lit("t"), col("id") % 50).as("token"),
+            col("id").as("doc_id"), lit(1L).as("tf")))
+      Bucketing.writeSaltedPostingsIndex(
+        spark, salted, posts, hotDf = 100, salts = 16)
+      spark.sql(s"ALTER TABLE $salted UNSET TBLPROPERTIES " +
+        s"('${Bucketing.SaltsProp}')")
+      val got = Bucketing.saltedFilter(spark, salted, Seq("the", "t5"),
+          saltsFallback = 16)
+        .select("token", "doc_id", "tf")
+        .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+        .toSet
+      val want = posts.filter(col("token").isin("the", "t5"))
+        .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+        .toSet
+      assert(got === want,
+        "coincidental name match overrode the explicit salts parameter")
     } finally {
       spark.sql(s"DROP TABLE IF EXISTS $salted")
       spark.sql(s"DROP TABLE IF EXISTS ${salted}_hot")

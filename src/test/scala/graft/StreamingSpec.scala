@@ -1098,4 +1098,38 @@ class StreamingSpec extends AnyFunSuite {
     assert(served() === Set((1L, 30L), (2L, 20L)),
       "compaction over a mixed-format store lost rows")
   }
+
+  test("mixed-format graph store, SAME seq: the new-format delta's " +
+      "wsrc must survive the union read (mergeSchema) so the tiebreak " +
+      "resolves wholesale, not by seq luck") {
+    import java.nio.file.Files
+    import spark.implicits._
+    val graphDir = Files.createTempDirectory("graphmixtie").toString
+    // OLD-format delta (no wsrc), lexicographically FIRST — exactly
+    // the footer a non-merging union read would take its schema from,
+    // dropping wsrc for every new-format row below
+    Seq((1L, 1L, 10L, 0.5, 0L), (1L, 2L, 11L, 0.4, 0L),
+        (2L, 1L, 40L, 0.6, 0L))
+      .toDF("q_id", "rk", "vec_id", "score", "seq")
+      .coalesce(1).write.parquet(s"$graphDir/batch_id=0")
+    new java.io.File(s"$graphDir/batch_id=0", "_done").createNewFile()
+    // NEW-format delta minting the SAME seq (violated single-writer
+    // contract): only wsrc can order the generations. Old rows read
+    // wsrc = null -> "", which sorts below any real delta name.
+    Seq((1L, 1L, 20L, 0.8, 0L, "churn_id=0"))
+      .toDF("q_id", "rk", "vec_id", "score", "seq", "wsrc")
+      .coalesce(1).write.parquet(s"$graphDir/churn_id=0")
+    new java.io.File(s"$graphDir/churn_id=0", "_done").createNewFile()
+    def served() = StreamingBackfill.servedGraph(spark, graphDir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      .sortBy(identity).toSeq
+    // q 1: the new delta's one-row set wins INTACT (wsrc "churn_id=0"
+    // beats ""); a dropped wsrc would coalesce both sides to "" and
+    // serve a 3-row mix of the two generations. q 2: untouched.
+    assert(served() === Seq((1L, 1L, 20L), (2L, 1L, 40L)),
+      s"mergeSchema regression: mixed-format same-seq store served ${served()}")
+    StreamingBackfill.compactGraph(spark, graphDir)
+    assert(served() === Seq((1L, 1L, 20L), (2L, 1L, 40L)),
+      "compaction over the mixed-format same-seq store changed the serve")
+  }
 }
