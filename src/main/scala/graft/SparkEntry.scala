@@ -104,6 +104,9 @@ object SparkEntry {
     "sim_topk_ivfpq"     -> ((s: SparkSession, d: String) => Quantize.pqIvfTopK(s, d)),
     "sim_topk_ivfpq_rerank" -> ((s: SparkSession, d: String) => Quantize.pqIvfTopKRerank(s, d)),
     "sim_topk_ivfpq_res" -> ((s: SparkSession, d: String) => Quantize.pqIvfResidualTopK(s, d)),
+    "sim_topk_int8"      -> ((s: SparkSession, d: String) => Quantize.int8TopK(s, d)),
+    "sim_topk_int8_rerank" -> ((s: SparkSession, d: String) => Quantize.int8TopKRerank(s, d)),
+    "embedding_bucket_saturation" -> ((s: SparkSession, d: String) => Dedup.embeddingBucketSaturation(s, d)),
     "knn_graph"          -> ((s: SparkSession, d: String) => Similarity.knnGraph(s, d)),
     "knn_graph_maintained" -> ((s: SparkSession, d: String) => Similarity.knnGraphMaintained(s, d)),
     "knn_graph_churn"    -> ((s: SparkSession, d: String) => Similarity.knnGraphChurn(s, d)),
@@ -632,17 +635,48 @@ object SparkEntry {
            FROM simhs)"""
 
   /** md5-derived hyperplanes + per-vector 16-bit LSH bucket (twin of
-    * Dedup.withHyperplaneBucket/planeComponent). */
+    * Dedup.withHyperplaneBucket/planeComponent). emb0 replays the
+    * engine's zero-norm source exclusion (Similarity.emb): an all-zero
+    * vector has no direction to bucket and no cosine to verify. */
   private val dEmbBucketCtes: String =
     s"""planes AS (SELECT p,
              [(${dH60("'plane:'||p||':'||d")} % ${Dedup.PlaneMod}) /
                 ${Dedup.PlaneMod}.0 * 2.0 - 1.0 for d in range(0, 64)] AS pv
            FROM range(0, 16) t(p)),
-         emb0 AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+         emb0 AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+                  FROM embeddings
+                  WHERE list_dot_product(CAST(embedding AS DOUBLE[]),
+                    CAST(embedding AS DOUBLE[])) > 0),
          bkt AS (SELECT emb0.vec_id,
              CAST(SUM(CASE WHEN list_dot_product(emb0.v, planes.pv) >= 0
                THEN (1::BIGINT << (15 - planes.p)) ELSE 0 END) AS BIGINT) AS bucket
            FROM emb0 CROSS JOIN planes GROUP BY emb0.vec_id)"""
+
+  /** SQ8 (symmetric int8) replay twin of Quantize.int8IndexTable /
+    * int8Scored: the zero-norm-excluded vector frame `e8`, the
+    * quantized frame `q8` (scale, integral-double codes), and the
+    * rescaled integer-dot scores `i8scored` for the standard 8-query
+    * set. */
+  private val dInt8Ctes: String =
+    s"""e8 AS (
+           SELECT * FROM (
+             SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+                    sqrt(list_dot_product(CAST(embedding AS DOUBLE[]),
+                      CAST(embedding AS DOUBLE[]))) AS nrm
+             FROM embeddings)
+           WHERE nrm > 0),
+         q8 AS (
+           SELECT vec_id, nrm, scale,
+                  [round(x * scale) for x in v] AS codes
+           FROM (SELECT vec_id, nrm, v,
+                        127.0 / list_max([abs(x) for x in v]) AS scale
+                 FROM e8)),
+         i8scored AS (
+           SELECT q.vec_id AS q_id, c.vec_id,
+                  list_dot_product(q.codes, c.codes)
+                    / (q.scale * c.scale) / (q.nrm * c.nrm) AS cos
+           FROM q8 q, q8 c
+           WHERE q.vec_id < 8 AND c.vec_id <> q.vec_id)"""
 
   /** Full IVF replication in SQL: sample (or `iters`-round decimal-exact
     * Lloyd) centroids → per-vector argmax assignment → per-query nprobe
@@ -779,8 +813,18 @@ object SparkEntry {
          $name AS (
            SELECT sub, c_id, list(m ORDER BY pos) AS cv
            FROM ${name}_m GROUP BY sub, c_id)"""
-    s"""${p}cb0 AS (SELECT sub, vec_id AS c_id, sv AS cv
-                   FROM ${p}subs WHERE vec_id < $ksub),
+    // seed = the Ksub LOWEST ids with DENSE c_ids 0..Ksub−1 (the Spark
+    // side's driver-bounded rule, Quantize.trainCodebooksOver): a
+    // `vec_id < Ksub` filter replays it only on corpora whose ids are
+    // dense from 0 — a zero-excluded or offset id among the lowest Ksub
+    // forks the codebook SIZE between engines (the vecdegen gate's
+    // finding, the r10 seed-rule class on the oracle side this time)
+    s"""${p}cb0 AS (
+           SELECT sub, c_id, cv FROM (
+             SELECT sub, sv AS cv,
+                    dense_rank() OVER (ORDER BY vec_id) - 1 AS c_id
+             FROM ${p}subs)
+           WHERE c_id < $ksub),
          ${assign(s"${p}cb0", s"${p}a1")},
          ${update(s"${p}a1", s"${p}cb1")},
          ${assign(s"${p}cb1", s"${p}a2")},
@@ -792,10 +836,12 @@ object SparkEntry {
     val m = graft.operators.Quantize.M
     val sd = graft.operators.Quantize.SubDim
     s"""pqemb AS (
-           SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
-                  sqrt(list_dot_product(CAST(embedding AS DOUBLE[]),
-                    CAST(embedding AS DOUBLE[]))) AS nrm
-           FROM embeddings),
+           SELECT * FROM (
+             SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+                    sqrt(list_dot_product(CAST(embedding AS DOUBLE[]),
+                      CAST(embedding AS DOUBLE[]))) AS nrm
+             FROM embeddings)
+           WHERE nrm > 0),
          pqsubs AS (
            SELECT vec_id, sub, v[sub * $sd + 1 : sub * $sd + $sd] AS sv
            FROM pqemb, range(0, $m) s(sub)),
@@ -1617,7 +1663,9 @@ object SparkEntry {
          ORDER BY doc_a, doc_b""",
     "sim_topk_brute" ->
       """WITH emb AS (
-           SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+           SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+           WHERE list_dot_product(CAST(embedding AS DOUBLE[]),
+                 CAST(embedding AS DOUBLE[])) > 0),
          scored AS (
            SELECT q.vec_id AS q_id, e.vec_id,
                   list_dot_product(q.v, e.v) /
@@ -1632,6 +1680,54 @@ object SparkEntry {
            FROM scored)
          SELECT q_id, rk, vec_id, round(cos, 6) AS cos
          FROM ranked WHERE rk <= 10 ORDER BY q_id, rk""",
+    // SQ8 replay: quantize (scale = 127/max|x|, codes kept as
+    // integral DOUBLES — products ≤ 127² and 64-dim sums ≤ 2²⁰ are
+    // exact integers in double arithmetic in any order, so
+    // list_dot_product replays Spark's long fold bit-exactly with no
+    // decimal machinery), rescale by the two scales then the two true
+    // norms (the engine's pinned IEEE division order)
+    "sim_topk_int8" ->
+      s"""WITH $dInt8Ctes,
+         ranked AS (
+           SELECT q_id, vec_id, cos,
+                  row_number() OVER (PARTITION BY q_id
+                    ORDER BY cos DESC, vec_id) AS rk
+           FROM i8scored)
+         SELECT q_id, rk, vec_id, round(cos, 6) AS cos
+         FROM ranked WHERE rk <= 10 ORDER BY q_id, rk""",
+    "sim_topk_int8_rerank" ->
+      s"""WITH $dInt8Ctes,
+         pool AS (
+           SELECT q_id, vec_id FROM (
+             SELECT q_id, vec_id,
+                    row_number() OVER (PARTITION BY q_id
+                      ORDER BY cos DESC, vec_id) AS rk
+             FROM i8scored)
+           WHERE rk <= 50),
+         ex AS (
+           SELECT p.q_id, p.vec_id,
+                  list_dot_product(q.v, c.v) / (q.nrm * c.nrm) AS cos
+           FROM pool p JOIN e8 q ON q.vec_id = p.q_id
+                       JOIN e8 c ON c.vec_id = p.vec_id),
+         ranked AS (
+           SELECT q_id, vec_id, cos,
+                  row_number() OVER (PARTITION BY q_id
+                    ORDER BY cos DESC, vec_id) AS rk
+           FROM ex)
+         SELECT q_id, rk, vec_id, round(cos, 6) AS cos
+         FROM ranked WHERE rk <= 10 ORDER BY q_id, rk""",
+    "embedding_bucket_saturation" ->
+      s"""WITH $dEmbBucketCtes,
+         ebs AS (SELECT bucket, count(*) AS bs FROM bkt GROUP BY 1)
+         SELECT CAST(sum(bs) AS BIGINT) AS n_vecs,
+                CAST(count(*) AS BIGINT) AS n_buckets,
+                CAST(sum(CASE WHEN bs > 200 THEN 1 ELSE 0 END) AS BIGINT)
+                  AS n_capped,
+                CAST(sum(CASE WHEN bs > 200 THEN bs ELSE 0 END) AS BIGINT)
+                  AS n_dropped,
+                round(CAST(sum(CASE WHEN bs > 200 THEN bs ELSE 0 END)
+                  AS DOUBLE) / sum(bs), 6) AS drop_frac
+         FROM ebs""",
     "text_quality" ->
       """WITH toks AS (
            SELECT doc_id, text,
@@ -3134,8 +3230,12 @@ object SparkEntry {
            FROM af a JOIN probes p USING (c_id)
            WHERE a.vec_id % 10 <> 0
              AND list_dot_product(p.q_v, a.v) / (p.q_nrm * a.nrm) >= 0.40)
+         -- batch membership rides emb0, not the raw table: an all-zero
+         -- arrival never enters the pipeline (the engine's zero-norm
+         -- source exclusion), so it gets no admission verdict at all
          SELECT e.vec_id, e.label, r.vec_id IS NULL AS admitted
-         FROM embeddings e LEFT JOIN rej r ON e.vec_id = r.vec_id
+         FROM embeddings e JOIN emb0 USING (vec_id)
+         LEFT JOIN rej r ON e.vec_id = r.vec_id
          WHERE e.vec_id % 10 = 0 ORDER BY e.vec_id""",
     "embedding_buckets" ->
       s"""WITH $dEmbBucketCtes

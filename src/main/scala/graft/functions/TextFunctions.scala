@@ -11,9 +11,24 @@ import org.apache.spark.sql.functions._
   */
 object TextFunctions {
 
+  /** Unicode SIMPLE lowercase — the engine's case contract for all
+    * document-text tokenization. Java's `toLowerCase` (what Spark's
+    * `lower` delegates to off the ASCII fast path) applies FULL case
+    * mapping: U+0130 'İ' → "i̇" (two codepoints) and a context-sensitive
+    * final sigma 'Σ' → 'ς' at word end — the only two non-locale rules
+    * where full and simple mapping disagree. Every SQL engine replaying
+    * the contract (DuckDB via utf8proc, Trino, Postgres) does SIMPLE
+    * 1:1 mapping, so those two codepoints are pre-translated to their
+    * simple images ('i', 'σ') before `lower`; an input that already
+    * contains 'ς' is untouched by both engines. Everything else
+    * (including cased astral scripts like Deseret) maps identically
+    * under both algorithms. */
+  def simpleLower(text: Column): Column =
+    lower(translate(text, "İΣ", "iσ"))
+
   /** Lowercased whitespace tokens, empties dropped. */
   def tokens(text: Column): Column =
-    filter(split(lower(text), "\\s+"), t => length(t) > 0)
+    filter(split(simpleLower(text), "\\s+"), t => length(t) > 0)
 
   /** Word n-shingles (n consecutive tokens joined by one space).
     *
@@ -32,7 +47,7 @@ object TextFunctions {
   /** Character n-grams of the lowercased text (same let-binding trick —
     * the naive form re-lowercases the text per gram index, O(len²)). */
   def charNgrams(text: Column, n: Int): Column =
-    flatten(transform(array(lower(text)), t =>
+    flatten(transform(array(simpleLower(text)), t =>
       when(length(t) < n, array().cast("array<string>"))
         .otherwise(transform(sequence(lit(1), length(t) - (n - 1)),
           i => substring(t, i, lit(n))))))

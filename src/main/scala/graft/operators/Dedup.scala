@@ -566,12 +566,15 @@ object Dedup {
 
   /** Bucketed embeddings with precomputed norms — the bucket is a
     * narrow-map column, so no join and no persist needed; each self-join
-    * side recomputes a cheap projection off the scan. */
+    * side recomputes a cheap projection off the scan. The frame is
+    * [[Similarity.embeddingsWithNorm]] — THE canonical (vec_id, v, nrm)
+    * vector frame with its zero-norm source exclusion — not a private
+    * re-load: an all-zero vector buckets (every plane dot is 0 ⇒ every
+    * sign bit set) but cannot be cosine-scored, so a private unfiltered
+    * read turns the within-bucket verify into a 0/0 division (an ANSI
+    * crash; found by the vecdegen gate, not review). */
   private def embWithBuckets(spark: SparkSession, dir: String): DataFrame =
-    withHyperplaneBucket(
-      Tables.load(spark, dir, "embeddings")
-        .select(col("vec_id"), V.asDouble(col("embedding")).as("v"))
-        .withColumn("nrm", V.norm(col("v"))),
+    withHyperplaneBucket(Similarity.embeddingsWithNorm(spark, dir),
       bits = 16)
 
   /** E2d: embedding-cosine near-dup via 16-bit hyperplane buckets
@@ -614,6 +617,32 @@ object Dedup {
     embWithBuckets(spark, dir)
       .select(col("vec_id"), col("bucket"))
       .orderBy("vec_id")
+
+  /** Harness query `embedding_bucket_saturation`: the saturation alarm
+    * for the hyperplane-bucket family — [[bandingSaturation]]'s
+    * discipline applied to [[embeddingNearDup]]'s skew cap, closing the
+    * observability gap that comment promised. Real embedding models
+    * emit CLUSTERED vectors: cosine-similar by construction means
+    * same-side of most hyperplanes means same bucket, so on exactly the
+    * corpora near-dup detection targets, whole buckets blow past
+    * `maxBucket` and the capped join silently drops them — `drop_frac`
+    * near 1.0 says the detector is blind (add planes or raise the cap),
+    * near 0.0 says the cap trims only true hot spots. One aggregation
+    * over the (bucket, count) table, one output row — cheap enough to
+    * run next to every bucketed near-dup at any scale. */
+  def embeddingBucketSaturation(spark: SparkSession, dir: String,
+      maxBucket: Int = 200): DataFrame =
+    embWithBuckets(spark, dir)
+      .groupBy("bucket").agg(count(lit(1)).as("bs"))
+      .agg(sum(col("bs")).as("n_vecs"),
+        count(lit(1)).as("n_buckets"),
+        sum(when(col("bs") > maxBucket, 1L).otherwise(0L)).as("n_capped"),
+        sum(when(col("bs") > maxBucket, col("bs")).otherwise(0L))
+          .as("n_dropped"))
+      .select(col("n_vecs"), col("n_buckets"), col("n_capped"),
+        col("n_dropped"),
+        round(col("n_dropped").cast("double") / col("n_vecs"), 6)
+          .as("drop_frac"))
 
   // ------------------------------------------------- repeated-span dedup
 

@@ -292,11 +292,15 @@ object Quantize {
             // hold them EXACTLY and the ordered fold equals any-order
             // summing; the cast-back pins the accumulator type Spark's
             // decimal promotion would otherwise widen from under the
-            // lambda
+            // lambda. Precision 38, not 20: the integer headroom must
+            // absorb float-edge corpora (a 1e18-scaled garbage vector
+            // makes |ip| ~ 1e16-1e18, which overflows decimal(20,10)'s
+            // 1e10 integer digits into an ANSI crash — the vecdegen
+            // gate's finding), matching the long format's (38,18) sum
             aggregate(sequence(lit(0), lit(M - 1)),
-              lit(BigDecimal(0)).cast("decimal(20,10)"),
-              (acc, s) => (acc + lookup(s).cast("decimal(20,10)"))
-                .cast("decimal(20,10)")).cast("double")
+              lit(BigDecimal(0)).cast("decimal(38,10)"),
+              (acc, s) => (acc + lookup(s).cast("decimal(38,10)"))
+                .cast("decimal(38,10)")).cast("double")
           else
             aggregate(sequence(lit(0), lit(M - 1)), lit(0.0),
               (acc, s) => acc + lookup(s))
@@ -523,6 +527,70 @@ object Quantize {
         (col("lutsum").cast("double") + col("qc_ip")) /
           (col("q_nrm") * col("nrm"))), k)
   }
+
+  /** The int8 scalar-quantized (SQ8) index: (vec_id, nrm, scale,
+    * codes) — symmetric per-vector quantization (scale = 127/max|x|,
+    * code = round(x·scale)), the OTHER standard compressed ANN layout
+    * next to PQ: 1 byte/dim instead of 8 (4× vs float storage), no
+    * training step, and the scan arithmetic is an INTEGER dot product
+    * — which is why it oracle-checks bit-exactly with no decimal
+    * machinery: products are ≤ 127² and a 64-dim sum stays ≤ 2²⁰, so
+    * every partial sum is an exact integer in ANY arithmetic width and
+    * ANY order, on BOTH engines. Memoized like [[pqIndexTable]]: the
+    * quantization is a once-per-dataset index build (a narrow map, no
+    * shuffle), grown per-batch by the same frozen-rule append as every
+    * other index here (the rule is per-vector, so appends need no
+    * model state at all). Rides [[emb]]'s zero-norm source exclusion,
+    * which also guarantees max|x| > 0 — no 127/0 guard needed. */
+  def int8IndexTable(spark: SparkSession, dir: String): DataFrame =
+    Memo.table(spark, dir, "int8_index") {
+      val e = emb(spark, dir)
+      e.withColumn("scale",
+          lit(127.0) / array_max(transform(col("v"), x => abs(x))))
+        .select(col("vec_id"), col("nrm"), col("scale"),
+          transform(col("v"),
+            x => round(x * col("scale")).cast("int")).as("codes"))
+    }
+
+  /** (q_id, vec_id, cos) over the SQ8 index: integer dot of the code
+    * arrays, rescaled by the two quantization scales and divided by
+    * the TRUE norms (stored per vector, like PQ's). The long-typed
+    * fold is exact; the two divisions are pinned left-to-right so the
+    * oracle replays the IEEE order. */
+  private def int8Scored(spark: SparkSession, dir: String): DataFrame = {
+    val idx = int8IndexTable(spark, dir)
+    val queries = idx.filter(col("vec_id") < NumQueries)
+      .select(col("vec_id").as("q_id"), col("codes").as("q_codes"),
+        col("scale").as("q_scale"), col("nrm").as("q_nrm"))
+    idx.crossJoin(broadcast(queries))
+      .filter(col("vec_id") =!= col("q_id"))
+      .select(col("q_id"), col("vec_id"),
+        (aggregate(
+            zip_with(col("q_codes"), col("codes"),
+              (a, b) => (a * b).cast("long")),
+            lit(0L), (acc, p) => acc + p).cast("double")
+          / (col("q_scale") * col("scale"))
+          / (col("q_nrm") * col("nrm"))).as("cos"))
+  }
+
+  /** Harness query `sim_topk_int8`: brute top-k over the SQ8 index —
+    * the compressed comparator to `sim_topk_brute`: same scan shape
+    * (broadcast query set, one pass over the corpus, per-query window),
+    * a quarter of the bytes and integer multiplies in the hot loop.
+    * Where PQ's ADC approximates directions through a trained codebook
+    * (16 centroids/subspace), SQ8 keeps every dimension at 8-bit
+    * precision — higher fidelity, larger scan; QuantizeSpec pins its
+    * recall@10 against the exact serve above PQ's. */
+  def int8TopK(spark: SparkSession, dir: String, k: Int = 10): DataFrame =
+    topKTail(int8Scored(spark, dir), k)
+
+  /** Harness query `sim_topk_int8_rerank`: the production SQ8 recipe —
+    * quantized shortlist (poolK), exact-cosine re-rank through the
+    * same [[rerankOver]] tail as the PQ recipes. */
+  def int8TopKRerank(spark: SparkSession, dir: String, k: Int = 10,
+      poolK: Int = 50): DataFrame =
+    rerankOver(spark, dir,
+      int8TopK(spark, dir, poolK).select("q_id", "vec_id"), k)
 
   def int8Quantize(spark: SparkSession, dir: String): DataFrame = {
     val emb = Tables.load(spark, dir, "embeddings")

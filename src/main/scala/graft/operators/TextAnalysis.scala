@@ -543,7 +543,7 @@ object TextAnalysis {
     val sw = array(T.stopwords("en").map(lit): _*)
     Tables.load(spark, dir, "documents")
       .withColumn("cleaned",
-        trim(regexp_replace(regexp_replace(lower(col("text")),
+        trim(regexp_replace(regexp_replace(T.simpleLower(col("text")),
           "[^a-z0-9\\s]", " "), "\\s+", " ")))
       .select(col("doc_id"),
         concat_ws(" ", filter(split(col("cleaned"), " "),

@@ -187,6 +187,32 @@ class DedupSpec extends AnyFunSuite {
     assert(pairs.contains((0L, 1L)))
   }
 
+  test("embedding bucket saturation: totals reconcile, zero vectors " +
+      "excluded, planted mega-bucket trips the alarm") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("embsat").toString
+    val rnd = new scala.util.Random(11)
+    def vec() = Array.fill(64)(rnd.nextFloat() * 2 - 1)
+    val base = vec()
+    // 250 near-copies of one vector land in ONE hyperplane bucket (the
+    // clustered-corpus shape the skew cap exists for), one all-zero
+    // vector must vanish at the source, filler keeps other buckets cold
+    val rows = (0L until 250L).map(i =>
+        (i, base.map(x => x + i.toFloat * 1e-5f), 0)) ++
+      Seq((500L, Array.fill(64)(0.0f), 9)) ++
+      (600L until 650L).map(i => (i, vec(), 1))
+    rows.toDF("vec_id", "embedding", "label")
+      .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+    val r = graft.operators.Dedup.embeddingBucketSaturation(spark, dir)
+      .collect().head
+    assert(r.getAs[Long]("n_vecs") === 300L, "zero vector not excluded")
+    assert(r.getAs[Long]("n_capped") >= 1L, "mega-bucket not flagged")
+    assert(r.getAs[Long]("n_dropped") >= 250L)
+    val df = r.getAs[Double]("drop_frac")
+    assert(df > 0.8 && df <= 1.0, s"drop_frac $df")
+    assert(r.getAs[Long]("n_capped") <= r.getAs[Long]("n_buckets"))
+  }
+
   test("dedupKeepBest: keeper is the longest doc per cluster, map consistent") {
     val rows = graft.operators.Components.dedupKeepBest(spark, fixtureDir).collect()
     val byCluster = rows.groupBy(_.getAs[Long]("cluster_id"))

@@ -52,6 +52,30 @@ class QuantizeSpec extends AnyFunSuite {
     assert(rr > adc, "exact re-rank must improve on raw ADC")
   }
 
+  test("SQ8: serves from the quantized memo, codes in [-127,127], " +
+      "recall near-exact and above ADC, re-rank never loses") {
+    val plan = Quantize.int8TopK(spark, sf).queryExecution.executedPlan.toString
+    assert(plan.contains("graft-memo-int8_index"),
+      s"SQ8 does not read the quantized index:\n$plan")
+    val mm = Quantize.int8IndexTable(spark, sf)
+      .select(explode(col("codes")).as("c"))
+      .agg(min(col("c")), max(col("c"))).collect().head
+    assert(mm.getInt(0) >= -127 && mm.getInt(1) <= 127, mm.toString)
+    val brute = tops(Similarity.bruteForceTopK(spark, sf, k = 10))
+    def meanRecall(m: Map[Long, Set[Long]]): Double = {
+      val rs = brute.map { case (q, b) =>
+        m.get(q).map(i => (b & i).size.toDouble / b.size).getOrElse(0.0)
+      }
+      rs.sum / rs.size
+    }
+    val i8 = meanRecall(tops(Quantize.int8TopK(spark, sf, k = 10)))
+    val rr = meanRecall(tops(Quantize.int8TopKRerank(spark, sf, k = 10)))
+    // 8 bits per DIMENSION (512-bit codes) vs PQ's 32-bit codes: SQ8
+    // must sit far above the ADC's ~0.35 — near-exact on this corpus
+    assert(i8 >= 0.9, s"SQ8 recall@10 $i8")
+    assert(rr >= i8, "exact re-rank must not lose recall vs raw SQ8")
+  }
+
   test("maintained PQ index: frozen-codebook append equals the full encode") {
     val t = graft.sources.Bucketing.ensureMaintainedPqIndex(spark, sf)
     val got = spark.table(t).orderBy("vec_id", "sub")

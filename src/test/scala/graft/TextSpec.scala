@@ -24,6 +24,21 @@ class TextSpec extends AnyFunSuite {
     assert(got.sameElements(cases.map(_._2)), got.mkString(","))
   }
 
+  test("simpleLower: Unicode simple case mapping — İ→i (not i̇), Σ→σ " +
+      "even at word end, ς untouched, astral Deseret still maps") {
+    import spark.implicits._
+    // Java full mapping would emit "i̇stanbul" (9 cp) and final "ς" —
+    // each a cross-engine divergence vs every simple-mapping SQL
+    // engine (the unicode degenerate gate's r12 finding); tokens()
+    // must produce the simple images
+    val got = one(Seq("İstanbul ΟΔΥΣΣΕΥΣ ΟΔΥΣΣΕΥΣ.ΤΕΛΟΣ ς 𐐀𐐁 Ωmega")
+      .toDF("text").select(T.tokens(col("text")).as("ts")))
+      .getSeq[String](0)
+    assert(got == Seq("istanbul", "οδυσσευσ", "οδυσσευσ.τελοσ", "ς",
+      "𐐨𐐩", "ωmega"), got.mkString("|"))
+    assert(got.head.length == 8, "combining dot leaked into İ's image")
+  }
+
   test("quality struct ratios on a known string") {
     import spark.implicits._
     val r = one(Seq("The cat, the DOG; 42 end.").toDF("text")

@@ -15,6 +15,25 @@ Shapes (GRAFT_DEGEN_MODE env, default "null"):
           dense and start at 0" assumption in doc-keyed operators (the
           r10 ANN-family bug class, checked by machine across the whole
           surface instead of by review).
+  unicode — adversarial unicode injected into text (astral emoji + ZWJ
+          sequences, combining marks, CJK runs, RTL scripts, zero-width
+          spaces inside tokens, fullwidth forms, cased specials
+          İ/Σ/ß/astral Deseret, an all-punctuation doc, a 200-codepoint
+          CJK token): the fixture is pure ASCII, yet the engine's
+          tokenize/shingle/lower/length surface is defined over
+          arbitrary UTF-8 — Java full case mapping vs utf8proc simple
+          mapping, UTF-16 code units vs codepoints, and regex class
+          semantics all diverge exactly here. n_chars is recomputed
+          (the fixture invariant n_chars = length(text) holds).
+  vecdegen — adversarial embeddings: ~2% all-zero vectors (plus query
+          id 5, so the QUERY side of every serve is degenerate too),
+          ~2% exact duplicates of vector 2 (a mega-tie cluster through
+          every top-k / dedup / graph tie-break), ~1.7% scaled by 1e18
+          (float-edge magnitudes through the double math). A broken
+          producer emits exactly these at 100 TB; zero vectors are not
+          representable in cosine space and the engine excludes them at
+          the source — the oracle must REPLAY that exclusion, not
+          NaN-rank them into every result.
 
 Run after touching any text-family operator or oracle.
 
@@ -47,6 +66,47 @@ elif MODE == "shift":
     docs_sql = f"""
       SELECT doc_id + 1000000 AS doc_id, text, lang, source, n_chars
       FROM '{SRC}/documents.parquet'"""
+elif MODE == "unicode":
+    ZWSP, ZWJ, ACUTE = "​", "‍", "́"
+    shapes = {
+        1: f"'🦀 rust 👨{ZWJ}👩{ZWJ}👧 family ' || text",
+        2: f"'cafe{ACUTE} e{ACUTE}clair {ACUTE} ' || text",
+        3: "'火花数据处理引擎流式计算 ' || text",
+        4: "'مرحبا بالعالم שלום עולם ' || text",
+        5: f"'da{ZWSP}ta zero{ZWSP}width ' || text",
+        6: "'ＡＢＣ　ａｂｃ １２３ ' || text",
+        7: "'İstanbul STRASSE Σ ΟΔΥΣΣΕΥΣ ß ' || text",
+        8: "'Привет ΩΜΕΓΑ Ωmega naïve Ёлка ' || text",
+        9: "'!!! ??? 🎉🎉🎉 ... ;;;'",  # replaces text entirely
+        10: "'𐐀𐐁𐐂 𐐨𐐩 DESERET ' || text",
+        11: "repeat('蟹', 200) || ' ' || text",
+        12: "'👍🏽 👩🏿‍🔬 flags 🇩🇪🇫🇷 ' || text",
+    }
+    cases = "\n".join(
+        f"WHEN doc_id % 13 = {k} THEN {v}" for k, v in shapes.items())
+    docs_sql = f"""
+      SELECT doc_id, text,
+             lang, source, length(text) AS n_chars
+      FROM (SELECT doc_id, CASE {cases} ELSE text END AS text,
+                   lang, source
+            FROM '{SRC}/documents.parquet')"""
+elif MODE == "vecdegen":
+    docs_sql = f"SELECT * FROM '{SRC}/documents.parquet'"
+    emb_sql = f"""
+      SELECT vec_id,
+             CASE
+               WHEN vec_id % 53 = 11 OR vec_id = 5
+                 THEN list_transform(embedding, x -> CAST(0.0 AS FLOAT))
+               WHEN vec_id % 47 = 13
+                 THEN (SELECT embedding FROM '{SRC}/embeddings.parquet'
+                       WHERE vec_id = 2)
+               WHEN vec_id % 59 = 17
+                 THEN list_transform(embedding, x -> CAST(x * 1e18 AS FLOAT))
+               ELSE embedding END AS embedding,
+             label
+      FROM '{SRC}/embeddings.parquet'"""
+    duckdb.sql(
+        f"COPY ({emb_sql}) TO '{WORK}/embeddings.parquet' (FORMAT PARQUET)")
 else:
     sys.exit(f"unknown GRAFT_DEGEN_MODE: {MODE}")
 
