@@ -785,6 +785,19 @@ object ScaleProbe100 {
       time("sim_topk_brute (exact-scan comparator)") {
         operators.Similarity.bruteForceTopK(spark, dup).count()
       }
+      // SQ8 at factor×: the no-training compressed layout between PQ
+      // (8 B/vector) and raw (512 B as doubles) — does the int8 scan
+      // hold its place between packed ADC and the brute comparator,
+      // and what does the index actually store?
+      time("sq8 index build (quantize the corpus — narrow map)") {
+        operators.Quantize.int8IndexTable(spark, dup).count()
+      }
+      time("sim_topk_int8 (integer-dot scan over codes)") {
+        operators.Quantize.int8TopK(spark, dup).count()
+      }
+      time("sim_topk_int8_rerank (SQ8 shortlist + exact re-rank)") {
+        operators.Quantize.int8TopKRerank(spark, dup).count()
+      }
       def dirBytes(path: String): Long = {
         val p = new org.apache.hadoop.fs.Path(path)
         val f = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -792,11 +805,16 @@ object ScaleProbe100 {
       }
       operators.Quantize.pqPackedIndexTable(spark, dup)
         .write.mode("overwrite").parquet(s"$dup/pq_packed.parquet")
+      operators.Quantize.int8IndexTable(spark, dup)
+        .write.mode("overwrite").parquet(s"$dup/sq8_index.parquet")
       val rawB = dirBytes(s"$dup/embeddings.parquet")
       val pqB = dirBytes(s"$dup/pq_packed.parquet")
+      val sqB = dirBytes(s"$dup/sq8_index.parquet")
       println(f"  stored bytes: raw embeddings ${rawB / 1e6}%.1f MB, " +
-        f"packed pq index ${pqB / 1e6}%.1f MB " +
-        f"(logical widths: 256 B float32 vs ~24 B id+norm+codes)")
+        f"packed pq index ${pqB / 1e6}%.1f MB, " +
+        f"sq8 index ${sqB / 1e6}%.1f MB " +
+        f"(logical widths: 256 B float32 vs ~24 B id+norm+codes vs " +
+        f"~80 B id+norm+scale+64 int8)")
     }
 
     // 10. IVF+PQ at factor×: the fused serve. Full-scan ADC scores
