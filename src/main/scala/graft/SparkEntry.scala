@@ -1273,7 +1273,7 @@ object SparkEntry {
            SELECT o_custkey, o_orderdate, max(o_orderkey) AS o_orderkey
            FROM orders GROUP BY 1, 2)
          SELECT e.event_id, e.user_id, o.o_orderkey, o.o_orderdate
-         FROM events e ASOF LEFT JOIN o
+         FROM (SELECT * FROM events WHERE ts IS NOT NULL) e ASOF LEFT JOIN o
            ON e.user_id = o.o_custkey AND e.ts >= o.o_orderdate
          ORDER BY e.event_id""",
     "asof_next_event" ->
@@ -1371,7 +1371,7 @@ object SparkEntry {
                   PARTITION BY user_id ORDER BY ts, event_id
                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
                   AS running_value
-         FROM events ORDER BY user_id, event_id""",
+         FROM events WHERE ts IS NOT NULL ORDER BY user_id, event_id""",
     "window_range_frame" ->
       """SELECT user_id, event_id, epoch_us(ts) AS ts_us, value,
                 CAST(SUM(CAST(value AS DECIMAL(18,2))) OVER (
@@ -1445,7 +1445,8 @@ object SparkEntry {
       """SELECT time_bucket(INTERVAL '1 hour', ts) AS ws, event_type,
                 count(*) AS n,
                 CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
-         FROM events GROUP BY 1, 2 ORDER BY ws, event_type""",
+         FROM events WHERE ts IS NOT NULL
+         GROUP BY 1, 2 ORDER BY ws, event_type""",
     "events_hopping" ->
       """SELECT ws, event_type, count(*) AS n,
                 CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
@@ -1453,13 +1454,13 @@ object SparkEntry {
                               time_bucket(INTERVAL '30 minutes', ts)
                                 - INTERVAL '30 minutes']) AS ws,
                       event_type, value
-               FROM events)
+               FROM events WHERE ts IS NOT NULL)
          GROUP BY 1, 2 ORDER BY ws, event_type""",
     "anomaly_hours" ->
       """WITH hourly AS (
            SELECT time_bucket(INTERVAL '1 hour', ts) AS ws, event_type,
                   SUM(CAST(value AS DECIMAL(18,2))) AS hv
-           FROM events GROUP BY 1, 2),
+           FROM events WHERE ts IS NOT NULL GROUP BY 1, 2),
          stats AS (
            SELECT event_type, count(*) AS n_hours,
                   SUM(hv) AS s1,
@@ -1484,7 +1485,7 @@ object SparkEntry {
                   CASE WHEN lag(ts) OVER w IS NULL
                          OR ts - lag(ts) OVER w > INTERVAL '30 minutes'
                        THEN 1 ELSE 0 END AS is_new
-           FROM events
+           FROM events WHERE ts IS NOT NULL
            WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
          sessions AS (
            SELECT user_id, ts, value,
@@ -1502,7 +1503,7 @@ object SparkEntry {
            SELECT user_id, event_type, event_id, ts,
                   row_number() OVER (PARTITION BY user_id, event_type
                     ORDER BY ts, event_id) AS rn
-           FROM events)
+           FROM events WHERE ts IS NOT NULL)
          WHERE rn = 1 ORDER BY user_id, event_type""",
     // the snapshot⊕changelog merge folds to the same result as a
     // latest-wins over the whole stream (associativity — spec-pinned
@@ -1614,7 +1615,7 @@ object SparkEntry {
                   CASE WHEN event_type = 'signup' THEN 'I'
                        WHEN event_type = 'error' THEN 'D'
                        ELSE 'U' END AS op
-           FROM events)
+           FROM events WHERE ts IS NOT NULL)
          SELECT user_id, event_id, op, ts AS valid_from,
                 lead(ts) OVER w AS valid_to,
                 (lead(ts) OVER w IS NULL) AS is_current
@@ -2248,13 +2249,17 @@ object SparkEntry {
                   CASE WHEN event_id % 37 = 0 THEN 'x' || props
                        ELSE props END AS payload
            FROM events)
+         -- NULL payload is ABSENT, not malformed: from_json(NULL) has
+         -- no corrupt record, so the engine routes it 'ok' with null k;
+         -- json_valid(NULL) is NULL and a bare CASE would quarantine it
          SELECT event_id,
-                CASE WHEN json_valid(payload) THEN 'ok'
+                CASE WHEN payload IS NULL OR json_valid(payload) THEN 'ok'
                      ELSE 'quarantined' END AS status,
                 CASE WHEN json_valid(payload)
                      THEN CAST(json_extract_string(payload, '$.k') AS BIGINT)
                 END AS k_value,
-                CASE WHEN NOT json_valid(payload) THEN payload END
+                CASE WHEN payload IS NOT NULL AND NOT json_valid(payload)
+                     THEN payload END
                   AS dead_letter
          FROM p ORDER BY event_id""",
     "pivot_lang_source" ->
@@ -2305,7 +2310,7 @@ object SparkEntry {
                 rank() OVER wv AS value_rank,
                 dense_rank() OVER wv AS value_dense_rank,
                 ntile(4) OVER wv AS value_quartile
-         FROM events
+         FROM events WHERE ts IS NOT NULL
          WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id),
                 wv AS (PARTITION BY user_id ORDER BY value DESC, event_id)
          ORDER BY user_id, event_id""",

@@ -39,6 +39,21 @@ object Tables {
   private val loaded =
     new java.util.HashMap[SparkSession, java.util.concurrent.ConcurrentHashMap[String, Cached]]()
 
+  /** Events with a usable event time (`ts IS NOT NULL`) — THE source
+    * for every operator that orders, windows, buckets or as-of-joins on
+    * event time. A null-ts event is unplaceable on the time axis, and
+    * letting it through forks engines: Spark windows sort it FIRST
+    * while every replaying SQL engine sorts NULLS LAST, and Spark's
+    * `window()` generator drops it while `time_bucket()` emits a NULL
+    * bucket — nine cross-engine divergences at once, found by the
+    * eventdegen gate. `cdc_apply`'s cutoff comparisons already dropped
+    * null ts implicitly; this makes the rule explicit and family-wide.
+    * Operators that DON'T touch the time axis (funnel joins, quarantine
+    * routing, per-user value ranks) keep reading the raw table — a
+    * timeless event still carries a user, a type and a payload. */
+  def loadTimedEvents(spark: SparkSession, dir: String): DataFrame =
+    load(spark, dir, "events").filter(col("ts").isNotNull)
+
   def load(spark: SparkSession, dir: String, name: String): DataFrame = {
     val m = loaded.synchronized {
       if (!loaded.containsKey(spark) && loaded.size() >= MaxSessions)

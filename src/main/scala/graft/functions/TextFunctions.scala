@@ -44,13 +44,14 @@ object TextFunctions {
         .otherwise(transform(sequence(lit(1), size(ts) - (n - 1)),
           i => concat_ws(" ", slice(ts, i, lit(n)))))))
 
-  /** Character n-grams of the lowercased text (same let-binding trick —
-    * the naive form re-lowercases the text per gram index, O(len²)). */
+  /** Character n-grams of the lowercased text — the native O(len·n)
+    * [[CharNgrams]] expression. The composed substring-per-index form
+    * this replaced was O(len²) (`UTF8String.substring` scans from byte
+    * 0 on every call — no codepoint index), which the hugedoc gate
+    * turned from invisible into a core pinned for minutes on one
+    * 240k-char doc. */
   def charNgrams(text: Column, n: Int): Column =
-    flatten(transform(array(simpleLower(text)), t =>
-      when(length(t) < n, array().cast("array<string>"))
-        .otherwise(transform(sequence(lit(1), length(t) - (n - 1)),
-          i => substring(t, i, lit(n))))))
+    CharNgrams.charNgrams(simpleLower(text), n)
 
   /** Estimated sub-word token count: BPE-ish segmentation by regex —
     * runs of letters, runs of digits, or single other non-space chars.

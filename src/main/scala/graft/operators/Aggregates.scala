@@ -73,7 +73,8 @@ object Aggregates {
   def windowRunning(spark: SparkSession, dir: String): DataFrame = {
     val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    Tables.load(spark, dir, "events")
+    // timed source: the prefix is defined by event time
+    Tables.loadTimedEvents(spark, dir)
       .withColumn("running_value",
         sum(col("value").cast("decimal(18,2)")).over(w).cast("double"))
       .select("user_id", "event_id", "ts", "value", "running_value")
@@ -112,7 +113,8 @@ object Aggregates {
   def sessionize(spark: SparkSession, dir: String): DataFrame = {
     val byUser = Window.partitionBy("user_id").orderBy("ts", "event_id")
     val run = byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    Tables.load(spark, dir, "events")
+    // timed source: a null-ts event has no gap to its neighbors
+    Tables.loadTimedEvents(spark, dir)
       .withColumn("prev_ts", lag(col("ts"), 1).over(byUser))
       .withColumn("is_new",
         when(col("prev_ts").isNull ||
@@ -153,7 +155,7 @@ object Aggregates {
   /** Tumbling event-time window aggregation in batch mode (`window()`),
     * the batch twin of the Structured Streaming path (§2.9 E7). */
   def eventsWindowAgg(spark: SparkSession, dir: String): DataFrame =
-    Tables.load(spark, dir, "events")
+    Tables.loadTimedEvents(spark, dir)
       .groupBy(window(col("ts"), "1 hour"), col("event_type"))
       .agg(count(lit(1)).as("n"),
         sum(col("value").cast("decimal(18,2)")).cast("double").as("sum_value"))
@@ -167,7 +169,7 @@ object Aggregates {
     * in-plan explode, no self-union), so the cost is 2× the tumbling
     * case, one shuffle. */
   def eventsHoppingAgg(spark: SparkSession, dir: String): DataFrame =
-    Tables.load(spark, dir, "events")
+    Tables.loadTimedEvents(spark, dir)
       .groupBy(window(col("ts"), "1 hour", "30 minutes"), col("event_type"))
       .agg(count(lit(1)).as("n"),
         sum(col("value").cast("decimal(18,2)")).cast("double").as("sum_value"))
@@ -184,7 +186,7 @@ object Aggregates {
     * (5 rows) broadcast back onto the hourly table — no window, no
     * second scan of the raw events. */
   def anomalyHours(spark: SparkSession, dir: String): DataFrame = {
-    val hourly = Tables.load(spark, dir, "events")
+    val hourly = Tables.loadTimedEvents(spark, dir)
       .groupBy(window(col("ts"), "1 hour").getField("start").as("ws"),
         col("event_type"))
       .agg(sum(col("value").cast("decimal(18,2)")).as("hv"))

@@ -90,7 +90,9 @@ object Cdc {
     * window shuffle on the key. */
   def scdHistory(spark: SparkSession, dir: String): DataFrame = {
     val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
-    asChangelog(Tables.load(spark, dir, "events"))
+    // timed source: a change with no sequence point cannot be ordered
+    // into a validity chain (cdc_apply's cutoff drops it implicitly)
+    asChangelog(Tables.loadTimedEvents(spark, dir))
       .withColumn("valid_to", lead(col("ts"), 1).over(w))
       .withColumn("is_current", col("valid_to").isNull)
       .select(col("user_id"), col("event_id"), col("op"),

@@ -34,7 +34,8 @@ object Dedup {
   def exactByKey(spark: SparkSession, dir: String): DataFrame = {
     val w = Window.partitionBy("user_id", "event_type")
       .orderBy("ts", "event_id")
-    Tables.load(spark, dir, "events")
+    // timed source: "keep the EARLIEST" is undefined for a timeless row
+    Tables.loadTimedEvents(spark, dir)
       .withColumn("rn", row_number().over(w))
       .filter(col("rn") === 1)
       .select("user_id", "event_type", "event_id", "ts")

@@ -174,7 +174,8 @@ object Relational {
     * deterministic (ties on the time axis are otherwise arbitrary —
     * SURVEY.md §2.5's non-unique-sort-key lesson). */
   def asofEventOrder(spark: SparkSession, dir: String): DataFrame = {
-    val ev = Tables.load(spark, dir, "events")
+    // timed source: an event with no time has no "latest order BEFORE it"
+    val ev = Tables.loadTimedEvents(spark, dir)
       .select(col("event_id"), col("user_id"), col("ts"))
       .withColumn("t", unix_micros(col("ts")))
     val ord = Tables.load(spark, dir, "orders")

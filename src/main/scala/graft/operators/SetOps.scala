@@ -42,7 +42,8 @@ object SetOps {
   def windowFuncs(spark: SparkSession, dir: String): DataFrame = {
     val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
     val wv = Window.partitionBy("user_id").orderBy(col("value").desc, col("event_id"))
-    Tables.load(spark, dir, "events")
+    // timed source: lag/lead walk the event-TIME order
+    Tables.loadTimedEvents(spark, dir)
       .select(col("user_id"), col("event_id"), col("value"),
         lag(col("event_type"), 1).over(w).as("prev_type"),
         lead(col("event_type"), 1).over(w).as("next_type"),

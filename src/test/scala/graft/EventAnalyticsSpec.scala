@@ -36,6 +36,39 @@ class EventAnalyticsSpec extends AnyFunSuite {
     assert(counts === counts.sorted.reverse)
   }
 
+  test("timed-events contract: null-ts events are excluded from every " +
+      "time-axis operator, kept by timeless ones") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("evnull").toString
+    // user 1: two timed events 40 min apart (2 sessions) + one null-ts
+    // event that must influence NOTHING time-keyed
+    Seq(
+      (0L, Some(java.sql.Timestamp.valueOf("2024-01-01 10:00:00")), 1L,
+        "view", 1.0, """{"k": 1}"""),
+      (1L, Some(java.sql.Timestamp.valueOf("2024-01-01 10:40:00")), 1L,
+        "view", 2.0, """{"k": 2}"""),
+      (2L, None, 1L, "view", 100.0, """{"k": 3}"""))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val sess = operators.Aggregates.sessionize(spark, dir).collect()
+    assert(sess.length == 2, "null-ts event must not open/shift a session")
+    assert(sess.map(_.getAs[Long]("n_events")).toSeq == Seq(1L, 1L))
+    val agg = operators.Aggregates.eventsWindowAgg(spark, dir).collect()
+    assert(agg.map(_.getAs[Double]("sum_value")).sum == 3.0,
+      "null-ts value leaked into a time bucket")
+    val keep = operators.Dedup.exactByKey(spark, dir).collect()
+    assert(keep.length == 1 && keep.head.getAs[Long]("event_id") == 0L,
+      "earliest-by-time keeper must come from timed rows only")
+    // timeless ops still see the row: quarantine routes all three
+    // (event 0 is % 37 = 0, so its payload gets the corruption prefix
+    // and is RIGHTLY quarantined; the null-ts row routes 'ok')
+    val q = operators.SemiStructured.quarantineSplit(spark, dir).collect()
+    assert(q.length == 3)
+    assert(q.map(_.getAs[String]("status")).toSeq ==
+      Seq("quarantined", "ok", "ok"))
+  }
+
   test("fuzzy match recovers every probe's source row within distance 1") {
     import org.apache.spark.sql.functions.{col, length}
     val rows = Fuzzy.fuzzyMatch(spark, TestSpark.sf).collect()

@@ -71,6 +71,36 @@ class TextSpec extends AnyFunSuite {
     assert(r(2).getSeq[String](0).isEmpty && r(2).getSeq[String](1).isEmpty)
   }
 
+  test("native char_ngrams ≡ composed substring form on ASCII/CJK/" +
+      "astral/mixed; null → null; linear on a 200k-char doc") {
+    import spark.implicits._
+    // the composed O(len²) form the native expression replaced — the
+    // equality oracle for its codepoint semantics
+    def composed(text: org.apache.spark.sql.Column, n: Int) =
+      flatten(transform(array(T.simpleLower(text)), t =>
+        when(length(t) < n, array().cast("array<string>"))
+          .otherwise(transform(sequence(lit(1), length(t) - (n - 1)),
+            i => substring(t, i, lit(n))))))
+    val cases = Seq("hello world", "火花数据处理引擎", "𐐀𐐁𐐂 mix 蟹",
+      "a", "", "İΣ edge ς 👨‍👩‍👧")
+    val got = cases.toDF("text")
+      .select(T.charNgrams(col("text"), 4).as("a"),
+        composed(col("text"), 4).as("b")).collect()
+    got.zip(cases).foreach { case (r, c) =>
+      assert(r.getSeq[String](0) == r.getSeq[String](1), s"diverged on: $c")
+    }
+    val nullRow = Seq(Tuple1[String](null)).toDF("text")
+      .select(T.charNgrams(col("text"), 4).as("a")).collect().head
+    assert(nullRow.isNullAt(0))
+    // linearity: 200k chars must produce len−3 grams in well under a
+    // second (the composed form took minutes here)
+    val t0 = System.nanoTime()
+    val big = one(Seq(("x" * 100000) + ("蟹" * 100000)).toDF("text")
+      .select(size(T.charNgrams(col("text"), 4)).as("n")))
+    assert(big.getAs[Int]("n") == 200000 - 3)
+    assert((System.nanoTime() - t0) / 1e9 < 10.0, "char_ngrams not linear")
+  }
+
   test("cjk ratio") {
     import spark.implicits._
     val r = one(Seq("ab世界").toDF("text")

@@ -25,6 +25,24 @@ Shapes (GRAFT_DEGEN_MODE env, default "null"):
           mapping, UTF-16 code units vs codepoints, and regex class
           semantics all diverge exactly here. n_chars is recomputed
           (the fixture invariant n_chars = length(text) holds).
+  hugedoc — pathological document LENGTHS: ~0.5% of docs blown up to
+          ~90k chars (300× the fixture's ~300-char average), one
+          50k-char SINGLE token (no whitespace at all — every
+          "tokenize then do per-token work" path sees one giant unit),
+          one 100k-char doc that is ONE WORD repeated 20k times (the
+          repetition/dedup/PMI pathological corner), and single-char
+          docs. The fixture's lengths are near-constant, yet real
+          corpora are heavy-tailed — pathological length is THE
+          classic production text hazard (O(len²) formulations, regex
+          blowups, per-doc memory). n_chars recomputed.
+  eventdegen — adversarial event stream: NULL ts (~1% — unplaceable in
+          time), NULL user_id / event_type / value / props (group keys,
+          funnel steps, sum inputs), ~14% of timestamps truncated to the
+          hour (mass intra-user ties through every (ts, ...) ordering),
+          ~9% collapsed onto ONE global instant (cross-user tie burst),
+          and a mega-user absorbing a third of all events (window-
+          partition skew). The fixture's stream is clean, unique-
+          timestamped and uniform; a real clickstream is none of those.
   vecdegen — adversarial embeddings: ~2% all-zero vectors (plus query
           id 5, so the QUERY side of every serve is degenerate too),
           ~2% exact duplicates of vector 2 (a mega-tie cluster through
@@ -90,6 +108,37 @@ elif MODE == "unicode":
       FROM (SELECT doc_id, CASE {cases} ELSE text END AS text,
                    lang, source
             FROM '{SRC}/documents.parquet')"""
+elif MODE == "hugedoc":
+    docs_sql = f"""
+      SELECT doc_id, text, lang, source, length(text) AS n_chars
+      FROM (SELECT doc_id,
+                   CASE WHEN doc_id % 211 = 3 THEN repeat(text || ' ', 300)
+                        WHEN doc_id % 223 = 5 THEN repeat('a', 50000)
+                        WHEN doc_id % 229 = 9 THEN
+                          rtrim(repeat('boilerplate ', 20000))
+                        WHEN doc_id % 227 = 7 THEN 'x'
+                        ELSE text END AS text,
+                   lang, source
+            FROM '{SRC}/documents.parquet')"""
+elif MODE == "eventdegen":
+    docs_sql = f"SELECT * FROM '{SRC}/documents.parquet'"
+    events_sql = f"""
+      SELECT event_id,
+             CASE WHEN event_id % 97 = 3 THEN NULL
+                  WHEN event_id % 7 = 1 THEN date_trunc('hour', ts)
+                  WHEN event_id % 11 = 2
+                    THEN TIMESTAMP '2024-01-15 12:00:00'
+                  ELSE ts END AS ts,
+             CASE WHEN event_id % 89 = 5 THEN NULL
+                  WHEN event_id % 3 = 0 THEN 7
+                  ELSE user_id END AS user_id,
+             CASE WHEN event_id % 83 = 7 THEN NULL
+                  ELSE event_type END AS event_type,
+             CASE WHEN event_id % 79 = 9 THEN NULL ELSE value END AS value,
+             CASE WHEN event_id % 73 = 11 THEN NULL ELSE props END AS props
+      FROM '{SRC}/events.parquet'"""
+    duckdb.sql(
+        f"COPY ({events_sql}) TO '{WORK}/events.parquet' (FORMAT PARQUET)")
 elif MODE == "vecdegen":
     docs_sql = f"SELECT * FROM '{SRC}/documents.parquet'"
     emb_sql = f"""
