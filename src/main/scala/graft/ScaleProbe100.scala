@@ -835,6 +835,12 @@ object ScaleProbe100 {
       time("sim_topk_ivfpq_rerank (probe -> ADC shortlist -> exact re-rank)") {
         operators.Quantize.pqIvfTopKRerank(spark, dup).count()
       }
+      time("ivf-sq8 index build (assignment x int8 codes, bucketed)") {
+        sources.Bucketing.ensureIvfSq8Index(spark, dup)
+      }
+      time("sim_topk_int8_ivf (probed-list SQ8 serve, warm)") {
+        operators.Quantize.int8IvfTopK(spark, dup).count()
+      }
       val plan = org.apache.spark.sql.graftshim.Shim
         .executedPlan(operators.Quantize.pqIvfTopK(spark, dup)).toString
       "SelectedBucketsCount: \\d+ out of \\d+".r.findFirstIn(plan)

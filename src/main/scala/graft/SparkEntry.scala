@@ -105,6 +105,7 @@ object SparkEntry {
     "sim_topk_ivfpq_rerank" -> ((s: SparkSession, d: String) => Quantize.pqIvfTopKRerank(s, d)),
     "sim_topk_ivfpq_res" -> ((s: SparkSession, d: String) => Quantize.pqIvfResidualTopK(s, d)),
     "sim_topk_int8"      -> ((s: SparkSession, d: String) => Quantize.int8TopK(s, d)),
+    "sim_topk_int8_ivf"  -> ((s: SparkSession, d: String) => Quantize.int8IvfTopK(s, d)),
     "sim_topk_int8_rerank" -> ((s: SparkSession, d: String) => Quantize.int8TopKRerank(s, d)),
     "embedding_bucket_saturation" -> ((s: SparkSession, d: String) => Dedup.embeddingBucketSaturation(s, d)),
     "knn_graph"          -> ((s: SparkSession, d: String) => Similarity.knnGraph(s, d)),
@@ -1715,6 +1716,41 @@ object SparkEntry {
                   row_number() OVER (PARTITION BY q_id
                     ORDER BY cos DESC, vec_id) AS rk
            FROM ex)
+         SELECT q_id, rk, vec_id, round(cos, 6) AS cos
+         FROM ranked WHERE rk <= 10 ORDER BY q_id, rk""",
+    // IVF,SQ8 replay: coarse Lloyd + probing from the shared IVF chain,
+    // SQ8 quantization over the SAME emb0 frame, integer-valued-double
+    // dot (exact), rescale, in-list rank — coarse training, probing,
+    // quantization and fold all bit-exact
+    "sim_topk_int8_ivf" ->
+      s"""WITH ${dIvfAssignCtes(iters = 2)},
+         probes AS (
+           SELECT q_id, c_id FROM (
+             SELECT q.vec_id AS q_id, c.c_id,
+                    row_number() OVER (PARTITION BY q.vec_id
+                      ORDER BY list_dot_product(q.v, c.c_v) / (q.nrm * c.c_nrm)
+                        DESC, c.c_id) AS crk
+             FROM emb0 q CROSS JOIN cent2 c WHERE q.vec_id < 8)
+           WHERE crk <= 8),
+         q8 AS (
+           SELECT vec_id, nrm, scale,
+                  [round(x * scale) for x in v] AS codes
+           FROM (SELECT vec_id, nrm, v,
+                        127.0 / list_max([abs(x) for x in v]) AS scale
+                 FROM emb0)),
+         scan AS (
+           SELECT p.q_id, a.vec_id,
+                  list_dot_product(qq.codes, cc.codes)
+                    / (qq.scale * cc.scale) / (qq.nrm * cc.nrm) AS cos
+           FROM af a JOIN probes p USING (c_id)
+                JOIN q8 cc ON cc.vec_id = a.vec_id
+                JOIN q8 qq ON qq.vec_id = p.q_id
+           WHERE a.vec_id <> p.q_id),
+         ranked AS (
+           SELECT q_id, vec_id, cos,
+                  row_number() OVER (PARTITION BY q_id
+                    ORDER BY cos DESC, vec_id) AS rk
+           FROM scan)
          SELECT q_id, rk, vec_id, round(cos, 6) AS cos
          FROM ranked WHERE rk <= 10 ORDER BY q_id, rk""",
     "embedding_bucket_saturation" ->

@@ -598,6 +598,46 @@ object Quantize {
     rerankOver(spark, dir,
       int8TopK(spark, dir, poolK).select("q_id", "vec_id"), k)
 
+  /** Harness query `sim_topk_int8_ivf`: IVF + SQ8 — FAISS's `IVF,SQ8`
+    * config, the third point on the compression axis [[pqIvfTopK]] and
+    * the raw-vector IVF bracket: the coarse quantizer bounds WHICH
+    * vectors are scored (nprobe inverted lists, bucket-pruned from the
+    * c_id-bucketed catalog table exactly like IVFPQ), and SQ8 bounds
+    * the bytes per scored vector at 1 byte/dim — 6× less scan than raw
+    * doubles, full per-dimension resolution unlike PQ's 16-centroid
+    * subspaces, NO training beyond the coarse centroids. The scored
+    * dot rides the same integer-valued-doubles kernel as
+    * [[int8Scored]] (exact ≤ 2²⁰, no decimal machinery), so the oracle
+    * replays coarse training + probing + quantization + the fold
+    * bit-exactly. Only shuffle: the per-query top-k window. */
+  def int8IvfTopK(spark: SparkSession, dir: String, k: Int = 10,
+      nprobe: Int = 8, iters: Int = 2): DataFrame = {
+    val table = graft.sources.Bucketing.ensureIvfSq8Index(spark, dir, iters)
+    val queries = queriesOf(emb(spark, dir))
+    val cents = Similarity.trainCentroids(spark, dir, iters = iters)
+    val probePairs = Similarity.probesOf(
+        queries.select(col("vec_id").as("q_id"), col("v").as("q_v"),
+          col("nrm").as("q_nrm")), cents, nprobe)
+      .select("q_id", "c_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    val probedLists = probePairs.map(_._2).distinct
+    import spark.implicits._
+    val probeDf = probePairs.toDF("q_id", "c_id")
+    val q8 = int8IndexTable(spark, dir).filter(col("vec_id") < NumQueries)
+      .select(col("vec_id").as("q_id"),
+        col("codes").cast("array<double>").as("q_cd"),
+        col("scale").as("q_scale"), col("nrm").as("q_nrm"))
+    topKTail(spark.table(table)
+      .filter(col("c_id").isin(probedLists: _*)) // bucket-prunes the scan
+      .join(broadcast(probeDf), "c_id")          // per-query list pairing
+      .join(broadcast(q8), "q_id")
+      .filter(col("vec_id") =!= col("q_id"))
+      .select(col("q_id"), col("vec_id"),
+        (V.dot(col("q_cd"), col("codes").cast("array<double>"))
+          / (col("q_scale") * col("scale"))
+          / (col("q_nrm") * col("nrm"))).as("cos")), k)
+  }
+
   def int8Quantize(spark: SparkSession, dir: String): DataFrame = {
     val emb = Tables.load(spark, dir, "embeddings")
       .select(col("vec_id"), V.asDouble(col("embedding")).as("v"))

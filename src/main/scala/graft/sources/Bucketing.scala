@@ -780,6 +780,24 @@ object Bucketing {
     table
   }
 
+  /** c_id-bucketed SQ8 inverted lists — the IVF,SQ8 catalog (the third
+    * point on the compression axis next to [[ensureIvfPqIndex]]'s
+    * 8 B/vector codes and the raw assignment's 512 B vectors: ~80 B of
+    * id+norm+scale+64 int8 codes per row). Same serve mechanics: the
+    * probe is a literal bucket-pruning `c_id IN (…)` filter, the only
+    * shuffle is the per-query top-k window. */
+  def ensureIvfSq8Index(spark: SparkSession, dir: String,
+      iters: Int = 2, buckets: Int = 8): String = {
+    val table = s"ivfsq8_idx_${iters}_${dirTag(dir)}"
+    lazy val lists = graft.operators.Similarity
+      .assignmentTable(spark, dir, iters).select("vec_id", "c_id")
+      .join(graft.operators.Quantize.int8IndexTable(spark, dir), "vec_id")
+      .select("c_id", "vec_id", "nrm", "scale", "codes")
+    ensureBucketedTable(spark, table, lists, Seq("c_id"), buckets,
+      embFp(spark, dir))()
+    table
+  }
+
   /** The residual-encoded twin of [[ensureIvfPqIndex]] — same bucketed
     * inverted-lists-of-codes layout, codes from
     * [[graft.operators.Quantize.pqResidualIndexTable]] (IVFADC

@@ -120,6 +120,30 @@ class QuantizeSpec extends AnyFunSuite {
       "churned serve diverged from the survivor-only encode")
   }
 
+  test("ivf-sq8: bucket-pruned scan, recall tracks the exact in-list " +
+      "serve (8-bit/dim loses almost nothing inside the probed lists)") {
+    val df = Quantize.int8IvfTopK(spark, sf, k = 10)
+    val plan = df.queryExecution.executedPlan.toString
+    assert("SelectedBucketsCount: (\\d+) out of (\\d+)".r
+      .findFirstMatchIn(plan).isDefined,
+      s"ivf-sq8 scan did not bucket-prune:\n$plan")
+    val brute = tops(Similarity.bruteForceTopK(spark, sf, k = 10))
+    def meanRecall(m: Map[Long, Set[Long]]): Double = {
+      val rs = brute.map { case (q, b) =>
+        m.get(q).map(i => (b & i).size.toDouble / b.size).getOrElse(0.0)
+      }
+      rs.sum / rs.size
+    }
+    val sq8 = meanRecall(tops(df))
+    val exact = meanRecall(tops(Similarity.ivfTopKTrained(spark, sf,
+      k = 10, iters = 2)))
+    // same probed lists, so the exact in-list serve is the ceiling;
+    // 8-bit codes should sit within a whisker of it (PQ's 32-bit codes
+    // sit at ~0.5 against the same ceiling)
+    assert(sq8 <= exact + 1e-9, "SQ8 cannot beat its own probe ceiling")
+    assert(sq8 >= exact - 0.1, s"ivf-sq8 recall $sq8 far below exact $exact")
+  }
+
   test("ivfpq: bucket-pruned probed-list scan, recall improves with rerank") {
     val df = Quantize.pqIvfTopK(spark, sf, k = 10)
     val plan = df.queryExecution.executedPlan.toString
