@@ -22,9 +22,18 @@ object TextFunctions {
     * simple images ('i', 'σ') before `lower`; an input that already
     * contains 'ς' is untouched by both engines. Everything else
     * (including cased astral scripts like Deseret) maps identically
-    * under both algorithms. */
+    * under both algorithms.
+    *
+    * 'I', 'J' and 'Į' are ALSO pre-translated (to their universal
+    * simple images) because Java's no-arg `toLowerCase` uses the JVM
+    * DEFAULT locale: on a tr/az host 'I' lowers to dotless 'ı', and on
+    * an lt host I/J/Į grow a combining dot before accents — the only
+    * locale-sensitive lowercase rules in Unicode, every one keyed on
+    * exactly these trigger letters. Removing the triggers before
+    * `lower` makes the contract host-locale-independent; on a ROOT
+    * locale the translation is identical to what lower() would do. */
   def simpleLower(text: Column): Column =
-    lower(translate(text, "İΣ", "iσ"))
+    lower(translate(text, "İΣIJĮ", "iσijį"))
 
   /** Lowercased whitespace tokens, empties dropped. */
   def tokens(text: Column): Column =

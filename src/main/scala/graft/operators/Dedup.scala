@@ -633,8 +633,14 @@ object Dedup {
     * run next to every bucketed near-dup at any scale. */
   def embeddingBucketSaturation(spark: SparkSession, dir: String,
       maxBucket: Int = 200): DataFrame =
-    embWithBuckets(spark, dir)
-      .groupBy("bucket").agg(count(lit(1)).as("bs"))
+    // reads the SAME memoized (bucket, bs) table the near-dup's skew
+    // cap builds (threshold-independent content) — the alarm is an
+    // aggregate over a tiny cached parquet, never a third projection
+    // pass over the corpus
+    Memo.table(spark, dir, "emb_bucket_sizes16") {
+      embWithBuckets(spark, dir)
+        .groupBy("bucket").agg(count(lit(1)).as("bs"))
+    }
       .agg(sum(col("bs")).as("n_vecs"),
         count(lit(1)).as("n_buckets"),
         sum(when(col("bs") > maxBucket, 1L).otherwise(0L)).as("n_capped"),

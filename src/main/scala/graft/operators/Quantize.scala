@@ -629,11 +629,16 @@ object Quantize {
         col("scale").as("q_scale"), col("nrm").as("q_nrm"))
     topKTail(spark.table(table)
       .filter(col("c_id").isin(probedLists: _*)) // bucket-prunes the scan
+      // per-ROW cast, below the probe join — a vector probed by
+      // several queries is duplicated by the join, so casting after it
+      // would re-run the 64-element conversion per scored pair (the
+      // same amortization int8Scored applies)
+      .withColumn("cd", col("codes").cast("array<double>"))
       .join(broadcast(probeDf), "c_id")          // per-query list pairing
       .join(broadcast(q8), "q_id")
       .filter(col("vec_id") =!= col("q_id"))
       .select(col("q_id"), col("vec_id"),
-        (V.dot(col("q_cd"), col("codes").cast("array<double>"))
+        (V.dot(col("q_cd"), col("cd"))
           / (col("q_scale") * col("scale"))
           / (col("q_nrm") * col("nrm"))).as("cos")), k)
   }

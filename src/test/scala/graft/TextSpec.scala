@@ -37,6 +37,11 @@ class TextSpec extends AnyFunSuite {
     assert(got == Seq("istanbul", "οδυσσευσ", "οδυσσευσ.τελοσ", "ς",
       "𐐨𐐩", "ωmega"), got.mkString("|"))
     assert(got.head.length == 8, "combining dot leaked into İ's image")
+    // the locale-trigger letters (tr/az dotless-ı, lt dot-above rules)
+    // are pre-translated, so their images hold on ANY host locale
+    val loc = one(Seq("IJK Įara").toDF("text")
+      .select(T.simpleLower(col("text")).as("s"))).getString(0)
+    assert(loc == "ijk įara", loc)
   }
 
   test("quality struct ratios on a known string") {
@@ -92,13 +97,15 @@ class TextSpec extends AnyFunSuite {
     val nullRow = Seq(Tuple1[String](null)).toDF("text")
       .select(T.charNgrams(col("text"), 4).as("a")).collect().head
     assert(nullRow.isNullAt(0))
-    // linearity: 200k chars must produce len−3 grams in well under a
-    // second (the composed form took minutes here)
+    // linearity: 200k chars must produce len−3 grams. The wall bound is
+    // deliberately loose (the composed O(len²) form took MINUTES here,
+    // a linear pass takes ~100 ms) so a loaded box can't flake it while
+    // a quadratic regression still trips it by an order of magnitude.
     val t0 = System.nanoTime()
     val big = one(Seq(("x" * 100000) + ("蟹" * 100000)).toDF("text")
       .select(size(T.charNgrams(col("text"), 4)).as("n")))
     assert(big.getAs[Int]("n") == 200000 - 3)
-    assert((System.nanoTime() - t0) / 1e9 < 10.0, "char_ngrams not linear")
+    assert((System.nanoTime() - t0) / 1e9 < 30.0, "char_ngrams not linear")
   }
 
   test("cjk ratio") {
