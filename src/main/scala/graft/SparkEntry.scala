@@ -1014,11 +1014,19 @@ object SparkEntry {
            SELECT 'orders' AS entity, CAST(o_orderkey AS VARCHAR) AS key,
                   'public' AS tenant,
                   '{"o_orderkey":' || o_orderkey ||
-                  ',"o_custkey":' || o_custkey ||
-                  ',"o_orderstatus":"' || o_orderstatus ||
-                  '","o_totalprice":"' || printf('%.2f', o_totalprice) ||
-                  '","o_orderdate":"' || strftime(o_orderdate, '%Y-%m-%d %H:%M:%S') ||
-                  '","o_orderpriority":"' || o_orderpriority || '"}' AS value
+                  ',"o_custkey":' || CASE WHEN o_custkey IS NULL THEN 'null'
+                    ELSE CAST(o_custkey AS VARCHAR) END ||
+                  ',"o_orderstatus":' || CASE WHEN o_orderstatus IS NULL
+                    THEN 'null' ELSE '"' || o_orderstatus || '"' END ||
+                  ',"o_totalprice":' || CASE WHEN o_totalprice IS NULL
+                    THEN 'null'
+                    ELSE '"' || printf('%.2f', o_totalprice) || '"' END ||
+                  ',"o_orderdate":' || CASE WHEN o_orderdate IS NULL
+                    THEN 'null' ELSE '"' ||
+                      strftime(o_orderdate, '%Y-%m-%d %H:%M:%S') || '"' END ||
+                  ',"o_orderpriority":' || CASE WHEN o_orderpriority IS NULL
+                    THEN 'null' ELSE '"' || o_orderpriority || '"' END ||
+                  '}' AS value
            FROM orders
            UNION ALL
            SELECT 'lineitem', CAST(l_orderkey AS VARCHAR), 'public',
@@ -1231,9 +1239,13 @@ object SparkEntry {
       """SELECT c_custkey, c_name FROM customer
          WHERE c_custkey IN (SELECT o_custkey FROM orders) ORDER BY c_custkey""",
     "anti_join" ->
-      """SELECT c_custkey, c_name FROM customer
-         WHERE c_custkey NOT IN
-           (SELECT o_custkey FROM orders WHERE year(o_orderdate) = 1996)
+      // NOT EXISTS, never NOT IN: one NULL o_custkey in the subquery
+      // makes NOT IN three-valued-NULL for EVERY row (empty result),
+      // where the engine's left_anti keeps all unmatched customers
+      """SELECT c_custkey, c_name FROM customer c
+         WHERE NOT EXISTS
+           (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey
+              AND year(o.o_orderdate) = 1996)
          ORDER BY c_custkey""",
     "full_outer_join" ->
       """SELECT coalesce(l.merchant_id, r.merchant_id) AS merchant_id,
@@ -1283,7 +1295,8 @@ object SparkEntry {
            FROM events GROUP BY 1, 2)
          SELECT o.o_orderkey, o.o_custkey, e.event_id,
                 e.ts AS next_event_ts
-         FROM orders o ASOF LEFT JOIN e
+         FROM (SELECT * FROM orders WHERE o_orderdate IS NOT NULL) o
+           ASOF LEFT JOIN e
            ON o.o_custkey = e.user_id AND o.o_orderdate <= e.ts
          ORDER BY o_orderkey""",
     "tenant_tag" ->
@@ -1310,22 +1323,30 @@ object SparkEntry {
       """SELECT 'orders' AS entity, CAST(o_orderkey AS VARCHAR) AS key,
                 'public' AS tenant,
                 '{"order_id":' || o_orderkey ||
-                ',"merchant_id":' || o_custkey ||
-                ',"status":"' || o_orderstatus ||
-                '","amount":"' || printf('%.2f', o_totalprice) ||
-                '","created_at":"' || strftime(o_orderdate, '%Y-%m-%d %H:%M:%S') ||
-                '"}' AS value
+                ',"merchant_id":' || CASE WHEN o_custkey IS NULL THEN 'null'
+                  ELSE CAST(o_custkey AS VARCHAR) END ||
+                ',"status":' || CASE WHEN o_orderstatus IS NULL THEN 'null'
+                  ELSE '"' || o_orderstatus || '"' END ||
+                ',"amount":' || CASE WHEN o_totalprice IS NULL THEN 'null'
+                  ELSE '"' || printf('%.2f', o_totalprice) || '"' END ||
+                ',"created_at":' || CASE WHEN o_orderdate IS NULL THEN 'null'
+                  ELSE '"' || strftime(o_orderdate, '%Y-%m-%d %H:%M:%S') || '"' END ||
+                '}' AS value
          FROM orders ORDER BY o_orderkey""",
     "union_feed" ->
       """SELECT * FROM (
            SELECT 'orders' AS entity, CAST(o_orderkey AS VARCHAR) AS key,
                   'public' AS tenant,
                   '{"order_id":' || o_orderkey ||
-                  ',"merchant_id":' || o_custkey ||
-                  ',"status":"' || o_orderstatus ||
-                  '","amount":"' || printf('%.2f', o_totalprice) ||
-                  '","created_at":"' || strftime(o_orderdate, '%Y-%m-%d %H:%M:%S') ||
-                  '"}' AS value
+                  ',"merchant_id":' || CASE WHEN o_custkey IS NULL THEN 'null'
+                    ELSE CAST(o_custkey AS VARCHAR) END ||
+                  ',"status":' || CASE WHEN o_orderstatus IS NULL THEN 'null'
+                    ELSE '"' || o_orderstatus || '"' END ||
+                  ',"amount":' || CASE WHEN o_totalprice IS NULL THEN 'null'
+                    ELSE '"' || printf('%.2f', o_totalprice) || '"' END ||
+                  ',"created_at":' || CASE WHEN o_orderdate IS NULL THEN 'null'
+                    ELSE '"' || strftime(o_orderdate, '%Y-%m-%d %H:%M:%S') || '"' END ||
+                  '}' AS value
            FROM orders
            UNION ALL
            SELECT 'lineitem', l_orderkey || '_' || l_linenumber, 'public',
@@ -1336,14 +1357,18 @@ object SparkEntry {
                   '","quantity":"' || printf('%.2f', l_quantity) || '"}'
            FROM lineitem)
          ORDER BY entity, key""",
+    // the key join is INNER: a NULL merchant id derives no key and
+    // matches no key-store row, so the row is not decryptable and does
+    // not appear (the quarantine path is where it surfaces in prod)
     "decrypt_two_level" ->
       """SELECT o_orderkey, o_custkey AS merchant_id, o_orderpriority AS priority
-         FROM orders ORDER BY o_orderkey""",
+         FROM orders WHERE o_custkey IS NOT NULL ORDER BY o_orderkey""",
     "decrypt_shredded" ->
       """SELECT o_orderkey, o_custkey AS merchant_id,
-                CASE WHEN o_custkey % 5 = 0 THEN NULL
+                CASE WHEN o_custkey IS NULL OR o_custkey % 5 = 0 THEN NULL
                      ELSE o_orderpriority END AS priority,
-                CASE WHEN o_custkey % 5 = 0 THEN 'shredded'
+                CASE WHEN o_custkey IS NULL OR o_custkey % 5 = 0
+                     THEN 'shredded'
                      ELSE 'ok' END AS key_status
          FROM orders ORDER BY o_orderkey""",
     "pricing_summary" ->
@@ -2369,11 +2394,19 @@ object SparkEntry {
            SELECT 'orders' AS entity, CAST(o_orderkey AS VARCHAR) AS key,
                   'public' AS tenant,
                   '{"o_orderkey":' || o_orderkey ||
-                  ',"o_custkey":' || o_custkey ||
-                  ',"o_orderstatus":"' || o_orderstatus ||
-                  '","o_totalprice":"' || printf('%.2f', o_totalprice) ||
-                  '","o_orderdate":"' || strftime(o_orderdate, '%Y-%m-%d %H:%M:%S') ||
-                  '","o_orderpriority":"' || o_orderpriority || '"}' AS value
+                  ',"o_custkey":' || CASE WHEN o_custkey IS NULL THEN 'null'
+                    ELSE CAST(o_custkey AS VARCHAR) END ||
+                  ',"o_orderstatus":' || CASE WHEN o_orderstatus IS NULL
+                    THEN 'null' ELSE '"' || o_orderstatus || '"' END ||
+                  ',"o_totalprice":' || CASE WHEN o_totalprice IS NULL
+                    THEN 'null'
+                    ELSE '"' || printf('%.2f', o_totalprice) || '"' END ||
+                  ',"o_orderdate":' || CASE WHEN o_orderdate IS NULL
+                    THEN 'null' ELSE '"' ||
+                      strftime(o_orderdate, '%Y-%m-%d %H:%M:%S') || '"' END ||
+                  ',"o_orderpriority":' || CASE WHEN o_orderpriority IS NULL
+                    THEN 'null' ELSE '"' || o_orderpriority || '"' END ||
+                  '}' AS value
            FROM orders
            WHERE o_orderdate BETWEEN TIMESTAMP '1996-01-01' AND TIMESTAMP '1997-12-31'
            UNION ALL
@@ -2446,11 +2479,19 @@ object SparkEntry {
                   (CASE WHEN o_custkey % 2 = 0 THEN 'events'
                         ELSE 'events-analytics' END) || '-orders' AS topic,
                   '{"o_orderkey":' || o_orderkey ||
-                  ',"o_custkey":' || o_custkey ||
-                  ',"o_orderstatus":"' || o_orderstatus ||
-                  '","o_totalprice":"' || printf('%.2f', o_totalprice) ||
-                  '","o_orderdate":"' || strftime(o_orderdate, '%Y-%m-%d %H:%M:%S') ||
-                  '","o_orderpriority":"' || o_orderpriority || '"}' AS value
+                  ',"o_custkey":' || CASE WHEN o_custkey IS NULL THEN 'null'
+                    ELSE CAST(o_custkey AS VARCHAR) END ||
+                  ',"o_orderstatus":' || CASE WHEN o_orderstatus IS NULL
+                    THEN 'null' ELSE '"' || o_orderstatus || '"' END ||
+                  ',"o_totalprice":' || CASE WHEN o_totalprice IS NULL
+                    THEN 'null'
+                    ELSE '"' || printf('%.2f', o_totalprice) || '"' END ||
+                  ',"o_orderdate":' || CASE WHEN o_orderdate IS NULL
+                    THEN 'null' ELSE '"' ||
+                      strftime(o_orderdate, '%Y-%m-%d %H:%M:%S') || '"' END ||
+                  ',"o_orderpriority":' || CASE WHEN o_orderpriority IS NULL
+                    THEN 'null' ELSE '"' || o_orderpriority || '"' END ||
+                  '}' AS value
            FROM orders
            UNION ALL
            SELECT 'lineitem', CAST(l_orderkey AS VARCHAR),

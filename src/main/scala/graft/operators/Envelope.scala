@@ -19,7 +19,15 @@ object Envelope {
 
   /** Orders rendered as a per-entity event feed: (entity, key, tenant,
     * value-json). Doubles are pre-formatted to fixed 2-dp strings so the
-    * JSON text is engine-independent; timestamps pre-formatted UTC. */
+    * JSON text is engine-independent; timestamps pre-formatted UTC.
+    *
+    * Same explicit-null contract as [[graft.pipeline.Backfill]]'s
+    * envelope: a null column serializes as `"field":null` (a consumer
+    * must distinguish cleared-to-null from absent), and the 2-dp format
+    * is null-GUARDED — java.util.Formatter renders a null arg as the
+    * string "null", which %.2f precision-truncates to the GARBAGE token
+    * `"amount":"nu"` (found by the reldegen gate: the one null-amount
+    * hazard Backfill guarded and this module didn't). */
   def ordersFeed(spark: SparkSession, dir: String): DataFrame =
     Tables.load(spark, dir, "orders").select(
       lit("orders").as("entity"),
@@ -29,9 +37,10 @@ object Envelope {
         col("o_orderkey").as("order_id"),
         col("o_custkey").as("merchant_id"),
         col("o_orderstatus").as("status"),
-        format_string("%.2f", col("o_totalprice")).as("amount"),
+        when(col("o_totalprice").isNotNull,
+          format_string("%.2f", col("o_totalprice"))).as("amount"),
         date_format(col("o_orderdate"), "yyyy-MM-dd HH:mm:ss").as("created_at")
-      )).as("value"))
+      ), Map("ignoreNullFields" -> "false")).as("value"))
 
   /** Lineitems as a second per-entity feed (composite identity key,
     * mirroring attempt_id = payment_id+attempt no). */
@@ -45,8 +54,9 @@ object Envelope {
         col("l_linenumber").as("line_no"),
         col("l_returnflag").as("return_flag"),
         col("l_linestatus").as("line_status"),
-        format_string("%.2f", col("l_quantity")).as("quantity")
-      )).as("value"))
+        when(col("l_quantity").isNotNull,
+          format_string("%.2f", col("l_quantity"))).as("quantity")
+      ), Map("ignoreNullFields" -> "false")).as("value"))
 
   /** Envelope query for the oracle: orders feed, deterministic order. */
   def eventEnvelope(spark: SparkSession, dir: String): DataFrame =

@@ -194,7 +194,11 @@ object Relational {
     * attribution query. Right side pre-deduped to one row per
     * (user, time) so the pick is deterministic. */
   def asofOrderNextEvent(spark: SparkSession, dir: String): DataFrame = {
+    // timed contract (Tables.loadTimedEvents's rule, applied to the
+    // ORDER side here): an order with no timestamp has no "first event
+    // at-or-after it" — excluded from the as-of, on both engines
     val ord = Tables.load(spark, dir, "orders")
+      .filter(col("o_orderdate").isNotNull)
       .select(col("o_orderkey"), col("o_custkey"), col("o_orderdate"))
       .withColumn("ot", unix_micros(col("o_orderdate").cast("timestamp")))
     val ev = Tables.load(spark, dir, "events")

@@ -35,6 +35,12 @@ Shapes (GRAFT_DEGEN_MODE env, default "null"):
           corpora are heavy-tailed — pathological length is THE
           classic production text hazard (O(len²) formulations, regex
           blowups, per-doc memory). n_chars recomputed.
+  reldegen — adversarial ORDERS (the reference-parity backfill/join/agg
+          family's entity table): NULL o_custkey (merchant/join key —
+          the NOT IN trap, undecryptable rows), NULL o_totalprice (the
+          %.2f-formats-null-as-"nu" Formatter trap, envelope null
+          rendering), NULL o_orderdate (time axis of the forward
+          as-of), and a mega-merchant absorbing a third of all orders.
   eventdegen — adversarial event stream: NULL ts (~1% — unplaceable in
           time), NULL user_id / event_type / value / props (group keys,
           funnel steps, sum inputs), ~14% of timestamps truncated to the
@@ -120,6 +126,22 @@ elif MODE == "hugedoc":
                         ELSE text END AS text,
                    lang, source
             FROM '{SRC}/documents.parquet')"""
+elif MODE == "reldegen":
+    docs_sql = f"SELECT * FROM '{SRC}/documents.parquet'"
+    orders_sql = f"""
+      SELECT o_orderkey,
+             CASE WHEN o_orderkey % 89 = 5 THEN NULL
+                  WHEN o_orderkey % 3 = 0 THEN 42
+                  ELSE o_custkey END AS o_custkey,
+             o_orderstatus,
+             CASE WHEN o_orderkey % 79 = 9 THEN NULL
+                  ELSE o_totalprice END AS o_totalprice,
+             CASE WHEN o_orderkey % 97 = 3 THEN NULL
+                  ELSE o_orderdate END AS o_orderdate,
+             o_orderpriority
+      FROM '{SRC}/orders.parquet'"""
+    duckdb.sql(
+        f"COPY ({orders_sql}) TO '{WORK}/orders.parquet' (FORMAT PARQUET)")
 elif MODE == "eventdegen":
     docs_sql = f"SELECT * FROM '{SRC}/documents.parquet'"
     events_sql = f"""
