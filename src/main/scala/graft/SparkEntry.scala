@@ -2521,7 +2521,7 @@ object SparkEntry {
                 ',"source":' ||
                 CASE WHEN source IS NULL THEN 'null'
                      ELSE '"' || source || '"' END ||
-                ',"n_chars":' || n_chars ||
+                ',"n_chars":' || coalesce(CAST(n_chars AS VARCHAR), 'null') ||
                 ',"status":"' ||
                 CASE doc_id % 5 WHEN 0 THEN 'created' WHEN 1 THEN 'processing'
                      WHEN 2 THEN 'succeeded' WHEN 3 THEN 'failed'
@@ -2546,16 +2546,20 @@ object SparkEntry {
                 '","shipping_city":' ||
                 CASE WHEN doc_id % 17 = 0 THEN 'null'
                      ELSE '"city_' || (doc_id % 60) || '"' END ||
-                ',"amount":' || (n_chars * 100) ||
+                ',"amount":' ||
+                coalesce(CAST(n_chars * 100 AS VARCHAR), 'null') ||
                 ',"currency":"' ||
                 CASE doc_id % 3 WHEN 0 THEN 'USD' WHEN 1 THEN 'EUR'
                      ELSE 'INR' END ||
-                '","fee_amount":' || (n_chars % 97) ||
-                ',"net_amount":' || (n_chars * 100 - n_chars % 97) ||
-                ',"tax_amount":' || (n_chars % 23) ||
+                '","fee_amount":' ||
+                coalesce(CAST(n_chars % 97 AS VARCHAR), 'null') ||
+                ',"net_amount":' ||
+                coalesce(CAST(n_chars * 100 - n_chars % 97 AS VARCHAR), 'null') ||
+                ',"tax_amount":' ||
+                coalesce(CAST(n_chars % 23 AS VARCHAR), 'null') ||
                 ',"surcharge_amount":' ||
                 CASE WHEN doc_id % 19 = 0 THEN 'null'
-                     ELSE CAST(n_chars % 11 AS VARCHAR) END ||
+                     ELSE coalesce(CAST(n_chars % 11 AS VARCHAR), 'null') END ||
                 ',"attempt_count":' || (doc_id % 4 + 1) ||
                 ',"is_active":' ||
                 CASE WHEN doc_id % 2 = 0 THEN 'true' ELSE 'false' END ||
@@ -2583,7 +2587,8 @@ object SparkEntry {
                 ',"metadata":{"src":' ||
                 CASE WHEN source IS NULL THEN 'null'
                      ELSE '"' || source || '"' END ||
-                ',"bucket":' || (n_chars % 10) ||
+                ',"bucket":' ||
+                coalesce(CAST(n_chars % 10 AS VARCHAR), 'null') ||
                 ',"flags":{"priority":' ||
                 CASE WHEN doc_id % 2 = 1 THEN 'true' ELSE 'false' END ||
                 ',"region":"r' || (doc_id % 4) || '"}}' ||

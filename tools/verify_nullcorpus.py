@@ -35,6 +35,12 @@ Shapes (GRAFT_DEGEN_MODE env, default "null"):
           corpora are heavy-tailed — pathological length is THE
           classic production text hazard (O(len²) formulations, regex
           blowups, per-doc memory). n_chars recomputed.
+  chaos — ALL table perturbations at once (docs: unicode + nulls +
+          id-shift; events: eventdegen; orders: reldegen; embeddings:
+          vecdegen): each axis is individually green, so any failure
+          here is an INTERACTION bug no single-axis gate can see
+          (e.g. a doc-keyed op joining a null-lang doc to a zero
+          vector under shifted ids).
   reldegen — adversarial ORDERS (the reference-parity backfill/join/agg
           family's entity table): NULL o_custkey (merchant/join key —
           the NOT IN trap, undecryptable rows), NULL o_totalprice (the
@@ -126,6 +132,72 @@ elif MODE == "hugedoc":
                         ELSE text END AS text,
                    lang, source
             FROM '{SRC}/documents.parquet')"""
+elif MODE == "chaos":
+    ZWSP, ZWJ, ACUTE = "\u200b", "\u200d", "\u0301"
+    shapes = {
+        1: f"'\U0001F980 rust \U0001F468{ZWJ}\U0001F469{ZWJ}\U0001F467 family ' || text",
+        2: f"'cafe{ACUTE} e{ACUTE}clair {ACUTE} ' || text",
+        3: "'\u706b\u82b1\u6570\u636e\u5904\u7406\u5f15\u64ce\u6d41\u5f0f\u8ba1\u7b97 ' || text",
+        7: "'\u0130stanbul STRASSE \u03a3 \u039f\u0394\u03a5\u03a3\u03a3\u0395\u03a5\u03a3 \u00df ' || text",
+        9: "'!!! ??? \U0001F389\U0001F389\U0001F389 ... ;;;'",
+        10: "'\U00010400\U00010401\U00010402 \U00010428\U00010429 DESERET ' || text",
+    }
+    cases = "\n".join(
+        f"WHEN doc_id % 13 = {k} THEN {v}" for k, v in shapes.items())
+    docs_sql = f"""
+      SELECT doc_id + 1000000 AS doc_id,
+             CASE WHEN doc_id % 97 = 3 THEN NULL ELSE text END AS text,
+             CASE WHEN doc_id % 89 = 5 THEN NULL ELSE lang END AS lang,
+             CASE WHEN doc_id % 89 = 5 OR doc_id % 83 = 7 THEN NULL
+                  ELSE source END AS source,
+             length(CASE WHEN doc_id % 97 = 3 THEN NULL ELSE text END)
+               AS n_chars
+      FROM (SELECT doc_id, CASE {cases} ELSE text END AS text,
+                   lang, source
+            FROM '{SRC}/documents.parquet')"""
+    duckdb.sql(f"""COPY (
+      SELECT event_id,
+             CASE WHEN event_id % 97 = 3 THEN NULL
+                  WHEN event_id % 7 = 1 THEN date_trunc('hour', ts)
+                  WHEN event_id % 11 = 2
+                    THEN TIMESTAMP '2024-01-15 12:00:00'
+                  ELSE ts END AS ts,
+             CASE WHEN event_id % 89 = 5 THEN NULL
+                  WHEN event_id % 3 = 0 THEN 7
+                  ELSE user_id END AS user_id,
+             CASE WHEN event_id % 83 = 7 THEN NULL
+                  ELSE event_type END AS event_type,
+             CASE WHEN event_id % 79 = 9 THEN NULL ELSE value END AS value,
+             CASE WHEN event_id % 73 = 11 THEN NULL ELSE props END AS props
+      FROM '{SRC}/events.parquet')
+      TO '{WORK}/events.parquet' (FORMAT PARQUET)""")
+    duckdb.sql(f"""COPY (
+      SELECT o_orderkey,
+             CASE WHEN o_orderkey % 89 = 5 THEN NULL
+                  WHEN o_orderkey % 3 = 0 THEN 42
+                  ELSE o_custkey END AS o_custkey,
+             o_orderstatus,
+             CASE WHEN o_orderkey % 79 = 9 THEN NULL
+                  ELSE o_totalprice END AS o_totalprice,
+             CASE WHEN o_orderkey % 97 = 3 THEN NULL
+                  ELSE o_orderdate END AS o_orderdate,
+             o_orderpriority
+      FROM '{SRC}/orders.parquet')
+      TO '{WORK}/orders.parquet' (FORMAT PARQUET)""")
+    duckdb.sql(f"""COPY (
+      SELECT vec_id,
+             CASE
+               WHEN vec_id % 53 = 11 OR vec_id = 5
+                 THEN list_transform(embedding, x -> CAST(0.0 AS FLOAT))
+               WHEN vec_id % 47 = 13
+                 THEN (SELECT embedding FROM '{SRC}/embeddings.parquet'
+                       WHERE vec_id = 2)
+               WHEN vec_id % 59 = 17
+                 THEN list_transform(embedding, x -> CAST(x * 1e18 AS FLOAT))
+               ELSE embedding END AS embedding,
+             label
+      FROM '{SRC}/embeddings.parquet')
+      TO '{WORK}/embeddings.parquet' (FORMAT PARQUET)""")
 elif MODE == "reldegen":
     docs_sql = f"SELECT * FROM '{SRC}/documents.parquet'"
     orders_sql = f"""
