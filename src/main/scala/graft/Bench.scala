@@ -42,7 +42,24 @@ object Bench {
       String, scala.collection.mutable.ArrayBuffer[Double]]()
     queries.foreach { case (n, _) =>
       times(n) = scala.collection.mutable.ArrayBuffer[Double]() }
+    // the ONE standard-pass count: the pass loop and the results'
+    // standard/bonus split below both read it, so they can never drift
+    // (a take(3) hardcoded apart from the loop would silently reclass
+    // bonus passes as standard if either side changed alone)
+    val StandardPasses = 3
     val passTotals = scala.collection.mutable.ArrayBuffer[Double]()
+    // box-load forensics: the 1-minute /proc/loadavg sampled at start
+    // and after every pass, emitted next to pass_totals — past rounds
+    // (r10, r12 officials) carried dirty passes that could only be
+    // ATTRIBUTED to contention by inference; this records the evidence
+    // in the artifact itself
+    val loadavgs = scala.collection.mutable.ArrayBuffer[Double]()
+    def sampleLoad(): Unit = loadavgs += (try {
+      new String(java.nio.file.Files.readAllBytes(
+        java.nio.file.Paths.get("/proc/loadavg")), "UTF-8")
+        .split("\\s+")(0).toDouble
+    } catch { case NonFatal(_) => -1.0 })
+    sampleLoad()
     def runPass(): Unit = {
       var tot = 0.0
       queries.foreach { case (name, fn) =>
@@ -57,8 +74,9 @@ object Bench {
         if (ok) tot += elapsed
       }
       passTotals += tot
+      sampleLoad()
     }
-    (0 until 3).foreach(_ => runPass())
+    (0 until StandardPasses).foreach(_ => runPass())
     // contention guard: with three passes, a load spike spanning one of
     // the two WARMED passes still inflates the per-query min (r10's
     // official run carried pass totals [158.0, 70.8, 129.6] — the third
@@ -68,9 +86,18 @@ object Bench {
     // on a perfectly quiet box (its per-query times still feed the min,
     // which only helps). When the warmed passes disagree by >1.5×, buy
     // ONE more clean-box chance; quiet boxes sit near 1.1×
-    val warmed = passTotals.drop(1)
-    if (warmed.nonEmpty && warmed.min > 0 &&
-        warmed.max > 1.5 * warmed.min) runPass()
+    def warmed = passTotals.drop(1)
+    def spreadDirty = warmed.nonEmpty && warmed.min > 0 &&
+      warmed.max > 1.5 * warmed.min
+    if (spreadDirty) runPass()
+    // escalation: r12's official run had TWO of three passes dirty
+    // ([229.2, 84.1, 118.6]) — the single bonus pass left only one
+    // clean warmed sample, thin evidence for 182 per-query mins. When,
+    // after the bonus pass, two or more warmed passes still sit >1.5×
+    // above the warmed minimum, buy a FIFTH; beyond that the box is
+    // hopeless and the loadavg trail tells the reader why
+    if (passTotals.size > StandardPasses && warmed.min > 0 &&
+        warmed.count(_ > 1.5 * warmed.min) >= 2) runPass()
     val results = queries.map { case (name, _) =>
       val ts = times(name)
       // a query must succeed in every STANDARD pass to count; any
@@ -79,9 +106,9 @@ object Bench {
       // evidence: its successes feed the min, its transient failures
       // are ignored — a query that succeeded 3/3 must not be erased
       // by the extra pass the guard bought to protect it
-      val std = ts.take(3)
+      val std = ts.take(StandardPasses)
       name -> (if (std.isEmpty || std.exists(_ < 0)) -1.0
-        else (std ++ ts.drop(3).filter(_ >= 0)).min)
+        else (std ++ ts.drop(StandardPasses).filter(_ >= 0)).min)
     }
     def r4(v: Double): String = if (v < 0) "-1"
       else String.format(java.util.Locale.ROOT, "%.4f", Double.box(v))
@@ -96,9 +123,12 @@ object Bench {
     // per-pass totals expose contention: a quiet box shows three similar
     // totals; a spiked pass stands out and explains any residual skew
     val pt = passTotals.map(r4).mkString("[", ",", "]")
+    // loadavg[0] is the pre-run sample; loadavg[i] follows pass i
+    val la = loadavgs.map(v => String.format(java.util.Locale.ROOT,
+      "%.2f", Double.box(v))).mkString("[", ",", "]")
     // queries first, metric/total LAST: a tail-truncating capture keeps
     // the headline number either way
-    val line = s"""{"queries":$qs,"sf":"$sfDir","failed":$failed,"pass_totals":$pt,"metric":"total","unit":"sec","value":${r4(total)}}"""
+    val line = s"""{"queries":$qs,"sf":"$sfDir","failed":$failed,"pass_totals":$pt,"loadavg":$la,"metric":"total","unit":"sec","value":${r4(total)}}"""
     println(line)
     // the stdout capture has truncated per-query numbers in past rounds;
     // the same JSON goes to a file so every query's time survives review.

@@ -127,6 +127,30 @@ object ScaleProbe100 {
       }
     }
 
+    // 3a'. the quantile filter's worst case: a 500k-doc boilerplate
+    // corpus where EVERY doc is the same text, so every doc collapses
+    // onto ONE rounded score per lang and the tie group IS the corpus
+    // (quota = keep·n ≈ 250k). The pre-r13 per-lang row_number would
+    // rank 500k rows in one task; the histogram-offset cut ranks only
+    // the single ≤2^shift-row boundary bucket
+    section("boilerquality") {
+      val boiler = s"/tmp/graft_scale_boilerdocs"
+      if (!fs.exists(new org.apache.hadoop.fs.Path(
+          s"$boiler/documents.parquet"))) {
+        spark.range(500000)
+          .select(col("id").as("doc_id"),
+            lit("the quick brown fox jumps over the lazy dog").as("text"),
+            lit("en").as("lang"), lit("boiler").as("source"),
+            lit(44L).as("n_chars"))
+          .write.mode("overwrite").parquet(s"$boiler/documents.parquet")
+      }
+      time("quality_quantile_filter (500k docs, ONE score, cold memos)") {
+        val kept = operators.TextAnalysis
+          .qualityQuantileFilter(spark, boiler).count()
+        println(s"  kept rows: $kept (expect ${1 + 499999 / 2})")
+      }
+    }
+
     // 3b. stratified split at factor× on an ADVERSARIALLY skewed mix
     // (90% of documents forced into one language): the distributed
     // exact rank must keep the dominant language spread across its

@@ -49,8 +49,8 @@ object Tables {
     * eventdegen gate. `cdc_apply`'s cutoff comparisons already dropped
     * null ts implicitly; this makes the rule explicit and family-wide.
     * Operators that DON'T touch the time axis (funnel joins, quarantine
-    * routing, per-user value ranks) keep reading the raw table — a
-    * timeless event still carries a user, a type and a payload. */
+    * routing) keep reading the raw table — a timeless event still
+    * carries a user, a type and a payload. */
   def loadTimedEvents(spark: SparkSession, dir: String): DataFrame =
     load(spark, dir, "events").filter(col("ts").isNotNull)
 

@@ -585,22 +585,17 @@ object Dedup {
     * banded near-dup here: real embedding models emit clustered
     * vectors (cosine-similar by construction ⇒ same hyperplane
     * bucket), so an uncapped join degenerates toward O(n²) on exactly
-    * the corpora near-dup detection targets — and all-zero vectors
-    * all land in one bucket whose pairs are then discarded as
-    * null-cosine. Dropped-bucket mass is observable through
+    * the corpora near-dup detection targets. All-zero vectors never
+    * reach the join: [[graft.operators.Similarity.embeddingsWithNorm]]
+    * excludes zero-norm rows at the source (cosine is undefined for
+    * them — the r12 vecdegen fix). Dropped-bucket mass is observable through
     * [[bandingSaturation]]'s sibling discipline (recall, not
     * precision, is what the cap trades). */
   def embeddingNearDup(spark: SparkSession, dir: String,
       threshold: Double = 0.95, maxBucket: Int = 200): DataFrame = {
     val all = embWithBuckets(spark, dir)
-    // bucket sizes memoized: the 16-plane bucket projection is the
-    // expensive part of this frame, and computing it a THIRD time just
-    // to find over-cap buckets (the join sides already pay it twice)
-    // measurably dented the serve — the tiny (bucket, count) table is
-    // a once-per-dataset artifact
-    val big = Memo.table(spark, dir, "emb_bucket_sizes16") {
-      all.groupBy("bucket").agg(count(lit(1)).as("bs"))
-    }.filter(col("bs") > maxBucket).select("bucket")
+    val big = embBucketSizes(spark, dir)
+      .filter(col("bs") > maxBucket).select("bucket")
     val emb = all.join(broadcast(big), Seq("bucket"), "left_anti")
     emb.as("a").join(emb.as("b"), "bucket")
       .filter(col("a.vec_id") < col("b.vec_id"))
@@ -610,6 +605,20 @@ object Dedup {
       .filter(col("cos") >= threshold)
       .orderBy("vec_a", "vec_b")
   }
+
+  /** The ONE (bucket, bs) size table both [[embeddingNearDup]]'s skew
+    * cap and [[embeddingBucketSaturation]]'s alarm read — memoized
+    * because the 16-plane bucket projection is the expensive part of
+    * the frame (the join sides already pay it twice; a third pass just
+    * to count buckets measurably dented the serve), and shared so the
+    * two consumers can never drift apart: the memo key would otherwise
+    * serve whichever side's aggregation ran first. Content is
+    * threshold-independent (sizes only). */
+  private def embBucketSizes(spark: SparkSession, dir: String): DataFrame =
+    Memo.table(spark, dir, "emb_bucket_sizes16") {
+      embWithBuckets(spark, dir)
+        .groupBy("bucket").agg(count(lit(1)).as("bs"))
+    }
 
   /** Deterministic face of the embedding-LSH path: per-vector bucket id
     * (what the driver's rows-only check sees; pair content depends on
@@ -630,17 +639,15 @@ object Dedup {
     * near 1.0 says the detector is blind (add planes or raise the cap),
     * near 0.0 says the cap trims only true hot spots. One aggregation
     * over the (bucket, count) table, one output row — cheap enough to
-    * run next to every bucketed near-dup at any scale. */
+    * run next to every bucketed near-dup at any scale. Only the
+    * default `maxBucket` (200, [[embeddingNearDup]]'s cap) is
+    * oracle-pinned; other values ride the same size table but are
+    * covered by spec only. */
   def embeddingBucketSaturation(spark: SparkSession, dir: String,
       maxBucket: Int = 200): DataFrame =
-    // reads the SAME memoized (bucket, bs) table the near-dup's skew
-    // cap builds (threshold-independent content) — the alarm is an
-    // aggregate over a tiny cached parquet, never a third projection
-    // pass over the corpus
-    Memo.table(spark, dir, "emb_bucket_sizes16") {
-      embWithBuckets(spark, dir)
-        .groupBy("bucket").agg(count(lit(1)).as("bs"))
-    }
+    // an aggregate over the shared memoized (bucket, bs) size table —
+    // never a third projection pass over the corpus
+    embBucketSizes(spark, dir)
       .agg(sum(col("bs")).as("n_vecs"),
         count(lit(1)).as("n_buckets"),
         sum(when(col("bs") > maxBucket, 1L).otherwise(0L)).as("n_capped"),

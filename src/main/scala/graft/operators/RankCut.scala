@@ -1,0 +1,100 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** The ONE "top-k per group by (score DESC, id ASC)" cut, window-free
+  * at corpus scale — shared by [[TextAnalysis.qualityQuantileFilter]]
+  * (keep the top keep-fraction per language) and
+  * [[Similarity.densityPrune]] (drop the top frac densest per
+  * cluster), so the two can never re-diverge into the per-group
+  * `row_number` shape this exists to kill.
+  *
+  * Why not a window: scores here are 6dp-rounded derived ratios, so a
+  * degenerate corpus (boilerplate docs, one mega-cluster of duplicate
+  * embeddings — exactly what the saturation alarms flag) collapses a
+  * whole group onto ONE score, and a per-group rank window becomes a
+  * corpus-sized single task. A bottom-k heap is no better: the rank
+  * bound k is data-dependent (a fraction of the group), so the heap
+  * state itself is corpus-sized on that corpus.
+  *
+  * Shape instead (the [[Sampling.docPack]]/[[Sampling.stratifiedSplit]]
+  * histogram-offset discipline):
+  *   1. aggregate to (group, score) counts — bounded by groups ×
+  *      distinct rounded scores (the 6dp rounding caps cardinality);
+  *   2. one window over THAT table finds each group's threshold score
+  *      and its tie quota for k = `kOf(group size)`;
+  *   3. rows strictly above/below the threshold get their flag from a
+  *      broadcast-joined comparison — no window;
+  *   4. only threshold-TIED rows are ranked, inside (group,
+  *      `id >> bucketShift`) windows — ids are unique longs, so a
+  *      bucket holds ≤2^shift rows by construction, whatever the skew.
+  *      A (group, bucket) histogram cumsum converts bucket-local ranks
+  *      to group ranks; whole buckets inside/outside the quota skip
+  *      ranking entirely, so at most ONE bucket per group is ranked.
+  * Like docPack: ids need not be dense, only monotone — raise
+  * `bucketShift` if ids are sparse enough that the tie histogram
+  * (≤ groups × max_id/2^shift rows over the TIE GROUP only) gets big.
+  *
+  * Returns `df`'s columns plus boolean `flagName` = "this row is in
+  * its group's top k by (score DESC, id ASC)". Null-safe on the group
+  * key (a null group is its own group, as in the window form and the
+  * oracles' PARTITION BY); null scores sort last and are never in the
+  * top, matching the `row_number` form's DESC NULLS LAST on both
+  * engines. `kOf` maps a group's row count to its rank bound and must
+  * yield an integral type ≥ 1 for non-empty groups.
+  */
+object RankCut {
+  def topFlag(df: DataFrame, grpCol: String, scoreCol: String,
+      idCol: String, kOf: Column => Column, flagName: String,
+      bucketShift: Int = 8): DataFrame = {
+    val grp = col(grpCol); val score = col(scoreCol); val id = col(idCol)
+    val wCum = Window.partitionBy(grpCol).orderBy(score.desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val thr = df.groupBy(grpCol, scoreCol).agg(count(lit(1)).as("cnt"))
+      .withColumn("cum", sum(col("cnt")).over(wCum))
+      .withColumn("n", sum(col("cnt")).over(Window.partitionBy(grpCol)))
+      .withColumn("k", kOf(col("n")))
+      .filter(col("cum") >= col("k") && (col("cum") - col("cnt")) < col("k"))
+      .select(grp.as("thr_grp"), score.as("thr_score"),
+        (col("k") - (col("cum") - col("cnt"))).as("quota"))
+    // left join: a group whose k lands on no (grp, score) row (k = 0)
+    // has no threshold — all its rows flag false through the catch-all
+    val joined = df.join(broadcast(thr), grp <=> col("thr_grp"), "left")
+      .drop("thr_grp")
+    val above = joined.filter(score > col("thr_score"))
+      .withColumn(flagName, lit(true))
+    // catch-all complement of above∪tied (null-proof: a null score is
+    // neither > nor === any threshold, and must not vanish from the
+    // output — it is simply never in the top)
+    val below = joined.filter(
+        coalesce(score > col("thr_score"), lit(false)) === false &&
+        coalesce(score === col("thr_score"), lit(false)) === false)
+      .withColumn(flagName, lit(false))
+    val tied = joined.filter(score === col("thr_score"))
+      .withColumn("db", shiftright(id, bucketShift))
+    val wHist = Window.partitionBy(grpCol).orderBy("db")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val off = tied.groupBy(grpCol, "db").agg(count(lit(1)).as("bcnt"))
+      .withColumn("before", coalesce(sum("bcnt").over(wHist), lit(0L)))
+      .select(grp.as("o_grp"), col("db").as("o_db"),
+        col("before"), col("bcnt"))
+    val placed = tied.join(broadcast(off),
+      grp <=> col("o_grp") && col("db") === col("o_db"))
+    val wholeIn = placed.filter(col("before") + col("bcnt") <= col("quota"))
+      .withColumn(flagName, lit(true))
+    val wholeOut = placed.filter(col("before") >= col("quota"))
+      .withColumn(flagName, lit(false))
+    val wBucket = Window.partitionBy(grpCol, "db").orderBy(idCol)
+    val boundary = placed
+      .filter(col("before") < col("quota") &&
+        col("before") + col("bcnt") > col("quota"))
+      .withColumn("trk", row_number().over(wBucket))
+      .withColumn(flagName, col("trk") <= col("quota") - col("before"))
+    val out = df.columns.map(col) :+ col(flagName)
+    Seq(above, below, wholeIn, wholeOut, boundary)
+      .map(_.select(out.toIndexedSeq: _*))
+      .reduce(_.unionAll(_))
+  }
+}

@@ -352,20 +352,25 @@ object Similarity {
     * redundant examples, the ones semantic dedup's pairwise threshold
     * missed but that still crowd the cluster core — and keep the rest.
     * Rank is (density DESC, vec_id), cut at ceil(frac·|cluster|), both
-    * deterministic on the bit-identical rounded density. The windows
-    * partition by c_id (C ~ √n groups at production geometry, bounded
-    * skew = bounded cluster size), over n density rows — NOT the n·k
-    * edge table and NOT the vectors: the heavy scoring stays in the
-    * memoized graph build. */
+    * deterministic on the bit-identical rounded density. The cut runs
+    * over the n density rows — NOT the n·k edge table and NOT the
+    * vectors: the heavy scoring stays in the memoized graph build.
+    *
+    * The rank is [[RankCut.topFlag]], never a per-c_id window: until
+    * r13 this windowed by c_id under a documented bounded-skew
+    * assumption (C ~ √n, balanced clusters), but a degenerate corpus
+    * that collapses into one coarse cell — all-near-identical vectors,
+    * exactly what `embedding_bucket_saturation` alarms on — makes that
+    * one window partition corpus-sized (and the densities all TIE at
+    * one 6dp value, so the tie group is the cell). The histogram form
+    * needs no skew assumption at all; the skewdegen gate (50% exact-
+    * duplicate vectors = one mega-cell) pins it. */
   def densityPrune(spark: SparkSession, dir: String, frac: Double = 0.25,
       k: Int = 3, nprobe: Int = 4, iters: Int = 2): DataFrame = {
     val d = knnDensity(spark, dir, k, nprobe, iters)
-    val byCluster = Window.partitionBy("c_id")
-    d.withColumn("drk",
-        row_number().over(byCluster.orderBy(col("density").desc,
-          col("vec_id"))))
-      .withColumn("csz", count(lit(1)).over(byCluster))
-      .filter(col("drk") > ceil(col("csz") * lit(frac)))
+    RankCut.topFlag(d, "c_id", "density", "vec_id",
+        n => ceil(n * lit(frac)), "pruned")
+      .filter(!col("pruned"))
       .select(col("vec_id"), col("c_id"), col("density"))
       .orderBy("vec_id")
   }

@@ -415,12 +415,17 @@ object TextAnalysis {
     * langs × distinct rounded scores, (2) finds each language's
     * threshold score and its tie quota with a window over THAT tiny
     * table, (3) keeps `score > thr` with a narrow broadcast-joined
-    * filter, and (4) ranks ONLY the tie group (docs exactly at the
-    * threshold) in a bounded window. Exactly the kept set the full
-    * window would produce (the oracle computes it that way), at
-    * O(docs) narrow work + windows over aggregate-sized inputs. */
+    * filter, and (4) cuts the tie group (docs exactly at the
+    * threshold) in hard-bounded (lang, id-bucket) windows. Exactly the
+    * kept set the full window would produce (the oracle computes it
+    * that way), at O(docs) narrow work + windows over aggregate-sized
+    * inputs. Steps 2–4 are [[RankCut.topFlag]] — see there for why the
+    * tie cut must be histogram-shaped (a boilerplate corpus collapses
+    * every doc onto ONE 6dp score, so the tie group IS the language
+    * and both a per-lang rank window and a quota-sized bottom-k heap
+    * are corpus-sized). */
   def qualityQuantileFilter(spark: SparkSession, dir: String,
-      keep: Double = 0.5): DataFrame = {
+      keep: Double = 0.5, tieBucketShift: Int = 8): DataFrame = {
     // memoized: the (doc_id, lang, score) table feeds three plan
     // branches (threshold aggregate, above-threshold filter, tie
     // ranking) — uncached, each branch would re-tokenize the corpus;
@@ -433,28 +438,12 @@ object TextAnalysis {
             round(col("q.punct_ratio"), 6) -
             round(col("q.digit_ratio"), 6), 6).as("score"))
     }
-    val wCum = Window.partitionBy("lang").orderBy(col("score").desc)
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val thr = q.groupBy("lang", "score").agg(count(lit(1)).as("cnt"))
-      .withColumn("cum", sum(col("cnt")).over(wCum))
-      .withColumn("n", sum(col("cnt")).over(Window.partitionBy("lang")))
-      .withColumn("k", floor(lit(1.0) + lit(keep) * (col("n") - 1)))
-      .filter(col("cum") >= col("k") && (col("cum") - col("cnt")) < col("k"))
-      .select(col("lang").as("thr_lang"), col("score").as("thr"),
-        (col("k") - (col("cum") - col("cnt"))).as("quota"))
-    // null-safe on lang: a null-lang stratum is its own group in the
-    // threshold windows (and the oracle's PARTITION BY) — a plain
-    // equi-join would silently drop its docs from the kept set
-    val joined = q.join(broadcast(thr), col("lang") <=> col("thr_lang"))
-      .drop("thr_lang")
-    val above = joined.filter(col("score") > col("thr"))
+    RankCut.topFlag(q, "lang", "score", "doc_id",
+        n => floor(lit(1.0) + lit(keep) * (n - 1)), "kept",
+        tieBucketShift)
+      .filter(col("kept"))
       .select("lang", "doc_id", "score")
-    val wTie = Window.partitionBy("lang").orderBy("doc_id")
-    val ties = joined.filter(col("score") === col("thr"))
-      .withColumn("trk", row_number().over(wTie))
-      .filter(col("trk") <= col("quota"))
-      .select("lang", "doc_id", "score")
-    above.union(ties).orderBy("lang", "doc_id")
+      .orderBy("lang", "doc_id")
   }
 
   /** Token counts: whitespace tokens, distinct tokens, BPE-ish subword

@@ -121,6 +121,24 @@ class PlanSpec extends AnyFunSuite {
       s"prune re-scored the corpus:\n$pp")
   }
 
+  test("density_prune tie-ranks in bounded (c_id, bucket) windows, never " +
+      "a per-cluster window over raw density rows") {
+    val p = planOf("density_prune")
+    // a window partitioned by c_id alone that ORDERS BY (density,
+    // vec_id) is the raw-row rank — corpus-sized when all vectors
+    // collapse into one coarse cell (the skewdegen corpus). The
+    // histogram cumsum also partitions by c_id but orders by density
+    // alone over the (c_id, density) aggregate, so the vec_id
+    // tie-breaker is the distinguishing mark
+    val badRank = """windowspecdefinition\(c_id#\d+L?, density#\d+ DESC[^)]*, vec_id#\d+""".r
+    assert(badRank.findFirstIn(p).isEmpty,
+      s"raw-row rank window partitions by c_id alone:\n$p")
+    val bucketed = """windowspecdefinition\(c_id#\d+L?, db#\d+L?, vec_id#\d+""".r
+    assert(bucketed.findFirstIn(p).nonEmpty,
+      s"bucketed tie-rank window missing:\n$p")
+    assert(p.contains("BroadcastHashJoin"), p)
+  }
+
   test("bloom pruning filters the fact side BELOW the join") {
     val p = planOf("bloom_join_prune")
     val filterIdx = p.indexOf("bloom_might_contain")
@@ -176,6 +194,24 @@ class PlanSpec extends AnyFunSuite {
     assert(bucketed.findFirstIn(p).nonEmpty,
       s"bucketed prefix-sum window missing:\n$p")
     // the offset table reaches the corpus side as a broadcast
+    assert(p.contains("BroadcastHashJoin"), p)
+  }
+
+  test("quality_quantile_filter tie-ranks in bounded (lang, bucket) windows, " +
+      "never a per-language window over threshold-tied docs") {
+    val p = planOf("quality_quantile_filter")
+    // quality scores are 6dp-rounded ratios: a boilerplate corpus
+    // collapses every doc onto ONE score, making the tie group a whole
+    // language — a window whose spec is (lang) alone ordering by doc_id
+    // is that corpus-sized single task
+    val badRank = """windowspecdefinition\(lang#\d+, doc_id#\d+""".r
+    assert(badRank.findFirstIn(p).isEmpty,
+      s"tie rank window partitions by lang alone:\n$p")
+    val bucketed = """windowspecdefinition\(lang#\d+, db#\d+L?, doc_id#\d+""".r
+    assert(bucketed.findFirstIn(p).nonEmpty,
+      s"bucketed tie-rank window missing:\n$p")
+    // threshold and bucket-offset tables reach the corpus side as
+    // broadcasts, not shuffle joins
     assert(p.contains("BroadcastHashJoin"), p)
   }
 

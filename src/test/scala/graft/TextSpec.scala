@@ -611,6 +611,27 @@ class TextSpec extends AnyFunSuite {
     }
   }
 
+  test("quantile filter on a one-score boilerplate corpus: tie cut spans " +
+      "buckets and keeps exactly the first quota ids") {
+    import spark.implicits._
+    val TA = graft.operators.TextAnalysis
+    // every doc identical: ONE rounded score per lang, the tie group IS
+    // the corpus — the exact shape the histogram-offset cut exists for.
+    // 600 ids with shift=8 → buckets {0,1,2}; keep=0.5 → quota 300:
+    // bucket 0 whole-kept (256), bucket 1 is the boundary (ranks
+    // 257..300), bucket 2 whole-dropped
+    val docs = (0L until 600L).map(i => (i, "the quick brown fox", "en", "s"))
+    val dir = java.nio.file.Files.createTempDirectory("boiler").toString
+    docs.toDF("doc_id", "text", "lang", "source")
+      .withColumn("n_chars", length(col("text")).cast("long"))
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val kept = TA.qualityQuantileFilter(spark, dir, 0.5).collect()
+      .map(_.getLong(1)).sorted
+    val k = math.floor(1.0 + 0.5 * 599).toLong
+    assert(kept.length === k.toInt)
+    assert(kept.toSeq === (0L until k))
+  }
+
   test("bm25Batch: the batch member with the standing terms equals the single-query ranking") {
     val single = graft.operators.Retrieval.bm25FromIndex(spark, TestSpark.sf)
       .collect().map(r => (r.getAs[Long]("doc_id"), r.getAs[Double]("score")))

@@ -55,6 +55,18 @@ Shapes (GRAFT_DEGEN_MODE env, default "null"):
           and a mega-user absorbing a third of all events (window-
           partition skew). The fixture's stream is clean, unique-
           timestamped and uniform; a real clickstream is none of those.
+  skewdegen — adversarial DISTRIBUTION (values stay clean; the shape
+          doesn't): 50% of docs collapse onto ONE near-identical
+          boilerplate text (one minhash/simhash cluster, one quality
+          score per lang — the tie group IS the corpus), one token
+          ('hottoken') rides >50% of all docs (a posting list that
+          dwarfs every other), one source absorbs 90% of docs (and so
+          ~90% of tokens), and 50% of embeddings are EXACT duplicates
+          of vector 2 (one IVF cell, one hyperplane bucket, corpus-wide
+          cosine ties). Every other gate perturbs values; this one
+          machine-tests the bounded-skew assumptions — densityPrune's
+          per-cell window, the saturation alarms' trip thresholds,
+          histogram-offset tie cuts, capped bucket joins — at once.
   vecdegen — adversarial embeddings: ~2% all-zero vectors (plus query
           id 5, so the QUERY side of every serve is degenerate too),
           ~2% exact duplicates of vector 2 (a mega-tie cluster through
@@ -74,8 +86,18 @@ import shutil, subprocess, sys, os
 import duckdb
 
 MODE = os.environ.get("GRAFT_DEGEN_MODE", "null")
+# Seeded fuzzing: GRAFT_DEGEN_SEED=N rotates every perturbation
+# selector (which rows go null / get the hot token / become the
+# mega-key) while keeping each perturbation's RATE — N seeds of each
+# mode sweep different row subsets through the same contracts at zero
+# new tooling cost. Seed 0 is byte-identical to the pre-seed gates.
+SEED = int(os.environ.get("GRAFT_DEGEN_SEED", "0"))
+
+def res(m, r):
+    return (r + SEED) % m
 SRC = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001"
-WORK = sys.argv[2] if len(sys.argv) > 2 else f"/tmp/sf{MODE}_gate"
+WORK = (sys.argv[2] if len(sys.argv) > 2 else
+        f"/tmp/sf{MODE}_gate" + (f"_s{SEED}" if SEED else ""))
 ONLY = sys.argv[3] if len(sys.argv) > 3 else None
 
 os.makedirs(WORK, exist_ok=True)
@@ -86,15 +108,15 @@ for t in ["region", "nation", "customer", "supplier", "part", "orders",
 if MODE == "null":
     docs_sql = f"""
       SELECT doc_id,
-             CASE WHEN doc_id % 97 = 3 THEN NULL ELSE text END AS text,
-             CASE WHEN doc_id % 89 = 5 THEN NULL ELSE lang END AS lang,
-             CASE WHEN doc_id % 89 = 5 OR doc_id % 83 = 7 THEN NULL
+             CASE WHEN doc_id % 97 = {res(97, 3)} THEN NULL ELSE text END AS text,
+             CASE WHEN doc_id % 89 = {res(89, 5)} THEN NULL ELSE lang END AS lang,
+             CASE WHEN doc_id % 89 = {res(89, 5)} OR doc_id % 83 = {res(83, 7)} THEN NULL
                   ELSE source END AS source,
              n_chars
       FROM '{SRC}/documents.parquet'"""
 elif MODE == "shift":
     docs_sql = f"""
-      SELECT doc_id + 1000000 AS doc_id, text, lang, source, n_chars
+      SELECT doc_id + {1000000 + 1000 * SEED} AS doc_id, text, lang, source, n_chars
       FROM '{SRC}/documents.parquet'"""
 elif MODE == "unicode":
     ZWSP, ZWJ, ACUTE = "​", "‍", "́"
@@ -113,7 +135,7 @@ elif MODE == "unicode":
         12: "'👍🏽 👩🏿‍🔬 flags 🇩🇪🇫🇷 ' || text",
     }
     cases = "\n".join(
-        f"WHEN doc_id % 13 = {k} THEN {v}" for k, v in shapes.items())
+        f"WHEN doc_id % 13 = {res(13, k)} THEN {v}" for k, v in shapes.items())
     docs_sql = f"""
       SELECT doc_id, text,
              lang, source, length(text) AS n_chars
@@ -124,11 +146,11 @@ elif MODE == "hugedoc":
     docs_sql = f"""
       SELECT doc_id, text, lang, source, length(text) AS n_chars
       FROM (SELECT doc_id,
-                   CASE WHEN doc_id % 211 = 3 THEN repeat(text || ' ', 300)
-                        WHEN doc_id % 223 = 5 THEN repeat('a', 50000)
-                        WHEN doc_id % 229 = 9 THEN
+                   CASE WHEN doc_id % 211 = {res(211, 3)} THEN repeat(text || ' ', 300)
+                        WHEN doc_id % 223 = {res(223, 5)} THEN repeat('a', 50000)
+                        WHEN doc_id % 229 = {res(229, 9)} THEN
                           rtrim(repeat('boilerplate ', 20000))
-                        WHEN doc_id % 227 = 7 THEN 'x'
+                        WHEN doc_id % 227 = {res(227, 7)} THEN 'x'
                         ELSE text END AS text,
                    lang, source
             FROM '{SRC}/documents.parquet')"""
@@ -143,43 +165,43 @@ elif MODE == "chaos":
         10: "'\U00010400\U00010401\U00010402 \U00010428\U00010429 DESERET ' || text",
     }
     cases = "\n".join(
-        f"WHEN doc_id % 13 = {k} THEN {v}" for k, v in shapes.items())
+        f"WHEN doc_id % 13 = {res(13, k)} THEN {v}" for k, v in shapes.items())
     docs_sql = f"""
-      SELECT doc_id + 1000000 AS doc_id,
-             CASE WHEN doc_id % 97 = 3 THEN NULL ELSE text END AS text,
-             CASE WHEN doc_id % 89 = 5 THEN NULL ELSE lang END AS lang,
-             CASE WHEN doc_id % 89 = 5 OR doc_id % 83 = 7 THEN NULL
+      SELECT doc_id + {1000000 + 1000 * SEED} AS doc_id,
+             CASE WHEN doc_id % 97 = {res(97, 3)} THEN NULL ELSE text END AS text,
+             CASE WHEN doc_id % 89 = {res(89, 5)} THEN NULL ELSE lang END AS lang,
+             CASE WHEN doc_id % 89 = {res(89, 5)} OR doc_id % 83 = {res(83, 7)} THEN NULL
                   ELSE source END AS source,
-             length(CASE WHEN doc_id % 97 = 3 THEN NULL ELSE text END)
+             length(CASE WHEN doc_id % 97 = {res(97, 3)} THEN NULL ELSE text END)
                AS n_chars
       FROM (SELECT doc_id, CASE {cases} ELSE text END AS text,
                    lang, source
             FROM '{SRC}/documents.parquet')"""
     duckdb.sql(f"""COPY (
       SELECT event_id,
-             CASE WHEN event_id % 97 = 3 THEN NULL
-                  WHEN event_id % 7 = 1 THEN date_trunc('hour', ts)
-                  WHEN event_id % 11 = 2
+             CASE WHEN event_id % 97 = {res(97, 3)} THEN NULL
+                  WHEN event_id % 7 = {res(7, 1)} THEN date_trunc('hour', ts)
+                  WHEN event_id % 11 = {res(11, 2)}
                     THEN TIMESTAMP '2024-01-15 12:00:00'
                   ELSE ts END AS ts,
-             CASE WHEN event_id % 89 = 5 THEN NULL
-                  WHEN event_id % 3 = 0 THEN 7
+             CASE WHEN event_id % 89 = {res(89, 5)} THEN NULL
+                  WHEN event_id % 3 = {res(3, 0)} THEN 7
                   ELSE user_id END AS user_id,
-             CASE WHEN event_id % 83 = 7 THEN NULL
+             CASE WHEN event_id % 83 = {res(83, 7)} THEN NULL
                   ELSE event_type END AS event_type,
-             CASE WHEN event_id % 79 = 9 THEN NULL ELSE value END AS value,
-             CASE WHEN event_id % 73 = 11 THEN NULL ELSE props END AS props
+             CASE WHEN event_id % 79 = {res(79, 9)} THEN NULL ELSE value END AS value,
+             CASE WHEN event_id % 73 = {res(73, 11)} THEN NULL ELSE props END AS props
       FROM '{SRC}/events.parquet')
       TO '{WORK}/events.parquet' (FORMAT PARQUET)""")
     duckdb.sql(f"""COPY (
       SELECT o_orderkey,
-             CASE WHEN o_orderkey % 89 = 5 THEN NULL
-                  WHEN o_orderkey % 3 = 0 THEN 42
+             CASE WHEN o_orderkey % 89 = {res(89, 5)} THEN NULL
+                  WHEN o_orderkey % 3 = {res(3, 0)} THEN 42
                   ELSE o_custkey END AS o_custkey,
              o_orderstatus,
-             CASE WHEN o_orderkey % 79 = 9 THEN NULL
+             CASE WHEN o_orderkey % 79 = {res(79, 9)} THEN NULL
                   ELSE o_totalprice END AS o_totalprice,
-             CASE WHEN o_orderkey % 97 = 3 THEN NULL
+             CASE WHEN o_orderkey % 97 = {res(97, 3)} THEN NULL
                   ELSE o_orderdate END AS o_orderdate,
              o_orderpriority
       FROM '{SRC}/orders.parquet')
@@ -187,12 +209,12 @@ elif MODE == "chaos":
     duckdb.sql(f"""COPY (
       SELECT vec_id,
              CASE
-               WHEN vec_id % 53 = 11 OR vec_id = 5
+               WHEN vec_id % 53 = {res(53, 11)} OR vec_id = 5
                  THEN list_transform(embedding, x -> CAST(0.0 AS FLOAT))
-               WHEN vec_id % 47 = 13
+               WHEN vec_id % 47 = {res(47, 13)}
                  THEN (SELECT embedding FROM '{SRC}/embeddings.parquet'
                        WHERE vec_id = 2)
-               WHEN vec_id % 59 = 17
+               WHEN vec_id % 59 = {res(59, 17)}
                  THEN list_transform(embedding, x -> CAST(x * 1e18 AS FLOAT))
                ELSE embedding END AS embedding,
              label
@@ -202,13 +224,13 @@ elif MODE == "reldegen":
     docs_sql = f"SELECT * FROM '{SRC}/documents.parquet'"
     orders_sql = f"""
       SELECT o_orderkey,
-             CASE WHEN o_orderkey % 89 = 5 THEN NULL
-                  WHEN o_orderkey % 3 = 0 THEN 42
+             CASE WHEN o_orderkey % 89 = {res(89, 5)} THEN NULL
+                  WHEN o_orderkey % 3 = {res(3, 0)} THEN 42
                   ELSE o_custkey END AS o_custkey,
              o_orderstatus,
-             CASE WHEN o_orderkey % 79 = 9 THEN NULL
+             CASE WHEN o_orderkey % 79 = {res(79, 9)} THEN NULL
                   ELSE o_totalprice END AS o_totalprice,
-             CASE WHEN o_orderkey % 97 = 3 THEN NULL
+             CASE WHEN o_orderkey % 97 = {res(97, 3)} THEN NULL
                   ELSE o_orderdate END AS o_orderdate,
              o_orderpriority
       FROM '{SRC}/orders.parquet'"""
@@ -218,32 +240,56 @@ elif MODE == "eventdegen":
     docs_sql = f"SELECT * FROM '{SRC}/documents.parquet'"
     events_sql = f"""
       SELECT event_id,
-             CASE WHEN event_id % 97 = 3 THEN NULL
-                  WHEN event_id % 7 = 1 THEN date_trunc('hour', ts)
-                  WHEN event_id % 11 = 2
+             CASE WHEN event_id % 97 = {res(97, 3)} THEN NULL
+                  WHEN event_id % 7 = {res(7, 1)} THEN date_trunc('hour', ts)
+                  WHEN event_id % 11 = {res(11, 2)}
                     THEN TIMESTAMP '2024-01-15 12:00:00'
                   ELSE ts END AS ts,
-             CASE WHEN event_id % 89 = 5 THEN NULL
-                  WHEN event_id % 3 = 0 THEN 7
+             CASE WHEN event_id % 89 = {res(89, 5)} THEN NULL
+                  WHEN event_id % 3 = {res(3, 0)} THEN 7
                   ELSE user_id END AS user_id,
-             CASE WHEN event_id % 83 = 7 THEN NULL
+             CASE WHEN event_id % 83 = {res(83, 7)} THEN NULL
                   ELSE event_type END AS event_type,
-             CASE WHEN event_id % 79 = 9 THEN NULL ELSE value END AS value,
-             CASE WHEN event_id % 73 = 11 THEN NULL ELSE props END AS props
+             CASE WHEN event_id % 79 = {res(79, 9)} THEN NULL ELSE value END AS value,
+             CASE WHEN event_id % 73 = {res(73, 11)} THEN NULL ELSE props END AS props
       FROM '{SRC}/events.parquet'"""
     duckdb.sql(
         f"COPY ({events_sql}) TO '{WORK}/events.parquet' (FORMAT PARQUET)")
+elif MODE == "skewdegen":
+    docs_sql = f"""
+      SELECT doc_id, text, lang, source, length(text) AS n_chars
+      FROM (SELECT doc_id,
+                   CASE WHEN doc_id % 2 = {res(2, 0)} THEN
+                          'boilerplate header hottoken the quick brown '
+                          || 'fox jumps over the lazy dog variant '
+                          || CAST(doc_id % 5 AS VARCHAR)
+                        WHEN doc_id % 10 = {res(10, 1)} THEN text || ' hottoken'
+                        ELSE text END AS text,
+                   lang,
+                   CASE WHEN doc_id % 10 = {res(10, 7)} THEN source
+                        ELSE 'megasrc' END AS source
+            FROM '{SRC}/documents.parquet')"""
+    emb_sql = f"""
+      SELECT vec_id,
+             CASE WHEN vec_id % 2 = {res(2, 0)}
+               THEN (SELECT embedding FROM '{SRC}/embeddings.parquet'
+                     WHERE vec_id = 2)
+               ELSE embedding END AS embedding,
+             label
+      FROM '{SRC}/embeddings.parquet'"""
+    duckdb.sql(
+        f"COPY ({emb_sql}) TO '{WORK}/embeddings.parquet' (FORMAT PARQUET)")
 elif MODE == "vecdegen":
     docs_sql = f"SELECT * FROM '{SRC}/documents.parquet'"
     emb_sql = f"""
       SELECT vec_id,
              CASE
-               WHEN vec_id % 53 = 11 OR vec_id = 5
+               WHEN vec_id % 53 = {res(53, 11)} OR vec_id = 5
                  THEN list_transform(embedding, x -> CAST(0.0 AS FLOAT))
-               WHEN vec_id % 47 = 13
+               WHEN vec_id % 47 = {res(47, 13)}
                  THEN (SELECT embedding FROM '{SRC}/embeddings.parquet'
                        WHERE vec_id = 2)
-               WHEN vec_id % 59 = 17
+               WHEN vec_id % 59 = {res(59, 17)}
                  THEN list_transform(embedding, x -> CAST(x * 1e18 AS FLOAT))
                ELSE embedding END AS embedding,
              label
