@@ -104,6 +104,7 @@ object SparkEntry {
     "sim_topk_ivfpq"     -> ((s: SparkSession, d: String) => Quantize.pqIvfTopK(s, d)),
     "sim_topk_ivfpq_rerank" -> ((s: SparkSession, d: String) => Quantize.pqIvfTopKRerank(s, d)),
     "sim_topk_ivfpq_res" -> ((s: SparkSession, d: String) => Quantize.pqIvfResidualTopK(s, d)),
+    "sim_topk_opq"       -> ((s: SparkSession, d: String) => Quantize.opqTopK(s, d)),
     "sim_topk_int8"      -> ((s: SparkSession, d: String) => Quantize.int8TopK(s, d)),
     "sim_topk_int8_ivf"  -> ((s: SparkSession, d: String) => Quantize.int8IvfTopK(s, d)),
     "sim_topk_int8_rerank" -> ((s: SparkSession, d: String) => Quantize.int8TopKRerank(s, d)),
@@ -885,6 +886,62 @@ object SparkEntry {
            JOIN pqemb qn ON a.q_id = qn.vec_id)"""
 
   private val dPqAdcCtes: String = dPqAdcCtesFor("TRUE")
+
+  /** OPQ (structured rotation) ADC chain: the Walsh–Hadamard rotation
+    * H/√d replayed from bit_count signs (±1·x products exact, the
+    * 64-addend fold sequential through `list_dot_product` exactly like
+    * the engine's codegen'd dot, /8 an exact power-of-two scale — the
+    * rotated vectors are BIT-identical cross-engine), then the
+    * standard PQ train/encode/ADC chain over the rotated frame. Norms
+    * recomputed in rotated space, one definition on both engines. */
+  private val dOpqAdcCtes: String = {
+    val m = graft.operators.Quantize.M
+    val sd = graft.operators.Quantize.SubDim
+    val d = graft.operators.Quantize.Dim
+    s"""opqsrc AS (
+           SELECT * FROM (
+             SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+                    sqrt(list_dot_product(CAST(embedding AS DOUBLE[]),
+                      CAST(embedding AS DOUBLE[]))) AS nrm
+             FROM embeddings)
+           WHERE nrm > 0),
+         had AS (
+           SELECT j, list(CAST(CASE WHEN bit_count(j & k) % 2 = 0
+                    THEN 1.0 ELSE -1.0 END AS DOUBLE) ORDER BY k) AS h
+           FROM range(0, $d) t(j), range(0, $d) u(k) GROUP BY j),
+         opqemb AS (
+           SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm FROM (
+             SELECT vec_id, list(rv ORDER BY j) AS v FROM (
+               SELECT s.vec_id, h.j,
+                      list_dot_product(h.h, s.v) / ${math.sqrt(d.toDouble)} AS rv
+               FROM opqsrc s CROSS JOIN had h)
+             GROUP BY vec_id)),
+         opqsubs AS (
+           SELECT vec_id, sub, v[sub * $sd + 1 : sub * $sd + $sd] AS sv
+           FROM opqemb, range(0, $m) s(sub)),
+         ${dPqTrainCtes("opq")},
+         opqq AS (SELECT vec_id AS q_id, sub, sv AS qsv
+                  FROM opqsubs WHERE vec_id < 8),
+         opqlut AS (
+           SELECT q.q_id, c.sub, c.c_id AS code,
+                  round(list_dot_product(q.qsv, c.cv), 10) AS ip
+           FROM opqq q JOIN opqcb2 c USING (sub)),
+         opqadc AS (
+           SELECT l.q_id, cd.vec_id,
+                  CAST(sum(CAST(l.ip AS DECIMAL(38,18))) AS DOUBLE) AS ips
+           FROM opqcodes cd
+           JOIN opqlut l ON cd.sub = l.sub AND cd.code = l.code
+           WHERE cd.vec_id <> l.q_id
+           GROUP BY 1, 2),
+         opqranked AS (
+           SELECT a.q_id, a.vec_id, a.ips / (qn.nrm * n.nrm) AS cos,
+                  CAST(row_number() OVER (PARTITION BY a.q_id
+                    ORDER BY a.ips / (qn.nrm * n.nrm) DESC, a.vec_id)
+                    AS BIGINT) AS rk
+           FROM opqadc a
+           JOIN opqemb n ON a.vec_id = n.vec_id
+           JOIN opqemb qn ON a.q_id = qn.vec_id)"""
+  }
 
   /** IVF+PQ (Jégou et al.'s IVFADC): the Lloyd coarse-quantizer chain
     * ([[dIvfAssignCtes]] — emb0/cent2/af) composed with the PQ lookup
@@ -3251,6 +3308,13 @@ object SparkEntry {
            FROM pqrr)
        SELECT q_id, rk, vec_id, round(cos, 6) AS cos
        FROM pqrr2 WHERE rk <= 10 ORDER BY q_id, rk""",
+    // OPQ: the Hadamard-rotated PQ serve — rotation replayed from
+    // bit_count signs (bit-identical rotated vectors on both engines),
+    // then the standard train/encode/ADC chain in the rotated space
+    "sim_topk_opq" ->
+      s"""WITH $dOpqAdcCtes
+       SELECT q_id, rk, vec_id, round(cos, 6) AS cos
+       FROM opqranked WHERE rk <= 10 ORDER BY q_id, rk""",
     // IVF+PQ (IVFADC): coarse-quantizer probe prunes the scan to nprobe
     // inverted lists, ADC sums run over only those lists' codes
     "sim_topk_ivfpq" ->

@@ -208,9 +208,14 @@ object Quantize {
     * memo, the maintained bucketed table, or any future churn serve
     * view ranks through this one kernel. */
   def pqTopKOver(index: DataFrame, spark: SparkSession, dir: String,
-      k: Int = 10, iters: Int = 2): DataFrame = {
-    val lut = lutOf(queriesOf(emb(spark, dir)),
-      trainCodebooks(spark, dir, iters))
+      k: Int = 10, iters: Int = 2): DataFrame =
+    adcServe(index,
+      lutOf(queriesOf(emb(spark, dir)), trainCodebooks(spark, dir, iters)), k)
+
+  /** THE ADC rank kernel: broadcast LUT join, decimal-exact M-addend
+    * sums, true-norm division, top-k tail — shared by the plain-PQ and
+    * OPQ serves (one arithmetic definition, as with [[lutOf]]). */
+  private def adcServe(index: DataFrame, lut: DataFrame, k: Int): DataFrame =
     topKTail(
       index.join(broadcast(lut), Seq("sub", "code"))
         .filter(col("vec_id") =!= col("q_id"))
@@ -219,7 +224,6 @@ object Quantize {
           first(col("nrm")).as("nrm"), first(col("q_nrm")).as("q_nrm"))
         .withColumn("cos",
           col("ips").cast("double") / (col("q_nrm") * col("nrm"))), k)
-  }
 
   /** The PACKED compressed index: ONE row per vector —
     * (vec_id, nrm, codes array ordered by subspace) — the layout PQ
@@ -641,6 +645,174 @@ object Quantize {
         (V.dot(col("q_cd"), col("cd"))
           / (col("q_scale") * col("scale"))
           / (col("q_nrm") * col("nrm"))).as("cos")), k)
+  }
+
+  // ------------------------------------------------------------- OPQ
+
+  /** The corpus dimensionality the PQ geometry fixes. */
+  val Dim: Int = M * SubDim
+
+  /** The OPQ rotation seam (Ge, He, Ke & Sun 2013, "Optimized Product
+    * Quantization", CVPR): PQ quantizes each SubDim-dim slice with an
+    * independent codebook, so energy concentrated in a few dims (or
+    * correlation straddling a slice boundary) wastes code budget;
+    * rotating the space before encoding balances the slices. Because
+    * the rotation is ORTHONORMAL, cos(R·q, R·x) = cos(q, x) — the
+    * serve semantics are unchanged and the existing codebook/ADC
+    * machinery runs verbatim over the rotated frame; the rotation is
+    * exactly "a literal matrix multiply before encode".
+    *
+    * [[hadamardMatrix]] is the structured instance: the Walsh–Hadamard
+    * rotation H/√d (±1 signs, d a power of two — checked). Zero
+    * training, and it spreads EVERY input dimension uniformly across
+    * all M subspaces — the variance-balancing objective OPQ's
+    * parametric solution targets, achieved by construction for
+    * energy-concentrated data (FAISS ships this very matrix as the
+    * no-training OPQ pre-transform). It is also the only rotation an
+    * SQL oracle can replay bit-exactly: ±1·x products are exact, the
+    * d-addend fold runs in index order through the same sequential
+    * kernel on both engines ([[graft.functions.VectorExpressions
+    * .DotProduct]] vs `list_dot_product`), and the final /√d = /8 is
+    * an exact power-of-two scale — so the FULL chain (rotate → train →
+    * encode → ADC) is oracle-gated. The learned rotation
+    * ([[opqLearnedRotation]]) is the drop-in upgrade where an SVD is
+    * available; it is spec-verified, not oracle-gated (no SQL engine
+    * replays an SVD). */
+  def hadamardMatrix(d: Int = Dim): Array[Array[Double]] = {
+    require(d > 0 && (d & (d - 1)) == 0,
+      s"Walsh–Hadamard rotation needs a power-of-two dim, got $d")
+    Array.tabulate(d, d)((j, k) =>
+      if (java.lang.Integer.bitCount(j & k) % 2 == 0) 1.0 else -1.0)
+  }
+
+  /** `R·v / √d` for a ±1 rotation matrix literal — one codegen'd dot
+    * per output dimension, the literal matrix riding the plan. */
+  private def rotateBy(h: Array[Array[Double]])(v: Column): Column = {
+    val d = h.length
+    val hLit = typedLit(h.map(_.toSeq).toSeq)
+    transform(sequence(lit(0), lit(d - 1)),
+      j => V.dot(element_at(hLit, j + lit(1)), v) /
+        lit(math.sqrt(d.toDouble)))
+  }
+
+  /** The Hadamard-rotated (vec_id, v, nrm) frame, memoized once per
+    * dataset like every index artifact here: norms are recomputed in
+    * the rotated space (mathematically equal to the originals,
+    * recomputed anyway so serve arithmetic is self-consistent and the
+    * oracle replays one definition). Rides [[emb]]'s zero-norm source
+    * exclusion — an orthonormal image of a nonzero vector is
+    * nonzero. */
+  private def rotatedEmb(spark: SparkSession, dir: String): DataFrame =
+    Memo.table(spark, dir, "opq_emb_h") {
+      requireDim(emb(spark, dir))
+        .select(col("vec_id"), rotateBy(hadamardMatrix())(col("v")).as("v"))
+        .withColumn("nrm", sqrt(V.dot(col("v"), col("v"))))
+    }
+
+  /** Per-subspace codebooks Lloyd-trained in the ROTATED space — the
+    * same kernel as [[trainCodebooks]] over the rotated subvectors. */
+  def opqCodebooks(spark: SparkSession, dir: String,
+      iters: Int = 2): DataFrame =
+    trainCodebooksOver(spark, dir, s"opq_cb_${M}_${Ksub}_$iters", iters,
+      subvectors(rotatedEmb(spark, dir)))
+
+  /** The OPQ-compressed index: [[pqIndexTable]]'s layout over rotated
+    * codes — same bytes per vector, better-balanced subspaces. */
+  def opqIndexTable(spark: SparkSession, dir: String,
+      iters: Int = 2): DataFrame =
+    Memo.table(spark, dir, s"opq_index_$iters") {
+      val e = rotatedEmb(spark, dir)
+      assignCodes(subvectors(e), opqCodebooks(spark, dir, iters))
+        .join(e.select(col("vec_id"), col("nrm")), "vec_id")
+        .select("vec_id", "nrm", "sub", "code")
+    }
+
+  /** Harness query `sim_topk_opq`: ADC top-k over the OPQ index —
+    * [[pqTopK]]'s serve with queries and corpus both living in the
+    * rotated space (rotation-invariant cosine, so the ground truth it
+    * approximates is unchanged; QuantizeSpec pins its recall@10
+    * against plain PQ's). */
+  def opqTopK(spark: SparkSession, dir: String, k: Int = 10,
+      iters: Int = 2): DataFrame =
+    adcServe(opqIndexTable(spark, dir, iters),
+      lutOf(queriesOf(rotatedEmb(spark, dir)),
+        opqCodebooks(spark, dir, iters)), k)
+
+  /** The non-parametric OPQ iteration proper (Ge et al. 2013 §4):
+    * alternate codebook training in the current rotation with the
+    * orthogonal-Procrustes rotation update R = V·Uᵀ from the SVD of
+    * the cross-moment A = Σ x·y(x)ᵀ (x the original vector, y(x) its
+    * codebook reconstruction in the rotated space — A minimizes
+    * Σ‖R·x − y‖² over orthogonal R). The d×d cross-moment is computed
+    * DISTRIBUTED (one map-side-combined aggregation over (i, j, x_i·y_j)
+    * triples, decimal-exact like every centroid mean here) and only
+    * the d² = 4096 doubles come to the driver for the SVD
+    * (commons-math3, ships with Spark) — bounded driver work, the
+    * same class as collecting a codebook. Deterministic given the
+    * data; init is the structured [[hadamardMatrix]] so round 0 starts
+    * from the oracle-gated rotation. Spec-pinned (orthonormality,
+    * rotation-invariant cosines, recall); not oracle-gated. */
+  def opqLearnedRotation(spark: SparkSession, dir: String,
+      rounds: Int = 2, iters: Int = 1): Array[Array[Double]] = {
+    val d = Dim
+    val scale = math.sqrt(d.toDouble)
+    var h = hadamardMatrix(d)
+    for (round <- 0 until rounds) {
+      val e = requireDim(emb(spark, dir))
+      val rot = e.select(col("vec_id"), rotateBy(h)(col("v")).as("rv"),
+        col("v"))
+      val subs = rot.select(col("vec_id"),
+          explode(sequence(lit(0), lit(M - 1))).as("sub"), col("rv"))
+        .select(col("vec_id"), col("sub"),
+          slice(col("rv"), col("sub") * lit(SubDim) + lit(1), lit(SubDim))
+            .as("sv"))
+      val cb = trainCodebooksOver(spark, dir,
+        s"opql_cb_${M}_${Ksub}_${iters}_r$round", iters, subs)
+      // y(x): concatenate the M assigned codebook entries back into a
+      // d-dim reconstruction, ordered by (sub, position)
+      val y = assignCodes(subs, cb)
+        .join(broadcast(cb.select(col("sub"), col("c_id").as("code"),
+          col("cv"))), Seq("sub", "code"))
+        .select(col("vec_id"), col("sub"),
+          posexplode(col("cv")).as(Seq("pos", "yv")))
+        .select(col("vec_id"),
+          (col("sub") * SubDim + col("pos")).as("j"), col("yv"))
+      val a = rot.select(col("vec_id"),
+          posexplode(col("v")).as(Seq("i", "xv")))
+        .join(y, "vec_id")
+        .groupBy("i", "j")
+        .agg(sum((col("xv") * col("yv")).cast("decimal(38,18)"))
+          .cast("double").as("a"))
+        .collect()
+      val mat = Array.ofDim[Double](d, d)
+      a.foreach(r => mat(r.getAs[Int]("i"))(r.getAs[Int]("j")) =
+        r.getAs[Double]("a"))
+      val svd = new org.apache.commons.math3.linear.SingularValueDecomposition(
+        new org.apache.commons.math3.linear.Array2DRowRealMatrix(mat, false))
+      val r = svd.getV.multiply(svd.getUT).getData
+      // fold √d back in: rotateBy divides by √d, so hand it R·√d
+      h = r.map(_.map(_ * scale))
+    }
+    h
+  }
+
+  /** ADC recall probe for an ARBITRARY rotation matrix — the spec's
+    * instrument for [[opqLearnedRotation]]: rotate corpus + queries,
+    * train, encode, serve, all through the same kernels as
+    * [[opqTopK]], nothing memoized (learned rotations are
+    * experiment-local). */
+  def opqTopKWith(spark: SparkSession, dir: String,
+      h: Array[Array[Double]], k: Int = 10, iters: Int = 2,
+      memoTag: String = "opql"): DataFrame = {
+    val e = requireDim(emb(spark, dir))
+      .select(col("vec_id"), rotateBy(h)(col("v")).as("v"))
+      .withColumn("nrm", sqrt(V.dot(col("v"), col("v"))))
+    val cb = trainCodebooksOver(spark, dir,
+      s"${memoTag}_serve_cb_${M}_${Ksub}_$iters", iters, subvectors(e))
+    val index = assignCodes(subvectors(e), cb)
+      .join(e.select(col("vec_id"), col("nrm")), "vec_id")
+      .select("vec_id", "nrm", "sub", "code")
+    adcServe(index, lutOf(queriesOf(e), cb), k)
   }
 
   def int8Quantize(spark: SparkSession, dir: String): DataFrame = {

@@ -395,10 +395,20 @@ object StreamingBackfill {
       assignIndexTable: String, centroids: DataFrame,
       embedder: DataFrame => DataFrame, outDir: String,
       threshold: Double = 0.5, buckets: Int = 8,
-      simThreshold: Double = 0.40): Unit = {
+      simThreshold: Double = 0.40, checkpointDir: String = ""): Unit = {
     import graft.operators.{Dedup, Memo, Similarity}
     import graft.sources.{Bucketing, IndexChurn}
-    val q = newDocs.writeStream
+    // a non-empty checkpointDir makes the stream RESUMABLE: a killed
+    // process restarts from the last committed offset and REDELIVERS
+    // the in-flight batch (at-least-once) — the per-step idempotence
+    // contracts above absorb exactly that redelivery. Empty keeps the
+    // legacy run-once behavior (specs replay by restarting from 0);
+    // production always passes one (tools/verify_killmid.py SIGKILLs
+    // the loop mid-batch and holds serve == batch rebuild through it)
+    val w0 = newDocs.writeStream
+    val w = if (checkpointDir.nonEmpty)
+      w0.option("checkpointLocation", checkpointDir) else w0
+    val q = w
       .outputMode("append")
       .foreachBatch { (batch: org.apache.spark.sql.Dataset[Row], id: Long) =>
         if (!batch.isEmpty) {

@@ -76,6 +76,61 @@ class QuantizeSpec extends AnyFunSuite {
     assert(rr >= i8, "exact re-rank must not lose recall vs raw SQ8")
   }
 
+  test("OPQ: Hadamard rotation orthonormal; rotated ADC recall in PQ's class") {
+    val h = Quantize.hadamardMatrix()
+    val d = h.length
+    // H·Hᵀ = d·I for the ±1 matrix (rotateBy folds in the 1/√d), so
+    // the rotation is exactly orthonormal and cosine-invariant
+    for (i <- 0 until d; j <- i until d) {
+      val dot = (0 until d).map(k => h(i)(k) * h(j)(k)).sum
+      assert(dot === (if (i == j) d.toDouble else 0.0), s"H row ${i} x row ${j}")
+    }
+    val brute = tops(Similarity.bruteForceTopK(spark, sf, k = 10))
+    def meanRecall(m: Map[Long, Set[Long]]): Double = {
+      val rs = brute.map { case (q, b) =>
+        m.get(q).map(i => (b & i).size.toDouble / b.size).getOrElse(0.0)
+      }
+      rs.sum / rs.size
+    }
+    // the rotation changes WHICH 32-bit code approximation each vector
+    // gets, not the ground truth it approximates (rotation-invariant
+    // cosine); on this isotropic synthetic corpus OPQ's decorrelation
+    // has nothing to win, so the pin is "same class as plain PQ", not
+    // "strictly better" — the payoff case is energy-concentrated data
+    val opq = meanRecall(tops(Quantize.opqTopK(spark, sf, k = 10)))
+    val pq = meanRecall(tops(Quantize.pqTopK(spark, sf, k = 10)))
+    assert(opq >= 0.25, s"OPQ ADC recall@10 $opq")
+    assert(opq >= pq - 0.15, s"OPQ recall $opq fell out of PQ's class ($pq)")
+  }
+
+  test("OPQ: learned Procrustes rotation stays orthonormal and serves " +
+      "in the same recall class") {
+    val r = Quantize.opqLearnedRotation(spark, sf, rounds = 1)
+    val d = r.length
+    // rotateBy-convention matrix (√d folded in): rows pairwise
+    // orthogonal with squared norm d, to SVD reconstruction tolerance
+    for (i <- 0 until d; j <- i until d) {
+      val dot = (0 until d).map(k => r(i)(k) * r(j)(k)).sum
+      assert(math.abs(dot - (if (i == j) d.toDouble else 0.0)) < 1e-6,
+        s"R row ${i} x row ${j} = $dot")
+    }
+    // and it is NOT the Hadamard init (the Procrustes step moved it)
+    val h = Quantize.hadamardMatrix()
+    assert((0 until d).exists(i => (0 until d).exists(j =>
+      math.abs(r(i)(j) - h(i)(j)) > 1e-3)), "learned rotation never left init")
+    val brute = tops(Similarity.bruteForceTopK(spark, sf, k = 10))
+    def meanRecall(m: Map[Long, Set[Long]]): Double = {
+      val rs = brute.map { case (q, b) =>
+        m.get(q).map(i => (b & i).size.toDouble / b.size).getOrElse(0.0)
+      }
+      rs.sum / rs.size
+    }
+    val learned = meanRecall(tops(Quantize.opqTopKWith(spark, sf, r, k = 10)))
+    val pq = meanRecall(tops(Quantize.pqTopK(spark, sf, k = 10)))
+    assert(learned >= pq - 0.15,
+      s"learned-rotation recall $learned fell out of PQ's class ($pq)")
+  }
+
   test("maintained PQ index: frozen-codebook append equals the full encode") {
     val t = graft.sources.Bucketing.ensureMaintainedPqIndex(spark, sf)
     val got = spark.table(t).orderBy("vec_id", "sub")

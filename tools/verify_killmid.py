@@ -1,0 +1,126 @@
+#!/usr/bin/env python3
+"""Kill-mid-batch gate for the streaming ingest protocol.
+
+StreamingSpec proves the marker/seq idempotence contracts under
+SIMULATED replay (restart the stream from batch 0 in one JVM). This
+gate proves them under a real SIGKILL: run graft.KillProbe's ingest
+phase (fullIngestLoop over 12 single-file microbatches with a real
+checkpoint) in a child JVM, SIGKILL the process group at a random
+instant inside the ingest window, restart the same phase (the stream
+resumes from the checkpoint and REDELIVERS the in-flight batch), then
+assert the corpus store and the BM25/ANN serving indexes equal batch
+rebuilds. Repeats over N random kill points.
+
+A kill can land mid-parquet-commit, between a band append and its
+marker file, between an index append and the checkpoint offset commit,
+or inside the Derby metastore — every seam the protocol's comments
+argue about, exercised for real.
+
+Usage: python3 tools/verify_killmid.py [iterations] [seed] [sf_dir]
+Requires compiled classes (sbt compile) — the kill loop runs plain
+java so the victim is the protocol, not sbt.
+"""
+import os, random, shutil, signal, subprocess, sys, time
+
+ITERS = int(sys.argv[1]) if len(sys.argv) > 1 else 10
+SEED = int(sys.argv[2]) if len(sys.argv) > 2 else 13
+SF = sys.argv[3] if len(sys.argv) > 3 else "/root/testdata/sf0.001"
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+CP = f"{REPO}/target/scala-2.13/classes:/opt/spark/jars/*"
+JAVA = shutil.which("java") or "/usr/bin/java"
+
+random.seed(SEED)
+
+
+def run_phase(phase, work, log, kill_after=None):
+    """Run one KillProbe phase. If kill_after is set, SIGKILL the
+    process group that long after INGEST_BEGIN appears; returns
+    ("killed", t) or ("done", t)."""
+    cmd = [JAVA, "-Xmx6g", "-cp", CP,
+           "--add-opens=java.base/java.lang=ALL-UNNAMED",
+           "--add-opens=java.base/java.lang.invoke=ALL-UNNAMED",
+           "--add-opens=java.base/java.util=ALL-UNNAMED",
+           "--add-opens=java.base/java.nio=ALL-UNNAMED",
+           "--add-opens=java.base/sun.nio.ch=ALL-UNNAMED",
+           "--add-opens=java.base/sun.security.action=ALL-UNNAMED",
+           "--add-opens=java.base/sun.util.calendar=ALL-UNNAMED",
+           "--add-opens=java.base/java.io=ALL-UNNAMED",
+           "--add-opens=java.base/java.net=ALL-UNNAMED",
+           "--add-opens=java.base/java.util.concurrent=ALL-UNNAMED",
+           "graft.KillProbe", phase, work, SF]
+    with open(log, "ab") as lf:
+        proc = subprocess.Popen(cmd, stdout=lf, stderr=lf,
+                                start_new_session=True, cwd=REPO)
+        if kill_after is None:
+            rc = proc.wait()
+            return ("done", rc)
+        # wait for INGEST_BEGIN in the log, then arm the timer
+        t0 = None
+        while proc.poll() is None:
+            time.sleep(0.1)
+            if t0 is None:
+                with open(log, "rb") as f:
+                    if b"INGEST_BEGIN" in f.read():
+                        t0 = time.time()
+            elif time.time() - t0 >= kill_after:
+                os.killpg(proc.pid, signal.SIGKILL)
+                proc.wait()
+                return ("killed", kill_after)
+        return ("done", proc.returncode)
+
+
+def expect(log, token, what):
+    with open(log, "rb") as f:
+        if token.encode() not in f.read():
+            sys.exit(f"FAIL: {what} — no {token} in {log}")
+
+
+def main():
+    fails = 0
+    # calibration: one clean run measures the ingest window so kill
+    # times spread across all batches
+    work = "/tmp/graft_killmid/calib"
+    shutil.rmtree(work, ignore_errors=True)
+    os.makedirs(work, exist_ok=True)
+    log = f"{work}/probe.log"
+    st, rc = run_phase("setup", work, log)
+    assert rc == 0, f"setup failed, see {log}"
+    t0 = time.time()
+    st, rc = run_phase("ingest", work, log)
+    window = time.time() - t0
+    assert rc == 0, f"calibration ingest failed, see {log}"
+    st, rc = run_phase("check", work, log)
+    expect(log, "KILLPROBE_OK", "calibration check")
+    print(f"calibration: clean ingest+check OK, ingest window ~{window:.1f}s")
+
+    for i in range(ITERS):
+        work = f"/tmp/graft_killmid/iter{i}"
+        shutil.rmtree(work, ignore_errors=True)
+        os.makedirs(work, exist_ok=True)
+        log = f"{work}/probe.log"
+        st, rc = run_phase("setup", work, log)
+        assert rc == 0, f"setup failed (iter {i}), see {log}"
+        # kill anywhere from just-after-begin to near the expected end;
+        # the window excludes session bootstrap (timer arms at
+        # INGEST_BEGIN) so every sample lands inside real batch work
+        t_kill = random.uniform(0.05, 0.95) * window
+        st, t = run_phase("ingest", work, log, kill_after=t_kill)
+        tag = f"iter {i}: kill at {t_kill:.1f}s/{window:.1f}s -> {st}"
+        # resume (or, if the run beat the timer, replay-noop)
+        st2, rc2 = run_phase("ingest", work, log)
+        if rc2 != 0:
+            print(f"{tag}; RESTART FAILED rc={rc2}, see {log}")
+            fails += 1
+            continue
+        st3, rc3 = run_phase("check", work, log)
+        with open(log, "rb") as f:
+            ok = b"KILLPROBE_OK" in f.read()
+        print(f"{tag}; restart done; check {'OK' if ok and rc3 == 0 else 'FAIL'}")
+        if not ok or rc3 != 0:
+            fails += 1
+    print(f"== killmid: {ITERS - fails} ok, {fails} fail ==")
+    sys.exit(1 if fails else 0)
+
+
+if __name__ == "__main__":
+    main()
