@@ -571,6 +571,16 @@ class StreamingSpec extends AnyFunSuite {
         .option("maxFilesPerTrigger", "1")
         .option("recursiveFileLookup", "true")
         .parquet(streamDir)
+      // snapshot pre-existing scratch debris: /tmp is SHARED, and a
+      // SIGKILLed run elsewhere (the verify_killmid gate kills
+      // fullIngestLoop mid-batch on purpose) legitimately leaves its
+      // scratches behind — this test owns only the dirs ITS loop makes
+      def scratchDirs(): Set[String] = new java.io.File(
+          System.getProperty("java.io.tmpdir")).listFiles()
+        .filter(_.getName.matches(
+          "graft-memo-(full_(bands|cand|vecs)|graph_(bidx|del))_\\d+-.*"))
+        .map(_.getName).toSet
+      val preScratch = scratchDirs()
       StreamingBackfill.fullIngestLoop(spark, stream, corpusDir, bandTable,
         postTable, assignTable, centroids,
         b => emb.join(b.select(col("doc_id").as("vec_id")), "vec_id"), outDir)
@@ -583,12 +593,9 @@ class StreamingSpec extends AnyFunSuite {
       // --- per-batch scratches are SCOPED: a long-lived stream must
       // not accrete one scratch dir per microbatch until JVM shutdown
       // (Memo.withScratch deletes them as each batch completes)
-      val leftoverScratch = new java.io.File(
-          System.getProperty("java.io.tmpdir")).listFiles()
-        .filter(_.getName.matches(
-          "graft-memo-(full_(bands|cand|vecs)|graph_(bidx|del))_\\d+-.*"))
+      val leftoverScratch = scratchDirs() -- preScratch
       assert(leftoverScratch.isEmpty,
-        s"batch scratches outlived their batch: ${leftoverScratch.toSeq}")
+        s"batch scratches outlived their batch: $leftoverScratch")
       // --- each batch's semantic-screen verdicts equal a batch-mode
       // recompute against the PRE-batch assignment (report-then-append:
       // batch 0 screens against the base index, batch 1 against
