@@ -809,6 +809,18 @@ object ScaleProbe100 {
       time("sim_topk_brute (exact-scan comparator)") {
         operators.Similarity.bruteForceTopK(spark, dup).count()
       }
+      // OPQ at factor×: the rotation is a one-time index-build cost
+      // (64 codegen'd dots per vector, memoized); the serve must land
+      // at plain-PQ speed — same ADC kernel over same-sized codes
+      time("opq index build (rotate + train + encode)") {
+        operators.Quantize.opqIndexTable(spark, dup).count()
+      }
+      time("sim_topk_opq (rotated long-format ADC)") {
+        operators.Quantize.opqTopK(spark, dup).count()
+      }
+      time("sim_topk_opq_rerank (rotated shortlist + exact re-rank)") {
+        operators.Quantize.opqTopKRerank(spark, dup).count()
+      }
       // SQ8 at factor×: the no-training compressed layout between PQ
       // (8 B/vector) and raw (512 B as doubles) — does the int8 scan
       // hold its place between packed ADC and the brute comparator,

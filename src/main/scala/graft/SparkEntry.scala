@@ -105,6 +105,7 @@ object SparkEntry {
     "sim_topk_ivfpq_rerank" -> ((s: SparkSession, d: String) => Quantize.pqIvfTopKRerank(s, d)),
     "sim_topk_ivfpq_res" -> ((s: SparkSession, d: String) => Quantize.pqIvfResidualTopK(s, d)),
     "sim_topk_opq"       -> ((s: SparkSession, d: String) => Quantize.opqTopK(s, d)),
+    "sim_topk_opq_rerank" -> ((s: SparkSession, d: String) => Quantize.opqTopKRerank(s, d)),
     "sim_topk_int8"      -> ((s: SparkSession, d: String) => Quantize.int8TopK(s, d)),
     "sim_topk_int8_ivf"  -> ((s: SparkSession, d: String) => Quantize.int8IvfTopK(s, d)),
     "sim_topk_int8_rerank" -> ((s: SparkSession, d: String) => Quantize.int8TopKRerank(s, d)),
@@ -3315,6 +3316,25 @@ object SparkEntry {
       s"""WITH $dOpqAdcCtes
        SELECT q_id, rk, vec_id, round(cos, 6) AS cos
        FROM opqranked WHERE rk <= 10 ORDER BY q_id, rk""",
+    // the OPQ production recipe: rotated-ADC shortlist (rk <= 50),
+    // exact-cosine re-rank over the ORIGINAL vectors — cosine is
+    // rotation-invariant, so the re-rank reads the unrotated frame
+    "sim_topk_opq_rerank" ->
+      s"""WITH $dOpqAdcCtes,
+         opqrr AS (
+           SELECT p.q_id, p.vec_id,
+                  list_dot_product(qe.v, e.v) / (qe.nrm * e.nrm) AS cos
+           FROM opqranked p
+           JOIN opqsrc e ON p.vec_id = e.vec_id
+           JOIN opqsrc qe ON p.q_id = qe.vec_id
+           WHERE p.rk <= 50),
+         opqrr2 AS (
+           SELECT q_id, vec_id, cos,
+                  CAST(row_number() OVER (PARTITION BY q_id
+                    ORDER BY cos DESC, vec_id) AS BIGINT) AS rk
+           FROM opqrr)
+       SELECT q_id, rk, vec_id, round(cos, 6) AS cos
+       FROM opqrr2 WHERE rk <= 10 ORDER BY q_id, rk""",
     // IVF+PQ (IVFADC): coarse-quantizer probe prunes the scan to nprobe
     // inverted lists, ADC sums run over only those lists' codes
     "sim_topk_ivfpq" ->

@@ -738,6 +738,17 @@ object Quantize {
       lutOf(queriesOf(rotatedEmb(spark, dir)),
         opqCodebooks(spark, dir, iters)), k)
 
+  /** Harness query `sim_topk_opq_rerank`: the OPQ production recipe —
+    * rotated-ADC shortlist (poolK), exact-cosine re-rank through the
+    * SAME [[rerankOver]] tail as every other compressed recipe, over
+    * the ORIGINAL vectors: cosine is rotation-invariant, so the exact
+    * re-rank needs no rotation at all (the rotation buys a better
+    * shortlist, the re-rank restores the exact order either way). */
+  def opqTopKRerank(spark: SparkSession, dir: String, k: Int = 10,
+      poolK: Int = 50, iters: Int = 2): DataFrame =
+    rerankOver(spark, dir,
+      opqTopK(spark, dir, poolK, iters).select("q_id", "vec_id"), k)
+
   /** The non-parametric OPQ iteration proper (Ge et al. 2013 §4):
     * alternate codebook training in the current rotation with the
     * orthogonal-Procrustes rotation update R = V·Uᵀ from the SVD of

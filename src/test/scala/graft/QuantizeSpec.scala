@@ -101,6 +101,10 @@ class QuantizeSpec extends AnyFunSuite {
     val pq = meanRecall(tops(Quantize.pqTopK(spark, sf, k = 10)))
     assert(opq >= 0.25, s"OPQ ADC recall@10 $opq")
     assert(opq >= pq - 0.15, s"OPQ recall $opq fell out of PQ's class ($pq)")
+    // the production recipe: exact re-rank (over the ORIGINAL vectors —
+    // cosine is rotation-invariant) must not lose to the raw shortlist
+    val rr = meanRecall(tops(Quantize.opqTopKRerank(spark, sf, k = 10)))
+    assert(rr >= opq, "exact re-rank must not lose recall vs rotated ADC")
   }
 
   test("OPQ: learned Procrustes rotation stays orthonormal and serves " +
