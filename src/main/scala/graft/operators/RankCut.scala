@@ -40,10 +40,15 @@ import org.apache.spark.sql.functions._
   * Returns `df`'s columns plus boolean `flagName` = "this row is in
   * its group's top k by (score DESC, id ASC)". Null-safe on the group
   * key (a null group is its own group, as in the window form and the
-  * oracles' PARTITION BY); null scores sort last and are never in the
-  * top, matching the `row_number` form's DESC NULLS LAST on both
-  * engines. `kOf` maps a group's row count to its rank bound and must
-  * yield an integral type ≥ 1 for non-empty groups.
+  * oracles' PARTITION BY); null scores are NEVER in the top — they
+  * sort last (DESC NULLS LAST, both engines), and when `kOf(n)`
+  * exceeds a group's non-null count, k clamps to it so every non-null
+  * row is top and nulls still aren't. A raw `row_number` replay agrees
+  * whenever k ≤ the non-null count — which every production caller
+  * guarantees (keep/frac < 1, null-score rates far below 1−keep); the
+  * PropertySpec replay encodes the precise contract. `kOf` maps a
+  * group's TOTAL row count to its rank bound (null rows count toward
+  * n, exactly as they count toward the window form's `count(*)`).
   */
 object RankCut {
   def topFlag(df: DataFrame, grpCol: String, scoreCol: String,
@@ -52,11 +57,21 @@ object RankCut {
     val grp = col(grpCol); val score = col(scoreCol); val id = col(idCol)
     val wCum = Window.partitionBy(grpCol).orderBy(score.desc)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    // k is clamped to the group's NON-NULL score count: when kOf(n)
+    // exceeds it (a group that is mostly null scores), the contract is
+    // "every non-null row is top, nulls still aren't" — without the
+    // clamp the threshold row would land on the null-score histogram
+    // entry and the whole group would flag false (found by the RankCut
+    // property test, unreachable through the real operators' corpora
+    // where null rates sit far below 1−keep)
     val thr = df.groupBy(grpCol, scoreCol).agg(count(lit(1)).as("cnt"))
       .withColumn("cum", sum(col("cnt")).over(wCum))
       .withColumn("n", sum(col("cnt")).over(Window.partitionBy(grpCol)))
-      .withColumn("k", kOf(col("n")))
-      .filter(col("cum") >= col("k") && (col("cum") - col("cnt")) < col("k"))
+      .withColumn("nn", sum(when(score.isNotNull, col("cnt")))
+        .over(Window.partitionBy(grpCol)))
+      .withColumn("k", least(kOf(col("n")), col("nn")))
+      .filter(score.isNotNull &&
+        col("cum") >= col("k") && (col("cum") - col("cnt")) < col("k"))
       .select(grp.as("thr_grp"), score.as("thr_score"),
         (col("k") - (col("cum") - col("cnt"))).as("quota"))
     // left join: a group whose k lands on no (grp, score) row (k = 0)

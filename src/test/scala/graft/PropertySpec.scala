@@ -55,6 +55,48 @@ class PropertySpec extends AnyFunSuite {
     }
   }
 
+  test("RankCut.topFlag == the contract replay on random tie-heavy, " +
+      "null-laced, skewed groups") {
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    // groups incl NULL, scores rounded to 0.2 steps (heavy ties), some
+    // null scores, skew (group 0 oversampled), UNIQUE ids via index —
+    // RankCut's bucket bound assumes id uniqueness like the operators'
+    // key columns
+    val gen = Gen.listOfN(400, Gen.zip(
+      Gen.option(Gen.frequency(3 -> Gen.const(0L), 1 -> Gen.chooseNum(1L, 5L))),
+      Gen.chooseNum(-2.0, 2.0), Gen.chooseNum(0, 36)))
+      .map(_.zipWithIndex.map { case ((g, s, nullMark), i) =>
+        (g, if (nullMark == 1) None else Some(math.rint(s * 5) / 5),
+          i.toLong * 37 + 1000) })      // sparse, non-dense ids
+    forSamples(gen, 5) { rows =>
+      val df = rows.toDF("grp", "score", "id").repartition(7)
+      for (frac <- Seq(0.3, 0.95)) {
+        val got = graft.operators.RankCut.topFlag(df, "grp", "score", "id",
+            n => ceil(n * lit(frac)), "flag", bucketShift = 3)
+          .collect().map(r => (Option(r.get(0)), r.getLong(2)) ->
+            r.getBoolean(3)).toMap
+        // the contract: rank over (score DESC NULLS LAST, id) within
+        // the group, top min(ceil(frac·n), non-null count) — null
+        // scores are NEVER top, and when k exceeds the non-null count
+        // every non-null row is
+        val w = Window.partitionBy("grp")
+          .orderBy(col("score").desc_nulls_last, col("id"))
+        val want = df
+          .withColumn("rk", row_number().over(w))
+          .withColumn("n", count(lit(1)).over(Window.partitionBy("grp")))
+          .withColumn("nn", count(col("score"))
+            .over(Window.partitionBy("grp")))
+          .withColumn("flag", col("score").isNotNull &&
+            col("rk") <= least(ceil(col("n") * lit(frac)), col("nn")))
+          .collect().map(r => (Option(r.get(0)), r.getAs[Long]("id")) ->
+            r.getAs[Boolean]("flag")).toMap
+        assert(got.size == want.size && got == want,
+          s"RankCut diverged from the contract replay at frac=$frac")
+      }
+    }
+  }
+
   test("cosine is symmetric, in [-1,1], and 1 on self") {
     import spark.implicits._
     forSamples(Gen.zip(vecGen, vecGen), 20) { case (a, b) =>
