@@ -151,6 +151,29 @@ object ScaleProbe100 {
       }
     }
 
+    // 3a''. densityPrune's worst case: 200k embeddings that are ALL
+    // the same vector — one k-means cell, every density the same 6dp
+    // value, the tie group IS the corpus. The pre-r13 per-c_id window
+    // funneled all 200k density rows through one task; RankCut ranks
+    // one ≤2^8-id bucket (the vector-side twin of `boilerquality`)
+    section("onecell") {
+      val cell = s"/tmp/graft_scale_onecell_emb"
+      if (!fs.exists(new org.apache.hadoop.fs.Path(
+          s"$cell/embeddings.parquet"))) {
+        val base = Tables.load(spark, sf, "embeddings")
+          .filter(col("vec_id") === 2).select("embedding").limit(1)
+        spark.range(200000)
+          .crossJoin(base)
+          .select(col("id").as("vec_id"), col("embedding"),
+            (col("id") % 5).cast("int").as("label"))
+          .write.mode("overwrite").parquet(s"$cell/embeddings.parquet")
+      }
+      time("density_prune (200k identical vectors, ONE cell, cold memos)") {
+        val kept = operators.Similarity.densityPrune(spark, cell).count()
+        println(s"  kept rows: $kept")
+      }
+    }
+
     // 3b. stratified split at factor× on an ADVERSARIALLY skewed mix
     // (90% of documents forced into one language): the distributed
     // exact rank must keep the dominant language spread across its

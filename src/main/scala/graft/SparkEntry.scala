@@ -707,8 +707,9 @@ object SparkEntry {
     def update(assigned: String, name: String) =
       s"""${name}_m AS (
            SELECT c_id, i AS pos,
-                  CAST(sum(CAST(v[i] AS DECIMAL(38,18))) AS DOUBLE) / count(*)
-                    AS m
+                  CAST(CAST(sum(CAST(CAST(v[i] AS VARCHAR)
+                    AS DECIMAL(38,18))) AS VARCHAR) AS DOUBLE)
+                    / count(*) AS m
            FROM $assigned, range(1, ${dims + 1}) t(i)
            GROUP BY c_id, i),
          $name AS (
@@ -809,8 +810,9 @@ object SparkEntry {
     def update(assigned: String, name: String) =
       s"""${name}_m AS (
            SELECT sub, code AS c_id, i AS pos,
-                  CAST(sum(CAST(sv[i] AS DECIMAL(38,18))) AS DOUBLE)
-                    / count(*) AS m
+                  CAST(CAST(CAST(CAST(sum(CAST(CAST(sv[i] AS VARCHAR)
+                    AS DECIMAL(38,18))) AS VARCHAR) AS DOUBLE) / count(*)
+                    AS FLOAT) AS DOUBLE) AS m
            FROM $assigned, range(1, ${sd + 1}) t(i)
            GROUP BY sub, code, i),
          $name AS (
@@ -1000,7 +1002,10 @@ object SparkEntry {
              FROM emb0 q CROSS JOIN cent2 c WHERE q.vec_id < 8)
            WHERE crk <= 8),
          rres AS (
-           SELECT a.vec_id, t.i AS pos, a.v[t.i] - c.c_v[t.i] AS x
+           SELECT a.vec_id, t.i AS pos,
+                  CAST(CAST(a.v[t.i] -
+                    CAST(CAST(c.c_v[t.i] AS FLOAT) AS DOUBLE)
+                    AS FLOAT) AS DOUBLE) AS x
            FROM af a JOIN cent2 c USING (c_id), range(1, ${m * sd + 1}) t(i)),
          rvec AS (SELECT vec_id, list(x ORDER BY pos) AS v
                   FROM rres GROUP BY vec_id),
@@ -1124,15 +1129,15 @@ object SparkEntry {
               WHERE token IN ('hash', 'join', 'scan') GROUP BY 1, 2),
        dfreq AS (SELECT token, count(*) AS df FROM tf GROUP BY 1),
        per AS (SELECT tf.doc_id, count(*) AS n_terms,
-                      sum(round(
+                      sum(CAST(round(
                         ln((n_docs - df + 0.5) / (df + 0.5) + 1.0) *
                         (tf * (1.2 + 1.0)) /
                         (tf + 1.2 * (1.0 - 0.75 + 0.75 * dl / avgdl)),
-                        8)) AS s
+                        8) AS DECIMAL(38,8))) AS s
                FROM tf JOIN dfreq USING (token) JOIN dl USING (doc_id)
                CROSS JOIN stats
                GROUP BY 1)
-       SELECT doc_id, n_terms, round(s, 6) AS score
+       SELECT doc_id, n_terms, CAST(round(s, 6) AS DOUBLE) AS score
        FROM per ORDER BY score DESC, doc_id LIMIT 20"""
 
   private val dBm25Sql: String = dBm25SqlFor()
@@ -1159,11 +1164,11 @@ object SparkEntry {
               WHERE token IN ($terms) GROUP BY 1, 2),
        dfreq AS (SELECT token, count(*) AS df FROM tf GROUP BY 1),
        per AS (SELECT q.query_id, tf.doc_id, count(*) AS n_terms,
-                      sum(round(
+                      sum(CAST(round(
                         ln((n_docs - df + 0.5) / (df + 0.5) + 1.0) *
                         (tf * (1.2 + 1.0)) /
                         (tf + 1.2 * (1.0 - 0.75 + 0.75 * dl / avgdl)),
-                        8)) AS s
+                        8) AS DECIMAL(38,8))) AS s
                FROM tf JOIN q USING (token) JOIN dfreq USING (token)
                JOIN dl USING (doc_id) CROSS JOIN stats
                GROUP BY 1, 2),
@@ -1224,15 +1229,15 @@ object SparkEntry {
               WHERE token IN ($terms) GROUP BY 1, 2),
        dfreq AS (SELECT token, count(*) AS df FROM tf GROUP BY 1),
        per AS (SELECT q.query_id, tf.doc_id, count(*) AS n_terms,
-                      sum(round(
+                      sum(CAST(round(
                         ln((n_docs - df + 0.5) / (df + 0.5) + 1.0) *
                         (tf * (1.2 + 1.0)) /
                         (tf + 1.2 * (1.0 - 0.75 + 0.75 * dl / avgdl)),
-                        8)) AS s
+                        8) AS DECIMAL(38,8))) AS s
                FROM tf JOIN q USING (token) JOIN dfreq USING (token)
                JOIN dl USING (doc_id) CROSS JOIN stats
                GROUP BY 1, 2),
-       ranked AS (SELECT query_id, doc_id, n_terms, round(s, 6) AS score,
+       ranked AS (SELECT query_id, doc_id, n_terms, CAST(round(s, 6) AS DOUBLE) AS score,
                          CAST(row_number() OVER (PARTITION BY query_id
                            ORDER BY round(s, 6) DESC, doc_id) AS BIGINT)
                            AS rk

@@ -127,8 +127,28 @@ object Quantize {
           .select(col("sub"), col("code").as("c_id"),
             posexplode(col("sv")).as(Seq("pos", "x")))
           .groupBy("sub", "c_id", "pos")
-          .agg((sum(col("x").cast("decimal(38,18)")).cast("double") /
-            count(lit(1))).as("m"))
+          // means pass through a FLOAT32 round-trip (the oracle's
+          // update does the same): Spark's double→decimal(38,18) cast
+          // goes through the SHORTEST string repr while DuckDB's goes
+          // through a double multiply, so the two engines' decimal
+          // sums — and with them every trained mean — differ at
+          // relative ~1e-16 (≈1e2 ABSOLUTE on vecdegen's 1e18-scaled
+          // clusters, where no fixed-decimal round can canonicalize).
+          // On raw vectors the next argmax has wide margins; on
+          // RESIDUAL subvectors (clustered near the origin, margins
+          // razor-thin) one flipped assignment forks the whole
+          // codebook (vecdegen seed-3 gate finding). The float cast is
+          // scale-uniform, collapses both engines' means to one bit
+          // pattern at every magnitude, and float32 codebooks are the
+          // standard ANN practice (the source data is float32). The
+          // decimal→double hop goes through a STRING like the coarse
+          // means (trainCentroids): BigDecimal.doubleValue
+          // double-rounds, Double.parseDouble of the exact digits is
+          // correctly rounded — the same convention the oracle's
+          // VARCHAR-mediated casts replay.
+          .agg((sum(col("x").cast("decimal(38,18)")).cast("string")
+            .cast("double") /
+            count(lit(1))).cast("float").cast("double").as("m"))
           .groupBy("sub", "c_id")
           .agg(transform(
             array_sort(collect_list(struct(col("pos"), col("m")))),
@@ -461,8 +481,31 @@ object Quantize {
     Similarity.assignmentTable(spark, dir, iters)
       .select("vec_id", "c_id", "v")
       .join(broadcast(cents), "c_id")
+      // the residual subtracts the FLOAT32 round-trip of the centroid
+      // (the oracle's rres does the same): cross-engine centroid
+      // doubles differ at relative ~1e-16 (Spark's double→decimal cast
+      // goes through the shortest string repr, DuckDB's through a
+      // double multiply — ~1 ulp at magnitude 0.1, but ~1e2 ABSOLUTE on
+      // vecdegen's 1e18-scale clusters), and the near-cancelling
+      // subtraction turns that into 100%-relative noise on near-zero
+      // residuals — the residual Lloyd's razor-thin argmax margins then
+      // fork the whole codebook (vecdegen seed-3 gate finding: 86/107
+      // entries diverged, every serve score with them). float(c) is
+      // bit-identical on both engines at EVERY magnitude (the
+      // disagreement is always far below float's relative 6e-8 grid),
+      // so v − float(c) is an exact-identical double; the outer float
+      // round-trip keeps the residual at the source data's own
+      // precision (the vectors are float32 — FAISS's codebooks are
+      // all-float32 for the same reason). The serve's q·c scalar keeps
+      // the RAW centroid (probesOf is shared by every probe path), so
+      // the decomposition is q·c_raw + q·(x − float(c)) — off the true
+      // q·x by q·(c_raw − float(c)), a relative-6e-8 perturbation of an
+      // already-approximate score, and the oracle replays the exact
+      // same split, so the two engines can never disagree about it.
       .select(col("vec_id"),
-        zip_with(col("v"), col("c_v"), (a, b) => a - b).as("v"))
+        zip_with(col("v"), col("c_v"),
+          (a, b) => (a - b.cast("float").cast("double"))
+            .cast("float").cast("double")).as("v"))
   }
 
   /** Per-subspace codebooks Lloyd-trained on RESIDUAL subvectors —
@@ -824,6 +867,52 @@ object Quantize {
       .join(e.select(col("vec_id"), col("nrm")), "vec_id")
       .select("vec_id", "nrm", "sub", "code")
     adcServe(index, lutOf(queriesOf(e), cb), k)
+  }
+
+  /** Throwaway diagnostic (vecdegen-s3 residual fork): dump the seed
+    * codebook and the first-iteration assignment of the residual Lloyd
+    * so the oracle's pqrcb0/pqra1 can be diffed stage by stage. */
+  def debugLloydStages(spark: SparkSession, dir: String,
+      out: String): Unit = {
+    val subs = subvectors(requireDim(residualFrame(spark, dir, 2)))
+    val sparkS = spark
+    import sparkS.implicits._
+    val ids = subs.select("vec_id").distinct()
+      .orderBy("vec_id").limit(Ksub)
+      .collect().map(_.getLong(0))
+    val seedIds = ids.zipWithIndex
+      .map { case (v, i) => (v, i.toLong) }.toSeq.toDF("vec_id", "c_id")
+    val cb0 = subs.join(broadcast(seedIds), "vec_id")
+      .select(col("sub"), col("c_id"), col("sv").as("cv"))
+    cb0.select(col("sub"), col("c_id"),
+        concat_ws(",", transform(col("cv"), x => format_string("%.17e", x)))
+          .as("cv"))
+      .coalesce(1).write.mode("overwrite").parquet(s"$out/cb0")
+    assignCodes(subs, cb0)
+      .select("vec_id", "sub", "code")
+      .coalesce(1).write.mode("overwrite").parquet(s"$out/a1")
+    // cb1 = one update step (same arithmetic as trainCodebooksOver)
+    val cb1 = assignCodes(subs, cb0)
+      .select(col("sub"), col("code").as("c_id"),
+        posexplode(col("sv")).as(Seq("pos", "x")))
+      .groupBy("sub", "c_id", "pos")
+      .agg((sum(col("x").cast("decimal(38,18)")).cast("double") /
+        count(lit(1))).cast("float").cast("double").as("m"))
+      .groupBy("sub", "c_id")
+      .agg(transform(
+        array_sort(collect_list(struct(col("pos"), col("m")))),
+        s => s.getField("m")).as("cv"))
+    cb1.select(col("sub"), col("c_id"),
+        concat_ws(",", transform(col("cv"), x => format_string("%.17e", x)))
+          .as("cv"))
+      .coalesce(1).write.mode("overwrite").parquet(s"$out/cb1")
+    assignCodes(subs, cb1)
+      .select("vec_id", "sub", "code")
+      .coalesce(1).write.mode("overwrite").parquet(s"$out/a2")
+    subs.select(col("vec_id"), col("sub"),
+        concat_ws(",", transform(col("sv"), x => format_string("%.17e", x)))
+          .as("sv"))
+      .coalesce(1).write.mode("overwrite").parquet(s"$out/subs")
   }
 
   def int8Quantize(spark: SparkSession, dir: String): DataFrame = {

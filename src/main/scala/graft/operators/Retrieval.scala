@@ -198,8 +198,16 @@ object Retrieval {
     val scored = tf.join(broadcast(dfreq), "token").crossJoin(stats)
     dl.join(scored, "doc_id")
       .groupBy("doc_id")
-      .agg(count(lit(1)).as("n_terms"), sum(termScore).as("s"))
-      .select(col("doc_id"), col("n_terms"), round(col("s"), 6).as("score"))
+      // the round-8 terms are exact decimals, so the DECIMAL sum is
+      // order-free and the 6dp round happens ON the exact decimal —
+      // a raw double fold rounds differently per merge order when the
+      // sum lands exactly on a 6dp tie (unicode-seed-2 gate finding:
+      // doc with terms .40235430+.62653488+.49673632 = 1.5256255, a
+      // perfect tie that doubles resolve to .625 or .626 by ORDER)
+      .agg(count(lit(1)).as("n_terms"),
+        sum(termScore.cast("decimal(38,8)")).as("s"))
+      .select(col("doc_id"), col("n_terms"),
+        round(col("s"), 6).cast("double").as("score"))
       .orderBy(col("score").desc, col("doc_id"))
       .limit(topK)
   }
@@ -365,9 +373,11 @@ object Retrieval {
       .crossJoin(broadcast(stats))
       .join(dl, "doc_id")
       .groupBy("query_id", "doc_id")
-      .agg(count(lit(1)).as("n_terms"), sum(termScore).as("s"))
+      // decimal fold + decimal round: bm25Tail's tie discipline
+      .agg(count(lit(1)).as("n_terms"),
+        sum(termScore.cast("decimal(38,8)")).as("s"))
       .select(col("query_id"), col("doc_id"), col("n_terms"),
-        round(col("s"), 6).as("score"))
+        round(col("s"), 6).cast("double").as("score"))
       .withColumn("rk", row_number().over(w).cast("long"))
       .filter(col("rk") <= topK)
       .select("query_id", "rk", "doc_id", "n_terms", "score")

@@ -84,12 +84,20 @@ object Similarity {
       val assigned = assignNearest(e, centroids)
       // decimal-exact mean: float sums are partial-aggregation-order
       // dependent; summing through DECIMAL(38,18) makes the centroids
-      // bit-deterministic (and lets the DuckDB oracle replicate Lloyd)
+      // bit-deterministic (and lets the DuckDB oracle replicate Lloyd).
+      // The decimal→double hop goes THROUGH A STRING: Java's
+      // BigDecimal.doubleValue() double-rounds (unscaled→double, then
+      // /10^scale — two IEEE roundings) while Double.parseDouble of
+      // the decimal's exact digits is correctly rounded, and the
+      // DuckDB oracle converts via VARCHAR for the same reason (its
+      // native casts double-round through multiplies). One convention
+      // — exact digits, one correctly-rounded parse — on both engines
+      // (the vecdegen seed-3 residual-fork finding).
       centroids = assigned
         .select(col("c_id"), posexplode(col("v")).as(Seq("pos", "x")))
         .groupBy("c_id", "pos")
-        .agg((sum(col("x").cast("decimal(38,18)")).cast("double") /
-          count(lit(1))).as("m"))
+        .agg((sum(col("x").cast("decimal(38,18)")).cast("string")
+          .cast("double") / count(lit(1))).as("m"))
         .groupBy("c_id")
         .agg(transform(array_sort(collect_list(struct(col("pos"), col("m")))),
           s => s.getField("m")).as("c_v"))
