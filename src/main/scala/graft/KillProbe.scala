@@ -33,6 +33,12 @@ import org.apache.spark.sql.functions._
   */
 object KillProbe {
   private val Batches = 12
+  // churn phases: every doc is churned — evens deleted, odds updated —
+  // spread over ChurnBatches op batches so the kill window spans many
+  // appends; the want-model stays arithmetic (doc_id parity)
+  private val ChurnBatches = 12
+  private val GraphWaves = 10
+  private val GchurnWaves = 6
 
   private def session(work: String): SparkSession = {
     System.setProperty("derby.system.home", s"$work/derby")
@@ -51,9 +57,27 @@ object KillProbe {
   private val bandTable = "kill_band_t"
   private val postTable = "kill_post_t"
   private val assignTable = "kill_assign_t"
+  private val churnPostTable = "kill_churn_post_t"
+  private val churnDlTable = "kill_churn_dl_t"
+  private val churnAssignTable = "kill_churn_assign_t"
+  private val graphAssignTable = "kill_graph_assign_t"
 
   private def embedderFor(emb: DataFrame): DataFrame => DataFrame =
     b => emb.join(b.select(col("doc_id").as("vec_id")), "vec_id")
+
+  /** The deterministic post-update text — ONE definition shared by the
+    * churn-setup staging and the churn-check want-model, so the check
+    * rebuilds exactly what the stream applied. */
+  private def updatedText: org.apache.spark.sql.Column =
+    concat(lit("updated body payload variant "),
+      (col("doc_id") % 7).cast("string"))
+
+  /** BM25 doc lengths, same payload as churnIngestLoop's dl table. */
+  private def doclensOf(docs: DataFrame): DataFrame = {
+    import graft.functions.{TextFunctions => T}
+    docs.select(col("doc_id"),
+      size(T.tokens(col("text"))).cast("long").as("dl"))
+  }
 
   def main(args: Array[String]): Unit = {
     val phase = args(0)
@@ -135,6 +159,193 @@ object KillProbe {
         val wantAnn = Similarity.ivfTopKTrained(spark, sf, iters = 2)
           .collect().map(_.toString).toSeq
         require(gotAnn == wantAnn, "served ANN diverged from batch rebuild")
+        println("KILLPROBE_OK")
+
+      // ---------------------------------------------- churn loop family
+      // [[streaming.StreamingBackfill.churnIngestLoop]] under real
+      // SIGKILLs: the full corpus is churned — every even doc_id
+      // deleted, every odd one updated to a deterministic new text —
+      // so the check's want-model is pure arithmetic and every batch
+      // carries both tombstones and supersedes.
+      case "churn-setup" =>
+        IndexChurn.stamp(Retrieval.postingsTable(spark, sf), "U", -1L)
+          .write.mode("overwrite").bucketBy(8, "token").sortBy("token")
+          .saveAsTable(churnPostTable)
+        IndexChurn.stamp(doclensOf(docs), "U", -1L)
+          .write.mode("overwrite").bucketBy(8, "doc_id").sortBy("doc_id")
+          .saveAsTable(churnDlTable)
+        IndexChurn.stamp(Similarity.assignVectors(emb, centroids), "U", -1L)
+          .write.mode("overwrite").bucketBy(8, "c_id").sortBy("c_id")
+          .saveAsTable(churnAssignTable)
+        (0 until ChurnBatches).foreach { i =>
+          val slot = docs.filter((col("doc_id") % (2 * ChurnBatches))
+            .isin(2 * i, 2 * i + 1))
+          // evens: pure delete (before-image text); odds: D(old) + U(new)
+          val dels = slot.filter(col("doc_id") % 2 === 0)
+            .select(lit("D").as("op"), col("doc_id"), col("text"))
+          val updD = slot.filter(col("doc_id") % 2 === 1)
+            .select(lit("D").as("op"), col("doc_id"), col("text"))
+          val updU = slot.filter(col("doc_id") % 2 === 1)
+            .select(lit("U").as("op"), col("doc_id"),
+              updatedText.as("text"))
+          val sub = s"$work/stream/b$i"
+          dels.unionByName(updD).unionByName(updU)
+            .coalesce(1).write.mode("overwrite").parquet(sub)
+          new java.io.File(sub).listFiles()
+            .filter(_.getName.endsWith(".parquet"))
+            .foreach(f => require(f.setLastModified(1000000000000L + i * 60000L)))
+        }
+        println("SETUP_DONE")
+
+      case "churn-ingest" =>
+        val opsSchema = org.apache.spark.sql.types.StructType.fromDDL(
+          "op string, doc_id bigint, text string")
+        val stream = spark.readStream.schema(opsSchema)
+          .option("maxFilesPerTrigger", "1")
+          .option("recursiveFileLookup", "true")
+          .parquet(s"$work/stream")
+        println("INGEST_BEGIN")
+        streaming.StreamingBackfill.churnIngestLoop(spark, stream,
+          churnPostTable, churnAssignTable, centroids, embedderFor(emb),
+          doclenTable = Some(churnDlTable), checkpointDir = s"$work/ckpt")
+        println("INGEST_DONE")
+
+      case "churn-check" =>
+        import graft.functions.{TextFunctions => T}
+        val modDocs = docs.filter(col("doc_id") % 2 =!= 0)
+          .withColumn("text", updatedText)
+        def tfOf(d: DataFrame) = d
+          .select(col("doc_id"), explode(T.tokens(col("text"))).as("token"))
+          .groupBy("token", "doc_id").agg(count(lit(1)).as("tf"))
+        val gotPosts = IndexChurn
+          .served(spark, churnPostTable, Seq("token", "doc_id"))
+          .select("token", "doc_id", "tf").collect()
+          .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+        val wantPosts = tfOf(modDocs)
+          .select("token", "doc_id", "tf").collect()
+          .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+        require(gotPosts == wantPosts,
+          s"churned postings serve diverged: got ${gotPosts.size} rows, " +
+            s"want ${wantPosts.size}")
+        val qTerms = Seq("hash", "join", "scan")
+        val gotBm25 = Retrieval.bm25RankWith(
+            IndexChurn.served(spark, churnPostTable, Seq("token", "doc_id"))
+              .filter(col("token").isin(qTerms: _*)),
+            IndexChurn.served(spark, churnDlTable, Seq("doc_id")), 20)
+          .collect().map(_.toString).toSeq
+        val wantBm25 = Retrieval.bm25RankWith(
+            tfOf(modDocs).filter(col("token").isin(qTerms: _*)),
+            doclensOf(modDocs), 20)
+          .collect().map(_.toString).toSeq
+        require(gotBm25 == wantBm25,
+          s"churned BM25 diverged from rebuild:\n got=$gotBm25\nwant=$wantBm25")
+        val gotAnn = Similarity.servedTopK(spark, sf,
+            IndexChurn.served(spark, churnAssignTable, Seq("c_id", "vec_id")),
+            iters = 2)
+          .collect().map(_.toString).toSeq
+        val wantAnn = Similarity.servedTopK(spark, sf,
+            Similarity.assignVectors(emb.filter(col("vec_id") % 2 =!= 0),
+              centroids), iters = 2)
+          .collect().map(_.toString).toSeq
+        require(gotAnn == wantAnn, "churned ANN serve diverged from rebuild")
+        println("KILLPROBE_OK")
+
+      // ---------------------------------------------- graph loop family
+      // [[streaming.StreamingBackfill.graphIngestLoop]] under real
+      // SIGKILLs: the graph grows from nothing over GraphWaves arrival
+      // waves; end state must hash-equal the batch knnGraph.
+      case "graph-setup" =>
+        IndexChurn.stamp(
+            Similarity.assignVectors(emb.limit(0), centroids), "U", -1L)
+          .write.mode("overwrite").bucketBy(8, "c_id").sortBy("c_id")
+          .saveAsTable(graphAssignTable)
+        val embRaw = Tables.load(spark, sf, "embeddings")
+        (0 until GraphWaves).foreach { w =>
+          val sub = s"$work/stream/b$w"
+          embRaw.filter(col("vec_id") % GraphWaves === w)
+            .coalesce(1).write.mode("overwrite").parquet(sub)
+          new java.io.File(sub).listFiles()
+            .filter(_.getName.endsWith(".parquet"))
+            .foreach(f => require(f.setLastModified(1000000000000L + w * 60000L)))
+        }
+        println("SETUP_DONE")
+
+      case "graph-ingest" =>
+        val embRaw = Tables.load(spark, sf, "embeddings")
+        val stream = spark.readStream.schema(embRaw.schema)
+          .option("maxFilesPerTrigger", "1")
+          .option("recursiveFileLookup", "true")
+          .parquet(s"$work/stream")
+        println("INGEST_BEGIN")
+        streaming.StreamingBackfill.graphIngestLoop(spark, stream,
+          graphAssignTable, centroids, s"$work/graph",
+          checkpointDir = s"$work/ckpt")
+        println("INGEST_DONE")
+
+      case "graph-check" =>
+        val got = streaming.StreamingBackfill
+          .servedGraph(spark, s"$work/graph")
+          .collect().map(_.toString).sorted.toSeq
+        val want = Similarity.knnGraph(spark, sf)
+          .collect().map(_.toString).sorted.toSeq
+        require(got == want, "streamed graph diverged from the batch rebuild")
+        require(IndexChurn
+            .served(spark, graphAssignTable, Seq("c_id", "vec_id")).count()
+          == emb.count(), "assignment index row count diverged")
+        println("KILLPROBE_OK")
+
+      // ---------------------------------------- graph churn loop family
+      // [[streaming.StreamingBackfill.graphChurnLoop]] under real
+      // SIGKILLs: a clean whole-corpus ingest, then the knnGraphChurn
+      // delete set (vec_id % 10 == 0) streamed over GchurnWaves waves;
+      // end state must hash-equal the batch knnGraphChurn.
+      case "gchurn-setup" =>
+        IndexChurn.stamp(
+            Similarity.assignVectors(emb.limit(0), centroids), "U", -1L)
+          .write.mode("overwrite").bucketBy(8, "c_id").sortBy("c_id")
+          .saveAsTable(graphAssignTable)
+        val embRaw = Tables.load(spark, sf, "embeddings")
+        embRaw.coalesce(1).write.mode("overwrite")
+          .parquet(s"$work/ingest/all")
+        streaming.StreamingBackfill.graphIngestLoop(spark,
+          spark.readStream.schema(embRaw.schema)
+            .option("maxFilesPerTrigger", "1")
+            .option("recursiveFileLookup", "true")
+            .parquet(s"$work/ingest"),
+          graphAssignTable, centroids, s"$work/graph")
+        (0 until GchurnWaves).foreach { w =>
+          val sub = s"$work/stream/d$w"
+          embRaw.filter(col("vec_id") % (10 * GchurnWaves) === w * 10)
+            .coalesce(1).write.mode("overwrite").parquet(sub)
+          new java.io.File(sub).listFiles()
+            .filter(_.getName.endsWith(".parquet"))
+            .foreach(f => require(f.setLastModified(1000000000000L + w * 60000L)))
+        }
+        println("SETUP_DONE")
+
+      case "gchurn-ingest" =>
+        val embRaw = Tables.load(spark, sf, "embeddings")
+        val stream = spark.readStream.schema(embRaw.schema)
+          .option("maxFilesPerTrigger", "1")
+          .option("recursiveFileLookup", "true")
+          .parquet(s"$work/stream")
+        println("INGEST_BEGIN")
+        streaming.StreamingBackfill.graphChurnLoop(spark, stream,
+          graphAssignTable, centroids, s"$work/graph",
+          checkpointDir = s"$work/ckpt")
+        println("INGEST_DONE")
+
+      case "gchurn-check" =>
+        val got = streaming.StreamingBackfill
+          .servedGraph(spark, s"$work/graph")
+          .collect().map(_.toString).sorted.toSeq
+        val want = Similarity.knnGraphChurn(spark, sf)
+          .collect().map(_.toString).sorted.toSeq
+        require(got == want, "streamed churn diverged from the batch build")
+        require(IndexChurn
+            .served(spark, graphAssignTable, Seq("c_id", "vec_id"))
+            .filter(col("vec_id") % 10 === 0).count() == 0L,
+          "assignment index still serves deleted vectors")
         println("KILLPROBE_OK")
 
       case other => sys.error(s"unknown phase: $other")

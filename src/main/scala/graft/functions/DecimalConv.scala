@@ -1,0 +1,74 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** THE decimal↔double conventions — one owner for every
+  * cross-engine-deterministic numeric hop in the engine, so an
+  * arithmetic change edits one definition here, never N call sites
+  * and N oracle CTEs drifting independently (the r13
+  * `sim_topk_pq_packed` regression was exactly such a fork: one fold
+  * cast at scale 10 while its contract partner summed at scale 18).
+  *
+  * Why three conventions exist at all (each pinned by a degenerate-
+  * corpus gate finding; the NOTES "decimal conventions" table maps
+  * oracle families to them):
+  *
+  *  - [[decSum]] — order-proof sums. Double addition is not
+  *    associative, so a float sum depends on partition/merge order;
+  *    summing through decimal(38,18) is exact (order-free) and the
+  *    double image of the one true sum is deterministic on both
+  *    engines. 18 fractional digits hold every round(·,≤10) addend
+  *    exactly; 20 integer digits absorb the vecdegen 1e18 corpus.
+  *
+  *  - [[decMean]] — Lloyd centroid means, STRING-mediated.
+  *    Java's BigDecimal.doubleValue() double-rounds (unscaled→double,
+  *    then /10^scale — two IEEE roundings) while Double.parseDouble
+  *    of the decimal's exact digits is correctly rounded; DuckDB
+  *    converts via VARCHAR for the same reason (its native casts
+  *    double-round through multiplies). One convention — exact
+  *    digits, one correctly-rounded parse — on both engines (the
+  *    vecdegen seed-3 residual-fork finding).
+  *
+  *  - [[f32Mean]] / [[f32]] — float32 round-trips where cross-engine
+  *    doubles CANNOT be canonicalized by any fixed-decimal round:
+  *    engine decimal→double hops differ at relative ~1e-16, which is
+  *    ~1e2 ABSOLUTE on vecdegen's 1e18-scaled clusters. float32 is
+  *    scale-uniform (collapses both engines' values to one bit
+  *    pattern at every magnitude), matches the source data's own
+  *    precision (embeddings are float32; FAISS codebooks are all-
+  *    float32 for the same reason), and near-cancelling residual
+  *    subtractions stay exact-identical.
+  */
+object DecimalConv {
+
+  /** The one sum type: exact for round-10 addends, 20 integer digits
+    * of 1e18-corpus headroom. Any serve that must hash-equal another
+    * serve (or a DuckDB replay) sums through THIS type — see
+    * [[graft.operators.Quantize.exactOrderedFold]] for the ordered-
+    * fold twin that must stay cast-identical. */
+  val SumType = "decimal(38,18)"
+
+  /** Order-proof sum: exact decimal accumulation, one deterministic
+    * double image. */
+  def decSum(c: Column): Column =
+    sum(c.cast(SumType)).cast("double")
+
+  /** Decimal-exact mean with the correctly-rounded (string-mediated)
+    * decimal→double hop — the Lloyd centroid update
+    * ([[graft.operators.Similarity.trainCentroids]]). */
+  def decMean(c: Column): Column =
+    sum(c.cast(SumType)).cast("string").cast("double") / count(lit(1))
+
+  /** [[decMean]] collapsed to the float32 grid — the PQ codebook
+    * update ([[graft.operators.Quantize.trainCodebooksOver]]), where
+    * residual Lloyd's razor-thin argmax margins amplify any cross-
+    * engine 1-ulp divergence into a forked codebook. */
+  def f32Mean(c: Column): Column =
+    (decMean(c)).cast("float").cast("double")
+
+  /** Scalar float32 round-trip — residual subtraction operands
+    * ([[graft.operators.Quantize]] residualFrame). */
+  def f32(c: Column): Column =
+    c.cast("float").cast("double")
+}

@@ -231,7 +231,7 @@ object Aggregates {
   def numericMoments(spark: SparkSession, dir: String): DataFrame = {
     val li = Tables.load(spark, dir, "lineitem")
     def dsum(c: org.apache.spark.sql.Column) =
-      sum(c.cast("decimal(38,18)")).cast("double")
+      graft.functions.DecimalConv.decSum(c)
     li.groupBy("l_returnflag")
       .agg(
         count(lit(1)).as("n"),

@@ -146,9 +146,7 @@ object Quantize {
           // double-rounds, Double.parseDouble of the exact digits is
           // correctly rounded — the same convention the oracle's
           // VARCHAR-mediated casts replay.
-          .agg((sum(col("x").cast("decimal(38,18)")).cast("string")
-            .cast("double") /
-            count(lit(1))).cast("float").cast("double").as("m"))
+          .agg(graft.functions.DecimalConv.f32Mean(col("x")).as("m"))
           .groupBy("sub", "c_id")
           .agg(transform(
             array_sort(collect_list(struct(col("pos"), col("m")))),
@@ -240,10 +238,10 @@ object Quantize {
       index.join(broadcast(lut), Seq("sub", "code"))
         .filter(col("vec_id") =!= col("q_id"))
         .groupBy("q_id", "vec_id")
-        .agg(sum(col("ip").cast("decimal(38,18)")).as("ips"),
+        .agg(exactUnorderedSum(col("ip")).as("ips"),
           first(col("nrm")).as("nrm"), first(col("q_nrm")).as("q_nrm"))
         .withColumn("cos",
-          col("ips").cast("double") / (col("q_nrm") * col("nrm"))), k)
+          col("ips") / (col("q_nrm") * col("nrm"))), k)
 
   /** The PACKED compressed index: ONE row per vector —
     * (vec_id, nrm, codes array ordered by subspace) — the layout PQ
@@ -281,9 +279,41 @@ object Quantize {
       iters: Int = 2): DataFrame =
     pqPackedTopKWith(spark, dir, k, iters, exactFold = true)
 
+  /** THE packed exact-fold kernel: the ordered M-addend fold every
+    * packed serve scores through when it must hash-equal the long
+    * format's [[adcServe]] sum. The addend cast MUST be
+    * decimal(38,18) — byte-identical to [[adcServe]]'s sum type — NOT
+    * a scale that merely holds the round-10 digits: casting a double
+    * to scale 18 captures 18 digits of its BINARY expansion
+    * (0.1234567891 → 0.123456789100000006), so a scale-10 cast
+    * produces a DIFFERENT number and the fold forks from the long
+    * format's sum whenever a cos lands within ~1e-16 of a round-6
+    * boundary (the r13 `sim_topk_pq_packed` regression — one row).
+    * Decimal addition is exact, so the ordered fold of (38,18)
+    * addends IS the long format's unordered sum — PropertySpec pins
+    * the equivalence BIT-exactly on boundary-adjacent and
+    * 1e16–1e18-magnitude addends. The cast-back pins the accumulator
+    * type Spark's decimal promotion would otherwise widen from under
+    * the lambda. Headroom: 38−18 = 20 integer digits absorb the
+    * vecdegen 1e18-scaled corpus (M=8 addends at |ip|~1e18 → |sum| ≤
+    * 8e18 < 1e20), same margin as the long format's sum. */
+  private[graft] def exactOrderedFold(addend: Column => Column): Column = {
+    val t = graft.functions.DecimalConv.SumType
+    aggregate(sequence(lit(0), lit(M - 1)),
+      lit(BigDecimal(0)).cast(t),
+      (acc, s) => (acc + addend(s).cast(t)).cast(t)).cast("double")
+  }
+
+  /** [[adcServe]]'s sum arithmetic over an explicit addend column —
+    * the other half of the fold≡sum contract, factored so PropertySpec
+    * compares the two PRODUCTION kernels, not a replica of either. */
+  private[graft] def exactUnorderedSum(ip: Column): Column =
+    graft.functions.DecimalConv.decSum(ip)
+
   /** [[pqPackedTopK]] with the fold arithmetic selectable: `exactFold`
-    * sums through scale-10 decimals (order-proof — the cross-engine
-    * hashing contract the oracle row runs under); `false` folds plain
+    * sums through decimal(38,18) — [[adcServe]]'s exact sum type, the
+    * cross-engine hashing contract the oracle row runs under; `false`
+    * folds plain
     * doubles — STILL deterministic (a left fold in fixed subspace
     * order), just not bit-equal to an any-order sum, and measurably
     * faster: this is what production ships, and what ScaleProbe100
@@ -311,20 +341,7 @@ object Quantize {
         def lookup(s: Column) = element_at(element_at(col("tbl"), s + 1),
           element_at(col("codes"), s + 1) + 1)
         val ips =
-          if (exactFold)
-            // addends are round(·,10) doubles, so scale-10 decimals
-            // hold them EXACTLY and the ordered fold equals any-order
-            // summing; the cast-back pins the accumulator type Spark's
-            // decimal promotion would otherwise widen from under the
-            // lambda. Precision 38, not 20: the integer headroom must
-            // absorb float-edge corpora (a 1e18-scaled garbage vector
-            // makes |ip| ~ 1e16-1e18, which overflows decimal(20,10)'s
-            // 1e10 integer digits into an ANSI crash — the vecdegen
-            // gate's finding), matching the long format's (38,18) sum
-            aggregate(sequence(lit(0), lit(M - 1)),
-              lit(BigDecimal(0)).cast("decimal(38,10)"),
-              (acc, s) => (acc + lookup(s).cast("decimal(38,10)"))
-                .cast("decimal(38,10)")).cast("double")
+          if (exactFold) exactOrderedFold(lookup)
           else
             aggregate(sequence(lit(0), lit(M - 1)), lit(0.0),
               (acc, s) => acc + lookup(s))
@@ -454,10 +471,10 @@ object Quantize {
       // runs inside the probed buckets with no exchange; (q_id, vec_id)
       // is unique across c_id so the extra key changes nothing
       .groupBy("c_id", "q_id", "vec_id")
-      .agg(sum(col("ip").cast("decimal(38,18)")).as("ips"),
+      .agg(exactUnorderedSum(col("ip")).as("ips"),
         first(col("nrm")).as("nrm"), first(col("q_nrm")).as("q_nrm"))
       .withColumn("cos",
-        col("ips").cast("double") / (col("q_nrm") * col("nrm"))), k)
+        col("ips") / (col("q_nrm") * col("nrm"))), k)
   }
 
   /** Harness query `sim_topk_ivfpq_rerank`: the end-to-end production
@@ -504,8 +521,8 @@ object Quantize {
       // same split, so the two engines can never disagree about it.
       .select(col("vec_id"),
         zip_with(col("v"), col("c_v"),
-          (a, b) => (a - b.cast("float").cast("double"))
-            .cast("float").cast("double")).as("v"))
+          (a, b) => graft.functions.DecimalConv.f32(
+            a - graft.functions.DecimalConv.f32(b))).as("v"))
   }
 
   /** Per-subspace codebooks Lloyd-trained on RESIDUAL subvectors —
@@ -565,13 +582,13 @@ object Quantize {
       .join(broadcast(lut), Seq("q_id", "sub", "code"))
       .filter(col("vec_id") =!= col("q_id"))
       .groupBy("c_id", "q_id", "vec_id")
-      .agg(sum(col("ip").cast("decimal(38,18)")).as("lutsum"),
+      .agg(exactUnorderedSum(col("ip")).as("lutsum"),
         first(col("qc_ip")).as("qc_ip"),
         first(col("nrm")).as("nrm"), first(col("q_nrm")).as("q_nrm"))
       // the decimal LUT sum is exact; its double image + the rounded
       // q·c scalar is one IEEE add — deterministic on both engines
       .withColumn("cos",
-        (col("lutsum").cast("double") + col("qc_ip")) /
+        (col("lutsum") + col("qc_ip")) /
           (col("q_nrm") * col("nrm"))), k)
   }
 
@@ -835,8 +852,8 @@ object Quantize {
           posexplode(col("v")).as(Seq("i", "xv")))
         .join(y, "vec_id")
         .groupBy("i", "j")
-        .agg(sum((col("xv") * col("yv")).cast("decimal(38,18)"))
-          .cast("double").as("a"))
+        .agg(graft.functions.DecimalConv
+          .decSum(col("xv") * col("yv")).as("a"))
         .collect()
       val mat = Array.ofDim[Double](d, d)
       a.foreach(r => mat(r.getAs[Int]("i"))(r.getAs[Int]("j")) =
@@ -853,66 +870,31 @@ object Quantize {
   /** ADC recall probe for an ARBITRARY rotation matrix — the spec's
     * instrument for [[opqLearnedRotation]]: rotate corpus + queries,
     * train, encode, serve, all through the same kernels as
-    * [[opqTopK]], nothing memoized (learned rotations are
-    * experiment-local). */
+    * [[opqTopK]]. The memo key folds in a FINGERPRINT of the rotation
+    * (matrix bytes hashed): two probes with different rotations (e.g.
+    * rounds=1 vs rounds=2) must never share a trained codebook — a
+    * tag-only key would silently serve the first rotation's codebook
+    * to the second and report wrong recall. */
   def opqTopKWith(spark: SparkSession, dir: String,
       h: Array[Array[Double]], k: Int = 10, iters: Int = 2,
       memoTag: String = "opql"): DataFrame = {
+    val hFp = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      val bb = java.nio.ByteBuffer.allocate(8)
+      h.foreach(_.foreach { x =>
+        bb.clear(); bb.putDouble(x); md.update(bb.array()) })
+      md.digest().take(6).map("%02x".format(_)).mkString
+    }
     val e = requireDim(emb(spark, dir))
       .select(col("vec_id"), rotateBy(h)(col("v")).as("v"))
       .withColumn("nrm", sqrt(V.dot(col("v"), col("v"))))
     val cb = trainCodebooksOver(spark, dir,
-      s"${memoTag}_serve_cb_${M}_${Ksub}_$iters", iters, subvectors(e))
+      s"${memoTag}_serve_cb_${M}_${Ksub}_${iters}_$hFp", iters,
+      subvectors(e))
     val index = assignCodes(subvectors(e), cb)
       .join(e.select(col("vec_id"), col("nrm")), "vec_id")
       .select("vec_id", "nrm", "sub", "code")
     adcServe(index, lutOf(queriesOf(e), cb), k)
-  }
-
-  /** Throwaway diagnostic (vecdegen-s3 residual fork): dump the seed
-    * codebook and the first-iteration assignment of the residual Lloyd
-    * so the oracle's pqrcb0/pqra1 can be diffed stage by stage. */
-  def debugLloydStages(spark: SparkSession, dir: String,
-      out: String): Unit = {
-    val subs = subvectors(requireDim(residualFrame(spark, dir, 2)))
-    val sparkS = spark
-    import sparkS.implicits._
-    val ids = subs.select("vec_id").distinct()
-      .orderBy("vec_id").limit(Ksub)
-      .collect().map(_.getLong(0))
-    val seedIds = ids.zipWithIndex
-      .map { case (v, i) => (v, i.toLong) }.toSeq.toDF("vec_id", "c_id")
-    val cb0 = subs.join(broadcast(seedIds), "vec_id")
-      .select(col("sub"), col("c_id"), col("sv").as("cv"))
-    cb0.select(col("sub"), col("c_id"),
-        concat_ws(",", transform(col("cv"), x => format_string("%.17e", x)))
-          .as("cv"))
-      .coalesce(1).write.mode("overwrite").parquet(s"$out/cb0")
-    assignCodes(subs, cb0)
-      .select("vec_id", "sub", "code")
-      .coalesce(1).write.mode("overwrite").parquet(s"$out/a1")
-    // cb1 = one update step (same arithmetic as trainCodebooksOver)
-    val cb1 = assignCodes(subs, cb0)
-      .select(col("sub"), col("code").as("c_id"),
-        posexplode(col("sv")).as(Seq("pos", "x")))
-      .groupBy("sub", "c_id", "pos")
-      .agg((sum(col("x").cast("decimal(38,18)")).cast("double") /
-        count(lit(1))).cast("float").cast("double").as("m"))
-      .groupBy("sub", "c_id")
-      .agg(transform(
-        array_sort(collect_list(struct(col("pos"), col("m")))),
-        s => s.getField("m")).as("cv"))
-    cb1.select(col("sub"), col("c_id"),
-        concat_ws(",", transform(col("cv"), x => format_string("%.17e", x)))
-          .as("cv"))
-      .coalesce(1).write.mode("overwrite").parquet(s"$out/cb1")
-    assignCodes(subs, cb1)
-      .select("vec_id", "sub", "code")
-      .coalesce(1).write.mode("overwrite").parquet(s"$out/a2")
-    subs.select(col("vec_id"), col("sub"),
-        concat_ws(",", transform(col("sv"), x => format_string("%.17e", x)))
-          .as("sv"))
-      .coalesce(1).write.mode("overwrite").parquet(s"$out/subs")
   }
 
   def int8Quantize(spark: SparkSession, dir: String): DataFrame = {

@@ -96,8 +96,7 @@ object Similarity {
       centroids = assigned
         .select(col("c_id"), posexplode(col("v")).as(Seq("pos", "x")))
         .groupBy("c_id", "pos")
-        .agg((sum(col("x").cast("decimal(38,18)")).cast("string")
-          .cast("double") / count(lit(1))).as("m"))
+        .agg(graft.functions.DecimalConv.decMean(col("x")).as("m"))
         .groupBy("c_id")
         .agg(transform(array_sort(collect_list(struct(col("pos"), col("m")))),
           s => s.getField("m")).as("c_v"))
@@ -346,7 +345,7 @@ object Similarity {
       val g = knnGraph(spark, dir, k, nprobe, iters)
       val dens = g.groupBy(col("q_id").as("vec_id"))
         .agg(
-          (sum(col("cos").cast("decimal(38,18)")).cast("double") /
+          (graft.functions.DecimalConv.decSum(col("cos")) /
             count(lit(1))).as("density"),
           count(lit(1)).cast("long").as("deg"))
       dens.join(assignmentTable(spark, dir, iters).select("vec_id", "c_id"),
@@ -449,8 +448,8 @@ object Similarity {
         .join(p.select(col("vec_id").as("q_id"), col("p")), "q_id")
         .join(outdeg, "q_id")
         .groupBy(col("vec_id"))
-        .agg(sum((col("p") / col("outdeg")).cast("decimal(38,18)"))
-          .cast("double").as("c"))
+        .agg(graft.functions.DecimalConv
+          .decSum(col("p") / col("outdeg")).as("c"))
       p = verts.join(contrib, Seq("vec_id"), "left")
         .crossJoin(broadcast(n))
         .select(col("vec_id"),

@@ -373,8 +373,7 @@ object TextAnalysis {
       .select(col("vec_id").as("doc_id"), col("c_id"))
     val byCluster = scored.join(asg, "doc_id")
       .groupBy("c_id", "term")
-      .agg(sum(col("tfidf").cast("decimal(38,18)")).cast("double")
-        .as("wsum"))
+      .agg(graft.functions.DecimalConv.decSum(col("tfidf")).as("wsum"))
       .withColumn("weight", round(col("wsum"), 6))
     val w = Window.partitionBy("c_id")
       .orderBy(col("weight").desc, col("term"))
@@ -749,8 +748,9 @@ object TextAnalysis {
         // summed through decimal: the round-8 terms are exact decimals,
         // so the sum is order-free (a raw double sum depends on the
         // partial-aggregate merge order — clusterLabels' discipline)
-        sum(round(log(col("freq").cast("double") / col("total")), 8)
-          .cast("decimal(38,18)")).cast("double").as("s"))
+        graft.functions.DecimalConv.decSum(
+          round(log(col("freq").cast("double") / col("total")), 8))
+          .as("s"))
     docs.select(col("doc_id")).join(perDoc, Seq("doc_id"), "left")
       .select(col("doc_id"),
         coalesce(col("n_tokens"), lit(0L)).as("n_tokens"),
@@ -792,9 +792,9 @@ object TextAnalysis {
       .groupBy("doc_id")
       .agg(count(lit(1)).cast("long").as("n_bigrams"),
         // decimal-exact sum, as in unigramLogprob
-        sum(round(log((col("bfreq") + 1).cast("double") /
-          (col("freq") + col("v")).cast("double")), 8)
-          .cast("decimal(38,18)")).cast("double").as("s"))
+        graft.functions.DecimalConv.decSum(
+          round(log((col("bfreq") + 1).cast("double") /
+            (col("freq") + col("v")).cast("double")), 8)).as("s"))
     docs.select(col("doc_id")).join(perDoc, Seq("doc_id"), "left")
       .select(col("doc_id"),
         coalesce(col("n_bigrams"), lit(0L)).as("n_bigrams"),

@@ -554,9 +554,17 @@ object StreamingBackfill {
       embedder: DataFrame => DataFrame, buckets: Int = -1,
       doclenTable: Option[String] = None,
       compactThreshold: Double = Double.NaN,
-      seqBase: Long = ChurnSeqBase): Unit = {
+      seqBase: Long = ChurnSeqBase, checkpointDir: String = ""): Unit = {
     import graft.sources.IndexChurn
-    val q = ops.writeStream
+    // resumable like fullIngestLoop: a killed process restarts from the
+    // last committed offset and REDELIVERS the in-flight batch — the
+    // per-step idempotence (identical (op, seq) re-appends collapse in
+    // the latest-wins serve) absorbs exactly that redelivery
+    // (tools/verify_killmid.py --phase churn SIGKILLs this loop)
+    val w0 = ops.writeStream
+    val w = if (checkpointDir.nonEmpty)
+      w0.option("checkpointLocation", checkpointDir) else w0
+    val q = w
       .outputMode("append")
       .foreachBatch { (batch: org.apache.spark.sql.Dataset[Row], id: Long) =>
         if (!batch.isEmpty) {
@@ -873,11 +881,18 @@ object StreamingBackfill {
   def graphIngestLoop(spark: SparkSession, newVecs: DataFrame,
       assignIndexTable: String, centroids: DataFrame, graphDir: String,
       k: Int = 3, nprobe: Int = 4, buckets: Int = 8,
-      compactEvery: Int = 0): Unit = {
+      compactEvery: Int = 0, checkpointDir: String = ""): Unit = {
     import graft.operators.{Memo, Similarity}
     import graft.sources.IndexChurn
     val cents = Similarity.centroidArtifact(centroids)
-    val q = newVecs.writeStream
+    // resumable: redelivered batches skip the fold on their _done
+    // marker and their assignment re-appends collapse latest-wins —
+    // the same protocol the whole-stream-replay spec pins, here
+    // process-kill-proven (tools/verify_killmid.py --phase graph)
+    val w0 = newVecs.writeStream
+    val w = if (checkpointDir.nonEmpty)
+      w0.option("checkpointLocation", checkpointDir) else w0
+    val q = w
       .outputMode("append")
       .foreachBatch { (batch: org.apache.spark.sql.Dataset[Row], id: Long) =>
         if (!batch.isEmpty) {
@@ -977,11 +992,17 @@ object StreamingBackfill {
   def graphChurnLoop(spark: SparkSession, deletes: DataFrame,
       assignIndexTable: String, centroids: DataFrame, graphDir: String,
       k: Int = 3, nprobe: Int = 4, buckets: Int = 8,
-      seqBase: Long = ChurnSeqBase): Unit = {
+      seqBase: Long = ChurnSeqBase, checkpointDir: String = ""): Unit = {
     import graft.operators.{Memo, Similarity}
     import graft.sources.IndexChurn
     val cents = Similarity.centroidArtifact(centroids)
-    val q = deletes.writeStream
+    // resumable: the delta marker skips a redelivered fold; the
+    // assignment tombstone re-append is an identical (op, seq) row
+    // that collapses latest-wins (killmid --phase gchurn)
+    val w0 = deletes.writeStream
+    val w = if (checkpointDir.nonEmpty)
+      w0.option("checkpointLocation", checkpointDir) else w0
+    val q = w
       .outputMode("append")
       .foreachBatch { (batch: org.apache.spark.sql.Dataset[Row], id: Long) =>
         if (!batch.isEmpty) {

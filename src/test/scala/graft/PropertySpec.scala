@@ -62,14 +62,18 @@ class PropertySpec extends AnyFunSuite {
     // groups incl NULL, scores rounded to 0.2 steps (heavy ties), some
     // null scores, skew (group 0 oversampled), UNIQUE ids via index —
     // RankCut's bucket bound assumes id uniqueness like the operators'
-    // key columns
-    val gen = Gen.listOfN(400, Gen.zip(
+    // key columns. Id SPACING is sampled per replay: dense (1, 3) ids
+    // pack several tied rows into one ≤2^3-wide boundary bucket (the
+    // multi-row in-bucket ranking path), sparse (37) leaves buckets
+    // near-singleton — both shapes must satisfy the contract.
+    val gen = Gen.zip(Gen.oneOf(1L, 3L, 37L), Gen.listOfN(400, Gen.zip(
       Gen.option(Gen.frequency(3 -> Gen.const(0L), 1 -> Gen.chooseNum(1L, 5L))),
-      Gen.chooseNum(-2.0, 2.0), Gen.chooseNum(0, 36)))
-      .map(_.zipWithIndex.map { case ((g, s, nullMark), i) =>
-        (g, if (nullMark == 1) None else Some(math.rint(s * 5) / 5),
-          i.toLong * 37 + 1000) })      // sparse, non-dense ids
-    forSamples(gen, 5) { rows =>
+      Gen.chooseNum(-2.0, 2.0), Gen.chooseNum(0, 36))))
+      .map { case (spacing, xs) =>
+        xs.zipWithIndex.map { case ((g, s, nullMark), i) =>
+          (g, if (nullMark == 1) None else Some(math.rint(s * 5) / 5),
+            i.toLong * spacing + 1000) } }
+    forSamples(gen, 6) { rows =>
       val df = rows.toDF("grp", "score", "id").repartition(7)
       for (frac <- Seq(0.3, 0.95)) {
         val got = graft.operators.RankCut.topFlag(df, "grp", "score", "id",
@@ -93,6 +97,48 @@ class PropertySpec extends AnyFunSuite {
             r.getAs[Boolean]("flag")).toMap
         assert(got.size == want.size && got == want,
           s"RankCut diverged from the contract replay at frac=$frac")
+      }
+    }
+  }
+
+  test("packed exact fold ≡ ADC unordered decimal sum, BIT-exactly, " +
+      "across magnitudes incl. the 1e18 float edge") {
+    import spark.implicits._
+    import graft.operators.Quantize
+    // The r13 regression class: round-10 doubles carry a BINARY tail
+    // past 10 decimal digits, so a scale-10 decimal cast recovers a
+    // DIFFERENT number than adcServe's scale-18 cast — the two sums
+    // coincided for six rounds only because no cos sat within ~1e-16
+    // of a round-6 boundary. The contract is therefore BIT-equality
+    // of the production fold and sum kernels, not 6dp closeness —
+    // under scale-10 addends this test is red on ~half the samples.
+    val small = Gen.chooseNum(-1.0, 1.0)
+    val mid = Gen.chooseNum(-1.0e10, 1.0e10)
+    val huge = Gen.chooseNum(-1.0e18, 1.0e18) // vecdegen's garbage scale
+    val addendsGen = Gen.listOfN(Quantize.M,
+      Gen.frequency(4 -> small, 1 -> mid, 1 -> huge))
+    forSamples(Gen.listOfN(60, addendsGen), 2) { cases =>
+      // replay lutOf's own round(·,10) (Spark's HALF_UP, not rint)
+      val luts = cases.zipWithIndex.map { case (adds, i) => (i.toLong, adds) }
+        .toDF("case_id", "raw")
+        .select(col("case_id"),
+          transform(col("raw"), x => round(x, 10)).as("adds"))
+      val folded = luts.select(col("case_id"),
+          Quantize.exactOrderedFold(s => element_at(col("adds"), s + 1))
+            .as("v"))
+        .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+      val summed = luts
+        .select(col("case_id"), explode(col("adds")).as("ip"))
+        .repartition(7) // arrival order ≠ fold order: sum must not care
+        .groupBy("case_id")
+        .agg(Quantize.exactUnorderedSum(col("ip")).as("v"))
+        .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+      assert(folded.keySet == summed.keySet)
+      folded.foreach { case (id, f) =>
+        assert(java.lang.Double.doubleToLongBits(f) ==
+          java.lang.Double.doubleToLongBits(summed(id)),
+          s"fold forked from the sum on case $id: fold=$f sum=${summed(id)} " +
+            s"adds=${cases(id.toInt)}")
       }
     }
   }

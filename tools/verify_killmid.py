@@ -1,22 +1,33 @@
 #!/usr/bin/env python3
-"""Kill-mid-batch gate for the streaming ingest protocol.
+"""Kill-mid-batch gate for the streaming ingest protocols.
 
 StreamingSpec proves the marker/seq idempotence contracts under
 SIMULATED replay (restart the stream from batch 0 in one JVM). This
-gate proves them under a real SIGKILL: run graft.KillProbe's ingest
-phase (fullIngestLoop over 12 single-file microbatches with a real
-checkpoint) in a child JVM, SIGKILL the process group at a random
-instant inside the ingest window, restart the same phase (the stream
-resumes from the checkpoint and REDELIVERS the in-flight batch), then
-assert the corpus store and the BM25/ANN serving indexes equal batch
-rebuilds. Repeats over N random kill points.
+gate proves them under a real SIGKILL: run a graft.KillProbe ingest
+phase in a child JVM, SIGKILL the process group at a random instant
+inside the ingest window, restart the same phase (the stream resumes
+from the checkpoint and REDELIVERS the in-flight batch), then assert
+the serve views equal batch rebuilds. Repeats over N random kill
+points.
+
+Phase families (4th arg, default "full"):
+  full   — fullIngestLoop: corpus store + band/postings/assignment
+           indexes grown over 12 doc microbatches.
+  churn  — churnIngestLoop: the whole corpus churned (evens deleted,
+           odds updated) over 12 op microbatches; postings/doclen/
+           assignment serves + BM25 vs batch rebuilds.
+  graph  — graphIngestLoop: kNN graph grown from nothing over 10
+           arrival waves; served graph vs batch knnGraph.
+  gchurn — graphChurnLoop: clean full ingest, then the knnGraphChurn
+           delete set streamed over 6 waves; served graph vs batch
+           knnGraphChurn.
 
 A kill can land mid-parquet-commit, between a band append and its
 marker file, between an index append and the checkpoint offset commit,
 or inside the Derby metastore — every seam the protocol's comments
 argue about, exercised for real.
 
-Usage: python3 tools/verify_killmid.py [iterations] [seed] [sf_dir]
+Usage: python3 tools/verify_killmid.py [iterations] [seed] [sf_dir] [family]
 Requires compiled classes (sbt compile) — the kill loop runs plain
 java so the victim is the protocol, not sbt.
 """
@@ -25,9 +36,18 @@ import os, random, shutil, signal, subprocess, sys, time
 ITERS = int(sys.argv[1]) if len(sys.argv) > 1 else 10
 SEED = int(sys.argv[2]) if len(sys.argv) > 2 else 13
 SF = sys.argv[3] if len(sys.argv) > 3 else "/root/testdata/sf0.001"
+FAMILY = sys.argv[4] if len(sys.argv) > 4 else "full"
+FAMILIES = {"full": "", "churn": "churn-", "graph": "graph-",
+            "gchurn": "gchurn-"}
+assert FAMILY in FAMILIES, f"unknown family {FAMILY} (want {list(FAMILIES)})"
+PREFIX = FAMILIES[FAMILY]
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 CP = f"{REPO}/target/scala-2.13/classes:/opt/spark/jars/*"
 JAVA = shutil.which("java") or "/usr/bin/java"
+# wall-clock cap per phase run, set after calibration (a hung child —
+# e.g. a stream stuck before INGEST_BEGIN — must fail the iteration,
+# not poll forever)
+CAP = 900.0
 
 random.seed(SEED)
 
@@ -35,7 +55,8 @@ random.seed(SEED)
 def run_phase(phase, work, log, kill_after=None):
     """Run one KillProbe phase. If kill_after is set, SIGKILL the
     process group that long after INGEST_BEGIN appears; returns
-    ("killed", t) or ("done", t)."""
+    ("killed", t), ("done", rc), or ("hung", t) when the wall-clock
+    cap expires first."""
     cmd = [JAVA, "-Xmx6g", "-cp", CP,
            "--add-opens=java.base/java.lang=ALL-UNNAMED",
            "--add-opens=java.base/java.lang.invoke=ALL-UNNAMED",
@@ -52,12 +73,22 @@ def run_phase(phase, work, log, kill_after=None):
         proc = subprocess.Popen(cmd, stdout=lf, stderr=lf,
                                 start_new_session=True, cwd=REPO)
         if kill_after is None:
-            rc = proc.wait()
+            try:
+                rc = proc.wait(timeout=CAP)
+            except subprocess.TimeoutExpired:
+                os.killpg(proc.pid, signal.SIGKILL)
+                proc.wait()
+                return ("hung", CAP)
             return ("done", rc)
         # wait for INGEST_BEGIN in the log, then arm the timer
+        t_start = time.time()
         t0 = None
         while proc.poll() is None:
             time.sleep(0.1)
+            if time.time() - t_start >= CAP:
+                os.killpg(proc.pid, signal.SIGKILL)
+                proc.wait()
+                return ("hung", CAP)
             if t0 is None:
                 with open(log, "rb") as f:
                     if b"INGEST_BEGIN" in f.read():
@@ -76,49 +107,66 @@ def expect(log, token, what):
 
 
 def main():
+    global CAP
     fails = 0
     # calibration: one clean run measures the ingest window so kill
     # times spread across all batches
-    work = "/tmp/graft_killmid/calib"
+    root = f"/tmp/graft_killmid_{FAMILY}"
+    work = f"{root}/calib"
     shutil.rmtree(work, ignore_errors=True)
     os.makedirs(work, exist_ok=True)
     log = f"{work}/probe.log"
-    st, rc = run_phase("setup", work, log)
-    assert rc == 0, f"setup failed, see {log}"
+    st, rc = run_phase(f"{PREFIX}setup", work, log)
+    assert st == "done" and rc == 0, f"setup failed ({st}), see {log}"
     t0 = time.time()
-    st, rc = run_phase("ingest", work, log)
+    st, rc = run_phase(f"{PREFIX}ingest", work, log)
     window = time.time() - t0
-    assert rc == 0, f"calibration ingest failed, see {log}"
-    st, rc = run_phase("check", work, log)
+    assert st == "done" and rc == 0, f"calibration ingest failed, see {log}"
+    st, rc = run_phase(f"{PREFIX}check", work, log)
     expect(log, "KILLPROBE_OK", "calibration check")
-    print(f"calibration: clean ingest+check OK, ingest window ~{window:.1f}s")
+    # several× the measured window absorbs restart redelivery work;
+    # anything past that is a hang, not a slow batch
+    CAP = max(300.0, 6 * window)
+    print(f"calibration [{FAMILY}]: clean ingest+check OK, "
+          f"ingest window ~{window:.1f}s, cap {CAP:.0f}s")
 
     for i in range(ITERS):
-        work = f"/tmp/graft_killmid/iter{i}"
+        work = f"{root}/iter{i}"
         shutil.rmtree(work, ignore_errors=True)
         os.makedirs(work, exist_ok=True)
         log = f"{work}/probe.log"
-        st, rc = run_phase("setup", work, log)
-        assert rc == 0, f"setup failed (iter {i}), see {log}"
+        st, rc = run_phase(f"{PREFIX}setup", work, log)
+        assert st == "done" and rc == 0, f"setup failed (iter {i}), see {log}"
         # kill anywhere from just-after-begin to near the expected end;
         # the window excludes session bootstrap (timer arms at
         # INGEST_BEGIN) so every sample lands inside real batch work
         t_kill = random.uniform(0.05, 0.95) * window
-        st, t = run_phase("ingest", work, log, kill_after=t_kill)
+        st, t = run_phase(f"{PREFIX}ingest", work, log, kill_after=t_kill)
         tag = f"iter {i}: kill at {t_kill:.1f}s/{window:.1f}s -> {st}"
-        # resume (or, if the run beat the timer, replay-noop)
-        st2, rc2 = run_phase("ingest", work, log)
-        if rc2 != 0:
-            print(f"{tag}; RESTART FAILED rc={rc2}, see {log}")
+        # a run that beat the timer must have exited clean; a hang is a
+        # failure of THIS phase, not something to blur into the restart
+        if st == "done" and t != 0:
+            print(f"{tag}; PRE-KILL RUN FAILED rc={t}, see {log}")
             fails += 1
             continue
-        st3, rc3 = run_phase("check", work, log)
+        if st == "hung":
+            print(f"{tag}; INGEST HUNG past {CAP:.0f}s cap, see {log}")
+            fails += 1
+            continue
+        # resume (or, if the run beat the timer, replay-noop)
+        st2, rc2 = run_phase(f"{PREFIX}ingest", work, log)
+        if st2 != "done" or rc2 != 0:
+            print(f"{tag}; RESTART FAILED ({st2}) rc={rc2}, see {log}")
+            fails += 1
+            continue
+        st3, rc3 = run_phase(f"{PREFIX}check", work, log)
         with open(log, "rb") as f:
             ok = b"KILLPROBE_OK" in f.read()
-        print(f"{tag}; restart done; check {'OK' if ok and rc3 == 0 else 'FAIL'}")
-        if not ok or rc3 != 0:
+        print(f"{tag}; restart done; check "
+              f"{'OK' if ok and st3 == 'done' and rc3 == 0 else 'FAIL'}")
+        if not ok or st3 != "done" or rc3 != 0:
             fails += 1
-    print(f"== killmid: {ITERS - fails} ok, {fails} fail ==")
+    print(f"== killmid[{FAMILY}]: {ITERS - fails} ok, {fails} fail ==")
     sys.exit(1 if fails else 0)
 
 

@@ -67,6 +67,12 @@ Shapes (GRAFT_DEGEN_MODE env, default "null"):
           machine-tests the bounded-skew assumptions — densityPrune's
           per-cell window, the saturation alarms' trip thresholds,
           histogram-offset tie cuts, capped bucket joins — at once.
+  skewnull — skewdegen × null COMPOSITION: the mega-cluster/hot-token/
+          mega-source distribution with null-laced text/lang/source
+          riding it, plus skewdegen's one-IVF-cell embeddings — a
+          boilerplate-cluster member with NULL lang exercises the
+          null-group and tie-bucket paths of every histogram/RankCut
+          cut together, which no single-axis mode can.
   vecdegen — adversarial embeddings: ~2% all-zero vectors (plus query
           id 5, so the QUERY side of every serve is degenerate too),
           ~2% exact duplicates of vector 2 (a mega-tie cluster through
@@ -258,6 +264,44 @@ elif MODE == "eventdegen":
 elif MODE == "skewdegen":
     docs_sql = f"""
       SELECT doc_id, text, lang, source, length(text) AS n_chars
+      FROM (SELECT doc_id,
+                   CASE WHEN doc_id % 2 = {res(2, 0)} THEN
+                          'boilerplate header hottoken the quick brown '
+                          || 'fox jumps over the lazy dog variant '
+                          || CAST(doc_id % 5 AS VARCHAR)
+                        WHEN doc_id % 10 = {res(10, 1)} THEN text || ' hottoken'
+                        ELSE text END AS text,
+                   lang,
+                   CASE WHEN doc_id % 10 = {res(10, 7)} THEN source
+                        ELSE 'megasrc' END AS source
+            FROM '{SRC}/documents.parquet')"""
+    emb_sql = f"""
+      SELECT vec_id,
+             CASE WHEN vec_id % 2 = {res(2, 0)}
+               THEN (SELECT embedding FROM '{SRC}/embeddings.parquet'
+                     WHERE vec_id = 2)
+               ELSE embedding END AS embedding,
+             label
+      FROM '{SRC}/embeddings.parquet'"""
+    duckdb.sql(
+        f"COPY ({emb_sql}) TO '{WORK}/embeddings.parquet' (FORMAT PARQUET)")
+elif MODE == "skewnull":
+    # skewdegen × null composition: the mega-cluster / hot-token /
+    # mega-source DISTRIBUTION with null-laced VALUES riding it — a
+    # boilerplate-cluster member with NULL lang exercises RankCut's
+    # null-group and tie-bucket paths TOGETHER (no single-axis mode
+    # does), a null-text row inside the 50% tie group hits every
+    # "tokenize the cluster" path's null-propagation, and the
+    # embeddings keep skewdegen's one-IVF-cell shape. Same rates as
+    # the parent modes; generators reused verbatim.
+    docs_sql = f"""
+      SELECT doc_id,
+             CASE WHEN doc_id % 97 = {res(97, 3)} THEN NULL ELSE text END AS text,
+             CASE WHEN doc_id % 89 = {res(89, 5)} THEN NULL ELSE lang END AS lang,
+             CASE WHEN doc_id % 89 = {res(89, 5)} OR doc_id % 83 = {res(83, 7)} THEN NULL
+                  ELSE source END AS source,
+             length(CASE WHEN doc_id % 97 = {res(97, 3)} THEN NULL ELSE text END)
+               AS n_chars
       FROM (SELECT doc_id,
                    CASE WHEN doc_id % 2 = {res(2, 0)} THEN
                           'boilerplate header hottoken the quick brown '
