@@ -39,6 +39,7 @@ object KillProbe {
   private val ChurnBatches = 12
   private val GraphWaves = 10
   private val GchurnWaves = 6
+  private val CdcBatches = 12
 
   private def session(work: String): SparkSession = {
     System.setProperty("derby.system.home", s"$work/derby")
@@ -346,6 +347,83 @@ object KillProbe {
             .served(spark, graphAssignTable, Seq("c_id", "vec_id"))
             .filter(col("vec_id") % 10 === 0).count() == 0L,
           "assignment index still serves deleted vectors")
+        println("KILLPROBE_OK")
+
+      // ------------------------------------------------ CDC loop family
+      // [[streaming.StreamingBackfill.cdcUpsertLoop]] under real
+      // SIGKILLs: the bucket-store merge's aside/staging swap protocol
+      // (two renames per bucket, recovery sweep at the next merge) is
+      // exactly the seam a kill should land inside. Changelog derived
+      // from the events table (op by event_id residue), split over
+      // CdcBatches; the oracle is the plain latest-wins fold over the
+      // WHOLE staged stream — order-free, so redelivery can't move it.
+      case "cdc-setup" =>
+        val ev = Tables.load(spark, sf, "events")
+          .select(col("user_id"), col("ts"), col("event_id"),
+            when(col("event_id") % 7 === 0, lit("D")).otherwise(lit("U"))
+              .as("op"),
+            col("event_type").as("last_type"),
+            col("value").as("last_value"))
+        (0 until CdcBatches).foreach { i =>
+          val sub = s"$work/stream/b$i"
+          ev.filter(col("event_id") % CdcBatches === i)
+            .coalesce(1).write.mode("overwrite").parquet(sub)
+          new java.io.File(sub).listFiles()
+            .filter(_.getName.endsWith(".parquet"))
+            .foreach(f => require(f.setLastModified(1000000000000L + i * 60000L)))
+        }
+        println("SETUP_DONE")
+
+      case "cdc-ingest" =>
+        val schema = spark.read.parquet(s"$work/stream/b0").schema
+        val stream = spark.readStream.schema(schema)
+          .option("maxFilesPerTrigger", "1")
+          .option("recursiveFileLookup", "true")
+          .parquet(s"$work/stream")
+        println("INGEST_BEGIN")
+        streaming.StreamingBackfill.cdcUpsertLoop(spark, stream,
+          s"$work/store", checkpointDir = s"$work/ckpt")
+        println("INGEST_DONE")
+
+      case "cdc-check" =>
+        import graft.operators.Cdc
+        val cols = Seq("user_id", "ts", "event_id", "op", "last_type",
+          "last_value")
+        val all = spark.read
+          .option("recursiveFileLookup", "true").parquet(s"$work/stream")
+        val want = Cdc.latestWins(all, Seq("user_id"), Seq("ts", "event_id"))
+          .filter(col("op") =!= "D")
+          .select(cols.head, cols.tail: _*)
+          .collect().map(_.toString).sorted.toSeq
+        val got = Cdc.currentSnapshot(spark, s"$work/store")
+          .select(cols.head, cols.tail: _*)
+          .collect().map(_.toString).sorted.toSeq
+        require(got == want,
+          s"CDC snapshot diverged from the changelog fold: got ${got.size} " +
+            s"rows, want ${want.size}")
+        // a crashed swap must never leave aside/staging debris behind a
+        // COMPLETED run (recovery folds it on the next merge; the final
+        // clean pass leaves none)
+        val leftovers = Option(new java.io.File(s"$work/store").listFiles())
+          .getOrElse(Array.empty)
+          .filter(f => f.getName.startsWith(".old_") ||
+            f.getName.startsWith(".staging_"))
+        require(leftovers.isEmpty,
+          s"store kept swap debris: ${leftovers.map(_.getName).toSeq}")
+        // point lookup serves the same row the snapshot holds
+        val probe = Cdc.currentSnapshot(spark, s"$work/store")
+          .select("user_id").limit(1).collect()
+        probe.foreach { r =>
+          val uid = r.getLong(0)
+          val viaLookup = Cdc.lookup(spark, s"$work/store", uid)
+            .select(cols.head, cols.tail: _*)
+            .collect().map(_.toString).sorted.toSeq
+          val viaSnap = Cdc.currentSnapshot(spark, s"$work/store")
+            .filter(col("user_id") === uid)
+            .select(cols.head, cols.tail: _*)
+            .collect().map(_.toString).sorted.toSeq
+          require(viaLookup == viaSnap, s"lookup($uid) diverged from snapshot")
+        }
         println("KILLPROBE_OK")
 
       case other => sys.error(s"unknown phase: $other")

@@ -603,8 +603,16 @@ object StreamingBackfill {
     * same store layout, same reader ([[graft.operators.Cdc
     * .currentSnapshot]]/[[graft.operators.Cdc.lookup]]). */
   def cdcUpsertLoop(spark: SparkSession, changes: DataFrame,
-      storeDir: String, buckets: Int = 16): Unit = {
-    val q = changes.writeStream
+      storeDir: String, buckets: Int = 16,
+      checkpointDir: String = ""): Unit = {
+    // resumable: a redelivered batch's stale rows lose latest-wins to
+    // what the store already holds, and mergeIntoStore's aside/staging
+    // recovery repairs a swap the kill interrupted (killmid --phase
+    // cdc SIGKILLs this loop mid-merge)
+    val w0 = changes.writeStream
+    val w = if (checkpointDir.nonEmpty)
+      w0.option("checkpointLocation", checkpointDir) else w0
+    val q = w
       .outputMode("append")
       .foreachBatch { (batch: org.apache.spark.sql.Dataset[Row], id: Long) =>
         if (!batch.isEmpty)
