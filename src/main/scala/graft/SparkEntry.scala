@@ -704,11 +704,19 @@ object SparkEntry {
                         DESC, c.c_id) AS crk
              FROM emb0 e CROSS JOIN $cent c)
            WHERE crk = 1)"""
+    // the input hop is the EXACT expansion (format is correctly
+    // rounded; sub-5e-19 guarded to 0 — DuckDB's parser mis-rounds
+    // long-mantissa tiny exponents, and those quantize to 0 anyway),
+    // replaying Spark's ExactDecimalString: a VARCHAR (Ryu-shortest)
+    // hop forks from Java-toString-mediated casts on 1e16+ doubles
+    // (the vecdegen-s2 codebook finding)
     def update(assigned: String, name: String) =
       s"""${name}_m AS (
            SELECT c_id, i AS pos,
-                  CAST(CAST(sum(CAST(CAST(v[i] AS VARCHAR)
-                    AS DECIMAL(38,18))) AS VARCHAR) AS DOUBLE)
+                  CAST(CAST(sum(CASE WHEN abs(v[i]) < 5e-19
+                      THEN CAST(0 AS DECIMAL(38,18))
+                      ELSE CAST(format('{:.70e}', v[i])
+                        AS DECIMAL(38,18)) END) AS VARCHAR) AS DOUBLE)
                     / count(*) AS m
            FROM $assigned, range(1, ${dims + 1}) t(i)
            GROUP BY c_id, i),
@@ -807,12 +815,15 @@ object SparkEntry {
                         list_dot_product(c.cv, c.cv) DESC, c.c_id) AS rk
              FROM ${p}subs s JOIN $cb c USING (sub))
            WHERE rk = 1)"""
+    // EXACT-expansion input hop — see dIvfAssignCtes.update
     def update(assigned: String, name: String) =
       s"""${name}_m AS (
            SELECT sub, code AS c_id, i AS pos,
-                  CAST(CAST(CAST(CAST(sum(CAST(CAST(sv[i] AS VARCHAR)
-                    AS DECIMAL(38,18))) AS VARCHAR) AS DOUBLE) / count(*)
-                    AS FLOAT) AS DOUBLE) AS m
+                  CAST(CAST(CAST(CAST(sum(CASE WHEN abs(sv[i]) < 5e-19
+                      THEN CAST(0 AS DECIMAL(38,18))
+                      ELSE CAST(format('{:.70e}', sv[i])
+                        AS DECIMAL(38,18)) END) AS VARCHAR) AS DOUBLE)
+                    / count(*) AS FLOAT) AS DOUBLE) AS m
            FROM $assigned, range(1, ${sd + 1}) t(i)
            GROUP BY sub, code, i),
          $name AS (

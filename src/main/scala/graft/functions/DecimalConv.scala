@@ -54,11 +54,24 @@ object DecimalConv {
   def decSum(c: Column): Column =
     sum(c.cast(SumType)).cast("double")
 
-  /** Decimal-exact mean with the correctly-rounded (string-mediated)
-    * decimal→double hop — the Lloyd centroid update
-    * ([[graft.operators.Similarity.trainCentroids]]). */
+  /** The EXACT double→decimal input hop — [[ExactDecimalString]]'s
+    * plain-string expansion parsed into the sum type, so the decimal
+    * image of each addend is the double's true IEEE value on BOTH
+    * engines (Spark's native cast is Java-toString-VALUE-mediated,
+    * DuckDB's VARCHAR hop is Ryu — two algorithms that disagree on
+    * big-magnitude doubles; the vecdegen-s2 codebook fork). */
+  def decExact(c: Column): Column =
+    ExactDecimal.exactDecimalStr(c).cast(SumType)
+
+  /** Decimal-exact mean: EXACT-expansion input hop ([[decExact]]),
+    * then the correctly-rounded (string-mediated) decimal→double
+    * output hop — the Lloyd centroid update
+    * ([[graft.operators.Similarity.trainCentroids]]). Both hops are
+    * value-canonical (defined by the double's IEEE value and the
+    * decimal's exact digits), so neither engine's repr algorithm can
+    * fork the mean. */
   def decMean(c: Column): Column =
-    sum(c.cast(SumType)).cast("string").cast("double") / count(lit(1))
+    sum(decExact(c)).cast("string").cast("double") / count(lit(1))
 
   /** [[decMean]] collapsed to the float32 grid — the PQ codebook
     * update ([[graft.operators.Quantize.trainCodebooksOver]]), where

@@ -127,25 +127,18 @@ object Quantize {
           .select(col("sub"), col("code").as("c_id"),
             posexplode(col("sv")).as(Seq("pos", "x")))
           .groupBy("sub", "c_id", "pos")
-          // means pass through a FLOAT32 round-trip (the oracle's
-          // update does the same): Spark's double→decimal(38,18) cast
-          // goes through the SHORTEST string repr while DuckDB's goes
-          // through a double multiply, so the two engines' decimal
-          // sums — and with them every trained mean — differ at
-          // relative ~1e-16 (≈1e2 ABSOLUTE on vecdegen's 1e18-scaled
-          // clusters, where no fixed-decimal round can canonicalize).
-          // On raw vectors the next argmax has wide margins; on
-          // RESIDUAL subvectors (clustered near the origin, margins
-          // razor-thin) one flipped assignment forks the whole
-          // codebook (vecdegen seed-3 gate finding). The float cast is
-          // scale-uniform, collapses both engines' means to one bit
-          // pattern at every magnitude, and float32 codebooks are the
-          // standard ANN practice (the source data is float32). The
-          // decimal→double hop goes through a STRING like the coarse
-          // means (trainCentroids): BigDecimal.doubleValue
-          // double-rounds, Double.parseDouble of the exact digits is
-          // correctly rounded — the same convention the oracle's
-          // VARCHAR-mediated casts replay.
+          // the f32Mean convention (DecimalConv): EXACT-expansion
+          // double→decimal input hop (both engines' native/VARCHAR
+          // casts are repr-algorithm-mediated and disagree on 1e16+
+          // doubles — the vecdegen-s2 codebook fork), decimal-exact
+          // sum, string-mediated decimal→double quotient (correctly
+          // rounded, vs BigDecimal.doubleValue's double-rounding),
+          // then a FLOAT32 round-trip: on RESIDUAL subvectors
+          // (clustered near the origin, margins razor-thin) any
+          // residual cross-engine 1-ulp noise forks the whole
+          // codebook through the next argmax (vecdegen seed-3
+          // finding); float32 is scale-uniform and the standard ANN
+          // codebook precision (the source data is float32).
           .agg(graft.functions.DecimalConv.f32Mean(col("x")).as("m"))
           .groupBy("sub", "c_id")
           .agg(transform(
@@ -499,17 +492,17 @@ object Quantize {
       .select("vec_id", "c_id", "v")
       .join(broadcast(cents), "c_id")
       // the residual subtracts the FLOAT32 round-trip of the centroid
-      // (the oracle's rres does the same): cross-engine centroid
-      // doubles differ at relative ~1e-16 (Spark's double→decimal cast
-      // goes through the shortest string repr, DuckDB's through a
-      // double multiply — ~1 ulp at magnitude 0.1, but ~1e2 ABSOLUTE on
-      // vecdegen's 1e18-scale clusters), and the near-cancelling
-      // subtraction turns that into 100%-relative noise on near-zero
-      // residuals — the residual Lloyd's razor-thin argmax margins then
-      // fork the whole codebook (vecdegen seed-3 gate finding: 86/107
-      // entries diverged, every serve score with them). float(c) is
-      // bit-identical on both engines at EVERY magnitude (the
-      // disagreement is always far below float's relative 6e-8 grid),
+      // (the oracle's rres does the same). Historically the centroid
+      // doubles differed cross-engine at relative ~1e-16, and the
+      // near-cancelling subtraction turned that into 100%-relative
+      // noise on near-zero residuals — the residual Lloyd's razor-thin
+      // argmax margins then forked the whole codebook (vecdegen seed-3
+      // gate finding: 86/107 entries diverged, every serve score with
+      // them). Since the r14 exact-expansion input hop (DecimalConv
+      // .decMean) the centroids are bit-identical cross-engine, but
+      // the float hop stays: it keeps the residual at the source
+      // data's precision and the serve contract unchanged. float(c) is
+      // bit-identical on both engines at EVERY magnitude,
       // so v − float(c) is an exact-identical double; the outer float
       // round-trip keeps the residual at the source data's own
       // precision (the vectors are float32 — FAISS's codebooks are

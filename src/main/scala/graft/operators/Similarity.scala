@@ -82,17 +82,17 @@ object Similarity {
     var centroids = seedCentroids(e, c)
     for (_ <- 0 until iters) {
       val assigned = assignNearest(e, centroids)
-      // decimal-exact mean: float sums are partial-aggregation-order
-      // dependent; summing through DECIMAL(38,18) makes the centroids
-      // bit-deterministic (and lets the DuckDB oracle replicate Lloyd).
-      // The decimal→double hop goes THROUGH A STRING: Java's
-      // BigDecimal.doubleValue() double-rounds (unscaled→double, then
-      // /10^scale — two IEEE roundings) while Double.parseDouble of
-      // the decimal's exact digits is correctly rounded, and the
-      // DuckDB oracle converts via VARCHAR for the same reason (its
-      // native casts double-round through multiplies). One convention
-      // — exact digits, one correctly-rounded parse — on both engines
-      // (the vecdegen seed-3 residual-fork finding).
+      // the decMean convention (DecimalConv): float sums are
+      // partial-aggregation-order dependent, so the sum runs through
+      // DECIMAL(38,18) — with the EXACT-expansion input hop
+      // (ExactDecimalString: Spark's native cast is
+      // Java-toString-VALUE-mediated, DuckDB's VARCHAR hop is Ryu,
+      // and the two disagree on 1e16+ doubles — the vecdegen-s2
+      // codebook fork) and the string-mediated decimal→double output
+      // hop (BigDecimal.doubleValue double-rounds; Double.parseDouble
+      // of the exact digits is correctly rounded — the vecdegen
+      // seed-3 residual-fork finding). Both hops are value-canonical,
+      // so neither engine's repr algorithm can fork a centroid.
       centroids = assigned
         .select(col("c_id"), posexplode(col("v")).as(Seq("pos", "x")))
         .groupBy("c_id", "pos")

@@ -143,6 +143,47 @@ class PropertySpec extends AnyFunSuite {
     }
   }
 
+  test("exact-expansion input hop: decExact(x) == BigDecimal exact " +
+      "quantize, and differs from the native cast exactly where " +
+      "toString is not the value") {
+    import spark.implicits._
+    import graft.functions.DecimalConv
+    // The vecdegen-s2 class: Spark's native double→decimal cast takes
+    // Java-toString's VALUE, DuckDB's VARCHAR hop takes Ryu's — they
+    // disagree on ~18% of 1e16+ doubles. decExact must be the double's
+    // TRUE IEEE value (java.math.BigDecimal(x)), scale-18 HALF_UP.
+    val gen = Gen.frequency(
+      2 -> Gen.chooseNum(-1.0, 1.0),
+      2 -> Gen.chooseNum(-1.0e18, 1.0e18),
+      1 -> Gen.chooseNum(-1.0, 1.0).map(x => math.rint(x * 1e10) / 1e10),
+      1 -> Gen.chooseNum(-1.0e-6, 1.0e-6))
+    forSamples(Gen.listOfN(200, gen), 2) { xs =>
+      val got = xs.zipWithIndex.map { case (x, i) => (i.toLong, x) }
+        .toDF("id", "x")
+        .select(col("id"), DecimalConv.decExact(col("x")).cast("string"))
+        .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+      xs.zipWithIndex.foreach { case (x, i) =>
+        val want = new java.math.BigDecimal(x)
+          .setScale(18, java.math.RoundingMode.HALF_UP).toPlainString
+        assert(BigDecimal(got(i.toLong)) == BigDecimal(want),
+          s"decExact($x) = ${got(i.toLong)}, want $want")
+      }
+    }
+    // the r13/r14 regression anchor: a double whose Java-toString value
+    // differs from its true value — the native cast takes the former,
+    // decExact the latter
+    val x = 8.574961456450381e+17 // toString: 8.5749614564503808E17
+    val row = Seq(x).toDF("x").select(
+      DecimalConv.decExact(col("x")).cast("string").as("exact"),
+      col("x").cast("decimal(38,18)").cast("string").as("native"))
+      .collect().head
+    assert(BigDecimal(row.getString(0)) ==
+      BigDecimal(new java.math.BigDecimal(x)
+        .setScale(18, java.math.RoundingMode.HALF_UP).toPlainString))
+    assert(BigDecimal(row.getString(0)) == BigDecimal(row.getString(1)),
+      "for this integer-valued double the two casts should coincide")
+  }
+
   test("cosine is symmetric, in [-1,1], and 1 on self") {
     import spark.implicits._
     forSamples(Gen.zip(vecGen, vecGen), 20) { case (a, b) =>
