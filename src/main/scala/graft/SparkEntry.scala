@@ -93,6 +93,7 @@ object SparkEntry {
     "sim_topk_ivf"       -> ((s: SparkSession, d: String) => Similarity.ivfTopK(s, d)),
     "sim_topk_ivf_kmeans" -> ((s: SparkSession, d: String) => Similarity.ivfTopKTrained(s, d, iters = 2)),
     "sim_topk_incremental" -> ((s: SparkSession, d: String) => Similarity.incrementalTopK(s, d)),
+    "mmr_rerank"         -> ((s: SparkSession, d: String) => Similarity.mmrRerank(s, d)),
     "sim_topk_maintained" -> ((s: SparkSession, d: String) => Similarity.maintainedTopK(s, d)),
     "sim_topk_churn"     -> ((s: SparkSession, d: String) => Similarity.churnedTopK(s, d)),
     "pq_codes"           -> ((s: SparkSession, d: String) => Quantize.pqCodes(s, d)),
@@ -164,6 +165,8 @@ object SparkEntry {
     "contamination_ngram" -> ((s: SparkSession, d: String) => Sampling.contaminationNgram(s, d)),
     "contamination_bloom" -> ((s: SparkSession, d: String) => Sampling.contaminationBloom(s, d)),
     "stratified_split"   -> ((s: SparkSession, d: String) => Sampling.stratifiedSplit(s, d)),
+    "dsir_weights"       -> ((s: SparkSession, d: String) => Sampling.dsirWeights(s, d)),
+    "dsir_select"        -> ((s: SparkSession, d: String) => Sampling.dsirSelect(s, d)),
     "unigram_logprob"    -> (TextAnalysis.unigramLogprob _),
     "bigram_logprob"     -> (TextAnalysis.bigramLogprob _),
     "phrase_pmi"         -> ((s: SparkSession, d: String) => TextAnalysis.phrasePmi(s, d)),
@@ -283,6 +286,121 @@ object SparkEntry {
   }
 
   private val dShingles = dShinglesN(3)
+
+  /** MMR diversified-re-rank oracle — twin of
+    * [[graft.operators.Similarity.mmrRerank]]: brute top-`poolK`
+    * shortlist with round-6 relevance, poolK² round-6 pairwise
+    * cosines, then the k-step greedy replayed as k unrolled
+    * MATERIALIZED rounds (rank by the raw IEEE mmr expression —
+    * identical op tree to the engine's fold — pick rn=1, accumulate
+    * the selected set). */
+  private def dMmrSql(poolK: Int, k: Int): String = {
+    val lam = graft.operators.Similarity.MmrLambda
+    val mu = graft.operators.Similarity.MmrMu
+    def round(r: Int): String = {
+      val prev = if (r == 1) "selacc0" else s"selacc${r - 1}"
+      s"""mmr$r AS MATERIALIZED (
+           SELECT q_id, rk AS rk_pool, vec_id, rel, mmr,
+                  row_number() OVER (PARTITION BY q_id
+                    ORDER BY mmr DESC, vec_id) AS rn
+           FROM (
+             SELECT p.q_id, p.rk, p.vec_id, p.rel,
+                    $lam*p.rel - $mu*coalesce(ms.msim, 0.0) AS mmr
+             FROM pool p
+             LEFT JOIN (SELECT s.q_id, ps.b_rk, max(ps.sim) AS msim
+                        FROM $prev s JOIN psim ps
+                          ON ps.q_id = s.q_id AND ps.a_rk = s.rk_pool
+                        GROUP BY 1, 2) ms
+               ON ms.q_id = p.q_id AND ms.b_rk = p.rk
+             WHERE NOT EXISTS (SELECT 1 FROM $prev s
+                               WHERE s.q_id = p.q_id
+                                 AND s.rk_pool = p.rk))),
+         pick$r AS MATERIALIZED (
+           SELECT q_id, rk_pool, vec_id, rel, mmr,
+                  CAST($r AS BIGINT) AS rk
+           FROM mmr$r WHERE rn = 1),
+         selacc$r AS (SELECT q_id, rk_pool FROM $prev
+                      UNION ALL SELECT q_id, rk_pool FROM pick$r)"""
+    }
+    val rounds = (1 to k).map(round).mkString(",\n         ")
+    // mmr is emitted RAW (both engines build the identical double from
+    // identical op trees): λ·(round-6 rel) sits exactly on a 7th-digit
+    // half boundary whenever rel's 6th digit is odd, so a round-6
+    // output grid forks on the engines' round algorithms
+    val sel = (1 to k).map(r =>
+      s"SELECT q_id, rk, vec_id, rel, mmr FROM pick$r")
+      .mkString("\n         UNION ALL ")
+    s"""WITH emb AS (
+           SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+           WHERE list_dot_product(CAST(embedding AS DOUBLE[]),
+                 CAST(embedding AS DOUBLE[])) > 0),
+         scored AS (
+           SELECT q.vec_id AS q_id, e.vec_id, e.v,
+                  list_dot_product(q.v, e.v) /
+                    (sqrt(list_dot_product(q.v, q.v)) *
+                     sqrt(list_dot_product(e.v, e.v))) AS cos
+           FROM emb q, emb e
+           WHERE q.vec_id < 8 AND e.vec_id <> q.vec_id),
+         pool AS MATERIALIZED (
+           SELECT q_id, rk, vec_id, v, round(cos, 6) AS rel
+           FROM (SELECT q_id, vec_id, v, cos,
+                        row_number() OVER (PARTITION BY q_id
+                          ORDER BY cos DESC, vec_id) AS rk
+                 FROM scored)
+           WHERE rk <= $poolK),
+         psim AS MATERIALIZED (
+           SELECT a.q_id, a.rk AS a_rk, b.rk AS b_rk,
+                  round(list_dot_product(a.v, b.v) /
+                    (sqrt(list_dot_product(a.v, a.v)) *
+                     sqrt(list_dot_product(b.v, b.v))), 6) AS sim
+           FROM pool a JOIN pool b USING (q_id)),
+         selacc0 AS (SELECT CAST(NULL AS BIGINT) AS q_id,
+                            CAST(NULL AS BIGINT) AS rk_pool WHERE false),
+         $rounds
+         $sel
+         ORDER BY q_id, rk"""
+  }
+
+  /** DSIR oracle CTE chain — twin of [[graft.operators.Sampling
+    * .dsirWeighted]]: hashed unigram+bigram buckets, add-one-smoothed
+    * target/raw bucket LMs, per-pool-doc decimal-exact log-ratio sum.
+    * Ends in `dw(doc_id, n_feats, logratio, avg_logratio)`. */
+  private def dDsirCtes: String = {
+    val tgt = graft.operators.Sampling.DsirTargets
+      .map(s => s"'$s'").mkString(", ")
+    val b = graft.operators.Sampling.DsirBuckets
+    s"""toks AS (SELECT doc_id, source, $dToks AS ts FROM documents),
+       dfeat AS (SELECT doc_id, source,
+                   (${dH60("'dsir:'||f")} % $b) AS b
+                 FROM (SELECT doc_id, source,
+                         unnest(list_concat(ts, ${dShinglesN(2)})) AS f
+                       FROM toks)),
+       dstat AS (SELECT b,
+                   CAST(sum(CASE WHEN coalesce(source IN ($tgt), false)
+                            THEN 1 ELSE 0 END) AS BIGINT) AS ct,
+                   CAST(sum(CASE WHEN coalesce(source IN ($tgt), false)
+                            THEN 0 ELSE 1 END) AS BIGINT) AS cr
+                 FROM dfeat GROUP BY b),
+       dtot AS (SELECT CAST(sum(ct) AS BIGINT) AS nt,
+                       CAST(sum(cr) AS BIGINT) AS nr FROM dstat),
+       dpool AS (SELECT doc_id FROM documents
+                 WHERE NOT coalesce(source IN ($tgt), false)),
+       dper AS (SELECT doc_id, count(*) AS n_feats,
+                  CAST(sum(CAST(round(ln(
+                      CAST((ct+1)*(nr+$b) AS DOUBLE) /
+                      CAST((cr+1)*(nt+$b) AS DOUBLE)), 8)
+                    AS DECIMAL(38,18))) AS DOUBLE) AS w
+                FROM dfeat JOIN dstat USING (b) CROSS JOIN dtot
+                WHERE NOT coalesce(source IN ($tgt), false)
+                GROUP BY doc_id),
+       dw AS (SELECT p.doc_id,
+                coalesce(n_feats, 0) AS n_feats,
+                CASE WHEN coalesce(n_feats, 0) = 0 THEN 0.0
+                     ELSE round(w, 6) END AS logratio,
+                CASE WHEN coalesce(n_feats, 0) = 0 THEN 0.0
+                     ELSE round(w / n_feats, 6) END AS avg_logratio
+              FROM dpool p LEFT JOIN dper USING (doc_id))"""
+  }
 
   /** Per-doc distinct `n`-token span hashes — shared CTE prefix of the
     * span-granular dedup/decontamination oracles. Ends in
@@ -1781,6 +1899,10 @@ object SparkEntry {
            FROM scored)
          SELECT q_id, rk, vec_id, round(cos, 6) AS cos
          FROM ranked WHERE rk <= 10 ORDER BY q_id, rk""",
+    // MMR greedy re-rank: k unrolled argmax rounds over the brute
+    // shortlist — selection ranks the raw IEEE mmr expression (same op
+    // tree as the engine's fold), output rounds to 6
+    "mmr_rerank" -> dMmrSql(poolK = 20, k = 8),
     // SQ8 replay: quantize (scale = 127/max|x|, codes kept as
     // integral DOUBLES — products ≤ 127² and 64-dim sums ≤ 2²⁰ are
     // exact integers in double arithmetic in any order, so
@@ -2690,6 +2812,28 @@ object SparkEntry {
                      WHEN bucket < 95 THEN 'val'
                      ELSE 'test' END AS split
          FROM b ORDER BY doc_id""",
+    // DSIR: both engines fit the same two hashed-bucket LMs; the per-
+    // feature log ratio is ln of a quotient of two exact integer-valued
+    // doubles, rounded to 8 before the decimal(38,18) sum — the
+    // unigram_logprob discipline verbatim
+    "dsir_weights" ->
+      s"""WITH $dDsirCtes
+         SELECT doc_id, n_feats, logratio, avg_logratio
+         FROM dw ORDER BY doc_id""",
+    "dsir_select" ->
+      s"""WITH $dDsirCtes,
+         dsel AS (SELECT doc_id, logratio,
+                    round(-ln(-ln(
+                      ((${dH60("'dsirn:'||CAST(doc_id AS VARCHAR)")}
+                          % 4503599627370496) + 0.5)
+                        / 4503599627370496.0)), 6) AS gumbel
+                  FROM dw),
+         dkey AS (SELECT doc_id, logratio, gumbel,
+                         round(logratio + gumbel, 6) AS sel_key
+                  FROM dsel)
+         SELECT doc_id, logratio, gumbel, sel_key
+         FROM dkey WHERE sel_key IS NOT NULL
+         ORDER BY sel_key DESC, doc_id LIMIT 64""",
     "contamination_ngram" -> dContamNgramSql,
     // bloom pre-screen + exact verify ≡ exact operator: SAME oracle —
     // hash-equality proves the screen admits no false positive into the

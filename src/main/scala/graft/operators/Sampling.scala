@@ -522,4 +522,112 @@ object Sampling {
       "source", "pick_key", col("doc_id"), quota)
       .select(col("doc_id"), col("source"), col("pick_key"), col("kept"))
       .orderBy("source", "pick_key", "doc_id")
+
+  // ===================== DSIR importance resampling =====================
+
+  /** Hashed-feature bucket count for DSIR (Xie et al. 2023, "Data
+    * Selection for Language Models via Importance Resampling"). */
+  val DsirBuckets = 1024L
+
+  /** The "curated target" sources the DSIR example keys on — standing
+    * in for the paper's high-quality target corpus (Wikipedia/books);
+    * the pool is every other source (the raw crawl). */
+  val DsirTargets: Seq[String] = Seq("src0", "src1", "src2")
+
+  /** True iff the row belongs to the DSIR target corpus; null sources
+    * fall to the pool (`IN` over a null is null on both engines, so
+    * the coalesce makes the split total). */
+  private def dsirIsTarget(source: Column): Column =
+    coalesce(source.isin(DsirTargets: _*), lit(false))
+
+  /** Per-doc hashed DSIR features: unigrams + word bigrams hashed into
+    * [[DsirBuckets]] buckets — the paper's hashed-n-gram feature map,
+    * with multiplicity (a bag, not a set). Null/empty text yields no
+    * rows (the caller's LEFT join restores the doc with n_feats=0). */
+  private def dsirFeatures(docs: DataFrame): DataFrame = {
+    import graft.functions.{TextFunctions => T}
+    docs.select(col("doc_id"), col("source"),
+        explode(concat(T.tokens(col("text")),
+          T.wordShingles(col("text"), 2))).as("f"))
+      .select(col("doc_id"), col("source"),
+        pmod(hash60(concat(lit("dsir:"), col("f"))),
+          lit(DsirBuckets)).as("b"))
+  }
+
+  /** Harness queries `dsir_weights` / `dsir_select`: DSIR data
+    * selection (Xie et al. 2023) — fit two add-one-smoothed unigram
+    * LMs over hashed n-gram buckets (target = curated sources, raw =
+    * the pool), weight every pool document by its log importance
+    * ratio sum_f ln(p_target(f)/p_raw(f)), then resample the pool
+    * without replacement ∝ exp(weight) via the deterministic Gumbel
+    * top-k trick (key = weight + Gumbel(hash(doc_id))) — the standard
+    * "make the crawl look like the target" selection step before
+    * pretraining.
+    *
+    * 100 TB shape: two corpus scans — ONE hash aggregate onto
+    * [[DsirBuckets]] groups (bounded; broadcast back with the two
+    * scalar totals), one per-doc aggregate (map-side combined). The
+    * bucket LM ratio is an exact integer rational
+    * (ct+1)(nr+B) / ((cr+1)(nt+B)) so both engines divide the same
+    * two exact doubles; per-feature log ratios round to 8dp and sum
+    * through decimal(38,18) ([[graft.functions.DecimalConv.decSum]])
+    * so the per-doc weight is order-proof. Selection is a global
+    * TakeOrdered at literal k — corpus-size-independent; a
+    * proportional-k variant would ride the same histogram-threshold
+    * machinery as [[quotaThresholdKept]]. */
+  def dsirWeighted(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.load(spark, dir, "documents")
+    val feats = dsirFeatures(docs)
+    val stats = feats.groupBy("b").agg(
+      sum(when(dsirIsTarget(col("source")), 1L).otherwise(0L)).as("ct"),
+      sum(when(dsirIsTarget(col("source")), 0L).otherwise(1L)).as("cr"))
+    val totals = stats.agg(sum("ct").as("nt"), sum("cr").as("nr"))
+    val pool = docs.filter(!dsirIsTarget(col("source")))
+    // ratio of two exact integers: the long multiply is overflow-free
+    // at test SF (instances² < 2^53) and each side casts the SAME
+    // exact integer to double, so the quotient is one deterministic
+    // IEEE op on both engines
+    val num = ((col("ct") + 1L) * (col("nr") + DsirBuckets)).cast("double")
+    val den = ((col("cr") + 1L) * (col("nt") + DsirBuckets)).cast("double")
+    val perDoc = feats.filter(!dsirIsTarget(col("source")))
+      .join(broadcast(stats), "b")
+      .crossJoin(broadcast(totals))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).cast("long").as("n_feats"),
+        graft.functions.DecimalConv.decSum(
+          round(log(num / den), 8)).as("w"))
+    pool.select(col("doc_id")).join(perDoc, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_feats"), lit(0L)).as("n_feats"),
+        when(coalesce(col("n_feats"), lit(0L)) === 0, 0.0d)
+          .otherwise(round(col("w"), 6)).as("logratio"),
+        when(coalesce(col("n_feats"), lit(0L)) === 0, 0.0d)
+          .otherwise(round(col("w") / col("n_feats"), 6)).as("avg_logratio"))
+  }
+
+  def dsirWeights(spark: SparkSession, dir: String): DataFrame =
+    dsirWeighted(spark, dir).orderBy("doc_id")
+
+  /** Deterministic standard Gumbel draw keyed on the doc id: u is an
+    * EXACT dyadic rational in (0,1) — (hash60 mod 2^52 + 0.5) / 2^52,
+    * every step exact in doubles — so both engines feed the same u to
+    * the same libm ln chain. Null id → null draw (the caller filters
+    * the null key explicitly — never trust cross-engine null
+    * ordering under DESC). */
+  private def gumbelKey(docId: Column): Column = {
+    val m = 4503599627370496L // 2^52
+    val u = (pmod(hash60(concat(lit("dsirn:"), docId.cast("string"))),
+      lit(m)).cast("double") + 0.5d) / lit(m.toDouble)
+    round(-log(-log(u)), 6)
+  }
+
+  /** DSIR selection: Gumbel top-k over the pool (see [[dsirWeighted]]). */
+  def dsirSelect(spark: SparkSession, dir: String, k: Int = 64): DataFrame =
+    dsirWeighted(spark, dir)
+      .withColumn("gumbel", gumbelKey(col("doc_id")))
+      .withColumn("sel_key", round(col("logratio") + col("gumbel"), 6))
+      .filter(col("sel_key").isNotNull)
+      .select("doc_id", "logratio", "gumbel", "sel_key")
+      .orderBy(col("sel_key").desc, col("doc_id").asc)
+      .limit(k)
 }

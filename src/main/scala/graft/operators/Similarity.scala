@@ -1042,4 +1042,113 @@ object Similarity {
       .select(col("vec_id"),
         (!coalesce(col("rejected"), lit(false))).as("admitted"))
   }
+
+  // =============== MMR diversified re-rank (serving-side) ===============
+
+  /** MMR trade-off weights as exact decimal-string literals so BOTH
+    * engines parse the same two doubles (never compute 1−λ at runtime:
+    * 1.0−0.7 is 0.30000000000000004 in IEEE — a different multiplier
+    * than the SQL literal 0.3). */
+  val MmrLambda = "0.7"
+  val MmrMu = "0.3"
+
+  /** Harness query `mmr_rerank`: Maximal Marginal Relevance
+    * (Carbonell & Goldstein 1998) diversified re-ranking of a per-query
+    * ANN shortlist — greedily pick argmax over remaining candidates of
+    * λ·sim(q,c) − (1−λ)·max_{s∈selected} sim(c,s), the standard
+    * redundancy-penalized serving step between retrieval and a RAG/
+    * labeling consumer (a near-dup-heavy corpus otherwise fills all k
+    * slots with copies of one result).
+    *
+    * Shape: the pool is a bounded per-query shortlist (here the brute
+    * top-`poolK`; in production any of the index serves — MMR is
+    * input-agnostic), so everything after shortlisting is
+    * corpus-size-INDEPENDENT: poolK² pairwise cosines per query, then
+    * the whole k-step greedy runs as ONE Catalyst `aggregate` fold
+    * over each query's candidate array (a narrow map over |Q| rows —
+    * no per-step job, no driver loop, no iteration shuffles). Selection
+    * compares raw IEEE doubles built from round-6 inputs with identical
+    * op trees on both engines; ties break on vec_id.
+    *
+    * Cross-engine: relevance and pairwise cosines round to 6 (the
+    * serve-family convention); the greedy argmax is replayed by the
+    * oracle as k unrolled ranked rounds. */
+  def mmrRerank(spark: SparkSession, dir: String, poolK: Int = 20,
+      k: Int = 8): DataFrame = {
+    val e = emb(spark, dir)
+    val w = Window.partitionBy("q_id").orderBy(col("cos").desc, col("vec_id"))
+    val pool = e.crossJoin(broadcast(queriesOf(e)))
+      .filter(col("vec_id") =!= col("q_id"))
+      .select(col("q_id"), col("vec_id"), col("v"), col("nrm"),
+        (V.dot(col("q_v"), col("v")) / (col("q_nrm") * col("nrm"))).as("cos"))
+      .withColumn("rk", row_number().over(w).cast("long"))
+      .filter(col("rk") <= poolK)
+      .select(col("q_id"), col("rk"), col("vec_id"), col("v"), col("nrm"),
+        round(col("cos"), 6).as("rel"))
+      // the shortlist (|Q|·poolK rows) has three consumers below —
+      // without the eager cut each re-runs the O(|Q|·n) corpus scan
+      .localCheckpoint()
+    // poolK² pairwise cosines per query — bounded by design
+    val a = pool.select(col("q_id"), col("rk").as("a_rk"),
+      col("v").as("a_v"), col("nrm").as("a_nrm"))
+    val b = pool.select(col("q_id"), col("rk").as("b_rk"),
+      col("v").as("b_v"), col("nrm").as("b_nrm"))
+    val psim = a.join(b, "q_id")
+      .select(col("q_id"), col("a_rk"), col("b_rk"),
+        round(V.dot(col("a_v"), col("b_v")) /
+          (col("a_nrm") * col("b_nrm")), 6).as("sim"))
+    // per candidate: sims to every pool member, aligned by pool rank
+    val withSims = pool
+      .join(psim.withColumnRenamed("a_rk", "rk"), Seq("q_id", "rk"))
+      .groupBy(col("q_id"), col("rk"), col("vec_id"), col("rel"))
+      .agg(transform(array_sort(collect_list(struct(col("b_rk"),
+        col("sim")))), p => p.getField("sim")).as("sims"))
+    val cands = withSims
+      .groupBy("q_id")
+      .agg(array_sort(collect_list(struct(col("rk"), col("vec_id"),
+        col("rel"), col("sims")))).as("cands"))
+    val lam = lit(MmrLambda.toDouble)
+    val mu = lit(MmrMu.toDouble)
+    val outType =
+      "array<struct<rk:bigint,vec_id:bigint,rel:double,mmr:double>>"
+    val zero = struct(
+      array().cast("array<bigint>").as("sel"),
+      array().cast(outType).as("out"))
+    val folded = aggregate(
+      sequence(lit(1), lit(k)),
+      zero,
+      (acc, _) => {
+        val scored = filter(
+          transform(col("cands"), c => struct(
+            (lam * c.getField("rel") - mu * coalesce(
+              array_max(transform(acc.getField("sel"),
+                i => element_at(c.getField("sims"), i.cast("int")))),
+              lit(0.0d))).as("mmr"),
+            (-c.getField("vec_id")).as("negid"),
+            c.getField("rk").as("rk"),
+            c.getField("vec_id").as("vec_id"),
+            c.getField("rel").as("rel"))),
+          s => !array_contains(acc.getField("sel"), s.getField("rk")))
+        val best = array_max(scored)
+        when(size(scored) === 0, acc).otherwise(struct(
+          concat(acc.getField("sel"),
+            array(best.getField("rk"))).as("sel"),
+          concat(acc.getField("out"), array(struct(
+            (size(acc.getField("out")) + 1).cast("bigint").as("rk"),
+            best.getField("vec_id").as("vec_id"),
+            best.getField("rel").as("rel"),
+            // raw IEEE value, NOT rounded: λ·(round-6 rel) lands
+            // exactly on the 7th-digit half boundary whenever rel's
+            // 6th digit is odd, and the engines' round() algorithms
+            // fork there (toString-value vs binary) — both engines
+            // compute the identical double, so emit it as-is
+            best.getField("mmr").as("mmr")))).as("out")))
+      },
+      acc => acc.getField("out"))
+    cands.select(col("q_id"), explode(folded).as("o"))
+      .select(col("q_id"), col("o.rk").as("rk"),
+        col("o.vec_id").as("vec_id"), col("o.rel").as("rel"),
+        col("o.mmr").as("mmr"))
+      .orderBy("q_id", "rk")
+  }
 }

@@ -459,4 +459,62 @@ class SimilaritySpec extends AnyFunSuite {
     assert(c4 != c7, "threshold is not part of the cluster memo key")
     assert(clus(graft.operators.Components.semanticClusters(spark, sf)) == c4)
   }
+
+  test("mmr rerank: first pick is the relevance argmax, picks are unique " +
+      "pool members, and a near-dup-saturated pool diversifies") {
+    import spark.implicits._
+    val S = graft.operators.Similarity
+    // harness corpus: structural invariants
+    val out = S.mmrRerank(spark, TestSpark.sf).collect()
+    val brute = S.bruteForceTopK(spark, TestSpark.sf).collect()
+    assert(out.nonEmpty)
+    out.groupBy(_.getLong(0)).foreach { case (q, rows) =>
+      assert(rows.length == 8, s"q=$q selected ${rows.length}")
+      val ids = rows.map(_.getLong(2))
+      assert(ids.distinct.length == ids.length, s"q=$q duplicate picks")
+      val first = rows.minBy(_.getLong(1))
+      val bruteTop = brute.filter(r => r.getLong(0) == q && r.getLong(1) == 1L)
+        .head.getLong(2)
+      assert(first.getLong(2) == bruteTop,
+        s"q=$q first MMR pick ${first.getLong(2)} != relevance top $bruteTop")
+    }
+    // synthetic: the probe spans four axes; each axis hosts a tight
+    // 12-copy cluster, cluster relevance decreasing slightly by axis.
+    // Plain top-8 drowns in the top cluster (every member outranks
+    // every other cluster); MMR's redundancy penalty (0.3·~1 within a
+    // cluster vs ~0 across) must fan out across clusters immediately.
+    val dir = java.nio.file.Files.createTempDirectory("mmr").toString
+    try {
+      val probe = {
+        val v = Array.fill(64)(0f)
+        v(0) = 1f; v(1) = 1f; v(2) = 1f; v(3) = 1f; v
+      }
+      def member(c: Int, m: Int): Array[Float] = {
+        val v = Array.fill(64)(0f)
+        v(c) = 1f
+        // per-cluster relevance offset ≫ per-member tie-break jitter
+        v(20 + c) = (Seq(0.01f, 0.05f, 0.09f, 0.13f)(c) + 0.002f * m)
+        v
+      }
+      val rows = Seq((0L, probe, -1)) ++ (for {
+        c <- 0 until 4; m <- 0 until 5
+      } yield ((10 + 100 * c + m).toLong, member(c, m), c))
+      rows.toDF("vec_id", "embedding", "label")
+        .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+      val mmr = S.mmrRerank(spark, dir).collect()
+        .filter(_.getLong(0) == 0L).sortBy(_.getLong(1))
+      val bf = S.bruteForceTopK(spark, dir, k = 8).collect()
+        .filter(_.getLong(0) == 0L)
+      assert(bf.forall(_.getLong(2) < 200L),
+        s"plain top-8 should exhaust clusters A/B before ever reaching " +
+          s"C/D: ${bf.map(_.getLong(2)).toSeq}")
+      // MMR's first four picks land in four DIFFERENT clusters
+      val firstFour = mmr.take(4).map(r => (r.getLong(2) - 10) / 100).toSet
+      assert(firstFour == Set(0L, 1L, 2L, 3L),
+        s"first 4 MMR picks not cluster-diverse: ${mmr.map(_.getLong(2)).toSeq}")
+      // and it still leads with the most relevant cluster's member
+      assert(mmr.head.getLong(2) < 100L)
+    } finally org.apache.commons.io.FileUtils
+      .deleteDirectory(new java.io.File(dir))
+  }
 }

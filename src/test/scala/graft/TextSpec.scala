@@ -831,4 +831,51 @@ class TextSpec extends AnyFunSuite {
     } finally org.apache.commons.io.FileUtils
       .deleteDirectory(new java.io.File(dir))
   }
+
+  test("dsir: pool-only weights, target-like docs outrank aliens, " +
+      "Gumbel top-k selects the target-like mass") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("dsir").toString
+    try {
+      // target corpus (source src0 ∈ DsirTargets): tight vocabulary
+      val target = (0L until 10L).map(i =>
+        (i, "alpha beta gamma delta", "en", "src0", 22L))
+      // pool: 20 target-like docs + 20 alien-vocabulary docs + 1 null
+      val likes = (100L until 120L).map(i =>
+        (i, s"alpha beta gamma delta extra$i", "en", "web1", 28L))
+      val aliens = (200L until 220L).map(i =>
+        (i, s"zebra xylo qux nope junk$i", "en", "web2", 26L))
+      val nullDoc = Seq((300L, null.asInstanceOf[String], "en", "web2", 0L))
+      (target ++ likes ++ aliens ++ nullDoc)
+        .toDF("doc_id", "text", "lang", "source", "n_chars")
+        .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+      val S = graft.operators.Sampling
+      val w = S.dsirWeights(spark, dir).collect()
+      // pool only: the 10 target docs never appear
+      assert(w.length == 41 && w.forall(_.getLong(0) >= 100L),
+        s"weights rows: ${w.length}")
+      val byId = w.map(r => r.getLong(0) ->
+        (r.getLong(1), r.getDouble(2))).toMap
+      // n_feats = tokens + bigrams (5 + 4 for every non-null pool doc)
+      assert(byId(100L)._1 == 9L && byId(200L)._1 == 9L)
+      assert(byId(300L) == ((0L, 0.0)), "null-text doc not neutral")
+      // every target-like doc outranks every alien doc
+      val likeMin = (100L until 120L).map(byId(_)._2).min
+      val alienMax = (200L until 220L).map(byId(_)._2).max
+      assert(likeMin > alienMax,
+        s"likeMin=$likeMin !> alienMax=$alienMax")
+      // Gumbel top-k: k rows, keys non-increasing, and the selection
+      // is dominated by target-like docs (weight gap ≫ Gumbel spread)
+      val sel = S.dsirSelect(spark, dir, k = 10).collect()
+      assert(sel.length == 10)
+      val keys = sel.map(_.getDouble(3))
+      assert(keys.zip(keys.tail).forall { case (a, b) => a >= b })
+      assert(sel.count(_.getLong(0) < 200L) >= 8,
+        s"selection not target-enriched: ${sel.map(_.getLong(0)).toSeq}")
+      // deterministic replay
+      val again = S.dsirSelect(spark, dir, k = 10).collect()
+      assert(sel.map(_.getLong(0)).toSeq == again.map(_.getLong(0)).toSeq)
+    } finally org.apache.commons.io.FileUtils
+      .deleteDirectory(new java.io.File(dir))
+  }
 }
