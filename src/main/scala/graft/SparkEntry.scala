@@ -167,6 +167,7 @@ object SparkEntry {
     "stratified_split"   -> ((s: SparkSession, d: String) => Sampling.stratifiedSplit(s, d)),
     "dsir_weights"       -> ((s: SparkSession, d: String) => Sampling.dsirWeights(s, d)),
     "dsir_select"        -> ((s: SparkSession, d: String) => Sampling.dsirSelect(s, d)),
+    "quality_classifier" -> ((s: SparkSession, d: String) => TextAnalysis.qualityClassifier(s, d)),
     "unigram_logprob"    -> (TextAnalysis.unigramLogprob _),
     "bigram_logprob"     -> (TextAnalysis.bigramLogprob _),
     "phrase_pmi"         -> ((s: SparkSession, d: String) => TextAnalysis.phrasePmi(s, d)),
@@ -400,6 +401,70 @@ object SparkEntry {
                 CASE WHEN coalesce(n_feats, 0) = 0 THEN 0.0
                      ELSE round(w / n_feats, 6) END AS avg_logratio
               FROM dpool p LEFT JOIN dper USING (doc_id))"""
+  }
+
+  /** Learned-quality-probe oracle — twin of
+    * [[graft.operators.TextAnalysis.qualityClassifier]]: hashed
+    * bag-of-words features + bias, then [[graft.operators.TextAnalysis
+    * .QcIters]] unrolled full-batch GD rounds with the rational
+    * sigmoid link. Every sum rides the EXACT-expansion decimal hop
+    * (format('{:.70e}') — the decSumExact twin) so training weights
+    * are bit-identical cross-engine; the update is raw IEEE ops. */
+  private def dQcSql: String = {
+    val tgt = graft.operators.Sampling.DsirTargets
+      .map(s => s"'$s'").mkString(", ")
+    val b = graft.operators.TextAnalysis.QcBuckets
+    val eta = graft.operators.TextAnalysis.QcEta
+    val iters = graft.operators.TextAnalysis.QcIters
+    def exact(e: String) =
+      s"""CASE WHEN abs($e) < 5e-19 THEN CAST(0 AS DECIMAL(38,18))
+              ELSE CAST(format('{:.70e}', $e) AS DECIMAL(38,18)) END"""
+    def sigma(z: String) = s"0.5 + $z/(2*(1+abs($z)))"
+    def iter(t: Int): String = {
+      val prev = s"w${t - 1}"
+      s"""z$t AS (SELECT f.doc_id,
+                  CAST(CAST(sum(${exact("w*x")}) AS VARCHAR) AS DOUBLE)
+                    AS z
+                FROM qfeat f JOIN $prev USING (b) GROUP BY f.doc_id),
+         r$t AS (SELECT z$t.doc_id, (${sigma("z")}) - y AS resid
+                FROM z$t JOIN qlab USING (doc_id)),
+         g$t AS (SELECT b,
+                  CAST(CAST(sum(${exact("resid*x")}) AS VARCHAR)
+                    AS DOUBLE) AS g
+                FROM qfeat JOIN r$t USING (doc_id) GROUP BY b),
+         w$t AS MATERIALIZED (
+           SELECT w.b, w.w - $eta*(coalesce(g.g, 0.0)/n) AS w
+           FROM $prev w LEFT JOIN g$t g USING (b) CROSS JOIN qn)"""
+    }
+    s"""WITH qdocs AS (
+           SELECT doc_id,
+                  CASE WHEN coalesce(source IN ($tgt), false)
+                       THEN 1.0 ELSE 0.0 END AS y,
+                  $dToks AS ts
+           FROM documents),
+         qtok AS (SELECT doc_id, unnest(ts) AS token, len(ts) AS nt
+                  FROM qdocs),
+         qtf AS (SELECT doc_id, (${dH60("'qc:'||token")} % $b) AS b,
+                        CAST(count(*) AS DOUBLE) /
+                          CAST(min(nt) AS DOUBLE) AS x
+                 FROM qtok GROUP BY 1, 2),
+         qfeat AS (SELECT doc_id, b, x FROM qtf
+                   UNION ALL
+                   SELECT doc_id, $b AS b, 1.0 AS x FROM qdocs),
+         qlab AS (SELECT doc_id, y FROM qdocs),
+         qn AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM documents),
+         w0 AS (SELECT i AS b, 0.0 AS w FROM range(0, ${b + 1}) t(i)),
+         ${(1 to iters).map(iter).mkString(",\n         ")},
+         zf AS (SELECT f.doc_id,
+                  CAST(CAST(sum(${exact("w*x")}) AS VARCHAR) AS DOUBLE)
+                    AS z
+                FROM qfeat f JOIN w$iters USING (b) GROUP BY f.doc_id)
+         SELECT zf.doc_id, CAST(y AS INT) AS label_curated,
+                round(z, 6) AS score,
+                round(${sigma("z")}, 6) AS prob,
+                z >= 0 AS predicted
+         FROM zf JOIN qlab USING (doc_id)
+         ORDER BY doc_id"""
   }
 
   /** Per-doc distinct `n`-token span hashes — shared CTE prefix of the
@@ -2834,6 +2899,10 @@ object SparkEntry {
          SELECT doc_id, logratio, gumbel, sel_key
          FROM dkey WHERE sel_key IS NOT NULL
          ORDER BY sel_key DESC, doc_id LIMIT 64""",
+    // learned quality probe: 4 unrolled GD rounds, exact-hop decimal
+    // sums, rational sigmoid (no exp — JVM/libm exp bit patterns fork
+    // on a measured 0.25% of doubles and GD amplifies any fork)
+    "quality_classifier" -> dQcSql,
     "contamination_ngram" -> dContamNgramSql,
     // bloom pre-screen + exact verify ≡ exact operator: SAME oracle —
     // hash-equality proves the screen admits no false positive into the

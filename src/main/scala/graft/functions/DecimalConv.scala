@@ -84,4 +84,18 @@ object DecimalConv {
     * ([[graft.operators.Quantize]] residualFrame). */
   def f32(c: Column): Column =
     c.cast("float").cast("double")
+
+  /** Order-proof sum of EXACT-expansion addends with the correctly-
+    * rounded (string-mediated) double image — [[decSum]] for addends
+    * that are NOT on a fixed round-k grid. A `round(x, k)` pre-sum hop
+    * forks cross-engine at ~ulp(x)/10^-k per value (Spark rounds the
+    * shortest-repr decimal, the oracle engine rounds the exact binary
+    * expansion), which amplified through any iterative trainer is the
+    * Lloyd-fork class; the exact hop has no repr algorithm in the loop
+    * at all. Oracle twin:
+    * `CAST(CAST(sum(CASE WHEN abs(x) < 5e-19 THEN CAST(0 AS
+    * DECIMAL(38,18)) ELSE CAST(format('{:.70e}', x) AS
+    * DECIMAL(38,18)) END) AS VARCHAR) AS DOUBLE)`. */
+  def decSumExact(c: Column): Column =
+    sum(decExact(c)).cast("string").cast("double")
 }

@@ -816,4 +816,107 @@ object TextAnalysis {
         T.fingerprint(coalesce(col("text"), lit(""))).as("fp"),
         T.rollingHash(coalesce(col("text"), lit(""))).as("rhash"))
       .orderBy("doc_id")
+
+  // ================= learned quality classifier (linear probe) =========
+
+  /** Hashed-bag-of-words width for the quality probe. */
+  val QcBuckets = 64L
+
+  /** GD hyper-parameters as exact decimal-string literals (both
+    * engines parse the identical doubles). */
+  val QcEta = "0.5"
+  val QcIters = 4
+
+  /** Per-doc hashed-token features x = tf/len plus a constant bias
+    * feature at bucket [[QcBuckets]] for EVERY doc (so token-less docs
+    * still score). Memoized per dataset — iterative GD re-reads the
+    * feature matrix every round (the standard persist-the-training-set
+    * discipline). */
+  private def qcFeatures(spark: SparkSession, dir: String): DataFrame =
+    Memo.table(spark, dir, s"qc_feats_$QcBuckets") {
+      val docs = Tables.load(spark, dir, "documents")
+      val toks = docs
+        .select(col("doc_id"), explode(T.tokens(col("text"))).as("token"),
+          size(T.tokens(col("text"))).as("nt"))
+        .groupBy(col("doc_id"),
+          pmod(graft.functions.Hash60.hash60(
+            concat(lit("qc:"), col("token"))), lit(QcBuckets)).as("b"))
+        // exact integer ratio: one deterministic IEEE division
+        .agg((count(lit(1)).cast("double") /
+          first(col("nt")).cast("double")).as("x"))
+      val bias = docs.select(col("doc_id"), lit(QcBuckets).as("b"),
+        lit(1.0d).as("x"))
+      toks.unionByName(bias)
+    }
+
+  /** Harness query `quality_classifier`: a LEARNED quality filter — a
+    * linear probe over hashed bag-of-words features trained by
+    * full-batch gradient descent to recognize curated-source text
+    * (label = source ∈ [[Sampling.DsirTargets]]), then scoring every
+    * document — the fastText-style classifier step of a CCNet/GPT-3
+    * quality pipeline, the learned counterpart of
+    * [[graft.operators.Sampling.dsirWeighted]]'s LM-ratio filter.
+    *
+    * The squashing link is the RATIONAL sigmoid
+    * σ(z) = 0.5 + z/(2(1+|z|)) (Elliott), not exp's logistic: a
+    * measured 0.25% of doubles get a different bit pattern from JVM
+    * `Math.exp` vs the oracle engine's libm exp, and GD amplifies any
+    * single forked probability into forked weights (the Lloyd-fork
+    * class) — the rational link is +,·,/,|·| only, so training is
+    * cross-engine deterministic BY CONSTRUCTION, not by measure.
+    *
+    * Determinism: per-doc scores and per-bucket gradients sum their
+    * products through the EXACT-expansion decimal hop
+    * ([[graft.functions.DecimalConv.decSumExact]] — order-proof, no
+    * repr algorithm in the loop); the weight update is raw IEEE ops on
+    * those deterministic images, so every iteration is bit-identical
+    * cross-engine with no rounding grid anywhere in training (a
+    * round-k pre-sum hop forks at ~ulp/10^-k per value — 4M values per
+    * sf0.1 training run would expect dozens of forks). 100 TB shape: per
+    * iteration ONE pass over the memoized feature matrix joined with
+    * the broadcast (QcBuckets+1)-row weight table — a per-doc
+    * aggregate (map-side combined), a join back for the residual, and
+    * a per-bucket aggregate onto a bounded group set; the weight
+    * table round-trips through the driver as 65 doubles (the same
+    * bounded-artifact round-trip every distributed GD/BPE trainer
+    * does). */
+  def qualityClassifier(spark: SparkSession, dir: String): DataFrame = {
+    import graft.functions.DecimalConv.decSumExact
+    val docs = Tables.load(spark, dir, "documents")
+    val labels = docs.select(col("doc_id"),
+      when(coalesce(col("source")
+        .isin(Sampling.DsirTargets: _*), lit(false)), 1.0d)
+        .otherwise(0.0d).as("y"))
+    val feats = qcFeatures(spark, dir)
+    val n = docs.count()
+    val eta = lit(QcEta.toDouble)
+    def sigma(z: Column): Column =
+      lit(0.5d) + z / (lit(2.0d) * (lit(1.0d) + abs(z)))
+    def scores(w: DataFrame): DataFrame =
+      feats.join(broadcast(w), "b")
+        .groupBy("doc_id")
+        .agg(decSumExact(col("w") * col("x")).as("z"))
+    var w = spark.range(0L, QcBuckets + 1L)
+      .select(col("id").as("b"), lit(0.0d).as("w"))
+    for (_ <- 1 to QcIters) {
+      val p = scores(w).join(labels, "doc_id")
+        .select(col("doc_id"), (sigma(col("z")) - col("y")).as("resid"))
+      val grad = feats.join(p, "doc_id")
+        .groupBy("b")
+        .agg(decSumExact(col("resid") * col("x")).as("g"))
+      w = w.join(grad, Seq("b"), "left")
+        .select(col("b"), (col("w") -
+          eta * (coalesce(col("g"), lit(0.0d)) / lit(n.toDouble)))
+          .as("w"))
+        // 65 rows — truncate the lineage so iteration t+1's plan does
+        // not re-derive every earlier round
+        .localCheckpoint()
+    }
+    scores(w).join(labels, "doc_id")
+      .select(col("doc_id"), col("y").cast("int").as("label_curated"),
+        round(col("z"), 6).as("score"),
+        round(sigma(col("z")), 6).as("prob"),
+        (col("z") >= 0).as("predicted"))
+      .orderBy("doc_id")
+  }
 }

@@ -832,6 +832,45 @@ class TextSpec extends AnyFunSuite {
       .deleteDirectory(new java.io.File(dir))
   }
 
+  test("quality classifier: GD probe separates a disjoint-vocabulary " +
+      "corpus and emits calibrated-side probabilities") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("qc").toString
+    try {
+      // curated (src0 ∈ DsirTargets) and crawl docs with disjoint
+      // vocabularies — a linearly separable problem the 4-round probe
+      // must solve exactly
+      val curated = (0L until 20L).map(i =>
+        (i, "alpha beta gamma delta epsilon", "en", "src0", 30L))
+      val crawl = (100L until 120L).map(i =>
+        (i, "zebra xylo qux nope junk", "en", "web", 25L))
+      (curated ++ crawl)
+        .toDF("doc_id", "text", "lang", "source", "n_chars")
+        .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+      val out = graft.operators.TextAnalysis.qualityClassifier(spark, dir)
+        .collect()
+      assert(out.length == 40)
+      out.foreach { r =>
+        val p = r.getDouble(3)
+        assert(p > 0.0 && p < 1.0, s"prob out of range: $p")
+        assert(r.getBoolean(4) == (r.getInt(1) == 1),
+          s"doc ${r.getLong(0)} misclassified: $r")
+      }
+      // deterministic replay (memoized features + deterministic GD)
+      val again = graft.operators.TextAnalysis.qualityClassifier(spark, dir)
+        .collect()
+      assert(out.map(_.toString).toSeq == again.map(_.toString).toSeq)
+    } finally org.apache.commons.io.FileUtils
+      .deleteDirectory(new java.io.File(dir))
+
+    // harness corpus: one row per doc, probs in (0,1), both labels seen
+    val rows = graft.operators.TextAnalysis
+      .qualityClassifier(spark, TestSpark.sf).collect()
+    assert(rows.nonEmpty)
+    assert(rows.forall(r => r.getDouble(3) > 0.0 && r.getDouble(3) < 1.0))
+    assert(rows.map(_.getInt(1)).toSet == Set(0, 1))
+  }
+
   test("dsir: pool-only weights, target-like docs outrank aliens, " +
       "Gumbel top-k selects the target-like mass") {
     import spark.implicits._
