@@ -94,6 +94,7 @@ object SparkEntry {
     "sim_topk_ivf_kmeans" -> ((s: SparkSession, d: String) => Similarity.ivfTopKTrained(s, d, iters = 2)),
     "sim_topk_incremental" -> ((s: SparkSession, d: String) => Similarity.incrementalTopK(s, d)),
     "mmr_rerank"         -> ((s: SparkSession, d: String) => Similarity.mmrRerank(s, d)),
+    "mmr_rerank_ivf"     -> ((s: SparkSession, d: String) => Similarity.mmrRerankIvf(s, d)),
     "sim_topk_maintained" -> ((s: SparkSession, d: String) => Similarity.maintainedTopK(s, d)),
     "sim_topk_churn"     -> ((s: SparkSession, d: String) => Similarity.churnedTopK(s, d)),
     "pq_codes"           -> ((s: SparkSession, d: String) => Quantize.pqCodes(s, d)),
@@ -168,6 +169,8 @@ object SparkEntry {
     "dsir_weights"       -> ((s: SparkSession, d: String) => Sampling.dsirWeights(s, d)),
     "dsir_select"        -> ((s: SparkSession, d: String) => Sampling.dsirSelect(s, d)),
     "quality_classifier" -> ((s: SparkSession, d: String) => TextAnalysis.qualityClassifier(s, d)),
+    "ulm_vocab"          -> ((s: SparkSession, d: String) => TextAnalysis.ulmVocab(s, d)),
+    "ulm_encode"         -> ((s: SparkSession, d: String) => TextAnalysis.ulmEncode(s, d)),
     "unigram_logprob"    -> (TextAnalysis.unigramLogprob _),
     "bigram_logprob"     -> (TextAnalysis.bigramLogprob _),
     "phrase_pmi"         -> ((s: SparkSession, d: String) => TextAnalysis.phrasePmi(s, d)),
@@ -295,7 +298,10 @@ object SparkEntry {
     * MATERIALIZED rounds (rank by the raw IEEE mmr expression —
     * identical op tree to the engine's fold — pick rn=1, accumulate
     * the selected set). */
-  private def dMmrSql(poolK: Int, k: Int): String = {
+  /** The MMR greedy-round + psim CTE tail — assumes a
+    * `pool(q_id, rk, vec_id, v, rel)` CTE is already defined; ONE
+    * definition for every pool source (brute / IVF-served). */
+  private def dMmrTail(k: Int): String = {
     val lam = graft.operators.Similarity.MmrLambda
     val mu = graft.operators.Similarity.MmrMu
     def round(r: Int): String = {
@@ -331,6 +337,20 @@ object SparkEntry {
     val sel = (1 to k).map(r =>
       s"SELECT q_id, rk, vec_id, rel, mmr FROM pick$r")
       .mkString("\n         UNION ALL ")
+    s"""psim AS MATERIALIZED (
+           SELECT a.q_id, a.rk AS a_rk, b.rk AS b_rk,
+                  round(list_dot_product(a.v, b.v) /
+                    (sqrt(list_dot_product(a.v, a.v)) *
+                     sqrt(list_dot_product(b.v, b.v))), 6) AS sim
+           FROM pool a JOIN pool b USING (q_id)),
+         selacc0 AS (SELECT CAST(NULL AS BIGINT) AS q_id,
+                            CAST(NULL AS BIGINT) AS rk_pool WHERE false),
+         $rounds
+         $sel
+         ORDER BY q_id, rk"""
+  }
+
+  private def dMmrSql(poolK: Int, k: Int): String =
     s"""WITH emb AS (
            SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
            WHERE list_dot_product(CAST(embedding AS DOUBLE[]),
@@ -349,18 +369,18 @@ object SparkEntry {
                           ORDER BY cos DESC, vec_id) AS rk
                  FROM scored)
            WHERE rk <= $poolK),
-         psim AS MATERIALIZED (
-           SELECT a.q_id, a.rk AS a_rk, b.rk AS b_rk,
-                  round(list_dot_product(a.v, b.v) /
-                    (sqrt(list_dot_product(a.v, a.v)) *
-                     sqrt(list_dot_product(b.v, b.v))), 6) AS sim
-           FROM pool a JOIN pool b USING (q_id)),
-         selacc0 AS (SELECT CAST(NULL AS BIGINT) AS q_id,
-                            CAST(NULL AS BIGINT) AS rk_pool WHERE false),
-         $rounds
-         $sel
-         ORDER BY q_id, rk"""
-  }
+         ${dMmrTail(k)}"""
+
+  /** IVF-pooled MMR: the shared Lloyd-assignment probe chain supplies
+    * the shortlist (vectors carried from the assignment CTE), then the
+    * identical greedy tail. */
+  private def dMmrIvfSql(poolK: Int, k: Int): String =
+    s"""WITH ${dIvfProbeCtes(iters = 2)},
+         pool AS MATERIALIZED (
+           SELECT r.q_id, r.rk, r.vec_id, a.v, round(r.cos, 6) AS rel
+           FROM ranked r JOIN af a USING (vec_id)
+           WHERE r.rk <= $poolK),
+         ${dMmrTail(k)}"""
 
   /** DSIR oracle CTE chain — twin of [[graft.operators.Sampling
     * .dsirWeighted]]: hashed unigram+bigram buckets, add-one-smoothed
@@ -387,20 +407,165 @@ object SparkEntry {
        dpool AS (SELECT doc_id FROM documents
                  WHERE NOT coalesce(source IN ($tgt), false)),
        dper AS (SELECT doc_id, count(*) AS n_feats,
-                  CAST(sum(CAST(round(ln(
+                  CAST(CAST(sum(CAST(round(ln(
                       CAST((ct+1)*(nr+$b) AS DOUBLE) /
                       CAST((cr+1)*(nt+$b) AS DOUBLE)), 8)
-                    AS DECIMAL(38,18))) AS DOUBLE) AS w
+                    AS DECIMAL(38,18))) AS VARCHAR) AS DOUBLE) AS w
                 FROM dfeat JOIN dstat USING (b) CROSS JOIN dtot
                 WHERE NOT coalesce(source IN ($tgt), false)
                 GROUP BY doc_id),
        dw AS (SELECT p.doc_id,
                 coalesce(n_feats, 0) AS n_feats,
+                -- round-8 is identity on the scale-8 sum grid; round-6
+                -- sits on half boundaries (the vecdegen finding)
                 CASE WHEN coalesce(n_feats, 0) = 0 THEN 0.0
-                     ELSE round(w, 6) END AS logratio,
+                     ELSE round(w, 8) END AS logratio,
                 CASE WHEN coalesce(n_feats, 0) = 0 THEN 0.0
-                     ELSE round(w / n_feats, 6) END AS avg_logratio
+                     ELSE w / n_feats END AS avg_logratio
               FROM dpool p LEFT JOIN dper USING (doc_id))"""
+  }
+
+  /** Unigram-LM tokenizer oracle CTEs — twin of
+    * [[graft.operators.TextAnalysis.ulmVocab]]/[[graft.operators
+    * .TextAnalysis.ulmEncode]]: candidate char-n-gram vocab over the
+    * distinct-word table, then per round a full Viterbi DP per word as
+    * a sliding-window recursive CTE (state = last-4 best scores +
+    * chosen-length list; argmax = struct list_max over ≤4 LEFT-JOINed
+    * candidates, ties to the longer piece) + a backtrace walk.
+    * `mkRound(scoreCte, suffix)` emits up/udp/udpf/ubt/useg CTEs;
+    * ends with useg$suffix(word, freq, ps). */
+  private object DUlm {
+    val maxWord = graft.operators.TextAnalysis.UlmMaxWord
+    val maxPiece = graft.operators.TextAnalysis.UlmMaxPiece
+    val vocabSize = graft.operators.TextAnalysis.UlmVocabSize
+
+    def baseCtes: String =
+      s"""uw AS (SELECT word, CAST(count(*) AS BIGINT) AS freq
+             FROM (SELECT unnest($dToks) AS word FROM documents)
+             GROUP BY 1),
+         uelig AS (SELECT word, freq FROM uw WHERE len(word) <= $maxWord),
+         upc AS (SELECT piece, CAST(sum(freq) AS BIGINT) AS pfreq FROM (
+                 SELECT freq, substr(word, CAST(i AS INT), CAST(L AS INT))
+                        AS piece
+                 FROM uelig,
+                      LATERAL unnest(range(1, len(word)+1)) t(i),
+                      LATERAL unnest(range(1, ${maxPiece + 1})) s(L)
+                 WHERE i + L - 1 <= len(word)) GROUP BY 1),
+         utop AS (SELECT piece, pfreq FROM upc
+                  ORDER BY pfreq DESC, piece LIMIT $vocabSize),
+         uvocab AS (SELECT DISTINCT piece, pfreq FROM
+                    (SELECT * FROM utop UNION ALL
+                     SELECT piece, pfreq FROM upc WHERE len(piece) = 1)),
+         utot0 AS (SELECT CAST(sum(pfreq) AS BIGINT) AS tot FROM uvocab),
+         us0 AS (SELECT piece,
+                   round(ln(CAST(pfreq AS DOUBLE) / CAST(tot AS DOUBLE)), 8)
+                     AS s
+                 FROM uvocab CROSS JOIN utot0)"""
+
+    /** One segmentation round under score CTE `sc` (piece, s). */
+    def mkRound(sc: String, x: String): String = {
+      val cands = (1 to maxPiece).map { l =>
+        s"""CASE WHEN p$l.s IS NULL THEN NULL
+                ELSE {'s': d.bests[len(d.bests) - ${l - 1}] + p$l.s,
+                      'l': CAST($l AS BIGINT)} END"""
+      }.mkString(",\n                  ")
+      val joins = (1 to maxPiece).map { l =>
+        s"""LEFT JOIN up$x p$l ON p$l.word = d.word
+                AND p$l.endpos = d.i + 1 AND p$l.l = $l"""
+      }.mkString("\n              ")
+      s"""up$x AS MATERIALIZED (
+           SELECT e.word, i AS endpos, L AS l, sc.s
+           FROM uelig e,
+                LATERAL unnest(range(1, len(e.word)+1)) t(i),
+                LATERAL unnest(range(1, ${maxPiece + 1})) s(L),
+                $sc sc
+           WHERE L <= i
+             AND sc.piece = substr(e.word, CAST(i - L + 1 AS INT),
+                                   CAST(L AS INT))),
+         udp$x AS (
+           SELECT word, freq, 0 AS i, [CAST(0.0 AS DOUBLE)] AS bests,
+                  CAST([] AS BIGINT[]) AS ls
+           FROM uelig
+           UNION ALL
+           SELECT word, freq, i + 1,
+                  CASE WHEN len(bests) >= $maxPiece
+                       THEN list_append(bests[2:], pick['s'])
+                       ELSE list_append(bests, pick['s']) END,
+                  list_append(ls, pick['l'])
+           FROM (
+             SELECT d.word, d.freq, d.i, d.bests, d.ls,
+                    list_max(list_filter([
+                  $cands], c -> c IS NOT NULL)) AS pick
+             FROM udp$x d
+              $joins
+             WHERE d.i < len(d.word)) picked),
+         udpf$x AS MATERIALIZED (
+           SELECT word, freq, ls FROM udp$x WHERE i = len(word)),
+         ubt$x AS (
+           SELECT word, freq, ls, CAST(len(word) AS BIGINT) AS j,
+                  CAST([] AS VARCHAR[]) AS ps
+           FROM udpf$x
+           UNION ALL
+           SELECT word, freq, ls, j - ls[CAST(j AS INT)],
+                  list_prepend(substr(word,
+                    CAST(j - ls[CAST(j AS INT)] + 1 AS INT),
+                    CAST(ls[CAST(j AS INT)] AS INT)), ps)
+           FROM ubt$x WHERE j > 0),
+         useg$x AS MATERIALIZED (
+           SELECT word, freq, ps FROM ubt$x WHERE j = 0)"""
+    }
+
+    /** EM M-step score table us1 (piece, pfreq, cnt, s) from round-1
+      * segmentation counts. */
+    def emCtes: String =
+      s"""ucnt1 AS (SELECT piece, CAST(sum(freq) AS BIGINT) AS cnt
+             FROM (SELECT freq, unnest(ps) AS piece FROM useg1)
+             GROUP BY 1),
+         ucj AS (SELECT v.piece, v.pfreq, coalesce(c.cnt, 0) AS cnt
+                 FROM uvocab v LEFT JOIN ucnt1 c USING (piece)),
+         utot1 AS (SELECT CAST(sum(cnt) AS BIGINT) AS tot,
+                          CAST(count(*) AS BIGINT) AS nv FROM ucj),
+         us1 AS MATERIALIZED (
+           SELECT piece, pfreq, cnt,
+                  round(ln(CAST(cnt + 1 AS DOUBLE) /
+                           CAST(tot + nv AS DOUBLE)), 8) AS s
+           FROM ucj CROSS JOIN utot1)"""
+
+    def vocabSql: String =
+      s"""WITH RECURSIVE $baseCtes,
+         ${mkRound("us0", "1")},
+         $emCtes
+         SELECT piece, pfreq, cnt, s FROM us1 ORDER BY piece"""
+
+    def encodeSql: String =
+      s"""WITH RECURSIVE $baseCtes,
+         ${mkRound("us0", "1")},
+         $emCtes,
+         ${mkRound("us1", "2")},
+         uenc AS (
+           SELECT word, CAST(len(word) AS BIGINT) AS n_chars,
+                  CAST(len(ps) AS BIGINT) AS n_pieces,
+                  array_to_string(list_transform(ps,
+                    p -> len(p)||':'||p), '') AS enc
+           FROM useg2
+           UNION ALL
+           SELECT word, CAST(len(word) AS BIGINT), CAST(1 AS BIGINT),
+                  len(word)||':'||word
+           FROM uw WHERE len(word) > $maxWord),
+         etoks AS (SELECT doc_id, $dToks AS dts FROM documents),
+         epos AS (SELECT doc_id, i AS pos, dts[i] AS word
+                  FROM etoks, LATERAL unnest(range(1, len(dts)+1)) t(i)),
+         eagg AS (SELECT doc_id,
+                         CAST(sum(n_chars) AS BIGINT) AS n_raw,
+                         CAST(sum(n_pieces) AS BIGINT) AS n_tokens,
+                         string_agg(enc, '' ORDER BY pos) AS encstr
+                  FROM epos JOIN uenc USING (word) GROUP BY 1)
+         SELECT d.doc_id,
+                coalesce(n_raw, 0) AS n_raw,
+                coalesce(n_tokens, 0) AS n_tokens,
+                ${dH60("coalesce(encstr, '')")} AS enc_h
+         FROM documents d LEFT JOIN eagg USING (doc_id)
+         ORDER BY doc_id"""
   }
 
   /** Learned-quality-probe oracle — twin of
@@ -1968,6 +2133,9 @@ object SparkEntry {
     // shortlist — selection ranks the raw IEEE mmr expression (same op
     // tree as the engine's fold), output rounds to 6
     "mmr_rerank" -> dMmrSql(poolK = 20, k = 8),
+    // the same greedy over the index-served shortlist: probe chain =
+    // the sim_topk_ivf_kmeans oracle's, vectors carried from `af`
+    "mmr_rerank_ivf" -> dMmrIvfSql(poolK = 20, k = 8),
     // SQ8 replay: quantize (scale = 127/max|x|, codes kept as
     // integral DOUBLES — products ≤ 127² and 64-dim sums ≤ 2²⁰ are
     // exact integers in double arithmetic in any order, so
@@ -2894,7 +3062,7 @@ object SparkEntry {
                         / 4503599627370496.0)), 6) AS gumbel
                   FROM dw),
          dkey AS (SELECT doc_id, logratio, gumbel,
-                         round(logratio + gumbel, 6) AS sel_key
+                         round(logratio + gumbel, 8) AS sel_key
                   FROM dsel)
          SELECT doc_id, logratio, gumbel, sel_key
          FROM dkey WHERE sel_key IS NOT NULL
@@ -2903,6 +3071,10 @@ object SparkEntry {
     // sums, rational sigmoid (no exp — JVM/libm exp bit patterns fork
     // on a measured 0.25% of doubles and GD amplifies any fork)
     "quality_classifier" -> dQcSql,
+    // unigram-LM tokenizer: full Viterbi DP replay per distinct word
+    // (sliding-window recursive CTE + backtrace), one EM round
+    "ulm_vocab" -> DUlm.vocabSql,
+    "ulm_encode" -> DUlm.encodeSql,
     "contamination_ngram" -> dContamNgramSql,
     // bloom pre-screen + exact verify ≡ exact operator: SAME oracle —
     // hash-equality proves the screen admits no false positive into the
@@ -2962,14 +3134,14 @@ object SparkEntry {
          tf AS (SELECT token, count(*) AS freq FROM tok GROUP BY 1),
          tot AS (SELECT CAST(sum(freq) AS BIGINT) AS total FROM tf),
          per AS (SELECT doc_id, count(*) AS n_tokens,
-                        CAST(sum(CAST(round(ln(freq / CAST(total AS DOUBLE)), 8)
-                          AS DECIMAL(38,18))) AS DOUBLE) AS s
+                        CAST(CAST(sum(CAST(round(ln(freq / CAST(total AS DOUBLE)), 8)
+                          AS DECIMAL(38,18))) AS VARCHAR) AS DOUBLE) AS s
                  FROM tok JOIN tf USING (token) CROSS JOIN tot
                  GROUP BY 1)
          SELECT d.doc_id,
                 coalesce(n_tokens, 0) AS n_tokens,
                 CASE WHEN coalesce(n_tokens, 0) = 0 THEN 0.0
-                     ELSE round(s / n_tokens, 6) END AS avg_logprob
+                     ELSE s / n_tokens END AS avg_logprob
          FROM documents d LEFT JOIN per USING (doc_id)
          ORDER BY doc_id""",
     "bigram_logprob" ->
@@ -2981,9 +3153,9 @@ object SparkEntry {
                  FROM toks),
          bf AS (SELECT bigram, count(*) AS bfreq FROM big GROUP BY 1),
          per AS (SELECT doc_id, count(*) AS n_bigrams,
-                        CAST(sum(CAST(round(ln((bfreq + 1) /
+                        CAST(CAST(sum(CAST(round(ln((bfreq + 1) /
                           CAST(freq + v AS DOUBLE)), 8)
-                          AS DECIMAL(38,18))) AS DOUBLE) AS s
+                          AS DECIMAL(38,18))) AS VARCHAR) AS DOUBLE) AS s
                  FROM big JOIN bf USING (bigram)
                  JOIN tf ON split_part(bigram, ' ', 1) = tf.token
                  CROSS JOIN v
@@ -2991,7 +3163,7 @@ object SparkEntry {
          SELECT d.doc_id,
                 coalesce(n_bigrams, 0) AS n_bigrams,
                 CASE WHEN coalesce(n_bigrams, 0) = 0 THEN 0.0
-                     ELSE round(s / n_bigrams, 6) END AS avg_logprob
+                     ELSE s / n_bigrams END AS avg_logprob
          FROM documents d LEFT JOIN per USING (doc_id)
          ORDER BY doc_id""",
     // BPE merge learning: full m-round replay (greedy recursive merge
@@ -3427,11 +3599,13 @@ object SparkEntry {
          knn AS (SELECT q_id, vec_id, round(cos, 6) AS cos FROM ranked
                  WHERE rk <= 3),
          dens AS (SELECT q_id AS vec_id,
-             CAST(sum(CAST(cos AS DECIMAL(38,18))) AS DOUBLE) / count(*)
-               AS density,
+             CAST(CAST(sum(CAST(cos AS DECIMAL(38,18))) AS VARCHAR)
+               AS DOUBLE) / count(*) AS density,
              CAST(count(*) AS BIGINT) AS deg
            FROM knn GROUP BY q_id)
-         SELECT d.vec_id, a.c_id, round(d.density, 6) AS density, d.deg
+         -- density emitted RAW: round-6 of (scale-6 sum / deg) is an
+         -- exact half-boundary value for deg=2 odd sums (round fork)
+         SELECT d.vec_id, a.c_id, d.density AS density, d.deg
          FROM dens d JOIN af a USING (vec_id) ORDER BY vec_id""",
     // density prune: within each coarse cluster drop the densest 25%
     // (rank by density DESC, vec_id; cut at ceil(0.25·|cluster|))
@@ -3440,10 +3614,10 @@ object SparkEntry {
          knn AS (SELECT q_id, vec_id, round(cos, 6) AS cos FROM ranked
                  WHERE rk <= 3),
          dens AS (SELECT q_id AS vec_id,
-             CAST(sum(CAST(cos AS DECIMAL(38,18))) AS DOUBLE) / count(*)
-               AS density
+             CAST(CAST(sum(CAST(cos AS DECIMAL(38,18))) AS VARCHAR)
+               AS DOUBLE) / count(*) AS density
            FROM knn GROUP BY q_id),
-         da AS (SELECT d.vec_id, a.c_id, round(d.density, 6) AS density
+         da AS (SELECT d.vec_id, a.c_id, d.density AS density
                 FROM dens d JOIN af a USING (vec_id)),
          dr AS (SELECT vec_id, c_id, density,
              row_number() OVER (PARTITION BY c_id

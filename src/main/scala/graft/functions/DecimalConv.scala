@@ -98,4 +98,14 @@ object DecimalConv {
     * DECIMAL(38,18)) END) AS VARCHAR) AS DOUBLE)`. */
   def decSumExact(c: Column): Column =
     sum(decExact(c)).cast("string").cast("double")
+
+  /** [[decSum]] with the correctly-rounded (string-mediated) double
+    * image — REQUIRED whenever the sum (or a quotient of it) is
+    * emitted RAW: the engines' native decimal→double casts can differ
+    * by 1 ulp (Java's BigDecimal.doubleValue double-rounds), which a
+    * round-6 output grid absorbs but a 10-sig-digit raw comparison
+    * sees whenever the value sits near a print boundary. Oracle twin:
+    * `CAST(CAST(sum(…) AS VARCHAR) AS DOUBLE)`. */
+  def decSumStr(c: Column): Column =
+    sum(c.cast(SumType)).cast("string").cast("double")
 }

@@ -594,15 +594,25 @@ object Sampling {
       .crossJoin(broadcast(totals))
       .groupBy("doc_id")
       .agg(count(lit(1)).cast("long").as("n_feats"),
-        graft.functions.DecimalConv.decSum(
+        graft.functions.DecimalConv.decSumStr(
           round(log(num / den), 8)).as("w"))
     pool.select(col("doc_id")).join(perDoc, Seq("doc_id"), "left")
       .select(col("doc_id"),
         coalesce(col("n_feats"), lit(0L)).as("n_feats"),
+        // w IS a scale-8 decimal (sum of round-8 addends), so round-8
+        // is identity-on-grid — a round-6 output would land EXACTLY on
+        // a half boundary whenever the grid digits end in 50 (~1% of
+        // docs) and the engines' double-round algorithms fork there
+        // (vecdegen gate finding, the MMR product-boundary class)
         when(coalesce(col("n_feats"), lit(0L)) === 0, 0.0d)
-          .otherwise(round(col("w"), 6)).as("logratio"),
+          .otherwise(round(col("w"), 8)).as("logratio"),
+        // the quotient is emitted RAW: a grid sum divided by n is an
+        // EXACT ≤7-digit decimal whenever n divides the unscaled sum
+        // (hugedoc gate: 23.8592385/27 = 0.8836755 — on the round-6
+        // half boundary, engines' round() algorithms fork) — the raw
+        // IEEE quotient of two deterministic doubles never forks
         when(coalesce(col("n_feats"), lit(0L)) === 0, 0.0d)
-          .otherwise(round(col("w") / col("n_feats"), 6)).as("avg_logratio"))
+          .otherwise(col("w") / col("n_feats")).as("avg_logratio"))
   }
 
   def dsirWeights(spark: SparkSession, dir: String): DataFrame =
@@ -625,7 +635,10 @@ object Sampling {
   def dsirSelect(spark: SparkSession, dir: String, k: Int = 64): DataFrame =
     dsirWeighted(spark, dir)
       .withColumn("gumbel", gumbelKey(col("doc_id")))
-      .withColumn("sel_key", round(col("logratio") + col("gumbel"), 6))
+      // both addends live on the scale-8 grid (gumbel's round-6 grid
+      // is a subset), so their sum does too — round-8 is identity-on-
+      // grid and fork-free, where round-6 would sit on half boundaries
+      .withColumn("sel_key", round(col("logratio") + col("gumbel"), 8))
       .filter(col("sel_key").isNotNull)
       .select("doc_id", "logratio", "gumbel", "sel_key")
       .orderBy(col("sel_key").desc, col("doc_id").asc)

@@ -345,13 +345,17 @@ object Similarity {
       val g = knnGraph(spark, dir, k, nprobe, iters)
       val dens = g.groupBy(col("q_id").as("vec_id"))
         .agg(
-          (graft.functions.DecimalConv.decSum(col("cos")) /
+          (graft.functions.DecimalConv.decSumStr(col("cos")) /
             count(lit(1))).as("density"),
           count(lit(1)).cast("long").as("deg"))
       dens.join(assignmentTable(spark, dir, iters).select("vec_id", "c_id"),
           "vec_id")
+        // RAW quotient — round-6 of (scale-6 cos-grid sum / deg) is an
+        // EXACT 7-digit half-boundary value for every deg=2 vector
+        // with an odd unscaled sum (coin-flip round fork); the raw
+        // IEEE quotient of deterministic doubles never forks
         .select(col("vec_id"), col("c_id"),
-          round(col("density"), 6).as("density"), col("deg"))
+          col("density").as("density"), col("deg"))
     }.orderBy("vec_id")
 
   /** DENSITY-BASED PRUNING (the D4 "diversify" step): within each
@@ -1088,6 +1092,39 @@ object Similarity {
       // the shortlist (|Q|·poolK rows) has three consumers below —
       // without the eager cut each re-runs the O(|Q|·n) corpus scan
       .localCheckpoint()
+    mmrGreedy(pool, k)
+  }
+
+  /** Harness query `mmr_rerank_ivf`: the SAME greedy over the
+    * index-served shortlist — the production composition (probe the
+    * IVF inverted lists for top-`poolK`, then diversify), proving the
+    * re-ranker is pool-source-agnostic. The pool read is bucket-pruned
+    * index scanning (the `sim_topk_ivf_kmeans` serve shape with the
+    * vectors carried); everything after is identical to
+    * [[mmrRerank]]. */
+  def mmrRerankIvf(spark: SparkSession, dir: String, poolK: Int = 20,
+      k: Int = 8, nprobe: Int = 8, iters: Int = 2): DataFrame = {
+    val e = emb(spark, dir)
+    val probes = probesOf(queriesOf(e),
+      trainCentroids(spark, dir, iters = iters), nprobe)
+    val w = Window.partitionBy("q_id").orderBy(col("cos").desc, col("vec_id"))
+    val pool = assignmentTable(spark, dir, iters)
+      .join(broadcast(probes), "c_id")
+      .filter(col("vec_id") =!= col("q_id"))
+      .select(col("q_id"), col("vec_id"), col("v"), col("nrm"),
+        (V.dot(col("q_v"), col("v")) / (col("q_nrm") * col("nrm"))).as("cos"))
+      .withColumn("rk", row_number().over(w).cast("long"))
+      .filter(col("rk") <= poolK)
+      .select(col("q_id"), col("rk"), col("vec_id"), col("v"), col("nrm"),
+        round(col("cos"), 6).as("rel"))
+      .localCheckpoint()
+    mmrGreedy(pool, k)
+  }
+
+  /** The MMR greedy over a shortlist frame
+    * (q_id, rk, vec_id, v, nrm, rel) — see [[mmrRerank]] for the
+    * contract. ONE definition for every pool source. */
+  private def mmrGreedy(pool: DataFrame, k: Int): DataFrame = {
     // poolK² pairwise cosines per query — bounded by design
     val a = pool.select(col("q_id"), col("rk").as("a_rk"),
       col("v").as("a_v"), col("nrm").as("a_nrm"))

@@ -748,14 +748,18 @@ object TextAnalysis {
         // summed through decimal: the round-8 terms are exact decimals,
         // so the sum is order-free (a raw double sum depends on the
         // partial-aggregate merge order — clusterLabels' discipline)
-        graft.functions.DecimalConv.decSum(
+        graft.functions.DecimalConv.decSumStr(
           round(log(col("freq").cast("double") / col("total")), 8))
           .as("s"))
     docs.select(col("doc_id")).join(perDoc, Seq("doc_id"), "left")
       .select(col("doc_id"),
         coalesce(col("n_tokens"), lit(0L)).as("n_tokens"),
+        // RAW quotient — round-6 of (scale-8 grid sum / n) lands
+        // EXACTLY on the half boundary whenever n divides the unscaled
+        // sum (the dsir hugedoc-gate class); the raw IEEE quotient of
+        // deterministic doubles never forks
         when(coalesce(col("n_tokens"), lit(0L)) === 0, 0.0d)
-          .otherwise(round(col("s") / col("n_tokens"), 6)).as("avg_logprob"))
+          .otherwise(col("s") / col("n_tokens")).as("avg_logprob"))
       .orderBy("doc_id")
   }
 
@@ -792,14 +796,16 @@ object TextAnalysis {
       .groupBy("doc_id")
       .agg(count(lit(1)).cast("long").as("n_bigrams"),
         // decimal-exact sum, as in unigramLogprob
-        graft.functions.DecimalConv.decSum(
+        graft.functions.DecimalConv.decSumStr(
           round(log((col("bfreq") + 1).cast("double") /
             (col("freq") + col("v")).cast("double")), 8)).as("s"))
     docs.select(col("doc_id")).join(perDoc, Seq("doc_id"), "left")
       .select(col("doc_id"),
         coalesce(col("n_bigrams"), lit(0L)).as("n_bigrams"),
+        // RAW quotient — same grid-sum/n boundary class as
+        // unigramLogprob
         when(coalesce(col("n_bigrams"), lit(0L)) === 0, 0.0d)
-          .otherwise(round(col("s") / col("n_bigrams"), 6)).as("avg_logprob"))
+          .otherwise(col("s") / col("n_bigrams")).as("avg_logprob"))
       .orderBy("doc_id")
   }
 
@@ -816,6 +822,185 @@ object TextAnalysis {
         T.fingerprint(coalesce(col("text"), lit(""))).as("fp"),
         T.rollingHash(coalesce(col("text"), lit(""))).as("rhash"))
       .orderBy("doc_id")
+
+  // ============ unigram-LM (SentencePiece-style) tokenizer =============
+
+  /** Unigram-LM tokenizer hyper-parameters. Words longer than
+    * [[UlmMaxWord]] codepoints bypass the model as single OOV pieces —
+    * the SentencePiece discipline (it caps candidate/sentence-piece
+    * length the same way), and what keeps the Viterbi DP O(maxWord²)
+    * per distinct word instead of O(len²) on a hugedoc 50k-char
+    * token. */
+  val UlmMaxWord = 64
+  val UlmMaxPiece = 4
+  val UlmVocabSize = 512
+
+  /** Candidate-piece table: every char 1..[[UlmMaxPiece]]-gram of every
+    * eligible DISTINCT word, occurrence-weighted by word frequency —
+    * the top-[[UlmVocabSize]] by (freq DESC, piece) plus ALL single
+    * chars (the coverage floor: every eligible word must have a
+    * segmentation path). Vocab-bounded everywhere after the one corpus
+    * word-count aggregate. */
+  /** The distinct-word table IS the shared token-tf memo (one corpus
+    * aggregate, one owner — the tokenTf dedup rule). */
+  private def ulmWords(spark: SparkSession, dir: String): DataFrame =
+    tokenTf(spark, dir).select(col("token").as("word"), col("freq"))
+
+  private def ulmVocab0(spark: SparkSession, dir: String): DataFrame =
+    Memo.table(spark, dir, s"ulm_vocab0_${UlmVocabSize}_$UlmMaxPiece") {
+      val elig = ulmWords(spark, dir)
+        .filter(length(col("word")) <= UlmMaxWord)
+      val pieces = (1 to UlmMaxPiece).map { n =>
+        elig.select(col("freq"),
+          explode(graft.functions.CharNgrams.charNgrams(col("word"), n))
+            .as("piece"))
+      }.reduce(_ unionByName _)
+        .groupBy("piece").agg(sum(col("freq")).as("pfreq"))
+      val top = pieces
+        .orderBy(col("pfreq").desc, col("piece")).limit(UlmVocabSize)
+      val singles = pieces.filter(length(col("piece")) === 1)
+      top.unionByName(singles).distinct()
+    }
+
+  /** One EM round's M-step: piece scores from segmentation counts,
+    * add-one smoothed over the fixed vocab (a zero-count piece stays
+    * finite instead of being pruned — the simplest valid M-step; the
+    * ln + round-8 is the unigram_logprob discipline). */
+  private def ulmScores(vocab: DataFrame, counts: DataFrame): DataFrame = {
+    val joined = vocab.join(counts, Seq("piece"), "left")
+      .select(col("piece"), col("pfreq"),
+        coalesce(col("cnt"), lit(0L)).as("cnt"))
+    val tot = joined.agg(sum(col("cnt")).as("tot"),
+      count(lit(1)).as("nv"))
+    joined.crossJoin(broadcast(tot))
+      .select(col("piece"), col("pfreq"), col("cnt"),
+        round(log((col("cnt") + 1L).cast("double") /
+          (col("tot") + col("nv")).cast("double")), 8).as("s"))
+  }
+
+  /** Viterbi best segmentation of one word under a piece-score map —
+    * max total score, ties prefer the LONGER last piece (the oracle's
+    * struct-max order). Every char of an eligible word is in the
+    * vocab (singles floor), so a path always exists. */
+  private def ulmViterbi(w: String, score: collection.Map[String, Double])
+      : Array[String] = {
+    val syms = codepointSyms(w)
+    val n = syms.length
+    val best = Array.fill(n + 1)(0.0)
+    val bl = Array.fill(n + 1)(0)
+    var i = 1
+    while (i <= n) {
+      var chosen = Double.NegativeInfinity
+      var chosenL = 0
+      var l = 1
+      while (l <= math.min(UlmMaxPiece, i)) {
+        score.get(syms.slice(i - l, i).mkString) match {
+          case Some(s) =>
+            val cand = best(i - l) + s
+            if (cand > chosen || (cand == chosen && l > chosenL)) {
+              chosen = cand; chosenL = l
+            }
+          case None =>
+        }
+        l += 1
+      }
+      best(i) = chosen; bl(i) = chosenL
+      i += 1
+    }
+    val out = List.newBuilder[String]
+    var j = n
+    val rev = List.newBuilder[(Int, Int)]
+    while (j > 0) { rev += ((j - bl(j), j)); j -= bl(j) }
+    rev.result().reverse.foreach { case (a, b) =>
+      out += syms.slice(a, b).mkString }
+    out.result().toArray
+  }
+
+  /** Segment every eligible distinct word under `scores` (driver-
+    * collected — the vocab is a bounded artifact, ≤ UlmVocabSize +
+    * alphabet rows, the same round-trip the BPE trainer does with its
+    * merge table) and return per-piece usage counts weighted by word
+    * freq. */
+  private def ulmSegCounts(spark: SparkSession, dir: String,
+      scores: DataFrame): DataFrame = {
+    import spark.implicits._
+    val sm = scores.select("piece", "s").collect()
+      .map(r => r.getString(0) -> r.getDouble(1)).toMap
+    ulmWords(spark, dir)
+      .filter(length(col("word")) <= UlmMaxWord)
+      .select("word", "freq").as[(String, Long)]
+      .mapPartitions(_.flatMap { case (w, f) =>
+        ulmViterbi(w, sm).map(p => (p, f)) })
+      .toDF("piece", "f")
+      .groupBy("piece").agg(sum(col("f")).as("cnt"))
+  }
+
+  /** Harness query `ulm_vocab`: unigram-LM tokenizer TRAINING
+    * (Kudo 2018, the SentencePiece unigram model) — candidate pieces
+    * from char n-grams of the distinct-word table, initial scores
+    * ln(freq/total), then one Viterbi-EM round: E-step = Viterbi-best
+    * segmentation of every eligible word under the current scores
+    * (exact DP, not greedy), M-step = re-estimated piece scores from
+    * usage counts. The second real-world tokenizer-training family
+    * next to BPE ([[bpeMergesVocab]]); every round is vocab-bounded —
+    * the corpus is touched once (the word-count aggregate).
+    *
+    * Output: the trained table (piece, pfreq, cnt, score). The DuckDB
+    * oracle replays candidate selection, both score tables and the
+    * full Viterbi DP per word (sliding-window recursive CTE +
+    * backtrace walk) bit-exactly. */
+  def ulmVocab(spark: SparkSession, dir: String): DataFrame =
+    Memo.table(spark, dir, s"ulm_trained_${UlmVocabSize}_$UlmMaxPiece") {
+      val vocab = ulmVocab0(spark, dir)
+      val tot0 = vocab.agg(sum(col("pfreq")).as("tot"))
+      val score0 = vocab.crossJoin(broadcast(tot0))
+        .select(col("piece"), col("pfreq"),
+          round(log(col("pfreq").cast("double") /
+            col("tot").cast("double")), 8).as("s"))
+      ulmScores(vocab, ulmSegCounts(spark, dir, score0))
+    }.orderBy("piece")
+
+  /** Harness query `ulm_encode`: tokenize the corpus under the trained
+    * unigram LM — each eligible DISTINCT word Viterbi-segments once
+    * under the EM-round scores, OOV words (> [[UlmMaxWord]] cp) pass
+    * through as single pieces, and one join maps the positional token
+    * stream onto the per-word encodings ([[bpeEncodeVocab]]'s shape:
+    * the only corpus-sized steps are the tokenize and the final
+    * per-doc aggregate). Fingerprint = hash60 of the length-prefixed
+    * piece stream in document order. */
+  def ulmEncode(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val sm = ulmVocab(spark, dir).select("piece", "s").collect()
+      .map(r => r.getString(0) -> r.getDouble(1)).toMap
+    val wordEnc = ulmWords(spark, dir)
+      .select("word").as[String]
+      .mapPartitions(_.map { w =>
+        val syms = codepointSyms(w)
+        val ps = if (syms.length > UlmMaxWord) Array(w)
+          else ulmViterbi(w, sm)
+        (w, syms.length.toLong, ps.length.toLong,
+          ps.map(p => s"${p.codePointCount(0, p.length)}:$p").mkString(""))
+      })
+      .toDF("word", "n_chars", "n_pieces", "enc")
+    val perDoc = Tables.load(spark, dir, "documents")
+      .select(col("doc_id"), posexplode(T.tokens(col("text")))
+        .as(Seq("pos", "word")))
+      .join(wordEnc, "word")
+      .groupBy("doc_id")
+      .agg(sum(col("n_chars")).as("n_raw"),
+        sum(col("n_pieces")).as("n_tokens"),
+        graft.functions.Hash60.hash60(concat_ws("",
+          transform(array_sort(collect_list(struct(col("pos"), col("enc")))),
+            e => e.getField("enc")))).as("enc_h"))
+    Tables.load(spark, dir, "documents").select("doc_id")
+      .join(perDoc, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_raw"), lit(0L)).as("n_raw"),
+        coalesce(col("n_tokens"), lit(0L)).as("n_tokens"),
+        coalesce(col("enc_h"),
+          graft.functions.Hash60.hash60(lit(""))).as("enc_h"))
+      .orderBy("doc_id")
+  }
 
   // ================= learned quality classifier (linear probe) =========
 

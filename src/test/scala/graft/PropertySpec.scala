@@ -184,6 +184,38 @@ class PropertySpec extends AnyFunSuite {
       "for this integer-valued double the two casts should coincide")
   }
 
+  test("decSumExact == driver-side exact BigDecimal sum with a " +
+      "correctly-rounded double image, at every magnitude and order") {
+    import spark.implicits._
+    import graft.functions.DecimalConv
+    // the GD-trainer sum: addends are arbitrary products (no round-k
+    // grid), so the sum must be the EXACT quantized-addend decimal sum
+    // and its double image the correctly-rounded parse of the digits —
+    // order-free by decimal exactness (shuffled replay must agree)
+    val gen = Gen.frequency(
+      3 -> Gen.chooseNum(-1.0, 1.0),
+      1 -> Gen.chooseNum(-1.0e10, 1.0e10),
+      1 -> Gen.chooseNum(-1.0e-9, 1.0e-9))
+    forSamples(Gen.listOfN(120, gen), 3) { xs =>
+      def sumOf(vals: Seq[Double]): Double =
+        vals.zipWithIndex.map { case (x, i) => (i.toLong, x) }
+          .toDF("id", "x").repartition(7)
+          .agg(DecimalConv.decSumExact(col("x")).as("s"))
+          .collect().head.getDouble(0)
+      val want = java.lang.Double.parseDouble(
+        xs.map(x => new java.math.BigDecimal(x)
+            .setScale(18, java.math.RoundingMode.HALF_UP))
+          .foldLeft(java.math.BigDecimal.ZERO)(_.add(_)).toPlainString)
+      val got = sumOf(xs)
+      assert(java.lang.Double.doubleToLongBits(got) ==
+        java.lang.Double.doubleToLongBits(want),
+        s"decSumExact = $got, exact-sum image = $want")
+      // order-independence: the reversed list sums to the same bits
+      assert(java.lang.Double.doubleToLongBits(sumOf(xs.reverse)) ==
+        java.lang.Double.doubleToLongBits(want))
+    }
+  }
+
   test("cosine is symmetric, in [-1,1], and 1 on self") {
     import spark.implicits._
     forSamples(Gen.zip(vecGen, vecGen), 20) { case (a, b) =>

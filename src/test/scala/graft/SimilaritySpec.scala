@@ -275,12 +275,16 @@ class SimilaritySpec extends AnyFunSuite {
       "prune drops exactly the densest ceil(frac·|cluster|) per cluster") {
     val g = Similarity.knnGraph(spark, sf).collect()
       .map(r => (r.getAs[Long]("q_id"), r.getAs[Double]("cos")))
-    // decimal-exact sum + one IEEE division + HALF_UP round — the same
-    // fold the operator and the oracle both run
+    // decimal-exact sum of the round-6 cos IMAGES (toString digits —
+    // the native double→decimal cast's value), correctly-rounded
+    // double image (the decSumStr hop), then ONE raw IEEE division —
+    // the density is emitted UNROUNDED (round-6 of a scale-6 grid sum
+    // over deg sits exactly on half boundaries for deg=2 odd sums)
     val expected = g.groupBy(_._1).map { case (q, rows) =>
-      val mean = rows.map(r => BigDecimal(r._2)).sum.toDouble / rows.length
-      q -> (BigDecimal(mean).setScale(6, BigDecimal.RoundingMode.HALF_UP)
-        .toDouble, rows.length.toLong)
+      val sumDec = rows.map(r => BigDecimal(r._2.toString)).sum
+      val img = java.lang.Double.parseDouble(
+        sumDec.underlying.toPlainString)
+      q -> (img / rows.length, rows.length.toLong)
     }
     val dens = Similarity.knnDensity(spark, sf).collect()
       .map(r => (r.getAs[Long]("vec_id"), r.getAs[Long]("c_id"),
@@ -516,5 +520,25 @@ class SimilaritySpec extends AnyFunSuite {
       assert(mmr.head.getLong(2) < 100L)
     } finally org.apache.commons.io.FileUtils
       .deleteDirectory(new java.io.File(dir))
+  }
+
+  test("mmr over the IVF shortlist: first pick is the index serve's " +
+      "top-1, picks are unique and drawn from the probed pool") {
+    val S = graft.operators.Similarity
+    val out = S.mmrRerankIvf(spark, TestSpark.sf).collect()
+    assert(out.nonEmpty)
+    val serve = S.ivfTopKTrained(spark, TestSpark.sf, k = 20,
+        nprobe = 8, iters = 2).collect()
+    out.groupBy(_.getLong(0)).foreach { case (q, rows) =>
+      val ids = rows.map(_.getLong(2))
+      assert(ids.distinct.length == ids.length, s"q=$q duplicate picks")
+      val serveQ = serve.filter(_.getLong(0) == q)
+      val top1 = serveQ.filter(_.getLong(1) == 1L).head.getLong(2)
+      assert(rows.minBy(_.getLong(1)).getLong(2) == top1,
+        s"q=$q first pick != index serve top-1")
+      // every pick came from the probed shortlist
+      val pool = serveQ.map(_.getLong(2)).toSet
+      assert(ids.forall(pool.contains), s"q=$q pick outside probed pool")
+    }
   }
 }

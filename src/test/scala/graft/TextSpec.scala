@@ -832,6 +832,47 @@ class TextSpec extends AnyFunSuite {
       .deleteDirectory(new java.io.File(dir))
   }
 
+  test("unigram-LM tokenizer: singles coverage, Viterbi picks the " +
+      "learned multi-char piece, encode compresses and is deterministic") {
+    import spark.implicits._
+    val T2 = graft.operators.TextAnalysis
+    // synthetic corpus: 'abab' dominates → 'ab'/'abab' must earn high
+    // scores and Viterbi must prefer ONE 'abab' piece over char paths
+    val dir = java.nio.file.Files.createTempDirectory("ulm").toString
+    try {
+      val docs = (0L until 30L).map(i => (i, "abab abab cdcd", "en", "w", 14L)) ++
+        Seq((100L, "xy", "en", "w", 2L))
+      docs.toDF("doc_id", "text", "lang", "source", "n_chars")
+        .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+      val vocab = T2.ulmVocab(spark, dir).collect()
+      val pieces = vocab.map(_.getString(0)).toSet
+      // coverage floor: every char of every word is a piece
+      assert(Set("a", "b", "c", "d", "x", "y").subsetOf(pieces))
+      assert(pieces.contains("abab") && pieces.contains("cdcd"))
+      val enc = T2.ulmEncode(spark, dir).collect()
+        .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+      // 'abab abab cdcd' = 12 chars; the whole-word pieces dominate the
+      // corpus, so Viterbi encodes each word as ONE piece: 3 tokens
+      assert(enc(0L) == ((12L, 3L)), s"got ${enc(0L)}")
+      assert(enc(100L) == ((2L, 1L)) || enc(100L) == ((2L, 2L)))
+    } finally org.apache.commons.io.FileUtils
+      .deleteDirectory(new java.io.File(dir))
+
+    // harness corpus: structural invariants + determinism
+    val sf = TestSpark.sf
+    val v = T2.ulmVocab(spark, sf).collect()
+    assert(v.nonEmpty && v.forall(_.getDouble(3) < 0.0))
+    val rows = T2.ulmEncode(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getLong(2) <= r.getLong(1),
+        s"doc ${r.getLong(0)}: more pieces than chars") }
+    // the model must actually compress (multi-char pieces in use)
+    assert(rows.map(_.getLong(2)).sum < rows.map(_.getLong(1)).sum)
+    val again = T2.ulmEncode(spark, sf).collect()
+    assert(rows.map(_.toString).toSeq == again.map(_.toString).toSeq)
+  }
+
   test("quality classifier: GD probe separates a disjoint-vocabulary " +
       "corpus and emits calibrated-side probabilities") {
     import spark.implicits._
