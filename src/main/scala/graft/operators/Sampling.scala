@@ -581,6 +581,10 @@ object Sampling {
     val stats = feats.groupBy("b").agg(
       sum(when(dsirIsTarget(col("source")), 1L).otherwise(0L)).as("ct"),
       sum(when(dsirIsTarget(col("source")), 0L).otherwise(1L)).as("cr"))
+      // ≤ DsirBuckets rows with TWO consumers (the totals aggregate
+      // and the per-doc broadcast join) — without the eager cut each
+      // re-runs the corpus feature-explode scan (3 scans instead of 2)
+      .localCheckpoint()
     val totals = stats.agg(sum("ct").as("nt"), sum("cr").as("nr"))
     val pool = docs.filter(!dsirIsTarget(col("source")))
     // ratio of two exact integers: the long multiply is overflow-free
