@@ -169,6 +169,7 @@ object SparkEntry {
     "dsir_weights"       -> ((s: SparkSession, d: String) => Sampling.dsirWeights(s, d)),
     "dsir_select"        -> ((s: SparkSession, d: String) => Sampling.dsirSelect(s, d)),
     "quality_classifier" -> ((s: SparkSession, d: String) => TextAnalysis.qualityClassifier(s, d)),
+    "span_scrub"         -> ((s: SparkSession, d: String) => Dedup.spanScrub(s, d)),
     "ulm_vocab"          -> ((s: SparkSession, d: String) => TextAnalysis.ulmVocab(s, d)),
     "ulm_encode"         -> ((s: SparkSession, d: String) => TextAnalysis.ulmEncode(s, d)),
     "unigram_logprob"    -> (TextAnalysis.unigramLogprob _),
@@ -3075,6 +3076,42 @@ object SparkEntry {
     // (sliding-window recursive CTE + backtrace), one EM round
     "ulm_vocab" -> DUlm.vocabSql,
     "ulm_encode" -> DUlm.encodeSql,
+    // exact-substring scrub: hot spans (≥2 docs) explode to covered
+    // positions, kept stream rebuilt with length-prefixed fingerprint
+    "span_scrub" ->
+      s"""WITH ${dSpanCtes(8)},
+         hot AS (SELECT span_h FROM spanx
+                 GROUP BY span_h HAVING count(*) >= 2),
+         spost AS (SELECT doc_id, s['sp'] AS sp, s['h'] AS h FROM (
+           SELECT doc_id, unnest(CASE WHEN len(ts) < 8
+             THEN CAST([] AS STRUCT(sp BIGINT, h BIGINT)[])
+             ELSE [{'sp': CAST(i - 1 AS BIGINT),
+                    'h': ${dH60("ts[i]||' '||ts[i+1]||' '||ts[i+2]" +
+                      "||' '||ts[i+3]||' '||ts[i+4]||' '||ts[i+5]" +
+                      "||' '||ts[i+6]||' '||ts[i+7]")}}
+                   for i in range(1, len(ts) - 6)] END) AS s
+           FROM toks)),
+         cov AS (SELECT DISTINCT doc_id, pos FROM (
+                 SELECT doc_id, unnest(range(sp, sp + 8)) AS pos
+                 FROM spost JOIN hot ON spost.h = hot.span_h)),
+         ptoks AS (SELECT doc_id, i - 1 AS pos, ts[i] AS token
+                   FROM toks, LATERAL unnest(range(1, len(ts) + 1)) t(i)),
+         keptt AS (SELECT p.doc_id, p.pos,
+                          len(p.token)||':'||p.token AS enc
+                   FROM ptoks p WHERE NOT EXISTS (
+                     SELECT 1 FROM cov c
+                     WHERE c.doc_id = p.doc_id AND c.pos = p.pos)),
+         sagg AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_kept,
+                         string_agg(enc, '' ORDER BY pos, enc) AS ks
+                  FROM keptt GROUP BY 1)
+         SELECT d.doc_id,
+                CAST(coalesce(len($dToks), 0) AS BIGINT) AS n_tokens,
+                coalesce(n_kept, 0) AS n_kept,
+                CAST(coalesce(len($dToks), 0) AS BIGINT)
+                  - coalesce(n_kept, 0) AS n_removed,
+                ${dH60("coalesce(ks, '')")} AS kept_h
+         FROM documents d LEFT JOIN sagg USING (doc_id)
+         ORDER BY doc_id""",
     "contamination_ngram" -> dContamNgramSql,
     // bloom pre-screen + exact verify ≡ exact operator: SAME oracle —
     // hash-equality proves the screen admits no false positive into the

@@ -690,6 +690,59 @@ object Dedup {
         .select(col("doc_id"), hash60(col("span")).as("span_h"))
     }
 
+  /** Harness query `span_scrub`: exact-substring dedup REMOVAL (Lee
+    * et al. 2022's "deduplicating training data" ExactSubstr step —
+    * [[spanDedup]] detects, this SCRUBS): every token covered by an
+    * `n`-token span that occurs in ≥ `minDocs` distinct documents is
+    * dropped; the kept stream (counts + order-exact fingerprint) is
+    * what a training pipeline feeds the tokenizer.
+    *
+    * Shape: positional spans leave each doc as (start, hash60) rows;
+    * the hot-span set is a filter over the SHARED distinct-span
+    * frequency aggregate ([[spanTable]] — no second tokenize); hot
+    * occurrences explode to ≤n covered positions each; kept tokens =
+    * one anti join on (doc_id, pos); one per-doc aggregate rebuilds
+    * counts and the length-prefixed fingerprint. O(total spans) at
+    * any duplication level — no pair join, nothing quadratic. The
+    * fingerprint is length-prefixed (len:token, concatenated bare)
+    * so no in-token separator byte can alias two different streams. */
+  def spanScrub(spark: SparkSession, dir: String, n: Int = 8,
+      minDocs: Int = 2): DataFrame = {
+    val docs = Tables.load(spark, dir, "documents")
+    val toks = docs.select(col("doc_id"),
+      posexplode(T.tokens(col("text"))).as(Seq("pos", "token")))
+    val spans = docs.select(col("doc_id"),
+        posexplode(T.wordShingles(col("text"), n)).as(Seq("sp", "span")))
+      .select(col("doc_id"), col("sp"), hash60(col("span")).as("span_h"))
+    val hot = spanTable(spark, dir, n)
+      .groupBy("span_h").agg(count(lit(1)).as("n_docs"))
+      .filter(col("n_docs") >= minDocs)
+      .select("span_h")
+    val covered = spans.join(hot, "span_h")
+      .select(col("doc_id"),
+        explode(sequence(col("sp"), col("sp") + (n - 1))).as("pos"))
+      .distinct()
+    val perDoc = toks.join(covered, Seq("doc_id", "pos"), "left_anti")
+      .select(col("doc_id"), col("pos"),
+        concat(length(col("token")).cast("string"), lit(":"),
+          col("token")).as("enc"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_kept"),
+        hash60(concat_ws("", transform(
+          array_sort(collect_list(struct(col("pos"), col("enc")))),
+          e => e.getField("enc")))).as("kept_h"))
+    docs.select(col("doc_id"), size(T.tokens(col("text"))).as("nt"))
+      .join(perDoc, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        when(col("nt") < 0, 0L).otherwise(col("nt")).cast("long")
+          .as("n_tokens"),
+        coalesce(col("n_kept"), lit(0L)).as("n_kept"),
+        (when(col("nt") < 0, 0L).otherwise(col("nt")).cast("long") -
+          coalesce(col("n_kept"), lit(0L))).as("n_removed"),
+        coalesce(col("kept_h"), hash60(lit(""))).as("kept_h"))
+      .orderBy("doc_id")
+  }
+
   def spanDedup(spark: SparkSession, dir: String, n: Int = 8): DataFrame = {
     val docs = Tables.load(spark, dir, "documents")
     val spans = spanTable(spark, dir, n)

@@ -239,4 +239,27 @@ class DedupSpec extends AnyFunSuite {
     // unique filler docs share nothing
     (100L until 140L).foreach(i => assert(rows(i)._2 === 0.0))
   }
+
+  test("spanScrub: cross-doc hot spans scrubbed, uniques intact, " +
+      "short docs untouched, counts reconcile") {
+    val rows = Dedup.spanScrub(spark, fixtureDir).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Long]("n_tokens"), r.getAs[Long]("n_kept"),
+          r.getAs[Long]("n_removed"))).toMap
+    // 21/22: identical 10-token docs — every token covered by a shared
+    // span → fully scrubbed
+    assert(rows(21L) === ((10L, 0L, 10L)), s"got ${rows(21L)}")
+    assert(rows(22L) === ((10L, 0L, 10L)))
+    // 0/1: 40 tokens with one swap at position 15 — the shared spans
+    // cover everything OUTSIDE the 8-span window around the swap...
+    // at minimum SOMETHING is removed and SOMETHING kept
+    assert(rows(0L)._3 > 0 && rows(0L)._2 > 0)
+    assert(rows(0L)._1 === 40L &&
+      rows(0L)._2 + rows(0L)._3 === rows(0L)._1)
+    // unique fillers: nothing removed
+    (100L until 140L).foreach { i =>
+      assert(rows(i)._3 === 0L, s"filler $i scrubbed: ${rows(i)}") }
+    // every doc reconciles
+    rows.values.foreach { case (nt, nk, nr) => assert(nk + nr === nt) }
+  }
 }
