@@ -35,7 +35,8 @@ object ScaleProbe100 {
     val sections: Set[String] =
       if (args.length > 2) args(2).split(',').map(_.trim).toSet
       else Set("dedup", "feed", "quality", "stratsplit", "docpack", "keepbest", "bloomdecon", "phash", "bpe", "bm25", "ann", "knn", "knnlife",
-        "zipf", "churn", "semdedup", "rebucket", "pq", "ivfpq", "streamloop")
+        "zipf", "churn", "semdedup", "rebucket", "pq", "ivfpq", "streamloop",
+        "newops")
     def section(name: String)(body: => Unit): Unit =
       if (sections(name)) body
     val spark = SparkSession.builder()
@@ -63,7 +64,7 @@ object ScaleProbe100 {
     val fs = new org.apache.hadoop.fs.Path(dup)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
 
-    if (sections.exists(Set("dedup", "quality", "stratsplit", "docpack", "keepbest", "bloomdecon", "phash", "bpe", "bm25", "churn", "rebucket", "streamloop"))) {
+    if (sections.exists(Set("dedup", "quality", "stratsplit", "docpack", "keepbest", "bloomdecon", "phash", "bpe", "bm25", "churn", "rebucket", "streamloop", "newops"))) {
       if (!fs.exists(new org.apache.hadoop.fs.Path(s"$dup/documents.parquet"))) {
         val docs = Tables.load(spark, sf, "documents")
         docs.crossJoin(spark.range(factor).select(col("id").as("copy")))
@@ -913,6 +914,46 @@ object ScaleProbe100 {
 
     // 5. hot-token skew: Zipf postings (df of rank r ≈ N/r — the
     // stopword distribution), salted vs unsalted per-bucket bytes
+    // this round's LLM-pipeline additions: every docs-family cost must
+    // stay LINEAR in the corpus — DSIR is two feature-explode scans +
+    // bounded aggregates, the scrub is O(total spans), ULM touches the
+    // corpus once (all EM rounds are vocab-bounded), the classifier's
+    // GD rounds scan the memoized feature matrix (stage count, not
+    // corpus count, is the iteration cost)
+    section("newops") {
+      time(s"dsir_weights (${factor}x corpus: 2 feature-explode scans)") {
+        val r = operators.Sampling.dsirWeighted(spark, dup)
+          .agg(count(lit(1)).as("n"), sum(col("logratio")).as("s")).head()
+        println(s"  pool docs: ${r.getLong(0)}")
+      }
+      time(s"dsir_select (gumbel top-64 at ${factor}x)") {
+        println(s"  selected: ${operators.Sampling.dsirSelect(spark, dup)
+          .collect().length}")
+      }
+      time(s"span_scrub (${factor}x corpus, O(total spans))") {
+        val r = operators.Dedup.spanScrub(spark, dup)
+          .agg(sum(col("n_removed")).as("r"), sum(col("n_kept")).as("k"))
+          .head()
+        println(s"  removed ${r.getLong(0)}, kept ${r.getLong(1)}")
+      }
+      time(s"ulm train (${factor}x corpus: one corpus aggregate, " +
+          "vocab-bounded EM)") {
+        println(s"  vocab rows: " +
+          s"${operators.TextAnalysis.ulmVocab(spark, dup).count()}")
+      }
+      time(s"ulm_encode (${factor}x corpus, model memoized)") {
+        val t = operators.TextAnalysis.ulmEncode(spark, dup)
+          .agg(sum(col("n_tokens"))).head().getLong(0)
+        println(s"  total pieces: $t")
+      }
+      time(s"quality_classifier (4 GD rounds at ${factor}x)") {
+        val r = operators.TextAnalysis.qualityClassifier(spark, dup)
+          .agg(count(lit(1)).as("n"),
+            sum(when(col("predicted"), 1L).otherwise(0L)).as("p")).head()
+        println(s"  docs: ${r.getLong(0)}, predicted-curated: ${r.getLong(1)}")
+      }
+    }
+
     section("zipf") {
       // a prior run's probe tables outlive the in-memory catalog —
       // clear both catalog entries and orphaned managed locations
