@@ -731,14 +731,15 @@ object Dedup {
         hash60(concat_ws("", transform(
           array_sort(collect_list(struct(col("pos"), col("enc")))),
           e => e.getField("enc")))).as("kept_h"))
+    // null text → size() is NULL under ANSI (and -1 under legacy):
+    // both collapse to 0 tokens, matching the oracle's coalesce
+    val ntc = greatest(coalesce(col("nt"), lit(0)), lit(0)).cast("long")
     docs.select(col("doc_id"), size(T.tokens(col("text"))).as("nt"))
       .join(perDoc, Seq("doc_id"), "left")
       .select(col("doc_id"),
-        when(col("nt") < 0, 0L).otherwise(col("nt")).cast("long")
-          .as("n_tokens"),
+        ntc.as("n_tokens"),
         coalesce(col("n_kept"), lit(0L)).as("n_kept"),
-        (when(col("nt") < 0, 0L).otherwise(col("nt")).cast("long") -
-          coalesce(col("n_kept"), lit(0L))).as("n_removed"),
+        (ntc - coalesce(col("n_kept"), lit(0L))).as("n_removed"),
         coalesce(col("kept_h"), hash60(lit(""))).as("kept_h"))
       .orderBy("doc_id")
   }
