@@ -168,6 +168,7 @@ object SparkEntry {
     "stratified_split"   -> ((s: SparkSession, d: String) => Sampling.stratifiedSplit(s, d)),
     "dsir_weights"       -> ((s: SparkSession, d: String) => Sampling.dsirWeights(s, d)),
     "dsir_select"        -> ((s: SparkSession, d: String) => Sampling.dsirSelect(s, d)),
+    "dsir_select_frac"   -> ((s: SparkSession, d: String) => Sampling.dsirSelectFrac(s, d)),
     "quality_classifier" -> ((s: SparkSession, d: String) => TextAnalysis.qualityClassifier(s, d)),
     "span_scrub"         -> ((s: SparkSession, d: String) => Dedup.spanScrub(s, d)),
     "ulm_vocab"          -> ((s: SparkSession, d: String) => TextAnalysis.ulmVocab(s, d)),
@@ -409,8 +410,8 @@ object SparkEntry {
                  WHERE NOT coalesce(source IN ($tgt), false)),
        dper AS (SELECT doc_id, count(*) AS n_feats,
                   CAST(CAST(sum(CAST(round(ln(
-                      CAST((ct+1)*(nr+$b) AS DOUBLE) /
-                      CAST((cr+1)*(nt+$b) AS DOUBLE)), 8)
+                      (CAST(ct+1 AS DOUBLE) * CAST(nr+$b AS DOUBLE)) /
+                      (CAST(cr+1 AS DOUBLE) * CAST(nt+$b AS DOUBLE))), 8)
                     AS DECIMAL(38,18))) AS VARCHAR) AS DOUBLE) AS w
                 FROM dfeat JOIN dstat USING (b) CROSS JOIN dtot
                 WHERE NOT coalesce(source IN ($tgt), false)
@@ -618,8 +619,20 @@ object SparkEntry {
                    UNION ALL
                    SELECT doc_id, $b AS b, 1.0 AS x FROM qdocs),
          qlab AS (SELECT doc_id, y FROM qdocs),
-         qn AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM documents),
-         w0 AS (SELECT i AS b, 0.0 AS w FROM range(0, ${b + 1}) t(i)),
+         qn AS (SELECT CAST(count(*) AS DOUBLE) AS n,
+                       CAST(sum(y) AS DOUBLE) AS npos FROM qdocs),
+         -- bias init + decision threshold at the base-rate prior under
+         -- the Elliott link: the z with sigma(z) = p — each step one
+         -- IEEE op in the Spark side's exact order
+         qp AS (SELECT CASE
+                  WHEN n = 0.0 OR npos = 0.0 OR npos = n THEN 0.0
+                  WHEN npos / n >= 0.5 THEN
+                    (2.0 * (npos / n) - 1.0) / (2.0 * (1.0 - npos / n))
+                  ELSE (2.0 * (npos / n) - 1.0) / (2.0 * (npos / n))
+                END AS bias0 FROM qn),
+         w0 AS (SELECT i AS b,
+                  CASE WHEN i = $b THEN bias0 ELSE 0.0 END AS w
+                FROM range(0, ${b + 1}) t(i) CROSS JOIN qp),
          ${(1 to iters).map(iter).mkString(",\n         ")},
          zf AS (SELECT f.doc_id,
                   CAST(CAST(sum(${exact("w*x")}) AS VARCHAR) AS DOUBLE)
@@ -628,8 +641,8 @@ object SparkEntry {
          SELECT zf.doc_id, CAST(y AS INT) AS label_curated,
                 round(z, 6) AS score,
                 round(${sigma("z")}, 6) AS prob,
-                z >= 0 AS predicted
-         FROM zf JOIN qlab USING (doc_id)
+                z >= bias0 AS predicted
+         FROM zf JOIN qlab USING (doc_id) CROSS JOIN qp
          ORDER BY doc_id"""
   }
 
@@ -3068,6 +3081,28 @@ object SparkEntry {
          SELECT doc_id, logratio, gumbel, sel_key
          FROM dkey WHERE sel_key IS NOT NULL
          ORDER BY sel_key DESC, doc_id LIMIT 64""",
+    // proportional DSIR selection: the oracle replays the engine's
+    // two-level histogram threshold as ONE rank window — same total
+    // (sel_key DESC, doc_id) order, identical kept set
+    "dsir_select_frac" ->
+      s"""WITH $dDsirCtes,
+         dsel AS (SELECT doc_id, logratio,
+                    round(-ln(-ln(
+                      ((${dH60("'dsirn:'||CAST(doc_id AS VARCHAR)")}
+                          % 4503599627370496) + 0.5)
+                        / 4503599627370496.0)), 6) AS gumbel
+                  FROM dw),
+         dkey AS (SELECT doc_id, logratio, gumbel,
+                         round(logratio + gumbel, 8) AS sel_key
+                  FROM dsel WHERE round(logratio + gumbel, 8) IS NOT NULL),
+         dn AS (SELECT count(*) AS n FROM dkey),
+         drank AS (SELECT doc_id, logratio, gumbel, sel_key,
+                          row_number() OVER
+                            (ORDER BY sel_key DESC, doc_id) AS rk
+                   FROM dkey)
+         SELECT doc_id, logratio, gumbel, sel_key,
+                rk <= floor(1 + 0.25 * (n - 1)) AS kept
+         FROM drank CROSS JOIN dn ORDER BY doc_id""",
     // learned quality probe: 4 unrolled GD rounds, exact-hop decimal
     // sums, rational sigmoid (no exp — JVM/libm exp bit patterns fork
     // on a measured 0.25% of doubles and GD amplifies any fork)
@@ -3275,10 +3310,12 @@ object SparkEntry {
            FROM lineitem GROUP BY 1)
          SELECT l_returnflag, n,
                 round(sq / n, 6) AS mean_qty,
-                round(sqrt((n * sqq - sq * sq) / (n * (n - 1))), 6)
+                round(sqrt((n * sqq - sq * sq) /
+                  (CAST(n AS DOUBLE) * CAST(n - 1 AS DOUBLE))), 6)
                   AS stddev_qty,
                 round(sp / n, 6) AS mean_price,
-                round(sqrt((n * spp - sp * sp) / (n * (n - 1))), 6)
+                round(sqrt((n * spp - sp * sp) /
+                  (CAST(n AS DOUBLE) * CAST(n - 1 AS DOUBLE))), 6)
                   AS stddev_price,
                 round((n * sqp - sq * sp) /
                   sqrt((n * sqq - sq * sq) * (n * spp - sp * sp)), 6)

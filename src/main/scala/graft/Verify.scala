@@ -19,6 +19,12 @@ object Verify {
       // either way, but Verify should exercise the production plan
       .config("spark.sql.objectHashAggregate.sortBased.fallbackThreshold",
         "4194304")
+      // GRAFT_ANSI=1: run the whole dump under ANSI SQL mode — any
+      // silent-wraparound arithmetic (a Long product past 2^63, the
+      // DSIR r14 finding) becomes a LOUD error row in errors.json
+      // instead of garbage values. The silent-overflow sweep gate.
+      .config("spark.sql.ansi.enabled",
+        sys.env.get("GRAFT_ANSI").contains("1").toString)
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

@@ -242,11 +242,18 @@ object Aggregates {
         dsum(col("l_quantity") * col("l_extendedprice")).as("sqp"))
       .select(col("l_returnflag"), col("n"),
         round(col("sq") / col("n"), 6).as("mean_qty"),
+        // n(n−1) casts each factor to double BEFORE the multiply: the
+        // Long product silently wraps past 2^63 at n ≈ 3e9 (a 100 TB
+        // lineitem group is ~1e11 rows); each factor is an exact count
+        // < 2^53, so both engines do the same one IEEE multiply. The
+        // n·sqq cross terms already promote to double per factor.
         round(sqrt((col("n") * col("sqq") - col("sq") * col("sq")) /
-          (col("n") * (col("n") - lit(1)))), 6).as("stddev_qty"),
+          (col("n").cast("double") * (col("n") - lit(1)).cast("double"))),
+          6).as("stddev_qty"),
         round(col("sp") / col("n"), 6).as("mean_price"),
         round(sqrt((col("n") * col("spp") - col("sp") * col("sp")) /
-          (col("n") * (col("n") - lit(1)))), 6).as("stddev_price"),
+          (col("n").cast("double") * (col("n") - lit(1)).cast("double"))),
+          6).as("stddev_price"),
         round((col("n") * col("sqp") - col("sq") * col("sp")) /
           sqrt((col("n") * col("sqq") - col("sq") * col("sq")) *
             (col("n") * col("spp") - col("sp") * col("sp"))), 6)

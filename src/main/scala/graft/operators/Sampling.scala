@@ -567,15 +567,27 @@ object Sampling {
     * 100 TB shape: two corpus scans — ONE hash aggregate onto
     * [[DsirBuckets]] groups (bounded; broadcast back with the two
     * scalar totals), one per-doc aggregate (map-side combined). The
-    * bucket LM ratio is an exact integer rational
-    * (ct+1)(nr+B) / ((cr+1)(nt+B)) so both engines divide the same
-    * two exact doubles; per-feature log ratios round to 8dp and sum
+    * bucket LM ratio (ct+1)(nr+B) / ((cr+1)(nt+B)) casts each FACTOR
+    * (an exact count, < 2^53 at any real corpus) to double before the
+    * multiply, so both engines perform the same two correctly-rounded
+    * IEEE multiplies and one divide — no Long product to wrap at 2^63
+    * at 100 TB counts; per-feature log ratios round to 8dp and sum
     * through decimal(38,18) ([[graft.functions.DecimalConv.decSum]])
     * so the per-doc weight is order-proof. Selection is a global
     * TakeOrdered at literal k — corpus-size-independent; a
     * proportional-k variant would ride the same histogram-threshold
     * machinery as [[quotaThresholdKept]]. */
-  def dsirWeighted(spark: SparkSession, dir: String): DataFrame = {
+  def dsirWeighted(spark: SparkSession, dir: String): DataFrame =
+    // memoized like qc_feats/ulm: three harness consumers (weights,
+    // literal-k select, proportional select) would otherwise each
+    // re-run BOTH full feature-explode corpus scans — 6 scans for 2
+    Memo.table(spark, dir,
+      s"dsir_w_${DsirBuckets}_${DsirTargets.mkString("_")}") {
+      dsirWeightedUncached(spark, dir)
+    }
+
+  private def dsirWeightedUncached(spark: SparkSession,
+      dir: String): DataFrame = {
     val docs = Tables.load(spark, dir, "documents")
     val feats = dsirFeatures(docs)
     val stats = feats.groupBy("b").agg(
@@ -587,19 +599,14 @@ object Sampling {
       .localCheckpoint()
     val totals = stats.agg(sum("ct").as("nt"), sum("cr").as("nr"))
     val pool = docs.filter(!dsirIsTarget(col("source")))
-    // ratio of two exact integers: the long multiply is overflow-free
-    // at test SF (instances² < 2^53) and each side casts the SAME
-    // exact integer to double, so the quotient is one deterministic
-    // IEEE op on both engines
-    val num = ((col("ct") + 1L) * (col("nr") + DsirBuckets)).cast("double")
-    val den = ((col("cr") + 1L) * (col("nt") + DsirBuckets)).cast("double")
     val perDoc = feats.filter(!dsirIsTarget(col("source")))
       .join(broadcast(stats), "b")
       .crossJoin(broadcast(totals))
       .groupBy("doc_id")
       .agg(count(lit(1)).cast("long").as("n_feats"),
         graft.functions.DecimalConv.decSumStr(
-          round(log(num / den), 8)).as("w"))
+          dsirLogRatio(col("ct"), col("cr"),
+            col("nt"), col("nr"))).as("w"))
     pool.select(col("doc_id")).join(perDoc, Seq("doc_id"), "left")
       .select(col("doc_id"),
         coalesce(col("n_feats"), lit(0L)).as("n_feats"),
@@ -619,6 +626,25 @@ object Sampling {
           .otherwise(col("w") / col("n_feats")).as("avg_logratio"))
   }
 
+  /** The per-feature DSIR log-ratio, round-8 on the decSum grid:
+    * ln((ct+1)(nr+B) / ((cr+1)(nt+B))) with each FACTOR cast to
+    * double BEFORE the multiply — a factor is an exact count ≤ total
+    * feature instances (< 2^53 even at 100 TB, ~5e13), so both casts
+    * are exact and each product is ONE correctly-rounded IEEE
+    * multiply, identical on both engines. The pre-r15 form multiplied
+    * the Longs first — exact at test SF but a SILENT 2^63 wraparound
+    * at true 100 TB counts (ct~5e10 × nr~5e13 ≈ 2.5e24): garbage
+    * weights with no error under non-ANSI Spark. SamplingSpec pins
+    * this arithmetic at exactly those magnitudes. */
+  private[graft] def dsirLogRatio(ct: Column, cr: Column,
+      nt: Column, nr: Column): Column = {
+    val num = (ct + 1L).cast("double") *
+      (nr + DsirBuckets).cast("double")
+    val den = (cr + 1L).cast("double") *
+      (nt + DsirBuckets).cast("double")
+    round(log(num / den), 8)
+  }
+
   def dsirWeights(spark: SparkSession, dir: String): DataFrame =
     dsirWeighted(spark, dir).orderBy("doc_id")
 
@@ -635,16 +661,91 @@ object Sampling {
     round(-log(-log(u)), 6)
   }
 
-  /** DSIR selection: Gumbel top-k over the pool (see [[dsirWeighted]]). */
-  def dsirSelect(spark: SparkSession, dir: String, k: Int = 64): DataFrame =
-    dsirWeighted(spark, dir)
+  /** The Gumbel-perturbed DSIR selection key over the pool — shared by
+    * the literal-k [[dsirSelect]] and the proportional
+    * [[dsirSelectFrac]]. Both addends live on the scale-8 grid
+    * (gumbel's round-6 grid is a subset), so their sum does too —
+    * round-8 is identity-on-grid and fork-free, where round-6 would
+    * sit on half boundaries. */
+  private def dsirKeyed(spark: SparkSession, dir: String): DataFrame =
+    dsirWeighted(spark, dir) // memo read — narrow map from parquet
       .withColumn("gumbel", gumbelKey(col("doc_id")))
-      // both addends live on the scale-8 grid (gumbel's round-6 grid
-      // is a subset), so their sum does too — round-8 is identity-on-
-      // grid and fork-free, where round-6 would sit on half boundaries
       .withColumn("sel_key", round(col("logratio") + col("gumbel"), 8))
       .filter(col("sel_key").isNotNull)
       .select("doc_id", "logratio", "gumbel", "sel_key")
+
+  /** DSIR selection: Gumbel top-k over the pool (see [[dsirWeighted]]).
+    * Literal-k form — a demo/debug convenience; production selects a
+    * FRACTION of the pool ([[dsirSelectFrac]]): `limit(k)` at billions
+    * of keepers is a driver-side bottleneck. */
+  def dsirSelect(spark: SparkSession, dir: String, k: Int = 64): DataFrame =
+    dsirKeyed(spark, dir)
       .orderBy(col("sel_key").desc, col("doc_id").asc)
       .limit(k)
+
+  /** Harness query `dsir_select_frac`: PROPORTIONAL DSIR selection —
+    * keep the top `frac` of the pool by (sel_key DESC, doc_id), rank
+    * semantics `rank ≤ 1 + frac·(n−1)` (the
+    * [[TextAnalysis.qualityQuantileFilter]] convention). This is the
+    * production form of [[dsirSelect]]: selecting 25% of a 100 TB
+    * crawl is billions of keepers — no global sort-limit, no
+    * corpus-sized rank window.
+    *
+    * Scale shape — a two-level histogram threshold whose two failure
+    * modes cover each other:
+    *   1. VALUE-bin the keys at 2dp (`floor(sel_key·100)`): the bin
+    *      table is bounded by the key RANGE (log-ratio sums are
+    *      feature-count-bounded), never by corpus size. One map-side-
+    *      combined aggregate, collected as a bounded driver artifact
+    *      (the Lloyd-codebook round-trip shape) to locate the
+    *      boundary bin and its residual quota.
+    *   2. Whole bins strictly above/below the boundary take their
+    *      flag from a narrow broadcast comparison; ONLY the boundary
+    *      bin is ranked, via [[RankCut.topFlag]] — whose per-distinct-
+    *      score histogram is ≤10^6 rows BY CONSTRUCTION inside a 2dp
+    *      bin of scale-8 keys, and whose tie cut is id-bucket-bounded.
+    *      An all-duplicates corpus collapses every key into one bin
+    *      (step 1 degenerates) but then has few distinct scores
+    *      (step 2's histogram stays tiny) — and vice versa for an
+    *      all-distinct corpus. The composition is bounded either way.
+    * The DuckDB oracle replays the straightforward single-window rank
+    * — same total order, identical `kept` set. */
+  def dsirSelectFrac(spark: SparkSession, dir: String,
+      frac: Double = 0.25): DataFrame = {
+    // upstream is the memoized weight parquet, so the two consumers
+    // below (histogram + flag assembly) each pay only a narrow re-read
+    val keyed = dsirKeyed(spark, dir)
+    val binned = keyed.withColumn("bin",
+      floor(col("sel_key") * lit(100.0d)).cast("long"))
+    // bounded by the key range: a few thousand rows at any corpus size
+    val hist = binned.groupBy("bin").agg(count(lit(1)).as("cnt"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+      .sortBy(-_._1)
+    val n = hist.map(_._2).sum
+    val out = Seq("doc_id", "logratio", "gumbel", "sel_key").map(col) :+
+      col("kept")
+    if (n == 0L)
+      return keyed.withColumn("kept", lit(false))
+        .select(out: _*).orderBy("doc_id")
+    // k on the SAME IEEE ops as the oracle's floor(1 + frac·(n−1))
+    val k = math.floor(1.0d + frac * (n - 1L).toDouble).toLong
+    // walk the desc-sorted bins to the boundary: above < k ≤ above+cnt
+    // (k ≥ 1 and k ≤ n, so the boundary always exists)
+    var above = 0L; var bStar = hist.head._1; var quota = k
+    var found = false
+    val it = hist.iterator
+    while (it.hasNext && !found) {
+      val (b, cnt) = it.next()
+      if (above + cnt >= k) { bStar = b; quota = k - above; found = true }
+      else above += cnt
+    }
+    val hi = binned.filter(col("bin") > bStar).withColumn("kept", lit(true))
+    val lo = binned.filter(col("bin") < bStar).withColumn("kept", lit(false))
+    val boundary = RankCut.topFlag(
+      binned.filter(col("bin") === bStar).withColumn("g", lit(0)),
+      "g", "sel_key", "doc_id", _ => lit(quota), "kept")
+    Seq(hi, lo, boundary).map(_.select(out: _*))
+      .reduce(_.unionAll(_))
+      .orderBy("doc_id")
+  }
 }

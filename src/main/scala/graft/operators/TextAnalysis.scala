@@ -904,6 +904,13 @@ object TextAnalysis {
         }
         l += 1
       }
+      // the single-char coverage floor guarantees an l=1 hit for every
+      // eligible word; if a future vocab change breaks that invariant,
+      // fail LOUDLY here — bl(j)=0 in the backtrace would spin the
+      // executor forever (a model bug must be an exception, not a hang)
+      require(chosenL > 0,
+        s"ulmViterbi: no vocab piece covers position $i of word " +
+          s"'${syms.mkString}' — single-char coverage floor violated")
       best(i) = chosen; bl(i) = chosenL
       i += 1
     }
@@ -1072,8 +1079,30 @@ object TextAnalysis {
       when(coalesce(col("source")
         .isin(Sampling.DsirTargets: _*), lit(false)), 1.0d)
         .otherwise(0.0d).as("y"))
+    // ONE driver action for both scalars GD needs (r14 hygiene: n
+    // used to be a separate docs.count()): n and the positive count —
+    // both exact integers in doubles (< 2^53), so the base rate p is
+    // one deterministic IEEE divide on both engines
+    val cnt = labels.agg(count(lit(1)).cast("double").as("n"),
+      sum(col("y")).as("npos")).collect()(0)
+    val n = cnt.getDouble(0)
+    val nPos = cnt.getDouble(1)
+    // bias init at the base-rate PRIOR under the Elliott link — the
+    // z with σ(z) = p, i.e. (2p−1)/(2(1−p)) for p ≥ 0.5 and
+    // (2p−1)/(2p) below (the rational-link counterpart of fastText's
+    // log-odds bias init). From w = 0 on an imbalanced corpus, GD
+    // spends its few full-batch rounds re-learning the class prior
+    // through the bias instead of separating features (the r14 100×
+    // finding: 15%-positive corpora predicted all-negative); starting
+    // at the prior leaves every round to the feature weights. Each
+    // step is one IEEE op in a fixed order, replayed verbatim by the
+    // oracle — a deterministic function of two exact counts.
+    val p = nPos / n
+    val bias0 =
+      if (n == 0.0 || nPos == 0.0 || nPos == n) 0.0
+      else if (p >= 0.5) (2.0 * p - 1.0) / (2.0 * (1.0 - p))
+      else (2.0 * p - 1.0) / (2.0 * p)
     val feats = qcFeatures(spark, dir)
-    val n = docs.count()
     val eta = lit(QcEta.toDouble)
     def sigma(z: Column): Column =
       lit(0.5d) + z / (lit(2.0d) * (lit(1.0d) + abs(z)))
@@ -1082,7 +1111,9 @@ object TextAnalysis {
         .groupBy("doc_id")
         .agg(decSumExact(col("w") * col("x")).as("z"))
     var w = spark.range(0L, QcBuckets + 1L)
-      .select(col("id").as("b"), lit(0.0d).as("w"))
+      .select(col("id").as("b"),
+        when(col("id") === QcBuckets, lit(bias0))
+          .otherwise(lit(0.0d)).as("w"))
     for (_ <- 1 to QcIters) {
       val p = scores(w).join(labels, "doc_id")
         .select(col("doc_id"), (sigma(col("z")) - col("y")).as("resid"))
@@ -1091,7 +1122,7 @@ object TextAnalysis {
         .agg(decSumExact(col("resid") * col("x")).as("g"))
       w = w.join(grad, Seq("b"), "left")
         .select(col("b"), (col("w") -
-          eta * (coalesce(col("g"), lit(0.0d)) / lit(n.toDouble)))
+          eta * (coalesce(col("g"), lit(0.0d)) / lit(n)))
           .as("w"))
         // 65 rows — truncate the lineage so iteration t+1's plan does
         // not re-derive every earlier round
@@ -1101,7 +1132,13 @@ object TextAnalysis {
       .select(col("doc_id"), col("y").cast("int").as("label_curated"),
         round(col("z"), 6).as("score"),
         round(sigma(col("z")), 6).as("prob"),
-        (col("z") >= 0).as("predicted"))
+        // decision threshold CALIBRATED at the base rate: predict
+        // curated iff σ(z) ≥ p ⟺ z ≥ bias0 (σ monotone, σ(bias0)=p)
+        // — "scores above the unconditional prior", the standard
+        // imbalance calibration; at p = 0.5 this is the old z ≥ 0.
+        // The r14 z ≥ 0 cut was degenerate (all-negative) on any
+        // realistically imbalanced corpus.
+        (col("z") >= lit(bias0)).as("predicted"))
       .orderBy("doc_id")
   }
 }

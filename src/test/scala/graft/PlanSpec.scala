@@ -215,6 +215,29 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("BroadcastHashJoin"), p)
   }
 
+  test("dsir_select_frac cuts the pool fraction without a global rank " +
+      "window or a driver-side limit") {
+    val p = planOf("dsir_select_frac")
+    // production selects billions of keepers: a global sort-limit
+    // (the literal-k dsirSelect's TakeOrdered) is a driver bottleneck
+    assert(!p.contains("GlobalLimit") && !p.contains("TakeOrdered"),
+      s"dsir_select_frac went through a driver limit:\n$p")
+    // an unpartitioned RANK over sel_key is the oracle's replay shape —
+    // a corpus-sized single task at 100 TB. (The constant RankCut
+    // group column folds out of the specs, so sum-over-histogram
+    // windows legitimately show bare sel_key ORDER — the forbidden
+    // shape is specifically ranking rows by key.)
+    val globalRank = """row_number\(\) windowspecdefinition\(sel_key#""".r
+    assert(globalRank.findFirstIn(p).isEmpty,
+      s"global sel_key rank window in the plan:\n$p")
+    // the ONLY row ranking is the id-bucket-bounded boundary-bin tie
+    // cut: row_number over (db, doc_id)
+    val bucketed =
+      """row_number\(\) windowspecdefinition\(db#\d+L?, doc_id#\d+""".r
+    assert(bucketed.findFirstIn(p).nonEmpty,
+      s"bucketed boundary-bin tie window missing:\n$p")
+  }
+
   test("dedup_keep_best picks keepers without ANY window: bounded argmax " +
       "aggregate + broadcast join") {
     val p = planOf("dedup_keep_best")

@@ -483,10 +483,11 @@ class SimilaritySpec extends AnyFunSuite {
         s"q=$q first MMR pick ${first.getLong(2)} != relevance top $bruteTop")
     }
     // synthetic: the probe spans four axes; each axis hosts a tight
-    // 12-copy cluster, cluster relevance decreasing slightly by axis.
-    // Plain top-8 drowns in the top cluster (every member outranks
-    // every other cluster); MMR's redundancy penalty (0.3·~1 within a
-    // cluster vs ~0 across) must fan out across clusters immediately.
+    // 5-copy cluster, cluster relevance decreasing slightly by axis
+    // (5+5 ≥ 8 in the top two clusters — enough that a plain top-8
+    // drowns there, every member outranking every other cluster);
+    // MMR's redundancy penalty (0.3·~1 within a cluster vs ~0 across)
+    // must fan out across clusters immediately.
     val dir = java.nio.file.Files.createTempDirectory("mmr").toString
     try {
       val probe = {

@@ -912,6 +912,45 @@ class TextSpec extends AnyFunSuite {
     assert(rows.map(_.getInt(1)).toSet == Set(0, 1))
   }
 
+  test("quality classifier: non-degenerate predictions on a 15%-" +
+      "positive imbalanced corpus (base-rate bias init + calibrated " +
+      "threshold — the r14 all-negative-at-scale finding)") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("qcimb").toString
+    try {
+      // 15 curated / 85 crawl — the imbalance the r14 z≥0 cut went
+      // all-negative on. Vocabularies separable but overlapping (the
+      // shared filler keeps it from being a trivially-0-loss problem).
+      val curated = (0L until 15L).map(i =>
+        (i, s"alpha beta gamma delta filler$i common words here",
+          "en", "src0", 40L))
+      val crawl = (100L until 185L).map(i =>
+        (i, s"zebra xylo qux nope junk$i common words here",
+          "en", "web", 38L))
+      (curated ++ crawl)
+        .toDF("doc_id", "text", "lang", "source", "n_chars")
+        .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+      val out = graft.operators.TextAnalysis.qualityClassifier(spark, dir)
+        .collect()
+      assert(out.length == 100)
+      val (pos, neg) = out.partition(_.getInt(1) == 1)
+      // BOTH classes appear in the hard decision
+      val preds = out.map(_.getBoolean(4)).toSet
+      assert(preds == Set(true, false),
+        s"degenerate predictions: $preds")
+      // separation: every curated doc scores above every crawl doc
+      assert(pos.map(_.getDouble(2)).min > neg.map(_.getDouble(2)).max,
+        "scores do not separate the classes")
+      // calibrated cut is also ACCURATE here: majority of each class
+      // lands on its own side
+      assert(pos.count(_.getBoolean(4)) * 2 > pos.length,
+        "most curated docs should predict true")
+      assert(neg.count(!_.getBoolean(4)) * 2 > neg.length,
+        "most crawl docs should predict false")
+    } finally org.apache.commons.io.FileUtils
+      .deleteDirectory(new java.io.File(dir))
+  }
+
   test("dsir: pool-only weights, target-like docs outrank aliens, " +
       "Gumbel top-k selects the target-like mass") {
     import spark.implicits._
@@ -955,7 +994,58 @@ class TextSpec extends AnyFunSuite {
       // deterministic replay
       val again = S.dsirSelect(spark, dir, k = 10).collect()
       assert(sel.map(_.getLong(0)).toSeq == again.map(_.getLong(0)).toSeq)
+
+      // proportional selection: kept count is exactly the quantile
+      // rank bound, and the kept SET equals the literal-k top cut at
+      // the same k — the histogram threshold is a pure plan-shape
+      // change, not a semantics change
+      val fr = S.dsirSelectFrac(spark, dir, frac = 0.25).collect()
+      assert(fr.length == 41)
+      val n = fr.length
+      val k = math.floor(1.0 + 0.25 * (n - 1)).toLong
+      val kept = fr.filter(_.getBoolean(4)).map(_.getLong(0)).toSet
+      assert(kept.size == k, s"kept ${kept.size}, want $k")
+      val topK = S.dsirSelect(spark, dir, k = k.toInt)
+        .collect().map(_.getLong(0)).toSet
+      assert(kept == topK, s"frac cut != literal-k cut: $kept vs $topK")
     } finally org.apache.commons.io.FileUtils
       .deleteDirectory(new java.io.File(dir))
+  }
+
+  test("dsirLogRatio survives true-100TB count magnitudes (the r14 " +
+      "silent Long-product wraparound) and matches exact arithmetic") {
+    import spark.implicits._
+    val S = graft.operators.Sampling
+    val B = S.DsirBuckets
+    // a hot bucket at a 100 TB corpus: ~5e13 total feature instances,
+    // ~5e10 in one bucket — the r14 form's Long product here is
+    // ~2.5e24 ≫ 2^63 and wrapped silently under non-ANSI Spark
+    val cases = Seq(
+      (50000000000L, 40000000000000L, 1000000000000L, 50000000000000L),
+      (0L, 50000000000000L, 1000000000000L, 50000000000000L),
+      (9007199254740992L, 9007199254740992L, // 2^53: factor-cast edge
+        9007199254740992L, 9007199254740992L))
+    val got = cases.toDF("ct", "cr", "nt", "nr")
+      .select(S.dsirLogRatio(org.apache.spark.sql.functions.col("ct"),
+        org.apache.spark.sql.functions.col("cr"),
+        org.apache.spark.sql.functions.col("nt"),
+        org.apache.spark.sql.functions.col("nr")).as("lr"))
+      .collect().map(_.getDouble(0))
+    val want = cases.map { case (ct, cr, nt, nr) =>
+      val v = math.log(((ct + 1L).toDouble * (nr + B).toDouble) /
+        ((cr + 1L).toDouble * (nt + B).toDouble))
+      BigDecimal(v).setScale(8, BigDecimal.RoundingMode.HALF_UP).toDouble
+    }
+    got.zip(want).foreach { case (g, w) =>
+      assert(!g.isNaN && !g.isInfinite, s"non-finite log ratio: $g")
+      assert(g == w, s"got $g want $w")
+    }
+    // the wrapped form really does corrupt at these magnitudes — the
+    // property this spec exists to keep dead (the wrap can land on
+    // either sign; what matters is it is not the true product)
+    val wrapped = (50000000000L + 1L) * (50000000000000L + B)
+    val exact = (BigInt(50000000000L) + 1) * (BigInt(50000000000000L) + B)
+    assert(BigInt(wrapped) != exact,
+      "expected 2^63 wraparound in the old form")
   }
 }
