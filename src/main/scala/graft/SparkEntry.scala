@@ -171,6 +171,8 @@ object SparkEntry {
     "dsir_select_frac"   -> ((s: SparkSession, d: String) => Sampling.dsirSelectFrac(s, d)),
     "quality_classifier" -> ((s: SparkSession, d: String) => TextAnalysis.qualityClassifier(s, d)),
     "span_scrub"         -> ((s: SparkSession, d: String) => Dedup.spanScrub(s, d)),
+    "html_extract"       -> ((s: SparkSession, d: String) => Html.htmlExtract(s, d)),
+    "html_boilerplate_stats" -> ((s: SparkSession, d: String) => Html.htmlBoilerplateStats(s, d)),
     "ulm_vocab"          -> ((s: SparkSession, d: String) => TextAnalysis.ulmVocab(s, d)),
     "ulm_encode"         -> ((s: SparkSession, d: String) => TextAnalysis.ulmEncode(s, d)),
     "unigram_logprob"    -> (TextAnalysis.unigramLogprob _),
@@ -388,6 +390,72 @@ object SparkEntry {
     * .dsirWeighted]]: hashed unigram+bigram buckets, add-one-smoothed
     * target/raw bucket LMs, per-pool-doc decimal-exact log-ratio sum.
     * Ends in `dw(doc_id, n_feats, logratio, avg_logratio)`. */
+  /** HTML-extraction oracle CTE chain — twin of
+    * [[graft.operators.Html]]: synthesize the identical page frame
+    * (nav/ad/footer boilerplate around ~12-token paragraphs, ¾-length
+    * truncation for doc_id ≡ 3 mod 17), segment on closing block
+    * tags, strip/collapse, integer link-density classification.
+    * Whitespace is the EXPLICIT class [ \t\n\r] everywhere (Java \s
+    * includes \x0B, RE2's does not); regexp_replace carries 'g'
+    * (DuckDB is first-match by default, Spark is global). Ends in
+    * `hblk(doc_id, source, blocks: struct(txt, ll)[])`. */
+  private def dHtmlCtes: String =
+    """hdoc AS (
+           SELECT doc_id, source, coalesce(doc_id, 0) AS hid,
+                  list_filter(string_split_regex(coalesce(text, ''),
+                      '[ \t\n\r]+'), x -> len(x) > 0) AS ts
+           FROM documents),
+         hpage0 AS (
+           SELECT doc_id, source, hid,
+             concat_ws(chr(10),
+               '<html><head><title>d</title></head><body>',
+               '<h1>Document ' || hid || '</h1>',
+               '<nav><ul>' || array_to_string(
+                 ['<li><a href="/s' || i || '">sec ' || i || '</a></li>'
+                  for i in range(1, 4 + ((hid % 4) + 4) % 4)], '')
+                 || '</ul></nav>',
+               array_to_string(
+                 CASE WHEN len(ts) = 0 THEN []
+                 ELSE ['<p>' ||
+                         array_to_string(ts[i*12+1 : i*12+12], ' ')
+                         || '</p>'
+                       for i in range(0, (len(ts)+11)//12)] END,
+                 chr(10)),
+               '<div><a href="/buy">Buy now best deals click here ' ||
+                 'limited offer</a></div>',
+               '<footer><a href="/tos">Terms</a> ' ||
+                 '<a href="/privacy">Privacy</a> (c) example corp' ||
+                 '</footer>',
+               '</body></html>') AS h
+           FROM hdoc),
+         hpage AS (
+           SELECT doc_id, source,
+             CASE WHEN ((hid % 17) + 17) % 17 = 3
+                  THEN substr(h, 1, CAST((len(h)*3)//4 AS INT))
+                  ELSE h END AS h
+           FROM hpage0),
+         hblk AS (
+           SELECT doc_id, source,
+             list_transform(
+               string_split_regex(h,
+                 '</p>|</li>|</h1>|</div>|</footer>'),
+               b -> struct_pack(
+                 txt := trim(regexp_replace(
+                   regexp_replace(b, '<[^>]*>', ' ', 'g'),
+                   '[ \t\n\r]+', ' ', 'g')),
+                 ll := CAST(coalesce(list_sum(list_transform(
+                         regexp_extract_all(b, '<a [^>]*>([^<]*)', 1),
+                         x -> len(trim(regexp_replace(x,
+                           '[ \t\n\r]+', ' ', 'g'))))), 0) AS BIGINT)))
+               AS blocks
+           FROM hpage)"""
+
+  /** The content-block predicate over an hblk struct `b` — the ONE
+    * definition both html oracle rows classify with. */
+  private def dHtmlContent: String =
+    s"len(b.txt) >= ${graft.operators.Html.MinBlockChars} " +
+      "AND 3*b.ll < len(b.txt)"
+
   private def dDsirCtes: String = {
     val tgt = graft.operators.Sampling.DsirTargets
       .map(s => s"'$s'").mkString(", ")
@@ -3107,6 +3175,47 @@ object SparkEntry {
     // sums, rational sigmoid (no exp — JVM/libm exp bit patterns fork
     // on a measured 0.25% of doubles and GD amplifies any fork)
     "quality_classifier" -> dQcSql,
+    // HTML main-content extraction: both engines synthesize the same
+    // deterministic page frame, then segment/strip/classify with pure
+    // string+integer rules — link density is the integer compare
+    // 3·ll < len, no floating point anywhere in the per-doc path
+    "html_extract" ->
+      s"""WITH $dHtmlCtes
+         SELECT doc_id,
+                CAST(len(list_filter(blocks,
+                  b -> len(b.txt) > 0)) AS BIGINT) AS n_blocks,
+                CAST(len(list_filter(blocks,
+                  b -> $dHtmlContent)) AS BIGINT) AS n_content,
+                CAST(coalesce(list_sum(list_transform(
+                  list_filter(blocks, b -> $dHtmlContent),
+                  b -> len(b.txt))), 0) AS BIGINT) AS content_chars,
+                CAST(coalesce(list_sum(list_transform(
+                  list_filter(blocks,
+                    b -> len(b.txt) > 0 AND NOT ($dHtmlContent)),
+                  b -> len(b.txt))), 0) AS BIGINT) AS boiler_chars,
+                ${dH60("array_to_string(list_transform(" +
+                  s"list_filter(blocks, b -> $dHtmlContent), " +
+                  "b -> b.txt), chr(10))")} AS extract_h
+         FROM hblk ORDER BY doc_id""",
+    "html_boilerplate_stats" ->
+      s"""WITH $dHtmlCtes,
+         hm AS (SELECT source,
+                  CAST(coalesce(list_sum(list_transform(
+                    list_filter(blocks, b -> $dHtmlContent),
+                    b -> len(b.txt))), 0) AS BIGINT) AS cc,
+                  CAST(coalesce(list_sum(list_transform(
+                    list_filter(blocks,
+                      b -> len(b.txt) > 0 AND NOT ($dHtmlContent)),
+                    b -> len(b.txt))), 0) AS BIGINT) AS bc
+                FROM hblk)
+         SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+                CAST(sum(cc) AS BIGINT) AS content_chars,
+                CAST(sum(bc) AS BIGINT) AS boiler_chars,
+                CASE WHEN sum(cc) + sum(bc) = 0 THEN 0.0
+                     ELSE round(CAST(sum(bc) AS DOUBLE) /
+                       CAST(sum(cc) + sum(bc) AS DOUBLE), 6)
+                END AS boiler_frac
+         FROM hm GROUP BY source ORDER BY source""",
     // unigram-LM tokenizer: full Viterbi DP replay per distinct word
     // (sliding-window recursive CTE + backtrace), one EM round
     "ulm_vocab" -> DUlm.vocabSql,

@@ -1,0 +1,170 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+import graft.functions.Hash60.hash60
+
+/** HTML/boilerplate main-content extraction — the jusText/trafilatura-
+  * class cleaning step every crawl-curation pipeline runs BEFORE any
+  * of the text operators (langid, quality, dedup, tokenizers all
+  * assume extracted text, not raw markup).
+  *
+  * The extractor is a DETERMINISTIC rule pipeline (pure string/integer
+  * ops — no ML, no floating point anywhere until the stats twin's one
+  * final round-6 divide), so the DuckDB oracle replays it exactly:
+  *   1. segment the page into blocks on closing block-level tags
+  *      (plain literal alternation — no lookaround, identical in Java
+  *      regex and RE2);
+  *   2. per block: strip tags, collapse whitespace (EXPLICIT class
+  *      `[ \t\n\r]` — Java's `\s` includes \x0B, RE2's does not, so a
+  *      hostile vertical-tab document would fork the engines), and
+  *      measure anchor-text length from `<a ...>text` captures;
+  *   3. classify: content iff stripped length ≥ [[MinBlockChars]] AND
+  *      link density < 1/3 — written as the INTEGER compare
+  *      `3·link_chars < chars` so no division ever happens (the
+  *      link-density threshold is exact, fork-free at any magnitude).
+  *
+  * Because the harness corpus has no html column, each document is
+  * WRAPPED in a deterministic page frame first ([[htmlOf]]): title +
+  * nav menu (doc_id-keyed link count) + the text as ~12-token
+  * paragraphs + a link-dense ad block + footer; doc_id ≡ 3 (mod 17)
+  * pages are TRUNCATED at ¾ length — mid-tag, mid-anchor — so the
+  * extractor's behavior on broken markup is exercised by every run
+  * (and by every degenerate-corpus gate shape flowing through
+  * `text`). Null text wraps to an all-boilerplate shell page.
+  *
+  * 100 TB shape: the whole pipeline is ONE narrow projection over the
+  * documents scan — array lambdas (`transform`/`filter`/`aggregate`)
+  * over the block list, zero shuffles, zero UDFs; the stats twin adds
+  * one map-side-combined per-source aggregate over exact integer
+  * sums. Reference anchor: builder brief "text analysis" mandate;
+  * public technique: Kohlschütter et al. 2010 (boilerpipe) /
+  * Pomikálek 2011 (jusText) link-density + block-length rules. */
+object Html {
+
+  /** Content blocks must have at least this many collapsed chars. */
+  val MinBlockChars = 25
+
+  /** Tokens per synthesized paragraph. */
+  val ParaTokens = 12
+
+  /** Whitespace split WITHOUT lowercasing (markup is case-sensitive;
+    * also keeps the unicode simple-case question out of this family
+    * entirely). Explicit class, not `\s` — see class doc. */
+  private def rawTokens(text: Column): Column =
+    filter(split(coalesce(text, lit("")), "[ \t\n\r]+"),
+      t => length(t) > 0)
+
+  /** Deterministic page frame around a document's text — the fixture
+    * half of the operator (both engines synthesize the identical
+    * page, then extract from it). */
+  private[graft] def htmlOf(docId: Column, text: Column): Column = {
+    val id = coalesce(docId, lit(0L))
+    // let-bind the token array (transform over a 1-element array —
+    // the wordShingles discipline: a lambda referencing an outer
+    // expression re-tokenizes per element)
+    val paras = array_join(
+      flatten(transform(array(rawTokens(text)), ts =>
+        when(size(ts) === 0, array().cast("array<string>"))
+          .otherwise(transform(
+            sequence(lit(0),
+              floor((size(ts) + lit(ParaTokens - 1)) / ParaTokens)
+                .cast("int") - 1),
+            i => concat(lit("<p>"),
+              array_join(slice(ts, i * ParaTokens + 1, lit(ParaTokens)), " "),
+              lit("</p>")))))),
+      "\n")
+    val nav = concat(lit("<nav><ul>"),
+      array_join(transform(
+        sequence(lit(1), lit(3) + pmod(id, lit(4L)).cast("int")),
+        i => concat(lit("<li><a href=\"/s"), i, lit("\">sec "), i,
+          lit("</a></li>"))), ""),
+      lit("</ul></nav>"))
+    val header = concat(lit("<h1>Document "), id, lit("</h1>"))
+    val ad = lit("<div><a href=\"/buy\">Buy now best deals " +
+      "click here limited offer</a></div>")
+    val footer = lit("<footer><a href=\"/tos\">Terms</a> " +
+      "<a href=\"/privacy\">Privacy</a> (c) example corp</footer>")
+    val page = concat_ws("\n",
+      lit("<html><head><title>d</title></head><body>"),
+      header, nav, paras, ad, footer, lit("</body></html>"))
+    // ~6% of pages truncated at ¾ length (mid-tag/mid-anchor): broken
+    // markup is the norm in a crawl, not the exception
+    when(pmod(id, lit(17L)) === 3,
+      page.substr(lit(1), floor(length(page) * 3 / 4).cast("int")))
+      .otherwise(page)
+  }
+
+  /** Closing block-level tags — the segmentation boundaries. Literal
+    * alternation only (Java regex ≡ RE2). */
+  private val BlockClosers = "</p>|</li>|</h1>|</div>|</footer>"
+
+  private def collapsed(c: Column): Column =
+    trim(regexp_replace(c, "[ \t\n\r]+", " "))
+
+  /** Per-doc block metrics: (doc_id, source, blocks) where each block
+    * is struct(txt collapsed-stripped text, ll anchor-text chars). */
+  private def blockTable(spark: SparkSession, dir: String): DataFrame =
+    Tables.load(spark, dir, "documents")
+      .select(col("doc_id"), col("source"),
+        transform(
+          split(htmlOf(col("doc_id"), col("text")), BlockClosers),
+          b => struct(
+            collapsed(regexp_replace(b, "<[^>]*>", " ")).as("txt"),
+            aggregate(
+              regexp_extract_all(b, lit("<a [^>]*>([^<]*)"), lit(1)),
+              lit(0L),
+              (acc, x) => acc + length(collapsed(x))).as("ll")))
+          .as("blocks"))
+
+  private def isContent(b: Column): Column =
+    length(b.getField("txt")) >= MinBlockChars &&
+      b.getField("ll") * 3 < length(b.getField("txt"))
+
+  /** Harness query `html_extract`: per document — nonempty block
+    * count, content-block count, exact content/boilerplate char
+    * totals, and the 60-bit fingerprint of the extracted main text
+    * (content blocks joined in page order). */
+  def htmlExtract(spark: SparkSession, dir: String): DataFrame =
+    blockTable(spark, dir)
+      .select(col("doc_id"),
+        size(filter(col("blocks"),
+          b => length(b.getField("txt")) > 0)).cast("long").as("n_blocks"),
+        size(filter(col("blocks"), isContent(_)))
+          .cast("long").as("n_content"),
+        aggregate(filter(col("blocks"), isContent(_)), lit(0L),
+          (acc, b) => acc + length(b.getField("txt")))
+          .as("content_chars"),
+        aggregate(filter(col("blocks"),
+            b => length(b.getField("txt")) > 0 && !isContent(b)),
+          lit(0L), (acc, b) => acc + length(b.getField("txt")))
+          .as("boiler_chars"),
+        hash60(array_join(transform(filter(col("blocks"), isContent(_)),
+          b => b.getField("txt")), "\n")).as("extract_h"))
+      .orderBy("doc_id")
+
+  /** Harness query `html_boilerplate_stats`: per-source boilerplate
+    * fraction — the corpus-health report a curation run reads before
+    * deciding thresholds. Exact integer char sums (orderless), ONE
+    * final round-6 IEEE divide. */
+  def htmlBoilerplateStats(spark: SparkSession, dir: String): DataFrame =
+    blockTable(spark, dir)
+      .select(col("source"),
+        aggregate(filter(col("blocks"), isContent(_)), lit(0L),
+          (acc, b) => acc + length(b.getField("txt"))).as("cc"),
+        aggregate(filter(col("blocks"),
+            b => length(b.getField("txt")) > 0 && !isContent(b)),
+          lit(0L), (acc, b) => acc + length(b.getField("txt"))).as("bc"))
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("cc")).as("content_chars"),
+        sum(col("bc")).as("boiler_chars"))
+      .select(col("source"), col("n_docs"),
+        col("content_chars"), col("boiler_chars"),
+        when(col("content_chars") + col("boiler_chars") === 0, 0.0d)
+          .otherwise(round(col("boiler_chars").cast("double") /
+            (col("content_chars") + col("boiler_chars")).cast("double"),
+            6)).as("boiler_frac"))
+      .orderBy("source")
+}

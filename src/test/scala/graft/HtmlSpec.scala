@@ -1,0 +1,83 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Planted-fixture behavior of the HTML main-content extractor:
+  * boilerplate (nav/ad/footer) never classifies as content, real
+  * paragraphs do, null text yields an all-boilerplate shell, and the
+  * deterministic ¾-truncation (doc_id ≡ 3 mod 17) loses content. */
+class HtmlSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+
+  private def fixture(rows: Seq[(Long, String)]): String = {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("html").toString
+    rows.map { case (id, t) => (id, t, "en", "web", 0L) }
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    dir
+  }
+
+  test("extractor keeps paragraphs, drops nav/ad/footer, survives " +
+      "null text and truncated markup") {
+    val longText = (1 to 60).map(i => s"word$i content").mkString(" ")
+    val dir = fixture(Seq(
+      0L -> longText,            // untruncated, plenty of content
+      3L -> longText,            // 3 % 17 == 3 → ¾-truncated page
+      21L -> longText,           // same text, NOT truncated (21%17=4)
+      10L -> null.asInstanceOf[String], // all-boilerplate shell
+      11L -> "tiny"))            // sub-threshold paragraph
+    try {
+      val rows = graft.operators.Html.htmlExtract(spark, dir).collect()
+        .map(r => r.getLong(0) -> r).toMap
+      // long doc: 120 tokens → 10 paragraphs, all ≥ 25 chars → content
+      assert(rows(0L).getLong(2) == 10L,
+        s"doc 0 n_content = ${rows(0L).getLong(2)}")
+      // boilerplate always present (header/nav/ad/footer blocks)
+      assert(rows.values.forall(_.getLong(4) > 0L),
+        "some doc lost its boilerplate chars")
+      // null text: shell page only — zero content blocks, blocks exist
+      assert(rows(10L).getLong(2) == 0L && rows(10L).getLong(1) > 0L,
+        s"null-text doc: ${rows(10L)}")
+      // sub-threshold paragraph is not content
+      assert(rows(11L).getLong(2) == 0L, s"tiny doc: ${rows(11L)}")
+      // truncation really cut content: same text, fewer content chars
+      assert(rows(3L).getLong(3) < rows(21L).getLong(3),
+        s"truncated ${rows(3L).getLong(3)} !< full ${rows(21L).getLong(3)}")
+      // identical text+shape ⟹ identical extraction fingerprint: docs
+      // 0 and 21 differ only in header/nav ids (boilerplate)
+      assert(rows(0L).getLong(5) == rows(21L).getLong(5),
+        "extract fingerprint should depend on content only")
+      // deterministic replay
+      val again = graft.operators.Html.htmlExtract(spark, dir).collect()
+        .map(r => r.getLong(0) -> r.toString).toMap
+      rows.foreach { case (id, r) => assert(again(id) == r.toString) }
+
+      // stats twin reconciles with the per-doc totals
+      val st = graft.operators.Html.htmlBoilerplateStats(spark, dir)
+        .collect()
+      assert(st.length == 1 && st.head.getString(0) == "web")
+      assert(st.head.getLong(1) == 5L)
+      assert(st.head.getLong(2) == rows.values.map(_.getLong(3)).sum)
+      assert(st.head.getLong(3) == rows.values.map(_.getLong(4)).sum)
+      val frac = st.head.getDouble(4)
+      assert(frac > 0.0 && frac < 1.0, s"boiler_frac $frac")
+    } finally org.apache.commons.io.FileUtils
+      .deleteDirectory(new java.io.File(dir))
+  }
+
+  test("an all-link page classifies fully boilerplate even when long") {
+    // one anchor spanning a WHOLE ≥25-char paragraph (≤12 tokens so
+    // synthesis keeps it in one block): length passes but link
+    // density is ~1 — the integer 3·ll < len rule must reject it
+    val linky = (1 to 9).map(i => s"click$i").mkString(" ")
+    val dir = fixture(Seq(100L -> s"<a href=x>$linky</a>"))
+    try {
+      val r = graft.operators.Html.htmlExtract(spark, dir).collect().head
+      // the embedded anchor rides INSIDE a <p> block: that block's
+      // link chars ≈ its text chars, so it must not be content
+      assert(r.getLong(2) <= 1L, s"link-page content blocks: $r")
+    } finally org.apache.commons.io.FileUtils
+      .deleteDirectory(new java.io.File(dir))
+  }
+}

@@ -215,6 +215,18 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("BroadcastHashJoin"), p)
   }
 
+  test("html_extract is ONE narrow pass: no shuffle except the output " +
+      "sort, no window, no join") {
+    val p = planOf("html_extract")
+    // synthesis + segmentation + classification are all array lambdas
+    // in a projection — the only Exchange is the deterministic-output
+    // range sort (which production drops)
+    val exchanges = "Exchange".r.findAllIn(p).length
+    assert(exchanges <= 2, s"html_extract shuffles mid-pipeline:\n$p")
+    assert(!p.contains("windowspecdefinition") && !p.contains("Join"),
+      s"html_extract grew a window or join:\n$p")
+  }
+
   test("dsir_select_frac cuts the pool fraction without a global rank " +
       "window or a driver-side limit") {
     val p = planOf("dsir_select_frac")
