@@ -75,7 +75,7 @@ object ScaleProbe100 {
       println(s"corpus: ${Tables.load(spark, dup, "documents").count()} docs " +
         s"(${factor}x of $sf)")
     }
-    if (sections.exists(Set("churn", "semdedup", "ann", "knn", "knnlife", "pq", "ivfpq"))) {
+    if (sections.exists(Set("churn", "semdedup", "ann", "knn", "knnlife", "pq", "ivfpq", "newops"))) {
       if (!fs.exists(new org.apache.hadoop.fs.Path(s"$dup/embeddings.parquet"))) {
         val nv0 = Tables.load(spark, sf, "embeddings").count()
         Tables.load(spark, sf, "embeddings")
@@ -950,7 +950,37 @@ object ScaleProbe100 {
         val r = operators.TextAnalysis.qualityClassifier(spark, dup)
           .agg(count(lit(1)).as("n"),
             sum(when(col("predicted"), 1L).otherwise(0L)).as("p")).head()
-        println(s"  docs: ${r.getLong(0)}, predicted-curated: ${r.getLong(1)}")
+        val (n, p) = (r.getLong(0), r.getLong(1))
+        println(s"  docs: $n, predicted-curated: $p" +
+          (if (p == 0L || p == n) "  ** DEGENERATE **" else
+            "  (non-degenerate: base-rate-calibrated cut)"))
+      }
+      time(s"dsir_select_frac (25% of pool via histogram threshold, " +
+          s"${factor}x)") {
+        val r = operators.Sampling.dsirSelectFrac(spark, dup)
+          .agg(count(lit(1)).as("n"),
+            sum(when(col("kept"), 1L).otherwise(0L)).as("k")).head()
+        println(s"  pool: ${r.getLong(0)}, kept: ${r.getLong(1)}")
+      }
+      time(s"html_extract (${factor}x corpus, one narrow pass)") {
+        val r = operators.Html.htmlExtract(spark, dup)
+          .agg(count(lit(1)).as("n"), sum(col("content_chars")).as("cc"),
+            sum(col("boiler_chars")).as("bc")).head()
+        println(s"  docs: ${r.getLong(0)}, content ${r.getLong(1)} ch, " +
+          s"boiler ${r.getLong(2)} ch")
+      }
+      // MMR is corpus-size-independent AFTER shortlisting: the brute
+      // variant pays one relevance scan of the corpus, the IVF variant
+      // only the bucket-pruned probe — both greedy folds are
+      // |Q|·poolK²-bounded. The probe time should track the matching
+      // sim_topk serve, not the corpus.
+      time(s"mmr_rerank (brute shortlist at ${factor}x)") {
+        println(s"  rows: ${operators.Similarity.mmrRerank(spark, dup)
+          .count()}")
+      }
+      time(s"mmr_rerank_ivf (bucket-pruned shortlist at ${factor}x)") {
+        println(s"  rows: ${operators.Similarity.mmrRerankIvf(spark, dup)
+          .count()}")
       }
     }
 

@@ -282,6 +282,22 @@ object SparkEntry {
   private def dH60(e: String): String =
     s"(('0x'||substr(md5($e),1,15))::BIGINT)"
 
+  /** The EXACT double→decimal(38,18) input hop, oracle side — twin of
+    * [[graft.functions.DecimalConv.decExact]]: format's correctly-
+    * rounded 70-digit expansion parsed into the sum type, so the
+    * decimal image of an addend is the double's IEEE value on BOTH
+    * engines. As of r15 this is THE input hop of every decimal sum
+    * family (decSum/decSumStr/decSumExact/decMean) — the native casts
+    * it replaces are two different value functions (Spark Java-
+    * toString value; DuckDB a multiply cast that leaves its int64
+    * fast path at |x|·10¹⁸ > 2⁶³) and measurably fork on grid
+    * addends above ~9.2 in magnitude. |x| < 5e-19 guards DuckDB's
+    * long-mantissa parser misround; those values quantize to 0 at
+    * scale 18 on both sides regardless. */
+  private def dExactDec(e: String): String =
+    s"""CASE WHEN abs($e) < 5e-19 THEN CAST(0 AS DECIMAL(38,18))
+              ELSE CAST(format('{:.70e}', $e) AS DECIMAL(38,18)) END"""
+
   private val dToks =
     """list_filter(string_split_regex(lower(text), '\s+'), t -> len(t) > 0)"""
 
@@ -477,10 +493,11 @@ object SparkEntry {
        dpool AS (SELECT doc_id FROM documents
                  WHERE NOT coalesce(source IN ($tgt), false)),
        dper AS (SELECT doc_id, count(*) AS n_feats,
-                  CAST(CAST(sum(CAST(round(ln(
+                  CAST(CAST(sum(${dExactDec(
+                    s"""round(ln(
                       (CAST(ct+1 AS DOUBLE) * CAST(nr+$b AS DOUBLE)) /
-                      (CAST(cr+1 AS DOUBLE) * CAST(nt+$b AS DOUBLE))), 8)
-                    AS DECIMAL(38,18))) AS VARCHAR) AS DOUBLE) AS w
+                      (CAST(cr+1 AS DOUBLE) * CAST(nt+$b AS DOUBLE))), 8)"""
+                  )}) AS VARCHAR) AS DOUBLE) AS w
                 FROM dfeat JOIN dstat USING (b) CROSS JOIN dtot
                 WHERE NOT coalesce(source IN ($tgt), false)
                 GROUP BY doc_id),
@@ -1315,7 +1332,7 @@ object SparkEntry {
     s"""$dPqLutCtes,
          pqadc AS (
            SELECT l.q_id, cd.vec_id,
-                  CAST(sum(CAST(l.ip AS DECIMAL(38,18))) AS DOUBLE) AS ips
+                  CAST(sum(${dExactDec("l.ip")}) AS DOUBLE) AS ips
            FROM pqcodes cd
            JOIN pqlut l ON cd.sub = l.sub AND cd.code = l.code
            WHERE cd.vec_id <> l.q_id AND $corpusPred
@@ -1372,7 +1389,7 @@ object SparkEntry {
            FROM opqq q JOIN opqcb2 c USING (sub)),
          opqadc AS (
            SELECT l.q_id, cd.vec_id,
-                  CAST(sum(CAST(l.ip AS DECIMAL(38,18))) AS DOUBLE) AS ips
+                  CAST(sum(${dExactDec("l.ip")}) AS DOUBLE) AS ips
            FROM opqcodes cd
            JOIN opqlut l ON cd.sub = l.sub AND cd.code = l.code
            WHERE cd.vec_id <> l.q_id
@@ -1406,7 +1423,7 @@ object SparkEntry {
          $dPqLutCtes,
          ivfadc AS (
            SELECT p.q_id, cd.vec_id,
-                  CAST(sum(CAST(l.ip AS DECIMAL(38,18))) AS DOUBLE) AS ips
+                  CAST(sum(${dExactDec("l.ip")}) AS DOUBLE) AS ips
            FROM af a
            JOIN iprobes p USING (c_id)
            JOIN pqcodes cd ON cd.vec_id = a.vec_id
@@ -1464,7 +1481,7 @@ object SparkEntry {
            FROM pqrq q JOIN pqrcb2 c USING (sub)),
          pqradc AS (
            SELECT p.q_id, cd.vec_id,
-                  CAST(sum(CAST(l.ip AS DECIMAL(38,18))) AS DOUBLE)
+                  CAST(sum(${dExactDec("l.ip")}) AS DOUBLE)
                     + p.qc_ip AS ips
            FROM af a
            JOIN rprobes p USING (c_id)
@@ -3193,9 +3210,11 @@ object SparkEntry {
                   list_filter(blocks,
                     b -> len(b.txt) > 0 AND NOT ($dHtmlContent)),
                   b -> len(b.txt))), 0) AS BIGINT) AS boiler_chars,
-                ${dH60("array_to_string(list_transform(" +
+                ${dH60("coalesce(array_to_string(list_transform(" +
                   s"list_filter(blocks, b -> $dHtmlContent), " +
-                  "b -> b.txt), chr(10))")} AS extract_h
+                  // duck array_to_string([]) is NULL, Spark
+                  // array_join([]) is '' (null-gate finding)
+                  "b -> b.txt), chr(10)), '')")} AS extract_h
          FROM hblk ORDER BY doc_id""",
     "html_boilerplate_stats" ->
       s"""WITH $dHtmlCtes,
@@ -3315,8 +3334,7 @@ object SparkEntry {
          tf AS (SELECT token, count(*) AS freq FROM tok GROUP BY 1),
          tot AS (SELECT CAST(sum(freq) AS BIGINT) AS total FROM tf),
          per AS (SELECT doc_id, count(*) AS n_tokens,
-                        CAST(CAST(sum(CAST(round(ln(freq / CAST(total AS DOUBLE)), 8)
-                          AS DECIMAL(38,18))) AS VARCHAR) AS DOUBLE) AS s
+                        CAST(CAST(sum(${dExactDec("round(ln(freq / CAST(total AS DOUBLE)), 8)")}) AS VARCHAR) AS DOUBLE) AS s
                  FROM tok JOIN tf USING (token) CROSS JOIN tot
                  GROUP BY 1)
          SELECT d.doc_id,
@@ -3334,9 +3352,7 @@ object SparkEntry {
                  FROM toks),
          bf AS (SELECT bigram, count(*) AS bfreq FROM big GROUP BY 1),
          per AS (SELECT doc_id, count(*) AS n_bigrams,
-                        CAST(CAST(sum(CAST(round(ln((bfreq + 1) /
-                          CAST(freq + v AS DOUBLE)), 8)
-                          AS DECIMAL(38,18))) AS VARCHAR) AS DOUBLE) AS s
+                        CAST(CAST(sum(${dExactDec("round(ln((bfreq + 1) / CAST(freq + v AS DOUBLE)), 8)")}) AS VARCHAR) AS DOUBLE) AS s
                  FROM big JOIN bf USING (bigram)
                  JOIN tf ON split_part(bigram, ' ', 1) = tf.token
                  CROSS JOIN v
@@ -3408,14 +3424,14 @@ object SparkEntry {
     // moments/corr from decimal-exact sums, scalars in one identically-
     // associated double expression (the anomaly_hours discipline)
     "numeric_moments" ->
-      """WITH mo AS (
+      s"""WITH mo AS (
            SELECT l_returnflag,
                   CAST(count(*) AS BIGINT) AS n,
-                  CAST(sum(CAST(l_quantity AS DECIMAL(38,18))) AS DOUBLE) AS sq,
-                  CAST(sum(CAST(l_extendedprice AS DECIMAL(38,18))) AS DOUBLE) AS sp,
-                  CAST(sum(CAST(l_quantity * l_quantity AS DECIMAL(38,18))) AS DOUBLE) AS sqq,
-                  CAST(sum(CAST(l_extendedprice * l_extendedprice AS DECIMAL(38,18))) AS DOUBLE) AS spp,
-                  CAST(sum(CAST(l_quantity * l_extendedprice AS DECIMAL(38,18))) AS DOUBLE) AS sqp
+                  CAST(sum(${dExactDec("l_quantity")}) AS DOUBLE) AS sq,
+                  CAST(sum(${dExactDec("l_extendedprice")}) AS DOUBLE) AS sp,
+                  CAST(sum(${dExactDec("l_quantity * l_quantity")}) AS DOUBLE) AS sqq,
+                  CAST(sum(${dExactDec("l_extendedprice * l_extendedprice")}) AS DOUBLE) AS spp,
+                  CAST(sum(${dExactDec("l_quantity * l_extendedprice")}) AS DOUBLE) AS sqp
            FROM lineitem GROUP BY 1)
          SELECT l_returnflag, n,
                 round(sq / n, 6) AS mean_qty,
@@ -3718,7 +3734,7 @@ object SparkEntry {
                   round(tf * ln((n + 1.0) / (df + 1.0)), 6) AS tfidf
            FROM cltf JOIN cldf USING (term), cln),
          clsum AS (SELECT af.c_id, s.term,
-                  CAST(sum(CAST(s.tfidf AS DECIMAL(38,18))) AS DOUBLE) AS wsum
+                  CAST(sum(${dExactDec("s.tfidf")}) AS DOUBLE) AS wsum
                 FROM clsc s JOIN af ON af.vec_id = s.doc_id GROUP BY 1, 2),
          clw AS (SELECT c_id, term, round(wsum, 6) AS weight FROM clsum),
          clr AS (SELECT c_id, term, weight,
@@ -3751,7 +3767,7 @@ object SparkEntry {
     "knn_centrality" -> {
       val iters3 = (1 to 3).map { i =>
         s"""c$i AS (SELECT e.vec_id,
-                 CAST(sum(CAST(p.p / od.outdeg AS DECIMAL(38,18)))
+                 CAST(sum(${dExactDec("p.p / od.outdeg")})
                    AS DOUBLE) AS c
              FROM e JOIN p${i - 1} p ON p.vec_id = e.q_id
                     JOIN od ON od.q_id = e.q_id
@@ -3782,7 +3798,7 @@ object SparkEntry {
          knn AS (SELECT q_id, vec_id, round(cos, 6) AS cos FROM ranked
                  WHERE rk <= 3),
          dens AS (SELECT q_id AS vec_id,
-             CAST(CAST(sum(CAST(cos AS DECIMAL(38,18))) AS VARCHAR)
+             CAST(CAST(sum(${dExactDec("cos")}) AS VARCHAR)
                AS DOUBLE) / count(*) AS density,
              CAST(count(*) AS BIGINT) AS deg
            FROM knn GROUP BY q_id)
@@ -3797,7 +3813,7 @@ object SparkEntry {
          knn AS (SELECT q_id, vec_id, round(cos, 6) AS cos FROM ranked
                  WHERE rk <= 3),
          dens AS (SELECT q_id AS vec_id,
-             CAST(CAST(sum(CAST(cos AS DECIMAL(38,18))) AS VARCHAR)
+             CAST(CAST(sum(${dExactDec("cos")}) AS VARCHAR)
                AS DOUBLE) / count(*) AS density
            FROM knn GROUP BY q_id),
          da AS (SELECT d.vec_id, a.c_id, d.density AS density

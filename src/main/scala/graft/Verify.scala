@@ -19,13 +19,17 @@ object Verify {
       // either way, but Verify should exercise the production plan
       .config("spark.sql.objectHashAggregate.sortBased.fallbackThreshold",
         "4194304")
-      // GRAFT_ANSI=1: run the whole dump under ANSI SQL mode — any
-      // silent-wraparound arithmetic (a Long product past 2^63, the
-      // DSIR r14 finding) becomes a LOUD error row in errors.json
-      // instead of garbage values. The silent-overflow sweep gate.
-      .config("spark.sql.ansi.enabled",
-        sys.env.get("GRAFT_ANSI").contains("1").toString)
       .config("spark.ui.enabled", "false")
+      // GRAFT_ANSI=1 PINS ANSI SQL mode on for the silent-overflow
+      // sweep — any Long product past 2^63 (the DSIR r14 finding)
+      // becomes a LOUD error row in errors.json instead of garbage.
+      // When unset, DO NOT touch the conf: the session default (ON in
+      // Spark 4) is what every oracle row was written against —
+      // explicitly forcing false here flipped size(null) from null to
+      // the legacy −1 and failed ten null-gate rows (r15 finding:
+      // never set a semantics conf to a value you didn't choose).
+      .config(Map("spark.sql.ansi.enabled" -> "true")
+        .filter(_ => sys.env.get("GRAFT_ANSI").contains("1")))
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()

@@ -50,9 +50,21 @@ object DecimalConv {
   val SumType = "decimal(38,18)"
 
   /** Order-proof sum: exact decimal accumulation, one deterministic
-    * double image. */
+    * double image. The input hop is the EXACT expansion ([[decExact]])
+    * as of r15 — the NATIVE casts this rode before are two DIFFERENT
+    * value functions (Spark: Java-toString VALUE; DuckDB: a multiply
+    * cast that leaves the int64 fast path at |x|·10¹⁸ > 2⁶³, measured
+    * forking on e.g. 123456.789012 → …11999991267328), so grid
+    * addends above ~9.2 in magnitude already disagreed in the last
+    * decimal digits. The exact hop has NO value-repr algorithm on
+    * either side — the addend image is the double's IEEE value, by
+    * construction identical. Output hop stays the native
+    * decimal→double cast (both engines cast the now-identical
+    * decimal; the known 1-ulp BigDecimal.doubleValue double-round is
+    * absorbed by every consumer's round-k output grid — raw emitters
+    * use [[decSumStr]]). */
   def decSum(c: Column): Column =
-    sum(c.cast(SumType)).cast("double")
+    sum(decExact(c)).cast("double")
 
   /** The EXACT double→decimal input hop — [[ExactDecimalString]]'s
     * plain-string expansion parsed into the sum type, so the decimal
@@ -61,7 +73,7 @@ object DecimalConv {
     * DuckDB's VARCHAR hop is Ryu — two algorithms that disagree on
     * big-magnitude doubles; the vecdegen-s2 codebook fork). */
   def decExact(c: Column): Column =
-    ExactDecimal.exactDecimalStr(c).cast(SumType)
+    ExactDecimal.exactDecimal18(c)
 
   /** Decimal-exact mean: EXACT-expansion input hop ([[decExact]]),
     * then the correctly-rounded (string-mediated) decimal→double
@@ -104,8 +116,11 @@ object DecimalConv {
     * emitted RAW: the engines' native decimal→double casts can differ
     * by 1 ulp (Java's BigDecimal.doubleValue double-rounds), which a
     * round-6 output grid absorbs but a 10-sig-digit raw comparison
-    * sees whenever the value sits near a print boundary. Oracle twin:
-    * `CAST(CAST(sum(…) AS VARCHAR) AS DOUBLE)`. */
+    * sees whenever the value sits near a print boundary. As of r15
+    * the input hop is exact too ([[decSum]]'s rationale), which makes
+    * this IDENTICAL to [[decSumExact]] — both names stay because call
+    * sites carry different contracts (grid addends vs free addends).
+    * Oracle twin: `CAST(CAST(sum(<exact>) AS VARCHAR) AS DOUBLE)`. */
   def decSumStr(c: Column): Column =
-    sum(c.cast(SumType)).cast("string").cast("double")
+    sum(decExact(c)).cast("string").cast("double")
 }

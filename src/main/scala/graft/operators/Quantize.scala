@@ -294,7 +294,15 @@ object Quantize {
     val t = graft.functions.DecimalConv.SumType
     aggregate(sequence(lit(0), lit(M - 1)),
       lit(BigDecimal(0)).cast(t),
-      (acc, s) => (acc + addend(s).cast(t)).cast(t)).cast("double")
+      // the addend hop MUST stay cast-identical to decSum's — which
+      // as of r15 is the EXACT expansion (decExact), not the native
+      // toString-value cast (the r13 scale-10 fork, same contract).
+      // The addition is the custom EXACT add: Spark's decimal Add
+      // would promote to (38,17) and round the 18th digit per step —
+      // harmless on ≤10-digit native images, a fold≡sum bit fork on
+      // 18-digit exact images (r15 PropertySpec finding)
+      (acc, s) => graft.functions.ExactDecimal.exactAdd(acc,
+        graft.functions.DecimalConv.decExact(addend(s)))).cast("double")
   }
 
   /** [[adcServe]]'s sum arithmetic over an explicit addend column —

@@ -275,13 +275,16 @@ class SimilaritySpec extends AnyFunSuite {
       "prune drops exactly the densest ceil(frac·|cluster|) per cluster") {
     val g = Similarity.knnGraph(spark, sf).collect()
       .map(r => (r.getAs[Long]("q_id"), r.getAs[Double]("cos")))
-    // decimal-exact sum of the round-6 cos IMAGES (toString digits —
-    // the native double→decimal cast's value), correctly-rounded
-    // double image (the decSumStr hop), then ONE raw IEEE division —
-    // the density is emitted UNROUNDED (round-6 of a scale-6 grid sum
-    // over deg sits exactly on half boundaries for deg=2 odd sums)
+    // decimal-exact sum of the round-6 cos EXACT-expansion images
+    // (the double's IEEE value rounded HALF_UP at scale 18 — the r15
+    // decExact input hop that replaced the native toString-value
+    // cast), correctly-rounded double image (the decSumStr hop), then
+    // ONE raw IEEE division — the density is emitted UNROUNDED
+    // (round-6 of a scale-6 grid sum over deg sits exactly on half
+    // boundaries for deg=2 odd sums)
     val expected = g.groupBy(_._1).map { case (q, rows) =>
-      val sumDec = rows.map(r => BigDecimal(r._2.toString)).sum
+      val sumDec = rows.map(r => BigDecimal(new java.math.BigDecimal(r._2)
+        .setScale(18, java.math.RoundingMode.HALF_UP))).sum
       val img = java.lang.Double.parseDouble(
         sumDec.underlying.toPlainString)
       q -> (img / rows.length, rows.length.toLong)
