@@ -169,6 +169,7 @@ object SparkEntry {
     "dsir_weights"       -> ((s: SparkSession, d: String) => Sampling.dsirWeights(s, d)),
     "dsir_select"        -> ((s: SparkSession, d: String) => Sampling.dsirSelect(s, d)),
     "dsir_select_frac"   -> ((s: SparkSession, d: String) => Sampling.dsirSelectFrac(s, d)),
+    "dsir_select_stats"  -> ((s: SparkSession, d: String) => Sampling.dsirSelectStats(s, d)),
     "quality_classifier" -> ((s: SparkSession, d: String) => TextAnalysis.qualityClassifier(s, d)),
     "span_scrub"         -> ((s: SparkSession, d: String) => Dedup.spanScrub(s, d)),
     "html_extract"       -> ((s: SparkSession, d: String) => Html.htmlExtract(s, d)),
@@ -426,17 +427,30 @@ object SparkEntry {
              concat_ws(chr(10),
                '<html><head><title>d</title></head><body>',
                '<h1>Document ' || hid || '</h1>',
+               '<script type="text/javascript">var a = 1; ' ||
+                 'if (a < 2) { track("</div> page view analytics ' ||
+                 'beacon"); }</script>',
+               '<style>.c { color: red; margin: 0 auto; ' ||
+                 'padding: 2px; }</style>',
                '<nav><ul>' || array_to_string(
                  ['<li><a href="/s' || i || '">sec ' || i || '</a></li>'
                   for i in range(1, 4 + ((hid % 4) + 4) % 4)], '')
                  || '</ul></nav>',
-               array_to_string(
+               -- coalesce is LOAD-BEARING: duck array_to_string([])
+               -- is NULL and concat_ws SKIPS it, Spark array_join([])
+               -- is '' and concat_ws keeps it — without it a
+               -- zero-token doc's page is one newline shorter on the
+               -- oracle and the ¾-truncation (doc_id ≡ 3 mod 17) cuts
+               -- at a forked offset (ADVICE r15: doc 1006
+               -- boiler_chars 88 vs 89)
+               coalesce(array_to_string(
                  CASE WHEN len(ts) = 0 THEN []
                  ELSE ['<p>' ||
                          array_to_string(ts[i*12+1 : i*12+12], ' ')
                          || '</p>'
                        for i in range(0, (len(ts)+11)//12)] END,
-                 chr(10)),
+                 chr(10)), ''),
+               '<!-- rendered by example corp template v2 -->',
                '<div><a href="/buy">Buy now best deals click here ' ||
                  'limited offer</a></div>',
                '<footer><a href="/tos">Terms</a> ' ||
@@ -450,6 +464,16 @@ object SparkEntry {
                   THEN substr(h, 1, CAST((len(h)*3)//4 AS INT))
                   ELSE h END AS h
            FROM hpage0),
+         hscrub AS (
+           SELECT doc_id, source,
+             regexp_replace(regexp_replace(regexp_replace(
+               regexp_replace(regexp_replace(h,
+                 '(?is)<!--.*?-->', ' ', 'g'),
+                 '(?is)<script[^>]*>.*?</script>', ' ', 'g'),
+                 '(?is)<style[^>]*>.*?</style>', ' ', 'g'),
+                 '(?is)<(?:script|style)[^>]*>.*', ' ', 'g'),
+                 '(?is)<!--.*', ' ', 'g') AS h
+           FROM hpage),
          hblk AS (
            SELECT doc_id, source,
              list_transform(
@@ -464,7 +488,7 @@ object SparkEntry {
                          x -> len(trim(regexp_replace(x,
                            '[ \t\n\r]+', ' ', 'g'))))), 0) AS BIGINT)))
                AS blocks
-           FROM hpage)"""
+           FROM hscrub)"""
 
   /** The content-block predicate over an hblk struct `b` — the ONE
     * definition both html oracle rows classify with. */
@@ -3188,6 +3212,37 @@ object SparkEntry {
          SELECT doc_id, logratio, gumbel, sel_key,
                 rk <= floor(1 + 0.25 * (n - 1)) AS kept
          FROM drank CROSS JOIN dn ORDER BY doc_id""",
+    // the proportional select's observability row: replay the 2dp
+    // bin histogram + desc running-sum boundary search (the engine
+    // runs it distributed; the oracle as plain windows)
+    "dsir_select_stats" ->
+      s"""WITH $dDsirCtes,
+         dsel AS (SELECT doc_id, logratio,
+                    round(-ln(-ln(
+                      ((${dH60("'dsirn:'||CAST(doc_id AS VARCHAR)")}
+                          % 4503599627370496) + 0.5)
+                        / 4503599627370496.0)), 6) AS gumbel
+                  FROM dw),
+         dkey AS (SELECT doc_id,
+                         round(logratio + gumbel, 8) AS sel_key
+                  FROM dsel WHERE round(logratio + gumbel, 8) IS NOT NULL),
+         dbin AS (SELECT CAST(floor(sel_key * 100.0) AS BIGINT) AS bin
+                  FROM dkey),
+         dhist AS (SELECT bin, CAST(count(*) AS BIGINT) AS cnt
+                   FROM dbin GROUP BY bin),
+         dcum AS (SELECT bin, cnt,
+                    CAST(sum(cnt) OVER (ORDER BY bin DESC
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                      AS BIGINT) AS cum,
+                    CAST(sum(cnt) OVER () AS BIGINT) AS n,
+                    CAST(count(*) OVER () AS BIGINT) AS n_bins
+                  FROM dhist),
+         dk AS (SELECT *, CAST(floor(1.0 + 0.25 * (n - 1)) AS BIGINT)
+                    AS k FROM dcum)
+         SELECT n_bins, bin AS boundary_bin, cnt AS boundary_cnt,
+                CAST(k - (cum - cnt) AS BIGINT) AS quota,
+                n AS n_pool, k
+         FROM dk WHERE cum >= k AND cum - cnt < k""",
     // learned quality probe: 4 unrolled GD rounds, exact-hop decimal
     // sums, rational sigmoid (no exp — JVM/libm exp bit patterns fork
     // on a measured 0.25% of doubles and GD amplifies any fork)

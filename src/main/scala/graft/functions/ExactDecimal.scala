@@ -46,13 +46,16 @@ case class ExactDecimalString(child: Expression) extends UnaryExpression {
       s"exact_decimal_str expects a double, got ${child.dataType.sql}")
 
   override def nullSafeEval(v: Any): Any =
-    UTF8String.fromString(
-      new java.math.BigDecimal(v.asInstanceOf[Double]).toPlainString)
+    UTF8String.fromString(new java.math.BigDecimal(
+      ExactDecimal.requireFinite(v.asInstanceOf[Double], prettyName))
+      .toPlainString)
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     nullSafeCodeGen(ctx, ev, d =>
       s"""${ev.value} = org.apache.spark.unsafe.types.UTF8String.fromString(
-         |  new java.math.BigDecimal($d).toPlainString());""".stripMargin)
+         |  new java.math.BigDecimal(graft.functions.ExactDecimal
+         |    .requireFinite($d, "exact_decimal_str")).toPlainString());"""
+        .stripMargin)
 
   override protected def withNewChildInternal(c: Expression): ExactDecimalString =
     copy(child = c)
@@ -77,13 +80,15 @@ case class ExactDecimal18(child: Expression) extends UnaryExpression {
       s"exact_decimal18 expects a double, got ${child.dataType.sql}")
 
   override def nullSafeEval(v: Any): Any =
-    Decimal(new java.math.BigDecimal(v.asInstanceOf[Double])
+    Decimal(new java.math.BigDecimal(
+      ExactDecimal.requireFinite(v.asInstanceOf[Double], prettyName))
       .setScale(18, java.math.RoundingMode.HALF_UP), 38, 18)
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     nullSafeCodeGen(ctx, ev, d =>
       s"""${ev.value} = org.apache.spark.sql.types.Decimal.apply(
-         |  new java.math.BigDecimal($d).setScale(18,
+         |  new java.math.BigDecimal(graft.functions.ExactDecimal
+         |    .requireFinite($d, "exact_decimal18")).setScale(18,
          |    java.math.RoundingMode.HALF_UP), 38, 18);""".stripMargin)
 
   override protected def withNewChildInternal(c: Expression): ExactDecimal18 =
@@ -131,6 +136,22 @@ case class ExactDecimalAdd(left: Expression, right: Expression)
 }
 
 object ExactDecimal {
+  /** The exact-decimal hops are defined on FINITE doubles only —
+    * `new java.math.BigDecimal(NaN/±Inf)` throws an uninformative
+    * NumberFormatException deep in an executor task. Every decSum
+    * family rides these hops, so name the expression and the contract
+    * in the error instead (ADVICE r15): a non-finite addend means an
+    * upstream 0/0 or overflowed double product that must be filtered
+    * or fixed at its producer. Called from generated code (static
+    * forwarder). */
+  def requireFinite(v: Double, expr: String): Double = {
+    if (java.lang.Double.isNaN(v) || java.lang.Double.isInfinite(v))
+      throw new IllegalArgumentException(
+        s"$expr: non-finite input $v — exact decimal hops are defined " +
+          "on finite doubles; filter or fix the producing expression")
+    v
+  }
+
   def exactDecimalStr(c: Column): Column =
     Shim.column(ExactDecimalString(Shim.expression(c)))
 

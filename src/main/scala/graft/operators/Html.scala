@@ -25,14 +25,31 @@ import graft.functions.Hash60.hash60
   *      `3·link_chars < chars` so no division ever happens (the
   *      link-density threshold is exact, fork-free at any magnitude).
   *
-  * Because the harness corpus has no html column, each document is
-  * WRAPPED in a deterministic page frame first ([[htmlOf]]): title +
-  * nav menu (doc_id-keyed link count) + the text as ~12-token
-  * paragraphs + a link-dense ad block + footer; doc_id ≡ 3 (mod 17)
-  * pages are TRUNCATED at ¾ length — mid-tag, mid-anchor — so the
-  * extractor's behavior on broken markup is exercised by every run
-  * (and by every degenerate-corpus gate shape flowing through
-  * `text`). Null text wraps to an all-boilerplate shell page.
+  * Step 0 (before segmentation): SCRUB non-content element BODIES —
+  * `<script>…</script>`, `<style>…</style>` and `<!-- -->` comments
+  * are removed wholesale ([[scrub]]), because tag-stripping alone
+  * would keep JavaScript/CSS text as "content" chars, and because a
+  * script body may contain literal closing block tags (a JS string
+  * `"</div>"`) that would otherwise fork the segmentation.
+  * jusText/boilerpipe-class extractors drop these elements entirely.
+  * Unclosed script/style/comment (the truncated-page norm) drop to
+  * end-of-page — the conservative crawl-cleaning choice, replayed
+  * identically by the oracle. Patterns use inline `(?is)` flags and
+  * non-greedy `.*?` — both identical in Java regex and RE2.
+  *
+  * The rule pipeline is PUBLIC: [[scrub]] → [[blocks]] →
+  * [[extract]]/[[extractStats]] consume ANY html `Column`, so a user
+  * holding a real crawl applies them directly. Because the harness
+  * corpus has no html column, the harness queries WRAP each document
+  * in a deterministic page frame first ([[htmlOf]]): title + nav
+  * menu (doc_id-keyed link count) + a script block, a style block
+  * and a template comment (so the scrub rules are exercised by every
+  * run) + the text as ~12-token paragraphs + a link-dense ad block +
+  * footer; doc_id ≡ 3 (mod 17) pages are TRUNCATED at ¾ length —
+  * mid-tag, mid-anchor — so the extractor's behavior on broken
+  * markup is exercised by every run (and by every degenerate-corpus
+  * gate shape flowing through `text`). Null text wraps to an
+  * all-boilerplate shell page.
   *
   * 100 TB shape: the whole pipeline is ONE narrow projection over the
   * documents scan — array lambdas (`transform`/`filter`/`aggregate`)
@@ -75,6 +92,16 @@ object Html {
               array_join(slice(ts, i * ParaTokens + 1, lit(ParaTokens)), " "),
               lit("</p>")))))),
       "\n")
+    // script body deliberately (a) ≥ MinBlockChars after tag-strip,
+    // zero link chars — WITHOUT scrub it would classify as content —
+    // and (b) contains a literal "</div>" inside a JS string, which
+    // without scrub would fork the block segmentation
+    val script = lit("<script type=\"text/javascript\">var a = 1; " +
+      "if (a < 2) { track(\"</div> page view analytics beacon\"); }" +
+      "</script>")
+    val style = lit("<style>.c { color: red; margin: 0 auto; " +
+      "padding: 2px; }</style>")
+    val comment = lit("<!-- rendered by example corp template v2 -->")
     val nav = concat(lit("<nav><ul>"),
       array_join(transform(
         sequence(lit(1), lit(3) + pmod(id, lit(4L)).cast("int")),
@@ -88,7 +115,8 @@ object Html {
       "<a href=\"/privacy\">Privacy</a> (c) example corp</footer>")
     val page = concat_ws("\n",
       lit("<html><head><title>d</title></head><body>"),
-      header, nav, paras, ad, footer, lit("</body></html>"))
+      header, script, style, nav, paras, comment, ad, footer,
+      lit("</body></html>"))
     // ~6% of pages truncated at ¾ length (mid-tag/mid-anchor): broken
     // markup is the norm in a crawl, not the exception
     when(pmod(id, lit(17L)) === 3,
@@ -100,23 +128,61 @@ object Html {
     * alternation only (Java regex ≡ RE2). */
   private val BlockClosers = "</p>|</li>|</h1>|</div>|</footer>"
 
+  /** Non-content element scrub patterns, applied IN THIS ORDER before
+    * segmentation: closed comments, closed script/style (bodies
+    * removed wholesale), then unclosed script/style/comment drop to
+    * end-of-page (the truncated-crawl norm). Inline `(?is)` flags and
+    * non-greedy `.*?` behave identically in Java regex and RE2, so
+    * the DuckDB oracle replays each step verbatim (it only adds its
+    * 'g' option — Java replaceAll is already global). */
+  private[graft] val ScrubPatterns: Seq[String] = Seq(
+    "(?is)<!--.*?-->",
+    "(?is)<script[^>]*>.*?</script>",
+    "(?is)<style[^>]*>.*?</style>",
+    "(?is)<(?:script|style)[^>]*>.*",
+    "(?is)<!--.*")
+
+  /** PUBLIC SEAM, step 0: remove `<script>`/`<style>` element CONTENT
+    * and `<!-- -->` comments from a raw html column. Tag-strip alone
+    * would count JavaScript/CSS bodies as content chars, and a JS
+    * string containing a literal closing block tag would fork the
+    * segmentation. */
+  def scrub(html: Column): Column =
+    ScrubPatterns.foldLeft(html)((c, p) => regexp_replace(c, p, " "))
+
   private def collapsed(c: Column): Column =
     trim(regexp_replace(c, "[ \t\n\r]+", " "))
 
-  /** Per-doc block metrics: (doc_id, source, blocks) where each block
-    * is struct(txt collapsed-stripped text, ll anchor-text chars). */
+  /** PUBLIC SEAM, step 1: segment a raw html column into an array of
+    * block structs — `txt` (tag-stripped, whitespace-collapsed block
+    * text) and `ll` (anchor-text chars). Scrubs first ([[scrub]]).
+    * One narrow expression — apply it to any DataFrame's html column
+    * with `.select(Html.blocks(col("html")))`. */
+  def blocks(html: Column): Column =
+    transform(
+      split(scrub(html), BlockClosers),
+      b => struct(
+        collapsed(regexp_replace(b, "<[^>]*>", " ")).as("txt"),
+        aggregate(
+          regexp_extract_all(b, lit("<a [^>]*>([^<]*)"), lit(1)),
+          lit(0L),
+          (acc, x) => acc + length(collapsed(x))).as("ll")))
+
+  /** PUBLIC SEAM, step 2: extracted main text of a raw html column —
+    * content blocks (length ≥ [[MinBlockChars]], link density < 1/3)
+    * joined in page order. The whole pipeline is ONE narrow
+    * expression: `.select(Html.extract(col("html")))`. */
+  def extract(html: Column): Column =
+    array_join(transform(filter(blocks(html), isContent(_)),
+      b => b.getField("txt")), "\n")
+
+  /** Per-doc block metrics over the synthesized harness frame:
+    * (doc_id, source, blocks). The fixture wrapper around the public
+    * [[blocks]] seam. */
   private def blockTable(spark: SparkSession, dir: String): DataFrame =
     Tables.load(spark, dir, "documents")
       .select(col("doc_id"), col("source"),
-        transform(
-          split(htmlOf(col("doc_id"), col("text")), BlockClosers),
-          b => struct(
-            collapsed(regexp_replace(b, "<[^>]*>", " ")).as("txt"),
-            aggregate(
-              regexp_extract_all(b, lit("<a [^>]*>([^<]*)"), lit(1)),
-              lit(0L),
-              (acc, x) => acc + length(collapsed(x))).as("ll")))
-          .as("blocks"))
+        blocks(htmlOf(col("doc_id"), col("text"))).as("blocks"))
 
   private def isContent(b: Column): Column =
     length(b.getField("txt")) >= MinBlockChars &&

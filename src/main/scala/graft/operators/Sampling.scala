@@ -694,11 +694,15 @@ object Sampling {
     * Scale shape — a two-level histogram threshold whose two failure
     * modes cover each other:
     *   1. VALUE-bin the keys at 2dp (`floor(sel_key·100)`): the bin
-    *      table is bounded by the key RANGE (log-ratio sums are
-    *      feature-count-bounded), never by corpus size. One map-side-
-    *      combined aggregate, collected as a bounded driver artifact
-    *      (the Lloyd-codebook round-trip shape) to locate the
-    *      boundary bin and its residual quota.
+    *      table is bounded by the occupied key RANGE × 100, never by
+    *      corpus size — but a doc's sel_key is a SUM of per-feature
+    *      log ratios, so the range grows with max doc length × the
+    *      hot-bucket ratio; the bin table is corpus-SMALL, NOT
+    *      constant-bounded. The boundary search therefore runs
+    *      DISTRIBUTED ([[fracBoundary]]): one running-sum window over
+    *      the desc-sorted BIN table (aggregate-sized input — the
+    *      RankCut threshold discipline), and the driver collects
+    *      exactly ONE boundary row, whatever the key range.
     *   2. Whole bins strictly above/below the boundary take their
     *      flag from a narrow broadcast comparison; ONLY the boundary
     *      bin is ranked, via [[RankCut.topFlag]] — whose per-distinct-
@@ -717,35 +721,77 @@ object Sampling {
     val keyed = dsirKeyed(spark, dir)
     val binned = keyed.withColumn("bin",
       floor(col("sel_key") * lit(100.0d)).cast("long"))
-    // bounded by the key range: a few thousand rows at any corpus size
-    val hist = binned.groupBy("bin").agg(count(lit(1)).as("cnt"))
-      .collect().map(r => (r.getLong(0), r.getLong(1)))
-      .sortBy(-_._1)
-    val n = hist.map(_._2).sum
     val out = Seq("doc_id", "logratio", "gumbel", "sel_key").map(col) :+
       col("kept")
-    if (n == 0L)
+    val boundary = fracBoundary(binned, frac)
+    if (boundary.isEmpty) // empty pool: nothing to keep
       return keyed.withColumn("kept", lit(false))
         .select(out: _*).orderBy("doc_id")
-    // k on the SAME IEEE ops as the oracle's floor(1 + frac·(n−1))
-    val k = math.floor(1.0d + frac * (n - 1L).toDouble).toLong
-    // walk the desc-sorted bins to the boundary: above < k ≤ above+cnt
-    // (k ≥ 1 and k ≤ n, so the boundary always exists)
-    var above = 0L; var bStar = hist.head._1; var quota = k
-    var found = false
-    val it = hist.iterator
-    while (it.hasNext && !found) {
-      val (b, cnt) = it.next()
-      if (above + cnt >= k) { bStar = b; quota = k - above; found = true }
-      else above += cnt
-    }
+    val bStar = boundary.head.getAs[Long]("bin")
+    val quota = boundary.head.getAs[Long]("quota")
     val hi = binned.filter(col("bin") > bStar).withColumn("kept", lit(true))
     val lo = binned.filter(col("bin") < bStar).withColumn("kept", lit(false))
-    val boundary = RankCut.topFlag(
+    val bnd = RankCut.topFlag(
       binned.filter(col("bin") === bStar).withColumn("g", lit(0)),
       "g", "sel_key", "doc_id", _ => lit(quota), "kept")
-    Seq(hi, lo, boundary).map(_.select(out: _*))
+    Seq(hi, lo, bnd).map(_.select(out: _*))
       .reduce(_.unionAll(_))
       .orderBy("doc_id")
+  }
+
+  /** The DISTRIBUTED boundary-bin search for [[dsirSelectFrac]]:
+    * running `sum(cnt)` over the desc-sorted bin table (one window
+    * over AGGREGATE-sized input — single-partition by design, the
+    * same shape as [[RankCut.topFlag]]'s threshold window), returning
+    * the one row whose cumulative count first reaches
+    * k = ⌊1 + frac·(n−1)⌋ (same IEEE ops as the oracle), with its
+    * residual quota and the observability stats ([[dsirSelectStats]]).
+    * The driver artifact is exactly ONE row — corpus- AND
+    * key-range-independent (the r15 driver `collect()`-the-histogram
+    * walk was key-range-bounded: a long-doc corpus with hot-bucket
+    * ratios pushes |sel_key| — and with it the occupied-bin count —
+    * linearly in doc length). Empty input → empty result. */
+  private[graft] def fracBoundary(binned: DataFrame,
+      frac: Double): Array[org.apache.spark.sql.Row] = {
+    val hist = binned.groupBy("bin").agg(count(lit(1)).as("cnt"))
+    val wCum = Window.orderBy(col("bin").desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wAll = Window.orderBy(col("bin").desc)
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    hist
+      .withColumn("cum", sum("cnt").over(wCum))
+      .withColumn("n", sum("cnt").over(wAll))
+      .withColumn("n_bins", count(lit(1)).over(wAll))
+      // k on the SAME IEEE ops as the oracle's floor(1 + frac·(n−1)):
+      // long→double casts exact (< 2^53), one multiply, one add
+      .withColumn("k", floor(lit(1.0d) +
+        lit(frac) * (col("n") - lit(1L)).cast("double")).cast("long"))
+      .filter(col("cum") >= col("k") &&
+        (col("cum") - col("cnt")) < col("k"))
+      .select(col("bin"), (col("k") - (col("cum") - col("cnt")))
+        .as("quota"), col("cnt").as("boundary_cnt"),
+        col("n_bins"), col("n"), col("k"))
+      .collect()
+  }
+
+  /** Harness query `dsir_select_stats`: the no-silent-caps
+    * observability row for [[dsirSelectFrac]] — occupied-bin count
+    * (the size of the distributed threshold's input), the boundary
+    * bin and its population (the only rows that get ranked), pool
+    * size and k. A wide-key corpus (long docs × hot-bucket ratios)
+    * is LOUD here — n_bins grows — instead of silently slowing the
+    * select (the minhash_band_saturation discipline). All integer
+    * exact. */
+  def dsirSelectStats(spark: SparkSession, dir: String,
+      frac: Double = 0.25): DataFrame = {
+    import spark.implicits._
+    val binned = dsirKeyed(spark, dir).withColumn("bin",
+      floor(col("sel_key") * lit(100.0d)).cast("long"))
+    val rows = fracBoundary(binned, frac).map(r =>
+      (r.getAs[Long]("n_bins"), r.getAs[Long]("bin"),
+        r.getAs[Long]("boundary_cnt"), r.getAs[Long]("quota"),
+        r.getAs[Long]("n"), r.getAs[Long]("k"))).toSeq
+    rows.toDF("n_bins", "boundary_bin", "boundary_cnt", "quota",
+      "n_pool", "k")
   }
 }

@@ -26,6 +26,10 @@ class HtmlSpec extends AnyFunSuite {
       3L -> longText,            // 3 % 17 == 3 → ¾-truncated page
       21L -> longText,           // same text, NOT truncated (21%17=4)
       10L -> null.asInstanceOf[String], // all-boilerplate shell
+      // truncation × empty-page interaction (the r15 oracle-fork
+      // class: a zero-token page one byte shorter on either engine
+      // cuts at a forked offset) — 1006 ≡ 3 (mod 17)
+      1006L -> null.asInstanceOf[String],
       11L -> "tiny"))            // sub-threshold paragraph
     try {
       val rows = graft.operators.Html.htmlExtract(spark, dir).collect()
@@ -39,6 +43,11 @@ class HtmlSpec extends AnyFunSuite {
       // null text: shell page only — zero content blocks, blocks exist
       assert(rows(10L).getLong(2) == 0L && rows(10L).getLong(1) > 0L,
         s"null-text doc: ${rows(10L)}")
+      // truncated null-text shell: still zero content, still has
+      // boilerplate (the r15 fork class — the VALUE is pinned
+      // cross-engine by the verify gate; here pin the shape)
+      assert(rows(1006L).getLong(2) == 0L && rows(1006L).getLong(4) > 0L,
+        s"truncated null-text doc: ${rows(1006L)}")
       // sub-threshold paragraph is not content
       assert(rows(11L).getLong(2) == 0L, s"tiny doc: ${rows(11L)}")
       // truncation really cut content: same text, fewer content chars
@@ -57,13 +66,40 @@ class HtmlSpec extends AnyFunSuite {
       val st = graft.operators.Html.htmlBoilerplateStats(spark, dir)
         .collect()
       assert(st.length == 1 && st.head.getString(0) == "web")
-      assert(st.head.getLong(1) == 5L)
+      assert(st.head.getLong(1) == 6L)
       assert(st.head.getLong(2) == rows.values.map(_.getLong(3)).sum)
       assert(st.head.getLong(3) == rows.values.map(_.getLong(4)).sum)
       val frac = st.head.getDouble(4)
       assert(frac > 0.0 && frac < 1.0, s"boiler_frac $frac")
     } finally org.apache.commons.io.FileUtils
       .deleteDirectory(new java.io.File(dir))
+  }
+
+  test("script/style bodies and comments contribute ZERO chars, and a " +
+      "closing tag inside a JS string does not fork segmentation") {
+    import spark.implicits._
+    // the public seam on a REAL html column — no synthesized frame.
+    // The script body is long (> MinBlockChars after tag-strip) and
+    // contains a literal "</div>": without scrub it would (a) count
+    // as content and (b) split the page into extra blocks.
+    val para = (1 to 30).map(i => s"tok$i real").mkString(" ")
+    val html =
+      s"""<html><body><script>var x = "</div> long analytics payload
+         |beacon tracker string well over the block threshold";
+         |</script><style>.a { color: blue; margin: 12px auto; }
+         |</style><!-- template comment that is itself quite long
+         |over threshold --><p>$para</p></body></html>""".stripMargin
+    val df = Seq(html, // closed forms
+      // truncated page: unclosed script drops to end-of-page
+      s"""<p>$para</p><script>var y = "unclosed body $para""")
+      .toDF("html")
+      .select(graft.operators.Html.extract(org.apache.spark.sql
+        .functions.col("html")).as("txt"))
+    val out = df.collect().map(_.getString(0))
+    assert(out(0) == para.trim,
+      s"closed scrub: got '${out(0)}'")
+    assert(out(1) == para.trim,
+      s"unclosed script should drop to EOF: got '${out(1)}'")
   }
 
   test("an all-link page classifies fully boilerplate even when long") {

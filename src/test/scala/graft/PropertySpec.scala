@@ -216,6 +216,43 @@ class PropertySpec extends AnyFunSuite {
     }
   }
 
+  test("exact decimal hops fail LOUD: non-finite input names the " +
+      "expression, >20-integer-digit add overflow is catchable") {
+    import spark.implicits._
+    import graft.functions.{DecimalConv, ExactDecimal}
+    def chain(t: Throwable): String = {
+      val sb = new StringBuilder
+      var c: Throwable = t
+      while (c != null) { sb.append(c.getMessage).append(" | "); c = c.getCause }
+      sb.toString
+    }
+    // NaN / Infinity through the decSum-family hop: the raw
+    // BigDecimal ctor threw an uninformative NumberFormatException
+    // from an executor task (ADVICE r15); the guard must name the
+    // expression and the finite-input contract
+    for (bad <- Seq(Double.NaN, Double.PositiveInfinity,
+        Double.NegativeInfinity)) {
+      val e = intercept[Exception] {
+        Seq(1.0, bad).toDF("x")
+          .agg(DecimalConv.decSumExact(col("x"))).collect()
+      }
+      val m = chain(e)
+      assert(m.contains("exact_decimal18") && m.contains("non-finite"),
+        s"guard message for $bad: $m")
+    }
+    // the 1e20 headroom contract: adding past 20 integer digits at
+    // scale 18 cannot be represented in decimal(38,18) — the fold's
+    // ExactDecimalAdd must THROW (catchable at the action boundary),
+    // never silently null/wrap a serve-path distance
+    val big = lit("99000000000000000000.5").cast("decimal(38,18)")
+    val e2 = intercept[Exception] {
+      Seq(1).toDF("i").select(ExactDecimal.exactAdd(big, big)).collect()
+    }
+    val m2 = chain(e2).toLowerCase
+    assert(m2.contains("decimal") || m2.contains("precision") ||
+      m2.contains("overflow"), s"overflow message: ${chain(e2)}")
+  }
+
   test("cosine is symmetric, in [-1,1], and 1 on self") {
     import spark.implicits._
     forSamples(Gen.zip(vecGen, vecGen), 20) { case (a, b) =>

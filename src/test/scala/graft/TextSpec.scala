@@ -1048,4 +1048,36 @@ class TextSpec extends AnyFunSuite {
     assert(BigInt(wrapped) != exact,
       "expected 2^63 wraparound in the old form")
   }
+
+  test("fracBoundary: ONE-row driver artifact at a WIDE key range " +
+      "(the r15 histogram-collect bound), matching the brute rank") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.lit
+    val S = graft.operators.Sampling
+    // wide-key corpus shape: |sel_key| up to ~1e6 (a 2e5-feature doc
+    // over hot-bucket ratios), tens of thousands of OCCUPIED 2dp bins
+    // — the r15 driver collect() pulled every one of them; the
+    // distributed search must return exactly one row regardless
+    val rnd = new scala.util.Random(7)
+    val rows = (0 until 60000).map { i =>
+      (i.toLong, math.floor(rnd.nextDouble() * 2e8 - 1e8).toLong) }
+    val binned = rows.toDF("doc_id", "bin").repartition(8)
+    val got = S.fracBoundary(binned, 0.25)
+    assert(got.length == 1, s"driver artifact rows: ${got.length}")
+    val r = got.head
+    // brute replay of the boundary law on the driver
+    val sorted = rows.map(_._2).sortBy(b => -b)
+    val n = sorted.length
+    val k = math.floor(1.0 + 0.25 * (n - 1)).toLong
+    val bStar = sorted(k.toInt - 1)
+    assert(r.getAs[Long]("bin") == bStar, s"boundary bin ${r}")
+    val above = sorted.count(_ > bStar).toLong
+    assert(r.getAs[Long]("quota") == k - above, s"quota $r")
+    assert(r.getAs[Long]("n") == n && r.getAs[Long]("k") == k)
+    assert(r.getAs[Long]("n_bins") == rows.map(_._2).distinct.length.toLong)
+    assert(r.getAs[Long]("boundary_cnt") ==
+      sorted.count(_ == bStar).toLong)
+    // empty pool: empty result, not a crash or a zero row
+    assert(S.fracBoundary(binned.filter(lit(false)), 0.25).isEmpty)
+  }
 }
