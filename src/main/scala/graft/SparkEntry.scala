@@ -171,9 +171,11 @@ object SparkEntry {
     "dsir_select_frac"   -> ((s: SparkSession, d: String) => Sampling.dsirSelectFrac(s, d)),
     "dsir_select_stats"  -> ((s: SparkSession, d: String) => Sampling.dsirSelectStats(s, d)),
     "quality_classifier" -> ((s: SparkSession, d: String) => TextAnalysis.qualityClassifier(s, d)),
+    "quality_classifier_frac" -> ((s: SparkSession, d: String) => TextAnalysis.qualityClassifierFrac(s, d)),
     "span_scrub"         -> ((s: SparkSession, d: String) => Dedup.spanScrub(s, d)),
     "html_extract"       -> ((s: SparkSession, d: String) => Html.htmlExtract(s, d)),
     "html_boilerplate_stats" -> ((s: SparkSession, d: String) => Html.htmlBoilerplateStats(s, d)),
+    "curation_pipeline"  -> ((s: SparkSession, d: String) => Curation.curationPipeline(s, d)),
     "ulm_vocab"          -> ((s: SparkSession, d: String) => TextAnalysis.ulmVocab(s, d)),
     "ulm_encode"         -> ((s: SparkSession, d: String) => TextAnalysis.ulmEncode(s, d)),
     "unigram_logprob"    -> (TextAnalysis.unigramLogprob _),
@@ -496,6 +498,83 @@ object SparkEntry {
     s"len(b.txt) >= ${graft.operators.Html.MinBlockChars} " +
       "AND 3*b.ll < len(b.txt)"
 
+  /** Curation-composition oracle — twin of [[graft.operators.Curation
+    * .curationPipeline]]: the html-extraction CTEs feed a langid /
+    * quality-score / per-language-rank / fingerprint-dedup replay
+    * over the EXTRACTED text. The oracle states each stage naively
+    * (full rank window, direct group-by dedup); the engine reaches
+    * the identical manifest via the memoized narrow base + RankCut. */
+  private def dCurationSql: String = {
+    val langs = graft.functions.TextFunctions.stopwords.keys.toSeq.sorted
+    val scores = langs.map { l =>
+      val sw = graft.functions.TextFunctions.stopwords(l)
+        .map(w => s"'$w'").mkString(", ")
+      s"""CASE WHEN len(ts) = 0 THEN 0.0
+              ELSE CAST(len(list_filter(ts, t -> list_contains([$sw], t))) AS DOUBLE)
+                   / len(ts) END AS s_$l"""
+    }.mkString(",\n           ")
+    val all = (langs :+ "zh").map(l => s"s_$l").mkString(", ")
+    val cases = (langs :+ "zh")
+      .map(l => s"WHEN s_$l = greatest($all) THEN '$l'")
+      .mkString("\n              ")
+    val enSw = graft.functions.TextFunctions.stopwords("en")
+      .map(w => s"'$w'").mkString(", ")
+    val keep = graft.operators.Curation.KeepFrac
+    val splitH = dH60("'split:'||CAST(k.doc_id AS VARCHAR)")
+    s"""WITH $dHtmlCtes,
+       hext AS (SELECT doc_id,
+                  coalesce(array_to_string(list_transform(
+                    list_filter(blocks, b -> $dHtmlContent),
+                    b -> b.txt), chr(10)), '') AS ext
+                FROM hblk),
+       ctoks AS (SELECT doc_id, ext,
+                   list_filter(string_split_regex(lower(ext), '\\s+'),
+                     t -> len(t) > 0) AS ts
+                 FROM hext),
+       csc AS (SELECT doc_id, ext, ts,
+           $scores,
+           CASE WHEN len(ext) = 0 THEN 0.0
+                ELSE CAST(len(regexp_extract_all(ext,
+                  '[\\x{4e00}-\\x{9fff}]')) AS DOUBLE)
+                     / len(ext) END AS s_zh
+         FROM ctoks),
+       cq AS (SELECT doc_id,
+                CASE WHEN greatest($all) < 0.05 THEN 'und'
+                $cases
+                ELSE 'und' END AS pred_lang,
+                round(
+                  round(CASE WHEN len(ts) = 0 THEN 0.0
+                    ELSE CAST(len(list_filter(ts, t -> list_contains(
+                      [$enSw], t))) AS DOUBLE) / len(ts) END, 6) -
+                  round(CASE WHEN len(ext) = 0 THEN 0.0
+                    ELSE CAST(len(regexp_extract_all(ext, '[.,;:!?]'))
+                      AS DOUBLE) / len(ext) END, 6) -
+                  round(CASE WHEN len(ext) = 0 THEN 0.0
+                    ELSE CAST(len(regexp_extract_all(ext, '[0-9]'))
+                      AS DOUBLE) / len(ext) END, 6), 6) AS score,
+                ${dH60("ext")} AS fp
+              FROM csc),
+       cr AS (SELECT *, row_number() OVER (PARTITION BY pred_lang
+                ORDER BY score DESC, doc_id) AS rk,
+                count(*) OVER (PARTITION BY pred_lang) AS n
+              FROM cq),
+       ck AS (SELECT doc_id, pred_lang, score, fp,
+                rk <= floor(1 + $keep * (n - 1)) AS quality_kept
+              FROM cr),
+       cdk AS (SELECT fp, min(doc_id) AS keep_id FROM ck
+               WHERE quality_kept GROUP BY fp)
+       SELECT k.doc_id, k.pred_lang, k.score, k.quality_kept,
+              coalesce(k.quality_kept AND k.doc_id = d.keep_id, false)
+                AS dedup_keeper,
+              CASE WHEN $splitH % 100 < 90 THEN 'train'
+                   WHEN $splitH % 100 < 95 THEN 'val'
+                   ELSE 'test' END AS split,
+              coalesce(k.quality_kept AND k.doc_id = d.keep_id, false)
+                AS selected
+       FROM ck k LEFT JOIN cdk d USING (fp)
+       ORDER BY k.doc_id"""
+  }
+
   private def dDsirCtes: String = {
     val tgt = graft.operators.Sampling.DsirTargets
       .map(s => s"'$s'").mkString(", ")
@@ -686,7 +765,9 @@ object SparkEntry {
     * sigmoid link. Every sum rides the EXACT-expansion decimal hop
     * (format('{:.70e}') — the decSumExact twin) so training weights
     * are bit-identical cross-engine; the update is raw IEEE ops. */
-  private def dQcSql: String = {
+  /** Shared GD-training CTE chain for the two classifier calibration
+    * modes — ends in `zf(doc_id, z)`, `qlab(doc_id, y)`, `qp(bias0)`. */
+  private def dQcCtes: String = {
     val tgt = graft.operators.Sampling.DsirTargets
       .map(s => s"'$s'").mkString(", ")
     val b = graft.operators.TextAnalysis.QcBuckets
@@ -712,7 +793,7 @@ object SparkEntry {
            SELECT w.b, w.w - $eta*(coalesce(g.g, 0.0)/n) AS w
            FROM $prev w LEFT JOIN g$t g USING (b) CROSS JOIN qn)"""
     }
-    s"""WITH qdocs AS (
+    s"""qdocs AS (
            SELECT doc_id,
                   CASE WHEN coalesce(source IN ($tgt), false)
                        THEN 1.0 ELSE 0.0 END AS y,
@@ -746,7 +827,12 @@ object SparkEntry {
          zf AS (SELECT f.doc_id,
                   CAST(CAST(sum(${exact("w*x")}) AS VARCHAR) AS DOUBLE)
                     AS z
-                FROM qfeat f JOIN w$iters USING (b) GROUP BY f.doc_id)
+                FROM qfeat f JOIN w$iters USING (b) GROUP BY f.doc_id)"""
+  }
+
+  private def dQcSql: String = {
+    def sigma(z: String) = s"0.5 + $z/(2*(1+abs($z)))"
+    s"""WITH ${dQcCtes}
          SELECT zf.doc_id, CAST(y AS INT) AS label_curated,
                 round(z, 6) AS score,
                 round(${sigma("z")}, 6) AS prob,
@@ -754,6 +840,20 @@ object SparkEntry {
          FROM zf JOIN qlab USING (doc_id) CROSS JOIN qp
          ORDER BY doc_id"""
   }
+
+  /** Kept-fraction calibration replay: rank the ROUNDED (6dp) scores
+    * — the value the engine ranks — desc with doc_id tiebreak. */
+  private def dQcFracSql: String =
+    s"""WITH ${dQcCtes},
+         qr AS (SELECT zf.doc_id, y, round(z, 6) AS score,
+                  row_number() OVER (ORDER BY round(z, 6) DESC,
+                    zf.doc_id) AS rk,
+                  count(*) OVER () AS nn
+                FROM zf JOIN qlab USING (doc_id))
+         SELECT doc_id, CAST(y AS INT) AS label_curated, score,
+                rk <= floor(1 + ${graft.operators.TextAnalysis.QcKeepFrac}
+                  * (nn - 1)) AS kept
+         FROM qr ORDER BY doc_id"""
 
   /** Per-doc distinct `n`-token span hashes — shared CTE prefix of the
     * span-granular dedup/decontamination oracles. Ends in
@@ -3247,6 +3347,8 @@ object SparkEntry {
     // sums, rational sigmoid (no exp — JVM/libm exp bit patterns fork
     // on a measured 0.25% of doubles and GD amplifies any fork)
     "quality_classifier" -> dQcSql,
+    // kept-fraction calibration: same trained scores, quantile cut
+    "quality_classifier_frac" -> dQcFracSql,
     // HTML main-content extraction: both engines synthesize the same
     // deterministic page frame, then segment/strip/classify with pure
     // string+integer rules — link density is the integer compare
@@ -3290,6 +3392,10 @@ object SparkEntry {
                        CAST(sum(cc) + sum(bc) AS DOUBLE), 6)
                 END AS boiler_frac
          FROM hm GROUP BY source ORDER BY source""",
+    // the end-to-end curation composition: extract → langid → quality
+    // cut → extracted-content dedup keeper → manifest, every stage
+    // replayed naively over the same synthesized pages
+    "curation_pipeline" -> dCurationSql,
     // unigram-LM tokenizer: full Viterbi DP replay per distinct word
     // (sliding-window recursive CTE + backtrace), one EM round
     "ulm_vocab" -> DUlm.vocabSql,

@@ -1072,7 +1072,20 @@ object TextAnalysis {
     * table round-trips through the driver as 65 doubles (the same
     * bounded-artifact round-trip every distributed GD/BPE trainer
     * does). */
-  def qualityClassifier(spark: SparkSession, dir: String): DataFrame = {
+  def qualityClassifier(spark: SparkSession, dir: String): DataFrame =
+    qcScored(spark, dir).orderBy("doc_id")
+
+  /** Trained + scored corpus, memoized per dataset: TWO harness
+    * consumers ([[qualityClassifier]]'s prior-calibrated cut and
+    * [[qualityClassifierFrac]]'s kept-fraction cut) would otherwise
+    * each re-run the full [[QcIters]]-round GD training. */
+  private def qcScored(spark: SparkSession, dir: String): DataFrame =
+    Memo.table(spark, dir, s"qc_scored_${QcBuckets}_$QcIters") {
+      qcScoredUncached(spark, dir)
+    }
+
+  private def qcScoredUncached(spark: SparkSession,
+      dir: String): DataFrame = {
     import graft.functions.DecimalConv.decSumExact
     val docs = Tables.load(spark, dir, "documents")
     val labels = docs.select(col("doc_id"),
@@ -1139,6 +1152,31 @@ object TextAnalysis {
         // The r14 z ≥ 0 cut was degenerate (all-negative) on any
         // realistically imbalanced corpus.
         (col("z") >= lit(bias0)).as("predicted"))
+  }
+
+  /** Keep fraction of [[qualityClassifierFrac]]'s selection — a
+    * precision-oriented cut at the fixture's 15% curated base rate. */
+  val QcKeepFrac = 0.15
+
+  /** Harness query `quality_classifier_frac`: the PRODUCTION
+    * calibration mode of the learned quality filter — keep a target
+    * FRACTION of the corpus by classifier score (rank semantics
+    * ⌊1 + frac·(n−1)⌋ over (score DESC, doc_id), the
+    * [[qualityQuantileFilter]] convention) instead of the
+    * unconditional-prior cut [[qualityClassifier]] defaults to. The
+    * prior cut answers "scores above the base rate" — recall-heavy by
+    * design (r15: 60% flagged at a 15% base rate); a CCNet/GPT-3-style
+    * curation run selects a kept budget, which is exactly this
+    * threshold. Rides [[RankCut.topFlag]] over the memoized scored
+    * corpus — window-free at corpus scale, training runs ONCE for
+    * both calibration modes. */
+  def qualityClassifierFrac(spark: SparkSession, dir: String,
+      frac: Double = QcKeepFrac): DataFrame = {
+    val scored = qcScored(spark, dir)
+      .select(col("doc_id"), col("label_curated"), col("score"))
+    RankCut.topFlag(scored.withColumn("g", lit(0)), "g", "score",
+        "doc_id", n => floor(lit(1.0) + lit(frac) * (n - 1)), "kept")
+      .select("doc_id", "label_curated", "score", "kept")
       .orderBy("doc_id")
   }
 }

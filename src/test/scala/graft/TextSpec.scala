@@ -947,6 +947,19 @@ class TextSpec extends AnyFunSuite {
         "most curated docs should predict true")
       assert(neg.count(!_.getBoolean(4)) * 2 > neg.length,
         "most crawl docs should predict false")
+
+      // kept-fraction calibration on the SAME imbalanced corpus: the
+      // cut keeps exactly ⌊1 + frac·(n−1)⌋ docs, and because the
+      // scores separate, the kept set is PRECISION-oriented — all
+      // kept docs are curated (the prior cut flagged 60% at r15)
+      val fr = graft.operators.TextAnalysis
+        .qualityClassifierFrac(spark, dir, frac = 0.15).collect()
+      assert(fr.length == 100)
+      val k = math.floor(1.0 + 0.15 * (fr.length - 1)).toLong
+      val kept = fr.filter(_.getBoolean(3))
+      assert(kept.length == k, s"kept ${kept.length}, want $k")
+      assert(kept.forall(_.getInt(1) == 1),
+        "fraction cut on a separable corpus must keep only curated")
     } finally org.apache.commons.io.FileUtils
       .deleteDirectory(new java.io.File(dir))
   }

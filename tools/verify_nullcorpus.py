@@ -340,6 +340,15 @@ elif MODE == "vecdegen":
       FROM '{SRC}/embeddings.parquet'"""
     duckdb.sql(
         f"COPY ({emb_sql}) TO '{WORK}/embeddings.parquet' (FORMAT PARQUET)")
+elif MODE == "ansi":
+    # the NO-SILENT-WRAP ledger mode (standing since r16): corpus
+    # UNCHANGED, engine run under spark.sql.ansi.enabled=true so any
+    # Long/Decimal overflow anywhere in the 190+-query surface is a
+    # LOUD error row instead of wrapped garbage (the r14 DSIR 2^63
+    # class). The oracle compare is unchanged — a green run proves
+    # both "no silent wrap" AND "ANSI flips no row".
+    docs_sql = f"SELECT * FROM '{SRC}/documents.parquet'"
+    os.environ["GRAFT_ANSI"] = "1"
 else:
     sys.exit(f"unknown GRAFT_DEGEN_MODE: {MODE}")
 
