@@ -982,6 +982,44 @@ object ScaleProbe100 {
         println(s"  rows: ${operators.Similarity.mmrRerankIvf(spark, dup)
           .count()}")
       }
+      // r16: kept-fraction classifier calibration — training is the
+      // memoized scored corpus (shared with quality_classifier above),
+      // so this probe times ONLY the rank-threshold cut
+      time(s"quality_classifier_frac (kept-budget cut over the " +
+          s"memoized scores, ${factor}x)") {
+        val r = operators.TextAnalysis.qualityClassifierFrac(spark, dup)
+          .agg(count(lit(1)).as("n"),
+            sum(when(col("kept"), 1L).otherwise(0L)).as("k"),
+            sum(when(col("kept") && col("label_curated") === 1, 1L)
+              .otherwise(0L)).as("kc")).head()
+        val (n, k, kc) = (r.getLong(0), r.getLong(1), r.getLong(2))
+        println(s"  docs: $n, kept: $k, kept-curated: $kc " +
+          f"(precision ${kc.toDouble / k}%.3f vs base rate)")
+      }
+      // r16: distributed DSIR boundary-bin search observability
+      time(s"dsir_select_stats (ONE-row boundary artifact, ${factor}x)") {
+        val r = operators.Sampling.dsirSelectStats(spark, dup).head()
+        println(s"  occupied bins: ${r.getLong(0)}, boundary bin " +
+          s"${r.getLong(1)} holds ${r.getLong(2)} keys, quota " +
+          s"${r.getLong(3)} of k=${r.getLong(5)} over ${r.getLong(4)} docs")
+      }
+      // r16: the end-to-end curation composition — cold run builds the
+      // narrow (extract→langid→score→fp) memo ONCE; the warm re-run
+      // proves every stage re-reads that memo instead of re-deriving
+      // (total ≈ assembly cost, not extract+langid again)
+      def curationOnce(label: String): Unit =
+        time(label) {
+          val r = operators.Curation.curationPipeline(spark, dup)
+            .agg(count(lit(1)).as("n"),
+              sum(when(col("quality_kept"), 1L).otherwise(0L)).as("q"),
+              sum(when(col("selected"), 1L).otherwise(0L)).as("s")).head()
+          println(s"  docs: ${r.getLong(0)}, quality-kept: " +
+            s"${r.getLong(1)}, selected: ${r.getLong(2)}")
+        }
+      curationOnce(s"curation_pipeline COLD (extract+langid+score memo " +
+        s"build + cut/dedup/manifest, ${factor}x)")
+      curationOnce(s"curation_pipeline WARM (memoized base: cut + dedup " +
+        s"+ manifest only, ${factor}x)")
     }
 
     section("zipf") {

@@ -250,6 +250,27 @@ class PlanSpec extends AnyFunSuite {
       s"bucketed boundary-bin tie window missing:\n$p")
   }
 
+  test("curation_pipeline serves from the memoized 4-column base: no " +
+      "re-extraction, no corpus rank window, no driver limit") {
+    val p = planOf("curation_pipeline")
+    // stages 1–3 (extract → langid → score → fp) live in the ONCE-per-
+    // dataset memo build; the assembled plan must consume the narrow
+    // parquet — any regexp machinery here means a branch re-runs the
+    // extractor/tokenizer per consumer (the repeated-corpus-tokenize
+    // failure the memo exists to kill)
+    assert(!p.contains("regexp_replace") && !p.contains("regexp_extract"),
+      s"curation_pipeline re-runs the extractor in the serve plan:\n$p")
+    assert(!p.contains("GlobalLimit") && !p.contains("TakeOrdered"),
+      s"curation_pipeline went through a driver limit:\n$p")
+    // the only ROW ranking allowed is RankCut's id-bucket-bounded tie
+    // cut (row_number over (…, db, doc_id)) — never a per-language
+    // corpus-wide score rank (the oracle's replay shape)
+    val ranks = """row_number\(\) windowspecdefinition\([^\n]*"""
+      .r.findAllIn(p).toList
+    assert(ranks.nonEmpty && ranks.forall(_.contains("db#")),
+      s"non-bucketed row rank in curation plan:\n${ranks.mkString("\n")}")
+  }
+
   test("dedup_keep_best picks keepers without ANY window: bounded argmax " +
       "aggregate + broadcast join") {
     val p = planOf("dedup_keep_best")
