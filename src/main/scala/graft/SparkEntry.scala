@@ -418,7 +418,18 @@ object SparkEntry {
     * includes \x0B, RE2's does not); regexp_replace carries 'g'
     * (DuckDB is first-match by default, Spark is global). Ends in
     * `hblk(doc_id, source, blocks: struct(txt, ll)[])`. */
-  private def dHtmlCtes: String =
+  private def dHtmlCtes: String = {
+    // the scrub chain interpolates Html.ScrubPatterns verbatim (the
+    // engine's literal strings — ONE source of truth); spliced by
+    // token replacement because the surrounding CTE block must stay a
+    // RAW string (its regex literals rely on un-processed backslashes,
+    // which an s-interpolator would consume)
+    val scrubExpr = graft.operators.Html.ScrubPatterns
+      .foldLeft("h")((acc, p) => s"regexp_replace($acc, '$p', ' ', 'g')")
+    dHtmlCtesRaw.replace("GRAFT_SCRUB_EXPR", scrubExpr)
+  }
+
+  private def dHtmlCtesRaw: String =
     """hdoc AS (
            SELECT doc_id, source, coalesce(doc_id, 0) AS hid,
                   list_filter(string_split_regex(coalesce(text, ''),
@@ -468,13 +479,7 @@ object SparkEntry {
            FROM hpage0),
          hscrub AS (
            SELECT doc_id, source,
-             regexp_replace(regexp_replace(regexp_replace(
-               regexp_replace(regexp_replace(h,
-                 '(?is)<!--.*?-->', ' ', 'g'),
-                 '(?is)<script[^>]*>.*?</script>', ' ', 'g'),
-                 '(?is)<style[^>]*>.*?</style>', ' ', 'g'),
-                 '(?is)<(?:script|style)[^>]*>.*', ' ', 'g'),
-                 '(?is)<!--.*', ' ', 'g') AS h
+             GRAFT_SCRUB_EXPR AS h
            FROM hpage),
          hblk AS (
            SELECT doc_id, source,
@@ -574,6 +579,25 @@ object SparkEntry {
        FROM ck k LEFT JOIN cdk d USING (fp)
        ORDER BY k.doc_id"""
   }
+
+  /** Gumbel-perturbed DSIR selection-key CTEs — ONE definition shared
+    * by the three selection oracles (`dsir_select`,
+    * `dsir_select_frac`, `dsir_select_stats`), because the gumbel
+    * draw (hash mod 2^52 dyadic u, round-6) and the sel_key grid
+    * (round-8 sum, null filter) are rounding-grid-critical: two
+    * drifting copies would let the stats row observe a different key
+    * grid than the select it reports on. Consumes `dw`, ends in
+    * `dkey(doc_id, logratio, gumbel, sel_key)` (non-null keys). */
+  private def dDsirKeyCtes: String =
+    s"""dsel AS (SELECT doc_id, logratio,
+                    round(-ln(-ln(
+                      ((${dH60("'dsirn:'||CAST(doc_id AS VARCHAR)")}
+                          % 4503599627370496) + 0.5)
+                        / 4503599627370496.0)), 6) AS gumbel
+                  FROM dw),
+         dkey AS (SELECT doc_id, logratio, gumbel,
+                         round(logratio + gumbel, 8) AS sel_key
+                  FROM dsel WHERE round(logratio + gumbel, 8) IS NOT NULL)"""
 
   private def dDsirCtes: String = {
     val tgt = graft.operators.Sampling.DsirTargets
@@ -3278,32 +3302,16 @@ object SparkEntry {
          FROM dw ORDER BY doc_id""",
     "dsir_select" ->
       s"""WITH $dDsirCtes,
-         dsel AS (SELECT doc_id, logratio,
-                    round(-ln(-ln(
-                      ((${dH60("'dsirn:'||CAST(doc_id AS VARCHAR)")}
-                          % 4503599627370496) + 0.5)
-                        / 4503599627370496.0)), 6) AS gumbel
-                  FROM dw),
-         dkey AS (SELECT doc_id, logratio, gumbel,
-                         round(logratio + gumbel, 8) AS sel_key
-                  FROM dsel)
+         $dDsirKeyCtes
          SELECT doc_id, logratio, gumbel, sel_key
-         FROM dkey WHERE sel_key IS NOT NULL
+         FROM dkey
          ORDER BY sel_key DESC, doc_id LIMIT 64""",
     // proportional DSIR selection: the oracle replays the engine's
     // two-level histogram threshold as ONE rank window — same total
     // (sel_key DESC, doc_id) order, identical kept set
     "dsir_select_frac" ->
       s"""WITH $dDsirCtes,
-         dsel AS (SELECT doc_id, logratio,
-                    round(-ln(-ln(
-                      ((${dH60("'dsirn:'||CAST(doc_id AS VARCHAR)")}
-                          % 4503599627370496) + 0.5)
-                        / 4503599627370496.0)), 6) AS gumbel
-                  FROM dw),
-         dkey AS (SELECT doc_id, logratio, gumbel,
-                         round(logratio + gumbel, 8) AS sel_key
-                  FROM dsel WHERE round(logratio + gumbel, 8) IS NOT NULL),
+         $dDsirKeyCtes,
          dn AS (SELECT count(*) AS n FROM dkey),
          drank AS (SELECT doc_id, logratio, gumbel, sel_key,
                           row_number() OVER
@@ -3317,15 +3325,7 @@ object SparkEntry {
     // runs it distributed; the oracle as plain windows)
     "dsir_select_stats" ->
       s"""WITH $dDsirCtes,
-         dsel AS (SELECT doc_id, logratio,
-                    round(-ln(-ln(
-                      ((${dH60("'dsirn:'||CAST(doc_id AS VARCHAR)")}
-                          % 4503599627370496) + 0.5)
-                        / 4503599627370496.0)), 6) AS gumbel
-                  FROM dw),
-         dkey AS (SELECT doc_id,
-                         round(logratio + gumbel, 8) AS sel_key
-                  FROM dsel WHERE round(logratio + gumbel, 8) IS NOT NULL),
+         $dDsirKeyCtes,
          dbin AS (SELECT CAST(floor(sel_key * 100.0) AS BIGINT) AS bin
                   FROM dkey),
          dhist AS (SELECT bin, CAST(count(*) AS BIGINT) AS cnt

@@ -40,19 +40,11 @@ object Curation {
   /** Keep fraction of the per-language quality cut. */
   val KeepFrac = 0.5
 
-  /** The composite quality score over EXTRACTED text — the
-    * [[TextAnalysis.qualityQuantileFilter]] composite verbatim
-    * (stopword − punct − digit ratios, 6dp each, 6dp total) so the
-    * cut semantics stay the one proven definition. */
-  private def extScore(ext: Column): Column = {
-    val q = T.qualityStruct(ext)
-    round(round(q.getField("stopword_ratio"), 6) -
-      round(q.getField("punct_ratio"), 6) -
-      round(q.getField("digit_ratio"), 6), 6)
-  }
-
   /** Stage 1–3 memo: (doc_id, pred_lang, score, fp) — extract ONCE,
-    * derive everything narrow in the same projection. */
+    * derive everything narrow in the same projection. The quality
+    * score is [[TextAnalysis.compositeScore]] over the extracted
+    * text — the ONE proven definition, shared with
+    * `quality_quantile_filter`. */
   private def base(spark: SparkSession, dir: String): DataFrame =
     Memo.table(spark, dir, "curation_base") {
       Tables.load(spark, dir, "documents")
@@ -60,7 +52,7 @@ object Curation {
           Html.extract(Html.htmlOf(col("doc_id"), col("text"))).as("ext"))
         .select(col("doc_id"),
           T.langId(col("ext")).as("pred_lang"),
-          extScore(col("ext")).as("score"),
+          TextAnalysis.compositeScore(col("ext")).as("score"),
           hash60(col("ext")).as("fp"))
     }
 

@@ -131,16 +131,25 @@ object Html {
   /** Non-content element scrub patterns, applied IN THIS ORDER before
     * segmentation: closed comments, closed script/style (bodies
     * removed wholesale), then unclosed script/style/comment drop to
-    * end-of-page (the truncated-crawl norm). Inline `(?is)` flags and
-    * non-greedy `.*?` behave identically in Java regex and RE2, so
-    * the DuckDB oracle replays each step verbatim (it only adds its
-    * 'g' option — Java replaceAll is already global). */
-  private[graft] val ScrubPatterns: Seq[String] = Seq(
-    "(?is)<!--.*?-->",
-    "(?is)<script[^>]*>.*?</script>",
-    "(?is)<style[^>]*>.*?</style>",
-    "(?is)<(?:script|style)[^>]*>.*",
-    "(?is)<!--.*")
+    * end-of-page (the truncated-crawl norm). `(?s)` dotall and
+    * non-greedy `.*?` behave identically in Java regex and RE2;
+    * case-insensitivity is EXPLICIT ASCII classes `[sS]`… — NOT the
+    * `(?i)` flag, which is ASCII-only in Java but Unicode
+    * simple-folding in RE2 (a `<ſcript>` long-s tag would scrub on
+    * the oracle and survive on the engine — the same Java≡RE2 class
+    * divergence the explicit `[ \t\n\r]` whitespace class guards).
+    * The DuckDB oracle interpolates THESE strings verbatim (adding
+    * only its 'g' option — Java replaceAll is already global). */
+  private[graft] val ScrubPatterns: Seq[String] = {
+    val script = "[sS][cC][rR][iI][pP][tT]"
+    val style = "[sS][tT][yY][lL][eE]"
+    Seq(
+      "(?s)<!--.*?-->",
+      s"(?s)<$script[^>]*>.*?</$script>",
+      s"(?s)<$style[^>]*>.*?</$style>",
+      s"(?s)<(?:$script|$style)[^>]*>.*",
+      "(?s)<!--.*")
+  }
 
   /** PUBLIC SEAM, step 0: remove `<script>`/`<style>` element CONTENT
     * and `<!-- -->` comments from a raw html column. Tag-strip alone

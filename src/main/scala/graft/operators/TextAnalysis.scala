@@ -431,11 +431,8 @@ object TextAnalysis {
     // materialized once it's a narrow 3-column scan per branch
     val q = Memo.table(spark, dir, "quality_scores") {
       Tables.load(spark, dir, "documents")
-        .select(col("doc_id"), col("lang"), T.qualityStruct(col("text")).as("q"))
         .select(col("doc_id"), col("lang"),
-          round(round(col("q.stopword_ratio"), 6) -
-            round(col("q.punct_ratio"), 6) -
-            round(col("q.digit_ratio"), 6), 6).as("score"))
+          compositeScore(col("text")).as("score"))
     }
     RankCut.topFlag(q, "lang", "score", "doc_id",
         n => floor(lit(1.0) + lit(keep) * (n - 1)), "kept",
@@ -443,6 +440,19 @@ object TextAnalysis {
       .filter(col("kept"))
       .select("lang", "doc_id", "score")
       .orderBy("lang", "doc_id")
+  }
+
+  /** THE composite quality score (stopword − punct − digit ratios,
+    * 6dp each, 6dp total) — ONE definition shared by
+    * [[qualityQuantileFilter]] (over raw text) and
+    * [[Curation.curationPipeline]] (over extracted text), so the two
+    * cuts can never silently fork; the curation oracle mirrors this
+    * exact rounding order. */
+  private[graft] def compositeScore(text: Column): Column = {
+    val q = T.qualityStruct(text)
+    round(round(q.getField("stopword_ratio"), 6) -
+      round(q.getField("punct_ratio"), 6) -
+      round(q.getField("digit_ratio"), 6), 6)
   }
 
   /** Token counts: whitespace tokens, distinct tokens, BPE-ish subword

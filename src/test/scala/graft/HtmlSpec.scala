@@ -100,6 +100,24 @@ class HtmlSpec extends AnyFunSuite {
       s"closed scrub: got '${out(0)}'")
     assert(out(1) == para.trim,
       s"unclosed script should drop to EOF: got '${out(1)}'")
+
+    // case handling is EXPLICIT ASCII classes, not (?i): uppercase
+    // <SCRIPT> scrubs; a Unicode-fold lookalike <ſcript> (long s
+    // U+017F, which RE2's (?i) would fold to 's' but Java's would
+    // not) must NOT scrub on either engine — its body survives as
+    // text. This pins the deliberate ASCII-only fold so the two
+    // engines can never diverge on it.
+    val caseDf = Seq(
+      s"<SCRIPT>var up = 1; twenty plus chars of js</SCRIPT><p>$para</p>",
+      s"<ſcript>body stays</ſcript> <p>$para</p>")
+      .toDF("html")
+      .select(graft.operators.Html.extract(org.apache.spark.sql
+        .functions.col("html")).as("txt"))
+    val caseOut = caseDf.collect().map(_.getString(0))
+    assert(caseOut(0) == para.trim,
+      s"uppercase <SCRIPT> must scrub: got '${caseOut(0)}'")
+    assert(caseOut(1).contains("body stays"),
+      s"U+017F lookalike tag must NOT scrub: got '${caseOut(1)}'")
   }
 
   test("an all-link page classifies fully boilerplate even when long") {
