@@ -993,15 +993,20 @@ object ScaleProbe100 {
             sum(when(col("kept") && col("label_curated") === 1, 1L)
               .otherwise(0L)).as("kc")).head()
         val (n, k, kc) = (r.getLong(0), r.getLong(1), r.getLong(2))
+        val prec = if (k == 0) "n/a (kept 0)" else f"${kc.toDouble / k}%.3f"
         println(s"  docs: $n, kept: $k, kept-curated: $kc " +
-          f"(precision ${kc.toDouble / k}%.3f vs base rate)")
+          s"(precision $prec vs base rate)")
       }
       // r16: distributed DSIR boundary-bin search observability
       time(s"dsir_select_stats (ONE-row boundary artifact, ${factor}x)") {
-        val r = operators.Sampling.dsirSelectStats(spark, dup).head()
-        println(s"  occupied bins: ${r.getLong(0)}, boundary bin " +
-          s"${r.getLong(1)} holds ${r.getLong(2)} keys, quota " +
-          s"${r.getLong(3)} of k=${r.getLong(5)} over ${r.getLong(4)} docs")
+        operators.Sampling.dsirSelectStats(spark, dup)
+          .collect().headOption match {
+          case Some(r) =>
+            println(s"  occupied bins: ${r.getLong(0)}, boundary bin " +
+              s"${r.getLong(1)} holds ${r.getLong(2)} keys, quota " +
+              s"${r.getLong(3)} of k=${r.getLong(5)} over ${r.getLong(4)} docs")
+          case None => println("  empty DSIR pool: no boundary row")
+        }
       }
       // r16: the end-to-end curation composition — cold run builds the
       // narrow (extract→langid→score→fp) memo ONCE; the warm re-run

@@ -176,6 +176,7 @@ object SparkEntry {
     "html_extract"       -> ((s: SparkSession, d: String) => Html.htmlExtract(s, d)),
     "html_boilerplate_stats" -> ((s: SparkSession, d: String) => Html.htmlBoilerplateStats(s, d)),
     "curation_pipeline"  -> ((s: SparkSession, d: String) => Curation.curationPipeline(s, d)),
+    "curation_pipeline_neardup" -> ((s: SparkSession, d: String) => Curation.curationPipelineNearDup(s, d)),
     "ulm_vocab"          -> ((s: SparkSession, d: String) => TextAnalysis.ulmVocab(s, d)),
     "ulm_encode"         -> ((s: SparkSession, d: String) => TextAnalysis.ulmEncode(s, d)),
     "unigram_logprob"    -> (TextAnalysis.unigramLogprob _),
@@ -509,7 +510,14 @@ object SparkEntry {
     * over the EXTRACTED text. The oracle states each stage naively
     * (full rank window, direct group-by dedup); the engine reaches
     * the identical manifest via the memoized narrow base + RankCut. */
-  private def dCurationSql: String = {
+  /** Shared curation-stage CTE chain — the extract → langid → score →
+    * fingerprint → per-language naive rank cut replay BOTH manifest
+    * oracles (`curation_pipeline`, `curation_pipeline_neardup`) build
+    * on, so the two can never observe drifting stage definitions.
+    * Assumes the html CTEs are in scope; ends in
+    * `ctoks(doc_id, ext, ts)` and
+    * `ck(doc_id, pred_lang, score, fp, quality_kept)`. */
+  private def dCurationCtes: String = {
     val langs = graft.functions.TextFunctions.stopwords.keys.toSeq.sorted
     val scores = langs.map { l =>
       val sw = graft.functions.TextFunctions.stopwords(l)
@@ -525,9 +533,7 @@ object SparkEntry {
     val enSw = graft.functions.TextFunctions.stopwords("en")
       .map(w => s"'$w'").mkString(", ")
     val keep = graft.operators.Curation.KeepFrac
-    val splitH = dH60("'split:'||CAST(k.doc_id AS VARCHAR)")
-    s"""WITH $dHtmlCtes,
-       hext AS (SELECT doc_id,
+    s"""hext AS (SELECT doc_id,
                   coalesce(array_to_string(list_transform(
                     list_filter(blocks, b -> $dHtmlContent),
                     b -> b.txt), chr(10)), '') AS ext
@@ -565,20 +571,66 @@ object SparkEntry {
               FROM cq),
        ck AS (SELECT doc_id, pred_lang, score, fp,
                 rk <= floor(1 + $keep * (n - 1)) AS quality_kept
-              FROM cr),
-       cdk AS (SELECT fp, min(doc_id) AS keep_id FROM ck
-               WHERE quality_kept GROUP BY fp)
-       SELECT k.doc_id, k.pred_lang, k.score, k.quality_kept,
-              coalesce(k.quality_kept AND k.doc_id = d.keep_id, false)
-                AS dedup_keeper,
-              CASE WHEN $splitH % 100 < 90 THEN 'train'
-                   WHEN $splitH % 100 < 95 THEN 'val'
-                   ELSE 'test' END AS split,
-              coalesce(k.quality_kept AND k.doc_id = d.keep_id, false)
-                AS selected
-       FROM ck k LEFT JOIN cdk d USING (fp)
-       ORDER BY k.doc_id"""
+              FROM cr)"""
   }
+
+  /** The 90/5/5 split label of an id expression — the curation
+    * manifests' split column (the train_split hash kernel). */
+  private def dCurationSplit(idExpr: String): String = {
+    val h = dH60(s"'split:'||CAST($idExpr AS VARCHAR)")
+    s"""CASE WHEN $h % 100 < 90 THEN 'train'
+             WHEN $h % 100 < 95 THEN 'val'
+             ELSE 'test' END"""
+  }
+
+  private def dCurationSql: String =
+    s"""WITH $dHtmlCtes,
+       $dCurationCtes,
+       cdk AS (SELECT fp, min(doc_id) AS keep_id FROM ck
+               WHERE quality_kept GROUP BY fp),
+       cmk AS (SELECT k.doc_id, k.pred_lang, k.score, k.quality_kept,
+                coalesce(k.quality_kept AND k.doc_id = d.keep_id, false)
+                  AS dedup_keeper,
+                ${dCurationSplit("k.doc_id")} AS split
+              FROM ck k LEFT JOIN cdk d USING (fp))
+       SELECT doc_id, pred_lang, score, quality_kept, dedup_keeper,
+              split, dedup_keeper AND split = 'train' AS selected
+       FROM cmk ORDER BY doc_id"""
+
+  /** Near-dup curation manifest oracle — the same stage chain, with
+    * the dedup stage replayed as the FULL minhash pipeline over the
+    * extracted-text tokens (the chain `minhash_pairs` proves, fed by
+    * `ctoks` instead of documents tokens), recursive-CTE components,
+    * and the quality-aware keeper (kept first, score desc, min id). */
+  private def dCurationNearDupSql: String =
+    s"""WITH RECURSIVE $dHtmlCtes,
+       $dCurationCtes,
+       ${dMinhashPairsCtesFrom("toks AS (SELECT doc_id, ts FROM ctoks)")},
+       edges AS (SELECT doc_a AS s, doc_b AS d FROM mh_pairs
+                 UNION SELECT doc_b, doc_a FROM mh_pairs),
+       reach AS (SELECT s, d FROM edges
+                 UNION SELECT r.s, e.d FROM reach r JOIN edges e ON r.d = e.s),
+       comp AS (SELECT s AS doc_id, least(s, min(d)) AS cluster_id
+                FROM reach GROUP BY s),
+       ncl AS (SELECT k.doc_id, k.pred_lang, k.score, k.quality_kept,
+                      coalesce(c.cluster_id, k.doc_id) AS cluster_id
+               FROM ck k LEFT JOIN comp c USING (doc_id)),
+       nwin AS (SELECT cluster_id, doc_id AS keep_doc_id FROM (
+                  SELECT cluster_id, doc_id,
+                         row_number() OVER (PARTITION BY cluster_id
+                           ORDER BY quality_kept DESC, score DESC,
+                             doc_id) AS rk
+                  FROM ncl) WHERE rk = 1),
+       nmk AS (SELECT n.doc_id, n.pred_lang, n.score, n.quality_kept,
+                      n.cluster_id,
+                      n.quality_kept AND n.doc_id = w.keep_doc_id
+                        AS dedup_keeper,
+                      ${dCurationSplit("n.doc_id")} AS split
+               FROM ncl n JOIN nwin w USING (cluster_id))
+       SELECT doc_id, pred_lang, score, quality_kept, cluster_id,
+              dedup_keeper, split,
+              dedup_keeper AND split = 'train' AS selected
+       FROM nmk ORDER BY doc_id"""
 
   /** Gumbel-perturbed DSIR selection-key CTEs — ONE definition shared
     * by the three selection oracles (`dsir_select`,
@@ -888,12 +940,21 @@ object SparkEntry {
          spanx AS (SELECT doc_id, ${dH60("s")} AS span_h
                    FROM (SELECT doc_id, unnest(spans) AS s FROM sp))"""
 
-  /** CTE chain ending in per-doc minhash mins m<i> for i in `perms`. */
-  private def minhashCtes(perms: Seq[Int]): String = {
+  /** The default token-table CTE the minhash chain shingles: the
+    * documents table's lowered whitespace tokens. */
+  private def dDocToksCte: String =
+    s"toks AS (SELECT doc_id, $dToks AS ts FROM documents)"
+
+  /** CTE chain ending in per-doc minhash mins m<i> for i in `perms`.
+    * `toksCte` supplies the token table (doc_id, ts) — the curation
+    * near-dup oracle passes EXTRACTED-text tokens instead of the
+    * default documents tokens. */
+  private def minhashCtes(perms: Seq[Int],
+      toksCte: String = dDocToksCte): String = {
     val mins = perms.map { i =>
       s"list_min(list_transform(hs, h -> (${Dedup.permA(i)}*h + ${Dedup.permB(i)}) % 2147483647)) AS m$i"
     }.mkString(",\n           ")
-    s"""toks AS (SELECT doc_id, $dToks AS ts FROM documents),
+    s"""$toksCte,
          shing AS (SELECT doc_id, $dShingles AS shingles FROM toks),
          hs0 AS (SELECT doc_id, shingles,
                    list_transform(shingles, s -> ${dH60("s")} % 2147483647) AS hs
@@ -914,9 +975,10 @@ object SparkEntry {
   }
 
   /** LSH candidate pairs + exact-Jaccard verification (minhash_pairs
-    * semantics: skew-capped buckets, threshold 0.5). */
-  private val dMinhashPairsCtes: String =
-    s"""${minhashCtes(0 until 64)},
+    * semantics: skew-capped buckets, threshold 0.5) over an arbitrary
+    * token-table CTE. */
+  private def dMinhashPairsCtesFrom(toksCte: String): String =
+    s"""${minhashCtes(0 until 64, toksCte)},
          $dBandsCte,
          big AS (SELECT band_id, band_key FROM bands
                  GROUP BY 1, 2 HAVING count(*) > 200),
@@ -932,6 +994,9 @@ object SparkEntry {
                            JOIN grams gb ON gb.doc_id = cand.doc_b),
          mh_pairs AS (SELECT doc_a, doc_b, jaccard FROM jac
                       WHERE jaccard >= 0.5)"""
+
+  private val dMinhashPairsCtes: String =
+    dMinhashPairsCtesFrom(dDocToksCte)
 
   /** Perceptual-hash CTE chain: the grouped raster's closed form →
     * 10×6 aHash (integer mean, ≥ bit) + 11×6 dHash (right-neighbor
@@ -3396,6 +3461,9 @@ object SparkEntry {
     // cut → extracted-content dedup keeper → manifest, every stage
     // replayed naively over the same synthesized pages
     "curation_pipeline" -> dCurationSql,
+    // crawl-norm dedup stage: minhash near-dup clusters over the
+    // EXTRACTED text + quality-aware keeper selection
+    "curation_pipeline_neardup" -> dCurationNearDupSql,
     // unigram-LM tokenizer: full Viterbi DP replay per distinct word
     // (sliding-window recursive CTE + backtrace), one EM round
     "ulm_vocab" -> DUlm.vocabSql,

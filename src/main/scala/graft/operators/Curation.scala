@@ -40,30 +40,46 @@ object Curation {
   /** Keep fraction of the per-language quality cut. */
   val KeepFrac = 0.5
 
-  /** Stage 1–3 memo: (doc_id, pred_lang, score, fp) — extract ONCE,
-    * derive everything narrow in the same projection. The quality
-    * score is [[TextAnalysis.compositeScore]] over the extracted
-    * text — the ONE proven definition, shared with
-    * `quality_quantile_filter`. */
+  /** Per-doc curation enrichment of a raw documents frame — ONE
+    * narrow projection: extracted main text, predicted language,
+    * quality score ([[TextAnalysis.compositeScore]] — the ONE proven
+    * definition, shared with `quality_quantile_filter`), and the
+    * extracted-content fingerprint. PUBLIC SEAM: the batch memo build
+    * below and the streaming ingest enrichment
+    * ([[graft.streaming.StreamingBackfill.fullIngestLoop]]) are this
+    * same definition, so stream ≡ batch by construction. */
+  def enriched(docs: DataFrame): DataFrame =
+    docs
+      .select(col("doc_id"),
+        Html.extract(Html.htmlOf(col("doc_id"), col("text"))).as("ext"))
+      .select(col("doc_id"), col("ext"),
+        T.langId(col("ext")).as("pred_lang"),
+        TextAnalysis.compositeScore(col("ext")).as("score"),
+        hash60(col("ext")).as("fp"))
+
+  /** Stage 1–3 memo: (doc_id, ext, pred_lang, score, fp) — extract
+    * ONCE, derive everything narrow in the same projection. Consumers
+    * that don't need the extracted text itself (the exact-fp manifest)
+    * SELECT around it — parquet column pruning keeps their serve reads
+    * as narrow as the old 4-column memo; the near-dup twin reads `ext`
+    * to shingle the extracted content without re-running the
+    * extractor. */
   private def base(spark: SparkSession, dir: String): DataFrame =
     Memo.table(spark, dir, "curation_base") {
-      Tables.load(spark, dir, "documents")
-        .select(col("doc_id"),
-          Html.extract(Html.htmlOf(col("doc_id"), col("text"))).as("ext"))
-        .select(col("doc_id"),
-          T.langId(col("ext")).as("pred_lang"),
-          TextAnalysis.compositeScore(col("ext")).as("score"),
-          hash60(col("ext")).as("fp"))
+      enriched(Tables.load(spark, dir, "documents"))
     }
 
   /** Harness query `curation_pipeline`: per-doc manifest of the full
     * chain — predicted language, extracted-text quality score,
     * per-language quality-cut flag, extracted-content dedup-keeper
-    * flag, 90/5/5 split, and the final `selected` verdict
-    * (quality-kept AND keeper). */
+    * flag, 90/5/5 split, and the final `selected` verdict: the
+    * TRAINING-selection decision (keeper AND split = 'train') — the
+    * row set a training run actually reads, distinct from the keeper
+    * flag (val/test keepers stay unselected so eval sets never leak
+    * into training). */
   def curationPipeline(spark: SparkSession, dir: String,
       keep: Double = KeepFrac): DataFrame = {
-    val b = base(spark, dir)
+    val b = base(spark, dir).select("doc_id", "pred_lang", "score", "fp")
     val cut = RankCut.topFlag(b, "pred_lang", "score", "doc_id",
       n => floor(lit(1.0) + lit(keep) * (n - 1)), "quality_kept")
     val keepers = cut.filter(col("quality_kept"))
@@ -71,14 +87,81 @@ object Curation {
     // left join: an fp with no quality-kept member has keep_id null;
     // quality_kept=false AND null = false (never null) on both engines
     cut.join(keepers, Seq("fp"), "left")
+      .withColumn("dedup_keeper",
+        col("quality_kept") && col("doc_id") === col("keep_id"))
+      .withColumn("split",
+        Sampling.splitLabel(Sampling.splitBucket(col("doc_id"))))
       .select(col("doc_id"), col("pred_lang"), col("score"),
-        col("quality_kept"),
-        (col("quality_kept") && col("doc_id") === col("keep_id"))
-          .as("dedup_keeper"),
-        Sampling.splitLabel(Sampling.splitBucket(col("doc_id")))
-          .as("split"),
-        (col("quality_kept") && col("doc_id") === col("keep_id"))
-          .as("selected"))
+        col("quality_kept"), col("dedup_keeper"), col("split"),
+        (col("dedup_keeper") && col("split") === "train").as("selected"))
+      .orderBy("doc_id")
+  }
+
+  /** MinHash exact-Jaccard verification threshold of the near-dup
+    * manifest (the [[Dedup.minhashPairs]] default). */
+  val NearDupThreshold = 0.5
+
+  /** Near-dup cluster map over the EXTRACTED text, memoized per
+    * dataset: per-row banded LSH → skew-capped buckets → verified
+    * pairs ([[Dedup.minhashPairsFrom]]) → union-find components
+    * ([[Components.connectedComponents]]). Reads `ext` off the
+    * [[base]] memo — the extractor never re-runs. Only docs appearing
+    * in ≥ 1 verified pair have a row; singletons resolve to their own
+    * id at join time. */
+  private def neardupClusters(spark: SparkSession,
+      dir: String): DataFrame =
+    Memo.table(spark, dir, "curation_neardup_clusters") {
+      val ext = base(spark, dir).select(col("doc_id"),
+        col("ext").as("text"))
+      val pairs = Dedup.minhashPairsFrom(ext, NearDupThreshold)
+      Components.connectedComponents(
+          pairs.select(col("doc_a").as("src"), col("doc_b").as("dst")))
+        .select(col("id").as("doc_id"), col("component").as("cluster_id"))
+    }
+
+  /** Harness query `curation_pipeline_neardup`: the crawl-dedup form
+    * of the manifest — instead of the exact-fingerprint keeper, the
+    * dedup stage is MinHash-banded NEAR-dup clusters over the
+    * extracted text (Lee et al. 2022's dedup norm: boilerplate-
+    * stripped near-duplicates, not just byte-identical content) with
+    * QUALITY-AWARE keeper selection: per cluster, keep the best
+    * (quality_kept first, then highest score, then lowest doc_id)
+    * member — the [[Components.dedupKeepBest]] policy with the
+    * curation score as the quality signal.
+    *
+    * 100 TB: the cluster map is a memoized parquet built once per
+    * dataset (banded LSH + union-find — no all-pairs join anywhere);
+    * the serve is the exact-fp manifest's shape plus one equi-join
+    * against that map and one BOUNDED-STATE per-cluster argmax
+    * (`max(struct(kept, score, -id))`, map-side combined — never a
+    * per-cluster row window, which a boilerplate-saturated corpus
+    * turns into one giant task). */
+  def curationPipelineNearDup(spark: SparkSession, dir: String,
+      keep: Double = KeepFrac): DataFrame = {
+    val b = base(spark, dir).select("doc_id", "pred_lang", "score")
+    val cut = RankCut.topFlag(b, "pred_lang", "score", "doc_id",
+      n => floor(lit(1.0) + lit(keep) * (n - 1)), "quality_kept")
+    val cl = cut
+      .join(neardupClusters(spark, dir), Seq("doc_id"), "left")
+      .withColumn("cluster_id", coalesce(col("cluster_id"), col("doc_id")))
+    // bounded argmax: quality-kept members beat unkept ones, then
+    // score desc, then min doc_id — lexicographic struct max, O(1)
+    // state per cluster; winner table is one row per cluster, AQE
+    // broadcasts it when small (keepBestFrom discipline: no forced
+    // broadcast off an unevaluated lineage)
+    val win = cl.groupBy("cluster_id")
+      .agg(max(struct(col("quality_kept").cast("int").as("k"),
+        col("score").as("s"), (-col("doc_id")).as("nid"))).as("b"))
+      .select(col("cluster_id"), (-col("b.nid")).as("keep_doc_id"))
+    cl.join(win, "cluster_id")
+      .withColumn("dedup_keeper",
+        col("quality_kept") && col("doc_id") === col("keep_doc_id"))
+      .withColumn("split",
+        Sampling.splitLabel(Sampling.splitBucket(col("doc_id"))))
+      .select(col("doc_id"), col("pred_lang"), col("score"),
+        col("quality_kept"), col("cluster_id"), col("dedup_keeper"),
+        col("split"),
+        (col("dedup_keeper") && col("split") === "train").as("selected"))
       .orderBy("doc_id")
   }
 }

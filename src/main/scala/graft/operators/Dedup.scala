@@ -222,6 +222,41 @@ object Dedup {
           col("jaccard"))
     }.orderBy("doc_a", "doc_b")
 
+  /** The full LSH pair pipeline over an EXPLICIT (doc_id, text) frame —
+    * the [[minhashPairs]] semantics (per-row bands → skew-capped
+    * buckets → band self-join → candidate-pruned exact-Jaccard verify)
+    * without the documents-table binding, so compositions can near-dup
+    * arbitrary derived text (the curation pipeline runs it over
+    * EXTRACTED main content). NOT memoized — callers that reuse the
+    * pair set materialize it themselves (the curation cluster map
+    * does). The bands and the candidate set are scratch-materialized:
+    * bands feed the cap aggregate AND both self-join sides, candidates
+    * feed the verify's id-prune collect AND the verify join — uncached,
+    * each would re-run the shingle pipeline per consumer. */
+  private[graft] def minhashPairsFrom(docs: DataFrame,
+      threshold: Double = 0.5, maxBucket: Int = 200): DataFrame = {
+    val spark = docs.sparkSession
+    val bands = Memo.scratch(spark, "pairs_from_bands") {
+      minhashBandsPerRow(docs)
+    }
+    val big = bands.groupBy("band_id", "band_key")
+      .agg(count(lit(1)).as("bs")).filter(col("bs") > maxBucket)
+      .select("band_id", "band_key")
+    val capped = bands
+      .join(broadcast(big), Seq("band_id", "band_key"), "left_anti")
+    val cand = Memo.scratch(spark, "pairs_from_cand") {
+      capped.as("a")
+        .join(capped.as("b"), Seq("band_id", "band_key"))
+        .filter(col("a.doc_id") < col("b.doc_id"))
+        .select(col("a.doc_id").as("new_id"),
+          col("b.doc_id").as("corpus_id"))
+        .distinct()
+    }
+    verifyCandidatesFrom(cand, docs, docs, threshold)
+      .select(col("new_id").as("doc_a"), col("corpus_id").as("doc_b"),
+        col("jaccard"))
+  }
+
   /** Per-ROW band computation — the stream-safe twin of
     * [[minhashBandTable]]: the 64 min-hashes are higher-order-function
     * minima over the row's own shingle array (`array_min(transform(…))`)

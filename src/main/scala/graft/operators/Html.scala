@@ -151,6 +151,13 @@ object Html {
       "(?s)<!--.*")
   }
 
+  // the oracle splices these verbatim into single-quoted DuckDB SQL
+  // literals — a quote would corrupt the SQL, a backslash would fork
+  // Java-vs-RE2 escape semantics at splice time
+  require(ScrubPatterns.forall(p =>
+    !p.contains("'") && !p.contains("\\")),
+    "ScrubPatterns must stay quote- and backslash-free (oracle splice)")
+
   /** PUBLIC SEAM, step 0: remove `<script>`/`<style>` element CONTENT
     * and `<!-- -->` comments from a raw html column. Tag-strip alone
     * would count JavaScript/CSS bodies as content chars, and a JS

@@ -54,9 +54,12 @@ class CurationSpec extends AnyFunSuite {
         assert(out(0L).getBoolean(4), "min-id dup must be the keeper")
         assert(!out(21L).getBoolean(4), "non-min dup must not keep")
       }
-      // selected ≡ quality_kept AND dedup_keeper, and keeper ⇒ kept
+      // selected ≡ dedup_keeper AND split = 'train' (the training-
+      // selection verdict — val/test keepers stay unselected), and
+      // keeper ⇒ kept
       out.values.foreach { r =>
-        assert(r.getBoolean(6) == (r.getBoolean(3) && r.getBoolean(4)))
+        assert(r.getBoolean(6) ==
+          (r.getBoolean(4) && r.getString(5) == "train"))
         assert(!r.getBoolean(4) || r.getBoolean(3))
       }
       // split is the 90/5/5 hash label — a pure function of doc_id
@@ -64,6 +67,59 @@ class CurationSpec extends AnyFunSuite {
         assert(Set("train", "val", "test").contains(r.getString(5))) }
       // deterministic replay
       val again = graft.operators.Curation.curationPipeline(spark, dir)
+        .collect().map(r => r.getLong(0) -> r.toString).toMap
+      out.foreach { case (id, r) => assert(again(id) == r.toString) }
+    } finally org.apache.commons.io.FileUtils
+      .deleteDirectory(new java.io.File(dir))
+  }
+
+  test("near-dup manifest clusters NON-identical extracted text and " +
+      "picks the QUALITY-aware keeper, not the min id") {
+    // EXACTLY 24 tokens = two full ≥25-char paragraphs in the page
+    // frame (a trailing short paragraph would be dropped by the
+    // length rule and silently re-identify the pair)
+    val en = "the cat and the dog walk to the park and it is fine " +
+      "that they do for the day is long and the sun"
+    val para1 = "the cat and the dog walk to the park and it is"
+    val rows = Seq(
+      // near-dup pair: doc 21 re-appends the first paragraph —
+      // different fingerprint (exact dedup would NOT group them),
+      // shingle jaccard ≈ 0.92, and a strictly HIGHER stopword-ratio
+      // score (the repeated paragraph is stopword-denser than the
+      // average)
+      (0L, en, "en"), (21L, en + " " + para1, "en"),
+      // far-away en doc: pads the en group to n=3 so k=2 keeps BOTH
+      // pair members — the keeper choice then separates quality-aware
+      // (21) from min-id (0)
+      (8L, "a cat walks alone to a quiet park while birds sing " +
+        "songs of morning in a tree", "en"),
+      (5L, "der hund und die katze ist von zu mit den ein der die " +
+        "das und ist von zu mit den ein der die das und ist von", "de"))
+    val dir = fixture(rows)
+    try {
+      val out = graft.operators.Curation
+        .curationPipelineNearDup(spark, dir)
+        .collect().map(r => r.getLong(0) -> r).toMap
+      assert(out.size == rows.size)
+      // the near-dup pair lands in ONE cluster (min-id component)
+      assert(out(0L).getLong(4) == out(21L).getLong(4))
+      // singletons resolve to their own id
+      assert(out(8L).getLong(4) == 8L && out(5L).getLong(4) == 5L)
+      // en kept law: n=3 → k=2 (docs 0 and 21; the sparse-stopword
+      // doc 8 scores lowest) — and the keeper is the HIGHER-scoring
+      // member 21, which a min-id policy would never pick
+      assert(out(0L).getBoolean(3) && out(21L).getBoolean(3))
+      assert(out(21L).getBoolean(5), "best-quality member must keep")
+      assert(!out(0L).getBoolean(5), "min-id member must NOT keep")
+      // laws: keeper ⇒ kept; selected ≡ keeper AND split = 'train'
+      out.values.foreach { r =>
+        assert(!r.getBoolean(5) || r.getBoolean(3))
+        assert(r.getBoolean(7) ==
+          (r.getBoolean(5) && r.getString(6) == "train"))
+      }
+      // deterministic replay
+      val again = graft.operators.Curation
+        .curationPipelineNearDup(spark, dir)
         .collect().map(r => r.getLong(0) -> r.toString).toMap
       out.foreach { case (id, r) => assert(again(id) == r.toString) }
     } finally org.apache.commons.io.FileUtils

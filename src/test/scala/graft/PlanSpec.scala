@@ -271,6 +271,28 @@ class PlanSpec extends AnyFunSuite {
       s"non-bucketed row rank in curation plan:\n${ranks.mkString("\n")}")
   }
 
+  test("curation_pipeline_neardup serves from the memoized base + " +
+      "cluster map: no re-extraction, keeper via bounded argmax, " +
+      "no per-cluster row window") {
+    val p = planOf("curation_pipeline_neardup")
+    // the extractor/shingle pipeline lives in the once-per-dataset
+    // memo builds (base + cluster map); regexp machinery in the SERVE
+    // plan means a branch re-runs it per consumer
+    assert(!p.contains("regexp_replace") && !p.contains("regexp_extract"),
+      s"curation_pipeline_neardup re-runs the extractor in serve:\n$p")
+    assert(!p.contains("GlobalLimit") && !p.contains("TakeOrdered"), p)
+    // keeper selection is the bounded-state argmax (dedup_keep_best
+    // discipline) — a per-cluster row_number window is one giant task
+    // on a boilerplate-saturated corpus; the only row ranks allowed
+    // are RankCut's id-bucket-bounded tie cuts
+    assert(p.contains("partial_max"),
+      s"neardup keeper lost the map-side-combined argmax:\n$p")
+    val ranks = """row_number\(\) windowspecdefinition\([^\n]*"""
+      .r.findAllIn(p).toList
+    assert(ranks.forall(_.contains("db#")),
+      s"non-bucketed row rank in neardup curation plan:\n${ranks.mkString("\n")}")
+  }
+
   test("dedup_keep_best picks keepers without ANY window: bounded argmax " +
       "aggregate + broadcast join") {
     val p = planOf("dedup_keep_best")
