@@ -160,6 +160,18 @@ object KillProbe {
         val wantAnn = Similarity.ivfTopKTrained(spark, sf, iters = 2)
           .collect().map(_.toString).toSeq
         require(gotAnn == wantAnn, "served ANN diverged from batch rebuild")
+        // curation enrichment store: a kill between the batch-keyed
+        // overwrite and the checkpoint commit must leave the redelivered
+        // batch rewriting its own subdir — the store equals the batch
+        // projection over every streamed doc, no dup/partial rows
+        val gotCur = streaming.StreamingBackfill
+          .curationDocs(spark, s"$work/corpus")
+          .collect().map(_.toString).sorted.toSeq
+        val wantCur = graft.operators.Curation
+          .enriched(docs.filter(!corpusPred))
+          .collect().map(_.toString).sorted.toSeq
+        require(gotCur == wantCur,
+          "curation enrichment store diverged from the batch projection")
         println("KILLPROBE_OK")
 
       // ---------------------------------------------- churn loop family

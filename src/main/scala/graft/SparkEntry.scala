@@ -174,6 +174,7 @@ object SparkEntry {
     "quality_classifier_frac" -> ((s: SparkSession, d: String) => TextAnalysis.qualityClassifierFrac(s, d)),
     "span_scrub"         -> ((s: SparkSession, d: String) => Dedup.spanScrub(s, d)),
     "html_extract"       -> ((s: SparkSession, d: String) => Html.htmlExtract(s, d)),
+    "html_extract_hostile" -> ((s: SparkSession, d: String) => Html.htmlExtractHostile(s, d)),
     "html_boilerplate_stats" -> ((s: SparkSession, d: String) => Html.htmlBoilerplateStats(s, d)),
     "curation_pipeline"  -> ((s: SparkSession, d: String) => Curation.curationPipeline(s, d)),
     "curation_pipeline_neardup" -> ((s: SparkSession, d: String) => Curation.curationPipelineNearDup(s, d)),
@@ -419,24 +420,81 @@ object SparkEntry {
     * includes \x0B, RE2's does not); regexp_replace carries 'g'
     * (DuckDB is first-match by default, Spark is global). Ends in
     * `hblk(doc_id, source, blocks: struct(txt, ll)[])`. */
-  private def dHtmlCtes: String = {
-    // the scrub chain interpolates Html.ScrubPatterns verbatim (the
-    // engine's literal strings — ONE source of truth); spliced by
-    // token replacement because the surrounding CTE block must stay a
-    // RAW string (its regex literals rely on un-processed backslashes,
-    // which an s-interpolator would consume)
-    val scrubExpr = graft.operators.Html.ScrubPatterns
-      .foldLeft("h")((acc, p) => s"regexp_replace($acc, '$p', ' ', 'g')")
-    dHtmlCtesRaw.replace("GRAFT_SCRUB_EXPR", scrubExpr)
-  }
-
-  private def dHtmlCtesRaw: String =
+  /** The shared hdoc CTE: per-doc id/source/tokens both page frames
+    * synthesize from. RAW string — its whitespace class relies on
+    * un-processed backslashes. */
+  private def dHtmlDocCte: String =
     """hdoc AS (
            SELECT doc_id, source, coalesce(doc_id, 0) AS hid,
                   list_filter(string_split_regex(coalesce(text, ''),
                       '[ \t\n\r]+'), x -> len(x) > 0) AS ts
-           FROM documents),
-         hpage0 AS (
+           FROM documents)"""
+
+  /** The ~12-token `<p>` paragraph expression over `ts` — the content
+    * half of BOTH frames (twin of Html.parasOf). The coalesce is
+    * LOAD-BEARING: duck array_to_string([]) is NULL and concat_ws
+    * SKIPS it, Spark array_join([]) is '' and concat_ws keeps it —
+    * without it a zero-token doc's page is one newline shorter on the
+    * oracle and offset-sensitive rules fork (ADVICE r15: doc 1006
+    * boiler_chars 88 vs 89). */
+  private def dHtmlParasSql: String =
+    """coalesce(array_to_string(
+                 CASE WHEN len(ts) = 0 THEN []
+                 ELSE ['<p>' ||
+                         array_to_string(ts[i*12+1 : i*12+12], ' ')
+                         || '</p>'
+                       for i in range(0, (len(ts)+11)//12)] END,
+                 chr(10)), '')"""
+
+  /** The extraction tail (scrub → segment → strip/measure) reading a
+    * `hpage(doc_id, source, h)` CTE — ONE definition for the standard
+    * and hostile frames. The scrub chain interpolates
+    * Html.ScrubPatterns verbatim (the engine's literal strings — ONE
+    * source of truth); spliced by token replacement because the block
+    * must stay a RAW string (its regex literals rely on un-processed
+    * backslashes, which an s-interpolator would consume). */
+  private def dHtmlTail: String = {
+    val scrubExpr = graft.operators.Html.ScrubPatterns
+      .foldLeft("h")((acc, p) => s"regexp_replace($acc, '$p', ' ', 'g')")
+    dHtmlTailRaw.replace("GRAFT_SCRUB_EXPR", scrubExpr)
+  }
+
+  private def dHtmlCtes: String =
+    s"""$dHtmlDocCte,
+         $dHtmlStdFrameCtes,
+         $dHtmlTail"""
+
+  /** Hostile-markup oracle chain — twin of Html.htmlHostileOf: quoted
+    * `>` in attributes, mixed-case script, CDATA / uppercase-anchor /
+    * unclosed-comment variants by doc_id mod 3, entity references, a
+    * trailing unclosed `<p>` — through the IDENTICAL extraction
+    * tail. */
+  private def dHtmlHostileCtes: String =
+    s"""$dHtmlDocCte,
+         hpage AS (
+           SELECT doc_id, source,
+             concat_ws(chr(10),
+               '<html><body>',
+               '<H1 title="Doc > ' || hid || '" class="t">' ||
+                 'Hostile Document ' || hid || '</H1>',
+               '<SCRIPT type="a>b">var p = "</p>"; ' ||
+                 'track("</div>");</SCRIPT>',
+               $dHtmlParasSql,
+               CASE ((hid % 3) + 3) % 3
+                 WHEN 0 THEN '<![CDATA[cdata block <p>not a ' ||
+                   'paragraph</p> raw text]]>'
+                 WHEN 1 THEN '<DIV class="x>y"><A TITLE="a>b" ' ||
+                   'HREF="/x">anchor &amp; entity</A></DIV>'
+                 ELSE '<!-- unclosed template comment drops to ' ||
+                   'end of page'
+               END,
+               '<p>trailing unclosed &amp; 5 &gt; 3',
+               '</body></html>') AS h
+           FROM hdoc),
+         $dHtmlTail"""
+
+  private def dHtmlStdFrameCtes: String =
+    s"""hpage0 AS (
            SELECT doc_id, source, hid,
              concat_ws(chr(10),
                '<html><head><title>d</title></head><body>',
@@ -450,20 +508,7 @@ object SparkEntry {
                  ['<li><a href="/s' || i || '">sec ' || i || '</a></li>'
                   for i in range(1, 4 + ((hid % 4) + 4) % 4)], '')
                  || '</ul></nav>',
-               -- coalesce is LOAD-BEARING: duck array_to_string([])
-               -- is NULL and concat_ws SKIPS it, Spark array_join([])
-               -- is '' and concat_ws keeps it — without it a
-               -- zero-token doc's page is one newline shorter on the
-               -- oracle and the ¾-truncation (doc_id ≡ 3 mod 17) cuts
-               -- at a forked offset (ADVICE r15: doc 1006
-               -- boiler_chars 88 vs 89)
-               coalesce(array_to_string(
-                 CASE WHEN len(ts) = 0 THEN []
-                 ELSE ['<p>' ||
-                         array_to_string(ts[i*12+1 : i*12+12], ' ')
-                         || '</p>'
-                       for i in range(0, (len(ts)+11)//12)] END,
-                 chr(10)), ''),
+               $dHtmlParasSql,
                '<!-- rendered by example corp template v2 -->',
                '<div><a href="/buy">Buy now best deals click here ' ||
                  'limited offer</a></div>',
@@ -477,8 +522,10 @@ object SparkEntry {
              CASE WHEN ((hid % 17) + 17) % 17 = 3
                   THEN substr(h, 1, CAST((len(h)*3)//4 AS INT))
                   ELSE h END AS h
-           FROM hpage0),
-         hscrub AS (
+           FROM hpage0)"""
+
+  private def dHtmlTailRaw: String =
+    """hscrub AS (
            SELECT doc_id, source,
              GRAFT_SCRUB_EXPR AS h
            FROM hpage),
@@ -497,6 +544,30 @@ object SparkEntry {
                            '[ \t\n\r]+', ' ', 'g'))))), 0) AS BIGINT)))
                AS blocks
            FROM hscrub)"""
+
+  /** The per-doc extraction-metrics SELECT over an hblk CTE chain —
+    * ONE definition for the standard and hostile frame oracles (twin
+    * of Html.extractMetrics). */
+  private def dHtmlExtractSql(ctes: String): String =
+    s"""WITH $ctes
+         SELECT doc_id,
+                CAST(len(list_filter(blocks,
+                  b -> len(b.txt) > 0)) AS BIGINT) AS n_blocks,
+                CAST(len(list_filter(blocks,
+                  b -> $dHtmlContent)) AS BIGINT) AS n_content,
+                CAST(coalesce(list_sum(list_transform(
+                  list_filter(blocks, b -> $dHtmlContent),
+                  b -> len(b.txt))), 0) AS BIGINT) AS content_chars,
+                CAST(coalesce(list_sum(list_transform(
+                  list_filter(blocks,
+                    b -> len(b.txt) > 0 AND NOT ($dHtmlContent)),
+                  b -> len(b.txt))), 0) AS BIGINT) AS boiler_chars,
+                ${dH60("coalesce(array_to_string(list_transform(" +
+                  s"list_filter(blocks, b -> $dHtmlContent), " +
+                  // duck array_to_string([]) is NULL, Spark
+                  // array_join([]) is '' (null-gate finding)
+                  "b -> b.txt), chr(10)), '')")} AS extract_h
+         FROM hblk ORDER BY doc_id"""
 
   /** The content-block predicate over an hblk struct `b` — the ONE
     * definition both html oracle rows classify with. */
@@ -651,9 +722,17 @@ object SparkEntry {
                          round(logratio + gumbel, 8) AS sel_key
                   FROM dsel WHERE round(logratio + gumbel, 8) IS NOT NULL)"""
 
-  private def dDsirCtes: String = {
-    val tgt = graft.operators.Sampling.DsirTargets
-      .map(s => s"'$s'").mkString(", ")
+  /** The DSIR target predicate as SQL. */
+  private def dDsirTgt: String = graft.operators.Sampling.DsirTargets
+    .map(s => s"'$s'").mkString(", ")
+
+  /** The shared DSIR LM-fit CTE prefix: hashed unigram+bigram
+    * features over the FULL corpus → per-bucket target/raw counts →
+    * totals. Consumed by the selection oracles (dDsirCtes) AND the
+    * classifier's dense-feature chain (dQcCtes) — one definition so
+    * the two can never fit drifting LMs. Ends in `dfeat(doc_id,
+    * source, b)`, `dstat(b, ct, cr)`, `dtot(nt, nr)`. */
+  private def dDsirStatCtes: String = {
     val b = graft.operators.Sampling.DsirBuckets
     s"""toks AS (SELECT doc_id, source, $dToks AS ts FROM documents),
        dfeat AS (SELECT doc_id, source,
@@ -662,21 +741,34 @@ object SparkEntry {
                          unnest(list_concat(ts, ${dShinglesN(2)})) AS f
                        FROM toks)),
        dstat AS (SELECT b,
-                   CAST(sum(CASE WHEN coalesce(source IN ($tgt), false)
+                   CAST(sum(CASE WHEN coalesce(source IN ($dDsirTgt), false)
                             THEN 1 ELSE 0 END) AS BIGINT) AS ct,
-                   CAST(sum(CASE WHEN coalesce(source IN ($tgt), false)
+                   CAST(sum(CASE WHEN coalesce(source IN ($dDsirTgt), false)
                             THEN 0 ELSE 1 END) AS BIGINT) AS cr
                  FROM dfeat GROUP BY b),
        dtot AS (SELECT CAST(sum(ct) AS BIGINT) AS nt,
-                       CAST(sum(cr) AS BIGINT) AS nr FROM dstat),
+                       CAST(sum(cr) AS BIGINT) AS nr FROM dstat)"""
+  }
+
+  /** The per-feature round-8 log-ratio expression over a
+    * dstat×dtot-joined row — the ONE arithmetic both per-doc sums
+    * (selection dper, classifier qdper) feed to the exact decimal
+    * hop. */
+  private def dDsirLogRatioExpr: String = {
+    val b = graft.operators.Sampling.DsirBuckets
+    s"""round(ln(
+         (CAST(ct+1 AS DOUBLE) * CAST(nr+$b AS DOUBLE)) /
+         (CAST(cr+1 AS DOUBLE) * CAST(nt+$b AS DOUBLE))), 8)"""
+  }
+
+  private def dDsirCtes: String = {
+    val tgt = dDsirTgt
+    s"""$dDsirStatCtes,
        dpool AS (SELECT doc_id FROM documents
                  WHERE NOT coalesce(source IN ($tgt), false)),
        dper AS (SELECT doc_id, count(*) AS n_feats,
-                  CAST(CAST(sum(${dExactDec(
-                    s"""round(ln(
-                      (CAST(ct+1 AS DOUBLE) * CAST(nr+$b AS DOUBLE)) /
-                      (CAST(cr+1 AS DOUBLE) * CAST(nt+$b AS DOUBLE))), 8)"""
-                  )}) AS VARCHAR) AS DOUBLE) AS w
+                  CAST(CAST(sum(${dExactDec(dDsirLogRatioExpr)})
+                    AS VARCHAR) AS DOUBLE) AS w
                 FROM dfeat JOIN dstat USING (b) CROSS JOIN dtot
                 WHERE NOT coalesce(source IN ($tgt), false)
                 GROUP BY doc_id),
@@ -869,21 +961,40 @@ object SparkEntry {
            SELECT w.b, w.w - $eta*(coalesce(g.g, 0.0)/n) AS w
            FROM $prev w LEFT JOIN g$t g USING (b) CROSS JOIN qn)"""
     }
-    s"""qdocs AS (
+    s"""$dDsirStatCtes,
+         -- all-docs DSIR avg log-ratio: the classifier's dense
+         -- stacked feature (the dper shape WITHOUT the pool filter)
+         qdper AS (SELECT doc_id, count(*) AS n_feats,
+                     CAST(CAST(sum(${dExactDec(dDsirLogRatioExpr)})
+                       AS VARCHAR) AS DOUBLE) AS w
+                   FROM dfeat JOIN dstat USING (b) CROSS JOIN dtot
+                   GROUP BY doc_id),
+         qalr AS (SELECT d.doc_id,
+                    CASE WHEN coalesce(n_feats, 0) = 0 THEN 0.0
+                         ELSE w / n_feats END AS alr
+                  FROM documents d LEFT JOIN qdper USING (doc_id)),
+         qdocs AS (
            SELECT doc_id,
                   CASE WHEN coalesce(source IN ($tgt), false)
                        THEN 1.0 ELSE 0.0 END AS y,
                   $dToks AS ts
            FROM documents),
-         qtok AS (SELECT doc_id, unnest(ts) AS token, len(ts) AS nt
-                  FROM qdocs),
+         -- the DSIR feature family: unigrams + word bigrams, hashed
+         -- with multiplicity (same list_concat shape dfeat proves)
+         qfs AS (SELECT doc_id,
+                        list_concat(ts, ${dShinglesN(2)}) AS fs
+                 FROM qdocs),
+         qtok AS (SELECT doc_id, unnest(fs) AS token, len(fs) AS nt
+                  FROM qfs),
          qtf AS (SELECT doc_id, (${dH60("'qc:'||token")} % $b) AS b,
                         CAST(count(*) AS DOUBLE) /
                           CAST(min(nt) AS DOUBLE) AS x
                  FROM qtok GROUP BY 1, 2),
          qfeat AS (SELECT doc_id, b, x FROM qtf
                    UNION ALL
-                   SELECT doc_id, $b AS b, 1.0 AS x FROM qdocs),
+                   SELECT doc_id, $b AS b, 1.0 AS x FROM qdocs
+                   UNION ALL
+                   SELECT doc_id, ${b + 1} AS b, alr AS x FROM qalr),
          qlab AS (SELECT doc_id, y FROM qdocs),
          qn AS (SELECT CAST(count(*) AS DOUBLE) AS n,
                        CAST(sum(y) AS DOUBLE) AS npos FROM qdocs),
@@ -898,7 +1009,7 @@ object SparkEntry {
                 END AS bias0 FROM qn),
          w0 AS (SELECT i AS b,
                   CASE WHEN i = $b THEN bias0 ELSE 0.0 END AS w
-                FROM range(0, ${b + 1}) t(i) CROSS JOIN qp),
+                FROM range(0, ${b + 2}) t(i) CROSS JOIN qp),
          ${(1 to iters).map(iter).mkString(",\n         ")},
          zf AS (SELECT f.doc_id,
                   CAST(CAST(sum(${exact("w*x")}) AS VARCHAR) AS DOUBLE)
@@ -3418,26 +3529,10 @@ object SparkEntry {
     // deterministic page frame, then segment/strip/classify with pure
     // string+integer rules — link density is the integer compare
     // 3·ll < len, no floating point anywhere in the per-doc path
-    "html_extract" ->
-      s"""WITH $dHtmlCtes
-         SELECT doc_id,
-                CAST(len(list_filter(blocks,
-                  b -> len(b.txt) > 0)) AS BIGINT) AS n_blocks,
-                CAST(len(list_filter(blocks,
-                  b -> $dHtmlContent)) AS BIGINT) AS n_content,
-                CAST(coalesce(list_sum(list_transform(
-                  list_filter(blocks, b -> $dHtmlContent),
-                  b -> len(b.txt))), 0) AS BIGINT) AS content_chars,
-                CAST(coalesce(list_sum(list_transform(
-                  list_filter(blocks,
-                    b -> len(b.txt) > 0 AND NOT ($dHtmlContent)),
-                  b -> len(b.txt))), 0) AS BIGINT) AS boiler_chars,
-                ${dH60("coalesce(array_to_string(list_transform(" +
-                  s"list_filter(blocks, b -> $dHtmlContent), " +
-                  // duck array_to_string([]) is NULL, Spark
-                  // array_join([]) is '' (null-gate finding)
-                  "b -> b.txt), chr(10)), '')")} AS extract_h
-         FROM hblk ORDER BY doc_id""",
+    "html_extract" -> dHtmlExtractSql(dHtmlCtes),
+    // hostile-markup twin: same metrics, same extraction tail, over
+    // the hostile page frame
+    "html_extract_hostile" -> dHtmlExtractSql(dHtmlHostileCtes),
     "html_boilerplate_stats" ->
       s"""WITH $dHtmlCtes,
          hm AS (SELECT source,

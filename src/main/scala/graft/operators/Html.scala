@@ -73,15 +73,13 @@ object Html {
     filter(split(coalesce(text, lit("")), "[ \t\n\r]+"),
       t => length(t) > 0)
 
-  /** Deterministic page frame around a document's text — the fixture
-    * half of the operator (both engines synthesize the identical
-    * page, then extract from it). */
-  private[graft] def htmlOf(docId: Column, text: Column): Column = {
-    val id = coalesce(docId, lit(0L))
-    // let-bind the token array (transform over a 1-element array —
-    // the wordShingles discipline: a lambda referencing an outer
-    // expression re-tokenizes per element)
-    val paras = array_join(
+  /** The document text as ~[[ParaTokens]]-token `<p>` paragraphs —
+    * the content half of BOTH page frames ([[htmlOf]],
+    * [[htmlHostileOf]]). The token array is let-bound (transform over
+    * a 1-element array — the wordShingles discipline: a lambda
+    * referencing an outer expression re-tokenizes per element). */
+  private def parasOf(text: Column): Column =
+    array_join(
       flatten(transform(array(rawTokens(text)), ts =>
         when(size(ts) === 0, array().cast("array<string>"))
           .otherwise(transform(
@@ -92,6 +90,13 @@ object Html {
               array_join(slice(ts, i * ParaTokens + 1, lit(ParaTokens)), " "),
               lit("</p>")))))),
       "\n")
+
+  /** Deterministic page frame around a document's text — the fixture
+    * half of the operator (both engines synthesize the identical
+    * page, then extract from it). */
+  private[graft] def htmlOf(docId: Column, text: Column): Column = {
+    val id = coalesce(docId, lit(0L))
+    val paras = parasOf(text)
     // script body deliberately (a) ≥ MinBlockChars after tag-strip,
     // zero link chars — WITHOUT scrub it would classify as content —
     // and (b) contains a literal "</div>" inside a JS string, which
@@ -122,6 +127,49 @@ object Html {
     when(pmod(id, lit(17L)) === 3,
       page.substr(lit(1), floor(length(page) * 3 / 4).cast("int")))
       .otherwise(page)
+  }
+
+  /** HOSTILE page frame — real-crawl markup shapes the standard frame
+    * never produces, so the tag-strip/scrub rules are ORACLE-proven on
+    * them every gate run (not just spec-asserted):
+    *
+    *  - `>` inside a QUOTED attribute (`title="Doc > 7"`,
+    *    `class="x>y"`): the tag-strip `<[^>]*>` is quote-blind and
+    *    terminates at the first `>`, leaving the attribute remainder
+    *    (`7">`) as text — wrong-ish extraction, but CONSISTENT on both
+    *    engines, and the documented cost of regex-class stripping;
+    *  - MIXED-CASE tags: `<SCRIPT>` scrubs (ASCII case classes);
+    *    `</H1>`/`</DIV>` do NOT segment (closers are lowercase
+    *    literals), so uppercase-closed blocks merge into the next
+    *    segment; an uppercase `<A TITLE=…>` anchor evades the
+    *    lowercase `<a ` link-density capture (ll = 0);
+    *  - a CDATA section (doc_id ≡ 0 mod 3): not special-cased — its
+    *    literal `</p>` segments and its tag-ish prefix strips;
+    *  - entity references (`&amp;`, `&gt;`): kept as literal text,
+    *    never decoded;
+    *  - an UNCLOSED comment after the content (doc_id ≡ 2 mod 3):
+    *    scrubs to end-of-page, eating the trailing unclosed `<p>`;
+    *  - a trailing unclosed `<p>` (other docs): no closer — rides to
+    *    the page-end segment. */
+  private[graft] def htmlHostileOf(docId: Column, text: Column): Column = {
+    val id = coalesce(docId, lit(0L))
+    val header = concat(lit("<H1 title=\"Doc > "), id,
+      lit("\" class=\"t\">Hostile Document "), id, lit("</H1>"))
+    val script = lit("<SCRIPT type=\"a>b\">var p = \"</p>\"; " +
+      "track(\"</div>\");</SCRIPT>")
+    val cdata = lit("<![CDATA[cdata block <p>not a paragraph</p> " +
+      "raw text]]>")
+    val divattr = lit("<DIV class=\"x>y\"><A TITLE=\"a>b\" " +
+      "HREF=\"/x\">anchor &amp; entity</A></DIV>")
+    val uncomment =
+      lit("<!-- unclosed template comment drops to end of page")
+    val variant = when(pmod(id, lit(3L)) === 0, cdata)
+      .when(pmod(id, lit(3L)) === 1, divattr)
+      .otherwise(uncomment)
+    concat_ws("\n",
+      lit("<html><body>"), header, script, parasOf(text), variant,
+      lit("<p>trailing unclosed &amp; 5 &gt; 3"),
+      lit("</body></html>"))
   }
 
   /** Closing block-level tags — the segmentation boundaries. Literal
@@ -192,25 +240,27 @@ object Html {
     array_join(transform(filter(blocks(html), isContent(_)),
       b => b.getField("txt")), "\n")
 
-  /** Per-doc block metrics over the synthesized harness frame:
+  /** Per-doc block metrics over a synthesized harness frame:
     * (doc_id, source, blocks). The fixture wrapper around the public
-    * [[blocks]] seam. */
-  private def blockTable(spark: SparkSession, dir: String): DataFrame =
+    * [[blocks]] seam; `frame` picks the page synthesizer
+    * ([[htmlOf]] / [[htmlHostileOf]]). */
+  private def blockTable(spark: SparkSession, dir: String,
+      frame: (Column, Column) => Column = htmlOf): DataFrame =
     Tables.load(spark, dir, "documents")
       .select(col("doc_id"), col("source"),
-        blocks(htmlOf(col("doc_id"), col("text"))).as("blocks"))
+        blocks(frame(col("doc_id"), col("text"))).as("blocks"))
 
   private def isContent(b: Column): Column =
     length(b.getField("txt")) >= MinBlockChars &&
       b.getField("ll") * 3 < length(b.getField("txt"))
 
-  /** Harness query `html_extract`: per document — nonempty block
-    * count, content-block count, exact content/boilerplate char
-    * totals, and the 60-bit fingerprint of the extracted main text
-    * (content blocks joined in page order). */
-  def htmlExtract(spark: SparkSession, dir: String): DataFrame =
-    blockTable(spark, dir)
-      .select(col("doc_id"),
+  /** The per-doc extraction metrics: nonempty block count,
+    * content-block count, exact content/boilerplate char totals, and
+    * the 60-bit fingerprint of the extracted main text (content
+    * blocks joined in page order). ONE definition for the standard
+    * and hostile frames. */
+  private def extractMetrics(bt: DataFrame): DataFrame =
+    bt.select(col("doc_id"),
         size(filter(col("blocks"),
           b => length(b.getField("txt")) > 0)).cast("long").as("n_blocks"),
         size(filter(col("blocks"), isContent(_)))
@@ -225,6 +275,19 @@ object Html {
         hash60(array_join(transform(filter(col("blocks"), isContent(_)),
           b => b.getField("txt")), "\n")).as("extract_h"))
       .orderBy("doc_id")
+
+  /** Harness query `html_extract`: [[extractMetrics]] over the
+    * standard page frame. */
+  def htmlExtract(spark: SparkSession, dir: String): DataFrame =
+    extractMetrics(blockTable(spark, dir))
+
+  /** Harness query `html_extract_hostile`: [[extractMetrics]] over
+    * the HOSTILE page frame ([[htmlHostileOf]]) — quoted-attribute
+    * `>`, CDATA, mixed-case/unclosed tags and entity references flow
+    * through the identical scrub/segment/strip/classify rules and are
+    * hash-compared against the oracle's replay every run. */
+  def htmlExtractHostile(spark: SparkSession, dir: String): DataFrame =
+    extractMetrics(blockTable(spark, dir, htmlHostileOf))
 
   /** Harness query `html_boilerplate_stats`: per-source boilerplate
     * fraction — the corpus-health report a curation run reads before

@@ -586,8 +586,15 @@ object Sampling {
       dsirWeightedUncached(spark, dir)
     }
 
-  private def dsirWeightedUncached(spark: SparkSession,
-      dir: String): DataFrame = {
+  /** The DSIR scoring core: fit the two bucket LMs over the FULL
+    * corpus, then per-doc decimal-exact log-ratio sums — over the
+    * pool only (the selection path) or over EVERY document (the
+    * classifier's stacked dense feature). One definition so the two
+    * scorers can never observe drifting LM fits. Returns
+    * (doc_id, n_feats nullable, w nullable) — docs with no features
+    * left-join to null. */
+  private def dsirScoredDocs(spark: SparkSession, dir: String,
+      poolOnly: Boolean): DataFrame = {
     val docs = Tables.load(spark, dir, "documents")
     val feats = dsirFeatures(docs)
     val stats = feats.groupBy("b").agg(
@@ -598,8 +605,11 @@ object Sampling {
       // re-runs the corpus feature-explode scan (3 scans instead of 2)
       .localCheckpoint()
     val totals = stats.agg(sum("ct").as("nt"), sum("cr").as("nr"))
-    val pool = docs.filter(!dsirIsTarget(col("source")))
-    val perDoc = feats.filter(!dsirIsTarget(col("source")))
+    val base = if (poolOnly) docs.filter(!dsirIsTarget(col("source")))
+      else docs
+    val scored = if (poolOnly) feats.filter(!dsirIsTarget(col("source")))
+      else feats
+    val perDoc = scored
       .join(broadcast(stats), "b")
       .crossJoin(broadcast(totals))
       .groupBy("doc_id")
@@ -607,7 +617,31 @@ object Sampling {
         graft.functions.DecimalConv.decSumStr(
           dsirLogRatio(col("ct"), col("cr"),
             col("nt"), col("nr"))).as("w"))
-    pool.select(col("doc_id")).join(perDoc, Seq("doc_id"), "left")
+    base.select(col("doc_id")).join(perDoc, Seq("doc_id"), "left")
+  }
+
+  /** Per-doc DSIR AVERAGE log-importance-ratio for EVERY document,
+    * target docs included — the importance-ratio signal as a bounded
+    * dense FEATURE (the CCNet move: stack the LM ratio into the
+    * learned filter) for [[TextAnalysis.qualityClassifier]]'s
+    * feature matrix. The avg (not the sum) keeps the feature on the
+    * tf-feature scale regardless of doc length; the raw IEEE quotient
+    * of two deterministic values never forks (the dsirWeighted
+    * discipline). Memoized: the classifier's GD re-reads features
+    * every iteration. */
+  private[operators] def dsirAvgLogratioAll(spark: SparkSession,
+      dir: String): DataFrame =
+    Memo.table(spark, dir,
+      s"dsir_alr_${DsirBuckets}_${DsirTargets.mkString("_")}") {
+      dsirScoredDocs(spark, dir, poolOnly = false)
+        .select(col("doc_id"),
+          when(coalesce(col("n_feats"), lit(0L)) === 0, 0.0d)
+            .otherwise(col("w") / col("n_feats")).as("alr"))
+    }
+
+  private def dsirWeightedUncached(spark: SparkSession,
+      dir: String): DataFrame =
+    dsirScoredDocs(spark, dir, poolOnly = true)
       .select(col("doc_id"),
         coalesce(col("n_feats"), lit(0L)).as("n_feats"),
         // w IS a scale-8 decimal (sum of round-8 addends), so round-8
@@ -624,7 +658,6 @@ object Sampling {
         // IEEE quotient of two deterministic doubles never forks
         when(coalesce(col("n_feats"), lit(0L)) === 0, 0.0d)
           .otherwise(col("w") / col("n_feats")).as("avg_logratio"))
-  }
 
   /** The per-feature DSIR log-ratio, round-8 on the decSum grid:
     * ln((ct+1)(nr+B) / ((cr+1)(nt+B))) with each FACTOR cast to

@@ -1021,25 +1021,45 @@ object TextAnalysis {
 
   // ================= learned quality classifier (linear probe) =========
 
-  /** Hashed-bag-of-words width for the quality probe. */
-  val QcBuckets = 64L
+  /** Hashed feature width for the quality probe. Widened 64 → 128 in
+    * r17 along with the unigram→unigram+bigram feature upgrade: at 64
+    * unigram buckets the probe's kept-set precision at 100× was a
+    * 1.12× lift over the base rate — collision-saturated features
+    * barely separated the corpus. */
+  val QcBuckets = 128L
 
   /** GD hyper-parameters as exact decimal-string literals (both
     * engines parse the identical doubles). */
   val QcEta = "0.5"
   val QcIters = 4
 
-  /** Per-doc hashed-token features x = tf/len plus a constant bias
-    * feature at bucket [[QcBuckets]] for EVERY doc (so token-less docs
-    * still score). Memoized per dataset — iterative GD re-reads the
-    * feature matrix every round (the standard persist-the-training-set
+  /** Per-doc hashed n-gram features x = tf/n_features plus a constant
+    * bias feature at bucket [[QcBuckets]] for EVERY doc (so token-less
+    * docs still score). The feature family is the DSIR map
+    * ([[graft.operators.Sampling]]): unigrams + word bigrams, hashed
+    * with multiplicity — bigrams carry the source-distinctive
+    * collocations a unigram bag at this width collision-blurs (the
+    * fastText recipe: word + bigram features) — PLUS one DENSE
+    * feature at bucket [[QcBuckets]]+1: the doc's DSIR average
+    * log-importance-ratio against the full-width (1024-bucket) LM
+    * fit ([[graft.operators.Sampling.dsirAvgLogratioAll]]). Hashing
+    * 900+ distinct n-grams into 128 buckets averages ~7 features per
+    * bucket, blurring most of the per-n-gram signal toward the base
+    * rate; the ratio feature carries the UNBLURRED aggregate (the
+    * CCNet stacking move: LM score as a classifier feature) at the
+    * cost of one extra row per doc instead of an 8× wider GD.
+    * Memoized per dataset — iterative GD re-reads the feature matrix
+    * every round (the standard persist-the-training-set
     * discipline). */
   private def qcFeatures(spark: SparkSession, dir: String): DataFrame =
-    Memo.table(spark, dir, s"qc_feats_$QcBuckets") {
+    Memo.table(spark, dir, s"qc_feats_ubd_$QcBuckets") {
       val docs = Tables.load(spark, dir, "documents")
       val toks = docs
-        .select(col("doc_id"), explode(T.tokens(col("text"))).as("token"),
-          size(T.tokens(col("text"))).as("nt"))
+        .select(col("doc_id"),
+          concat(T.tokens(col("text")),
+            T.wordShingles(col("text"), 2)).as("fs"))
+        .select(col("doc_id"), explode(col("fs")).as("token"),
+          size(col("fs")).as("nt"))
         .groupBy(col("doc_id"),
           pmod(graft.functions.Hash60.hash60(
             concat(lit("qc:"), col("token"))), lit(QcBuckets)).as("b"))
@@ -1048,7 +1068,10 @@ object TextAnalysis {
           first(col("nt")).cast("double")).as("x"))
       val bias = docs.select(col("doc_id"), lit(QcBuckets).as("b"),
         lit(1.0d).as("x"))
-      toks.unionByName(bias)
+      val dense = Sampling.dsirAvgLogratioAll(spark, dir)
+        .select(col("doc_id"), lit(QcBuckets + 1L).as("b"),
+          col("alr").as("x"))
+      toks.unionByName(bias).unionByName(dense)
     }
 
   /** Harness query `quality_classifier`: a LEARNED quality filter — a
@@ -1090,7 +1113,7 @@ object TextAnalysis {
     * [[qualityClassifierFrac]]'s kept-fraction cut) would otherwise
     * each re-run the full [[QcIters]]-round GD training. */
   private def qcScored(spark: SparkSession, dir: String): DataFrame =
-    Memo.table(spark, dir, s"qc_scored_${QcBuckets}_$QcIters") {
+    Memo.table(spark, dir, s"qc_scored_ubd_${QcBuckets}_$QcIters") {
       qcScoredUncached(spark, dir)
     }
 
@@ -1133,7 +1156,10 @@ object TextAnalysis {
       feats.join(broadcast(w), "b")
         .groupBy("doc_id")
         .agg(decSumExact(col("w") * col("x")).as("z"))
-    var w = spark.range(0L, QcBuckets + 1L)
+    // weights: QcBuckets hashed n-gram buckets + bias (at QcBuckets,
+    // initialized to the base-rate prior) + the dense DSIR-ratio
+    // feature (at QcBuckets+1, initialized to 0 like the n-grams)
+    var w = spark.range(0L, QcBuckets + 2L)
       .select(col("id").as("b"),
         when(col("id") === QcBuckets, lit(bias0))
           .otherwise(lit(0.0d)).as("w"))

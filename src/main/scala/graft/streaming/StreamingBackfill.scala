@@ -314,6 +314,28 @@ object StreamingBackfill {
       .option("recursiveFileLookup", "true")
       .parquet(s"$corpusDir/documents.parquet")
 
+  /** Replay-idempotent per-batch CURATION enrichment: the batch's
+    * [[graft.operators.Curation.enriched]] projection (extracted main
+    * text, predicted language, quality score, content fingerprint —
+    * the E17/E18 stage chain, ONE definition shared with the batch
+    * memo build) lands in a batch-keyed OVERWRITE subdirectory beside
+    * the doc store, so a streamed crawl carries curation columns at
+    * ingest latency and an at-least-once redelivered batch rewrites
+    * its own files instead of double-appending (the [[growCorpus]]
+    * doc-slice contract). */
+  private def growCuration(s: SparkSession, corpusDir: String,
+      docs: DataFrame, batchId: Long): Unit =
+    graft.operators.Curation.enriched(docs).write.mode("overwrite")
+      .parquet(s"$corpusDir/curation.parquet/batch-$batchId")
+
+  /** The curation-enrichment store read ([[growCuration]]'s layout) —
+    * schema-pinned like [[corpusDocs]]. */
+  def curationDocs(s: SparkSession, corpusDir: String): DataFrame =
+    s.read.schema("doc_id BIGINT, ext STRING, pred_lang STRING, " +
+        "score DOUBLE, fp BIGINT")
+      .option("recursiveFileLookup", "true")
+      .parquet(s"$corpusDir/curation.parquet")
+
   /** One microbatch's postings append — the foreachBatch body of
     * [[indexMaintenanceLoop]], factored out so a replay is testable as
     * the production code path: tokenize the batch ONCE into
@@ -369,10 +391,15 @@ object StreamingBackfill {
     *     doc slice to a batch-keyed overwrite subdir, the band append
     *     marker-guarded, so a replayed batch re-writes instead of
     *     double-appending), so the NEXT batch screens against this one;
-    *  3. postings append into the CHURN-schema BM25 serving index,
+    *  3. CURATION enrichment ([[growCuration]]): the batch's extract →
+    *     langid → quality-score → fingerprint projection written to a
+    *     batch-keyed overwrite subdir — a streamed crawl gets the
+    *     E17/E18 curation columns at ingest latency, stream ≡ batch by
+    *     construction (one shared definition);
+    *  4. postings append into the CHURN-schema BM25 serving index,
     *     keyed `seq = batchId` ([[appendPostingsBatch]] — replay-
     *     idempotent);
-    *  4. the batch's embeddings (via the `embedder` seam — the
+    *  5. the batch's embeddings (via the `embedder` seam — the
     *     embedding model in production, a table lookup in the harness)
     *     SEMANTICALLY SCREENED against the assignment index's CURRENT
     *     serve view ([[graft.operators.Similarity.semanticScreenFrom]]
@@ -381,7 +408,7 @@ object StreamingBackfill {
     *     report dir, report-then-append like step 1, so replay
     *     overwrites rather than doubles and admission is
     *     arrival-order-free within the batch), then
-    *  5. assigned against FROZEN centroids at O(batch·C) and appended
+    *  6. assigned against FROZEN centroids at O(batch·C) and appended
     *     into the churn-schema ANN assignment index under the same
     *     batchId keying.
     *
@@ -416,6 +443,9 @@ object StreamingBackfill {
           val docs = batch.toDF()
           applyDedupScreenBatch(s, docs, id, "full",
             corpusDir, bandIndexTable, outDir, threshold)
+          // curation columns at ingest latency — batch-keyed overwrite,
+          // so redelivery rewrites rather than doubles
+          growCuration(s, corpusDir, docs, id)
           appendPostingsBatch(s, postingsIndexTable, docs, id, buckets)
           // the embedder (the embedding model in production) runs ONCE:
           // uncached, the screen write and the index append would each

@@ -120,6 +120,51 @@ class HtmlSpec extends AnyFunSuite {
       s"U+017F lookalike tag must NOT scrub: got '${caseOut(1)}'")
   }
 
+  test("hostile markup through the public seam: quoted-attribute '>' " +
+      "truncates the tag strip, uppercase anchors evade link density, " +
+      "entities stay literal") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val para = (1 to 30).map(i => s"tok$i real").mkString(" ")
+    val df = Seq(
+      // '>' inside a quoted attribute: the quote-blind <[^>]*> strip
+      // ends at the attr's '>' — the remainder (7">) leaks into the
+      // block text. DOCUMENTED cost of regex-class stripping; the
+      // hostile oracle family hash-pins it cross-engine every run.
+      s"""<div title="a > b 7"><p>$para</p></div>""",
+      // uppercase <A> evades the lowercase '<a ' link capture: a
+      // long all-link paragraph classifies as CONTENT (ll = 0)
+      s"""<p><A HREF="/x">$para</A></p>""",
+      // entity references are never decoded
+      s"<p>$para &amp; &gt; more</p>")
+      .toDF("html")
+      .select(graft.operators.Html.extract(col("html")).as("txt"))
+    val out = df.collect().map(_.getString(0))
+    assert(out(0).contains("7\">") && out(0).contains(para),
+      s"quoted-attr '>' should leak the attr remainder: '${out(0)}'")
+    assert(out(1).contains(para),
+      s"uppercase anchor should evade ll and stay content: '${out(1)}'")
+    assert(out(2).contains("&amp;") && out(2).contains("&gt;"),
+      s"entities must stay literal: '${out(2)}'")
+
+    // the hostile FRAME: every variant produces blocks; the unclosed
+    // comment variant (id ≡ 2 mod 3) scrubs the trailing unclosed <p>
+    val dir = fixture(Seq(3L -> para, 4L -> para, 5L -> para))
+    try {
+      val r = graft.operators.Html.htmlExtractHostile(spark, dir)
+        .collect().map(x => x.getLong(0) -> x).toMap
+      assert(r.values.forall(_.getLong(1) > 0), s"no blocks: $r")
+      // all three variants keep the paragraph content
+      assert(r.values.forall(_.getLong(3) > 0), s"no content: $r")
+      // the unclosed-comment page (doc 5) loses the trailing segment
+      // to the comment scrub — strictly fewer boiler chars than the
+      // CDATA page (doc 3), which keeps cdata remnants as boiler
+      assert(r(5L).getLong(4) < r(3L).getLong(4),
+        s"comment scrub should eat the trailing text: $r")
+    } finally org.apache.commons.io.FileUtils
+      .deleteDirectory(new java.io.File(dir))
+  }
+
   test("an all-link page classifies fully boilerplate even when long") {
     // one anchor spanning a WHOLE ≥25-char paragraph (≤12 tokens so
     // synthesis keeps it in one block): length passes but link

@@ -590,6 +590,15 @@ class StreamingSpec extends AnyFunSuite {
         docs.count())
       assert(new java.io.File(s"$outDir/batch_id=0").exists())
       assert(new java.io.File(s"$outDir/batch_id=1").exists())
+      // --- curation enrichment store: stream ≡ batch over the streamed
+      // docs (extract → langid → score → fp at ingest latency; one
+      // shared definition, so this pins the PLUMBING — batch keying,
+      // schema, store layout)
+      val wantCur = graft.operators.Curation.enriched(incoming)
+        .collect().map(_.toString).sorted.toSeq
+      assert(StreamingBackfill.curationDocs(spark, corpusDir)
+        .collect().map(_.toString).sorted.toSeq === wantCur,
+        "streamed curation enrichment diverged from the batch projection")
       // --- per-batch scratches are SCOPED: a long-lived stream must
       // not accrete one scratch dir per microbatch until JVM shutdown
       // (Memo.withScratch deletes them as each batch completes)
@@ -658,6 +667,9 @@ class StreamingSpec extends AnyFunSuite {
         "replayed stream re-appended band rows past the marker guard")
       assert(IndexChurn.served(spark, postTable, Seq("token", "doc_id"))
         .count() === servedPostN, "replayed stream changed the served postings")
+      assert(StreamingBackfill.curationDocs(spark, corpusDir)
+        .collect().map(_.toString).sorted.toSeq === wantCur,
+        "replayed stream changed the curation enrichment store")
       assert(Similarity.servedTopK(spark, sf,
           IndexChurn.served(spark, assignTable, Seq("vec_id")), iters = 2)
         .collect().map(_.toString).toSeq === wantAnn,
