@@ -1025,6 +1025,30 @@ object ScaleProbe100 {
         s"build + cut/dedup/manifest, ${factor}x)")
       curationOnce(s"curation_pipeline WARM (memoized base: cut + dedup " +
         s"+ manifest only, ${factor}x)")
+      // r17: near-dup manifest — cold builds the cluster memo (per-row
+      // bands over the EXTRACTED text off the base memo + capped
+      // self-join + verify + union-find; on the 100x clone corpus the
+      // honest price is ~C(factor,2) verified pairs per clone group);
+      // warm serves one equi-join + bounded argmax off the memo
+      def curationNearDupOnce(label: String): Unit =
+        time(label) {
+          val r = operators.Curation.curationPipelineNearDup(spark, dup)
+            .agg(count(lit(1)).as("n"),
+              sum(when(col("dedup_keeper"), 1L).otherwise(0L)).as("k"),
+              countDistinct(col("cluster_id")).as("c")).head()
+          println(s"  docs: ${r.getLong(0)}, keepers: ${r.getLong(1)}, " +
+            s"clusters: ${r.getLong(2)}")
+        }
+      curationNearDupOnce(s"curation_pipeline_neardup COLD (ext-text " +
+        s"minhash + union-find cluster memo, ${factor}x)")
+      curationNearDupOnce(s"curation_pipeline_neardup WARM (memoized " +
+        s"cluster map: join + bounded argmax, ${factor}x)")
+      time(s"html_extract_hostile (${factor}x corpus, one narrow pass)") {
+        val r = operators.Html.htmlExtractHostile(spark, dup)
+          .agg(count(lit(1)).as("n"),
+            sum(col("content_chars")).as("cc")).head()
+        println(s"  docs: ${r.getLong(0)}, content ${r.getLong(1)} ch")
+      }
     }
 
     section("zipf") {
