@@ -64,7 +64,7 @@ object ScaleProbe100 {
     val fs = new org.apache.hadoop.fs.Path(dup)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
 
-    if (sections.exists(Set("dedup", "quality", "stratsplit", "docpack", "keepbest", "bloomdecon", "phash", "bpe", "bm25", "churn", "rebucket", "streamloop", "newops"))) {
+    if (sections.exists(Set("dedup", "quality", "stratsplit", "docpack", "keepbest", "bloomdecon", "phash", "bpe", "bm25", "churn", "rebucket", "streamloop", "newops", "spanq"))) {
       if (!fs.exists(new org.apache.hadoop.fs.Path(s"$dup/documents.parquet"))) {
         val docs = Tables.load(spark, sf, "documents")
         docs.crossJoin(spark.range(factor).select(col("id").as("copy")))
@@ -920,6 +920,20 @@ object ScaleProbe100 {
     // corpus once (all EM rounds are vocab-bounded), the classifier's
     // GD rounds scan the memoized feature matrix (stage count, not
     // corpus count, is the iteration cost)
+    // span_scrub probe body, shared by the newops sweep and the
+    // standalone "spanq" section (a QUIET-box re-measure without
+    // re-running the whole newops sweep — the r16 357 s vs 299 s
+    // box-noise question)
+    def spanScrubProbe(): Unit =
+      time(s"span_scrub (${factor}x corpus, O(total spans))") {
+        val r = operators.Dedup.spanScrub(spark, dup)
+          .agg(sum(col("n_removed")).as("r"), sum(col("n_kept")).as("k"))
+          .head()
+        println(s"  removed ${r.getLong(0)}, kept ${r.getLong(1)}")
+      }
+
+    section("spanq") { spanScrubProbe() }
+
     section("newops") {
       time(s"dsir_weights (${factor}x corpus: 2 feature-explode scans)") {
         val r = operators.Sampling.dsirWeighted(spark, dup)
@@ -930,12 +944,7 @@ object ScaleProbe100 {
         println(s"  selected: ${operators.Sampling.dsirSelect(spark, dup)
           .collect().length}")
       }
-      time(s"span_scrub (${factor}x corpus, O(total spans))") {
-        val r = operators.Dedup.spanScrub(spark, dup)
-          .agg(sum(col("n_removed")).as("r"), sum(col("n_kept")).as("k"))
-          .head()
-        println(s"  removed ${r.getLong(0)}, kept ${r.getLong(1)}")
-      }
+      spanScrubProbe()
       time(s"ulm train (${factor}x corpus: one corpus aggregate, " +
           "vocab-bounded EM)") {
         println(s"  vocab rows: " +
