@@ -246,17 +246,21 @@ object SparkEntry {
       graft.pipeline.Backfill.feedChecksum(graft.pipeline.Backfill.run(s, d))),
     // at-least-once compaction: feed + deterministic 10% re-delivery →
     // one row per event with its delivery count (X6 downstream dedupe).
-    // The re-delivery is an in-plan explode (×2 for selected keys), not
-    // a union of two feed builds — one scan/envelope pass, same rows.
+    // r17: the re-delivery was an in-plan explode before the identity
+    // aggregation; since the ×2 factor depends only on (entity, key) —
+    // both in the group key — it is constant per group, so multiplying
+    // the base count AFTER the aggregation yields identical rows while
+    // the agg processes 10% fewer rows and skips the Generate. The
+    // aggregation itself rides Backfill.compactRun (per-entity, JSON
+    // never shuffled — see its scaladoc; optimization guide §2.3/§2.4).
     "feed_compact"       -> ((s: SparkSession, d: String) => {
-      import org.apache.spark.sql.functions.{array, col, concat, explode, lit, pmod, typedlit, when}
-      val B = graft.pipeline.Backfill
-      val delivered = B.run(s, d)
-        .withColumn("delivery", explode(
-          when(pmod(Hash60.hash60(concat(col("entity"), lit(":"), col("key"))),
-            lit(10L)) === 0, typedlit(Seq(0, 1))).otherwise(typedlit(Seq(0)))))
-        .drop("delivery")
-      B.compactFeed(delivered)
+      import org.apache.spark.sql.functions.{col, concat, lit, pmod, when}
+      graft.pipeline.Backfill.compactRun(s, d)
+        .select(col("entity"), col("key"), col("tenant"), col("value"),
+          (col("n_deliveries") * when(
+            pmod(Hash60.hash60(concat(col("entity"), lit(":"), col("key"))),
+              lit(10L)) === 0, lit(2L)).otherwise(lit(1L)))
+            .as("n_deliveries"))
         .orderBy("entity", "key", "value")
     }),
     // wide-payload entity: nested metadata object + nullable PII through

@@ -433,6 +433,41 @@ object Backfill {
     feed.groupBy("entity", "key", "tenant", "value")
       .agg(count(lit(1)).as("n_deliveries"))
 
+  /** [[compactFeed]] over the standard [[run]] feed, restructured for
+    * the plan (r17, optimization guide §2.4/§2.3/§2.5) — result
+    * rows identical to `compactFeed(run(...))`:
+    *
+    *  - per-entity aggregation, union AFTER: compaction groups can
+    *    never span entities (`entity` is in the group key and constant
+    *    per branch), and splitting lets each branch reuse one exchange;
+    *  - each entity is hash-repartitioned by its envelope key STRING
+    *    before the envelope projection, so the group-by's clustering
+    *    requirement is already satisfied (alias-aware partitioning:
+    *    the envelope aliases that exact cast) and the 200-byte JSON
+    *    `value` column is never shuffled at all — the only exchange
+    *    carries the narrow raw payload columns (guide §8: decide over
+    *    light rows, move heavy bytes once — here the heavy JSON is
+    *    built AFTER its rows are already where they aggregate);
+    *  - the pre-spread only fires when the scan arrived as fewer
+    *    splits than the per-entity parallelism share (a small
+    *    single-file table scans as ONE task and serializes the whole
+    *    CPU-bound envelope+agg stage, guide §2.5 "input skew"); a
+    *    production source with thousands of splits skips the branch
+    *    and the group-by inserts its usual identity exchange. */
+  def compactRun(spark: SparkSession, dir: String,
+      cfg: Config = Config()): DataFrame = {
+    val share = math.max(1, spark.sparkContext.defaultParallelism /
+      math.max(1, cfg.entities.size))
+    cfg.entities.map { e =>
+      val base = cfg.source(spark, dir, e)
+      val src = if (base.rdd.getNumPartitions < share)
+        base.repartition(share, col(e.keyCol).cast("string")) else base
+      run(spark, dir, cfg.copy(entities = Seq(e), source = (_, _, _) => src))
+        .groupBy("entity", "key", "tenant", "value")
+        .agg(count(lit(1)).as("n_deliveries"))
+    }.reduce(_ unionAll _)
+  }
+
   /** Batch Kafka sink for the feed (production path; offline harness
     * writes parquet instead — zero egress). */
   def writeKafka(feed: DataFrame, brokers: String, topic: String): Unit =

@@ -395,4 +395,24 @@ class PipelineSpec extends AnyFunSuite {
       assert(got.toSeq == (0L until 100L).map(i => (i, s"v$i")))
     } finally conn.close()
   }
+
+  test("compactRun ≡ compactFeed(run): per-entity restructure is row-identical") {
+    // r17 optimization pin: compactRun splits the aggregation per entity
+    // and pre-spreads small scans by the key string; the rows (and the
+    // group counts) must be exactly those of the naive shape. Also pins
+    // the plan claim: no exchange may carry the envelope `value` column
+    // (the JSON is built after its rows are already co-located).
+    val B = graft.pipeline.Backfill
+    val naive = B.compactFeed(B.run(spark, sf))
+      .collect().map(_.toSeq).sortBy(_.mkString("|"))
+    val opt = B.compactRun(spark, sf)
+      .collect().map(_.toSeq).sortBy(_.mkString("|"))
+    assert(opt.length == naive.length)
+    assert(opt.toSeq == naive.toSeq)
+    val plan = B.compactRun(spark, sf).queryExecution.executedPlan.toString
+    val exchangesWithValue = plan.linesIterator.filter(l =>
+      l.contains("Exchange hashpartitioning") && l.contains("value#")).toSeq
+    assert(exchangesWithValue.isEmpty,
+      s"envelope JSON must not be shuffled: $exchangesWithValue")
+  }
 }
