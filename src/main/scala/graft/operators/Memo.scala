@@ -41,6 +41,34 @@ object Memo {
   private val lock = new Object
   private val perSession =
     new java.util.WeakHashMap[SparkSession, ConcurrentHashMap[String, String]]()
+  // r17: the read-side DataFrame per materialization path. A memo path
+  // is written exactly once and never rewritten (superseded keys get a
+  // FRESH path), so the resolved logical plan — whose construction
+  // costs a driver-side directory listing + parquet footer schema read
+  // per `spark.read.parquet` call — is immutable and safe to serve on
+  // every hit. Keyed inside the same per-session map machinery as the
+  // paths (an entry dies with its session); hits were the dominant
+  // driver-side cost of warm memo-served queries (tens of ms × several
+  // memo reads × every query in a pass).
+  private val readCache =
+    new java.util.WeakHashMap[SparkSession, ConcurrentHashMap[String, DataFrame]]()
+
+  private def readMemo(spark: SparkSession, path: String): DataFrame = {
+    val m = lock.synchronized {
+      var mm = readCache.get(spark)
+      if (mm == null) {
+        mm = new ConcurrentHashMap[String, DataFrame]()
+        readCache.put(spark, mm)
+      }
+      mm
+    }
+    var df = m.get(path)
+    if (df == null) {
+      df = spark.read.parquet(path)
+      m.put(path, df)
+    }
+    df
+  }
   // path → the hadoop conf it was written under: a bare `new
   // Configuration()` would lack the session's fs settings (S3A
   // credentials/endpoint, HDFS nameservices), so deletes of conf-rooted
@@ -159,6 +187,9 @@ object Memo {
         path = p
       }
     }
-    spark.read.parquet(path)
+    // one-off scratches (fresh UUID path per call) stay uncached — only
+    // the memoized tables, whose paths recur on every hit, go through
+    // the read cache
+    readMemo(spark, path)
   }
 }

@@ -31,8 +31,13 @@ import org.apache.spark.sql.functions._
   *      `id >> bucketShift`) windows — ids are unique longs, so a
   *      bucket holds ≤2^shift rows by construction, whatever the skew.
   *      A (group, bucket) histogram cumsum converts bucket-local ranks
-  *      to group ranks; whole buckets inside/outside the quota skip
-  *      ranking entirely, so at most ONE bucket per group is ranked.
+  *      to group ranks: a tied row is kept iff its bucket offset plus
+  *      its bucket-local rank fits the quota (r17: ONE ranked branch —
+  *      the former wholeIn/wholeOut/boundary 3-way split computed the
+  *      same predicate casewise and cost two extra scans+filters of
+  *      the tied set per call; each ranked partition stays ≤2^shift
+  *      rows, so ranking every tied bucket is the same O(tied) work
+  *      the placement join already pays).
   * Like docPack: ids need not be dense, only monotone — raise
   * `bucketShift` if ids are sparse enough that the tie histogram
   * (≤ groups × max_id/2^shift rows over the TIE GROUP only) gets big.
@@ -78,37 +83,33 @@ object RankCut {
     // has no threshold — all its rows flag false through the catch-all
     val joined = df.join(broadcast(thr), grp <=> col("thr_grp"), "left")
       .drop("thr_grp")
-    val above = joined.filter(score > col("thr_score"))
-      .withColumn(flagName, lit(true))
-    // catch-all complement of above∪tied (null-proof: a null score is
-    // neither > nor === any threshold, and must not vanish from the
-    // output — it is simply never in the top)
-    val below = joined.filter(
-        coalesce(score > col("thr_score"), lit(false)) === false &&
+    // every non-tied row in one branch (r17: the former above/below
+    // split cost an extra scan+filter of `joined` for the same rows):
+    // strictly-above → true; everything else that isn't tied — below,
+    // null score, null threshold (k = 0 group) — → false, via the
+    // null-proof coalesce (a null score is neither > nor === any
+    // threshold, and must not vanish from the output)
+    val notTied = joined.filter(
         coalesce(score === col("thr_score"), lit(false)) === false)
-      .withColumn(flagName, lit(false))
+      .withColumn(flagName, coalesce(score > col("thr_score"), lit(false)))
     val tied = joined.filter(score === col("thr_score"))
       .withColumn("db", shiftright(id, bucketShift))
     val wHist = Window.partitionBy(grpCol).orderBy("db")
       .rowsBetween(Window.unboundedPreceding, -1)
     val off = tied.groupBy(grpCol, "db").agg(count(lit(1)).as("bcnt"))
       .withColumn("before", coalesce(sum("bcnt").over(wHist), lit(0L)))
-      .select(grp.as("o_grp"), col("db").as("o_db"),
-        col("before"), col("bcnt"))
-    val placed = tied.join(broadcast(off),
-      grp <=> col("o_grp") && col("db") === col("o_db"))
-    val wholeIn = placed.filter(col("before") + col("bcnt") <= col("quota"))
-      .withColumn(flagName, lit(true))
-    val wholeOut = placed.filter(col("before") >= col("quota"))
-      .withColumn(flagName, lit(false))
+      .select(grp.as("o_grp"), col("db").as("o_db"), col("before"))
+    // bucket-local rank + histogram offset = group rank among ties;
+    // kept iff it fits the quota. Whole buckets inside (offset+rank
+    // always ≤ quota) or outside (offset ≥ quota ⇒ offset+rank > quota)
+    // the quota come out exactly as the former casewise branches did.
     val wBucket = Window.partitionBy(grpCol, "db").orderBy(idCol)
-    val boundary = placed
-      .filter(col("before") < col("quota") &&
-        col("before") + col("bcnt") > col("quota"))
+    val ranked = tied.join(broadcast(off),
+        grp <=> col("o_grp") && col("db") === col("o_db"))
       .withColumn("trk", row_number().over(wBucket))
-      .withColumn(flagName, col("trk") <= col("quota") - col("before"))
+      .withColumn(flagName, col("before") + col("trk") <= col("quota"))
     val out = df.columns.map(col) :+ col(flagName)
-    Seq(above, below, wholeIn, wholeOut, boundary)
+    Seq(notTied, ranked)
       .map(_.select(out.toIndexedSeq: _*))
       .reduce(_.unionAll(_))
   }
