@@ -1,6 +1,6 @@
 package graft
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
@@ -53,6 +53,22 @@ object Tables {
     * carries a user, a type and a payload. */
   def loadTimedEvents(spark: SparkSession, dir: String): DataFrame =
     load(spark, dir, "events").filter(col("ts").isNotNull)
+
+  /** Pre-spread a source that arrived as fewer scan splits than the
+    * cluster parallelism (optimization guide §2.5 "input skew": a
+    * small single-file table scans as ONE task under the 4 MB
+    * openCost floor, serializing every CPU-bound narrow map downstream
+    * — tokenize/explode/aggregate stages measured 300-900 ms on one
+    * core with 31 idle). Hash-repartitions by `key` — deterministic
+    * (content-keyed, no round-robin sort pass) and join/agg-reusable
+    * downstream. A production source with thousands of splits takes
+    * the no-op branch, so nothing is shuffled at scale. Both branches
+    * of a self-joining consumer see the SAME exchange subtree, so AQE
+    * stage reuse runs the scan once. */
+  def spread(spark: SparkSession, df: DataFrame, key: Column): DataFrame =
+    if (df.rdd.getNumPartitions < spark.sparkContext.defaultParallelism)
+      df.repartition(spark.sparkContext.defaultParallelism, key)
+    else df
 
   def load(spark: SparkSession, dir: String, name: String): DataFrame = {
     val m = loaded.synchronized {

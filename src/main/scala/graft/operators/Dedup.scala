@@ -310,10 +310,14 @@ object Dedup {
     val bf = minhashCappedBands(spark, dir, maxBucket)
     val newBands = bf.filter(col("doc_id") % 10 === 0)
     val corpusBands = bf.filter(col("doc_id") % 10 =!= 0)
-    // candidates materialize to scratch parquet: the set is consumed
-    // twice (the verify stage's id-prune collect + the verify join) and
-    // an increment must not pay the band probe twice
-    val cand = Memo.scratch(spark, "incr_cand") {
+    // candidates materialize to parquet: the set is consumed twice
+    // (the verify stage's id-prune collect + the verify join) and an
+    // increment must not pay the band probe twice. Memo.table, not
+    // scratch (r17): THIS query's batch is the deterministic %10 split
+    // of the dataset, so the candidate set is dataset-keyed and valid
+    // for the session — a true per-batch increment (the streaming
+    // loop) goes through the scratch-based two-sided form instead
+    val cand = Memo.table(spark, dir, s"incr_cand_$maxBucket") {
       newBands.as("a")
         .join(corpusBands.as("b"), Seq("band_id", "band_key"))
         .select(col("a.doc_id").as("new_id"), col("b.doc_id").as("corpus_id"))
@@ -388,7 +392,8 @@ object Dedup {
     val table = Bucketing.ensureCorpusBandIndex(spark, dir, maxBucket)
     val newBands = minhashCappedBands(spark, dir, maxBucket)
       .filter(col("doc_id") % 10 === 0)
-    val cand = Memo.scratch(spark, "incr_cand_bkt") {
+    // dataset-keyed memo, not scratch — same argument as incrementalPairs
+    val cand = Memo.table(spark, dir, s"incr_cand_bkt_$maxBucket") {
       Bucketing.incrementalProbeColocated(spark, newBands, table)
         .withColumnRenamed("doc_id", "new_id")
         .distinct()
@@ -414,7 +419,8 @@ object Dedup {
       Seq("band_id", "band_key", "doc_id"))
     val newBands = minhashCappedBands(spark, dir, maxBucket)
       .filter(col("doc_id") % 10 === 0)
-    val cand = Memo.scratch(spark, "incr_cand_chn") {
+    // dataset-keyed memo, not scratch — same argument as incrementalPairs
+    val cand = Memo.table(spark, dir, s"incr_cand_chn_$maxBucket") {
       newBands.hint("merge")
         .join(corpus.withColumnRenamed("doc_id", "corpus_id"),
           Seq("band_id", "band_key"))

@@ -54,25 +54,38 @@ object Fuzzy {
     * is always found (distance 1, or 0 when the typo'd char equaled
     * 'q') plus any genuine same-block near-collisions. */
   def fuzzyMatch(spark: SparkSession, dir: String): DataFrame = {
-    val base = Tables.load(spark, dir, "part")
+    // spread before the per-row hashing/blocking work: part arrives as
+    // one parquet split, which serialized both blocking passes on one
+    // core (r17 measurement; guide §2.5 input skew — no-op at scale)
+    val base = Tables.spread(spark,
+        Tables.load(spark, dir, "part").select("p_partkey", "p_name"),
+        col("p_partkey"))
       .filter(length(col("p_name")) >= 4)
       .select(col("p_partkey"), col("p_name"))
     val probes = base.filter(col("p_partkey") % 40 === 0)
       .select(col("p_partkey").as("probe_key"),
         typo(col("p_name")).as("probe_name"))
-    def withBlock(df: DataFrame, nameCol: String, fromEnd: Boolean) = {
+    // r17: the two blocking passes ride ONE join on an exploded,
+    // PASS-TAGGED block key — (0, prefix, len) and (1, suffix, len) —
+    // instead of two scans+joins unioned. The tag keeps the passes
+    // disjoint (a probe's prefix must not match a base row's SUFFIX
+    // block), so the candidate multiset is exactly the old union's;
+    // `distinct()` collapses pairs that matched in both passes, as the
+    // union form did. Same candidates, half the scans.
+    def withBlocks(df: DataFrame, nameCol: String) = {
       val n = col(nameCol)
-      df.withColumn("blk",
-          if (fromEnd) substring(n, -2, 2) else substring(n, 1, 2))
-        .withColumn("blk_len", length(n))
+      df.withColumn("b", explode(array(
+          struct(lit(0).as("pass"), substring(n, 1, 2).as("blk"),
+            length(n).as("blk_len")),
+          struct(lit(1).as("pass"), substring(n, -2, 2).as("blk"),
+            length(n).as("blk_len")))))
+        .select(df.columns.map(col) :+ col("b.pass").as("pass") :+
+          col("b.blk").as("blk") :+ col("b.blk_len").as("blk_len"): _*)
     }
-    def pass(fromEnd: Boolean) =
-      withBlock(probes, "probe_name", fromEnd)
-        .join(withBlock(base, "p_name", fromEnd), Seq("blk", "blk_len"))
-        .select("probe_key", "probe_name", "p_partkey", "p_name")
-    // union+distinct BEFORE the verify: each candidate pair pays the
-    // banded-DP levenshtein (O(len·k), -1 above the bound) exactly once
-    pass(fromEnd = false).union(pass(fromEnd = true)).distinct()
+    withBlocks(probes, "probe_name")
+      .join(withBlocks(base, "p_name"), Seq("pass", "blk", "blk_len"))
+      .select("probe_key", "probe_name", "p_partkey", "p_name")
+      .distinct()
       .withColumn("dist",
         levenshtein(col("probe_name"), col("p_name"), 1).cast("long"))
       .filter(col("dist") >= 0 && col("dist") <= 1)

@@ -177,13 +177,22 @@ object Retrieval {
     * broadcast; the scored→doc-length join is left to AQE (a forced
     * broadcast of the scored side would be O(matching docs) — unbounded
     * for a common term at 100 TB). */
+  /** One-row (n_docs, avgdl) BM25 stats, memoized per dataset (r17):
+    * every ranking variant re-ran the doc-length average (its own
+    * aggregate job + broadcast build) per query; the value is a
+    * corpus constant exactly like N, so it memoizes with it. The
+    * stored double is the same IEEE value the inline aggregate
+    * produced — parquet round-trips it bit-exactly. */
+  private def bm25Stats(spark: SparkSession, dir: String): DataFrame =
+    Memo.table(spark, dir, "bm25stats") {
+      corpusStats(spark, dir)
+        .crossJoin(docLengths(spark, dir).agg(avg(col("dl")).as("avgdl")))
+    }
+
   def bm25Rank(spark: SparkSession, dir: String, tf: DataFrame,
-      topK: Int): DataFrame = {
-    val dl = docLengths(spark, dir)
-    val stats = corpusStats(spark, dir)
-      .crossJoin(broadcast(dl.agg(avg(col("dl")).as("avgdl"))))
-    bm25Tail(tf, dl, broadcast(stats), topK)
-  }
+      topK: Int): DataFrame =
+    bm25Tail(tf, docLengths(spark, dir),
+      broadcast(bm25Stats(spark, dir)), topK)
 
   /** The ONE single-query BM25 scoring tail both stat sources rank
     * through (df aggregate, broadcast joins, per-doc fold, round-6,
@@ -361,8 +370,7 @@ object Retrieval {
     val allTerms = batch.flatMap(_._2).distinct
     val post = postingsTable(spark, dir).filter(col("token").isin(allTerms: _*))
     val dl = docLengths(spark, dir)
-    val stats = corpusStats(spark, dir)
-      .crossJoin(broadcast(dl.agg(avg(col("dl")).as("avgdl"))))
+    val stats = bm25Stats(spark, dir) // memoized corpus constants
     // df is query-independent: compute it BEFORE the query-term join
     // (a term shared by two queries must not double its df)
     val dfreq = post.groupBy("token").agg(count(lit(1)).as("df"))

@@ -701,11 +701,19 @@ object Sampling {
     * round-8 is identity-on-grid and fork-free, where round-6 would
     * sit on half boundaries. */
   private def dsirKeyed(spark: SparkSession, dir: String): DataFrame =
-    dsirWeighted(spark, dir) // memo read — narrow map from parquet
-      .withColumn("gumbel", gumbelKey(col("doc_id")))
-      .withColumn("sel_key", round(col("logratio") + col("gumbel"), 8))
-      .filter(col("sel_key").isNotNull)
-      .select("doc_id", "logratio", "gumbel", "sel_key")
+    // memoized WITH the 2dp bin (r17): the select-frac consumers read
+    // this four times per query (boundary histogram + the two flag
+    // branches + the boundary-bin rank), and each read re-ran the
+    // md5-based Gumbel draw per row; materialized, every consumer is a
+    // narrow parquet scan and the bin filters prune at the scan
+    Memo.table(spark, dir, "dsir_keyed") {
+      dsirWeighted(spark, dir) // memo read — narrow map from parquet
+        .withColumn("gumbel", gumbelKey(col("doc_id")))
+        .withColumn("sel_key", round(col("logratio") + col("gumbel"), 8))
+        .filter(col("sel_key").isNotNull)
+        .select("doc_id", "logratio", "gumbel", "sel_key")
+        .withColumn("bin", floor(col("sel_key") * lit(100.0d)).cast("long"))
+    }
 
   /** DSIR selection: Gumbel top-k over the pool (see [[dsirWeighted]]).
     * Literal-k form — a demo/debug convenience; production selects a
@@ -713,6 +721,7 @@ object Sampling {
     * of keepers is a driver-side bottleneck. */
   def dsirSelect(spark: SparkSession, dir: String, k: Int = 64): DataFrame =
     dsirKeyed(spark, dir)
+      .select("doc_id", "logratio", "gumbel", "sel_key") // memo's bin is internal
       .orderBy(col("sel_key").desc, col("doc_id").asc)
       .limit(k)
 
@@ -749,25 +758,26 @@ object Sampling {
     * — same total order, identical `kept` set. */
   def dsirSelectFrac(spark: SparkSession, dir: String,
       frac: Double = 0.25): DataFrame = {
-    // upstream is the memoized weight parquet, so the two consumers
-    // below (histogram + flag assembly) each pay only a narrow re-read
-    val keyed = dsirKeyed(spark, dir)
-    val binned = keyed.withColumn("bin",
-      floor(col("sel_key") * lit(100.0d)).cast("long"))
+    // upstream is the memoized keyed+binned parquet (r17: the Gumbel
+    // draw and the bin land in the memo), so every consumer below —
+    // histogram + the two flag branches — is a narrow pruned re-read
+    val binned = dsirKeyed(spark, dir)
     val out = Seq("doc_id", "logratio", "gumbel", "sel_key").map(col) :+
       col("kept")
     val boundary = fracBoundary(binned, frac)
     if (boundary.isEmpty) // empty pool: nothing to keep
-      return keyed.withColumn("kept", lit(false))
+      return binned.withColumn("kept", lit(false))
         .select(out: _*).orderBy("doc_id")
     val bStar = boundary.head.getAs[Long]("bin")
     val quota = boundary.head.getAs[Long]("quota")
-    val hi = binned.filter(col("bin") > bStar).withColumn("kept", lit(true))
-    val lo = binned.filter(col("bin") < bStar).withColumn("kept", lit(false))
+    // one branch for every non-boundary bin (r17: the former hi/lo
+    // split re-read the memo once per flag value for the same rows)
+    val rest = binned.filter(col("bin") =!= bStar)
+      .withColumn("kept", col("bin") > bStar)
     val bnd = RankCut.topFlag(
       binned.filter(col("bin") === bStar).withColumn("g", lit(0)),
       "g", "sel_key", "doc_id", _ => lit(quota), "kept")
-    Seq(hi, lo, bnd).map(_.select(out: _*))
+    Seq(rest, bnd).map(_.select(out: _*))
       .reduce(_.unionAll(_))
       .orderBy("doc_id")
   }
@@ -818,8 +828,7 @@ object Sampling {
   def dsirSelectStats(spark: SparkSession, dir: String,
       frac: Double = 0.25): DataFrame = {
     import spark.implicits._
-    val binned = dsirKeyed(spark, dir).withColumn("bin",
-      floor(col("sel_key") * lit(100.0d)).cast("long"))
+    val binned = dsirKeyed(spark, dir) // bin lives in the memo
     val rows = fracBoundary(binned, frac).map(r =>
       (r.getAs[Long]("n_bins"), r.getAs[Long]("bin"),
         r.getAs[Long]("boundary_cnt"), r.getAs[Long]("quota"),

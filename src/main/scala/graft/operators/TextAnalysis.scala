@@ -486,7 +486,13 @@ object TextAnalysis {
     * larger than the corpus, so two cheap streaming scans beat caching
     * it. */
   private def scoredTerms(spark: SparkSession, dir: String): DataFrame = {
-    val docs = Tables.load(spark, dir, "documents")
+    // spread before the tokenize: the tf and df branches each pay the
+    // explode+aggregate over this scan, and a single-split source runs
+    // both on one core (r17 measurement: 2 × ~300 ms single-task
+    // stages); the shared exchange also lets AQE reuse the scan
+    val docs = Tables.spread(spark,
+      Tables.load(spark, dir, "documents").select("doc_id", "text"),
+      col("doc_id"))
     val terms = docs.select(col("doc_id"),
       explode(T.tokens(col("text"))).as("term"))
     val tf = terms.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
