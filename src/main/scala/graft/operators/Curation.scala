@@ -77,11 +77,24 @@ object Curation {
     * row set a training run actually reads, distinct from the keeper
     * flag (val/test keepers stay unselected so eval sets never leak
     * into training). */
+  /** The quality-cut flags, memoized per (dataset, keep): both manifest
+    * queries reference the cut TWICE (the keeper aggregate and the
+    * final assembly join), and uncached each reference re-ran the
+    * whole RankCut threshold/tie plan over the base memo (r17
+    * measurement: the duplicated cut dominated the serve). Materialized
+    * once, every reference is a narrow parquet read. */
+  private def qualityCut(spark: SparkSession, dir: String,
+      keep: Double): DataFrame =
+    Memo.table(spark, dir, s"curation_cut_$keep") {
+      RankCut.topFlag(
+        base(spark, dir).select("doc_id", "pred_lang", "score", "fp"),
+        "pred_lang", "score", "doc_id",
+        n => floor(lit(1.0) + lit(keep) * (n - 1)), "quality_kept")
+    }
+
   def curationPipeline(spark: SparkSession, dir: String,
       keep: Double = KeepFrac): DataFrame = {
-    val b = base(spark, dir).select("doc_id", "pred_lang", "score", "fp")
-    val cut = RankCut.topFlag(b, "pred_lang", "score", "doc_id",
-      n => floor(lit(1.0) + lit(keep) * (n - 1)), "quality_kept")
+    val cut = qualityCut(spark, dir, keep)
     val keepers = cut.filter(col("quality_kept"))
       .groupBy("fp").agg(min("doc_id").as("keep_id"))
     // left join: an fp with no quality-kept member has keep_id null;
@@ -138,9 +151,9 @@ object Curation {
     * turns into one giant task). */
   def curationPipelineNearDup(spark: SparkSession, dir: String,
       keep: Double = KeepFrac): DataFrame = {
-    val b = base(spark, dir).select("doc_id", "pred_lang", "score")
-    val cut = RankCut.topFlag(b, "pred_lang", "score", "doc_id",
-      n => floor(lit(1.0) + lit(keep) * (n - 1)), "quality_kept")
+    // same memoized cut as the exact-fp manifest (fp is just not read)
+    val cut = qualityCut(spark, dir, keep)
+      .select("doc_id", "pred_lang", "score", "quality_kept")
     val cl = cut
       .join(neardupClusters(spark, dir), Seq("doc_id"), "left")
       .withColumn("cluster_id", coalesce(col("cluster_id"), col("doc_id")))

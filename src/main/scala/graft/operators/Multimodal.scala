@@ -174,8 +174,12 @@ object Multimodal {
   def imageDecode(spark: SparkSession, dir: String,
       outW: Int = 8, outH: Int = 8): DataFrame = {
     import spark.implicits._
-    Tables.load(spark, dir, "documents")
-      .select(col("doc_id")).as[Long]
+    // spread the id scan (r17, guide §2.5): the per-row codec round
+    // trip is CPU-bound and a single-split source ran it on one core;
+    // the repartition moves only the doc_id longs. No-op at scale.
+    Tables.spread(spark,
+        Tables.load(spark, dir, "documents").select(col("doc_id")),
+        col("doc_id")).as[Long]
       .mapPartitions { it =>
         // codec objects hoisted per PARTITION, reset per item — the
         // ImageIO.write/read statics re-scan the service registry and
@@ -262,6 +266,9 @@ object Multimodal {
     * only O(1) features per clip cross the shuffle. */
   def audioDecode(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
+    // NOT spread (r17): measured 0.6 s -> 1.4 s under 32-way parallel
+    // decode — javax.sound's AudioSystem statics serialize on a
+    // provider-registry lock, so the spread only added contention
     Tables.load(spark, dir, "documents")
       .select(col("doc_id")).as[Long]
       .mapPartitions { it =>
@@ -334,8 +341,12 @@ object Multimodal {
     * features per clip cross the shuffle. */
   def videoDecode(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    Tables.load(spark, dir, "documents")
-      .select(col("doc_id")).as[Long]
+    // spread the id scan (r17, guide §2.5): the per-row codec round
+    // trip is CPU-bound and a single-split source ran it on one core;
+    // the repartition moves only the doc_id longs. No-op at scale.
+    Tables.spread(spark,
+        Tables.load(spark, dir, "documents").select(col("doc_id")),
+        col("doc_id")).as[Long]
       .mapPartitions { it =>
         val gray = Array.tabulate(256)(_.toByte)
         val cm = new java.awt.image.IndexColorModel(8, 256, gray, gray, gray)

@@ -471,7 +471,11 @@ object Similarity {
     * the literal array below is deterministic. */
   private def centroidLiterals(spark: SparkSession, dir: String,
       iters: Int): Array[(Long, Seq[Double], Double)] =
-    centroidArtifact(trainCentroids(spark, dir, iters = iters))
+    // artifact-cached (r17): every literal-probe serve re-collected the
+    // C-row centroid memo as its own job
+    Memo.artifact(spark, dir, s"cent_lit_$iters") {
+      centroidArtifact(trainCentroids(spark, dir, iters = iters))
+    }
 
   /** Collect an arbitrary centroid frame to the driver-side literal
     * artifact (the streaming loop holds its frozen codebook this way). */

@@ -264,10 +264,13 @@ class PlanSpec extends AnyFunSuite {
       s"curation_pipeline went through a driver limit:\n$p")
     // the only ROW ranking allowed is RankCut's id-bucket-bounded tie
     // cut (row_number over (…, db, doc_id)) — never a per-language
-    // corpus-wide score rank (the oracle's replay shape)
+    // corpus-wide score rank (the oracle's replay shape). r17: the cut
+    // is memoized per dataset, so the SERVE plan normally carries no
+    // rank at all (the tie cut runs once, in the memo build); any rank
+    // that does appear must still be id-bucket-bounded
     val ranks = """row_number\(\) windowspecdefinition\([^\n]*"""
       .r.findAllIn(p).toList
-    assert(ranks.nonEmpty && ranks.forall(_.contains("db#")),
+    assert(ranks.forall(_.contains("db#")),
       s"non-bucketed row rank in curation plan:\n${ranks.mkString("\n")}")
   }
 
