@@ -77,15 +77,18 @@ object Curation {
     * row set a training run actually reads, distinct from the keeper
     * flag (val/test keepers stay unselected so eval sets never leak
     * into training). */
-  /** The quality-cut flags, memoized per (dataset, keep): both manifest
-    * queries reference the cut TWICE (the keeper aggregate and the
-    * final assembly join), and uncached each reference re-ran the
-    * whole RankCut threshold/tie plan over the base memo (r17
-    * measurement: the duplicated cut dominated the serve). Materialized
-    * once, every reference is a narrow parquet read. */
+  /** The quality-cut flags, materialized ONCE PER QUERY (per-call
+    * scratch): both manifest queries reference the cut TWICE (the
+    * keeper aggregate and the final assembly join), and unmaterialized
+    * each reference re-ran the whole RankCut threshold/tie plan over
+    * the base memo (r17 measurement: the duplicated cut dominated the
+    * serve). Per-call scratch, NOT a dataset-keyed memo (r18 revert):
+    * the cut is this query's own declared computation, so every
+    * invocation must pay it once — the materialization only removes
+    * the intra-query duplication. */
   private def qualityCut(spark: SparkSession, dir: String,
       keep: Double): DataFrame =
-    Memo.table(spark, dir, s"curation_cut_$keep") {
+    Memo.scratch(spark, s"curation_cut_$keep") {
       RankCut.topFlag(
         base(spark, dir).select("doc_id", "pred_lang", "score", "fp"),
         "pred_lang", "score", "doc_id",

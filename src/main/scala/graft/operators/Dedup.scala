@@ -310,14 +310,14 @@ object Dedup {
     val bf = minhashCappedBands(spark, dir, maxBucket)
     val newBands = bf.filter(col("doc_id") % 10 === 0)
     val corpusBands = bf.filter(col("doc_id") % 10 =!= 0)
-    // candidates materialize to parquet: the set is consumed twice
-    // (the verify stage's id-prune collect + the verify join) and an
-    // increment must not pay the band probe twice. Memo.table, not
-    // scratch (r17): THIS query's batch is the deterministic %10 split
-    // of the dataset, so the candidate set is dataset-keyed and valid
-    // for the session — a true per-batch increment (the streaming
-    // loop) goes through the scratch-based two-sided form instead
-    val cand = Memo.table(spark, dir, s"incr_cand_$maxBucket") {
+    // candidates materialize to a per-call scratch parquet: the set is
+    // consumed twice (the verify stage's id-prune collect + the verify
+    // join) and an increment must not pay the band probe twice WITHIN
+    // one run — but it must pay it once per run (r18, reverting the
+    // r17 dataset-keyed memo): an incremental query's increment is new
+    // data at every real invocation, so caching its candidate set
+    // across calls measures a warm path no production increment has
+    val cand = Memo.scratch(spark, s"incr_cand_$maxBucket") {
       newBands.as("a")
         .join(corpusBands.as("b"), Seq("band_id", "band_key"))
         .select(col("a.doc_id").as("new_id"), col("b.doc_id").as("corpus_id"))
@@ -392,8 +392,9 @@ object Dedup {
     val table = Bucketing.ensureCorpusBandIndex(spark, dir, maxBucket)
     val newBands = minhashCappedBands(spark, dir, maxBucket)
       .filter(col("doc_id") % 10 === 0)
-    // dataset-keyed memo, not scratch — same argument as incrementalPairs
-    val cand = Memo.table(spark, dir, s"incr_cand_bkt_$maxBucket") {
+    // per-call scratch, not a dataset-keyed memo — same argument as
+    // incrementalPairs: the increment pays its band probe every run
+    val cand = Memo.scratch(spark, s"incr_cand_bkt_$maxBucket") {
       Bucketing.incrementalProbeColocated(spark, newBands, table)
         .withColumnRenamed("doc_id", "new_id")
         .distinct()
@@ -419,8 +420,9 @@ object Dedup {
       Seq("band_id", "band_key", "doc_id"))
     val newBands = minhashCappedBands(spark, dir, maxBucket)
       .filter(col("doc_id") % 10 === 0)
-    // dataset-keyed memo, not scratch — same argument as incrementalPairs
-    val cand = Memo.table(spark, dir, s"incr_cand_chn_$maxBucket") {
+    // per-call scratch, not a dataset-keyed memo — same argument as
+    // incrementalPairs: the increment pays its band probe every run
+    val cand = Memo.scratch(spark, s"incr_cand_chn_$maxBucket") {
       newBands.hint("merge")
         .join(corpus.withColumnRenamed("doc_id", "corpus_id"),
           Seq("band_id", "band_key"))

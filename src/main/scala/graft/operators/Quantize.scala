@@ -321,22 +321,23 @@ object Quantize {
     * times as the production ADC number. */
   def pqPackedTopKWith(spark: SparkSession, dir: String, k: Int = 10,
       iters: Int = 2, exactFold: Boolean = true): DataFrame = {
-    // artifact-cached (r17): the |Q|·M·Ksub LUT is deterministic per
-    // dataset; every serve re-ran its collect as a fresh job
+    // collected per serve (r18, reverting the r17 artifact cache): the
+    // |Q|·M·Ksub ADC lookup table is QUERY-side state — a real serve
+    // computes its LUT per query batch, so caching it per dataset
+    // measured a warm path no production serve has. The collect is one
+    // bounded job over codebook-sized data.
     val luts: Seq[(Long, Double, Seq[Seq[Double]])] =
-      Memo.artifact(spark, dir, s"pq_packed_lut_$iters") {
-        lutOf(queriesOf(emb(spark, dir)),
-            trainCodebooks(spark, dir, iters)).collect()
-          .groupBy(r => (r.getAs[Long]("q_id"), r.getAs[Double]("q_nrm")))
-          .toSeq.map { case ((q, qn), rows) =>
-            val tbl = Array.fill(M, Ksub)(0.0)
-            rows.foreach { r =>
-              tbl(r.getAs[Int]("sub"))(r.getAs[Long]("code").toInt) =
-                r.getAs[Double]("ip")
-            }
-            (q, qn, tbl.map(_.toSeq).toSeq)
-          }.sortBy(_._1)
-      }
+      lutOf(queriesOf(emb(spark, dir)),
+          trainCodebooks(spark, dir, iters)).collect()
+        .groupBy(r => (r.getAs[Long]("q_id"), r.getAs[Double]("q_nrm")))
+        .toSeq.map { case ((q, qn), rows) =>
+          val tbl = Array.fill(M, Ksub)(0.0)
+          rows.foreach { r =>
+            tbl(r.getAs[Int]("sub"))(r.getAs[Long]("code").toInt) =
+              r.getAs[Double]("ip")
+          }
+          (q, qn, tbl.map(_.toSeq).toSeq)
+        }.sortBy(_._1)
     import spark.implicits._
     val lutDf = luts.toDF("q_id", "q_nrm", "tbl")
     topKTail(pqPackedIndexTable(spark, dir, iters)
@@ -458,16 +459,16 @@ object Quantize {
     // IVF for the same query; bounded |Q|·nprobe rows, collected like
     // the LUTs
     val cents = Similarity.trainCentroids(spark, dir, iters = iters)
-    // artifact-cached (r17): bounded |Q|·nprobe pairs, one collect per
-    // dataset instead of one job per serve
-    val probePairs = Memo.artifact(spark, dir,
-        s"ivfpq_probes_${nprobe}_$iters") {
+    // collected per serve (r18, reverting the r17 artifact cache):
+    // probe assignments are QUERY-side state — real serves get new
+    // queries, so the bounded |Q|·nprobe collect is part of every
+    // serve's declared work
+    val probePairs =
       Similarity.probesOf(
           queries.select(col("vec_id").as("q_id"), col("v").as("q_v"),
             col("nrm").as("q_nrm")), cents, nprobe)
         .select("q_id", "c_id")
         .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
-    }
     val probedLists = probePairs.map(_._2).distinct
     val lut = lutOf(queries, trainCodebooks(spark, dir, iters))
     import spark.implicits._
@@ -577,14 +578,14 @@ object Quantize {
     // probesOf already emits the rounded q·centroid inner product the
     // residual decomposition needs (q·x = q·c + q·r) — same window,
     // same tie-break as every other probe path
-    val probeRows = Memo.artifact(spark, dir,
-        s"ivfpqres_probes_${nprobe}_$iters") { // r17: one collect per dataset
+    // collected per serve (r18) — query-side state, same argument as
+    // pqIvfTopK's probe pairs
+    val probeRows =
       Similarity.probesOf(
           queries.select(col("vec_id").as("q_id"), col("v").as("q_v"),
             col("nrm").as("q_nrm")), cents, nprobe)
         .select("q_id", "c_id", "qc_ip")
         .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
-    }
     val probedLists = probeRows.map(_._2).distinct
     val lut = lutOf(queries, residualCodebooks(spark, dir, iters))
     import spark.implicits._
@@ -692,14 +693,14 @@ object Quantize {
     val table = graft.sources.Bucketing.ensureIvfSq8Index(spark, dir, iters)
     val queries = queriesOf(emb(spark, dir))
     val cents = Similarity.trainCentroids(spark, dir, iters = iters)
-    val probePairs = Memo.artifact(spark, dir,
-        s"int8ivf_probes_${nprobe}_$iters") { // r17: one collect per dataset
+    // collected per serve (r18) — query-side state, same argument as
+    // pqIvfTopK's probe pairs
+    val probePairs =
       Similarity.probesOf(
           queries.select(col("vec_id").as("q_id"), col("v").as("q_v"),
             col("nrm").as("q_nrm")), cents, nprobe)
         .select("q_id", "c_id")
         .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
-    }
     val probedLists = probePairs.map(_._2).distinct
     import spark.implicits._
     val probeDf = probePairs.toDF("q_id", "c_id")
