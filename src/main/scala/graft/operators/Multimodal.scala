@@ -266,12 +266,50 @@ object Multimodal {
     * only O(1) features per clip cross the shuffle. */
   def audioDecode(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    // NOT spread (r17): measured 0.6 s -> 1.4 s under 32-way parallel
-    // decode — javax.sound's AudioSystem statics serialize on a
-    // provider-registry lock, so the spread only added contention
-    Tables.load(spark, dir, "documents")
-      .select(col("doc_id")).as[Long]
+    // spread + per-partition provider resolution (r18): r17 measured
+    // the spread alone 0.6 s -> 1.4 s because `AudioSystem.write` /
+    // `getAudioInputStream` take a synchronized provider-registry
+    // lookup PER CALL (JDK13Services) — 32 decode tasks serialized on
+    // that lock. The fix is the verdict's "resolve the provider once
+    // per executor": the same WAVE reader/writer the registry would
+    // return, resolved ONCE per partition through the public
+    // `javax.sound.sampled.spi` ServiceLoader seam, so the per-row
+    // round trip runs the real codec with no shared-lock path at all.
+    Tables.spread(spark,
+        Tables.load(spark, dir, "documents").select(col("doc_id")),
+        col("doc_id")).as[Long]
       .mapPartitions { it =>
+        import scala.jdk.CollectionConverters._
+        val wave = javax.sound.sampled.AudioFileFormat.Type.WAVE
+        val writer = java.util.ServiceLoader
+          .load(classOf[javax.sound.sampled.spi.AudioFileWriter])
+          .iterator().asScala.find(_.isFileTypeSupported(wave))
+          .getOrElse(throw new IllegalStateException("no WAVE writer SPI"))
+        // select THE reader that parses our RIFF/WAVE container by
+        // probing a one-sample WAV ONCE per partition — iterating the
+        // provider list per row would run the JDK's MIDI-backed reader
+        // (SoftMidiAudioFileReader) on every row, and ITS not-mine
+        // check re-enters the synchronized provider registry
+        // (JSSecurityManager.getProviders — measured 18k of 19k stack
+        // samples under 32-way decode); the WAVE reader itself is a
+        // stateless stream parser with no shared registry path
+        val probeWav = {
+          val fmt = new javax.sound.sampled.AudioFormat(16000f, 16, 1,
+            true, false)
+          val bos = new java.io.ByteArrayOutputStream()
+          writer.write(new javax.sound.sampled.AudioInputStream(
+            new java.io.ByteArrayInputStream(Array[Byte](0, 0)), fmt, 1L),
+            wave, bos)
+          bos.toByteArray
+        }
+        val reader = java.util.ServiceLoader
+          .load(classOf[javax.sound.sampled.spi.AudioFileReader])
+          .iterator().asScala.find { r =>
+            try { r.getAudioInputStream(
+              new java.io.ByteArrayInputStream(probeWav)); true }
+            catch { case scala.util.control.NonFatal(_) => false }
+          }.getOrElse(throw new IllegalStateException("no WAVE reader SPI"))
+        def decodeOf(in: java.io.InputStream) = reader.getAudioInputStream(in)
         it.map { id =>
           val rate = 16000
           val n = (400 + id % 1600).toInt // 25..125 ms clips
@@ -286,11 +324,11 @@ object Multimodal {
           val fmt = new javax.sound.sampled.AudioFormat(
             rate.toFloat, 16, 1, true, false)
           val bos = new java.io.ByteArrayOutputStream()
-          javax.sound.sampled.AudioSystem.write(
+          writer.write(
             new javax.sound.sampled.AudioInputStream(
               new java.io.ByteArrayInputStream(pcm), fmt, n.toLong),
-            javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
-          val decoded = javax.sound.sampled.AudioSystem.getAudioInputStream(
+            wave, bos)
+          val decoded = decodeOf(
             new java.io.ByteArrayInputStream(bos.toByteArray))
           val dFmt = decoded.getFormat
           val frames = decoded.getFrameLength

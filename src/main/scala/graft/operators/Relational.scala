@@ -178,7 +178,17 @@ object Relational {
     val ev = Tables.loadTimedEvents(spark, dir)
       .select(col("event_id"), col("user_id"), col("ts"))
       .withColumn("t", unix_micros(col("ts")))
+    // r18 (guide §2.4 "two operations keyed the same way share one
+    // exchange"): cluster by the AS-OF key before the dedup aggregate —
+    // HashPartitioning(o_custkey) satisfies both the groupBy's
+    // clustering (o_custkey ⊆ group key) and the as-of join's required
+    // distribution, so the right side reaches the merge with ONE
+    // exchange instead of two (the agg's (custkey, date) exchange plus
+    // a re-cluster on custkey). Bytes are unchanged: the group key is
+    // nearly unique per row here, so the removed exchange carried the
+    // whole aggregate output anyway.
     val ord = Tables.load(spark, dir, "orders")
+      .repartition(col("o_custkey"))
       .groupBy("o_custkey", "o_orderdate")
       .agg(max(col("o_orderkey")).as("o_orderkey"))
       .withColumn("ot", unix_micros(col("o_orderdate").cast("timestamp")))
@@ -201,7 +211,9 @@ object Relational {
       .filter(col("o_orderdate").isNotNull)
       .select(col("o_orderkey"), col("o_custkey"), col("o_orderdate"))
       .withColumn("ot", unix_micros(col("o_orderdate").cast("timestamp")))
+    // same one-exchange clustering as asofEventOrder's order side (r18)
     val ev = Tables.load(spark, dir, "events")
+      .repartition(col("user_id"))
       .groupBy("user_id", "ts")
       .agg(min(col("event_id")).as("event_id"))
       .withColumn("t", unix_micros(col("ts")))

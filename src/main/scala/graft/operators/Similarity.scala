@@ -962,6 +962,13 @@ object Similarity {
     val corpus = assignmentTable(spark, dir, iters)
       .filter(col("vec_id") % mod =!= 0)
       .select("c_id", "vec_id", "v", "nrm")
+    // NOT spread (r18): tried hash-spreading the batch side (the
+    // join's streamed side — its single-split scan serializes the
+    // scoring) and measured 0.78 -> 0.87 s: every task's duration was
+    // dominated by the corpus broadcast-relation materialization
+    // queue (BlockManager KeyLock) plus 32x shuffle-writer setup, so
+    // the added parallelism never paid. The serve is floor-bound by
+    // the one-time broadcast build at this data size.
     val batch = emb(spark, dir).filter(col("vec_id") % mod === 0)
       .select(col("vec_id").as("q_id"), col("v").as("q_v"),
         col("nrm").as("q_nrm"))
