@@ -358,16 +358,35 @@ object Dedup {
   private[graft] def verifyCandidatesFrom(cand: DataFrame,
       newDocs: DataFrame, corpusDocs: DataFrame,
       threshold: Double): DataFrame = {
-    def pruned(docs: DataFrame, idCol: String): DataFrame = {
-      val ids = cand.select(col(idCol).as("doc_id")).distinct()
-      val lst = ids.limit(VerifyIsinMaxIds + 1).collect().map(_.getLong(0))
-      if (lst.length <= VerifyIsinMaxIds)
+    // ONE tagged collect for both sides' distinct candidate ids (r18):
+    // the two per-side `ids.limit(N+1).collect()` calls were two
+    // driver JOBS over the same scratch-backed candidate table —
+    // ~100 ms of serialized job latency each on every incremental
+    // serve. The guard semantics are unchanged: a side whose complete
+    // id set came back within its cap gets the literal IN pushdown,
+    // anything else (including a truncated combined collect, where the
+    // per-side sets may be incomplete) takes the broadcast semi-join —
+    // the two prune paths are row-identical, so the switch only ever
+    // changes the plan, never the result.
+    val capBoth = 2 * (VerifyIsinMaxIds + 1)
+    val tagged = cand.select(explode(array(
+        struct(lit("n").as("s"), col("new_id").as("id")),
+        struct(lit("c").as("s"), col("corpus_id").as("id")))).as("e"))
+      .select(col("e.s").as("s"), col("e.id").as("id"))
+      .distinct()
+      .limit(capBoth).collect()
+    val complete = tagged.length < capBoth
+    def pruned(docs: DataFrame, idCol: String, tag: String): DataFrame = {
+      val lst = tagged.filter(_.getString(0) == tag).map(_.getLong(1))
+      if (complete && lst.length <= VerifyIsinMaxIds)
         docs.filter(col("doc_id").isin(lst: _*))
-      else docs.join(broadcast(ids), Seq("doc_id"), "left_semi")
+      else docs.join(broadcast(
+          cand.select(col(idCol).as("doc_id")).distinct()),
+        Seq("doc_id"), "left_semi")
     }
-    val shN = pruned(newDocs, "new_id")
+    val shN = pruned(newDocs, "new_id", "n")
       .select(col("doc_id").as("new_id"), T.wordShingles(col("text"), 3).as("sh_n"))
-    val shC = pruned(corpusDocs, "corpus_id")
+    val shC = pruned(corpusDocs, "corpus_id", "c")
       .select(col("doc_id").as("corpus_id"), T.wordShingles(col("text"), 3).as("sh_c"))
     cand.join(shN, "new_id").join(shC, "corpus_id")
       .withColumn("jaccard",

@@ -150,9 +150,23 @@ object Retrieval {
       query: Seq[String] = Seq("hash", "join", "scan"),
       topK: Int = 20): DataFrame = {
     val docs = Tables.load(spark, dir, "documents")
-    val toks = docs.select(col("doc_id"),
-      explode(T.tokens(col("text"))).as("token"))
-    val tf = toks.filter(col("token").isin(query: _*))
+    // filter the token ARRAY before the explode (r18, guide §4/§2.3):
+    // the old explode-then-isin materialized a Generate row for EVERY
+    // token of every document and then dropped all but the query
+    // terms' — the generator's output is corpus-token-sized. Filtering
+    // inside the array (same membership test: isin over non-null
+    // tokens ≡ array_contains) makes the Generate emit only matching
+    // occurrences, so the scan stage streams O(matching terms) rows
+    // into the aggregate instead of O(corpus tokens).
+    // NOT scratch-materialized (r18): bm25Tail consumes tf twice (the
+    // df aggregate and the scored join), so the filtered tokenize runs
+    // twice per call — but with the in-array filter each pass is cheap,
+    // and an A/B of a per-call scratch measured 0.67 -> 1.11 s (the
+    // write job costs more than the duplicated pruned scan).
+    val qArr = array(query.map(lit(_)): _*)
+    val tf = docs.select(col("doc_id"),
+        explode(filter(T.tokens(col("text")),
+          t => array_contains(qArr, t))).as("token"))
       .groupBy("doc_id", "token").agg(count(lit(1)).as("tf"))
     bm25Rank(spark, dir, tf, topK)
   }
@@ -488,7 +502,16 @@ object Retrieval {
         col("rk"))
     val w = Window.partitionBy("query_id")
       .orderBy(col("rrf").desc, col("doc_id"))
+    // ONE fusion exchange (r18, guide §2.4): the union's children are
+    // each query-partitioned by their own top-k windows, but Union
+    // reports UnknownPartitioning, so the fusion paid an exchange for
+    // the groupBy AND another for the rank window. Clustering by
+    // query_id once satisfies both — HashPartitioning(query_id) ⊆
+    // (query_id, doc_id) covers the groupBy, and the window partitions
+    // by query_id exactly. The repartitioned frame is the two candidate
+    // pools (2·poolK rows per query — aggregate-sized at any corpus).
     lex.unionByName(sem)
+      .repartition(col("query_id"))
       .groupBy("query_id", "doc_id")
       .agg(sum(lit(1.0) / (lit(rrfC) + col("rk"))).as("rrf"))
       .withColumn("rk", row_number().over(w).cast("long"))

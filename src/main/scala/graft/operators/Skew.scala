@@ -32,10 +32,21 @@ object Skew {
         col(bigKey) === col(smallKey) && col("_salt_b") === col("_salt_s"))
       .drop("_salt_b", "_salt_s")
 
-  /** Harness face of the salted join: lineitem (hot keys: one order =
+  /** Harness face of the skewed join: lineitem (hot keys: one order =
     * up to 7 lines, and the join key has TPC-H's natural skew) ⋈ orders
-    * subset. The salt never reaches the output, so the oracle is the
-    * plain join. */
+    * subset. The output is the plain join either way (the salt never
+    * reaches it), so the oracle is unchanged.
+    *
+    * r18 A/B (guide §2.2, VERDICT item 7): the manual [[saltedJoin]]
+    * moves `factor`× the orders side through the shuffle (the explode
+    * replication) and salts the big side's keys; AQE's sort-merge skew
+    * split handles this fixture's skew with NO replication — measured
+    * 0.57 s (salted) vs 0.19 s (plain) warm-min at sf0.1, and at scale
+    * the plain form shuffles |orders| instead of 8·|orders|. The query
+    * therefore serves the plain join and lets AQE split hot partitions;
+    * [[saltedJoin]] stays as the discipline for the shapes AQE cannot
+    * split (shuffled-hash sides, aggregate-input skew, colocated
+    * bucket joins) and SkewSpec still pins its equivalence. */
   def saltedJoinQuery(spark: org.apache.spark.sql.SparkSession,
       dir: String): DataFrame = {
     val li = graft.Tables.load(spark, dir, "lineitem")
@@ -43,7 +54,7 @@ object Skew {
     val ord = graft.Tables.load(spark, dir, "orders")
       .filter(col("o_orderstatus") === "F")
       .select("o_orderkey", "o_orderpriority")
-    saltedJoin(li, ord, "l_orderkey", "o_orderkey")
+    li.join(ord, col("l_orderkey") === col("o_orderkey"))
       .select(col("l_orderkey"), col("l_linenumber"),
         col("l_quantity"), col("o_orderpriority"))
       .orderBy("l_orderkey", "l_linenumber")
