@@ -68,7 +68,13 @@ object ScaleBench {
               (col(f.name) + col("_copy") * IdOffset).as(f.name)
             else col(f.name)
           }
-          shifted.select(out.toIndexedSeq: _*)
+          // 64 splits per table: the crossJoin inherits the source's
+          // single split, and a one-file clone would make every scan a
+          // single task — poisoning the very scaling signal this tool
+          // exists to measure (a production 10x dataset has 10x the
+          // files). 64 > 32 cores so both core counts see full layout
+          // parallelism.
+          shifted.select(out.toIndexedSeq: _*).repartition(64)
             .write.mode("overwrite").parquet(s"$dup/$t")
           println(s"[scalebench] cloned $t at ${factor}x")
         }
